@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.functions.{PyRound, VecDot}
+
+/** Engine extension point, registered via the PUBLIC
+  * `SparkSessionExtensions` API (builder.withExtensions or
+  * `spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * Injects two SQL functions:
+  *  - `py_round(x, s)` — CPython-fidelity half-even rounding on the exact
+  *    binary double (see PyRound for why Spark's `bround` can't express it).
+  *  - `vec_dot(a, b)` — codegen'd integer dot product over array<bigint>
+  *    (see VecDot for why the HOF spelling was the d04 bottleneck).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("py_round"),
+      new ExpressionInfo(classOf[PyRound].getName, "py_round"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, Literal(s: Int, IntegerType)) =>
+          PyRound(Cast(x, DoubleType), s)
+        case other =>
+          throw new IllegalArgumentException(
+            s"py_round(x, <int literal scale>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDot(a, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"vec_dot(a, b) expected, got $other")
+      }))
+  }
+}

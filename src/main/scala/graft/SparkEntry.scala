@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Dedup, Relational, Similarity, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,11 +21,25 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ UdfOps.queries ++
+      Map("m01_multimodal_features" ->
+        ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ UdfOps.oracles ++
+      Map("m01_multimodal_features" ->
+        // Mirrors Multimodal.fixtureFromDocuments + the stub decode's
+        // byte/chunk math (text is the payload; frames = ceil(ceil(b/1024)/4)).
+        """SELECT doc_id AS media_id,
+          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |            WHEN doc_id % 3 = 1 THEN 'audio'
+          |            ELSE 'video' END AS kind,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       CAST(((octet_length(encode(text)) + 1023) // 1024 + 3) // 4 AS INT) AS frames_sampled
+          |FROM documents ORDER BY media_id""".stripMargin)
 }

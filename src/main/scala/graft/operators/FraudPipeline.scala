@@ -62,12 +62,19 @@ object FraudPipeline {
       .csv(path)
 
   /** A7: keep rows whose balances are arithmetically consistent:
-    * bround(oldbalanceOrg - newbalanceOrig, 2) >= amount
-    * OR bround(oldbalanceDest + amount, 2) >= newbalanceDest.
+    * py_round(oldbalanceOrg - newbalanceOrig, 2) >= amount
+    * OR py_round(oldbalanceDest + amount, 2) >= newbalanceDest.
+    *
+    * `py_round` (graft.functions.PyRound, injected by GraftExtensions) is
+    * CPython-fidelity half-even rounding on the exact binary double —
+    * Spark's `bround` rounds the double's shortest decimal string instead
+    * and disagrees with the reference on boundary values like 2.675
+    * (Python: 2.67, bround: 2.68). Codegen'd, so the filter stays in one
+    * whole-stage-codegen span over the scan.
     */
   def validityFilter(df: DataFrame): DataFrame = df.filter(
-    bround(col("oldbalanceOrg") - col("newbalanceOrig"), 2) >= col("amount") ||
-    bround(col("oldbalanceDest") + col("amount"), 2) >= col("newbalanceDest"))
+    expr("py_round(oldbalanceOrg - newbalanceOrig, 2) >= amount OR " +
+         "py_round(oldbalanceDest + amount, 2) >= newbalanceDest"))
 
   /** A8: keep rows flagged as fraud by either flag. */
   def fraudFilter(df: DataFrame): DataFrame =

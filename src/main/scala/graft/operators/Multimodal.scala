@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning, batch
+  * shape, feature output — while the codec itself is a clearly-marked STUB
+  * (`fakeDecode`): the container has no image/audio libraries, so decode is
+  * a deterministic fake over the raw bytes. Swapping in a real codec
+  * changes ONE function and nothing about the plan.
+  *
+  * Scale notes:
+  *  - Media rows are big (MBs); `repartitionByBytes` targets a bounded
+  *    per-task byte budget so executor memory survives 100 TB of media —
+  *    row-count-based partitioning would OOM on skewed blob sizes.
+  *  - Feature extraction is `mapPartitions` (the Scala analogue of a
+  *    batched pandas UDF): per-partition setup (codec init) is amortized
+  *    across the partition's rows, and the output is columnar-friendly
+  *    fixed-width features.
+  *  - No driver collection anywhere; everything stays a Dataset.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (parquet-friendly). */
+  final case class Media(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      payload: Array[Byte],  // opaque encoded bytes
+      width: Int, height: Int, duration_ms: Long, format: String)
+
+  /** Extracted features: fixed-width, columnar-friendly. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      byte_mean: Double, byte_histogram: Array[Long], frames_sampled: Int)
+
+  /** STUB — deterministic fake decode. A real deployment replaces this with
+    * an actual codec (e.g. javax.imageio / ffmpeg bindings); everything
+    * else — schema, partitioning, batch shape — is production-real.
+    * The fake "decodes" raw bytes into a 16-bin byte histogram + mean.
+    */
+  def fakeDecode(payload: Array[Byte]): (Double, Array[Long]) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b / 16) += 1
+      sum += b
+      i += 1
+    }
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    (mean, hist)
+  }
+
+  /** STUB — frame sampling: every `stride`-th 1 KiB chunk counts as one
+    * sampled "frame". Real impl: demux + keyframe selection.
+    */
+  def sampleFrames(payload: Array[Byte], stride: Int): Int = {
+    val chunks = (payload.length + 1023) / 1024
+    (chunks + stride - 1) / stride
+  }
+
+  /** Repartition so each task sees roughly `targetBytes` of payload —
+    * blob-size-aware partitioning (row counts lie when blobs are skewed).
+    */
+  def repartitionByBytes(media: Dataset[Media], totalBytes: Long,
+                         targetBytes: Long = 128L << 20): Dataset[Media] = {
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    media.repartition(parts)
+  }
+
+  /** Batched feature extraction — the mapPartitions analogue of a pandas
+    * UDF: per-partition codec setup, then row-at-a-time decode into
+    * fixed-width features.
+    */
+  def extractFeatures(media: Dataset[Media], frameStride: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would initialize the real codec here, once
+      rows.map { m =>
+        val (mean, hist) = fakeDecode(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          mean, hist, sampleFrames(m.payload, frameStride))
+      }
+    }
+  }
+
+  /** "Resize" as a metadata transform (the stub keeps payload opaque; a
+    * real impl re-encodes). Demonstrates typed metadata evolution.
+    */
+  def resizeMeta(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.width <= maxDim && m.height <= maxDim) m
+      else {
+        val scale = maxDim.toDouble / math.max(m.width, m.height)
+        m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt)
+      }
+    }
+  }
+
+  /** Deterministic fixture: fake media payloads derived from the documents
+    * table (text bytes as the opaque payload) — exercises the full pipeline
+    * without any codec dependency.
+    */
+  def fixtureFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        Media(id, kind, text.getBytes("UTF-8"),
+          width = (nChars % 640).toInt + 16, height = (nChars % 480).toInt + 16,
+          duration_ms = nChars * 10, format = "fake")
+      }
+  }
+
+  /** m01 queries() entry: feature-extraction over the documents-derived
+    * fixture; rows-only check (binary decode is not SQL-expressible — the
+    * stub IS the spec, covered by MultimodalSpec golden tests).
+    */
+  def m01MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(fixtureFromDocuments(s, d))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+              col("frames_sampled"))
+      .orderBy("media_id")
+  }
+}

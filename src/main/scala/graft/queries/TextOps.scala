@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.TextHash
+
+/** Text-analysis suite over the `documents` table (SURVEY §2 Part B q29/q34
+  * plus the LLM-pipeline text ops: language-ID, quality scoring, token
+  * counting, document fingerprinting).
+  *
+  * Scale discipline: every op is a per-row expression pipeline (higher-order
+  * functions inside whole-stage codegen — no UDFs, no collect), so the plan
+  * is scan → project → (optional groupBy). At 100 TB the only shuffles are
+  * the final aggregations, which are partial-agg friendly. Determinism
+  * discipline for the DuckDB oracle: hashes via md5 (bit-identical across
+  * engines, see TextHash), ratios via integer `div`, never raw double math.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q29: tokenize + global token frequency — the canonical explode/groupBy
+    * word count. Partial aggregation makes the shuffle carry one row per
+    * (token × partition).
+    */
+  val q29TextTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("token")
+
+  /** q34: corpus stats by language. */
+  val q34TextStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        dec(avg(dec(col("n_chars")))).as("avg_chars"),
+        dec(sum(dec(col("n_chars")))).as("sum_chars"))
+      .orderBy("lang")
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic.
+    * Priority order breaks score ties deterministically (en > es > fr > de).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** t01: language identification by marker-token counting — the classic
+    * stopword-profile heuristic. One `filter` HOF per language over the
+    * token array; argmax with fixed priority; 'und' when no marker hits.
+    */
+  val t01LangId: Q = (s, d) => {
+    val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"c_$lang",
+          expr(s"size(filter(split(text, ' '), t -> t IN ${inList(ws)}))"))
+    }
+    scored
+      .withColumn("predicted", expr(
+        """CASE
+          |  WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+          |  WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+          |  WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+          |  WHEN c_de > 0 THEN 'de'
+          |  ELSE 'und'
+          |END""".stripMargin))
+      .select("doc_id", "c_en", "c_es", "c_fr", "c_de", "predicted")
+      .orderBy("doc_id")
+  }
+
+  /** Stopword list for the quality score. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** t02: document quality scoring — length, stopword ratio, long-token
+    * ratio, folded into a 0–100 score with pure integer arithmetic (`div`)
+    * so Spark and DuckDB agree bit-for-bit.
+    */
+  val t02QualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN ${inList(stopwords)}))"))
+      .withColumn("n_long",
+        expr("size(filter(split(text, ' '), t -> length(t) >= 6))"))
+      .withColumn("len_score",
+        expr("least(100L, (cast(length(text) as bigint) * 100) div 400)"))
+      .withColumn("stop_pct", expr("(cast(n_stop as bigint) * 100) div n_tokens"))
+      .withColumn("long_pct", expr("(cast(n_long as bigint) * 100) div n_tokens"))
+      .withColumn("quality", expr("(len_score + (100 - stop_pct) + long_pct) div 3"))
+      .select("doc_id", "n_tokens", "n_stop", "n_long",
+              "len_score", "stop_pct", "long_pct", "quality")
+      .orderBy("doc_id")
+
+  /** t03: token counting — whitespace tokens vs a BPE-ish regex token count
+    * (letter runs / digit runs / single other chars), plus integer
+    * chars-per-token. `regexp_count` stays inside codegen.
+    */
+  val t03TokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", expr("size(split(text, ' '))"))
+      .withColumn("re_tokens",
+        expr("cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') as int)"))
+      .withColumn("chars_x100_per_token",
+        expr("(cast(length(text) as bigint) * 100) div size(split(text, ' '))"))
+      .select("doc_id", "ws_tokens", "re_tokens", "chars_x100_per_token")
+      .orderBy("doc_id")
+
+  /** t04: document fingerprinting — winnowing-style: hash every 8-token
+    * shingle (rolling window) with md5, keep the minimum digest as the doc
+    * fingerprint. Equal fingerprints → near-dup candidates. Docs shorter
+    * than 8 tokens fingerprint their whole text (slice truncates).
+    * Relational shape (explode → codegen md5 → min aggregate) — see
+    * Dedup.d01 for why this beats array HOFs.
+    */
+  val t04Fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 8))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q29_text_tokens"   -> q29TextTokens,
+    "q34_text_stats"    -> q34TextStats,
+    "t01_lang_id"       -> t01LangId,
+    "t02_quality_score" -> t02QualityScore,
+    "t03_token_count"   -> t03TokenCount,
+    "t04_fingerprint"   -> t04Fingerprint)
+
+  private def duckMarkerCount(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
+
+  val oracles: Map[String, String] = Map(
+    "q29_text_tokens" ->
+      """SELECT token, COUNT(1) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q34_text_stats" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |       CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_chars,
+        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t01_lang_id" -> {
+      val counts = langMarkers.map { case (l, ws) =>
+        s"CAST(${duckMarkerCount(ws)} AS INT) AS c_$l"
+      }.mkString(",\n       ")
+      s"""SELECT doc_id, c_en, c_es, c_fr, c_de,
+         |  CASE
+         |    WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+         |    WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+         |    WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+         |    WHEN c_de > 0 THEN 'de'
+         |    ELSE 'und'
+         |  END AS predicted
+         |FROM (SELECT doc_id, $counts FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stop, n_long, len_score, stop_pct, long_pct,
+         |       CAST((len_score + (100 - stop_pct) + long_pct) // 3 AS BIGINT) AS quality
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_stop, n_long,
+         |         CAST(least(100, (length(text) * 100) // 400) AS BIGINT) AS len_score,
+         |         CAST((n_stop * 100) // n_tokens AS BIGINT) AS stop_pct,
+         |         CAST((n_long * 100) // n_tokens AS BIGINT) AS long_pct
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |           CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop,
+         |           CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT) AS n_long
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+        |       CAST((length(text) * 100) // len(string_split(text, ' ')) AS BIGINT) AS chars_x100_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_min(list_transform(${TextHash.duckShingles("text", 8)}, s -> md5(s))) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

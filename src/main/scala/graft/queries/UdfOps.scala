@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{MinHashAgg, TextHash}
+
+/** User-extension surface (SURVEY §2 Part B u01–u03, x01): scalar UDF,
+  * typed Aggregator UDAF, generator, and sketch aggregation.
+  *
+  * Design notes:
+  *  - u01 shows the scalar-UDF contract but the scoring math is pure IEEE
+  *    double + floor, so it still cross-checks against DuckDB exactly.
+  *    (Production guidance stands: built-in expressions beat UDFs — the
+  *    same formula as a Column expr stays in codegen; the UDF exists to
+  *    prove the extension surface.)
+  *  - u02 is a typed Aggregator (partial-agg friendly: merge = elementwise
+  *    min) registered via functions.udaf; output exploded to scalar rows so
+  *    the oracle compares plain columns, not engine-specific list types.
+  *  - u03 is the generator surface — posexplode (built-in Generator); the
+  *    typed Dataset.flatMap equivalent is exercised in ScalaTest.
+  *  - x01 approx_count_distinct is declared WITHOUT an oracle (sketches are
+  *    engine-specific); ScalaTest bounds it against the exact count.
+  */
+object UdfOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** u01: scalar UDF — integer fraud-score band from price and discount.
+    * floor(p * (1-d) / 1000): double ops are IEEE-identical across JVM and
+    * DuckDB, floor is exact → oracle-safe despite being a black-box UDF.
+    */
+  val u01UdfFraudScore: Q = (s, d) => {
+    val score = udf((price: Double, disc: Double) =>
+      math.floor(price * (1 - disc) / 1000).toLong)
+    s.udf.register("fraud_score", score) // SQL-callable, proves registration
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        score(col("l_extendedprice"), col("l_discount")).as("score"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  /** u02: UDAF — per-language MinHash signature of the union of each
+    * language's documents' shingle sets. Output exploded to (lang, idx, sig).
+    */
+  val u02UdafMinhash: Q = (s, d) => {
+    val mh = udaf(new MinHashAgg(TextHash.MinhashShingleK))
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(mh(col("text")).as("sig"))
+      .select(col("lang"), posexplode(col("sig")).as(Seq("idx", "sig")))
+      .orderBy("lang", "idx")
+  }
+
+  /** u03: generator surface — tokenize with position via posexplode. */
+  val u03UdtfTokenize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  /** x01: HLL++ approximate distinct — engine-specific sketch, no oracle;
+    * ScalaTest asserts |approx - exact| <= 5% rsd.
+    */
+  val x01ApproxDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .agg(approx_count_distinct(col("o_custkey"), 0.05).as("approx_cust"))
+
+  val queries: Map[String, Q] = Map(
+    "u01_udf_fraud_score" -> u01UdfFraudScore,
+    "u02_udaf_minhash"    -> u02UdafMinhash,
+    "u03_udtf_tokenize"   -> u03UdtfTokenize,
+    "x01_approx_distinct" -> x01ApproxDistinct)
+
+  val oracles: Map[String, String] = Map(
+    "u01_udf_fraud_score" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(floor(l_extendedprice * (1 - l_discount) / 1000) AS BIGINT) AS score
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "u02_udaf_minhash" -> {
+      import TextHash._
+      val shingles = TextHash.duckShingles("text", MinhashShingleK)
+      s"""WITH sigs AS (
+         |  SELECT lang,
+         |    list_transform(generate_series(0, ${NumHashes - 1}), i ->
+         |      list_min(list_transform(
+         |        list_transform($shingles, sh -> ${TextHash.duckHash56("sh")} % $P),
+         |        x -> ($aLitDuck[i + 1] * x + $bLitDuck[i + 1]) % $P))) AS sig
+         |  FROM documents)
+         |SELECT lang, CAST(g.i AS INT) AS idx, MIN(sig[g.i + 1]) AS sig
+         |FROM sigs CROSS JOIN generate_series(0, ${NumHashes - 1}) AS g(i)
+         |GROUP BY lang, g.i ORDER BY lang, idx""".stripMargin
+    },
+    "u03_udtf_tokenize" ->
+      // parallel unnests zip pairwise in DuckDB (lateral generate_series
+      // with a column bound is not supported)
+      """SELECT doc_id, CAST(pos - 1 AS INT) AS pos, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin
+    // x01_approx_distinct: intentionally no oracle (sketch, engine-specific).
+  )
+}

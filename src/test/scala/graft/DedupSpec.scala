@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.{Dedup, TextOps}
+import graft.functions.TextHash
+
+/** Dedup-suite semantics on constructed fixtures: the sf tables have no
+  * true near-duplicates (all 500 texts distinct, diffuse), so detection
+  * behavior is proven here with planted dups.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Write a documents.parquet fixture so the Q(spark, dir) contract runs
+    * unchanged against planted data.
+    */
+  private def docsDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs_fixture").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-token edit
+  private val distinct1 =
+    "spark shuffles partition data across the cluster while catalyst optimizes the logical plan tree"
+  private val distinct2 =
+    "minhash signatures estimate jaccard similarity between shingle sets without pairwise comparison cost"
+
+  test("d01 MinHash LSH finds planted near-dup, skips distinct docs") {
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val pairs = Dedup.d01MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b) => a >= 2 || b >= 2 })
+  }
+
+  test("exact dedup q32: duplicate text collapses to min doc_id") {
+    val dir = docsDir(Seq(base, base, distinct1))
+    val out = Dedup.q32DedupExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 2L, 2L -> 1L)) // doc 0 survives with 2 copies
+  }
+
+  test("q32 idempotence: dedup of dedup output is a no-op") {
+    val dir = docsDir(Seq(base, base, nearDup, distinct1))
+    val once = Dedup.q32DedupExact(spark, dir).count()
+    // re-materialize the dedup'd corpus and dedup again
+    import spark.implicits._
+    val dir2 = Files.createTempDirectory("docs_fixture2").toString
+    Dedup.q32DedupExact(spark, dir)
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    assert(Dedup.q32DedupExact(spark, dir2).count() === once)
+  }
+
+  test("d02 SimHash: near-dups land within small Hamming distance") {
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val sh = Dedup.d02Simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= 6,
+      s"near-dup hamming ${hamming(sh(0L), sh(1L))}")
+    assert(hamming(sh(0L), sh(2L)) > hamming(sh(0L), sh(1L)))
+  }
+
+  test("d03 n-gram Jaccard: planted pair passes threshold with sane counts") {
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val rows = Dedup.d03NgramJaccard(spark, dir).collect()
+    val pair = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(pair.isDefined, s"expected (0,1) in ${rows.toSeq}")
+    val (inter, na, nb) =
+      (pair.get.getLong(2), pair.get.getLong(3), pair.get.getLong(4))
+    assert(inter > 0 && inter <= math.min(na, nb))
+    // planted pair differs by one token => differs by <= 2 bigrams
+    assert(na - inter <= 2 && nb - inter <= 2)
+  }
+
+  test("t04 fingerprint: exact dups share fingerprint, distinct docs don't") {
+    val dir = docsDir(Seq(base, base, distinct1))
+    val fp = TextOps.t04Fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(2L))
+  }
+
+  test("MinHash signature estimates Jaccard within additive 0.35 (16 perms)") {
+    val dir = docsDir(Seq(base, nearDup))
+    val sig = Dedup.minhashSignatures(Tables.documents(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        (0 until TextHash.NumHashes).map(i => r.getLong(i + 1))).toMap
+    val agree = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    val est = agree.toDouble / TextHash.NumHashes
+    // exact shingle Jaccard of the planted pair
+    def shingles(t: String) =
+      t.split(" ").sliding(TextHash.MinhashShingleK).map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingles(base), shingles(nearDup))
+    val exact = (sa & sb).size.toDouble / (sa | sb).size
+    assert(math.abs(est - exact) <= 0.35, s"est $est vs exact $exact")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.{Similarity, UdfOps}
+
+/** Similarity-search semantics on the sf0.001 embeddings + sketch bounds. */
+class SimilaritySpec extends SparkSpec {
+
+  test("q33 brute-force kNN: scores sorted desc, self excluded, k rows") {
+    val rows = Similarity.q33SimilarityKnn(spark, sf).collect()
+    assert(rows.length === Similarity.TopK)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(!rows.exists(_.getLong(0) == 0L))
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("n01 ANN results are a subset of the query bucket, exact-scored") {
+    val exact = Similarity.q33SimilarityKnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ann = Similarity.n01AnnLsh(spark, sf).collect()
+    // every ANN hit's cosine matches the exact computation bit-for-bit
+    ann.foreach { r =>
+      val (id, cos) = (r.getLong(0), r.getDouble(3))
+      exact.get(id).foreach(e => assert(e === cos))
+    }
+    // ANN candidates all share the query's bucket
+    assert(ann.map(_.getInt(1)).distinct.length <= 1)
+  }
+
+  test("d04 near-dup pairs are symmetric-free and above threshold") {
+    val rows = Similarity.d04EmbedNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical ordering, no dupes
+    }
+  }
+
+  test("x01 approx distinct within 3*rsd of exact") {
+    val approx = UdfOps.x01ApproxDistinct(spark, sf).collect()(0).getLong(0)
+    val exact = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("u02 UDAF minhash: group signature equals min over member doc sigs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // signature of the union == elementwise min of per-doc signatures
+    val perDoc = graft.queries.Dedup.minhashSignatures(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val expected = perDoc.groupBy("lang")
+      .agg(min("s0").as("m0"), min("s1").as("m1"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = UdfOps.u02UdafMinhash(spark, sf).collect()
+      .groupBy(_.getString(0)).map { case (lang, rs) =>
+        val byIdx = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        lang -> (byIdx(0), byIdx(1))
+      }
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.FraudPipeline
+import graft.streaming.StreamOps
+
+/** Structured Streaming suite (s01–s04) with deterministic replays. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private val header =
+    "step,type,amount,nameOrig,oldbalanceOrg,newbalanceOrig,nameDest,oldbalanceDest,newbalanceDest,isFraud,isFlaggedFraud"
+
+  test("s01 file-per-trigger stream equals batch on the same files") {
+    val inDir = tmp("s01_in")
+    // file 1: one fraud row + one clean row; file 2: clean only (exercises
+    // the A9 empty-batch guard); file 3: one fraud row
+    Files.writeString(java.nio.file.Paths.get(inDir, "f1.csv"), header + "\n" +
+      "1,TRANSFER,181.0,C1,181.0,0.0,M1,0.0,0.0,1,0\n" +
+      "1,PAYMENT,100.0,C2,1000.0,900.0,M2,0.0,0.0,0,0\n")
+    Files.writeString(java.nio.file.Paths.get(inDir, "f2.csv"), header + "\n" +
+      "1,PAYMENT,50.0,C3,500.0,450.0,M3,0.0,0.0,0,0\n")
+    Files.writeString(java.nio.file.Paths.get(inDir, "f3.csv"), header + "\n" +
+      "1,CASH_OUT,300.0,C4,300.0,0.0,M4,0.0,0.0,0,1\n")
+
+    val outDir = tmp("s01_out")
+    val q = StreamOps.s01FraudStream(spark, inDir, outDir, tmp("s01_ckpt"))
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("nameOrig").collect().map(_.getString(0)).sorted
+    val batch = FraudPipeline(FraudPipeline.readCsv(spark, inDir))
+      .select("nameOrig").collect().map(_.getString(0)).sorted
+    assert(streamed === batch)
+    assert(streamed === Array("C1", "C4"))
+  }
+
+  private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
+
+  test("s02 sliding window + watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val q = StreamOps.s02SlidingWindow(events)
+      .writeStream.format("memory").queryName("s02_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events inside [0,10) and [5,15)
+    mem.addData((ts(1), "click", 1.0), (ts(6), "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: jump to t=60 — the watermark advances to 50 at batch END
+    mem.addData((ts(60), "click", 4.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event at t=2, now behind the watermark -> dropped
+    // (must be its own batch: the operative watermark during a batch is the
+    // one computed at the END of the previous batch)
+    mem.addData((ts(2), "click", 100.0))
+    q.processAllAvailable()
+    // batch 4: flush t=60's windows
+    mem.addData((ts(120), "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("s02_out")
+      .select("ws", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getDouble(2)))
+      .toSet
+    // window [0,10): both on-time events, NOT the late 100.0
+    assert(out.contains((0L, 2L, 3.0)), s"got $out")
+    // window [5,15): only the t=6 event
+    assert(out.contains((5L, 1L, 2.0)))
+    assert(!out.exists(_._3 >= 100.0), "late event leaked into a window")
+  }
+
+  test("s03 session windows close on 5-minute gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "value")
+    val q = StreamOps.s03SessionWindow(events)
+      .writeStream.format("memory").queryName("s03_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7: burst at 0,1,2 (one session), burst at 20,21 (second session)
+    mem.addData((ts(0), 7L, 1.0), (ts(1), 7L, 1.0), (ts(2), 7L, 1.0),
+                (ts(20), 7L, 1.0), (ts(21), 7L, 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(120), 7L, 0.0)) // advance watermark, flush sessions
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("s03_out")
+      .filter($"n_events" > 0).select("n_events").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(sessions.containsSlice(Seq(2L, 3L)), s"got $sessions")
+  }
+
+  test("s04 streaming dedup keeps one copy within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "event_id", "value")
+    val q = StreamOps.s04StreamDedup(events)
+      .writeStream.format("memory").queryName("s04_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), 100L, 1.0), (ts(2), 100L, 1.0), (ts(3), 101L, 2.0))
+    q.processAllAvailable()
+    mem.addData((ts(4), 100L, 1.0)) // dup again, still within watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("s04_out").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(100L, 101L), s"got $ids")
+  }
+}
