@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Relational, Similarity, TextOps, UdfOps}
+import graft.queries.{Dedup, Extended, Relational, Similarity, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ UdfOps.queries ++
+      Similarity.queries ++ UdfOps.queries ++ Extended.queries ++
       Map("m01_multimodal_features" ->
         ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)))
 
@@ -31,7 +31,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ UdfOps.oracles ++
+      Similarity.oracles ++ UdfOps.oracles ++ Extended.oracles ++
       Map("m01_multimodal_features" ->
         // Mirrors Multimodal.fixtureFromDocuments + the stub decode's
         // byte/chunk math (text is the payload; frames = ceil(ceil(b/1024)/4)).

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.util.Properties
+import graft.operators.{FraudPipeline, FraudSink}
+
+/** A10-A12 sink fidelity, integration-tested against the embedded Derby
+  * that ships with Spark's jars (no external DB needed). The Postgres DDL
+  * spelling (the reference's exact column set) is asserted textually; the
+  * Derby spelling actually executes.
+  */
+class JdbcSinkSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:frauddb;create=true"
+  private val props = new Properties()
+
+  private val header =
+    "step,type,amount,nameOrig,oldbalanceOrg,newbalanceOrig,nameDest,oldbalanceDest,newbalanceDest,isFraud,isFlaggedFraud"
+
+  private def fixtureDir(): String = {
+    val dir = Files.createTempDirectory("sink_fixture")
+    Files.writeString(dir.resolve("t.csv"), header + "\n" +
+      "1,TRANSFER,181.0,C1,181.0,0.0,M1,0.0,0.0,1,0\n" +
+      "1,CASH_OUT,300.0,C2,300.0,0.0,M2,0.0,0.0,1,0\n" +
+      "1,PAYMENT,100.0,C3,1000.0,900.0,M3,0.0,0.0,0,0\n")
+    dir.toString
+  }
+
+  test("postgres DDL mirrors the reference's 11-column table + SERIAL pk") {
+    val ddl = FraudSink.postgresDdl()
+    assert(ddl.contains("id SERIAL PRIMARY KEY"))
+    for (c <- Seq("step INT", "type VARCHAR(20)", "amount FLOAT",
+                  "nameOrig VARCHAR(50)", "oldbalanceOrg FLOAT",
+                  "newbalanceOrig FLOAT", "nameDest VARCHAR(50)",
+                  "oldbalanceDest FLOAT", "newbalanceDest FLOAT",
+                  "isFraud INT", "isFlaggedFraud INT"))
+      assert(ddl.contains(c), s"missing $c")
+  }
+
+  test("ensureTable is idempotent; append lands fraud rows; re-append is at-least-once") {
+    val table = "fraud_transactions"
+    FraudSink.ensureTable(url, props, FraudSink.derbyDdl(table))
+    FraudSink.ensureTable(url, props, FraudSink.derbyDdl(table)) // no throw
+
+    val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+    FraudSink.append(fraud, url, table, props)
+    val count1 = spark.read.jdbc(url, table, props).count()
+    assert(count1 === 2)
+
+    // the id column was DB-generated and distinct
+    val ids = spark.read.jdbc(url, table, props)
+      .select("ID").collect().map(_.getInt(0)).toSet
+    assert(ids.size === 2)
+
+    // reference fidelity: re-processing the same file re-inserts (A12)
+    FraudSink.append(fraud, url, table, props)
+    assert(spark.read.jdbc(url, table, props).count() === 4)
+  }
+
+  test("appendBatch guards the empty batch (A9) and creates the table (A10)") {
+    val table = "fraud_stream"
+    val empty = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+      .filter("amount < 0") // nothing
+    // empty batch: must NOT create the table (reference skips the DB conn)
+    FraudSink.appendBatch(url, table, props, FraudSink.derbyDdl(table))(empty, 0L)
+    intercept[Exception] { spark.read.jdbc(url, table, props).count() }
+
+    val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+    FraudSink.appendBatch(url, table, props, FraudSink.derbyDdl(table))(fraud, 1L)
+    assert(spark.read.jdbc(url, table, props).count() === 2)
+  }
+}
