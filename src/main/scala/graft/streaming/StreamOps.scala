@@ -55,6 +55,21 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** s01 JDBC variant — full reference fidelity end-to-end: file-per-
+    * trigger stream → A7+A8 filters → foreachBatch with A9 empty guard +
+    * A10 idempotent DDL + A12 batched JDBC append (FraudSink).
+    */
+  def s01FraudStreamJdbc(spark: SparkSession, inDir: String,
+                         url: String, table: String,
+                         props: java.util.Properties, createSql: String,
+                         checkpoint: String): StreamingQuery =
+    FraudPipeline(fraudFileSource(spark, inDir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.FraudSink.appendBatch(url, table, props, createSql) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** s02: sliding window + watermark. 10-minute windows sliding by 5, 10
     * minutes of allowed lateness; late rows beyond the watermark are
     * dropped — asserted in the spec.

@@ -39,6 +39,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Array("C1", "C4"))
   }
 
+  test("s01 JDBC variant: stream lands fraud rows in Derby end-to-end") {
+    val inDir = tmp("s01j_in")
+    Files.writeString(java.nio.file.Paths.get(inDir, "f1.csv"), header + "\n" +
+      "1,TRANSFER,181.0,C1,181.0,0.0,M1,0.0,0.0,1,0\n" +
+      "1,PAYMENT,100.0,C2,1000.0,900.0,M2,0.0,0.0,0,0\n")
+    Files.writeString(java.nio.file.Paths.get(inDir, "f2.csv"), header + "\n" +
+      "1,CASH_OUT,300.0,C3,300.0,0.0,M3,0.0,0.0,0,1\n")
+
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val props = new java.util.Properties()
+    val table = "fraud_stream_e2e"
+    val q = graft.streaming.StreamOps.s01FraudStreamJdbc(
+      spark, inDir, url, table, props,
+      graft.operators.FraudSink.derbyDdl(table), tmp("s01j_ckpt"))
+    q.awaitTermination()
+
+    val landed = spark.read.jdbc(url, table, props)
+      .select("NAMEORIG").collect().map(_.getString(0)).sorted
+    assert(landed === Array("C1", "C3"))
+  }
+
+  test("observed stage counts replace len()-based logging without extra jobs") {
+    import org.apache.spark.sql.{Observation, functions => F}
+    val inDir = tmp("obs_in")
+    Files.writeString(java.nio.file.Paths.get(inDir, "t.csv"), header + "\n" +
+      "1,TRANSFER,181.0,C1,181.0,0.0,M1,0.0,0.0,1,0\n" +     // valid + fraud
+      "1,PAYMENT,100.0,C2,1000.0,900.0,M2,0.0,0.0,0,0\n" +   // valid
+      "1,DEBIT,500.0,C3,100.0,0.0,M3,0.0,1000.0,0,0\n")      // invalid
+    val (oIn, oValid, oFraud) =
+      (Observation("in"), Observation("valid"), Observation("fraud"))
+    val df = FraudPipeline.readCsv(spark, inDir)
+    val piped = FraudPipeline.fraudFilter(
+      FraudPipeline.validityFilter(
+        df.observe(oIn, F.count(F.lit(1)).as("n"))
+      ).observe(oValid, F.count(F.lit(1)).as("n"))
+    ).observe(oFraud, F.count(F.lit(1)).as("n"))
+    piped.collect() // ONE action; all three counts observed on the side
+    assert(oIn.get("n") === 3L)
+    assert(oValid.get("n") === 2L)
+    assert(oFraud.get("n") === 1L)
+  }
+
   private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
 
   test("s02 sliding window + watermark drops late data") {
