@@ -62,7 +62,10 @@ object Dedup {
         .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
       concat(lit(s"$b:"), concat_ws(",", parts: _*))
     }
+    // cache: the band table feeds BOTH sides of the self-join — without it
+    // the whole explode→hash→16-min-agg pipeline runs twice
     val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+      .cache()
     val a = bands.select(col("doc_id").as("d1"), col("band_key"))
     val b = bands.select(col("doc_id").as("d2"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -122,11 +125,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", JaccardShingleK)})"))
           .as("shingle"))
+    // cache: consumed three times (pair join both sides + set sizes)
     val informative = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= MaxDf)
       .select("doc_id", "shingle")
+      .cache()
     val sizes = informative.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = informative.select(col("doc_id").as("d1"), col("shingle"))
     val b = informative.select(col("doc_id").as("d2"), col("shingle"))

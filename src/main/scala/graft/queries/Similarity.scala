@@ -161,9 +161,48 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** Number of IVF centroids (seed-sampled: vec_id < NumCentroids). */
+  val NumCentroids = 16
+
+  /** n02: ANN via IVF (inverted file) — the second scale path beside LSH.
+    * Centroids are the NumCentroids seed vectors (deterministic stand-in
+    * for k-means training, whose iteration order would cost cross-engine
+    * determinism); every vector is assigned to its max-cosine centroid
+    * (exact integer dots → IEEE-identical double cos → argmax with
+    * centroid-id tie-break); the query probes ONLY its own centroid's
+    * inverted list and re-ranks exactly. At 100 TB: the assignment is one
+    * broadcast-join pass, the probe reads ~1/NumCentroids of the corpus.
+    */
+  val n02AnnIvf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    val cents = v.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+    val qside = assigned.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"), col("cid").as("qcid"))
+    assigned.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qside))
+      .filter(col("cid") === col("qcid"))
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos", expr(
+        "cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cid", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
+    "n02_ann_ivf"        -> n02AnnIvf,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
   // ------------------------------------------------------------- oracles
@@ -195,6 +234,29 @@ object Similarity {
          |           / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
          |  FROM wb, qv WHERE vec_id <> 0 AND bkt = qbkt)
          |SELECT vec_id, bkt, dot, cos FROM scored
+         |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n02_ann_ivf" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+         |          FROM prepn WHERE vec_id < $NumCentroids),
+         |scoredc AS (
+         |  SELECT v.vec_id, v.q, v.nrm, c.cid,
+         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+         |  FROM prepn v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, q, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM scoredc) WHERE rn = 1),
+         |qside AS (SELECT q AS qa, nrm AS na, cid AS qcid
+         |          FROM assigned WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT a.vec_id, a.cid, ${duckDot("qa", "a.q")} AS dot,
+         |         CAST(${duckDot("qa", "a.q")} AS DOUBLE)
+         |           / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |  FROM assigned a, qside WHERE a.vec_id <> 0 AND a.cid = qcid)
+         |SELECT vec_id, cid, dot, cos FROM probe
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "d04_embed_near_dup" ->
       s"""WITH $duckPrep,

@@ -27,6 +27,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.map(_.getInt(1)).distinct.length <= 1)
   }
 
+  test("n02 IVF results are exact-scored members of the query's list") {
+    val exact = Similarity.q33SimilarityKnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Similarity.n02AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty && ivf.length <= Similarity.TopK)
+    // all probed hits share one centroid and any overlap with the exact
+    // top-k carries the identical (bit-for-bit) cosine
+    assert(ivf.map(_.getLong(1)).distinct.length === 1)
+    ivf.foreach { r =>
+      exact.get(r.getLong(0)).foreach(e => assert(e === r.getDouble(3)))
+    }
+  }
+
   test("d04 near-dup pairs are symmetric-free and above threshold") {
     val rows = Similarity.d04EmbedNearDup(spark, sf).collect()
     rows.foreach { r =>
