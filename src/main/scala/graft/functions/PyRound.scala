@@ -38,6 +38,8 @@ case class PyRound(child: Expression, scale: Int) extends UnaryExpression {
   // types at construction instead.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "py_round"
+  // participate in ConstantFolding when the argument is literal
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     PyRoundUtil.round(input.asInstanceOf[Double], scale)

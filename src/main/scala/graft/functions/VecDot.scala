@@ -24,6 +24,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot"
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

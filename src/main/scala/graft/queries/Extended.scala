@@ -81,12 +81,61 @@ object Extended {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** q40: range (interval) join — events bucketed into generated value
+    * bands. The band table is tiny and broadcast: a BroadcastNestedLoopJoin
+    * bounded by the broadcast side, the standard shape for interval joins
+    * (never a shuffle cartesian).
+    */
+  val q40JoinRange: Q = (s, d) => {
+    val bands = s.range(0, 10).select(
+      col("id").cast("int").as("band"),
+      (col("id") * 100).cast("double").as("lo"),
+      ((col("id") + 1) * 100).cast("double").as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("band"))
+      .orderBy("event_id")
+  }
+
+  /** q41: null-handling functions over injected nulls. */
+  val q41NullFuncs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("seg_null", expr("nullif(c_mktsegment, 'BUILDING')"))
+      .select(
+        col("c_custkey"),
+        col("seg_null"),
+        expr("coalesce(seg_null, 'DEFAULTED')").as("seg_or_default"),
+        expr("seg_null IS NULL").as("was_building"),
+        expr("IF(seg_null IS NULL, 0, length(seg_null))").as("seg_len"))
+      .orderBy("c_custkey")
+
+  /** q42: array functions over tokenized text — scalar outputs only (list
+    * columns don't compare cleanly across engines' dataframe dtypes).
+    */
+  val q42ArrayFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "data").as("has_data"),
+        expr("element_at(array_sort(toks), 1)").as("first_sorted"),
+        expr("element_at(array_sort(toks), -1)").as("last_sorted"),
+        expr("cast(array_position(toks, 'the') as bigint)").as("first_the"),
+        expr("array_join(slice(toks, 1, 3), '_')").as("head3"),
+        expr("size(array_distinct(toks))").as("n_distinct"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q35_pivot"           -> q35Pivot,
     "q36_unpivot"         -> q36Unpivot,
     "q37_subquery_scalar" -> q37SubqueryScalar,
     "q38_in_subquery"     -> q38InSubquery,
-    "q39_sample_hash"     -> q39SampleHash)
+    "q39_sample_hash"     -> q39SampleHash,
+    "q40_join_range"      -> q40JoinRange,
+    "q41_null_funcs"      -> q41NullFuncs,
+    "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
     "q35_pivot" ->
@@ -122,6 +171,32 @@ object Extended {
       s"""SELECT o_orderkey, o_custkey, o_totalprice
          |FROM orders
          |WHERE ${TextHash.duckHash56("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+    "q40_join_range" ->
+      """SELECT event_id, band
+        |FROM events JOIN (
+        |  SELECT CAST(g.i AS INT) AS band, g.i * 100.0 AS lo, (g.i + 1) * 100.0 AS hi
+        |  FROM generate_series(0, 9) AS g(i)) bands
+        |  ON value >= lo AND value < hi
+        |ORDER BY event_id""".stripMargin,
+    "q41_null_funcs" ->
+      """SELECT c_custkey,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_null,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_or_default,
+        |       nullif(c_mktsegment, 'BUILDING') IS NULL AS was_building,
+        |       CAST(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 0
+        |                 ELSE length(nullif(c_mktsegment, 'BUILDING')) END AS INT) AS seg_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q42_array_funcs" ->
+      """SELECT doc_id,
+        |       CAST(len(toks) AS INT) AS n_toks,
+        |       list_contains(toks, 'data') AS has_data,
+        |       list_sort(toks)[1] AS first_sorted,
+        |       list_sort(toks)[-1] AS last_sorted,
+        |       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
+        |       array_to_string(list_slice(toks, 1, 3), '_') AS head3,
+        |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

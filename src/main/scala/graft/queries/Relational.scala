@@ -123,22 +123,38 @@ object Relational {
 
   /** q11: as-of join — for each purchase event, the latest error event by
     * the same user at or before the purchase. Spark lacks a native as-of
-    * join; expressed as an equi-join on the user key with a range predicate
-    * + row_number()=1, which Catalyst executes as a sort-merge join on the
-    * equi key (the range condition stays a join filter, so no cartesian).
+    * join; the scalable formulation is union + last(_, ignoreNulls) over a
+    * running frame: tag errors kind=0 and purchases kind=1, sort by
+    * (user, ts, kind, event_id), and carry the last-seen error forward.
+    * ONE shuffle, O(n log n) per user — no (purchase × error) pair
+    * explosion (the join+row_number spelling blows up quadratically per
+    * user at 100 TB when users have many events). Same-ts ties: errors
+    * sort before purchases (inclusive as-of), max event_id wins — matching
+    * the ASOF JOIN oracle's (ts DESC, id DESC) pick.
     */
   val q11JoinAsof: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
     val e = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
-              col("ts").as("e_ts"), col("value").as("e_value"))
-    val w = Window.partitionBy(col("p_id")).orderBy(col("e_ts").desc, col("e_id").desc)
-    p.join(e, col("p_user") === col("e_user") && col("e_ts") <= col("p_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("p_id", "e_id", "e_ts", "e_value")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"),
+              col("event_id").as("e_id"), col("ts").as("e_ts"),
+              col("value").as("e_value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+              col("event_id").as("p_id"),
+              lit(null).cast("long").as("e_id"),
+              lit(null).cast("timestamp").as("e_ts"),
+              lit(null).cast("double").as("e_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc, coalesce(col("e_id"), col("p_id")).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.union(p)
+      .withColumn("last_e_id", last(col("e_id"), ignoreNulls = true).over(w))
+      .withColumn("last_e_ts", last(col("e_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_e_value", last(col("e_value"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_e_id").isNotNull)
+      .select(col("p_id"), col("last_e_id").as("e_id"),
+              col("last_e_ts").as("e_ts"), col("last_e_value").as("e_value"))
       .orderBy("p_id")
   }
 

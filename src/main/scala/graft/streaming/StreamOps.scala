@@ -100,4 +100,35 @@ object StreamOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                            seq_no: Long, running_sum: Double)
+
+  /** s05: CUSTOM state via flatMapGroupsWithState — the extension point for
+    * semantics no built-in stateful operator has: a per-user running event
+    * counter + value sum that survives across micro-batches. Within a batch
+    * the group's rows are sorted by ts (iterator order is not guaranteed);
+    * state is one (count, sum) pair per user — O(users) state, no growth
+    * with history.
+    */
+  def s05RunningState(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var sum = s0
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+            n += 1; sum += e.value
+            Enriched(user, e.ts, e.value, n, sum)
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
 }

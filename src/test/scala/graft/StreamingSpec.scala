@@ -140,6 +140,28 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.containsSlice(Seq(2L, 3L)), s"got $sessions")
   }
 
+  test("s05 custom state: per-user running counters survive across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.s05RunningState(mem.toDS())
+      .writeStream.format("memory").queryName("s05_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(UserEvent(7L, ts(1), 10.0), UserEvent(7L, ts(2), 5.0),
+                UserEvent(8L, ts(1), 1.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(7L, ts(3), 2.0)) // state must continue: seq 3
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("s05_out")
+      .select("user_id", "seq_no", "running_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((7L, 1L, 10.0), (7L, 2L, 15.0), (7L, 3L, 17.0),
+                        (8L, 1L, 1.0)), s"got $rows")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
