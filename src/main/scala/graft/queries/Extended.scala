@@ -127,7 +127,35 @@ object Extended {
         expr("size(array_distinct(toks))").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** q43: distribution window functions — ntile/percent_rank/cume_dist.
+    * All three are exact rationals of small integers (rank, row counts),
+    * so the double results are engine-identical.
+    */
+  val q43WindowDist: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** x02: approximate quantiles (KLL/GK-style sketch) — engine-specific, no
+    * oracle; SimilaritySpec bounds it against exact percentiles.
+    */
+  val x02ApproxQuantile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95"))
+
   val queries: Map[String, Q] = Map(
+    "q43_window_dist"     -> q43WindowDist,
+    "x02_approx_quantile" -> x02ApproxQuantile,
     "q35_pivot"           -> q35Pivot,
     "q36_unpivot"         -> q36Unpivot,
     "q37_subquery_scalar" -> q37SubqueryScalar,
@@ -138,6 +166,15 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
+    // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    "q43_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q35_pivot" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "A",

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2: a deterministic synthetic PaySim-style transaction
+  * generator — the `sources/` extension surface of this engine.
+  *
+  * Why it exists: load/scale testing of the fraud pipeline needs an
+  * unbounded, *reproducible* row source that never touches disk. The
+  * reference's only source is CSV-on-S3 (SURVEY §2 A1–A4), which Spark
+  * covers natively; this source demonstrates the full V2 contract the
+  * engine would use for custom connectors:
+  *
+  *  - `TableProvider` → `Table` → `ScanBuilder` → `Scan`/`Batch`
+  *  - column pruning via `SupportsPushDownRequiredColumns` (generating
+  *    only the projected columns — the V2 analogue of parquet ReadSchema)
+  *  - explicit `InputPartition` planning: `partitions` option controls
+  *    parallelism; each partition generates its row range independently
+  *    from the (partition, row) index pair, so results are identical on
+  *    any cluster size — the property that makes synthetic benchmarks
+  *    comparable across runs.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.TransactionSource")
+  *   .option("rows", 100000).option("partitions", 32).load()
+  * }}}
+  */
+class TransactionSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.operators.FraudPipeline.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TransactionTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+class TransactionTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"synthetic_transactions($rows)"
+  override def schema(): StructType = graft.operators.FraudPipeline.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxnScanBuilder(rows, parts)
+}
+
+class TxnScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = graft.operators.FraudPipeline.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = TxnScan(required, rows, parts)
+}
+
+case class TxnPartition(partId: Int, start: Long, end: Long) extends InputPartition
+
+case class TxnScan(required: StructType, rows: Long, parts: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / parts
+    (0 until parts).map { p =>
+      TxnPartition(p, p * per, math.min(rows, (p + 1) * per))
+    }.filter(p => p.end > p.start).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxnReaderFactory(required)
+}
+
+case class TxnReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxnPartition]
+    new TxnReader(p.start, p.end, required)
+  }
+}
+
+/** Deterministic row generator: every field is a pure function of the
+  * global row index (splitmix64 bit-mix), so any partitioning of the index
+  * space yields the same multiset of rows. Only the REQUIRED columns are
+  * materialized (V2 column pruning).
+  */
+class TxnReader(start: Long, end: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val types = Array("PAYMENT", "TRANSFER", "CASH_OUT", "DEBIT", "CASH_IN")
+  private var i = start - 1
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def next(): Boolean = { i += 1; i < end }
+
+  override def get(): InternalRow = {
+    val h = mix(i)
+    val amount = math.abs(h % 1000000L) / 100.0
+    val fraud = math.abs(h % 50L) == 0L
+    // fraud rows are built balance-consistent so they survive the validity
+    // filter (oldOrg - newOrig == amount); clean rows get a random-ish gap
+    val oldOrg = if (fraud) amount else amount + math.abs(mix(h) % 10000L) / 100.0
+    val full: Map[String, Any] = Map(
+      "step" -> (1 + math.abs(h % 30L)).toInt,
+      "type" -> UTF8String.fromString(types(math.abs(h % types.length.toLong).toInt)),
+      "amount" -> amount,
+      "nameOrig" -> UTF8String.fromString("C" + math.abs(h % 1000000000L)),
+      "oldbalanceOrg" -> oldOrg,
+      "newbalanceOrig" -> 0.0,
+      "nameDest" -> UTF8String.fromString("M" + math.abs(mix(h + 1) % 1000000000L)),
+      "oldbalanceDest" -> 0.0,
+      "newbalanceDest" -> math.abs(mix(h + 2) % 100000L) / 100.0,
+      "isFraud" -> (if (fraud) 1 else 0),
+      "isFlaggedFraud" -> (if (fraud && math.abs(h % 100L) == 0L) 1 else 0))
+    InternalRow.fromSeq(required.fieldNames.toSeq.map(full))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.{Dedup, Relational}
+
+/** Physical-plan quality gates — the properties that decide whether these
+  * queries survive a 100× scale-up, asserted on the actual planned
+  * (pre-execution) plans at sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter reaches the scan; unused columns pruned from ReadSchema") {
+    val plan = planOf(Relational.q01FraudRuleFilter(spark, sf))
+    assert(plan.contains("ReadSchema"))
+    // lineitem has 11 columns; the query touches 8 — shipdate and the
+    // flag/status strings must not be read
+    assert(!plan.contains("l_shipdate"), "unused column leaked into the scan")
+    assert(!plan.contains("l_returnflag"), "unused column leaked into the scan")
+  }
+
+  test("q09: small dimension is broadcast, never shuffled") {
+    val plan = planOf(Relational.q09JoinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q20: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.q20Topk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("q12: aggregation is two-phase (map-side partial before the shuffle)") {
+    val plan = planOf(Relational.q12AggGroup(spark, sf))
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("d01: minhash signature build uses partial min aggregates") {
+    val plan = planOf(Dedup.minhashSignatures(
+      Tables.documents(spark, sf)))
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"expected partial agg in:\n$plan")
+  }
+
+  test("q04: count-star reads no data columns") {
+    val plan = planOf(Relational.q04ScanCount(spark, sf))
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"count(*) should read an empty schema:\n$plan")
+  }
+
+  test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
+    val df = graft.operators.FraudPipeline.validityFilter(
+      Tables.lineitem(spark, sf)
+        .selectExpr("l_extendedprice as oldbalanceOrg", "l_quantity as newbalanceOrig",
+                    "l_discount as amount", "l_tax as oldbalanceDest",
+                    "l_extendedprice as newbalanceDest"))
+    val plan = planOf(df)
+    // "*(n)" prefixes are the WholeStageCodegen markers in the simple plan
+    // string; the filter with py_round must sit inside a codegen stage.
+    assert(plan.contains("*(1) Filter") && plan.contains("py_round"),
+      s"expected the py_round filter inside a codegen stage:\n$plan")
+  }
+}

@@ -54,6 +54,16 @@ class SimilaritySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("x02 approx quantiles land within 5% of exact percentiles") {
+    val row = graft.queries.Extended.x02ApproxQuantile(spark, sf).collect()(0)
+    val (p50, p95) = (row.getDouble(0), row.getDouble(1))
+    val exact = Tables.lineitem(spark, sf)
+      .selectExpr("percentile(l_extendedprice, 0.5)", "percentile(l_extendedprice, 0.95)")
+      .collect()(0)
+    assert(math.abs(p50 - exact.getDouble(0)) / exact.getDouble(0) <= 0.05)
+    assert(math.abs(p95 - exact.getDouble(1)) / exact.getDouble(1) <= 0.05)
+  }
+
   test("u02 UDAF minhash: group signature equals min over member doc sigs") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
