@@ -57,6 +57,18 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, table, props).count() === 4)
   }
 
+  test("idempotent variant: replaying the same batchId inserts exactly once") {
+    val table = "fraud_idem"
+    val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+    val body = FraudSink.appendBatchIdempotent(
+      url, table, props, FraudSink.derbyDdl(table)) _
+    body(fraud, 7L)
+    body(fraud, 7L) // checkpoint-recovery replay: must be a no-op
+    assert(spark.read.jdbc(url, table, props).count() === 2)
+    body(fraud, 8L) // a NEW batch still lands
+    assert(spark.read.jdbc(url, table, props).count() === 4)
+  }
+
   test("appendBatch guards the empty batch (A9) and creates the table (A10)") {
     val table = "fraud_stream"
     val empty = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
