@@ -153,7 +153,72 @@ object Extended {
         expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
         expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95"))
 
+  /** q44: full outer join — the one join type the core suite lacked.
+    * Null-completing both sides; total order pins null rows.
+    */
+  val q44JoinFull: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** q45: extended string functions (pad/replace/reverse/repeat/split_part/
+    * translate/levenshtein — all codegen built-ins with DuckDB twins).
+    */
+  val q45StringExtra: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        expr("lpad(c_mktsegment, 12, '*')").as("seg_lpad"),
+        expr("rpad(c_mktsegment, 12, '-')").as("seg_rpad"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("name_repl"),
+        expr("reverse(c_mktsegment)").as("seg_rev"),
+        expr("repeat(c_mktsegment, 2)").as("seg_twice"),
+        expr("split_part(c_name, '#', 1)").as("name_head"),
+        expr("translate(c_mktsegment, 'AEIOU', 'aeiou')").as("seg_trans"),
+        expr("cast(levenshtein(c_mktsegment, 'MACHINERY') as int)").as("lev_dist"))
+      .orderBy("c_custkey")
+
+  /** q46: robust aggregates — exact median (safe: l_quantity midpoints are
+    * binary-exact), count_if, bool_and/bool_or.
+    */
+  val q46AggRobust: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        dec(expr("median(l_quantity)")).as("med_qty"),
+        expr("count_if(l_discount > 0.05)").as("n_disc"),
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_tax > 0.07)").as("any_taxy"))
+      .orderBy("l_returnflag")
+
+  /** q47: navigation window functions — first/last/nth over an explicit
+    * full-partition frame (the frame spec is what makes last_value
+    * deterministic).
+    */
+  val q47WindowNav: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_join_full"       -> q44JoinFull,
+    "q45_string_extra"    -> q45StringExtra,
+    "q46_agg_robust"      -> q46AggRobust,
+    "q47_window_nav"      -> q47WindowNav,
     "q43_window_dist"     -> q43WindowDist,
     "x02_approx_quantile" -> x02ApproxQuantile,
     "q35_pivot"           -> q35Pivot,
@@ -167,6 +232,40 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    "q44_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM customer FULL JOIN (
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q45_string_extra" ->
+      """SELECT c_custkey,
+        |       lpad(c_mktsegment, 12, '*') AS seg_lpad,
+        |       rpad(c_mktsegment, 12, '-') AS seg_rpad,
+        |       replace(c_name, 'Customer', 'Cust') AS name_repl,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       repeat(c_mktsegment, 2) AS seg_twice,
+        |       split_part(c_name, '#', 1) AS name_head,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+        |       CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q46_agg_robust" ->
+      """SELECT l_returnflag,
+        |       CAST(median(l_quantity) AS DECIMAL(18,2)) AS med_qty,
+        |       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_tax > 0.07) AS any_taxy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q47_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q43_window_dist" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(ntile(4) OVER w AS INT) AS quartile,
