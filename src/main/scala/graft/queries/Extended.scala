@@ -214,7 +214,39 @@ object Extended {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q48: correlated scalar subquery — per-customer order count; Catalyst
+    * decorrelates to an aggregate + left join (no per-row re-execution).
+    */
+  val q48SubqueryCorrelated: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_corr")
+    Tables.customer(s, d).createOrReplaceTempView("customer_corr")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT COUNT(1) FROM orders_corr WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer_corr
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** q49: grouped top-k — the per-key top-N pattern (row_number <= k), the
+    * shape every "best N per group" pipeline uses; one shuffle, rank
+    * computed within partitions after the sort.
+    */
+  val q49TopkPerGroup: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+              dec(col("o_totalprice")).as("price"), col("rn").cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_subquery_correlated" -> q48SubqueryCorrelated,
+    "q49_topk_per_group"      -> q49TopkPerGroup,
     "q44_join_full"       -> q44JoinFull,
     "q45_string_extra"    -> q45StringExtra,
     "q46_agg_robust"      -> q46AggRobust,
@@ -232,6 +264,19 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    "q48_subquery_correlated" ->
+      """SELECT c_custkey,
+        |       (SELECT COUNT(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q49_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(rn AS INT) AS rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
     "q44_join_full" ->
       """SELECT c_custkey, c_name, o_orderkey
         |FROM customer FULL JOIN (
