@@ -244,7 +244,37 @@ object Extended {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q50: conditional aggregation with the SQL FILTER clause — one pass,
+    * N conditions, no self-joins (the idiomatic replacement for
+    * "join the table to itself once per predicate").
+    */
+  val q50AggFilter: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_f")
+    s.sql("""
+      SELECT l_returnflag,
+             COUNT(1) FILTER (WHERE l_quantity > 25) AS n_big,
+             COUNT(1) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f
+      FROM lineitem_f
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+  }
+
+  /** q51: string aggregation — deterministic listagg: collect, SORT, then
+    * join (a bare collect_list is partition-order nondeterministic and
+    * would never replay-match; the sort is what makes it an oracle query).
+    */
+  val q51StringAgg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(expr("array_join(array_sort(collect_list(n_name)), ',')").as("nations"),
+           count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
   val queries: Map[String, Q] = Map(
+    "q50_agg_filter"          -> q50AggFilter,
+    "q51_string_agg"          -> q51StringAgg,
     "q48_subquery_correlated" -> q48SubqueryCorrelated,
     "q49_topk_per_group"      -> q49TopkPerGroup,
     "q44_join_full"       -> q44JoinFull,
@@ -264,6 +294,18 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    "q50_agg_filter" ->
+      """SELECT l_returnflag,
+        |       COUNT(1) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       COUNT(1) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |            FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q51_string_agg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(1) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q48_subquery_correlated" ->
       """SELECT c_custkey,
         |       (SELECT COUNT(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders
