@@ -272,7 +272,27 @@ object Extended {
            count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
+  /** q52: batch sessionization — the lag + running-sum gap pattern (the
+    * batch twin of s03's streaming session_window): a new session starts
+    * after a 30-minute silence; session_no is the running count of starts.
+    * Gap math in exact epoch-microseconds, one shuffle on user_id.
+    */
+  val q52Sessionize: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                            org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .withColumn("new_session",
+        expr("IF(prev_us IS NULL OR unix_micros(ts) - prev_us > 1800000000, 1L, 0L)"))
+      .withColumn("session_no", sum(col("new_session")).over(run))
+      .select("user_id", "event_id", "session_no")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_sessionize"          -> q52Sessionize,
     "q50_agg_filter"          -> q50AggFilter,
     "q51_string_agg"          -> q51StringAgg,
     "q48_subquery_correlated" -> q48SubqueryCorrelated,
@@ -294,6 +314,22 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    "q52_sessionize" ->
+      """SELECT user_id, event_id, CAST(session_no AS BIGINT) AS session_no FROM (
+        |  SELECT user_id, event_id,
+        |         SUM(CASE WHEN prev_us IS NULL
+        |                    OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |             OVER (PARTITION BY user_id
+        |                   ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_us
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q50_agg_filter" ->
       """SELECT l_returnflag,
         |       COUNT(1) FILTER (WHERE l_quantity > 25) AS n_big,
