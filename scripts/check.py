@@ -34,15 +34,23 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
                 n_fail += 1
                 continue
+            # Strict like the driver: a dtype mismatch (e.g. decimal vs
+            # double) IS a hash mismatch even when values stringify equal —
+            # round 1 proved check.py's WARN-only dtype policy predicts
+            # 52/66 driver green as 66/66 local green.
             if got.dtypes.to_dict() != want.dtypes.to_dict():
-                print(f"WARN {name}: dtypes spark={got.dtypes.to_dict()} duck={want.dtypes.to_dict()}")
+                print(f"FAIL {name}: dtypes spark={got.dtypes.to_dict()} duck={want.dtypes.to_dict()}")
+                n_fail += 1
+                continue
             if len(got) != len(want):
                 print(f"FAIL {name}: rows {len(got)} != {len(want)}")
                 n_fail += 1
                 continue
-            # value compare on stringified frames (mimics value-hash)
-            gs, ws = got.astype(str), want.astype(str)
-            neq = (gs != ws).any(axis=1)
+            # Exact value compare: raw values (Decimal objects compare
+            # exactly, floats bit-for-bit), nulls equal only to nulls.
+            both_na = got.isna() & want.isna()
+            gs, ws = got, want
+            neq = ((gs != ws) & ~both_na).any(axis=1)
             if neq.any():
                 idx = neq[neq].index[:3]
                 print(f"FAIL {name}: {int(neq.sum())}/{len(got)} rows differ; first diffs:")

@@ -26,12 +26,27 @@ object Bench {
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries cache their self-join inputs (the "index build" step in
+        // d01/d03/d04/n01/n02); drop them so later queries aren't charged
+        // another query's memory pressure (round-1 bench anomaly).
+        spark.catalog.clearCache()
+        name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Also persist to a file: when run under sbt the metric line is followed
+    // by sbt's own "[success] ..." output, which made the driver's
+    // tail-parse fail in round 1 (BENCH_r01 parsed: null).
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json)
     spark.stop()
+    // Print LAST, after Spark's shutdown chatter, so the JSON is the final
+    // stdout line wherever possible.
+    println(json)
   }
 }

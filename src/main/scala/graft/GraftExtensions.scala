@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{PyRound, VecDot}
+import graft.functions.{PyRound, Shingles, VecDot}
 
 /** Engine extension point, registered via the PUBLIC
   * `SparkSessionExtensions` API (builder.withExtensions or
@@ -15,6 +15,9 @@ import graft.functions.{PyRound, VecDot}
   *    binary double (see PyRound for why Spark's `bround` can't express it).
   *  - `vec_dot(a, b)` — codegen'd integer dot product over array<bigint>
   *    (see VecDot for why the HOF spelling was the d04 bottleneck).
+  *  - `shingles(tokens, k)` — codegen'd word k-gram shingle array over
+  *    array<string> (see Shingles for why the HOF spelling was the t04
+  *    bottleneck).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -27,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"py_round(x, <int literal scale>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, Literal(k: Int, IntegerType)) => Shingles(toks, k)
+        case other =>
+          throw new IllegalArgumentException(
+            s"shingles(<array<string>>, <int literal k>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -20,10 +20,16 @@ object PyRoundUtil {
 /** `py_round(x, s)` — CPython-fidelity banker's rounding.
   *
   * Why a custom Catalyst Expression (the one deliberate extension point in
-  * this engine): the reference's validity filter rounds with Python
-  * `round()` / pandas `.round(2)` (`Lambda Function/lambda_function_aws
-  * .py:43-46`), which rounds the exact binary double. Spark's `bround`
-  * routes through `BigDecimal.valueOf(d)` — the SHORTEST DECIMAL STRING of
+  * this engine): the reference's DEPLOYED variant (the zip's
+  * `lambda_function_aws.py:57-62`, csv.DictReader loop) rounds with Python
+  * `round()`, which rounds the exact binary double — the semantics this
+  * expression implements. (The loose pandas variant, `py:43-46`, uses
+  * `Series.round(2)` = numpy's scaled `rint(x*100)/100`; that can disagree
+  * with CPython on doubles whose exact value and fl(100·x) fall on opposite
+  * sides of a .5 boundary. This engine follows the deployed artifact; the
+  * distinction is noted so the V1/V2 divergence isn't mistaken for a bug.)
+  * Spark's `bround` matches neither: it routes through
+  * `BigDecimal.valueOf(d)` — the SHORTEST DECIMAL STRING of
   * the double — so on boundary values the engines disagree:
   * `round(2.675, 2)` = 2.67 in Python (2.675 is really 2.67499999…)
   * but `bround(2.675, 2)` = 2.68 in Spark. No composition of built-ins

@@ -51,19 +51,21 @@ object TextHash {
   val aLitDuck: String = A.mkString("[", ", ", "]")
   val bLitDuck: String = B.mkString("[", ", ", "]")
 
-  /** Spark SQL: k-token shingles of a space-tokenized text column.
-    * Documents shorter than k tokens produce one shingle = the whole text
-    * (slice stops at the end), so no empty-sequence edge case.
+  /** Spark SQL: k-token shingles of a space-tokenized text column, via the
+    * codegen'd `shingles` expression (graft.functions.Shingles, injected by
+    * GraftExtensions). Documents shorter than k tokens produce one shingle
+    * = the whole text — identical semantics to duckShingles below.
     *
-    * PERFORMANCE: pass an already-materialized ARRAY column (`tokensCol`),
-    * never an inline `split(...)` — HOF lambdas are interpreted without
-    * common-subexpression elimination, so an inline split re-tokenizes the
-    * document once per shingle (O(len²) per row; measured 80× slowdown).
+    * PERFORMANCE: the earlier HOF spelling `transform(sequence(...), i ->
+    * array_join(slice($tokensCol, i, $k), ' '))` ran as an interpreted
+    * lambda with a sliced-array allocation per shingle — t04_fingerprint
+    * cost 79.7 s at sf0.1 on it. The custom expression builds the array in
+    * one codegen'd pass. Still pass a materialized ARRAY column, not an
+    * inline `split(...)`, so the tokenization isn't duplicated into every
+    * consumer of the shingle column.
     */
   def sparkShinglesOf(tokensCol: String, k: Int): String =
-    s"""transform(
-       |  sequence(1, greatest(1, size($tokensCol) - ${k - 1})),
-       |  i -> array_join(slice($tokensCol, i, $k), ' '))""".stripMargin
+    s"shingles($tokensCol, $k)"
 
   /** DuckDB spelling of the same shingling. */
   def duckShingles(textCol: String, k: Int): String =

@@ -89,16 +89,28 @@ object FraudSink {
     }
   }
 
-  /** Effectively-once upgrade over the reference's at-least-once (A12): a
-    * ledger table keyed by (sink table, batchId) is claimed with a primary-
-    * key INSERT before the append. A replayed micro-batch (checkpoint
-    * recovery, manual restart) hits the PK violation and skips the append,
-    * so rows land exactly once per batchId. The claim-then-append order
-    * means a crash BETWEEN claim and append can drop a batch's rows — the
-    * standard trade documented here; flipping the order gives the
-    * reference's duplicate behavior instead. Production systems put claim +
-    * rows in one transaction; Spark's JDBC writer commits per partition, so
-    * the ledger is the portable approximation.
+  /** Effectively-once upgrade over the reference's at-least-once (A12),
+    * via a two-phase ledger keyed by (sink table, batchId):
+    *
+    *  1. claim the batch as `pending`, recording the sink's current MAX(id)
+    *     as a watermark;
+    *  2. append the rows;
+    *  3. finalize the claim to `done`.
+    *
+    * Replay cases (micro-batches are appended serially by one streaming
+    * query — the single-writer assumption the watermark relies on):
+    *  - claim exists as `done` → the batch fully landed; skip (no dupes).
+    *  - claim exists as `pending` → a previous attempt failed BETWEEN claim
+    *    and finalize (transient JDBC error, executor loss, partial
+    *    per-partition commit — Spark's JDBC writer commits per partition,
+    *    so partial batches are real). Delete the failed attempt's partial
+    *    rows (`id > watermark` — ids are sink-generated SERIAL, strictly
+    *    increasing) and re-append. This is the common failure path; a
+    *    claim-first-skip-on-conflict ledger would silently DROP the batch
+    *    here (permanent row loss), which is why the finalize step exists.
+    *
+    * Production systems put claim + rows in one transaction; the two-phase
+    * ledger is the portable approximation when the writer can't.
     */
   def appendBatchIdempotent(url: String, table: String, props: Properties,
                             createSql: String)
@@ -109,15 +121,26 @@ object FraudSink {
       s"""CREATE TABLE ${table}_ledger (
          |  sink_table VARCHAR(128) NOT NULL,
          |  batch_id BIGINT NOT NULL,
+         |  status VARCHAR(8) NOT NULL,
+         |  start_id BIGINT NOT NULL,
          |  PRIMARY KEY (sink_table, batch_id)
          |)""".stripMargin)
     val conn = DriverManager.getConnection(url, props)
-    val claimed =
-      try {
+    try {
+      val maxId = {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT COALESCE(MAX(id), 0) FROM $table")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      }
+      val claimedFresh = {
         val st = conn.prepareStatement(
-          s"INSERT INTO ${table}_ledger (sink_table, batch_id) VALUES (?, ?)")
+          s"INSERT INTO ${table}_ledger (sink_table, batch_id, status, start_id) " +
+            "VALUES (?, ?, 'pending', ?)")
         st.setString(1, table)
         st.setLong(2, batchId)
+        st.setLong(3, maxId)
         try { st.executeUpdate(); true }
         catch {
           case e: java.sql.SQLException
@@ -125,7 +148,32 @@ object FraudSink {
               if e.getSQLState == "23505" => false
         }
         finally st.close()
-      } finally conn.close()
-    if (claimed) append(batch, url, table, props)
+      }
+      if (!claimedFresh) {
+        val st = conn.prepareStatement(
+          s"SELECT status, start_id FROM ${table}_ledger " +
+            "WHERE sink_table = ? AND batch_id = ?")
+        st.setString(1, table)
+        st.setLong(2, batchId)
+        val (status, startId) =
+          try {
+            val rs = st.executeQuery()
+            rs.next(); (rs.getString(1), rs.getLong(2))
+          } finally st.close()
+        if (status == "done") return // fully landed on a previous attempt
+        // unfinalized claim: remove the failed attempt's partial rows, then
+        // fall through to re-append from the ORIGINAL watermark
+        val del = conn.prepareStatement(s"DELETE FROM $table WHERE id > ?")
+        del.setLong(1, startId)
+        try del.executeUpdate() finally del.close()
+      }
+      append(batch, url, table, props)
+      val fin = conn.prepareStatement(
+        s"UPDATE ${table}_ledger SET status = 'done' " +
+          "WHERE sink_table = ? AND batch_id = ?")
+      fin.setString(1, table)
+      fin.setLong(2, batchId)
+      try fin.executeUpdate() finally fin.close()
+    } finally conn.close()
   }
 }

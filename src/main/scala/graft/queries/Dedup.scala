@@ -63,7 +63,10 @@ object Dedup {
       concat(lit(s"$b:"), concat_ws(",", parts: _*))
     }
     // cache: the band table feeds BOTH sides of the self-join — without it
-    // the whole explode→hash→16-min-agg pipeline runs twice
+    // the whole explode→hash→16-min-agg pipeline runs twice. Lifetime is
+    // one query: the harness (Verify/Bench) clearCache()s after the
+    // consuming action. At 100 TB this materialization is a WRITTEN band
+    // table (parquet, bucketed by band_key), not executor memory.
     val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
       .cache()
     val a = bands.select(col("doc_id").as("d1"), col("band_key"))
@@ -125,7 +128,9 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", JaccardShingleK)})"))
           .as("shingle"))
-    // cache: consumed three times (pair join both sides + set sizes)
+    // cache: consumed three times (pair join both sides + set sizes);
+    // dropped by the harness's per-query clearCache. At 100 TB: a written
+    // inverted-index table.
     val informative = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))

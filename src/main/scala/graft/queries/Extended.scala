@@ -16,6 +16,11 @@ object Extended {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Decimal-exact math, double final representation: the driver's value
+    * hash diverges on DECIMAL output columns (round-1 lesson), so every
+    * final schema is decimal-free; oracles mirror with CAST(... AS DOUBLE).
+    */
+  private def decD(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
 
   /** q35: pivot — returnflag columns per linestatus. The pivot values are
     * DECLARED (not discovered) so the plan is a single pass with no
@@ -25,14 +30,14 @@ object Extended {
     Tables.lineitem(s, d)
       .groupBy("l_linestatus")
       .pivot("l_returnflag", Seq("A", "N", "R"))
-      .agg(dec(sum(dec(col("l_quantity")))))
+      .agg(decD(sum(dec(col("l_quantity")))))
       .orderBy("l_linestatus")
 
   /** q36: unpivot (wide → long) of per-row charge components. */
   val q36Unpivot: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-              dec(col("l_discount")).as("discount"), dec(col("l_tax")).as("tax"))
+              decD(col("l_discount")).as("discount"), decD(col("l_tax")).as("tax"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
         Array(col("discount"), col("tax")),
@@ -47,7 +52,7 @@ object Extended {
   val q37SubqueryScalar: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders_sq")
     s.sql("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM orders_sq
       WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
             (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -144,14 +149,24 @@ object Extended {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** x02: approximate quantiles (KLL/GK-style sketch) — engine-specific, no
-    * oracle; SimilaritySpec bounds it against exact percentiles.
+  /** x02: approximate quantiles (GK-style sketch). The sketch value is
+    * engine-specific, so the DRIVER-VISIBLE contract is a bounded property:
+    * accuracy=1000 bounds rank error at 0.1%, so the estimate must lie in
+    * the exact [q-1%, q+1%] percentile band (10× slack; deterministic for
+    * fixed data → replay-stable booleans). Oracle expects (true, true).
     */
   val x02ApproxQuantile: Q = (s, d) =>
     Tables.lineitem(s, d)
       .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
-        expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95"))
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50a"),
+        expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95a"),
+        expr("percentile(l_extendedprice, 0.49)").as("p49"),
+        expr("percentile(l_extendedprice, 0.51)").as("p51"),
+        expr("percentile(l_extendedprice, 0.94)").as("p94"),
+        expr("percentile(l_extendedprice, 0.96)").as("p96"))
+      .select(
+        (col("p50a") >= col("p49") && col("p50a") <= col("p51")).as("p50_in_band"),
+        (col("p95a") >= col("p94") && col("p95a") <= col("p96")).as("p95_in_band"))
 
   /** q44: full outer join — the one join type the core suite lacked.
     * Null-completing both sides; total order pins null rows.
@@ -189,7 +204,7 @@ object Extended {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        dec(expr("median(l_quantity)")).as("med_qty"),
+        decD(expr("median(l_quantity)")).as("med_qty"),
         expr("count_if(l_discount > 0.05)").as("n_disc"),
         expr("bool_and(l_quantity > 0)").as("all_pos"),
         expr("bool_or(l_tax > 0.07)").as("any_taxy"))
@@ -240,7 +255,7 @@ object Extended {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("o_orderkey"),
-              dec(col("o_totalprice")).as("price"), col("rn").cast("int").as("rn"))
+              decD(col("o_totalprice")).as("price"), col("rn").cast("int").as("rn"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -255,7 +270,7 @@ object Extended {
              COUNT(1) FILTER (WHERE l_quantity > 25) AS n_big,
              COUNT(1) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f
+                  FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
       FROM lineitem_f
       GROUP BY l_returnflag ORDER BY l_returnflag
     """)
@@ -313,7 +328,10 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
-    // x02_approx_quantile: intentionally no oracle (engine-specific sketch)
+    // x02: the sketch value is engine-specific; the Spark side emits the
+    // bounded-error booleans, the oracle expects them true.
+    "x02_approx_quantile" ->
+      "SELECT true AS p50_in_band, true AS p95_in_band",
     "q52_sessionize" ->
       """SELECT user_id, event_id, CAST(session_no AS BIGINT) AS session_no FROM (
         |  SELECT user_id, event_id,
@@ -335,7 +353,7 @@ object Extended {
         |       COUNT(1) FILTER (WHERE l_quantity > 25) AS n_big,
         |       COUNT(1) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-        |            FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f
+        |            FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q51_string_agg" ->
       """SELECT n_regionkey,
@@ -347,7 +365,8 @@ object Extended {
         |       (SELECT COUNT(1) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q49_topk_per_group" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |       CAST(rn AS INT) AS rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -375,7 +394,7 @@ object Extended {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q46_agg_robust" ->
       """SELECT l_returnflag,
-        |       CAST(median(l_quantity) AS DECIMAL(18,2)) AS med_qty,
+        |       CAST(CAST(median(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS med_qty,
         |       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
         |       bool_and(l_quantity > 0) AS all_pos,
         |       bool_or(l_tax > 0.07) AS any_taxy
@@ -399,22 +418,24 @@ object Extended {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q35_pivot" ->
       """SELECT l_linestatus,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "A",
-        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "N",
-        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "R"
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q36_unpivot" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, component, value FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |         'discount' AS component, CAST(l_discount AS DECIMAL(18,2)) AS value
+        |         'discount' AS component,
+        |         CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS value
         |  FROM lineitem
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |         'tax' AS component, CAST(l_tax AS DECIMAL(18,2)) AS value
+        |         'tax' AS component,
+        |         CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS value
         |  FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, component""".stripMargin,
     "q37_subquery_scalar" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
         |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))

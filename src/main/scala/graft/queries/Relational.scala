@@ -12,13 +12,20 @@ import graft.Tables
   * pushdown, column pruning, join selection and AQE re-planning. Determinism
   * discipline for the DuckDB oracle (SURVEY §7.4): total-order ORDER BY,
   * doubles cast to DECIMAL(18,2) before SUM/AVG, no approx/bround, explicit
-  * NULLS FIRST pinned on both engines.
+  * NULLS FIRST pinned on both engines. Final output columns are never
+  * DECIMAL: the driver's value hash diverges on decimal representations
+  * (round-1 CORRECTNESS — all 14 hash-fails were decimal-output queries),
+  * so aggregates accumulate in decimal and cast the RESULT to DOUBLE
+  * (exact 2-dp decimal → double is correctly rounded and bit-identical in
+  * Spark and DuckDB; mirrored CAST(... AS DOUBLE) in every oracle).
   */
 object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Decimal-exact math, double final representation (see object Scaladoc). */
+  private def decD(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
 
   // ---------------------------------------------------------------- filters
 
@@ -45,7 +52,7 @@ object Relational {
     Tables.orders(s, d)
       .select(
         col("o_orderkey"),
-        dec(col("o_totalprice")).as("total_dec"),
+        decD(col("o_totalprice")).as("total_dec"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_orderstatus").as("status"))
       .orderBy("o_orderkey")
@@ -112,6 +119,11 @@ object Relational {
 
   /** q10: non-equi (theta) join → BroadcastNestedLoopJoin. Bounded: only
     * sensible when one side broadcasts; supplier is the small dim here.
+    * SIZE BOUND: the broadcast side is the whole supplier table — fine at
+    * dimension scale (TPC-H supplier is ~1 MB × SF·10k rows; at SF100 ≈
+    * 100 MB, the practical broadcast ceiling). If the table outgrows that,
+    * the scale path is band-partitioning: bucket s_acctbal into ranges,
+    * join on overlapping buckets (q40's shape), never a shuffle cartesian.
     */
   val q10JoinTheta: Q = (s, d) => {
     val s1 = Tables.supplier(s, d).select(col("s_suppkey").as("k1"), col("s_acctbal").as("bal1"))
@@ -168,9 +180,9 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
-        dec(avg(dec(col("l_quantity")))).as("avg_qty"),
+        decD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        decD(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        decD(avg(dec(col("l_quantity")))).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -184,14 +196,14 @@ object Relational {
   val q14Rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(decD(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** q15: cube. */
   val q15Cube: Q = (s, d) =>
     Tables.lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
-      .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(decD(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** q16: grouping sets via the SQL frontend (the DataFrame API has no
@@ -201,7 +213,7 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
     s.sql("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              COUNT(1) AS n
       FROM lineitem_gs
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -238,7 +250,7 @@ object Relational {
     Tables.lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        dec(sum(dec(col("l_quantity"))).over(w)).as("running_qty"))
+        decD(sum(dec(col("l_quantity"))).over(w)).as("running_qty"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
@@ -363,7 +375,19 @@ object Relational {
   val q31WindowTumbling: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), decD(sum(dec(col("value")))).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws")
+
+  /** q53: sliding time window — the batch twin of s02's streaming sliding
+    * window (10-minute windows every 5 minutes: each event lands in exactly
+    * two). StreamingSpec asserts the streaming path reproduces this shape;
+    * the oracle pins the batch semantics.
+    */
+  val q53WindowSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), decD(sum(dec(col("value")))).as("sum_value"))
       .select(col("window.start").as("ws"), col("n"), col("sum_value"))
       .orderBy("ws")
 
@@ -399,7 +423,8 @@ object Relational {
     "q27_math_funcs"        -> q27MathFuncs,
     "q28_case_when"         -> q28CaseWhen,
     "q30_json_funcs"        -> q30JsonFuncs,
-    "q31_window_tumbling"   -> q31WindowTumbling
+    "q31_window_tumbling"   -> q31WindowTumbling,
+    "q53_window_sliding"    -> q53WindowSliding
   )
 
   /** DuckDB-equivalent ANSI SQL for each query above (driver oracle). */
@@ -417,7 +442,7 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "q03_project_cast" ->
       """SELECT o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec,
         |       CAST(o_orderdate AS DATE) AS order_date,
         |       o_orderstatus AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -461,9 +486,9 @@ object Relational {
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "q12_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_qty,
         |       COUNT(1) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -472,19 +497,19 @@ object Relational {
         |FROM orders""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(1) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q15_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(1) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q16_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(1) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -500,7 +525,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |         PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "q19_window_lag" ->
       """SELECT user_id, event_id, value,
@@ -568,7 +593,16 @@ object Relational {
     "q31_window_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
         |       COUNT(1) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    // Sliding windows: each event belongs to exactly two 10-minute windows
+    // whose starts are the two preceding 5-minute boundaries (epoch-µs
+    // floor math — engine-neutral alignment, same origin as Spark's).
+    "q53_window_sliding" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 - g.i) * 300000000) AS ws,
+        |       COUNT(1) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN generate_series(0, 1) AS g(i)
+        |GROUP BY 1 ORDER BY ws""".stripMargin
   )
 }

@@ -142,8 +142,11 @@ object Similarity {
     // Materialize the quantized+bucketed index ONCE (cache = the "build the
     // ANN index" step): without it, the self-join re-evaluates the
     // interpreted quantize/bucket lambdas per PAIR instead of per row —
-    // measured 37 s → ~4 s at sf0.1. At 100 TB this materialization is the
-    // persisted index table a real pipeline would write anyway.
+    // measured 37 s → ~4 s at sf0.1. Lifetime is one query (harness
+    // clearCache()s after the action). At 100 TB this materialization is
+    // the persisted index table a real pipeline would write anyway:
+    // vectors.write.partitionBy("bkt").parquet(indexPath), then probe/join
+    // reads only the matching bucket partitions (partition pruning).
     val v = prepared(s, d).withColumn("bkt", expr(bucket("q")))
       .select("vec_id", "q", "nrm", "bkt")
       .cache()

@@ -22,6 +22,10 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Decimal-exact math, double final representation (driver hashes diverge
+    * on DECIMAL output columns — round-1 lesson; oracle mirrors the cast).
+    */
+  private def decD(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
 
   /** q29: tokenize + global token frequency — the canonical explode/groupBy
     * word count. Partial aggregation makes the shuffle carry one row per
@@ -40,8 +44,8 @@ object TextOps {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        dec(avg(dec(col("n_chars")))).as("avg_chars"),
-        dec(sum(dec(col("n_chars")))).as("sum_chars"))
+        decD(avg(dec(col("n_chars")))).as("avg_chars"),
+        decD(sum(dec(col("n_chars")))).as("sum_chars"))
       .orderBy("lang")
 
   /** Language marker words for the n-gram/stopword language-ID heuristic.
@@ -151,8 +155,8 @@ object TextOps {
         |GROUP BY token ORDER BY token""".stripMargin,
     "q34_text_stats" ->
       """SELECT lang, COUNT(1) AS n_docs,
-        |       CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_chars,
-        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_chars
+        |       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
+        |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t01_lang_id" -> {
       val counts = langMarkers.map { case (l, ws) =>

@@ -59,12 +59,23 @@ object UdfOps {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .orderBy("doc_id", "pos")
 
-  /** x01: HLL++ approximate distinct — engine-specific sketch, no oracle;
-    * ScalaTest asserts |approx - exact| <= 5% rsd.
+  /** x01: HLL++ approximate distinct. The sketch itself is engine-specific
+    * (DuckDB cannot reproduce Spark's HLL++ estimate), so the DRIVER-VISIBLE
+    * contract is a bounded property: the exact count plus a boolean
+    * asserting the estimate landed within 3×rsd of it (HLL++ is
+    * deterministic for fixed data, so the boolean is replay-stable). The
+    * oracle checks the exact count and expects `true`. ScalaTest still
+    * bounds the raw estimate.
     */
   val x01ApproxDistinct: Q = (s, d) =>
     Tables.orders(s, d)
-      .agg(approx_count_distinct(col("o_custkey"), 0.05).as("approx_cust"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("approx"))
+      .select(
+        col("n_exact"),
+        (abs(col("approx") - col("n_exact")) * 100 <= col("n_exact") * 15)
+          .as("within_15pct"))
 
   val queries: Map[String, Q] = Map(
     "u01_udf_fraud_score" -> u01UdfFraudScore,
@@ -98,7 +109,11 @@ object UdfOps {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
         |  FROM documents)
-        |ORDER BY doc_id, pos""".stripMargin
-    // x01_approx_distinct: intentionally no oracle (sketch, engine-specific).
+        |ORDER BY doc_id, pos""".stripMargin,
+    // x01: the sketch value is engine-specific; the oracle checks the exact
+    // count and the bounded-error property (Spark side emits the boolean).
+    "x01_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact, true AS within_15pct
+        |FROM orders""".stripMargin
   )
 }

@@ -88,8 +88,12 @@ case class TxnReaderFactory(required: StructType) extends PartitionReaderFactory
 
 /** Deterministic row generator: every field is a pure function of the
   * global row index (splitmix64 bit-mix), so any partitioning of the index
-  * space yields the same multiset of rows. Only the REQUIRED columns are
-  * materialized (V2 column pruning).
+  * space yields the same multiset of rows. Column pruning is REAL: the list
+  * of per-field generators is resolved ONCE in the constructor from the
+  * pruned schema, so unprojected columns (including their UTF8String
+  * allocations) are never generated — a 2-column projection evaluates 2
+  * closures per row, not 11 (the round-1 spelling built the full 11-entry
+  * Map per row and projected afterwards, saving nothing).
   */
 class TxnReader(start: Long, end: Long, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -104,28 +108,38 @@ class TxnReader(start: Long, end: Long, required: StructType)
     x ^ (x >>> 31)
   }
 
+  private def amount(h: Long): Double = math.abs(h % 1000000L) / 100.0
+  private def fraud(h: Long): Boolean = math.abs(h % 50L) == 0L
+  // fraud rows are built balance-consistent so they survive the validity
+  // filter (oldOrg - newOrig == amount); clean rows get a random-ish gap
+  private def oldOrg(h: Long): Double =
+    if (fraud(h)) amount(h) else amount(h) + math.abs(mix(h) % 10000L) / 100.0
+
+  /** One generator closure per REQUIRED field, resolved at construction. */
+  private val gens: Array[Long => Any] = required.fieldNames.map {
+    case "step"           => (h: Long) => (1 + math.abs(h % 30L)).toInt
+    case "type"           => (h: Long) =>
+      UTF8String.fromString(types(math.abs(h % types.length.toLong).toInt))
+    case "amount"         => (h: Long) => amount(h)
+    case "nameOrig"       => (h: Long) =>
+      UTF8String.fromString("C" + math.abs(h % 1000000000L))
+    case "oldbalanceOrg"  => (h: Long) => oldOrg(h)
+    case "newbalanceOrig" => (_: Long) => 0.0
+    case "nameDest"       => (h: Long) =>
+      UTF8String.fromString("M" + math.abs(mix(h + 1) % 1000000000L))
+    case "oldbalanceDest" => (_: Long) => 0.0
+    case "newbalanceDest" => (h: Long) => math.abs(mix(h + 2) % 100000L) / 100.0
+    case "isFraud"        => (h: Long) => if (fraud(h)) 1 else 0
+    case "isFlaggedFraud" => (h: Long) =>
+      if (fraud(h) && math.abs(h % 100L) == 0L) 1 else 0
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
   override def next(): Boolean = { i += 1; i < end }
 
   override def get(): InternalRow = {
     val h = mix(i)
-    val amount = math.abs(h % 1000000L) / 100.0
-    val fraud = math.abs(h % 50L) == 0L
-    // fraud rows are built balance-consistent so they survive the validity
-    // filter (oldOrg - newOrig == amount); clean rows get a random-ish gap
-    val oldOrg = if (fraud) amount else amount + math.abs(mix(h) % 10000L) / 100.0
-    val full: Map[String, Any] = Map(
-      "step" -> (1 + math.abs(h % 30L)).toInt,
-      "type" -> UTF8String.fromString(types(math.abs(h % types.length.toLong).toInt)),
-      "amount" -> amount,
-      "nameOrig" -> UTF8String.fromString("C" + math.abs(h % 1000000000L)),
-      "oldbalanceOrg" -> oldOrg,
-      "newbalanceOrig" -> 0.0,
-      "nameDest" -> UTF8String.fromString("M" + math.abs(mix(h + 1) % 1000000000L)),
-      "oldbalanceDest" -> 0.0,
-      "newbalanceDest" -> math.abs(mix(h + 2) % 100000L) / 100.0,
-      "isFraud" -> (if (fraud) 1 else 0),
-      "isFlaggedFraud" -> (if (fraud && math.abs(h % 100L) == 0L) 1 else 0))
-    InternalRow.fromSeq(required.fieldNames.toSeq.map(full))
+    InternalRow.fromSeq(gens.toSeq.map(g => g(h)))
   }
 
   override def close(): Unit = ()

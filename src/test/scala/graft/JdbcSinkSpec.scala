@@ -69,6 +69,43 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, table, props).count() === 4)
   }
 
+  test("idempotent variant: failed append + replay re-appends (no silent batch loss)") {
+    val table = "fraud_recover"
+    val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+    val body = FraudSink.appendBatchIdempotent(
+      url, table, props, FraudSink.derbyDdl(table)) _
+    body(fraud, 1L) // batch 1 lands and finalizes
+    assert(spark.read.jdbc(url, table, props).count() === 2)
+
+    // Simulate batch 2 failing mid-append: claim it 'pending' with the
+    // current watermark and write ONE partial row, as if the writer died
+    // after one partition's commit.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"INSERT INTO ${table}_ledger (sink_table, batch_id, status, start_id) " +
+          s"VALUES ('$table', 2, 'pending', " +
+          s"(SELECT MAX(id) FROM $table))")
+      st.executeUpdate(
+        s"INSERT INTO $table (step, type, amount, nameOrig, oldbalanceOrg, " +
+          "newbalanceOrig, nameDest, oldbalanceDest, newbalanceDest, isFraud, " +
+          "isFlaggedFraud) VALUES (1, 'TRANSFER', 181.0, 'C1', 181.0, 0.0, " +
+          "'M1', 0.0, 0.0, 1, 0)")
+      st.close()
+    } finally conn.close()
+    assert(spark.read.jdbc(url, table, props).count() === 3) // 2 + 1 partial
+
+    // Streaming replay of batch 2: must delete the partial row, append the
+    // full batch, and finalize — NOT skip it (the round-1 claim-first
+    // ledger silently dropped the batch here).
+    body(fraud, 2L)
+    assert(spark.read.jdbc(url, table, props).count() === 4)
+    // a second replay of the now-done batch is a no-op
+    body(fraud, 2L)
+    assert(spark.read.jdbc(url, table, props).count() === 4)
+  }
+
   test("appendBatch guards the empty batch (A9) and creates the table (A10)") {
     val table = "fraud_stream"
     val empty = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))

@@ -118,6 +118,39 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._3 >= 100.0), "late event leaked into a window")
   }
 
+  test("s02 stream equals q53's batch sliding-window twin on on-time data") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    // All on-time events (monotone ts), then one far-future row to push the
+    // watermark past every real window so Append mode emits them all.
+    val data = Seq((ts(1), "click", 1.0), (ts(6), "click", 2.0),
+                   (ts(11), "click", 4.0), (ts(14), "view", 8.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.s02SlidingWindow(mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("s02_twin_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData((ts(1000), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("s02_twin_out")
+      .filter($"event_type" =!= "flush")
+      .select("ws", "event_type", "n", "sum_value").collect().map(key).toSet
+    // The batch twin: q53's groupBy(window(ts, 10m, 5m)) shape on the same
+    // rows — streaming with watermark must converge to exactly this.
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(F.window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(F.count(F.lit(1)).as("n"), F.sum($"value").as("sum_value"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+      .collect().map(key).toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
+
   test("s03 session windows close on 5-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
