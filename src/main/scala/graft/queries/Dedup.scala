@@ -151,11 +151,47 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** d05: dedup clustering — connected components over d01's candidate
+    * pairs, labeled by the component's minimum doc_id (the canonical
+    * survivor a dedup pipeline keeps). Iterative min-label propagation:
+    * each round every node takes the min label among itself and its
+    * neighbors; converges in ≤ graph-diameter rounds (each round is one
+    * join + one partial-agg groupBy — all shuffle-bounded). The driver
+    * loop only checks a convergence COUNT per round (no data collected).
+    * At 100 TB: same algorithm with large-star/small-star contraction and
+    * a checkpoint every few rounds to truncate lineage — the loop
+    * structure here is exactly that shape.
+    */
+  val d05DedupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val pairs = d01MinhashLsh(s, d).select("d1", "d2")
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 20) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q32_dedup_exact"   -> q32DedupExact,
     "d01_minhash_lsh"   -> d01MinhashLsh,
     "d02_simhash"       -> d02Simhash,
-    "d03_ngram_jaccard" -> d03NgramJaccard)
+    "d03_ngram_jaccard" -> d03NgramJaccard,
+    "d05_dedup_clusters" -> d05DedupClusters)
 
   // ------------------------------------------------------------- oracles
 
@@ -167,22 +203,44 @@ object Dedup {
        |    x -> ($aLitDuck[i + 1] * x + $bLitDuck[i + 1]) % ${P})))""".stripMargin
   }
 
+  /** sigs + bands CTE bodies, shared by the d01 and d05 oracles. */
+  private def duckBandCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, $duckSig AS sigs FROM documents),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, ${NumBands - 1}), b ->
+       |    concat(CAST(b AS VARCHAR), ':',
+       |           array_to_string(list_transform(list_slice(sigs, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand),
+       |                                          v -> CAST(v AS VARCHAR)), ',')))) AS band_key
+       |  FROM sigs)""".stripMargin
+
+  private def duckPairSelect: String =
+    s"""SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q32_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(1) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "d01_minhash_lsh" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, $duckSig AS sigs FROM documents),
-         |bands AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(0, ${NumBands - 1}), b ->
-         |    concat(CAST(b AS VARCHAR), ':',
-         |           array_to_string(list_transform(list_slice(sigs, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand),
-         |                                          v -> CAST(v AS VARCHAR)), ',')))) AS band_key
-         |  FROM sigs)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      s"""WITH $duckBandCtes
+         |$duckPairSelect
          |ORDER BY d1, d2""".stripMargin,
+    // Connected components via a recursive CTE: reach(node, lbl) closes the
+    // candidate-pair graph transitively; MIN(lbl) per node = the component's
+    // smallest doc_id — the same fixpoint the Spark label propagation hits.
+    "d05_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.dst AS node, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "d02_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

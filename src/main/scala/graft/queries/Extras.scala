@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.SkewJoin
+
+/** Third wave of the operator inventory: map types, higher-order array
+  * functions, regex, bitwise and date arithmetic suites, a driver-visible
+  * salted skew join, value-range window frames, and a deterministic mode.
+  * Same determinism discipline as Relational (total-order sorts, decimal
+  * math internal / DOUBLE final, engine-neutral function spellings).
+  */
+object Extras {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def decD(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
+
+  /** q54: map functions — JSON props parsed to map<string,int>, then
+    * size/keys/values/element_at. The oracle mirrors with DuckDB's JSON
+    * functions (same values, engine-native spelling).
+    */
+  val q54MapFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(
+        col("event_id"),
+        expr("cast(size(m) as int)").as("n_keys"),
+        expr("element_at(map_keys(m), 1)").as("first_key"),
+        expr("element_at(m, 'k')").as("k_val"),
+        expr("element_at(map_values(m), 1)").as("first_val"))
+      .orderBy("event_id")
+
+  /** q56: higher-order array functions — aggregate/filter/exists/forall/
+    * transform over the token array. Scalar outputs only (cross-engine
+    * dtype discipline). These HOFs are interpreted (no codegen) — fine for
+    * a surface-coverage query; hot paths use the relational shapes or
+    * custom expressions (see Shingles/VecDot).
+    */
+  val q56HofFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_len"),
+        expr("cast(size(filter(toks, t -> length(t) > 4)) as int)").as("n_long"),
+        expr("exists(toks, t -> t = 'the')").as("has_the"),
+        expr("forall(toks, t -> length(t) < 20)").as("all_short"),
+        expr("cast(array_max(transform(toks, t -> length(t))) as int)").as("max_len"))
+      .orderBy("doc_id")
+
+  /** q57: regex suite — global replace, extract-all (joined to a scalar),
+    * anchored match, occurrence count.
+    */
+  val q57RegexFuncs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        expr("array_join(regexp_extract_all(c_name, '[0-9]+', 0), ',')").as("all_nums"),
+        col("c_name").rlike("00$").as("ends_00"),
+        expr("cast(regexp_count(c_name, '0') as int)").as("n_zeros"))
+      .orderBy("c_custkey")
+
+  /** q58: bitwise operators — and/or/xor/shifts/popcount, explicit casts on
+    * both engines so the dtypes line up (DuckDB's bit_count is TINYINT).
+    */
+  val q58Bitwise: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        expr("cast((l_orderkey & 255) as bigint)").as("and_255"),
+        expr("cast((l_orderkey | 4096) as bigint)").as("or_4096"),
+        expr("cast((l_orderkey ^ l_partkey) as bigint)").as("xor_pk"),
+        expr("cast(shiftleft(l_linenumber, 3) as int)").as("shl3"),
+        expr("cast(shiftright(l_orderkey, 2) as bigint)").as("shr2"),
+        expr("cast(bit_count(l_orderkey) as int)").as("bits"))
+
+  /** q59: date arithmetic — day/month offsets (month-end clamped in both
+    * engines), last_day, day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday —
+    * oracle adds 1), ISO week, make_date.
+    */
+  val q59DateArith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("date_add(cast(o_orderdate as date), 30)").as("plus30"),
+        expr("add_months(cast(o_orderdate as date), 2)").as("plus2mo"),
+        expr("last_day(cast(o_orderdate as date))").as("month_end"),
+        expr("cast(dayofweek(cast(o_orderdate as date)) as int)").as("dow"),
+        expr("cast(weekofyear(cast(o_orderdate as date)) as int)").as("iso_week"),
+        expr("make_date(year(o_orderdate), month(o_orderdate), 1)").as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** q60: salted skew join, driver-visible — SkewJoin.saltedInnerJoin must
+    * be RESULT-IDENTICAL to the plain join (the oracle is the plain join),
+    * while spreading each hot key over 8 shuffle partitions. This puts the
+    * skew-survival operator itself under the hard DuckDB oracle, not just
+    * the ScalaTest multiset check.
+    */
+  val q60JoinSalted: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("key"), col("o_orderkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("key"), col("c_name"))
+    SkewJoin.saltedInnerJoin(o, c, "key", col("o_orderkey"), saltFactor = 8)
+      .select(col("o_orderkey"), col("key").as("o_custkey"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q61: value-range window frame (RANGE BETWEEN n PRECEDING) — frame
+    * membership is decided on the ORDER BY value, not row position; ties
+    * are peers, so the result is deterministic without a row tie-break.
+    * Decimal accumulation internally, DOUBLE out.
+    */
+  val q61WindowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        decD(sum(dec(col("o_totalprice"))).over(w)).as("near_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q62: deterministic mode — the most frequent l_quantity per returnflag,
+    * spelled as count + argmax with (count DESC, value ASC) tie-break.
+    * A bare `mode()` is tie-nondeterministic across engines; this shape is
+    * replay-stable and still one shuffle + one tiny window.
+    */
+  val q62ModeArgmax: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q54_map_funcs"          -> q54MapFuncs,
+    "q56_hof_funcs"          -> q56HofFuncs,
+    "q57_regex_funcs"        -> q57RegexFuncs,
+    "q58_bitwise"            -> q58Bitwise,
+    "q59_date_arith"         -> q59DateArith,
+    "q60_join_salted"        -> q60JoinSalted,
+    "q61_window_range_frame" -> q61WindowRangeFrame,
+    "q62_mode_argmax"        -> q62ModeArgmax)
+
+  val oracles: Map[String, String] = Map(
+    "q54_map_funcs" ->
+      """SELECT event_id,
+        |       CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |       json_keys(props)[1] AS first_key,
+        |       CAST(props->>'$.k' AS INT) AS k_val,
+        |       CAST(props->>('$.' || json_keys(props)[1]) AS INT) AS first_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q56_hof_funcs" ->
+      """SELECT doc_id,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+        |       CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+        |       len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+        |       len(list_filter(toks, t -> length(t) >= 20)) = 0 AS all_short,
+        |       CAST(list_max(list_transform(toks, t -> length(t))) AS INT) AS max_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q57_regex_funcs" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |       array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS all_nums,
+        |       regexp_matches(c_name, '00$') AS ends_00,
+        |       CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q58_bitwise" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       CAST(l_orderkey & 255 AS BIGINT) AS and_255,
+        |       CAST(l_orderkey | 4096 AS BIGINT) AS or_4096,
+        |       CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS xor_pk,
+        |       CAST(l_linenumber << 3 AS INT) AS shl3,
+        |       CAST(l_orderkey >> 2 AS BIGINT) AS shr2,
+        |       CAST(bit_count(l_orderkey) AS INT) AS bits
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "q59_date_arith" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        |       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+        |       make_date(year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)), 1) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q60_join_salted" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q61_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_totalprice
+        |         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q62_mode_argmax" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, n,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY n DESC, l_quantity ASC) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, COUNT(1) AS n
+        |        FROM lineitem GROUP BY l_returnflag, l_quantity))
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+  )
+}

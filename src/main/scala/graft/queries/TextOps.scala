@@ -137,13 +137,53 @@ object TextOps {
       .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** t05: TF-IDF scoring, integer-scaled — tf per (doc, token), df per
+    * token, idf as the exact integer (N·100) div df (a log-free IDF
+    * variant: same ranking monotonicity, zero float divergence between
+    * engines). Shapes: one explode + two partial-agg groupBys + a key join
+    * and a broadcast of the single-row corpus count — every piece is the
+    * 100 TB-safe spelling.
+    */
+  val t05Tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        expr("tf * ((n_docs * 100) div df)").as("tfidf100"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** t06: text normalization pipeline — lowercase, strip non-alphanumerics,
+    * tokenize, drop stopwords/empties; emits the cleaned token count and
+    * the first five cleaned tokens (scalar outputs for the oracle).
+    */
+  val t06Normalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("clean", expr("regexp_replace(lower(text), '[^a-z0-9 ]', '')"))
+      .withColumn("ctoks",
+        expr(s"filter(split(clean, ' '), t -> t != '' AND NOT t IN ${inList(stopwords)})"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(ctoks) as int)").as("n_clean"),
+        expr("array_join(slice(ctoks, 1, 5), ' ')").as("head5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q29_text_tokens"   -> q29TextTokens,
     "q34_text_stats"    -> q34TextStats,
     "t01_lang_id"       -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count"   -> t03TokenCount,
-    "t04_fingerprint"   -> t04Fingerprint)
+    "t04_fingerprint"   -> t04Fingerprint,
+    "t05_tfidf"         -> t05Tfidf,
+    "t06_normalize"     -> t06Normalize)
 
   private def duckMarkerCount(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
@@ -197,6 +237,27 @@ object TextOps {
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |       list_min(list_transform(${TextHash.duckShingles("text", 8)}, s -> md5(s))) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(1) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(1) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |       CAST(tf * ((n_docs * 100) // df) AS BIGINT) AS tfidf100
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+    "t06_normalize" ->
+      s"""SELECT doc_id,
+         |       CAST(len(ctoks) AS INT) AS n_clean,
+         |       array_to_string(list_slice(ctoks, 1, 5), ' ') AS head5
+         |FROM (
+         |  SELECT doc_id,
+         |         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+         |                     t -> t != '' AND NOT t IN ${inList(stopwords)}) AS ctoks
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 }

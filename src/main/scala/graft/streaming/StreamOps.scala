@@ -101,6 +101,22 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s06: stream-stream interval join — purchases matched to the same
+    * user's error events from the preceding 10 minutes. Both sides carry
+    * watermarks; the time-bound condition lets Spark expire join state
+    * (without it the state grows forever — the condition IS the 100 TB
+    * design). Inner join: results emit as soon as both sides arrive.
+    */
+  def s06StreamStreamJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
+        |e_ts <= p_ts""".stripMargin), "inner")
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
                             seq_no: Long, running_sum: Double)

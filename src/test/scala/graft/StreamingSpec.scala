@@ -195,6 +195,29 @@ class StreamingSpec extends SparkSpec {
                         (8L, 1L, 1.0)), s"got $rows")
   }
 
+  test("s06 stream-stream interval join matches purchases to recent errors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s06StreamStreamJoin(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s06_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7: error@5 pairs with purchase@10 (within 10 min), error@30 with
+    // purchase@40; cross-window pairs (error@5 × purchase@40) must NOT join.
+    // user 8 has an error but no purchase; user 9 a purchase but no error.
+    emem.addData((ts(5), 7L, 100L), (ts(30), 7L, 101L), (ts(5), 8L, 102L))
+    pmem.addData((ts(10), 7L, 1L), (ts(40), 7L, 2L), (ts(10), 9L, 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val joined = spark.table("s06_out").select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined === Set((1L, 100L), (2L, 101L)), s"got $joined")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
