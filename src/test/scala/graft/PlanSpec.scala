@@ -49,6 +49,21 @@ class PlanSpec extends SparkSpec {
       s"count(*) should read an empty schema:\n$plan")
   }
 
+  test("t04: shingling runs as the codegen'd expression, not an interpreted HOF") {
+    val plan = planOf(graft.queries.TextOps.t04Fingerprint(spark, sf))
+    assert(plan.contains("shingles("),
+      s"expected the custom shingles expression in the plan:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF lambda leaked back into the shingling path:\n$plan")
+  }
+
+  test("q60: salted join shuffles on (key, salt), no broadcast degenerate") {
+    val plan = planOf(graft.queries.Extras.q60JoinSalted(spark, sf))
+    // the whole point of salting: the join key carries the salt column so
+    // hot keys spread over saltFactor partitions
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
     val df = graft.operators.FraudPipeline.validityFilter(
       Tables.lineitem(spark, sf)
