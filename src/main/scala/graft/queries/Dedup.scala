@@ -186,12 +186,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d06: dedup survivors — the actual OUTPUT of the dedup pipeline: one
+    * row per cluster, keyed by the kept (minimum) doc_id, with the number
+    * of documents it absorbs. `SELECT ... WHERE doc_id = cluster` against
+    * d05 is how a pipeline materializes the deduped corpus.
+    */
+  val d06DedupSurvivors: Q = (s, d) =>
+    d05DedupClusters(s, d)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("kept_doc"), col("cluster_size"))
+      .orderBy("kept_doc")
+
   val queries: Map[String, Q] = Map(
     "q32_dedup_exact"   -> q32DedupExact,
     "d01_minhash_lsh"   -> d01MinhashLsh,
     "d02_simhash"       -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
-    "d05_dedup_clusters" -> d05DedupClusters)
+    "d05_dedup_clusters" -> d05DedupClusters,
+    "d06_dedup_survivors" -> d06DedupSurvivors)
 
   // ------------------------------------------------------------- oracles
 
@@ -218,6 +231,20 @@ object Dedup {
     s"""SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Full transitive-closure CTE chain (d05/d06 oracles); requires the
+    * enclosing WITH to be RECURSIVE.
+    */
+  private def duckReachCtes: String =
+    s"""$duckBandCtes,
+       |pairs AS ($duckPairSelect),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl AS lbl
+       |  FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q32_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(1) AS n_copies
@@ -230,17 +257,16 @@ object Dedup {
     // candidate-pair graph transitively; MIN(lbl) per node = the component's
     // smallest doc_id — the same fixpoint the Spark label propagation hits.
     "d05_dedup_clusters" ->
-      s"""WITH RECURSIVE $duckBandCtes,
-         |pairs AS ($duckPairSelect),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS lbl FROM documents
-         |  UNION
-         |  SELECT e.dst AS node, r.lbl AS lbl
-         |  FROM reach r JOIN edges e ON e.src = r.node)
+      s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "d06_dedup_survivors" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node)
+         |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
+         |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
     "d02_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

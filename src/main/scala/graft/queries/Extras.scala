@@ -145,7 +145,72 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** q63: value histogram — fixed-width bucketing by integer floor
+    * division (the profiling primitive; engine-neutral, unlike width_bucket
+    * which DuckDB lacks). One partial-agg groupBy.
+    */
+  val q63Histogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("cast(floor(value / 100) * 100 as bigint)").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy("bucket")
+
+  /** q64: column profiling — the data-quality summary a training-data
+    * pipeline runs before ingest: row count, nulls, distincts, min/max per
+    * column, in ONE aggregate pass (no per-column jobs). Nulls are
+    * injected via nullif so the null path is actually exercised.
+    */
+  val q64Profile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("status_n", expr("nullif(o_orderstatus, 'O')"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("status_n")).as("n_status_nonnull"),
+        countDistinct(col("o_orderstatus")).as("n_status_distinct"),
+        countDistinct(col("o_custkey")).as("n_cust_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        min(col("o_orderdate").cast("date")).as("date_min"),
+        max(col("o_orderdate").cast("date")).as("date_max"))
+
+  /** q65: lateral join — per-customer top-2 orders via a correlated
+    * LATERAL subquery (the FROM-clause correlation operator; Catalyst
+    * plans it via DecorrelateInnerQuery, same engine machinery as q48).
+    */
+  val q65LateralJoin: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql("""
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_lat,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                    WHERE o_custkey = c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      ORDER BY c_custkey, t.o_orderkey
+    """)
+  }
+
+  /** q66: grouping()/grouping_id() — distinguishing the NULL-as-subtotal
+    * rows from genuine NULL group keys in rollup output.
+    */
+  val q66GroupingId: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("cast(grouping(l_returnflag) as int)").as("g_flag"),
+        expr("cast(grouping(l_linestatus) as int)").as("g_status"),
+        expr("cast(grouping_id(l_returnflag, l_linestatus) as int)").as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
+    "q63_histogram"          -> q63Histogram,
+    "q64_profile"            -> q64Profile,
+    "q65_lateral_join"       -> q65LateralJoin,
+    "q66_grouping_id"        -> q66GroupingId,
     "q54_map_funcs"          -> q54MapFuncs,
     "q56_hof_funcs"          -> q56HofFuncs,
     "q57_regex_funcs"        -> q57RegexFuncs,
@@ -156,6 +221,34 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q63_histogram" ->
+      """SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS bucket,
+        |       COUNT(1) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q64_profile" ->
+      """SELECT COUNT(1) AS n_rows,
+        |       COUNT(nullif(o_orderstatus, 'O')) AS n_status_nonnull,
+        |       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status_distinct,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_distinct,
+        |       MIN(o_totalprice) AS price_min,
+        |       MAX(o_totalprice) AS price_max,
+        |       MIN(CAST(o_orderdate AS DATE)) AS date_min,
+        |       MAX(CAST(o_orderdate AS DATE)) AS date_max
+        |FROM orders""".stripMargin,
+    "q65_lateral_join" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |              WHERE o_custkey = c_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |ORDER BY c_custkey, t.o_orderkey""".stripMargin,
+    "q66_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q54_map_funcs" ->
       """SELECT event_id,
         |       CAST(len(json_keys(props)) AS INT) AS n_keys,

@@ -176,19 +176,26 @@ object Similarity {
     * inverted list and re-ranks exactly. At 100 TB: the assignment is one
     * broadcast-join pass, the probe reads ~1/NumCentroids of the corpus.
     */
-  val n02AnnIvf: Q = (s, d) => {
+  /** IVF assignment pass, shared by n02 (probe) and n03 (list stats):
+    * every vector → its max-cosine centroid, ccos retained.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(
         s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"), col("ccos"))
+  }
+
+  val n02AnnIvf: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
     val qside = assigned.filter(col("vec_id") === 0)
       .select(col("q").as("qa"), col("nrm").as("na"), col("cid").as("qcid"))
     assigned.filter(col("vec_id") =!= 0)
@@ -202,10 +209,27 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** n03: IVF index statistics — per-list member count and the cosine
+    * range to the centroid: the index-health profile an ANN pipeline
+    * monitors (empty/overfull lists → re-train centroids). min/max are
+    * order-free aggregates of IEEE-identical doubles, so this stays
+    * oracle-exact where an avg would not (double SUM accumulation order
+    * differs between engines).
+    */
+  val n03IvfStats: Q = (s, d) =>
+    ivfAssigned(s, d)
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("ccos")).as("min_cos"),
+        max(col("ccos")).as("max_cos"))
+      .orderBy("cid")
+
   val queries: Map[String, Q] = Map(
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
+    "n03_ivf_stats"      -> n03IvfStats,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
   // ------------------------------------------------------------- oracles
@@ -261,6 +285,23 @@ object Similarity {
          |  FROM assigned a, qside WHERE a.vec_id <> 0 AND a.cid = qcid)
          |SELECT vec_id, cid, dot, cos FROM probe
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n03_ivf_stats" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+         |          FROM prepn WHERE vec_id < $NumCentroids),
+         |scoredc AS (
+         |  SELECT v.vec_id, c.cid,
+         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+         |  FROM prepn v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid, ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM scoredc) WHERE rn = 1)
+         |SELECT cid, COUNT(1) AS n_members,
+         |       MIN(ccos) AS min_cos, MAX(ccos) AS max_cos
+         |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
     "d04_embed_near_dup" ->
       s"""WITH $duckPrep,
          |wb AS (SELECT vec_id, q, nrm, ${duckBucket("q")} AS bkt FROM prepn),
