@@ -206,7 +206,22 @@ object Extras {
         expr("cast(grouping_id(l_returnflag, l_linestatus) as int)").as("gid"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q67: union by NAME with missing-column completion — schema-evolution
+    * union (the ingest shape when one input predates a column). Spark:
+    * `unionByName(allowMissingColumns = true)`; DuckDB: UNION ALL BY NAME.
+    */
+  val q67UnionByName: Q = (s, d) => {
+    val a = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+              col("c_mktsegment").as("segment"))
+    val b = Tables.supplier(s, d)
+      .select(col("s_name").as("name"), (col("s_suppkey") + 1000000).as("id"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
     "q64_profile"            -> q64Profile,
     "q65_lateral_join"       -> q65LateralJoin,
@@ -221,6 +236,12 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q67_union_by_name" ->
+      """SELECT id, name, segment FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS name, s_suppkey + 1000000 AS id FROM supplier)
+        |ORDER BY id""".stripMargin,
     "q63_histogram" ->
       """SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS bucket,
         |       COUNT(1) AS n, MIN(value) AS lo, MAX(value) AS hi

@@ -117,6 +117,14 @@ object StreamOps {
         |e_ts <= p_ts""".stripMargin), "inner")
   }
 
+  /** s07: stream-static join — the streaming side enriched against a
+    * static dimension table (the lookup-table pattern). Stateless: each
+    * micro-batch joins against the static plan; a broadcast hint keeps the
+    * per-batch join shuffle-free when the dim is small.
+    */
+  def s07StreamStaticJoin(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), "key")
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
                             seq_no: Long, running_sum: Double)

@@ -218,6 +218,25 @@ class StreamingSpec extends SparkSpec {
     assert(joined === Set((1L, 100L), (2L, 101L)), s"got $joined")
   }
 
+  test("s07 stream-static join enriches each micro-batch from the dim table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("key", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.s07StreamStaticJoin(mem.toDF.toDF("key", "amount"), dim)
+      .writeStream.format("memory").queryName("s07_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, 10.0), (3L, 30.0)) // key 3 has no dim row -> dropped (inner)
+    q.processAllAvailable()
+    mem.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("s07_out").select("key", "tier", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, "gold", 10.0), (2L, "silver", 20.0)), s"got $rows")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
