@@ -59,6 +59,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleUtil.build matches the naive sliding-window reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = rng
+    (1 to 500).foreach { _ =>
+      val tokens = List.fill(r.nextInt(15) + 1)(r.alphanumeric.take(r.nextInt(6) + 1).mkString)
+      val k = r.nextInt(9) + 1
+      val arr = new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = {
+        val out = graft.functions.ShingleUtil.build(arr, k)
+        (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+      }
+      val want = // reference: positions 1..max(1, n-k+1), slice truncated at end
+        (0 until math.max(1, tokens.length - k + 1))
+          .map(i => tokens.slice(i, i + k).mkString(" "))
+      assert(got === want, s"tokens=$tokens k=$k")
+    }
+  }
+
+  test("MinHashAgg byte-assembled hash56 == md5-hex top-14-digits spelling") {
+    // the UDAF reads the first 7 digest bytes directly; the SQL spelling
+    // parses the first 14 hex chars — they must be the same 56-bit value
+    val r = rng
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 500).foreach { _ =>
+      val s = r.alphanumeric.take(r.nextInt(40) + 1).mkString
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      val viaHex = java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 14), 16)
+      var viaBytes = 0L
+      (0 until 7).foreach(i => viaBytes = (viaBytes << 8) | (d(i) & 0xffL))
+      assert(viaBytes === viaHex, s"hash56 mismatch on '$s'")
+    }
+  }
+
   test("multimodal stub decode: histogram always partitions the bytes") {
     val r = rng
     (1 to 200).foreach { _ =>
