@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{PyRound, Shingles, VecDot}
+import graft.functions.{Hash56, PyRound, Shingles, VecDot}
 
 /** Engine extension point, registered via the PUBLIC
   * `SparkSessionExtensions` API (builder.withExtensions or
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"py_round(x, <int literal scale>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash56"),
+      new ExpressionInfo(classOf[Hash56].getName, "hash56"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e) => Hash56(Cast(e, org.apache.spark.sql.types.StringType))
+        case other =>
+          throw new IllegalArgumentException(s"hash56(<string>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),

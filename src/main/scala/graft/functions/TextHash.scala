@@ -37,9 +37,16 @@ object TextHash {
   val B: IndexedSeq[Long] =
     (1 to NumHashes).map(i => (214013L * i + 2531011L) % P)
 
-  /** 56-bit hash of a string expression — Spark SQL spelling. */
+  /** 56-bit hash of a string expression — Spark spelling, routed through
+    * the codegen'd Hash56 expression (GraftExtensions): first 7 md5 digest
+    * bytes as a BIGINT, identical to the hex spelling
+    * `cast(conv(substring(md5(e), 1, 14), 16, 10) as bigint)` (differential
+    * test in PropertySpec) but without the 32-char hex string + base-16
+    * parse per row — this hash runs once per shingle/token in the dedup
+    * hot loops.
+    */
   def sparkHash56(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 14), 16, 10) as bigint)"
+    s"hash56($e)"
 
   /** Same 56-bit hash — DuckDB spelling (verified bit-identical to Spark). */
   def duckHash56(e: String): String =

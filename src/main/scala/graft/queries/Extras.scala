@@ -220,7 +220,55 @@ object Extras {
       .orderBy("id")
   }
 
+  /** q68: CSV round-trip — write orders through the CSV SINK, read it back
+    * through the CSV source with a declared schema, and hash-match against
+    * the parquet oracle: proves the writer/reader pair loses nothing,
+    * including double bit-exactness (Spark writes shortest-round-trip
+    * decimal strings). Staged under target/ (repo-local scratch).
+    */
+  val q68CsvRoundtrip: Q = (s, d) => {
+    val out = "target/roundtrip_csv"
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true").csv(out)
+      .orderBy("o_orderkey")
+  }
+
+  /** q69: JSON-lines round-trip — same contract through the JSON sink and
+    * source (the interchange format every ingest pipeline meets).
+    */
+  val q69JsonRoundtrip: Q = (s, d) => {
+    val out = "target/roundtrip_json"
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .json(out)
+      .orderBy("doc_id")
+  }
+
+  /** q70: keep-latest dedup — CDC-compaction shape: one surviving row per
+    * user, the latest by (ts, event_id). row_number, never dropDuplicates
+    * (partition-order nondeterministic survivor).
+    */
+  val q70KeepLatest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_csv_roundtrip"      -> q68CsvRoundtrip,
+    "q69_json_roundtrip"     -> q69JsonRoundtrip,
+    "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
     "q64_profile"            -> q64Profile,
@@ -236,6 +284,19 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q68_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q69_json_roundtrip" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q70_keep_latest" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q67_union_by_name" ->
       """SELECT id, name, segment FROM (
         |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer
