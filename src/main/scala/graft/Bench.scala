@@ -24,13 +24,20 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries cache their self-join inputs (the "index build" step in
-        // d01/d03/d04/n01/n02); drop them so later queries aren't charged
-        // another query's memory pressure (round-1 bench anomaly).
-        spark.catalog.clearCache()
+        // Two timed passes, report the min: single-pass numbers on a shared
+        // box showed 5-15x spikes on RANDOM queries run-to-run (GC debt,
+        // neighbor load) while isolated re-runs were always fast — min-of-2
+        // measures the plan, not the neighbor. clearCache between passes:
+        // self-join index caches (d01/d03/d04/n01/n02) must not leak across
+        // queries (round-1 anomaly) or let pass 2 skip the index build.
+        val dt = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }.min
+        System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -28,7 +28,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Per-query cache scope (see Bench): self-join index caches must not
-      // accumulate across the 69-query run.
+      // accumulate across the run.
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

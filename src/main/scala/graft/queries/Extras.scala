@@ -265,7 +265,21 @@ object Extras {
       .orderBy("user_id")
   }
 
+  /** q71: percent-of-total — an unpartitioned window total under each
+    * group total. Both operands are decimal-exact sums cast to double, so
+    * the single double divide is engine-identical.
+    */
+  val q71PctOfTotal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dec(sum(dec(col("l_quantity")))).as("qty_dec"))
+      .withColumn("share",
+        expr("cast(qty_dec as double) / cast(sum(qty_dec) over () as double)"))
+      .select(col("l_returnflag"), col("qty_dec").cast("double").as("qty"), col("share"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q71_pct_of_total"       -> q71PctOfTotal,
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
     "q70_keep_latest"        -> q70KeepLatest,
@@ -284,6 +298,14 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q71_pct_of_total" ->
+      """SELECT l_returnflag,
+        |       CAST(qty_dec AS DOUBLE) AS qty,
+        |       CAST(qty_dec AS DOUBLE) / CAST(SUM(qty_dec) OVER () AS DOUBLE) AS share
+        |FROM (SELECT l_returnflag,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_dec
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q68_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

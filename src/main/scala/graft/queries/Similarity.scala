@@ -225,11 +225,29 @@ object Similarity {
         max(col("ccos")).as("max_cos"))
       .orderBy("cid")
 
+  /** n04: brute-force L2 (Euclidean) top-k — the second distance metric.
+    * Squared L2 on quantized vectors is EXACT integer algebra with pieces
+    * already computed: ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b. No new per-pair
+    * array work beyond the same codegen'd dot product; same broadcast +
+    * TakeOrderedAndProject shape as q33.
+    */
+  val n04L2Knn: Q = (s, d) => {
+    val qv = prepared(s, d).filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    prepared(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("dist2", expr(s"na + nrm - 2 * ${dot("qa", "q")}"))
+      .select("vec_id", "dist2")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
     "n03_ivf_stats"      -> n03IvfStats,
+    "n04_l2_knn"         -> n04L2Knn,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
   // ------------------------------------------------------------- oracles
@@ -285,6 +303,13 @@ object Similarity {
          |  FROM assigned a, qside WHERE a.vec_id <> 0 AND a.cid = qcid)
          |SELECT vec_id, cid, dot, cos FROM probe
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n04_l2_knn" ->
+      s"""WITH $duckPrep,
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0)
+         |SELECT vec_id,
+         |       CAST(na + nrm - 2 * ${duckDot("qa", "q")} AS BIGINT) AS dist2
+         |FROM prepn, qv WHERE vec_id <> 0
+         |ORDER BY dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n03_ivf_stats" ->
       s"""WITH $duckPrep,
          |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
