@@ -7,6 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.SkewJoin
 
+/** Typed row for q72's Dataset[T] surface (top-level for a clean encoder). */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+                          o_orderstatus: String, o_totalprice: Double)
+
 /** Third wave of the operator inventory: map types, higher-order array
   * functions, regex, bitwise and date arithmetic suites, a driver-visible
   * salted skew join, value-range window frames, and a deterministic mode.
@@ -278,7 +282,26 @@ object Extras {
       .select(col("l_returnflag"), col("qty_dec").cast("double").as("qty"), col("share"))
       .orderBy("l_returnflag")
 
+  /** q72: typed Dataset[T] surface — case-class encoder, typed filter and
+    * map closures, still oracle-checkable because the closure math is pure
+    * IEEE double. (The typed path deserializes per row — documented cost;
+    * the Column-based spelling stays in codegen and is preferred for hot
+    * paths. This query exists to pin the API surface, like u01 does for
+    * UDFs.)
+    */
+  val q72TypedDataset: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .as[OrderRow]
+      .filter(o => o.o_totalprice > 200000.0 && o.o_orderstatus != "F")
+      .map(o => (o.o_orderkey, o.o_custkey, o.o_totalprice * 0.9))
+      .toDF("o_orderkey", "o_custkey", "discounted")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_typed_ds"           -> q72TypedDataset,
     "q71_pct_of_total"       -> q71PctOfTotal,
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
@@ -298,6 +321,11 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q72_typed_ds" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
+        |FROM orders
+        |WHERE o_totalprice > 200000.0 AND o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
     "q71_pct_of_total" ->
       """SELECT l_returnflag,
         |       CAST(qty_dec AS DOUBLE) AS qty,

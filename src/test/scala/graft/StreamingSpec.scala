@@ -39,6 +39,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Array("C1", "C4"))
   }
 
+  test("s01 checkpoint recovery: restart processes only NEW files (exactly-once)") {
+    val inDir = tmp("s01r_in")
+    val outDir = tmp("s01r_out")
+    val ckpt = tmp("s01r_ckpt")
+    Files.writeString(java.nio.file.Paths.get(inDir, "f1.csv"), header + "\n" +
+      "1,TRANSFER,181.0,C1,181.0,0.0,M1,0.0,0.0,1,0\n")
+    val q1 = StreamOps.s01FraudStream(spark, inDir, outDir, ckpt)
+    q1.awaitTermination()
+
+    // restart against the SAME checkpoint with one new file: the committed
+    // file must not be reprocessed (no C1 duplicate), the new one must land
+    Files.writeString(java.nio.file.Paths.get(inDir, "f2.csv"), header + "\n" +
+      "1,CASH_OUT,300.0,C2,300.0,0.0,M2,0.0,0.0,1,0\n")
+    val q2 = StreamOps.s01FraudStream(spark, inDir, outDir, ckpt)
+    q2.awaitTermination()
+
+    val names = spark.read.parquet(outDir)
+      .select("nameOrig").collect().map(_.getString(0)).sorted
+    assert(names === Array("C1", "C2"), s"got ${names.toSeq}")
+  }
+
   test("s01 JDBC variant: stream lands fraud rows in Derby end-to-end") {
     val inDir = tmp("s01j_in")
     Files.writeString(java.nio.file.Paths.get(inDir, "f1.csv"), header + "\n" +
