@@ -198,7 +198,33 @@ object Dedup {
       .select(col("cluster").as("kept_doc"), col("cluster_size"))
       .orderBy("kept_doc")
 
+  /** d07: graph statistics over the candidate-pair graph — node/edge
+    * counts, max degree, and the triangle count (the clustering signal a
+    * dedup pipeline uses to sanity-check its similarity threshold: heavy
+    * triangle closure → threshold too loose). Triangles via the ordered
+    * (a<b<c) wedge join: each triangle counted exactly once, and edges are
+    * already min-first so no orientation pass is needed. At 100 TB the
+    * standard refinement is degree-ordering the orientation so the wedge
+    * join fans out on low-degree endpoints.
+    */
+  val d07GraphStats: Q = (s, d) => {
+    val pairs = d01MinhashLsh(s, d).select("d1", "d2").cache()
+    val deg = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.d2") === col("e2.d1"))
+      .join(pairs.as("e3"),
+        col("e3.d1") === col("e1.d1") && col("e3.d2") === col("e2.d2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select("n_nodes", "n_edges", "n_triangles", "max_degree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d07_graph_stats"   -> d07GraphStats,
     "q32_dedup_exact"   -> q32DedupExact,
     "d01_minhash_lsh"   -> d01MinhashLsh,
     "d02_simhash"       -> d02Simhash,
@@ -260,6 +286,22 @@ object Dedup {
       s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "d07_graph_stats" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |deg AS (
+         |  SELECT node, COUNT(1) AS deg FROM (
+         |    SELECT d1 AS node FROM pairs UNION ALL SELECT d2 AS node FROM pairs)
+         |  GROUP BY node),
+         |tri AS (
+         |  SELECT COUNT(1) AS n_triangles
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.d2 = e2.d1
+         |  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+         |SELECT (SELECT COUNT(1) FROM deg) AS n_nodes,
+         |       (SELECT COUNT(1) FROM pairs) AS n_edges,
+         |       (SELECT n_triangles FROM tri) AS n_triangles,
+         |       (SELECT MAX(deg) FROM deg) AS max_degree""".stripMargin,
     "d06_dedup_survivors" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (
