@@ -300,7 +300,84 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** q73: right outer join — the one outer-join direction the suite
+    * lacked (left/full exist); null-completing the left side.
+    */
+  val q73JoinRight: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** q74: variance/stddev — accumulation-order-safe spelling: the moments
+    * (Σx, Σx²) are EXACT decimal sums (2-dp values, 4-dp squares), then
+    * one identical double-arithmetic chain in both engines. A bare
+    * `var_pop` over doubles is accumulation-order dependent and would
+    * never hash-match; a boolean additionally asserts each engine's
+    * builtin agrees with the exact formulation to 1e-6.
+    */
+  val q74AggVariance: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+        expr("var_pop(l_quantity)").as("builtin_var"))
+      .withColumn("variance",
+        expr("(cast(sxx as double) - cast(sx as double) * cast(sx as double) / n) / n"))
+      .withColumn("stddev", expr("sqrt(variance)"))
+      .withColumn("builtin_ok", expr("abs(builtin_var - variance) <= 1e-6"))
+      .select("l_returnflag", "n", "variance", "stddev", "builtin_ok")
+      .orderBy("l_returnflag")
+
+  /** q75: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
+    * keys match each other instead of vanishing, the semantics an ingest
+    * join on nullable business keys needs.
+    */
+  val q75NullSafeEq: Q = (s, d) => {
+    val a = Tables.customer(s, d)
+      .select(col("c_custkey").as("id_a"),
+              expr("nullif(c_mktsegment, 'BUILDING')").as("seg_a"))
+    val b = Tables.customer(s, d).filter(col("c_custkey") <= 50)
+      .select(col("c_custkey").as("id_b"),
+              expr("nullif(c_mktsegment, 'BUILDING')").as("seg_b"))
+    a.join(b, col("seg_a") <=> col("seg_b"))
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q76: Pearson correlation — same accumulation-order-safe technique as
+    * q74: all five moments as exact decimal sums, one identical double
+    * chain; builtin corr() asserted within 1e-6 on both engines.
+    */
+  val q76Corr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"),
+        expr("corr(l_quantity, l_extendedprice)").as("builtin_corr"))
+      .withColumn("corr_exact", expr(
+        """(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          | / (sqrt(n * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+          |    * sqrt(n * cast(syy as double) - cast(sy as double) * cast(sy as double)))""".stripMargin))
+      .withColumn("builtin_ok", expr("abs(builtin_corr - corr_exact) <= 1e-6"))
+      .select("l_returnflag", "n", "corr_exact", "builtin_ok")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q76_corr"               -> q76Corr,
+    "q73_join_right"         -> q73JoinRight,
+    "q74_agg_variance"       -> q74AggVariance,
+    "q75_null_safe_eq"       -> q75NullSafeEq,
     "q72_typed_ds"           -> q72TypedDataset,
     "q71_pct_of_total"       -> q71PctOfTotal,
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
@@ -321,6 +398,52 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q76_corr" ->
+      """SELECT l_returnflag, n, corr_exact,
+        |       abs(builtin_corr - corr_exact) <= 1e-6 AS builtin_ok
+        |FROM (
+        |  SELECT l_returnflag, n,
+        |         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_exact,
+        |         builtin_corr
+        |  FROM (
+        |    SELECT l_returnflag, COUNT(1) AS n,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |           corr(l_quantity, l_extendedprice) AS builtin_corr
+        |    FROM lineitem GROUP BY l_returnflag))
+        |ORDER BY l_returnflag""".stripMargin,
+    "q73_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q74_agg_variance" ->
+      """SELECT l_returnflag, n, variance, sqrt(variance) AS stddev,
+        |       abs(builtin_var - variance) <= 1e-6 AS builtin_ok
+        |FROM (
+        |  SELECT l_returnflag, n,
+        |         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n AS variance,
+        |         builtin_var
+        |  FROM (
+        |    SELECT l_returnflag, COUNT(1) AS n,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |           var_pop(l_quantity) AS builtin_var
+        |    FROM lineitem GROUP BY l_returnflag))
+        |ORDER BY l_returnflag""".stripMargin,
+    "q75_null_safe_eq" ->
+      """SELECT id_a, id_b FROM
+        |  (SELECT c_custkey AS id_a, nullif(c_mktsegment, 'BUILDING') AS seg_a FROM customer) a
+        |JOIN
+        |  (SELECT c_custkey AS id_b, nullif(c_mktsegment, 'BUILDING') AS seg_b FROM customer
+        |   WHERE c_custkey <= 50) b
+        |ON seg_a IS NOT DISTINCT FROM seg_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "q72_typed_ds" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.9 AS discounted
         |FROM orders
