@@ -24,8 +24,11 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ UdfOps.queries ++ Extended.queries ++
       Extras.queries ++
-      Map("m01_multimodal_features" ->
-        ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)))
+      Map(
+        "m01_multimodal_features" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)),
+        "m02_frame_explode" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m02FrameExplode(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -43,5 +46,16 @@ object SparkEntry {
           |            ELSE 'video' END AS kind,
           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |       CAST(((octet_length(encode(text)) + 1023) // 1024 + 3) // 4 AS INT) AS frames_sampled
-          |FROM documents ORDER BY media_id""".stripMargin)
+          |FROM documents ORDER BY media_id""".stripMargin,
+        // Mirrors m02's chunking math: every 4th 1 KiB chunk of the payload
+        // (generate_series as a per-row list function — lateral FROM-clause
+        // generate_series with column bounds is not supported in DuckDB).
+        "m02_frame_explode" ->
+          """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+            |       CAST(least(1024, n_bytes - chunk_idx * 1024) AS INT) AS chunk_bytes
+            |FROM (
+            |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+            |         unnest(generate_series(0, (octet_length(encode(text)) + 1023) // 1024 - 1, 4)) AS chunk_idx
+            |  FROM documents)
+            |ORDER BY media_id, chunk_idx""".stripMargin)
 }

@@ -132,4 +132,24 @@ object Multimodal {
               col("frames_sampled"))
       .orderBy("media_id")
   }
+
+  /** m02: per-frame explode — one row per SAMPLED frame (every 4th 1 KiB
+    * chunk), with the frame's byte span: the fan-out shape a video pipeline
+    * uses to parallelize per-frame feature extraction downstream. The
+    * typed flatMap is the Dataset generator surface over binary payloads;
+    * byte accounting is exact, so the oracle is real SQL.
+    */
+  def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stride = 4
+    fixtureFromDocuments(s, d)
+      .flatMap { m =>
+        val chunks = (m.payload.length + 1023) / 1024
+        (0 until chunks by stride).map { c =>
+          (m.media_id, c, math.min(1024, m.payload.length - c * 1024))
+        }
+      }
+      .toDF("media_id", "chunk_idx", "chunk_bytes")
+      .orderBy("media_id", "chunk_idx")
+  }
 }

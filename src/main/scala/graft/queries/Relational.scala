@@ -391,6 +391,22 @@ object Relational {
       .select(col("window.start").as("ws"), col("n"), col("sum_value"))
       .orderBy("ws")
 
+  /** q77: NATIVE session_window in batch mode — the same operator s03 uses
+    * in streaming, here under the hard oracle: the DuckDB twin derives
+    * sessions with q52's lag + running-sum gap logic and aggregates them.
+    * Proves Spark's built-in session semantics == the relational spelling
+    * (session end = last event + gap).
+    */
+  val q77SessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("ss"),
+              col("session_window.end").as("se"),
+              col("n_events"))
+      .orderBy("user_id", "ss")
+
   // ------------------------------------------------------------- inventory
 
   val queries: Map[String, Q] = Map(
@@ -424,7 +440,8 @@ object Relational {
     "q28_case_when"         -> q28CaseWhen,
     "q30_json_funcs"        -> q30JsonFuncs,
     "q31_window_tumbling"   -> q31WindowTumbling,
-    "q53_window_sliding"    -> q53WindowSliding
+    "q53_window_sliding"    -> q53WindowSliding,
+    "q77_session_window"    -> q77SessionWindow
   )
 
   /** DuckDB-equivalent ANSI SQL for each query above (driver oracle). */
@@ -603,6 +620,31 @@ object Relational {
         |       COUNT(1) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events CROSS JOIN generate_series(0, 1) AS g(i)
-        |GROUP BY 1 ORDER BY ws""".stripMargin
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+    // Sessions via q52's gap logic, aggregated: start = first event,
+    // end = last event + 30-minute gap (Spark session_window's end rule).
+    // Boundary: Spark sessions are [start, end) — an event at EXACTLY
+    // prev + gap starts a new session, hence >= (q52's own definition
+    // uses >, which is fine there because it defines its own semantics).
+    "q77_session_window" ->
+      """SELECT user_id, MIN(ts_us_ts) AS ss,
+        |       MAX(ts_us_ts) + INTERVAL 30 MINUTES AS se,
+        |       COUNT(1) AS n_events
+        |FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us_ts,
+        |         SUM(CASE WHEN prev_us IS NULL
+        |                    OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us >= 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |             OVER (PARTITION BY user_id
+        |                   ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, ss""".stripMargin
   )
 }
