@@ -169,14 +169,23 @@ object Dedup {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl")).cache()
-    var changed = 1L
+    // Convergence check: labels only ever DECREASE (elementwise min), so
+    // the exact label sum is a strictly decreasing potential — unchanged
+    // sum == fixpoint. One tiny aggregate per round instead of a
+    // new-vs-old join (which doubled each round's cost). Decimal sum so
+    // the potential can't overflow at any id scale.
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var round = 0
-    while (changed > 0 && round < 20) {
+    while (!converged && round < 20) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"))
       val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).cache()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
+      val lblSum = next
+        .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+      converged = prevSum != null && lblSum.compareTo(prevSum) == 0
+      prevSum = lblSum
       labels.unpersist()
       labels = next
       round += 1
