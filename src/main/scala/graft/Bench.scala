@@ -32,7 +32,15 @@ object Bench {
         // queries (round-1 anomaly) or let pass 2 skip the index build.
         val dt = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // A failing query must fail the RUN (exit nonzero), never shrink
+          // the total via a sentinel timing (round-2 verdict item 3).
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] query '$name' FAILED: $e")
+              e.printStackTrace()
+              spark.stop()
+              sys.exit(2)
+          }
           val t = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           t

@@ -81,6 +81,36 @@ class DedupSpec extends SparkSpec {
     assert(na - inter <= 2 && nb - inter <= 2)
   }
 
+  test("d05/d06: planted near-dup pair clusters to min doc_id; survivors keep it") {
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val clusters = Dedup.d05DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+    val survivors = Dedup.d06DedupSurvivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(survivors === Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents: chain contracts to one star on the min node") {
+    import spark.implicits._
+    // path 0-1-2-...-15 (diameter 15): plain min-propagation needs 15
+    // rounds; large-star/small-star needs O(log n)
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val stars = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(stars.toSeq === (1L to 15L).map(i => (i, 0L)))
+  }
+
+  test("connectedComponents: hitting the round cap raises, never silent") {
+    import spark.implicits._
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    // verdict item 1c: an unconverged clustering must be an ERROR — the
+    // round-2 spelling returned partial labels silently at the cap
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxRounds = 1)
+    }
+  }
+
   test("t04 fingerprint: exact dups share fingerprint, distinct docs don't") {
     val dir = docsDir(Seq(base, base, distinct1))
     val fp = TextOps.t04Fingerprint(spark, dir).collect()
