@@ -151,22 +151,44 @@ object Extended {
 
   /** x02: approximate quantiles (GK-style sketch). The sketch value is
     * engine-specific, so the DRIVER-VISIBLE contract is a bounded property:
-    * accuracy=1000 bounds rank error at 0.1%, so the estimate must lie in
-    * the exact [q-1%, q+1%] percentile band (10× slack; deterministic for
-    * fixed data → replay-stable booleans). Oracle expects (true, true).
+    * accuracy=1000 bounds rank error at 0.1% of n, so the estimate must lie
+    * in the exact [q-1%, q+1%] percentile band (10× slack; deterministic
+    * for fixed data → replay-stable booleans).
+    *
+    * The band itself is part of the OUTPUT and recomputed by the DuckDB
+    * oracle (round-2 verdict item 6: `SELECT true, true` let a Spark-side
+    * band bug self-certify). Band bounds are DISCRETE percentiles picked by
+    * exact integer rank — p_q = min value whose cumulative row count
+    * reaches ⌈q·n⌉, spelled `100·cum ≥ q%·n` in integers — actual data
+    * values, no interpolation, so they are bit-identical across engines
+    * (interpolated `percentile()` mixes `(1-f)·a + f·b` floating point,
+    * which the two engines may round differently in the last ulp).
+    * At 100 TB the cum-sum window runs range-partitioned; here the grouped
+    * distinct-value table it scans is already tiny relative to the input.
     */
-  val x02ApproxQuantile: Q = (s, d) =>
-    Tables.lineitem(s, d)
+  val x02ApproxQuantile: Q = (s, d) => {
+    val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = v.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+    val bands = cum.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
       .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50a"),
-        expr("percentile_approx(l_extendedprice, 0.95, 1000)").as("p95a"),
-        expr("percentile(l_extendedprice, 0.49)").as("p49"),
-        expr("percentile(l_extendedprice, 0.51)").as("p51"),
-        expr("percentile(l_extendedprice, 0.94)").as("p94"),
-        expr("percentile(l_extendedprice, 0.96)").as("p96"))
+        min(when(col("cum") * 100 >= col("n") * 49, col("v"))).as("p49"),
+        min(when(col("cum") * 100 >= col("n") * 51, col("v"))).as("p51"),
+        min(when(col("cum") * 100 >= col("n") * 94, col("v"))).as("p94"),
+        min(when(col("cum") * 100 >= col("n") * 96, col("v"))).as("p96"))
+    v.agg(
+        expr("percentile_approx(v, 0.5, 1000)").as("p50a"),
+        expr("percentile_approx(v, 0.95, 1000)").as("p95a"))
+      .crossJoin(bands)
       .select(
+        col("p49"), col("p51"), col("p94"), col("p96"),
         (col("p50a") >= col("p49") && col("p50a") <= col("p51")).as("p50_in_band"),
         (col("p95a") >= col("p94") && col("p95a") <= col("p96")).as("p95_in_band"))
+  }
 
   /** q44: full outer join — the one join type the core suite lacked.
     * Null-completing both sides; total order pins null rows.
@@ -328,10 +350,23 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
-    // x02: the sketch value is engine-specific; the Spark side emits the
-    // bounded-error booleans, the oracle expects them true.
+    // x02: the sketch value is engine-specific, so the booleans stay a
+    // Spark-side property — but the BAND they test against is recomputed
+    // here by exact integer rank and hash-verified, so a Spark-side band
+    // bug can't self-certify.
     "x02_approx_quantile" ->
-      "SELECT true AS p50_in_band, true AS p95_in_band",
+      """WITH g AS (SELECT l_extendedprice AS v, COUNT(1) AS c
+        |           FROM lineitem GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM g),
+        |n AS (SELECT COUNT(1) AS n FROM lineitem)
+        |SELECT MIN(CASE WHEN cum * 100 >= n * 49 THEN v END) AS p49,
+        |       MIN(CASE WHEN cum * 100 >= n * 51 THEN v END) AS p51,
+        |       MIN(CASE WHEN cum * 100 >= n * 94 THEN v END) AS p94,
+        |       MIN(CASE WHEN cum * 100 >= n * 96 THEN v END) AS p96,
+        |       true AS p50_in_band, true AS p95_in_band
+        |FROM cum CROSS JOIN n""".stripMargin,
     "q52_sessionize" ->
       """SELECT user_id, event_id, CAST(session_no AS BIGINT) AS session_no FROM (
         |  SELECT user_id, event_id,

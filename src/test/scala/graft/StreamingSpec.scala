@@ -60,6 +60,28 @@ class StreamingSpec extends SparkSpec {
     assert(names === Array("C1", "C2"), s"got ${names.toSeq}")
   }
 
+  test("multi-record arrival: files 2..n are processed, not silently dropped") {
+    // Pinned DIVERGENCE from the reference (SURVEY §3.1 stage 2): the
+    // deployed handler reads only `Records[0]` of each S3 event (zip
+    // lambda_function_aws.py:26-28, mirrored at py:29-31), so one event
+    // carrying several object records silently DROPS files 2..n. This
+    // engine's file source queues every discovered file (one micro-batch
+    // each under maxFilesPerTrigger=1), so files that arrive together all
+    // land exactly once — deliberately the BETTER behavior, asserted here
+    // so the difference is a documented contract, not an accident.
+    val inDir = tmp("smulti_in")
+    for (i <- 1 to 3)
+      Files.writeString(java.nio.file.Paths.get(inDir, s"f$i.csv"), header + "\n" +
+        s"1,TRANSFER,181.0,C$i,181.0,0.0,M$i,0.0,0.0,1,0\n")
+    val outDir = tmp("smulti_out")
+    val q = StreamOps.s01FraudStream(spark, inDir, outDir, tmp("smulti_ckpt"))
+    q.awaitTermination()
+    val names = spark.read.parquet(outDir)
+      .select("nameOrig").collect().map(_.getString(0)).sorted
+    assert(names === Array("C1", "C2", "C3"),
+      s"all simultaneously-arriving files must be processed; got ${names.toSeq}")
+  }
+
   test("s01 JDBC variant: stream lands fraud rows in Derby end-to-end") {
     val inDir = tmp("s01j_in")
     Files.writeString(java.nio.file.Paths.get(inDir, "f1.csv"), header + "\n" +
