@@ -180,18 +180,24 @@ object Similarity {
     * every vector → its max-cosine centroid, ccos retained.
     */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
     v.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(
         s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("nrm"), col("cid"), col("ccos"))
+      // argmax per vector as a PARTIAL-AGG max_by (struct ordering: ccos
+      // desc, then cid asc via the negated id) instead of a sort-based
+      // row_number window — no per-key sort, map-side combinable, the
+      // formulation that survives a 100 TB assignment pass. ccos doubles
+      // are IEEE-identical in both engines, so the argmax matches the
+      // oracle's window spelling exactly (ties broken by cid).
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("q"), col("nrm"), col("cid"), col("ccos")),
+        struct(col("ccos"), negate(col("cid")))).as("best"))
+      .select(col("vec_id"), col("best.q").as("q"), col("best.nrm").as("nrm"),
+              col("best.cid").as("cid"), col("best.ccos").as("ccos"))
   }
 
   val n02AnnIvf: Q = (s, d) => {
