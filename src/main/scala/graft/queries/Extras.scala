@@ -373,7 +373,51 @@ object Extras {
       .select("l_returnflag", "n", "corr_exact", "builtin_ok")
       .orderBy("l_returnflag")
 
+  /** q78: recursive CTE (Spark 4's `WITH RECURSIVE`, planned as UnionLoop)
+    * — a recursion-generated month dimension LEFT-joined to real order
+    * dates. Recursive CTEs are the one SQL-surface operator that cannot be
+    * spelled with a fixed-depth DataFrame plan; this pins that the engine
+    * supports them (generator recursion here; the data-driven reachability
+    * variant is d05, where the ITERATION lives in the driver loop because
+    * its depth is data-dependent).
+    */
+  val q78RecursiveCte: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m, count(o_orderkey) AS n_orders,
+        |       cast(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM months LEFT JOIN orders_v ON month(o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** q79: gap-fill / forward-fill — `last_value(... IGNORE NULLS)` over a
+    * per-key ordered frame, the standard telemetry repair for sensor
+    * streams (nulls synthesized deterministically from event_type so both
+    * engines see identical gaps). The filled double is carried through
+    * unchanged (no arithmetic), so the oracle is value-exact. At 100 TB
+    * this is one window over the per-user order — partition-parallel.
+    */
+  val q79GapFill: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("v_raw",
+        expr("CASE WHEN event_type = 'error' THEN NULL ELSE value END"))
+      .withColumn("filled", last(col("v_raw"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("v_raw").isNull.as("is_gap"), col("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_recursive_cte"      -> q78RecursiveCte,
+    "q79_gap_fill"           -> q79GapFill,
     "q76_corr"               -> q76Corr,
     "q73_join_right"         -> q73JoinRight,
     "q74_agg_variance"       -> q74AggVariance,
@@ -398,6 +442,28 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q78_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT CAST(m AS INT) AS m, count(o_orderkey) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM months LEFT JOIN orders ON month(CAST(o_orderdate AS TIMESTAMP)) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
+    "q79_gap_fill" ->
+      """SELECT user_id, event_id, (v_raw IS NULL) AS is_gap, filled
+        |FROM (
+        |  SELECT user_id, event_id, v_raw,
+        |         last_value(v_raw IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_raw
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q76_corr" ->
       """SELECT l_returnflag, n, corr_exact,
         |       abs(builtin_corr - corr_exact) <= 1e-6 AS builtin_ok

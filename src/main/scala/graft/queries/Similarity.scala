@@ -248,12 +248,30 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** n05: centroid update — the k-means M-step over the IVF assignment:
+    * per (list, dimension) the member count and the exact integer sum of
+    * the quantized coordinate (the new centroid is sum_q/n, a division the
+    * CALLER does so the table stays integer-exact cross-engine). Shape:
+    * posexplode to (cid, dim) rows → one partial-agg groupBy — at 100 TB
+    * the shuffle carries NumCentroids × Dim partial rows per partition,
+    * independent of corpus size. This is the training half of the n02
+    * index; iterating assign→update converges k-means without any
+    * driver-side state.
+    */
+  val n05CentroidUpdate: Q = (s, d) =>
+    ivfAssigned(s, d)
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_members"), sum("col").as("sum_q"))
+      .orderBy("cid", "dim")
+
   val queries: Map[String, Q] = Map(
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
     "n03_ivf_stats"      -> n03IvfStats,
     "n04_l2_knn"         -> n04L2Knn,
+    "n05_centroid_update" -> n05CentroidUpdate,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
   // ------------------------------------------------------------- oracles
@@ -316,6 +334,24 @@ object Similarity {
          |       CAST(na + nrm - 2 * ${duckDot("qa", "q")} AS BIGINT) AS dist2
          |FROM prepn, qv WHERE vec_id <> 0
          |ORDER BY dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n05_centroid_update" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+         |          FROM prepn WHERE vec_id < $NumCentroids),
+         |scoredc AS (
+         |  SELECT v.vec_id, v.q, c.cid,
+         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+         |  FROM prepn v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, q, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM scoredc) WHERE rn = 1)
+         |SELECT cid, CAST(g.i AS INT) AS dim,
+         |       COUNT(1) AS n_members, CAST(SUM(q[g.i]) AS BIGINT) AS sum_q
+         |FROM assigned CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |GROUP BY cid, g.i ORDER BY cid, dim""".stripMargin,
     "n03_ivf_stats" ->
       s"""WITH $duckPrep,
          |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm

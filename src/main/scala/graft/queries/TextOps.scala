@@ -175,6 +175,50 @@ object TextOps {
         expr("array_join(slice(ctoks, 1, 5), ' ')").as("head5"))
       .orderBy("doc_id")
 
+  /** Token budget per packed training sequence (t07). */
+  val PackBudget = 4096L
+
+  /** t07: training-sequence packing — assign documents (in doc_id order) to
+    * fixed-token-budget bins by cumulative token count, the deterministic
+    * sequential-packing policy an LLM data pipeline applies before writing
+    * training shards. The running sum is a window over the corpus order; at
+    * 100 TB this runs range-partitioned (Spark's window already
+    * range-partitions on the global sort), and the policy is reproducible
+    * under any partitioning because it depends only on the total order.
+    */
+  val t07SeqPacking: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("bigint")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $PackBudget").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** t08: repetition-quality rule (the Gopher-style duplicate-n-gram
+    * filter) — per document: bigram count, distinct bigram count, the top
+    * single bigram's frequency, and the duplicate-bigram fraction in exact
+    * parts-per-million (integer `div`, no float). High dup_ppm → boilerplate
+    * / template text a pretraining pipeline drops. Shape: explode bigrams →
+    * two partial-agg groupBys — the same 100 TB-safe spelling as t05.
+    */
+  val t08Repetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 2))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+           count(lit(1)).as("n_distinct"),
+           max("c").as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+        expr("((n_bigrams - n_distinct) * 1000000) div n_bigrams").as("dup_ppm"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q29_text_tokens"   -> q29TextTokens,
     "q34_text_stats"    -> q34TextStats,
@@ -183,7 +227,9 @@ object TextOps {
     "t03_token_count"   -> t03TokenCount,
     "t04_fingerprint"   -> t04Fingerprint,
     "t05_tfidf"         -> t05Tfidf,
-    "t06_normalize"     -> t06Normalize)
+    "t06_normalize"     -> t06Normalize,
+    "t07_seq_packing"   -> t07SeqPacking,
+    "t08_repetition"    -> t08Repetition)
 
   private def duckMarkerCount(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
@@ -258,6 +304,29 @@ object TextOps {
          |         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
          |                     t -> t != '' AND NOT t IN ${inList(stopwords)}) AS ctoks
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "t07_seq_packing" ->
+      s"""SELECT doc_id, n_tokens,
+         |       CAST(cum_before AS BIGINT) AS cum_before,
+         |       CAST(cum_before // $PackBudget AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t08_repetition" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, bg, COUNT(1) AS c
+         |  FROM (SELECT doc_id, unnest(${TextHash.duckShingles("text", 2)}) AS bg
+         |        FROM documents)
+         |  GROUP BY doc_id, bg)
+         |SELECT doc_id,
+         |       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |       COUNT(1) AS n_distinct,
+         |       CAST(MAX(c) AS BIGINT) AS top_count,
+         |       CAST(((SUM(c) - COUNT(1)) * 1000000) // SUM(c) AS BIGINT) AS dup_ppm
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
