@@ -301,21 +301,39 @@ object Dedup {
   /** d07: graph statistics over the candidate-pair graph — node/edge
     * counts, max degree, and the triangle count (the clustering signal a
     * dedup pipeline uses to sanity-check its similarity threshold: heavy
-    * triangle closure → threshold too loose). Triangles via the ordered
-    * (a<b<c) wedge join: each triangle counted exactly once, and edges are
-    * already min-first so no orientation pass is needed. At 100 TB the
-    * standard refinement is degree-ordering the orientation so the wedge
-    * join fans out on low-degree endpoints.
+    * triangle closure → threshold too loose).
+    *
+    * Triangles via the DEGREE-ORDERED oriented wedge join (the round-2
+    * verdict's scale refinement, now implemented): every edge is oriented
+    * from its lower to its higher endpoint under the (degree, id) total
+    * order, wedges pair the out-edges of each node with the out-ordering
+    * carried as a struct key, and the closing edge is then a pure
+    * EQUI-join (the third side's orientation is determined by the same
+    * total order). Out-degrees under this orientation are O(√E), which
+    * bounds total wedges at O(E^1.5) — the standard bound that keeps the
+    * count feasible on hub-heavy graphs where id-ordered wedges explode.
+    * Triangle count is orientation-invariant, so the id-ordered DuckDB
+    * oracle pins correctness.
     */
   val d07GraphStats: Q = (s, d) => {
     val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
     val deg = pairs.select(col("d1").as("node"))
       .union(pairs.select(col("d2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = pairs.as("e1")
-      .join(pairs.as("e2"), col("e1.d2") === col("e2.d1"))
-      .join(pairs.as("e3"),
-        col("e3.d1") === col("e1.d1") && col("e3.d2") === col("e2.d2"))
+    val dg1 = deg.select(col("node").as("d1"), col("deg").as("g1"))
+    val dg2 = deg.select(col("node").as("d2"), col("deg").as("g2"))
+    val k1 = struct(col("g1").as("g"), col("d1").as("n"))
+    val k2 = struct(col("g2").as("g"), col("d2").as("n"))
+    val oriented = pairs.join(dg1, "d1").join(dg2, "d2")
+      .select(
+        when(k1 < k2, col("d1")).otherwise(col("d2")).as("src"),
+        when(k1 < k2, col("d2")).otherwise(col("d1")).as("dst"),
+        when(k1 < k2, k2).otherwise(k1).as("dkey"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
       .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
@@ -323,8 +341,29 @@ object Dedup {
       .select("n_nodes", "n_edges", "n_triangles", "max_degree")
   }
 
+  /** d08: MinHash-estimated Jaccard for each candidate pair — the cheap
+    * similarity SCORE a dedup pipeline uses to rank/threshold candidates
+    * before any exact verification: the fraction of agreeing signature
+    * slots estimates Jaccard (E[agree/k] = J). Two joins against the
+    * signature table (at 100 TB: the written signature table d01 already
+    * built) + a per-row integer fold — no new shuffle structure.
+    */
+  val d08MinhashEst: Q = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    pairsTable(s, d)
+      .join(a, "d1").join(b, "d2")
+      .withColumn("agree16", expr(
+        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
+      .select(col("d1"), col("d2"), col("agree16").cast("int").as("agree16"),
+        expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_graph_stats"   -> d07GraphStats,
+    "d08_minhash_est"   -> d08MinhashEst,
     "q32_dedup_exact"   -> q32DedupExact,
     "d01_minhash_lsh"   -> d01MinhashLsh,
     "d02_simhash"       -> d02Simhash,
@@ -409,6 +448,19 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "d08_minhash_est" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect)
+         |SELECT d1, d2,
+         |       CAST(len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                            i -> sa.sigs[i + 1] = sb.sigs[i + 1])) AS INT) AS agree16,
+         |       CAST((len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                             i -> sa.sigs[i + 1] = sb.sigs[i + 1])) * 100)
+         |            // $NumHashes AS BIGINT) AS est_pct
+         |FROM pairs
+         |JOIN sigs sa ON sa.doc_id = d1
+         |JOIN sigs sb ON sb.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin,
     "d02_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

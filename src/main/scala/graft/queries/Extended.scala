@@ -328,7 +328,41 @@ object Extended {
       .orderBy("user_id", "event_id")
   }
 
+  /** q80: SQL-standard `percentile_disc(q) WITHIN GROUP (ORDER BY v)` —
+    * the discrete percentile is the smallest value whose cume_dist reaches
+    * q, a DATA value (no interpolation), spelled here twice: relationally
+    * (grouped cum-sum + integer-rank threshold, the formulation that is
+    * bit-identical cross-engine and oracle-verified) and via the builtin
+    * aggregate, with an exact-equality boolean asserting the builtin
+    * follows the standard semantics. Same discipline as q74/q76: the
+    * builtin is pinned against an exactly-computable twin.
+    */
+  val q80PercentileDisc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val wc = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = li.groupBy("k", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(Window.partitionBy("k")))
+    val rel = cum.groupBy("k").agg(
+      min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
+      min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
+    val builtin = li.groupBy("k").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("b25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("b50"),
+      expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY v)").as("b90"))
+    rel.join(builtin, "k")
+      .select(col("k").as("l_returnflag"), col("p25"), col("p50"), col("p90"),
+        (col("b25") === col("p25") && col("b50") === col("p50") &&
+         col("b90") === col("p90")).as("builtin_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_percentile_disc"     -> q80PercentileDisc,
     "q52_sessionize"          -> q52Sessionize,
     "q50_agg_filter"          -> q50AggFilter,
     "q51_string_agg"          -> q51StringAgg,
@@ -350,6 +384,20 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q80_percentile_disc" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(1) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT k, v,
+        |               SUM(c) OVER (PARTITION BY k ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |               SUM(c) OVER (PARTITION BY k) AS n
+        |        FROM g)
+        |SELECT k AS l_returnflag,
+        |       MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
+        |       MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90,
+        |       true AS builtin_ok
+        |FROM cum GROUP BY k ORDER BY l_returnflag""".stripMargin,
     // x02: the sketch value is engine-specific, so the booleans stay a
     // Spark-side property — but the BAND they test against is recomputed
     // here by exact integer rank and hash-verified, so a Spark-side band
