@@ -25,6 +25,44 @@ class PartitioningSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("AQE skew-join engages: hot partition split at runtime (skew=true)") {
+    import spark.implicits._
+    // Runtime complement to the explicit salting above: with AQE on
+    // (Spark's default) the same hot-key shape is split by
+    // OptimizeSkewedJoin with NO query rewrite. Thresholds are lowered so
+    // the small fixture qualifies as skewed; broadcast is disabled so the
+    // join stays sort-merge (the shape OptimizeSkewedJoin applies to).
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 200
+      val skewed = ((1 to 20000).map(i => (1L, s"v$i$pad")) ++
+                    (1 to 200).map(i => (i.toLong % 7 + 2, s"t$i")))
+        .toDF("k", "payload")
+      val right = (1L to 10L).flatMap(k => (1 to 50).map(i => (k, s"r$i")))
+        .toDF("k", "rv")
+      val j = skewed.join(right, "k")
+      assert(j.count() === 20000L * 50 + 200L * 50)
+      // Drive THIS Dataset's own AdaptiveSparkPlanExec instance (count()
+      // and .rdd each build a separate QueryExecution whose adaptive plan
+      // finalizes independently), then read the final plan: it must mark
+      // the join skew-split.
+      j.queryExecution.executedPlan.execute().foreach(_ => ())
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join marker in final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
