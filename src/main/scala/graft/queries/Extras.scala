@@ -383,15 +383,23 @@ object Extras {
     */
   val q78RecursiveCte: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    // aggregate BEFORE joining the recursion-generated dimension: the fact
+    // table reduces to <=12 rows first (partial-agg groupBy), so the join
+    // touches 12x12 rows instead of shuffling every order onto 12 hot month
+    // keys — the shape that survives 100 TB of orders
     s.sql(
       """WITH RECURSIVE months(m) AS (
         |  SELECT 1
         |  UNION ALL
-        |  SELECT m + 1 FROM months WHERE m < 12)
-        |SELECT m, count(o_orderkey) AS n_orders,
-        |       cast(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
-        |FROM months LEFT JOIN orders_v ON month(o_orderdate) = m
-        |GROUP BY m ORDER BY m""".stripMargin)
+        |  SELECT m + 1 FROM months WHERE m < 12),
+        |agg AS (
+        |  SELECT month(o_orderdate) AS m, count(o_orderkey) AS n_orders,
+        |         cast(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |  FROM orders_v GROUP BY month(o_orderdate))
+        |SELECT m, coalesce(n_orders, 0L) AS n_orders,
+        |       coalesce(n_custs, 0L) AS n_custs
+        |FROM months LEFT JOIN agg USING (m)
+        |ORDER BY m""".stripMargin)
   }
 
   /** q79: gap-fill / forward-fill — `last_value(... IGNORE NULLS)` over a
@@ -446,11 +454,17 @@ object Extras {
       """WITH RECURSIVE months(m) AS (
         |  SELECT 1
         |  UNION ALL
-        |  SELECT m + 1 FROM months WHERE m < 12)
-        |SELECT CAST(m AS INT) AS m, count(o_orderkey) AS n_orders,
-        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
-        |FROM months LEFT JOIN orders ON month(CAST(o_orderdate AS TIMESTAMP)) = m
-        |GROUP BY m ORDER BY m""".stripMargin,
+        |  SELECT m + 1 FROM months WHERE m < 12),
+        |agg AS (
+        |  SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS m,
+        |         count(o_orderkey) AS n_orders,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(m AS INT) AS m,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_custs, 0) AS n_custs
+        |FROM months LEFT JOIN agg USING (m)
+        |ORDER BY m""".stripMargin,
     "q79_gap_fill" ->
       """SELECT user_id, event_id, (v_raw IS NULL) AS is_gap, filled
         |FROM (

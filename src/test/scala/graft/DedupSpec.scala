@@ -91,6 +91,15 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("d08 estimate: planted near-dup scores high, agree16 within [0,16]") {
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val rows = Dedup.d08MinhashEst(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3)))).toMap
+    val (agree, estPct) = rows((0L, 1L))
+    assert(agree >= 8 && agree <= 16, s"agree16=$agree") // planted J≈0.87
+    assert(estPct == agree * 100L / 16)
+  }
+
   test("connectedComponents: chain contracts to one star on the min node") {
     import spark.implicits._
     // path 0-1-2-...-15 (diameter 15): plain min-propagation needs 15
