@@ -255,6 +255,21 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** q81: ORC round-trip — the third columnar format beside parquet (the
+    * testdata) and the CSV/JSON interchange round-trips: write the
+    * projection to ORC, read it back with schema inference from the ORC
+    * footer, and hash-match against the parquet-sourced oracle. Doubles
+    * and µs timestamps survive ORC bit-exactly; predicate pushdown and
+    * column pruning work on ORC scans exactly as on parquet.
+    */
+  val q81OrcRoundtrip: Q = (s, d) => {
+    val out = "target/roundtrip_orc"
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("o_orderkey")
+  }
+
   /** q70: keep-latest dedup — CDC-compaction shape: one surviving row per
     * user, the latest by (ts, event_id). row_number, never dropDuplicates
     * (partition-order nondeterministic survivor).
@@ -434,6 +449,7 @@ object Extras {
     "q71_pct_of_total"       -> q71PctOfTotal,
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
+    "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
@@ -543,6 +559,10 @@ object Extras {
     "q69_json_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q81_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q70_keep_latest" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,
