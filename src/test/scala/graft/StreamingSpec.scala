@@ -80,6 +80,10 @@ class StreamingSpec extends SparkSpec {
       .select("nameOrig").collect().map(_.getString(0)).sorted
     assert(names === Array("C1", "C2", "C3"),
       s"all simultaneously-arriving files must be processed; got ${names.toSeq}")
+    // and the one-micro-batch-per-file contract (maxFilesPerTrigger=1,
+    // mirroring one-Lambda-per-object): three files -> three non-empty batches
+    val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmptyBatches === 3, s"expected 3 file-batches, got $nonEmptyBatches")
   }
 
   test("s01 JDBC variant: stream lands fraud rows in Derby end-to-end") {
