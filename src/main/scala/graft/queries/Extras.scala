@@ -270,6 +270,26 @@ object Extras {
     s.read.orc(out).orderBy("o_orderkey")
   }
 
+  /** q82: EXISTS / NOT EXISTS correlated subqueries — the SQL spelling of
+    * semi/anti joins (q07/q08 pin the DataFrame API; this pins the SQL
+    * surface). Catalyst rewrites both to left-semi / left-anti joins, so
+    * the plan is identical to the API version — asserted by the shared
+    * oracle, not by trusting the rewrite.
+    */
+  val q82ExistsSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_big_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders_big_v o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 300000) AS has_big,
+        |       NOT EXISTS (SELECT 1 FROM orders_big_v o
+        |                   WHERE o.o_custkey = c.c_custkey) AS no_orders
+        |FROM customer_v c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q70: keep-latest dedup — CDC-compaction shape: one surviving row per
     * user, the latest by (ts, event_id). row_number, never dropDuplicates
     * (partition-order nondeterministic survivor).
@@ -450,6 +470,7 @@ object Extras {
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
+    "q82_exists_subquery"    -> q82ExistsSubquery,
     "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
@@ -563,6 +584,15 @@ object Extras {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q82_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 300000) AS has_big,
+        |       NOT EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_custkey = c.c_custkey) AS no_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q70_keep_latest" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,

@@ -265,7 +265,44 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum("col").as("sum_q"))
       .orderBy("cid", "dim")
 
+  /** PQ layout: 64 dims split into 8 subspaces of 8 dims. */
+  val NumSubspaces = 8
+  val SubDim: Int = Dim / NumSubspaces
+
+  /** n06: product-quantization (PQ) codes — the third ANN index family
+    * beside LSH (n01) and IVF (n02): each vector is encoded as 8 sub-codes,
+    * one per 8-dim subspace, each the id of the nearest sub-codebook entry
+    * (codebooks = the seed vectors' slices, the same deterministic stand-in
+    * for trained codebooks as n02's centroids). All distance math is exact
+    * integer algebra on the quantized slices, argmin is a partial-agg
+    * `max_by` — one broadcast of the 16×8 codebook and one groupBy, no
+    * sort, the shape that encodes a 100 TB corpus in a single pass. The
+    * emitted per-subspace quantization error (dist2) is what a pipeline
+    * monitors to decide codebook retraining.
+    */
+  val n06PqCodes: Q = (s, d) => {
+    val v = prepared(s, d).select("vec_id", "q")
+    val subStructs = (0 until NumSubspaces)
+      .map(j => s"struct($j AS sub, slice(q, ${j * SubDim + 1}, $SubDim) AS sq)")
+      .mkString("array(", ", ", ")")
+    val vs = v.select(col("vec_id"), explode(expr(subStructs)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
+    val cents = vs.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("sub"), col("sq").as("cq"))
+    vs.join(broadcast(cents), "sub")
+      .withColumn("dist2",
+        expr("vec_dot(sq, sq) + vec_dot(cq, cq) - 2 * vec_dot(sq, cq)"))
+      .groupBy("vec_id", "sub")
+      .agg(max_by(
+        struct(col("cid"), col("dist2")),
+        struct(negate(col("dist2")).as("nd"), negate(col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cid").as("code"), col("best.dist2").as("dist2"))
+      .orderBy("vec_id", "sub")
+  }
+
   val queries: Map[String, Q] = Map(
+    "n06_pq_codes"       -> n06PqCodes,
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
@@ -334,6 +371,31 @@ object Similarity {
          |       CAST(na + nrm - 2 * ${duckDot("qa", "q")} AS BIGINT) AS dist2
          |FROM prepn, qv WHERE vec_id <> 0
          |ORDER BY dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n06_pq_codes" -> {
+      def dot8(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+      s"""WITH prep AS (
+         |  SELECT vec_id, ${duckQuant("embedding")} AS q FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, g.j AS sub,
+         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
+         |          FROM subs WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT v.vec_id, v.sub, c.cid,
+         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
+         |  FROM subs v JOIN cents c USING (sub)),
+         |best AS (
+         |  SELECT vec_id, sub, cid, dist2,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |                            ORDER BY dist2 ASC, cid ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, CAST(sub AS INT) AS sub,
+         |       CAST(cid AS BIGINT) AS code, CAST(dist2 AS BIGINT) AS dist2
+         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+    },
     "n05_centroid_update" ->
       s"""WITH $duckPrep,
          |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm

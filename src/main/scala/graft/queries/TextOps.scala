@@ -219,7 +219,53 @@ object TextOps {
         expr("((n_bigrams - n_distinct) * 1000000) div n_bigrams").as("dup_ppm"))
       .orderBy("doc_id")
 
+  /** Quality gate + minimum cleaned length for the composed pipeline. */
+  val PipelineMinClean = 5
+  val PipelineMinQuality = 50L
+
+  /** p01: the composed corpus pipeline — the end-to-end shape an LLM
+    * pretraining prep actually runs, as ONE declarative plan: normalize
+    * (t06) → quality-score and gate (t02) → exact-dedup on the NORMALIZED
+    * text (q32's min-survivor discipline — normalization first is what
+    * catches trivial reformattings) → pack survivors into token-budget
+    * bins (t07). Composing the suite proves the operators are closed under
+    * composition: Catalyst fuses all four stages into one scan + two
+    * windows, nothing materializes between stages.
+    */
+  val p01CorpusPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .withColumn("clean", expr("regexp_replace(lower(text), '[^a-z0-9 ]', '')"))
+      .withColumn("ctoks",
+        expr(s"filter(split(clean, ' '), t -> t != '' AND NOT t IN ${inList(stopwords)})"))
+      .withColumn("n_clean", expr("cast(size(ctoks) as int)"))
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN ${inList(stopwords)}))"))
+      .withColumn("n_long",
+        expr("size(filter(split(text, ' '), t -> length(t) >= 6))"))
+      .withColumn("quality", expr(
+        """(least(100L, (cast(length(text) as bigint) * 100) div 400)
+          | + (100 - (cast(n_stop as bigint) * 100) div n_tokens)
+          | + (cast(n_long as bigint) * 100) div n_tokens) div 3""".stripMargin))
+      .filter(col("n_clean") >= PipelineMinClean &&
+              col("quality") >= PipelineMinQuality)
+      .withColumn("norm_text", expr("array_join(ctoks, ' ')"))
+    val kept = scored
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("norm_text")))
+      .filter(col("doc_id") === col("keeper"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cum_before",
+        coalesce(sum(col("n_clean").cast("bigint")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_clean"), col("quality"),
+        expr(s"cum_before div $PackBudget").as("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "p01_corpus_pipeline" -> p01CorpusPipeline,
     "q29_text_tokens"   -> q29TextTokens,
     "q34_text_stats"    -> q34TextStats,
     "t01_lang_id"       -> t01LangId,
@@ -305,6 +351,37 @@ object TextOps {
          |                     t -> t != '' AND NOT t IN ${inList(stopwords)}) AS ctoks
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "p01_corpus_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |         CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT) AS n_long,
+         |         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+         |                     t -> t != '' AND NOT t IN ${inList(stopwords)}) AS ctoks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(len(ctoks) AS INT) AS n_clean,
+         |         array_to_string(ctoks, ' ') AS norm_text,
+         |         CAST((least(100, (length(text) * 100) // 400)
+         |               + (100 - (n_stop * 100) // n_tokens)
+         |               + (n_long * 100) // n_tokens) // 3 AS BIGINT) AS quality
+         |  FROM scored),
+         |kept AS (
+         |  SELECT * FROM q
+         |  WHERE n_clean >= $PipelineMinClean AND quality >= $PipelineMinQuality),
+         |dedup AS (
+         |  SELECT doc_id, n_clean, quality FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY norm_text) AS keeper FROM kept)
+         |  WHERE doc_id = keeper),
+         |packed AS (
+         |  SELECT doc_id, n_clean, quality,
+         |         COALESCE(SUM(n_clean) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM dedup)
+         |SELECT doc_id, n_clean, quality,
+         |       CAST(cum_before // $PackBudget AS BIGINT) AS bin
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "t07_seq_packing" ->
       s"""SELECT doc_id, n_tokens,
          |       CAST(cum_before AS BIGINT) AS cum_before,
