@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF lambda leaked back into the shingling path:\n$plan")
   }
 
+  test("SQL hint surface: /*+ BROADCAST */ plans a BroadcastHashJoin") {
+    Tables.orders(spark, sf).createOrReplaceTempView("o_hint")
+    Tables.customer(spark, sf).createOrReplaceTempView("c_hint")
+    val df = spark.sql(
+      """SELECT /*+ BROADCAST(c) */ o_orderkey, c.c_name
+        |FROM o_hint o JOIN c_hint c ON o.o_custkey = c.c_custkey""".stripMargin)
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"broadcast hint ignored:\n${planOf(df)}")
+  }
+
+  test("p01 pipeline fuses into a single documents scan") {
+    // normalize → quality gate → dedup-window → packing-window must all
+    // hang off ONE scan: no stage rescans or self-joins the corpus
+    val plan = planOf(graft.queries.TextOps.p01CorpusPipeline(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected exactly one scan, got $scans:\n$plan")
+  }
+
   test("q60: salted join shuffles on (key, salt), no broadcast degenerate") {
     val plan = planOf(graft.queries.Extras.q60JoinSalted(spark, sf))
     // the whole point of salting: the join key carries the salt column so
