@@ -280,13 +280,19 @@ object Similarity {
     * emitted per-subspace quantization error (dist2) is what a pipeline
     * monitors to decide codebook retraining.
     */
-  val n06PqCodes: Q = (s, d) => {
-    val v = prepared(s, d).select("vec_id", "q")
+  /** (vec_id, sub, sq): every vector split into its 8 sub-vectors. */
+  private def subVectors(s: SparkSession, d: String): DataFrame = {
     val subStructs = (0 until NumSubspaces)
       .map(j => s"struct($j AS sub, slice(q, ${j * SubDim + 1}, $SubDim) AS sq)")
       .mkString("array(", ", ", ")")
-    val vs = v.select(col("vec_id"), explode(expr(subStructs)).as("s"))
+    prepared(s, d).select("vec_id", "q")
+      .select(col("vec_id"), explode(expr(subStructs)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
+  }
+
+  /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07. */
+  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
+    val vs = subVectors(s, d)
     val cents = vs.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("sub"), col("sq").as("cq"))
     vs.join(broadcast(cents), "sub")
@@ -298,11 +304,41 @@ object Similarity {
         struct(negate(col("dist2")).as("nd"), negate(col("cid")).as("nc"))).as("best"))
       .select(col("vec_id"), col("sub"),
         col("best.cid").as("code"), col("best.dist2").as("dist2"))
-      .orderBy("vec_id", "sub")
+  }
+
+  val n06PqCodes: Q = (s, d) =>
+    pqAssigned(s, d).orderBy("vec_id", "sub")
+
+  /** n07: PQ asymmetric-distance (ADC) search — the SEARCH half of the PQ
+    * index n06 encodes: the query's 8×16 sub-distance table is computed
+    * once and broadcast; every encoded vector's approximate L2² is then
+    * just the SUM of 8 table lookups (one join on (sub, code) + one
+    * partial-agg groupBy — no per-pair vector math at all, which is the
+    * whole point of PQ at 100 TB: the corpus is touched only through its
+    * 8-byte codes). Exact integer arithmetic end to end; top-k by the ADC
+    * estimate with id tie-break.
+    */
+  val n07PqSearch: Q = (s, d) => {
+    val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
+      .select(col("sub"), col("sq").as("qs"))
+    val cents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
+    // the query's distance table: ||q_j - c||² for all 8×16 (sub, code)
+    val qtable = cents.join(broadcast(qsubs), "sub")
+      .withColumn("qd2",
+        expr("vec_dot(qs, qs) + vec_dot(cq, cq) - 2 * vec_dot(qs, cq)"))
+      .select("sub", "code", "qd2")
+    pqAssigned(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum("qd2").as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(TopK)
   }
 
   val queries: Map[String, Q] = Map(
     "n06_pq_codes"       -> n06PqCodes,
+    "n07_pq_search"      -> n07PqSearch,
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
@@ -395,6 +431,40 @@ object Similarity {
          |SELECT vec_id, CAST(sub AS INT) AS sub,
          |       CAST(cid AS BIGINT) AS code, CAST(dist2 AS BIGINT) AS dist2
          |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+    },
+    "n07_pq_search" -> {
+      def dot8(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+      s"""WITH prep AS (
+         |  SELECT vec_id, ${duckQuant("embedding")} AS q FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, g.j AS sub,
+         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
+         |          FROM subs WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT v.vec_id, v.sub, c.cid,
+         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
+         |  FROM subs v JOIN cents c USING (sub)),
+         |best AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dist2,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist2 ASC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
+         |qtable AS (
+         |  SELECT c.sub, c.cid AS code,
+         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
+         |  FROM cents c JOIN qsubs USING (sub))
+         |SELECT b.vec_id, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
+         |FROM best b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |WHERE b.vec_id <> 0
+         |GROUP BY b.vec_id
+         |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
     },
     "n05_centroid_update" ->
       s"""WITH $duckPrep,

@@ -264,8 +264,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-class sample size for t09. */
+  val SamplePerClass = 50
+
+  /** t09: balanced per-class sampling — a fixed-size deterministic sample
+    * per language, ordered by md5 of the id (the same reproducible-split
+    * discipline as q39's hash sampling, but STRATIFIED: class-balancing a
+    * skewed corpus is how eval/finetune sets are drawn). One window per
+    * class partition — no global shuffle, no RNG seed to disagree on.
+    */
+  val t09BalancedSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SamplePerClass)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  /** Shingle width for the decontamination check (3 = recall-heavy
+    * screening; production suites use 8–13-gram exact match, same shape —
+    * 3 here so the diffuse sf corpus yields a non-trivial flagged set for
+    * the value-level oracle).
+    */
+  val ContamShingleK = 3
+
+  /** t10: benchmark decontamination — flag corpus documents sharing any
+    * 3-token shingle with a benchmark set (here: doc_id < 5 stands in for
+    * the eval set), with the shared-shingle count as evidence. The
+    * benchmark's shingle set is tiny and BROADCAST; the corpus is touched
+    * once through an exploded shingle stream + one partial-agg groupBy —
+    * the only shape that decontaminates 100 TB against a fixed eval suite.
+    */
+  val t10Decontaminate: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", ContamShingleK)})"))
+          .as("shingle"))
+    val bench = sh.filter(col("doc_id") < 5).select("shingle").distinct()
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_corpus_pipeline" -> p01CorpusPipeline,
+    "t09_balanced_sample" -> t09BalancedSample,
+    "t10_decontaminate" -> t10Decontaminate,
     "q29_text_tokens"   -> q29TextTokens,
     "q34_text_stats"    -> q34TextStats,
     "t01_lang_id"       -> t01LangId,
@@ -382,6 +432,25 @@ object TextOps {
          |SELECT doc_id, n_clean, quality,
          |       CAST(cum_before // $PackBudget AS BIGINT) AS bin
          |FROM packed ORDER BY doc_id""".stripMargin,
+    "t09_balanced_sample" ->
+      s"""SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $SamplePerClass
+         |ORDER BY doc_id""".stripMargin,
+    "t10_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(${TextHash.duckShingles("text", ContamShingleK)}) AS shingle
+         |    FROM documents)),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+         |SELECT doc_id, COUNT(1) AS n_shared
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE doc_id >= 5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t07_seq_packing" ->
       s"""SELECT doc_id, n_tokens,
          |       CAST(cum_before AS BIGINT) AS cum_before,
