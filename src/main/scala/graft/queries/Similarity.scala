@@ -280,7 +280,11 @@ object Similarity {
     * emitted per-subspace quantization error (dist2) is what a pipeline
     * monitors to decide codebook retraining.
     */
-  /** (vec_id, sub, sq): every vector split into its 8 sub-vectors. */
+  /** (vec_id, sub, sq, snrm): every vector split into its 8 sub-vectors,
+    * with the sub-norm precomputed ONCE per row — ‖a−b‖² expands to
+    * snrm + cnrm − 2·a·b, so the 16-way centroid join below does ONE dot
+    * per pair instead of three (identical integer values either way).
+    */
   private def subVectors(s: SparkSession, d: String): DataFrame = {
     val subStructs = (0 until NumSubspaces)
       .map(j => s"struct($j AS sub, slice(q, ${j * SubDim + 1}, $SubDim) AS sq)")
@@ -288,16 +292,17 @@ object Similarity {
     prepared(s, d).select("vec_id", "q")
       .select(col("vec_id"), explode(expr(subStructs)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
+      .withColumn("snrm", expr("vec_dot(sq, sq)"))
   }
 
   /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07. */
   private def pqAssigned(s: SparkSession, d: String): DataFrame = {
     val vs = subVectors(s, d)
     val cents = vs.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("sub"), col("sq").as("cq"))
+      .select(col("vec_id").as("cid"), col("sub"),
+              col("sq").as("cq"), col("snrm").as("cnrm"))
     vs.join(broadcast(cents), "sub")
-      .withColumn("dist2",
-        expr("vec_dot(sq, sq) + vec_dot(cq, cq) - 2 * vec_dot(sq, cq)"))
+      .withColumn("dist2", expr("snrm + cnrm - 2 * vec_dot(sq, cq)"))
       .groupBy("vec_id", "sub")
       .agg(max_by(
         struct(col("cid"), col("dist2")),
@@ -320,13 +325,13 @@ object Similarity {
     */
   val n07PqSearch: Q = (s, d) => {
     val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
-      .select(col("sub"), col("sq").as("qs"))
+      .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
     val cents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"))
+      .select(col("vec_id").as("code"), col("sub"),
+              col("sq").as("cq"), col("snrm").as("cnrm"))
     // the query's distance table: ||q_j - c||² for all 8×16 (sub, code)
     val qtable = cents.join(broadcast(qsubs), "sub")
-      .withColumn("qd2",
-        expr("vec_dot(qs, qs) + vec_dot(cq, cq) - 2 * vec_dot(qs, cq)"))
+      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
       .select("sub", "code", "qd2")
     pqAssigned(s, d).filter(col("vec_id") =!= 0)
       .join(broadcast(qtable), Seq("sub", "code"))
