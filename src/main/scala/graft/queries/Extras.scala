@@ -270,6 +270,21 @@ object Extras {
     s.read.orc(out).orderBy("o_orderkey")
   }
 
+  /** q83: XML round-trip — Spark 4's built-in XML datasource (the fourth
+    * sink/source format beside parquet/CSV/JSON/ORC): write with a rowTag,
+    * read back with a declared schema, hash-match against the
+    * parquet-sourced oracle.
+    */
+  val q83XmlRoundtrip: Q = (s, d) => {
+    val out = "target/roundtrip_xml"
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    s.read.option("rowTag", "doc")
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .format("xml").load(out)
+      .orderBy("doc_id")
+  }
+
   /** q82: EXISTS / NOT EXISTS correlated subqueries — the SQL spelling of
     * semi/anti joins (q07/q08 pin the DataFrame API; this pins the SQL
     * surface). Catalyst rewrites both to left-semi / left-anti joins, so
@@ -471,6 +486,7 @@ object Extras {
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q82_exists_subquery"    -> q82ExistsSubquery,
+    "q83_xml_roundtrip"      -> q83XmlRoundtrip,
     "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
@@ -584,6 +600,9 @@ object Extras {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q83_xml_roundtrip" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q82_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |       EXISTS (SELECT 1 FROM orders o

@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("n06 PQ: codebook vectors encode to themselves with zero error") {
+    // seed vectors ARE the sub-codebooks, so each must quantize to its own
+    // id in every subspace with dist2 == 0 — the invariant that catches a
+    // wrong slice offset or a broken argmin instantly
+    val rows = graft.queries.Similarity.n06PqCodes(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") <
+        graft.queries.Similarity.NumCentroids)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("code") === r.getAs[Long]("vec_id"), r.toString)
+      assert(r.getAs[Long]("dist2") === 0L, r.toString)
+    }
+  }
+
   test("x02 approx quantiles land within the exact ±1% percentile band") {
     // The query itself now emits the bounded-property booleans (its
     // driver-visible oracle contract); the spec checks both hold AND
