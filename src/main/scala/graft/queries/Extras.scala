@@ -285,6 +285,24 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** q84: VARIANT type surface (new in Spark 4) — `parse_json` into the
+    * binary semi-structured VARIANT, typed extraction via `variant_get`
+    * (including the missing-path → NULL contract), and
+    * `schema_of_variant`. Scalar outputs only, so the DuckDB JSON oracle
+    * pins the values; the schema string is constant for the uniform
+    * fixture shape.
+    */
+  val q84Variant: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k_int"),
+        expr("cast(variant_get(v, '$.k') as string)").as("k_str"),
+        expr("variant_get(v, '$.missing', 'int')").as("missing_int"),
+        expr("schema_of_variant(v)").as("vschema"))
+      .orderBy("event_id")
+
   /** q82: EXISTS / NOT EXISTS correlated subqueries — the SQL spelling of
     * semi/anti joins (q07/q08 pin the DataFrame API; this pins the SQL
     * surface). Catalyst rewrites both to left-semi / left-anti joins, so
@@ -487,6 +505,7 @@ object Extras {
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q82_exists_subquery"    -> q82ExistsSubquery,
     "q83_xml_roundtrip"      -> q83XmlRoundtrip,
+    "q84_variant"            -> q84Variant,
     "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
@@ -603,6 +622,13 @@ object Extras {
     "q83_xml_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+        |       CAST(NULL AS INT) AS missing_int,
+        |       'OBJECT<k: BIGINT>' AS vschema
+        |FROM events ORDER BY event_id""".stripMargin,
     "q82_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |       EXISTS (SELECT 1 FROM orders o
