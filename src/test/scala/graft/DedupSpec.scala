@@ -110,6 +110,18 @@ class DedupSpec extends SparkSpec {
     assert(stars.toSeq === (1L to 15L).map(i => (i, 0L)))
   }
 
+  test("connectedComponents: 1024-node chain converges (log-round depth)") {
+    import spark.implicits._
+    // diameter 1023: plain propagation would need ~1023 rounds (the round-2
+    // design would silently cap); large-star/small-star contracts it in
+    // ~log2 rounds, comfortably inside the 64-round bound
+    val edges = (0L until 1023L).map(i => (i, i + 1)).toDF("src", "dst")
+    val stars = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stars.length === 1023)
+    assert(stars.forall(_._2 == 0L), "every node must label to the chain min")
+  }
+
   test("connectedComponents: hitting the round cap raises, never silent") {
     import spark.implicits._
     val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
