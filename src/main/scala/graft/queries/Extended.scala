@@ -163,17 +163,14 @@ object Extended {
     * values, no interpolation, so they are bit-identical across engines
     * (interpolated `percentile()` mixes `(1-f)·a + f·b` floating point,
     * which the two engines may round differently in the last ulp).
-    * At 100 TB the cum-sum window runs range-partitioned; here the grouped
-    * distinct-value table it scans is already tiny relative to the input.
+    * The cum-sum over the grouped distinct-value table is the
+    * range-partitioned two-pass `TextOps.prefixSum`, never a
+    * single-partition global window.
     */
   val x02ApproxQuantile: Q = (s, d) => {
     val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                   org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = v.groupBy("v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(w))
+    val g = v.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = TextOps.prefixSum(g, "v", "c", "cum", includeCurrent = true)
     val bands = cum.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
       .agg(
         min(when(col("cum") * 100 >= col("n") * 49, col("v"))).as("p49"),

@@ -178,21 +178,60 @@ object TextOps {
   /** Token budget per packed training sequence (t07). */
   val PackBudget = 4096L
 
+  /** Distributed prefix sum of `valueCol` in `orderCol` order — the
+    * two-pass range-partitioned spelling that replaces the naive global
+    * `Window.orderBy(...)` (which Spark executes as a SINGLE partition —
+    * the one shape that cannot survive 100 TB):
+    *   1. `repartitionByRange` on the order key, then a PER-PARTITION
+    *      window computes local prefix sums in parallel;
+    *   2. per-partition totals (one row per partition — metadata-scale)
+    *      get their own prefix sum and are broadcast back as offsets.
+    * No driver collect anywhere; the result is identical to the global
+    * window under any partition count because the ranges are ordered and
+    * the sums are exact integers. Requires a unique order key (ties could
+    * split across range boundaries).
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String, includeCurrent: Boolean,
+                numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upper = if (includeCurrent) 0L else -1L
+    // cache: BOTH passes (local sums + per-partition totals) read the
+    // ranged table; without it the upstream plan runs twice. At 100 TB
+    // this materialization is the written range-ordered shard table.
+    // Lifetime is one query — the harness clearCache()s after the action.
+    val ranged = df.repartitionByRange(numParts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, upper)
+    val local = ranged.withColumn("_loc",
+      coalesce(sum(col(valueCol).cast("bigint")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("_pid")
+      .agg(sum(col(valueCol).cast("bigint")).as("_t"))
+      .withColumn("_off", coalesce(sum("_t").over(wOff), lit(0L)))
+      .select("_pid", "_off") // one row per partition: the single-partition
+                              // window above runs over ~numParts rows only
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, col("_loc") + col("_off"))
+      .drop("_pid", "_loc", "_off")
+  }
+
   /** t07: training-sequence packing — assign documents (in doc_id order) to
     * fixed-token-budget bins by cumulative token count, the deterministic
     * sequential-packing policy an LLM data pipeline applies before writing
-    * training shards. The running sum is a window over the corpus order; at
-    * 100 TB this runs range-partitioned (Spark's window already
-    * range-partitions on the global sort), and the policy is reproducible
-    * under any partitioning because it depends only on the total order.
+    * training shards. The running sum is the range-partitioned two-pass
+    * [[prefixSum]] (NOT a global `Window.orderBy`, which single-partitions
+    * at any scale), and the policy is reproducible under any partitioning
+    * because it depends only on the total order.
     */
   val t07SeqPacking: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val withTokens = Tables.documents(s, d)
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens").cast("bigint")).over(w), lit(0L)))
+    prefixSum(withTokens, "doc_id", "n_tokens", "cum_before",
+        includeCurrent = false)
       .select(col("doc_id"), col("n_tokens"), col("cum_before"),
         expr(s"cum_before div $PackBudget").as("bin"))
       .orderBy("doc_id")
@@ -228,9 +267,10 @@ object TextOps {
     * (t06) → quality-score and gate (t02) → exact-dedup on the NORMALIZED
     * text (q32's min-survivor discipline — normalization first is what
     * catches trivial reformattings) → pack survivors into token-budget
-    * bins (t07). Composing the suite proves the operators are closed under
-    * composition: Catalyst fuses all four stages into one scan + two
-    * windows, nothing materializes between stages.
+    * bins via the range-partitioned [[prefixSum]] (t07). Composing the
+    * suite proves the operators are closed under composition: one source
+    * scan feeds every stage, with the prefix sum's ranged table as the
+    * only materialized intermediate.
     */
   val p01CorpusPipeline: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -254,11 +294,7 @@ object TextOps {
     val kept = scored
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("norm_text")))
       .filter(col("doc_id") === col("keeper"))
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    kept
-      .withColumn("cum_before",
-        coalesce(sum(col("n_clean").cast("bigint")).over(w), lit(0L)))
+    prefixSum(kept, "doc_id", "n_clean", "cum_before", includeCurrent = false)
       .select(col("doc_id"), col("n_clean"), col("quality"),
         expr(s"cum_before div $PackBudget").as("bin"))
       .orderBy("doc_id")

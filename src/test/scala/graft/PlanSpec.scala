@@ -67,12 +67,20 @@ class PlanSpec extends SparkSpec {
       s"broadcast hint ignored:\n${planOf(df)}")
   }
 
-  test("p01 pipeline fuses into a single documents scan") {
-    // normalize → quality gate → dedup-window → packing-window must all
-    // hang off ONE scan: no stage rescans or self-joins the corpus
-    val plan = planOf(graft.queries.TextOps.p01CorpusPipeline(spark, sf))
-    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans === 1, s"expected exactly one scan, got $scans:\n$plan")
+  test("p01 pipeline reads the corpus once, via the cached ranged table") {
+    // normalize → quality gate → dedup-window all hang off ONE scan inside
+    // the prefix sum's cached range-partitioned intermediate; BOTH prefix
+    // passes must read that cache — no consumer may reach the parquet
+    // relation directly (which would re-run the whole upstream pipeline)
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = graft.queries.TextOps.p01CorpusPipeline(spark, sf)
+      .queryExecution.optimizedPlan
+    val direct = lp.collect { case r: LogicalRelation => r }
+    val cached = lp.collect { case c: InMemoryRelation => c }
+    assert(direct.isEmpty,
+      s"a consumer bypassed the cached ranged table:\n$lp")
+    assert(cached.size === 2, s"both prefix passes must read the cache:\n$lp")
   }
 
   test("q60: salted join shuffles on (key, salt), no broadcast degenerate") {
