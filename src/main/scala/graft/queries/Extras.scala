@@ -39,6 +39,23 @@ object Extras {
         expr("element_at(map_values(m), 1)").as("first_val"))
       .orderBy("event_id")
 
+  /** q85: higher-order MAP functions — transform_keys / transform_values /
+    * map_filter / map_zip_with, the map-typed HOF family q56 (array HOFs)
+    * and q54 (map basics) leave uncovered. Scalar outputs only, so the
+    * fixture's single-key maps reduce to arithmetic the JSON oracle pins
+    * exactly (surface-coverage query, like u01 for UDFs).
+    */
+  val q85MapHofs: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(
+        col("event_id"),
+        expr("element_at(transform_values(m, (k, v) -> v * 2), 'k')").as("k2x"),
+        expr("element_at(map_keys(transform_keys(m, (k, v) -> upper(k))), 1)").as("key_up"),
+        expr("cast(size(map_filter(m, (k, v) -> v > 50)) as int)").as("n_big"),
+        expr("element_at(map_zip_with(m, m, (k, v1, v2) -> v1 + v2), 'k')").as("k_sum"))
+      .orderBy("event_id")
+
   /** q56: higher-order array functions — aggregate/filter/exists/forall/
     * transform over the token array. Scalar outputs only (cross-engine
     * dtype discipline). These HOFs are interpreted (no codegen) — fine for
@@ -506,6 +523,7 @@ object Extras {
     "q82_exists_subquery"    -> q82ExistsSubquery,
     "q83_xml_roundtrip"      -> q83XmlRoundtrip,
     "q84_variant"            -> q84Variant,
+    "q85_map_hofs"           -> q85MapHofs,
     "q70_keep_latest"        -> q70KeepLatest,
     "q67_union_by_name"      -> q67UnionByName,
     "q63_histogram"          -> q63Histogram,
@@ -622,6 +640,14 @@ object Extras {
     "q83_xml_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q85_map_hofs" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INT) * 2 AS k2x,
+        |       'K' AS key_up,
+        |       CAST(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+        |                 THEN 1 ELSE 0 END AS INT) AS n_big,
+        |       CAST(json_extract(props, '$.k') AS INT) * 2 AS k_sum
+        |FROM events ORDER BY event_id""".stripMargin,
     "q84_variant" ->
       """SELECT event_id,
         |       CAST(json_extract(props, '$.k') AS INT) AS k_int,

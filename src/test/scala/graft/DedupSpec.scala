@@ -132,6 +132,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("t07 packing: a doc straddling the budget boundary stays in the earlier bin") {
+    // policy pin: bin = tokens-before-this-doc div budget, so a document
+    // that STARTS before the boundary belongs to the earlier bin even if
+    // it crosses it; the next doc starts the new bin
+    val big = Seq.fill(4000)("w").mkString(" ")  // 4000 tokens
+    val mid = Seq.fill(200)("m").mkString(" ")   // starts at 4000 < 4096
+    val nxt = Seq.fill(10)("n").mkString(" ")    // starts at 4200 >= 4096
+    val dir = docsDir(Seq(big, mid, nxt))
+    val bins = TextOps.t07SeqPacking(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(bins === Map(0L -> 0L, 1L -> 0L, 2L -> 1L), s"got $bins")
+  }
+
+  test("t10 decontamination flags only docs sharing a shingle with the benchmark") {
+    // docs 0-4 are the "benchmark"; doc 5 copies a 3-gram from doc 0,
+    // doc 6 shares nothing
+    val bench = (0 until 5).map(i =>
+      s"bench document number$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    val contaminated = "totally new text then number0 alpha0 beta0 appears here"
+    val clean = "completely unrelated words with no overlapping trigram at all"
+    val dir = docsDir(bench ++ Seq(contaminated, clean))
+    val flagged = TextOps.t10Decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.contains(5L), s"planted contamination missed: $flagged")
+    assert(!flagged.contains(6L), s"clean doc falsely flagged: $flagged")
+  }
+
   test("t04 fingerprint: exact dups share fingerprint, distinct docs don't") {
     val dir = docsDir(Seq(base, base, distinct1))
     val fp = TextOps.t04Fingerprint(spark, dir).collect()
