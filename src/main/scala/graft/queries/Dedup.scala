@@ -75,25 +75,40 @@ object Dedup {
   private def pairsTable(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, d), buildPairs(s, d))
 
-  private def buildPairs(s: SparkSession, d: String): DataFrame = {
+  /** The candidate-pair PLAN (band self-join, pre-materialization) —
+    * exposed separately so PlanSpec can assert the band join is a hash
+    * equi-join (never a nested-loop/cartesian shape), which the eager
+    * localCheckpoint in [[buildPairs]] would otherwise hide. The returned
+    * plan reads `bands` twice; callers that execute it should cache that
+    * side (buildPairs does).
+    */
+  private[graft] def candidatePairsPlan(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("d1"), col("band_key"))
+    val b = bands.select(col("doc_id").as("d2"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** (doc_id, band_key) table: NumBands rows per document. */
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
       concat(lit(s"$b:"), concat_ws(",", parts: _*))
     }
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  private def buildPairs(s: SparkSession, d: String): DataFrame = {
     // cache: the band table feeds BOTH sides of the self-join — without it
     // the whole explode→hash→16-min-agg pipeline runs twice. Dropped as
     // soon as the pair table is materialized below. At 100 TB this
     // materialization is a WRITTEN band table (parquet, bucketed by
     // band_key), not executor memory.
-    val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-      .cache()
-    val a = bands.select(col("doc_id").as("d1"), col("band_key"))
-    val b = bands.select(col("doc_id").as("d2"), col("band_key"))
-    val pairs = a.join(b, Seq("band_key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val bands = bandTable(s, d).cache()
+    val pairs = candidatePairsPlan(bands)
       .localCheckpoint() // eager: pair table materialized, lineage cut
     bands.unpersist()
     pairs
@@ -150,13 +165,22 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", JaccardShingleK)})"))
           .as("shingle"))
+    // Document frequency as a partial-agg groupBy + semi join — NOT
+    // `count().over(Window.partitionBy("shingle"))`: the window shape ships
+    // every (doc, shingle) row of a hot shingle (a stop-word bigram in every
+    // document) to ONE task and buffers the whole group there BEFORE the df
+    // cap can drop it. The groupBy reduces the hot key to per-partition
+    // partials (map-side combine), and the semi join back streams under
+    // sort-merge + AQE skew split — same result, skew-proof (round-3
+    // verdict item 1; shape pinned in PlanSpec).
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select("shingle")
     // cache: consumed three times (pair join both sides + set sizes);
     // dropped by the harness's per-query clearCache. At 100 TB: a written
     // inverted-index table.
     val informative = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= MaxDf)
+      .join(keep, Seq("shingle"), "left_semi")
       .select("doc_id", "shingle")
       .cache()
     val sizes = informative.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -324,11 +348,16 @@ object Dedup {
     val dg2 = deg.select(col("node").as("d2"), col("deg").as("g2"))
     val k1 = struct(col("g1").as("g"), col("d1").as("n"))
     val k2 = struct(col("g2").as("g"), col("d2").as("n"))
+    // cache: the wedge join reads `oriented` three times (e1/e2/e3) —
+    // without it each leg re-runs the two degree joins (round-3 verdict
+    // item 4). Dropped by the harness's per-query clearCache; at 100 TB
+    // this is the written oriented-edge table.
     val oriented = pairs.join(dg1, "d1").join(dg2, "d2")
       .select(
         when(k1 < k2, col("d1")).otherwise(col("d2")).as("src"),
         when(k1 < k2, col("d2")).otherwise(col("d1")).as("dst"),
         when(k1 < k2, k2).otherwise(k1).as("dkey"))
+      .cache()
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))

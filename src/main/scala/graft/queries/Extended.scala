@@ -335,15 +335,18 @@ object Extended {
     * builtin is pinned against an exactly-computable twin.
     */
   val q80PercentileDisc: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
-    val wc = Window.partitionBy("k").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = li.groupBy("k", "v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wc))
-      .withColumn("n", sum("c").over(Window.partitionBy("k")))
-    val rel = cum.groupBy("k").agg(
+    val g = li.groupBy("k", "v").agg(count(lit(1)).as("c"))
+    // Per-key cum-sum via the keyed range-partitioned prefix sum — NOT
+    // `Window.partitionBy("k")`, which hands each of the 3 flag values'
+    // ENTIRE distinct-value table to a single task (round-3 verdict
+    // item 2; x02's global shape, generalized per key). The per-key total
+    // is a partial-agg groupBy joined back, same discipline.
+    val cum = TextOps.prefixSum(g, "v", "c", "cum",
+      includeCurrent = true, keyCols = Seq("k"))
+    val totals = g.groupBy("k").agg(sum(col("c").cast("bigint")).as("n"))
+    val rel = cum.join(totals, "k").groupBy("k").agg(
       min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
       min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
       min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))

@@ -188,33 +188,50 @@ object TextOps {
     *      get their own prefix sum and are broadcast back as offsets.
     * No driver collect anywhere; the result is identical to the global
     * window under any partition count because the ranges are ordered and
-    * the sums are exact integers. Requires a unique order key (ties could
-    * split across range boundaries).
+    * the sums are exact integers. Requires a unique order key within each
+    * key group (ties could split across range boundaries).
+    *
+    * `keyCols` generalizes the sum to PER-KEY prefix sums (SQL
+    * `PARTITION BY k ORDER BY v`) without ever giving one key to one task:
+    * ranges are taken over (keys, order), local windows group by
+    * (_pid, keys), and the offset table — one row per (partition, key
+    * slice touching that partition), still metadata-scale — gets its
+    * per-key prefix sum from a window over `_pid` alone.
+    *
+    * `numParts` defaults to the session's shuffle parallelism (round-3
+    * verdict item 3 — a hard-coded 32 would under-partition a real
+    * cluster).
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, includeCurrent: Boolean,
-                numParts: Int = 32): DataFrame = {
+                keyCols: Seq[String] = Nil,
+                numParts: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val upper = if (includeCurrent) 0L else -1L
     // cache: BOTH passes (local sums + per-partition totals) read the
     // ranged table; without it the upstream plan runs twice. At 100 TB
     // this materialization is the written range-ordered shard table.
     // Lifetime is one query — the harness clearCache()s after the action.
-    val ranged = df.repartitionByRange(numParts, col(orderCol))
+    val ranged = df.repartitionByRange(parts, (keyCols :+ orderCol).map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .cache()
-    val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
+    val wLocal = Window.partitionBy(("_pid" +: keyCols).map(col): _*)
+      .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, upper)
     val local = ranged.withColumn("_loc",
       coalesce(sum(col(valueCol).cast("bigint")).over(wLocal), lit(0L)))
-    val wOff = Window.orderBy("_pid")
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("_pid")
+    val offsets = ranged.groupBy(("_pid" +: keyCols).map(col): _*)
       .agg(sum(col(valueCol).cast("bigint")).as("_t"))
       .withColumn("_off", coalesce(sum("_t").over(wOff), lit(0L)))
-      .select("_pid", "_off") // one row per partition: the single-partition
-                              // window above runs over ~numParts rows only
-    local.join(broadcast(offsets), "_pid")
+      .select(("_pid" +: keyCols :+ "_off").map(col): _*)
+      // one row per (partition, key-slice): the windows above run over
+      // ~numParts rows per key — metadata-scale, broadcastable
+    local.join(broadcast(offsets), "_pid" +: keyCols)
       .withColumn(outCol, col("_loc") + col("_off"))
       .drop("_pid", "_loc", "_off")
   }

@@ -90,6 +90,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
   }
 
+  test("d03: document frequency is a partial-agg groupBy, never a window on shingle") {
+    // A hot shingle under `count().over(Window.partitionBy("shingle"))`
+    // buffers the whole corpus's hottest key on one task BEFORE the df cap
+    // filters it; the groupBy reduces it map-side (round-3 verdict item 1).
+    val plan = planOf(Dedup.d03NgramJaccard(spark, sf))
+    assert(!plan.contains("Window"),
+      s"window crept back into the d03 df computation:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial count for shingle df:\n$plan")
+  }
+
+  test("q80: per-key cum-sum is range-partitioned, never one-task-per-key") {
+    // The killer shape is windowspecdefinition(k, v ASC ...) — all rows of
+    // a key sorted+buffered on ONE task. The keyed prefixSum windows carry
+    // _pid in their partition spec instead, and the data shuffle is a
+    // rangepartitioning on (k, v).
+    val plan = planOf(graft.queries.Extended.q80PercentileDisc(spark, sf))
+    assert(!plan.matches("(?s).*windowspecdefinition\\(k#\\d+,\\s*v#\\d+.*"),
+      s"per-key data window (one task per key) crept back into q80:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected the range-partitioned prefix-sum shuffle:\n$plan")
+  }
+
+  test("q10/q40: non-equi joins are broadcast nested-loop, never shuffle cartesian") {
+    for ((name, df) <- Seq(
+        "q10" -> Relational.q10JoinTheta(spark, sf),
+        "q40" -> graft.queries.Extended.q40JoinRange(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: expected a broadcast nested-loop join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: shuffle cartesian product is never acceptable:\n$plan")
+    }
+  }
+
+  test("d01: band self-join is a hash equi-join, no nested-loop anywhere") {
+    val plan = planOf(Dedup.candidatePairsPlan(Dedup.bandTable(spark, sf)))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"band join degenerated to a nested-loop shape:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on band_key:\n$plan")
+  }
+
   test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
     val df = graft.operators.FraudPipeline.validityFilter(
       Tables.lineitem(spark, sf)
