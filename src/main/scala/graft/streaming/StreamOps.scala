@@ -155,4 +155,54 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** s08: `transformWithState` — Spark 4's successor to s05's
+    * flatMapGroupsWithState: NAMED state variables (value/list/map, each
+    * its own column family) with per-variable TTL, timers in event or
+    * processing time, and state-schema evolution, backed by the RocksDB
+    * state store provider (the operator rejects the default HDFS-backed
+    * one — the test sets the provider conf). Semantics here REPLICATE
+    * s05's per-user running (count, sum), and the spec asserts the two
+    * surfaces produce identical rows on the same replay — the migration
+    * contract a user porting s05 state code needs pinned.
+    */
+  def s08RunningState(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** The s08 StatefulProcessor: one ValueState[(count, sum)] per user —
+  * O(users) state, no growth with history, exactly s05's state shape but
+  * held in a named, TTL-capable RocksDB column family.
+  */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamOps.UserEvent, StreamOps.Enriched] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[StreamOps.UserEvent],
+      timers: TimerValues): Iterator[StreamOps.Enriched] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    var n = n0
+    var sum = s0
+    // iterator order within a batch is not guaranteed — sort, like s05
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+      n += 1; sum += e.value
+      StreamOps.Enriched(user, e.ts, e.value, n, sum)
+    }
+    totals.update((n, sum))
+    out.iterator
+  }
 }

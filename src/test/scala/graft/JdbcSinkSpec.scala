@@ -37,6 +37,32 @@ class JdbcSinkSpec extends SparkSpec {
       assert(ddl.contains(c), s"missing $c")
   }
 
+  test("postgres and derby DDLs declare IDENTICAL data columns (dialect-drift guard)") {
+    // The Derby spelling is what integration tests execute; the Postgres
+    // spelling is what production runs. If someone edits one and not the
+    // other, the tested schema silently stops matching the deployed one —
+    // so parse both back to (name, type) lists and require equality
+    // everywhere except the dialect-specific generated-id line.
+    def dataColumns(ddl: String): Seq[(String, String)] = {
+      val body = ddl.substring(ddl.indexOf('(') + 1, ddl.lastIndexOf(')'))
+      body.split(",").map(_.trim).filter(_.nonEmpty)
+        .map { colDef =>
+          val parts = colDef.split("\\s+", 2)
+          (parts(0), parts(1).trim)
+        }
+        .filterNot(_._1 == "id") // the generated pk differs by design
+        .toSeq
+    }
+    val pg = dataColumns(FraudSink.postgresDdl())
+    val db = dataColumns(FraudSink.derbyDdl())
+    assert(pg === db, s"dialect drift:\npostgres=$pg\nderby   =$db")
+    assert(pg.size === 11, s"reference table has 11 data columns, got $pg")
+    // and the id lines carry each dialect's generated-key spelling
+    assert(FraudSink.postgresDdl().contains("id SERIAL PRIMARY KEY"))
+    assert(FraudSink.derbyDdl()
+      .contains("id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY"))
+  }
+
   test("ensureTable is idempotent; append lands fraud rows; re-append is at-least-once") {
     val table = "fraud_transactions"
     FraudSink.ensureTable(url, props, FraudSink.derbyDdl(table))

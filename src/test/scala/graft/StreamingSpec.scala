@@ -242,6 +242,43 @@ class StreamingSpec extends SparkSpec {
                         (8L, 1L, 1.0)), s"got $rows")
   }
 
+  test("s08 transformWithState equals s05 flatMapGroupsWithState on the same replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.UserEvent
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf to this test so the HDFS-backed default elsewhere stands.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StreamOps.s08RunningState(mem.toDS())
+        .writeStream.format("memory").queryName("s08_out")
+        .outputMode(OutputMode.Append()).start()
+      // the EXACT replay of the s05 test: same batches, same rows
+      mem.addData(UserEvent(7L, ts(1), 10.0), UserEvent(7L, ts(2), 5.0),
+                  UserEvent(8L, ts(1), 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(7L, ts(3), 2.0)) // state must continue: seq 3
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("s08_out")
+        .select("user_id", "seq_no", "running_sum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // identical to the s05 assertion — the two state surfaces agree
+      assert(rows === Set((7L, 1L, 10.0), (7L, 2L, 15.0), (7L, 3L, 17.0),
+                          (8L, 1L, 1.0)), s"got $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s06 stream-stream interval join matches purchases to recent errors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
