@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench harness tail-parses the LAST stdout line as JSON;
+// under sbt's default LoggedOutput every forked-run line gets an "[info] "
+// prefix and sbt appends "[success] Total time: ..." after the run — both
+// break that parse (BENCH_r01–r04: parsed null). Raw pass-through stdout
+// plus no success banner make Bench's compact JSON line the final line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

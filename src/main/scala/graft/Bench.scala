@@ -65,10 +65,14 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json)
     val budget = 1700
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma-decimal
+    // locale (de_DE) would print "value":45,953 — invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val entries = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     def line(n: Int): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nq":${results.size},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)

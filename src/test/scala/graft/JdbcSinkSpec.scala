@@ -45,9 +45,12 @@ class JdbcSinkSpec extends SparkSpec {
     // everywhere except the dialect-specific generated-id line.
     def dataColumns(ddl: String): Seq[(String, String)] = {
       val body = ddl.substring(ddl.indexOf('(') + 1, ddl.lastIndexOf(')'))
-      body.split(",").map(_.trim).filter(_.nonEmpty)
+      // Split on commas NOT inside parentheses so a future DECIMAL(10,2)
+      // column yields a readable drift diff, not an index error.
+      body.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty)
         .map { colDef =>
           val parts = colDef.split("\\s+", 2)
+          assert(parts.length == 2, s"unparseable column def: '$colDef'")
           (parts(0), parts(1).trim)
         }
         .filterNot(_._1 == "id") // the generated pk differs by design
