@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extended, Extras, Relational, Similarity, TextOps, UdfOps}
+import graft.queries.{Dedup, Extended, Extras, Relational, ScaleOps, Similarity, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ UdfOps.queries ++ Extended.queries ++
-      Extras.queries ++
+      Extras.queries ++ ScaleOps.queries ++
       Map(
         "m01_multimodal_features" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)),
@@ -36,7 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ UdfOps.oracles ++ Extended.oracles ++
-      Extras.oracles ++
+      Extras.oracles ++ ScaleOps.oracles ++
       Map("m01_multimodal_features" ->
         // Mirrors Multimodal.fixtureFromDocuments + the stub decode's
         // byte/chunk math (text is the payload; frames = ceil(ceil(b/1024)/4)).

@@ -390,7 +390,69 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** d09: PageRank over the candidate graph — three unrolled power
+    * iterations, each one join + one partial-agg groupBy on the edge table
+    * (the iterative-graph shape d05's contraction also uses; no driver
+    * state, no collect). Ranks are scaled integers (10⁶ = 1.0) with
+    * integer division everywhere, so three chained iterations stay
+    * bit-identical cross-engine: pr₀ = 10⁶;
+    * prₖ₊₁(v) = 0.15·10⁶ + 0.85·Σ_{u→v} ⌊prₖ(u)/deg(u)⌋. Edge and degree
+    * tables are built once and cached — at 100 TB they are the written
+    * adjacency tables every iteration scans.
+    */
+  val d09Pagerank: Q = (s, d) => {
+    val pairs = pairsTable(s, d)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").cache()
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      rank = withDeg.join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+        .select(col("dst").as("node"),
+                (expr("(inflow * 85) div 100") + lit(150000L)).as("pr"))
+    }
+    rank.select(col("node").as("doc_id"), col("pr").as("pr3"))
+      .orderBy("doc_id")
+  }
+
+  /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
+    * (the SymSpell index): each name emits itself + its single-char
+    * deletions as join keys — O(n·len) index rows — and candidates come
+    * from an EQUI-join on the variant, never the O(n²) all-pairs
+    * levenshtein. The candidate set is provably complete for lev ≤ 1
+    * (substitution ⇒ both sides share the same-position deletion;
+    * insert/delete ⇒ the longer side's deletion equals the shorter
+    * original), and an exact levenshtein re-check on the candidates makes
+    * it exact — the generate-candidates-then-verify shape every fuzzy
+    * dedup at scale uses. The brute-force oracle is the completeness
+    * proof's executable twin.
+    */
+  val d10EditBlocking: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val vars = sup
+      .select(col("id"), col("nm"), explode(expr("sequence(0, length(nm))")).as("i"))
+      .select(col("id"), col("nm"), expr(
+        "IF(i = 0, nm, concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm))))")
+        .as("v"))
+      .distinct()
+    val a = vars.toDF("id1", "n1", "v")
+    val b = vars.toDF("id2", "n2", "v")
+    a.join(b, Seq("v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "n1", "n2").distinct()
+      .filter(expr("levenshtein(n1, n2) <= 1"))
+      .select(col("id1"), col("id2"),
+              expr("cast(levenshtein(n1, n2) as int)").as("lev"))
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d09_pagerank"      -> d09Pagerank,
+    "d10_edit_blocking" -> d10EditBlocking,
     "d07_graph_stats"   -> d07GraphStats,
     "d08_minhash_est"   -> d08MinhashEst,
     "q32_dedup_exact"   -> q32DedupExact,
@@ -439,7 +501,35 @@ object Dedup {
        |  SELECT e.dst AS node, r.lbl AS lbl
        |  FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
 
+  /** Three unrolled PageRank iterations as CTEs (the d09 oracle), generated
+    * from the same constants as the Spark loop.
+    */
+  private def duckPagerankIters: String =
+    (1 to 3).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s"""i$k AS (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM(r.pr // d.deg) * 85 // 100 + 150000 AS BIGINT) AS pr
+         |  FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "d09_pagerank" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(1) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$duckPagerankIters
+         |SELECT node AS doc_id, pr AS pr3 FROM i3 ORDER BY doc_id""".stripMargin,
+    "d10_edit_blocking" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS lev
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
     "q32_dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(1) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.TextHash
+
+/** Cluster-scale query techniques a 100 TB engine needs beyond the plain
+  * SQL surface: sketch-based pre-filters (Bloom, Count-Min), data-layout
+  * clustering (Z-order), error-tolerant evaluation (`try_` family),
+  * time-series downsampling (OHLC bars) and the bucketed interval-overlap
+  * join. Same determinism discipline as the rest of the suite: md5-routed
+  * hashing (identical in Spark and DuckDB), integer arithmetic at every
+  * cross-engine comparison boundary, total-order sorts.
+  */
+object ScaleOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def decD(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
+
+  // ---------------------------------------------------------------- x03
+
+  /** Bloom-filter parameters. m/k are FIXED fixture-tuned constants (a real
+    * deployment sizes m from the observed build count before planting the
+    * filter; the driver oracle needs constant SQL text): n ≈ 960 build keys
+    * at sf0.01 → ~30 % bits set → fp ≈ 2.6 %, so the output contains real
+    * false positives (is_member = false rows) and the filter is exercised,
+    * not saturated.
+    */
+  private val BloomM = 8192
+  private val BloomK = 3
+  private val BloomBuildMin = 450000
+
+  /** x03: Bloom-filter join pre-filter — the runtime-filter technique that
+    * turns a big probe⋈build join into "probe rows that PASS the build
+    * side's Bloom filter, then join the survivors". Relational spelling so
+    * the oracle can replay it: the filter's set bit positions are a table
+    * (built with one partial-agg distinct from the build keys, k rows
+    * each), membership = "all k probe positions hit" via a broadcast join +
+    * count. At 100 TB the bit table is metadata-scale (≤ m rows) and rides
+    * the broadcast; the probe table is touched once, map-side. Output =
+    * every probe key passing the filter, flagged with true membership —
+    * the false-positive rows are the Bloom contract made visible.
+    */
+  val x03BloomFilterJoin: Q = (s, d) => {
+    val build = Tables.orders(s, d)
+      .filter(col("o_totalprice") > BloomBuildMin)
+      .select(col("o_custkey").as("bkey")).distinct()
+    def posOf(keyExpr: String): String =
+      s"${TextHash.sparkHash56(s"concat(i, '|', cast($keyExpr as string))")} % $BloomM"
+    val bits = build
+      .select(col("bkey"), explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"))
+      .selectExpr(s"${posOf("bkey")} AS pos")
+      .distinct()
+    val probe = Tables.customer(s, d)
+      .select(col("c_custkey"), explode(expr(s"sequence(0, ${BloomK - 1})")).as("i"))
+      .withColumn("pos", expr(posOf("c_custkey")))
+    val pass = probe.join(broadcast(bits), "pos")
+      .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomK)
+    pass.join(build, pass("c_custkey") === build("bkey"), "left")
+      .select(col("c_custkey"), col("bkey").isNotNull.as("is_member"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- x04
+
+  /** Count-Min sketch geometry: d independent hash rows × w counters. The
+    * sketch state is d·w integers regardless of stream size — the point of
+    * the structure; w = 256 against 100 distinct keys keeps collisions
+    * present (est > exact on some keys) without drowning the estimate.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Kirsch–Mitzenmacher double hashing: the d cell positions come from ONE
+    * md5 per row — pos_r = (h1 + (r+1)·h2) mod w, with h1/h2 the low/high
+    * 28-bit halves of the 56-bit hash and h2 forced odd. Sketch maintenance
+    * is one hash + d integer ops per input row (4 md5s per row benched 3×
+    * the cost at sf0.1 for zero accuracy gain). h1 < 2²⁸ and (r+1)·h2 <
+    * 2³⁰, so the sum stays far inside BIGINT on both engines.
+    */
+  private def cmsCellExpr(h1: String, h2: String): String =
+    s"($h1 + (r + 1) * $h2) % $CmsWidth"
+  private val CmsHalf = 1L << 28
+
+  /** x04: Count-Min sketch frequency estimation — the fixed-memory
+    * heavy-hitter structure. Building the sketch IS one partial-agg
+    * groupBy over (row, hashed column): each input row contributes d
+    * counter increments map-side, and the reduced sketch is d·w cells no
+    * matter how many billions of rows streamed in. Querying = min over the
+    * d cells a key hashes to. The one-sided CMS error bound
+    * (est ≥ exact, always) is emitted as a column so the oracle hash
+    * pins it per key, exactly — all counts are integers, so the whole
+    * sketch is bit-identical cross-engine.
+    */
+  val x04CountMin: Q = (s, d) => {
+    val hashed = Tables.lineitem(s, d)
+      .select(col("l_suppkey"))
+      .withColumn("h", expr(TextHash.sparkHash56("cast(l_suppkey as string)")))
+      .withColumn("h1", expr(s"h % ${CmsHalf}L"))
+      .withColumn("h2", expr(s"(h div ${CmsHalf}L) | 1"))
+    val sketch = hashed
+      .select(col("h1"), col("h2"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("c", expr(cmsCellExpr("h1", "h2")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val exact = hashed
+      .groupBy("l_suppkey", "h1", "h2").agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("l_suppkey"), col("exact"), col("h1"), col("h2"),
+              explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("c", expr(cmsCellExpr("h1", "h2")))
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("l_suppkey", "exact").agg(min(col("cnt")).as("est"))
+      .select(col("l_suppkey"), col("exact"), col("est"),
+              (col("est") >= col("exact")).as("bound_ok"))
+      .orderBy("l_suppkey")
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** Bit-interleave of two 10-bit dimensions — generated from the same loop
+    * for both engines so the spellings can't drift (Spark: shiftright/&;
+    * DuckDB: >>/&). Z-values put spatially-close (x, y) points on nearby
+    * linear addresses, which is what makes multi-dimensional min/max
+    * pruning work after a write clustered by this key.
+    */
+  private def zInterleave(xCol: String, yCol: String, duck: Boolean): String =
+    (0 until 10).map { i =>
+      val shift = (e: String, by: Int) =>
+        if (duck) s"(($e >> $by) & 1)" else s"(shiftright($e, $by) & 1)"
+      s"${shift(xCol, i)} * ${1L << (2 * i)} + ${shift(yCol, i)} * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q86: Z-order (Morton) layout clustering — the data-layout operator
+    * behind multi-dimensional clustered writes (Delta/Iceberg OPTIMIZE
+    * ZORDER): interleave the bits of two columns, range-bucket rows by the
+    * interleaved key, and emit each bucket's per-dimension min/max — the
+    * min/max envelopes a file-skipping reader would prune against. Pure
+    * integer bit arithmetic end to end, so the oracle pins every bucket
+    * envelope exactly. At scale the bucket id is the `repartitionByRange`
+    * key of the clustered write; this query is its planning/audit view.
+    */
+  val q86ZorderLayout: Q = (s, d) => {
+    val z = zInterleave("x", "y", duck = false)
+    Tables.events(s, d)
+      .selectExpr("cast(floor(value) as bigint) AS x", "user_id % 1024 AS y")
+      .withColumn("zval", expr(z))
+      .withColumn("bucket", expr("zval div 4096"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min("x").as("x_min"), max("x").as("x_max"),
+           min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87: error-tolerant evaluation — the `try_` function family
+    * (try_cast / try_divide / try_add / try_element_at). On dirty data at
+    * scale, a single malformed row must degrade to NULL, not kill a
+    * 1000-executor job; these are the codegen'd forms of that policy.
+    * try_add is pinned on a guaranteed bigint overflow, try_divide on a
+    * computed zero denominator, try_cast on malformed int/timestamp text.
+    */
+  val q87TryFuncs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        expr("try_cast(c_name as int)").as("bad_int"),
+        expr("try_cast(split_part(c_name, '#', 2) as bigint)").as("name_num"),
+        expr("try_divide(cast(c_custkey as double), cast(c_custkey % 7 as double))")
+          .as("div7"),
+        expr("try_element_at(split(c_mktsegment, 'I'), 3)").as("seg3"),
+        expr("try_add(9223372036854775807L, c_custkey + 1)").as("ovf"),
+        expr("try_cast('2024-13-45' as timestamp)").as("bad_ts"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88: OHLC time-series downsampling — 15-minute open/high/low/close
+    * bars per event type, the canonical resample shape (metrics rollups,
+    * market bars). Open/close are picked by row_number over the
+    * (bucket, type)-partitioned order — partitions are single bars, so the
+    * window state is bounded by bar width, never by stream length; one
+    * shuffle total. Bucketing is exact epoch-µs integer floor math shared
+    * with the oracle.
+    */
+  val q88OhlcBars: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+              expr("unix_micros(ts)").as("us"))
+      .withColumn("bkt", expr("us div 900000000 * 900000000"))
+    val w = Window.partitionBy(col("event_type"), col("bkt"))
+    val asc = w.orderBy(col("us").asc, col("event_id").asc)
+    val desc = w.orderBy(col("us").desc, col("event_id").desc)
+    ev.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy("event_type", "bkt")
+      .agg(decD(min(when(col("rna") === 1, col("value")))).as("open"),
+           decD(max(col("value"))).as("high"),
+           decD(min(col("value"))).as("low"),
+           decD(min(when(col("rnd") === 1, col("value")))).as("close"),
+           count(lit(1)).as("volume"))
+      .orderBy("event_type", "bkt")
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  /** Interval-join bucket width (µs). Intervals here are ≤ ~490 s long, so
+    * each interval lands in at most 2 buckets of 1024 s — the fan-out
+    * bound that keeps the explode cheap. The general rule: bucket ≥ max
+    * interval length ⇒ ≤ 2 buckets per interval.
+    */
+  private val IvBucketUs = 1024L * 1000000L
+
+  /** q89: interval-overlap self-join via time bucketing — the scalable
+    * spelling of "which events overlap in time, per user". A naive
+    * `a.start < b.end AND b.start < a.end` join is a per-user cartesian;
+    * bucketing each interval into the coarse time buckets it touches turns
+    * it into an EQUI-join on (user, bucket) + exact overlap re-check —
+    * shuffle-partitioned by key, no nested loop anywhere. A pair sharing
+    * two buckets is deduped before the verify. Interval ends are exact
+    * integer µs (floor of the float duration — same IEEE op both engines).
+    */
+  val q89IntervalOverlap: Q = (s, d) => {
+    val iv = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("st"),
+      expr("unix_micros(ts) + cast(floor(value * 1000000) as bigint)").as("en"))
+    val bucketed = iv.withColumn("bkt",
+      explode(expr(s"sequence(st div ${IvBucketUs}L, en div ${IvBucketUs}L)")))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.user_id") === col("b.user_id") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.event_id") < col("b.event_id"))
+      .select(col("a.user_id").as("user_id"),
+              col("a.event_id").as("e1"), col("b.event_id").as("e2"),
+              col("a.st").as("st1"), col("a.en").as("en1"),
+              col("b.st").as("st2"), col("b.en").as("en2"))
+      .distinct()
+      .filter(col("st1") < col("en2") && col("st2") < col("en1"))
+      .select("user_id", "e1", "e2")
+      .orderBy("user_id", "e1", "e2")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "x03_bloom_filter"     -> x03BloomFilterJoin,
+    "x04_count_min"        -> x04CountMin,
+    "q86_zorder_layout"    -> q86ZorderLayout,
+    "q87_try_funcs"        -> q87TryFuncs,
+    "q88_ohlc_bars"        -> q88OhlcBars,
+    "q89_interval_overlap" -> q89IntervalOverlap)
+
+  // ------------------------------------------------------------- oracles
+
+  private def duckPos(keyExpr: String): String =
+    s"${TextHash.duckHash56(s"i || '|' || CAST($keyExpr AS VARCHAR)")} % $BloomM"
+
+  private def duckCell: String = {
+    val h = TextHash.duckHash56("CAST(l_suppkey AS VARCHAR)")
+    cmsCellExpr(s"($h % $CmsHalf)", s"(($h // $CmsHalf) | 1)")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x03_bloom_filter" ->
+      s"""WITH build AS (
+         |  SELECT DISTINCT o_custkey AS bkey FROM orders
+         |  WHERE o_totalprice > $BloomBuildMin),
+         |bits AS (
+         |  SELECT DISTINCT ${duckPos("bkey")} AS pos
+         |  FROM build CROSS JOIN generate_series(0, ${BloomK - 1}) AS g(i)),
+         |probe AS (
+         |  SELECT c_custkey, ${duckPos("c_custkey")} AS pos
+         |  FROM customer CROSS JOIN generate_series(0, ${BloomK - 1}) AS g(i)),
+         |pass AS (
+         |  SELECT c_custkey FROM probe JOIN bits USING (pos)
+         |  GROUP BY c_custkey HAVING COUNT(1) = $BloomK)
+         |SELECT c_custkey, bkey IS NOT NULL AS is_member
+         |FROM pass LEFT JOIN build ON c_custkey = bkey
+         |ORDER BY c_custkey""".stripMargin,
+    "x04_count_min" ->
+      s"""WITH sketch AS (
+         |  SELECT r, c, COUNT(1) AS cnt FROM (
+         |    SELECT $duckCell AS c, r
+         |    FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS g(r))
+         |  GROUP BY r, c),
+         |exact AS (
+         |  SELECT l_suppkey, COUNT(1) AS exact FROM lineitem GROUP BY l_suppkey)
+         |SELECT l_suppkey, exact, MIN(cnt) AS est, MIN(cnt) >= exact AS bound_ok
+         |FROM (
+         |  SELECT l_suppkey, exact, r, $duckCell AS c
+         |  FROM exact CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS g(r)) q
+         |JOIN sketch USING (r, c)
+         |GROUP BY l_suppkey, exact
+         |ORDER BY l_suppkey""".stripMargin,
+    "q86_zorder_layout" ->
+      s"""SELECT zval // 4096 AS bucket, COUNT(1) AS n,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM (
+         |  SELECT x, y, ${zInterleave("x", "y", duck = true)} AS zval
+         |  FROM (SELECT CAST(floor(value) AS BIGINT) AS x, user_id % 1024 AS y
+         |        FROM events))
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q87_try_funcs" ->
+      """SELECT c_custkey,
+        |       TRY_CAST(c_name AS INTEGER) AS bad_int,
+        |       TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+        |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |            ELSE CAST(c_custkey AS DOUBLE) / CAST(c_custkey % 7 AS DOUBLE)
+        |       END AS div7,
+        |       string_split(c_mktsegment, 'I')[3] AS seg3,
+        |       CAST(NULL AS BIGINT) AS ovf,
+        |       TRY_CAST('2024-13-45' AS TIMESTAMP) AS bad_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q88_ohlc_bars" ->
+      """SELECT event_type, bkt,
+        |       CAST(CAST(MIN(CASE WHEN rna = 1 THEN value END) AS DECIMAL(18,2)) AS DOUBLE) AS open,
+        |       CAST(CAST(MAX(value) AS DECIMAL(18,2)) AS DOUBLE) AS high,
+        |       CAST(CAST(MIN(value) AS DECIMAL(18,2)) AS DOUBLE) AS low,
+        |       CAST(CAST(MIN(CASE WHEN rnd = 1 THEN value END) AS DECIMAL(18,2)) AS DOUBLE) AS close,
+        |       COUNT(1) AS volume
+        |FROM (
+        |  SELECT event_type, value,
+        |         us // 900000000 * 900000000 AS bkt,
+        |         row_number() OVER (PARTITION BY event_type, us // 900000000
+        |                            ORDER BY us ASC, event_id ASC) AS rna,
+        |         row_number() OVER (PARTITION BY event_type, us // 900000000
+        |                            ORDER BY us DESC, event_id DESC) AS rnd
+        |  FROM (SELECT event_type, event_id, value,
+        |               epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events))
+        |GROUP BY event_type, bkt ORDER BY event_type, bkt""".stripMargin,
+    "q89_interval_overlap" ->
+      """SELECT a.user_id AS user_id, a.event_id AS e1, b.event_id AS e2
+        |FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |               + CAST(floor(value * 1000000) AS BIGINT) AS en
+        |      FROM events) a
+        |JOIN (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |             epoch_us(CAST(ts AS TIMESTAMP))
+        |               + CAST(floor(value * 1000000) AS BIGINT) AS en
+        |      FROM events) b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.st < b.en AND b.st < a.en
+        |ORDER BY user_id, e1, e2""".stripMargin)
+}

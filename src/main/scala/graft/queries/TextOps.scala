@@ -365,7 +365,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t11: quality-weighted deterministic sampling — keep each document with
+    * probability ∝ its weight (here n_chars/1000, the "sample longer docs
+    * more" policy; real pipelines weight by a quality score). The coin is
+    * md5-derived (hash56(doc_id) % 1000 < weight): reproducible across
+    * engines, runs, and cluster sizes, and integer-exact — the
+    * weighted-Bernoulli the deterministic counterpart of `rand() < p`,
+    * which can never hash-match a replay. Pure map-side filter, no
+    * shuffle.
+    */
+  val t11WeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("draw",
+        expr(s"${TextHash.sparkHash56("cast(doc_id as string)")} % 1000"))
+      .filter(col("draw") < col("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("draw"))
+      .orderBy("doc_id")
+
+  /** Chunking geometry: 32-token windows every 16 tokens (50 % overlap) —
+    * the context-window chunking a training/RAG pipeline applies before
+    * embedding; tail windows shorter than the stride are kept (policy
+    * pinned by the oracle).
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 16
+
+  /** t12: sliding-window document chunking — explode each document into
+    * overlapping token windows with a per-chunk content hash. One explode
+    * (≤ ⌈len/stride⌉ rows per doc), all tokenization/slicing/hashing in
+    * per-row codegen'd expressions, no shuffle until the output sort —
+    * chunking 100 TB is embarrassingly parallel and this shape keeps it
+    * that way.
+    */
+  val t12ChunkSliding: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("start",
+        explode(expr(s"sequence(1, size(toks), $ChunkStride)")))
+      .select(col("doc_id"),
+        expr(s"cast((start - 1) div $ChunkStride as int)").as("chunk_no"),
+        expr(s"size(slice(toks, start, $ChunkTokens))").as("chunk_toks"),
+        expr(TextHash.sparkHash56(
+          s"array_join(slice(toks, start, $ChunkTokens), ' ')")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_no")
+
+  /** Per-source token budget for t13 (~half of each source's ≈1300 tokens
+    * at sf0.01, so the cap genuinely drops documents).
+    */
+  val DomainBudgetTokens = 700L
+
+  /** t13: per-domain token-budget cap — the domain-mixing operator: within
+    * each source, documents are taken in deterministic md5 order until the
+    * source's token budget is exhausted (so no single domain floods the
+    * training mix). The running token count is the keyed range-partitioned
+    * [[prefixSum]] — per-source cum-sums with NO one-task-per-source
+    * window, the same skew-proof shape as t07/q80. Budget comparison on
+    * the cumulative count keeps every accepted document's evidence in the
+    * output.
+    */
+  val t13DomainBudget: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("ntoks", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("ord",
+        expr(TextHash.sparkHash56("cast(doc_id as string)")))
+    val cum = prefixSum(docs, "ord", "ntoks", "cum_toks",
+      includeCurrent = true, keyCols = Seq("source"))
+    cum.filter(col("cum_toks") <= DomainBudgetTokens)
+      .select(col("doc_id"), col("source"), col("ntoks"), col("cum_toks"))
+      .orderBy("source", "cum_toks")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_weighted_sample" -> t11WeightedSample,
+    "t12_chunk_sliding"   -> t12ChunkSliding,
+    "t13_domain_budget"   -> t13DomainBudget,
     "p01_corpus_pipeline" -> p01CorpusPipeline,
     "t09_balanced_sample" -> t09BalancedSample,
     "t10_decontaminate" -> t10Decontaminate,
@@ -384,6 +457,37 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t11_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |       ${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} % 1000 AS draw
+         |FROM documents
+         |WHERE ${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} % 1000 < n_chars
+         |ORDER BY doc_id""".stripMargin,
+    "t12_chunk_sliding" ->
+      s"""SELECT doc_id,
+         |       CAST((start - 1) // $ChunkStride AS INT) AS chunk_no,
+         |       CAST(len(list_slice(toks, start, start + ${ChunkTokens - 1})) AS INT) AS chunk_toks,
+         |       ${TextHash.duckHash56(
+               s"array_to_string(list_slice(toks, start, start + ${ChunkTokens - 1}), ' ')")} AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         unnest(generate_series(1, len(string_split(text, ' ')), $ChunkStride)) AS start
+         |  FROM documents)
+         |ORDER BY doc_id, chunk_no""".stripMargin,
+    "t13_domain_budget" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+         |         ${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, source, ntoks,
+         |         CAST(SUM(ntoks) OVER (PARTITION BY source ORDER BY ord
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+         |  FROM docs)
+         |SELECT doc_id, source, ntoks, cum_toks FROM cum
+         |WHERE cum_toks <= $DomainBudgetTokens
+         |ORDER BY source, cum_toks""".stripMargin,
     "q29_text_tokens" ->
       """SELECT token, COUNT(1) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

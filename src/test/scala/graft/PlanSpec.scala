@@ -137,6 +137,44 @@ class PlanSpec extends SparkSpec {
       s"expected a hash/merge equi-join on band_key:\n$plan")
   }
 
+  test("x03/x04: sketch tables ride the broadcast; probe join is never a nested loop") {
+    for ((name, df) <- Seq(
+        "x03" -> graft.queries.ScaleOps.x03BloomFilterJoin(spark, sf),
+        "x04" -> graft.queries.ScaleOps.x04CountMin(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: the metadata-scale sketch side must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: sketch membership must be an equi-join:\n$plan")
+    }
+  }
+
+  test("q89: bucketed interval join is an equi-join, never a per-user cartesian") {
+    val plan = planOf(graft.queries.ScaleOps.q89IntervalOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to a nested-loop shape:\n$plan")
+  }
+
+  test("t13: per-domain budget cum-sum is range-partitioned, never one-task-per-source") {
+    val plan = planOf(graft.queries.TextOps.t13DomainBudget(spark, sf))
+    assert(plan.contains("rangepartitioning"),
+      s"expected the range-partitioned prefix-sum shuffle:\n$plan")
+    // the killer shape would be windowspecdefinition(source#...) directly
+    // over the data rows (one task per source); the keyed prefixSum windows
+    // carry _pid first instead
+    assert(!plan.matches("(?s).*windowspecdefinition\\(source#\\d+,\\s*ord#\\d+.*"),
+      s"per-source data window (one task per source) crept into t13:\n$plan")
+  }
+
+  test("d10: deletion-variant blocking joins hash-equi, never all-pairs") {
+    val plan = planOf(graft.queries.Dedup.d10EditBlocking(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance blocking degenerated to all-pairs:\n$plan")
+  }
+
   test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
     val df = graft.operators.FraudPipeline.validityFilter(
       Tables.lineitem(spark, sf)
