@@ -258,6 +258,27 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** q90: text-source round-trip — one delimited line per row through the
+    * `text` SINK, read back through the `text` SOURCE and re-parsed with
+    * split_part. This is the raw-log-line contract (the format of every
+    * upstream dump that predates structured sinks): the writer emits
+    * exactly one `value` line per row, the reader sees one row per line,
+    * and the parse is ordinary codegen'd string work. Both ends are
+    * trivially splittable at 100 TB (line-oriented files).
+    */
+  val q90TextRoundtrip: Q = (s, d) => {
+    val out = "target/roundtrip_text"
+    Tables.customer(s, d)
+      .selectExpr("concat_ws('|', cast(c_custkey as string), c_name, c_mktsegment) AS value")
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .selectExpr(
+        "cast(split_part(value, '|', 1) as bigint) AS c_custkey",
+        "split_part(value, '|', 2) AS c_name",
+        "split_part(value, '|', 3) AS c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   /** q69: JSON-lines round-trip — same contract through the JSON sink and
     * source (the interchange format every ingest pipeline meets).
     */
@@ -358,14 +379,20 @@ object Extras {
     * group total. Both operands are decimal-exact sums cast to double, so
     * the single double divide is engine-identical.
     */
-  val q71PctOfTotal: Q = (s, d) =>
-    Tables.lineitem(s, d)
+  val q71PctOfTotal: Q = (s, d) => {
+    val g = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(dec(sum(dec(col("l_quantity")))).as("qty_dec"))
-      .withColumn("share",
-        expr("cast(qty_dec as double) / cast(sum(qty_dec) over () as double)"))
-      .select(col("l_returnflag"), col("qty_dec").cast("double").as("qty"), col("share"))
+    // Grand total via a broadcast single-row cross join, not `sum() over ()`
+    // — the unpartitioned window runs on ONE task (WindowExec warns), while
+    // this shape keeps the 3-row grouped table distributed and is the same
+    // exact decimal sum the oracle's OVER () computes.
+    val tot = g.agg(dec(sum(col("qty_dec"))).as("tot_dec"))
+    g.crossJoin(broadcast(tot))
+      .select(col("l_returnflag"), col("qty_dec").cast("double").as("qty"),
+        expr("cast(qty_dec as double) / cast(tot_dec as double)").as("share"))
       .orderBy("l_returnflag")
+  }
 
   /** q72: typed Dataset[T] surface — case-class encoder, typed filter and
     * map closures, still oracle-checkable because the closure math is pure
@@ -519,6 +546,7 @@ object Extras {
     "q71_pct_of_total"       -> q71PctOfTotal,
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
+    "q90_text_roundtrip"     -> q90TextRoundtrip,
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q82_exists_subquery"    -> q82ExistsSubquery,
     "q83_xml_roundtrip"      -> q83XmlRoundtrip,
@@ -630,6 +658,9 @@ object Extras {
     "q68_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q90_text_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q69_json_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -248,9 +248,49 @@ object ScaleOps {
       .orderBy("user_id", "e1", "e2")
   }
 
+  // ---------------------------------------------------------------- x05
+
+  /** lgConfigK for the DataSketches HLL sketches: 2¹² registers, the
+    * library default — far more registers than the fixture's distinct
+    * count, so the estimate is near-exact and the 5 % acceptance band is
+    * structural slack, not tuning.
+    */
+  private val HllLgK = 12
+
+  /** x05: mergeable distinct-count sketches — `hll_sketch_agg` per group
+    * plus `hll_union_agg` across groups (Apache DataSketches HLL, the
+    * Spark 4 sketch surface beyond x01's HyperLogLog++ scalar). The
+    * defining property at 100 TB is MERGEABILITY: per-partition sketches
+    * combine map-side, per-group sketches union into the corpus-wide
+    * distinct count WITHOUT re-touching the base table — the union row
+    * here is computed from the 5 group sketches alone. The sketch register
+    * state is order-independent (max per register), so the estimate is
+    * replay-stable and the driver-visible contract is x01's bounded
+    * property: exact count + "estimate landed within 5 %", with the
+    * oracle pinning the exact counts and expecting `true`.
+    */
+  val x05HllSketch: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+    val per = base.groupBy("grp")
+      .agg(expr(s"hll_sketch_agg(o_custkey, $HllLgK)").as("sk"),
+           countDistinct(col("o_custkey")).as("n_exact"))
+    val perOut = per.select(col("grp"), col("n_exact"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) * 100
+         <= col("n_exact") * 5).as("within_5pct"))
+    val allExact = base.agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val allOut = per.agg(expr("hll_union_agg(sk, true)").as("usk"))
+      .crossJoin(broadcast(allExact))
+      .select(lit("ALL").as("grp"), col("n_exact"),
+        (abs(expr("hll_sketch_estimate(usk)") - col("n_exact")) * 100
+           <= col("n_exact") * 5).as("within_5pct"))
+    perOut.unionByName(allOut).orderBy("grp")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "x05_hll_sketch"       -> x05HllSketch,
     "x03_bloom_filter"     -> x03BloomFilterJoin,
     "x04_count_min"        -> x04CountMin,
     "q86_zorder_layout"    -> q86ZorderLayout,
@@ -269,6 +309,14 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x05_hll_sketch" ->
+      """SELECT grp, n_exact, within_5pct FROM (
+        |  SELECT o_orderpriority AS grp,
+        |         COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_5pct
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM orders)
+        |ORDER BY grp""".stripMargin,
     "x03_bloom_filter" ->
       s"""WITH build AS (
          |  SELECT DISTINCT o_custkey AS bkey FROM orders

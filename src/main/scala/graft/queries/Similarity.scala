@@ -341,7 +341,44 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** SemDeDup within-cluster cosine threshold (the sf corpus is diffuse —
+    * within-cluster pair cosines top out near 0.5 — so 0.30 prunes a real
+    * but small set; production corpora use 0.9+ on trained clusters).
+    */
+  val SemDedupCos = 0.30
+
+  /** d11: semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster the embedding space, then inside each
+    * cluster drop every vector that has a higher-similarity twin, keeping
+    * one representative per near-duplicate group. Clustering reuses the
+    * IVF assignment (broadcast centroids + partial-agg argmax); the
+    * pairwise check runs ONLY within clusters — sum of cluster² pairs,
+    * never the corpus², which is the entire point of the algorithm at
+    * 100 TB (clusters are the unit of parallelism AND the pair-pruning
+    * boundary). Keep policy is deterministic "drop if a lower-id
+    * same-cluster vector is within the threshold" — the parallel,
+    * order-free variant of the paper's greedy scan, identical on both
+    * engines. The assigned table is cached once: it is both join sides.
+    */
+  val d11SemDedup: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d).select("vec_id", "q", "nrm", "cid").cache()
+    val a = assigned.select(col("vec_id").as("v1"), col("q").as("q1"),
+                            col("nrm").as("n1"), col("cid"))
+    val b = assigned.select(col("vec_id").as("v2"), col("q").as("q2"),
+                            col("nrm").as("n2"), col("cid"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("v2") < col("v1"))
+      .withColumn("cos", expr(
+        s"cast(${dot("q1", "q2")} as double) / sqrt(cast(n1 as double) * cast(n2 as double))"))
+      .filter(col("cos") >= SemDedupCos)
+      .select(col("v1").as("dv")).distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("dv"), "left")
+      .select(col("vec_id"), col("cid"), col("dv").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d11_semdedup"       -> d11SemDedup,
     "n06_pq_codes"       -> n06PqCodes,
     "n07_pq_search"      -> n07PqSearch,
     "q33_similarity_knn" -> q33SimilarityKnn,
@@ -360,7 +397,37 @@ object Similarity {
        |prepn AS (
        |  SELECT vec_id, q, ${duckDot("q", "q")} AS nrm FROM prep)""".stripMargin
 
+  /** Shared oracle CTE: the n02-spelled IVF assignment (window argmax — the
+    * oracle's sequential spelling of the partial-agg max_by).
+    */
+  private val duckAssigned =
+    s"""cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+       |          FROM prepn WHERE vec_id < $NumCentroids),
+       |scoredc AS (
+       |  SELECT v.vec_id, v.q, v.nrm, c.cid,
+       |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+       |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+       |  FROM prepn v CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, q, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d11_semdedup" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id AS dv
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+         |          / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+         |        >= $SemDedupCos)
+         |SELECT vec_id, cid, dv IS NULL AS kept
+         |FROM assigned LEFT JOIN dropped ON vec_id = dv
+         |ORDER BY vec_id""".stripMargin,
     "q33_similarity_knn" ->
       s"""WITH $duckPrep,
          |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),

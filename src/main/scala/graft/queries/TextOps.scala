@@ -435,7 +435,70 @@ object TextOps {
       .orderBy("source", "cum_toks")
   }
 
+  /** Substring-dedup window geometry: 60-char windows every 20 chars.
+    * Production exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") uses ~50-token windows
+    * over a suffix array; the distributed spelling below keeps the same
+    * contract — find every fixed-width span whose exact bytes recur across
+    * documents — with shuffle-friendly hashing instead of a global suffix
+    * array.
+    */
+  val SubstrWindow = 60
+  val SubstrStride = 20
+
+  /** t14: exact duplicated-substring detection — for each document, how
+    * many of its 60-char windows (stride 20) appear verbatim in ANOTHER
+    * document. Windows are hashed per-row in codegen (one md5 per window,
+    * never the raw 60-char string on the shuffle wire), cross-doc
+    * recurrence is one partial-agg groupBy over the hash, and the verdict
+    * joins back hash-to-hash — both shuffles key on the 56-bit hash, so
+    * the work is uniformly spread no matter how skewed document contents
+    * are. At 100 TB this is the scalable stand-in for suffix-array dedup:
+    * windows-with-ndocs≥2 is exactly the "duplicated span" table a
+    * span-removal pass would consume downstream.
+    */
+  val t14SubstringDedup: Q = (s, d) => {
+    val w = Tables.documents(s, d)
+      .withColumn("p",
+        explode(expr(
+          s"sequence(1, greatest(1, length(text) - ${SubstrWindow - 1}), $SubstrStride)")))
+      .select(col("doc_id"),
+        expr(TextHash.sparkHash56(s"substring(text, p, $SubstrWindow)")).as("h"))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h").as("dh"))
+    w.join(dup, w("h") === dup("dh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           count(col("dh")).as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** p02: corpus mixture report — per (lang, source) document/token counts
+    * and each cell's share of the total token budget in basis points. This
+    * is the planning table a data-mixing pipeline reads before sampling
+    * ("web is 62 % of tokens, wiki 3 %…"). One partial-agg groupBy; the
+    * grand total rides a broadcast single-row cross join, NOT an
+    * all-partitions window — the grouped table is tiny at any corpus
+    * scale, the input is touched once. Share math is integer basis points
+    * (x10000 div), exact on both engines.
+    */
+  val p02MixtureReport: Q = (s, d) => {
+    val g = Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+              expr("n_tokens * 10000 div tot").as("share_bp"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_substring_dedup" -> t14SubstringDedup,
+    "p02_mixture_report"  -> p02MixtureReport,
     "t11_weighted_sample" -> t11WeightedSample,
     "t12_chunk_sliding"   -> t12ChunkSliding,
     "t13_domain_budget"   -> t13DomainBudget,
@@ -457,6 +520,29 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t14_substring_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         ${TextHash.duckHash56(s"substr(text, CAST(p AS INT), $SubstrWindow)")} AS h
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           unnest(generate_series(1, greatest(1, len(text) - ${SubstrWindow - 1}),
+         |                                  $SubstrStride)) AS p
+         |    FROM documents)),
+         |dup AS (
+         |  SELECT h AS dh FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, COUNT(1) AS n_windows, COUNT(dh) AS n_dup_windows
+         |FROM w LEFT JOIN dup ON w.h = dup.dh
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p02_mixture_report" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(1) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+        |SELECT lang, source, n_docs, n_tokens, n_tokens * 10000 // tot AS share_bp
+        |FROM g CROSS JOIN t
+        |ORDER BY lang, source""".stripMargin,
     "t11_weighted_sample" ->
       s"""SELECT doc_id, n_chars,
          |       ${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} % 1000 AS draw

@@ -125,6 +125,37 @@ object StreamOps {
   def s07StreamStaticJoin(stream: DataFrame, dim: DataFrame): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), "key")
 
+  /** s09: stream-stream LEFT OUTER interval join — s06's shape with outer
+    * semantics: a purchase with no matching error is HELD in state until
+    * the watermark proves no match can still arrive, THEN emitted
+    * null-padded. The emission is watermark-driven (not arrival-driven) —
+    * the part of the outer-join contract that surprises users, pinned by
+    * the spec: the null-padded row only appears after later events advance
+    * the watermark past the join window. Same state-expiry bound as s06 —
+    * without the time condition, outer state never ages out.
+    */
+  def s09StreamStreamLeftJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
+        |e_ts <= p_ts""".stripMargin), "leftOuter")
+  }
+
+  /** s10: update-mode keyed aggregation — the third output mode beside
+    * s01-style append and the complete-mode snapshot: each micro-batch
+    * re-emits ONLY the keys whose aggregate changed. Unwindowed per-key
+    * totals (O(keys) state) are the canonical update-mode consumer shape —
+    * a KV upsert sink applies each emitted row as a put. The spec asserts
+    * the final per-key snapshot equals the batch groupBy over the same
+    * replay, and that an untouched key is NOT re-emitted in a later batch.
+    */
+  def s10UpdateAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
                             seq_no: Long, running_sum: Double)

@@ -168,6 +168,33 @@ class PlanSpec extends SparkSpec {
       s"per-source data window (one task per source) crept into t13:\n$plan")
   }
 
+  test("t14: duplicated-substring detection keys both shuffles on the hash, no nested loop") {
+    val plan = planOf(graft.queries.TextOps.t14SubstringDedup(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"cross-doc recurrence must partial-aggregate before the shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"window-to-dup verdict must be a hash equi-join:\n$plan")
+  }
+
+  test("d11: semdedup pairs only within clusters — equi-join on cid, no all-pairs") {
+    val plan = planOf(graft.queries.Similarity.d11SemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup degenerated to the corpus cartesian:\n$plan")
+  }
+
+  test("p02/q71: grand totals ride a broadcast single-row join, never a global window") {
+    for ((name, df) <- Seq(
+        "p02" -> graft.queries.TextOps.p02MixtureReport(spark, sf),
+        "q71" -> graft.queries.Extras.q71PctOfTotal(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"$name: expected the broadcast total:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name: global-window total (single task) crept back in:\n$plan")
+    }
+  }
+
   test("d10: deletion-variant blocking joins hash-equi, never all-pairs") {
     val plan = planOf(graft.queries.Dedup.d10EditBlocking(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

@@ -302,6 +302,59 @@ class StreamingSpec extends SparkSpec {
     assert(joined === Set((1L, 100L), (2L, 101L)), s"got $joined")
   }
 
+  test("s09 left-outer stream-stream join: unmatched rows emit null-padded only after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s09StreamStreamLeftJoin(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s09_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7 purchase@10 matches error@5; user 9 purchase@10 has no error.
+    emem.addData((ts(5), 7L, 100L))
+    pmem.addData((ts(10), 7L, 1L), (ts(10), 9L, 2L))
+    q.processAllAvailable()
+    // before the watermark passes p_ts + 10min, the unmatched purchase is
+    // held in state — only the inner match is visible
+    val early = spark.table("s09_out").select("p_id").collect().map(_.getLong(0)).toSet
+    assert(early === Set(1L), s"got $early")
+    // advance BOTH watermarks past the join window (join watermark = min);
+    // the user-9 purchase can no longer match -> emits with null e_id
+    emem.addData((ts(60), 7L, 999L))
+    pmem.addData((ts(60), 7L, 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s09_out").select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 100L)) && rows.contains((2L, -1L)), s"got $rows")
+    // the held-then-expired row is null-padded exactly once
+    assert(rows.count(_._1 == 2L) === 1)
+  }
+
+  test("s10 update-mode aggregation re-emits only changed keys; snapshot equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+      .writeStream.format("memory").queryName("s10_out")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 30.0)) // touches user 1 only
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("s10_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 2 was emitted exactly once (batch 2 must not re-emit it)
+    assert(emitted.count(_._1 == 2L) === 1, s"got ${emitted.toSeq}")
+    assert(emitted.count(_._1 == 1L) === 2, s"got ${emitted.toSeq}")
+    // final snapshot (latest emission per key) equals the batch groupBy
+    val snapshot = emitted.groupBy(_._1).map { case (k, rs) => rs.maxBy(_._2) }.toSet
+    assert(snapshot === Set((1L, 3L, 60.0), (2L, 1L, 5.0)), s"got $snapshot")
+  }
+
   test("s07 stream-static join enriches each micro-batch from the dim table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
