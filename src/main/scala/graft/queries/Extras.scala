@@ -375,6 +375,43 @@ object Extras {
       .orderBy("user_id")
   }
 
+  /** q91: CDC apply / change-log compaction — reduce a keyed change stream
+    * to its final state: the LATEST operation per key wins, and a terminal
+    * delete removes the key entirely (the semantics of applying a CDC feed
+    * or compacting a keyed log; `error` events stand in for the delete
+    * marker). Unlike q70's row_number window, the reduction is a
+    * partial-agg `max_by(struct)` — map-side combinable, no per-key sort,
+    * the only shape that compacts a 100 TB change log whose hottest key
+    * may hold billions of versions. Delete filtering happens AFTER the
+    * argmax (a delete must beat earlier upserts, not vanish).
+    */
+  val q91CdcApply: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+              col("last.value").as("last_value"),
+              col("last.event_type").as("last_op"))
+      .orderBy("user_id")
+
+  /** q92: null-preserving generators — `posexplode_outer` keeps a parent
+    * row (with NULL position/element) when its array is empty, where plain
+    * explode silently drops it. The dropped-parent bug is a classic silent
+    * data-loss mode in fan-out pipelines; this pins the outer contract,
+    * including the NULLS FIRST ordering both engines are forced to agree
+    * on. Pure per-row generation — no shuffle before the output sort.
+    */
+  val q92ExplodeOuter: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("parts",
+        expr("filter(split(c_name, '#'), x -> x like '%7%')"))
+      .select(col("c_custkey"), posexplode_outer(col("parts")))
+      .select(col("c_custkey"), col("pos"), col("col").as("part"))
+      .orderBy(col("c_custkey"), col("pos").asc_nulls_first)
+
   /** q71: percent-of-total — an unpartitioned window total under each
     * group total. Both operands are decimal-exact sums cast to double, so
     * the single double divide is engine-identical.
@@ -547,6 +584,8 @@ object Extras {
     "q68_csv_roundtrip"      -> q68CsvRoundtrip,
     "q69_json_roundtrip"     -> q69JsonRoundtrip,
     "q90_text_roundtrip"     -> q90TextRoundtrip,
+    "q91_cdc_apply"          -> q91CdcApply,
+    "q92_explode_outer"      -> q92ExplodeOuter,
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q82_exists_subquery"    -> q82ExistsSubquery,
     "q83_xml_roundtrip"      -> q83XmlRoundtrip,
@@ -661,6 +700,27 @@ object Extras {
     "q90_text_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q91_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id, value AS last_value,
+        |       event_type AS last_op
+        |FROM (SELECT user_id, event_id, value, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q92_explode_outer" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |         list_filter(string_split(c_name, '#'), x -> x LIKE '%7%') AS l
+        |  FROM customer),
+        |ex AS (
+        |  SELECT c_custkey, unnest(generate_series(1, len(l))) AS i, l
+        |  FROM base WHERE len(l) > 0)
+        |SELECT c_custkey, CAST(i - 1 AS INT) AS pos, l[i] AS part FROM ex
+        |UNION ALL
+        |SELECT c_custkey, NULL, NULL FROM base WHERE len(l) = 0
+        |ORDER BY c_custkey, pos NULLS FIRST""".stripMargin,
     "q69_json_roundtrip" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -496,7 +496,46 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** PII patterns, escape-free so the same literal text compiles in Java
+    * regex (Spark) and RE2 (DuckDB): character classes only, no `\d`/`\b`.
+    */
+  val EmailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  val CardRe = "[0-9]{16}"
+
+  /** t15: PII redaction — scrub emails and 16-digit card numbers from the
+    * corpus, reporting per-doc match counts plus a hash of the cleaned
+    * text (the audit columns a compliance pass emits). The synthetic
+    * corpus contains no PII, so both engines PLANT it deterministically
+    * from doc_id (2/3 of docs get an email, 1/2 a card number) — the
+    * planted string is the pinned input, the redaction is the operator
+    * under test. Pure per-row regex work in codegen, no shuffle before
+    * the sort: scrubbing is embarrassingly parallel at 100 TB, which is
+    * why it must never be a collect-and-clean step.
+    */
+  val t15PiiRedact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("dirty", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 3 > 0
+          |       THEN concat(' contact user', cast(doc_id as string), '@mail.com')
+          |       ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN concat(' card ', cast(4000000000000000 + doc_id as string))
+          |       ELSE '' END)""".stripMargin))
+      .select(col("doc_id"),
+        expr(s"regexp_count(dirty, '$EmailRe')").as("n_emails"),
+        expr(s"regexp_count(dirty, '$CardRe')").as("n_cards"),
+        expr(s"""length(regexp_replace(regexp_replace(dirty,
+                |  '$EmailRe', '<EMAIL>'), '$CardRe', '<CARD>'))""".stripMargin)
+          .as("clean_len"),
+        expr(TextHash.sparkHash56(
+          s"""regexp_replace(regexp_replace(dirty,
+             |  '$EmailRe', '<EMAIL>'), '$CardRe', '<CARD>')""".stripMargin))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t15_pii_redact"      -> t15PiiRedact,
     "t14_substring_dedup" -> t14SubstringDedup,
     "p02_mixture_report"  -> p02MixtureReport,
     "t11_weighted_sample" -> t11WeightedSample,
@@ -520,6 +559,25 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t15_pii_redact" -> {
+      val dirty =
+        s"""text ||
+           |  CASE WHEN doc_id % 3 > 0
+           |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+           |       ELSE '' END ||
+           |  CASE WHEN doc_id % 2 = 0
+           |       THEN ' card ' || CAST(4000000000000000 + doc_id AS VARCHAR)
+           |       ELSE '' END""".stripMargin
+      val clean =
+        s"regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'), '$CardRe', '<CARD>', 'g')"
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(dirty, '$CardRe')) AS INT) AS n_cards,
+         |       CAST(len($clean) AS INT) AS clean_len,
+         |       ${TextHash.duckHash56(clean)} AS clean_hash
+         |FROM (SELECT doc_id, $dirty AS dirty FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     "t14_substring_dedup" ->
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -195,6 +195,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q91: CDC compaction is a partial-agg argmax, never a per-key window sort") {
+    val plan = planOf(graft.queries.Extras.q91CdcApply(spark, sf))
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      s"expected map-side combinable argmax:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"per-key window sort crept into the CDC compaction:\n$plan")
+  }
+
   test("d10: deletion-variant blocking joins hash-equi, never all-pairs") {
     val plan = planOf(graft.queries.Dedup.d10EditBlocking(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
