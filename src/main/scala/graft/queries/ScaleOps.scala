@@ -287,9 +287,33 @@ object ScaleOps {
     perOut.unionByName(allOut).orderBy("grp")
   }
 
+  // ---------------------------------------------------------------- q93
+
+  /** q93: partitioned write + partition-pruned read — THE 100 TB layout
+    * contract: write the fact table hive-partitioned by a low-cardinality
+    * column, then read one partition back and prove the scan never touches
+    * the others (PlanSpec pins `PartitionFilters` on this exact plan; at
+    * scale this is the difference between scanning 100 TB and scanning one
+    * directory). The partition column round-trips through the directory
+    * name, the data columns through parquet — both ends hash-checked
+    * against the source table.
+    */
+  val q93PartitionedWrite: Q = (s, d) => {
+    val out = "target/part_events"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("event_type").as("etype"))
+      .write.mode("overwrite").partitionBy("etype").parquet(out)
+    s.read.parquet(out)
+      .filter(col("etype") === "click")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q93_partitioned_write" -> q93PartitionedWrite,
     "x05_hll_sketch"       -> x05HllSketch,
     "x03_bloom_filter"     -> x03BloomFilterJoin,
     "x04_count_min"        -> x04CountMin,
@@ -309,6 +333,9 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q93_partitioned_write" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "x05_hll_sketch" ->
       """SELECT grp, n_exact, within_5pct FROM (
         |  SELECT o_orderpriority AS grp,

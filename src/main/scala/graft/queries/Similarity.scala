@@ -377,7 +377,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** n08: ANN recall evaluation — the index-quality report every ANN
+    * deployment runs before trusting an approximate index: recall@k of
+    * each probe strategy (n01's LSH bucket, n02's IVF list) against the
+    * exact brute-force top-k (q33), one audit row per method. Both probes
+    * are the existing scale shapes (broadcast query vector,
+    * TakeOrderedAndProject heaps); each intersection is a k-row broadcast
+    * semi-join, so the whole evaluation adds two metadata-scale joins to
+    * the three searches. The fixture result is itself the lesson — IVF
+    * 9/10, single-bucket LSH 0/10 on a diffuse corpus — exactly the
+    * evidence this report exists to surface (LSH here needs multi-probe).
+    * At 100 TB this runs over a SAMPLE of queries; the per-query shape is
+    * identical.
+    */
+  val n08AnnRecall: Q = (s, d) => {
+    val v = prepared(s, d).withColumn("bkt", expr(bucket("q")))
+      .select("vec_id", "q", "nrm", "bkt")
+      .cache()
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"), col("bkt").as("qbkt"))
+    def scored(df: DataFrame): DataFrame = df
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+    val exact = scored(v.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv)))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id"))
+    val lsh = scored(v.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .filter(col("bkt") === col("qbkt")))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id"))
+    val assigned = ivfAssigned(s, d)
+    val qc = assigned.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"), col("cid").as("qcid"))
+    val ivf = scored(assigned.filter(col("vec_id") =!= 0).crossJoin(broadcast(qc))
+        .filter(col("cid") === col("qcid")))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id"))
+    def recallRow(method: String, ann: DataFrame): DataFrame =
+      ann.join(broadcast(exact), "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(method).as("method"), lit(TopK).as("k"), col("n_hit"),
+                expr(s"n_hit * 10000 div $TopK").as("recall_bp"))
+    recallRow("ivf", ivf).unionByName(recallRow("lsh", lsh)).orderBy("method")
+  }
+
   val queries: Map[String, Q] = Map(
+    "n08_ann_recall"     -> n08AnnRecall,
     "d11_semdedup"       -> d11SemDedup,
     "n06_pq_codes"       -> n06PqCodes,
     "n07_pq_search"      -> n07PqSearch,
@@ -415,6 +460,40 @@ object Similarity {
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n08_ann_recall" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |wb AS (SELECT vec_id, q, nrm, ${duckBucket("q")} AS bkt FROM prepn),
+         |qv AS (SELECT q AS qa, nrm AS na, bkt AS qbkt FROM wb WHERE vec_id = 0),
+         |qc AS (SELECT q AS qa, nrm AS na, cid AS qcid FROM assigned WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |           CAST(${duckDot("qa", "q")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
+         |    FROM wb, qv WHERE vec_id <> 0)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT $TopK),
+         |lsh AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |           CAST(${duckDot("qa", "q")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
+         |    FROM wb, qv WHERE vec_id <> 0 AND bkt = qbkt)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT $TopK),
+         |ivf AS (
+         |  SELECT vec_id FROM (
+         |    SELECT a.vec_id,
+         |           CAST(${duckDot("qa", "a.q")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |    FROM assigned a, qc WHERE a.vec_id <> 0 AND a.cid = qcid)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT $TopK)
+         |SELECT method, k, n_hit, n_hit * 10000 // $TopK AS recall_bp FROM (
+         |  SELECT 'ivf' AS method, $TopK AS k,
+         |         (SELECT COUNT(1) FROM ivf JOIN exact USING (vec_id)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'lsh', $TopK,
+         |         (SELECT COUNT(1) FROM lsh JOIN exact USING (vec_id)))
+         |ORDER BY method""".stripMargin,
     "d11_semdedup" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

@@ -144,6 +144,21 @@ object StreamOps {
         |e_ts <= p_ts""".stripMargin), "leftOuter")
   }
 
+  /** s11: complete-mode top-k snapshot — the third output mode: every
+    * micro-batch re-emits the ENTIRE result (here a top-3 leaderboard),
+    * which is the only mode that allows sort+limit over a streaming
+    * aggregate. Complete mode is viable precisely because the result is
+    * aggregate-bounded (top-k rows, not the stream) — the dashboard /
+    * leaderboard consumer shape. The spec asserts the final snapshot
+    * equals the batch top-k over the same replay and that a new batch
+    * re-ranks rather than appends.
+    */
+  def s11CompleteTopK(events: DataFrame, k: Int = 3): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(k)
+
   /** s10: update-mode keyed aggregation — the third output mode beside
     * s01-style append and the complete-mode snapshot: each micro-batch
     * re-emits ONLY the keys whose aggregate changed. Unwindowed per-key

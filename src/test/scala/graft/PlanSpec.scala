@@ -195,6 +195,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q93: read-back scan prunes to the selected partition (PartitionFilters)") {
+    val plan = planOf(graft.queries.ScaleOps.q93PartitionedWrite(spark, sf))
+    assert(plan.contains("PartitionFilters") && plan.contains("etype"),
+      s"expected partition pruning on etype at the scan:\n$plan")
+  }
+
   test("q91: CDC compaction is a partial-agg argmax, never a per-key window sort") {
     val plan = planOf(graft.queries.Extras.q91CdcApply(spark, sf))
     assert(plan.contains("partial_max_by") || plan.contains("partial_"),

@@ -355,6 +355,27 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot === Set((1L, 3L, 60.0), (2L, 1L, 5.0)), s"got $snapshot")
   }
 
+  test("s11 complete-mode top-k re-ranks every batch; final snapshot equals batch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.s11CompleteTopK(mem.toDF.toDF("user_id", "value"), k = 2)
+      .writeStream.format("memory").queryName("s11_out")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData((1L, 1.0), (1L, 1.0), (2L, 2.0))
+    q.processAllAvailable()
+    // leaderboard after batch 1: user1 (n=2), user2 (n=1)
+    val b1 = spark.table("s11_out").select("user_id").collect().map(_.getLong(0)).toSet
+    assert(b1 === Set(1L, 2L), s"got $b1")
+    // user 3 overtakes user 2; complete mode must REPLACE the snapshot
+    mem.addData((3L, 3.0), (3L, 3.0), (3L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s11_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fin === Set((3L, 3L, 9.0), (1L, 2L, 2.0)), s"got $fin")
+  }
+
   test("s07 stream-static join enriches each micro-batch from the dim table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
