@@ -18,9 +18,16 @@ import graft.functions.{Hash56, PyRound, Shingles, VecDot}
   *  - `shingles(tokens, k)` — codegen'd word k-gram shingle array over
   *    array<string> (see Shingles for why the HOF spelling was the t04
   *    bottleneck).
+  *
+  * and one planner strategy:
+  *  - [[graft.plans.TopKPerKeyStrategy]] — plans the custom
+  *    [[graft.plans.TopKPerKeyPlan]] node as a two-phase bounded-heap
+  *    top-k per key (map-side partial before the shuffle — the shape
+  *    window `row_number() <= k` cannot produce).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       new FunctionIdentifier("py_round"),
       new ExpressionInfo(classOf[PyRound].getName, "py_round"),

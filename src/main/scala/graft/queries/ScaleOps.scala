@@ -310,9 +310,30 @@ object ScaleOps {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94: top-k per key through the CUSTOM OPERATOR chain
+    * ([[graft.plans.TopKPerKeyPlan]] → strategy → two-phase bounded-heap
+    * exec, injected by GraftExtensions): top-3 orders per customer by
+    * price. Same result as q49's window `row_number() <= k` spelling —
+    * the oracle is literally that window SQL — but the plan shuffles only
+    * map-side survivors (≤ partitions × keys × k rows) instead of every
+    * row, and never sorts whole partitions. The (price DESC, orderkey ASC)
+    * order is total per key, which the operator's determinism contract
+    * requires; the final orderBy is presentation for the oracle compare.
+    */
+  val q94TopkCustom: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopKPerKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q94_topk_custom"      -> q94TopkCustom,
     "q93_partitioned_write" -> q93PartitionedWrite,
     "x05_hll_sketch"       -> x05HllSketch,
     "x03_bloom_filter"     -> x03BloomFilterJoin,
@@ -333,6 +354,13 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q94_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q93_partitioned_write" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+/** The custom two-phase top-k-per-key operator (logical node + strategy +
+  * bounded-heap exec, injected via GraftExtensions).
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private def customTopK(k: Int) =
+    TopKPerKey(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), k)
+
+  test("custom operator equals the window row_number spelling (k=3)") {
+    val got = customTopK(3).orderBy("o_custkey", "o_orderkey").collect().toSeq
+    val want = windowTopK(3).orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("k larger than every group degenerates to the identity set") {
+    val n = Tables.orders(spark, sf).count()
+    assert(customTopK(1000000).count() === n)
+  }
+
+  test("k=1 is the per-key argmax") {
+    val got = customTopK(1).orderBy("o_custkey").collect().toSeq
+    val want = windowTopK(1).orderBy("o_custkey").collect().toSeq
+    assert(got === want)
+  }
+
+  test("plan is partial exec -> exchange -> final exec; no window, no full sort") {
+    val plan = customTopK(3).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TopKPerKeyPartial"), s"missing partial stage:\n$s")
+    assert(s.contains("TopKPerKeyFinal"), s"missing final stage:\n$s")
+    assert(s.contains("Exchange"), s"missing shuffle between phases:\n$s")
+    assert(!s.contains("WindowExec") && !s.contains("windowspecdefinition"),
+      s"window crept into the custom plan:\n$s")
+    // the partial stage must be UPSTREAM of the exchange (map-side)
+    val partialDepth = s.linesIterator.indexWhere(_.contains("TopKPerKeyPartial"))
+    val exchangeDepth = s.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(partialDepth > exchangeDepth,
+      s"partial stage is not below the exchange in the tree:\n$s")
+  }
+
+  test("map-side survivors bound the shuffle: partial output <= partitions * keys * k") {
+    val k = 2
+    // AQE wraps executed stages in query-stage nodes that plan.collect
+    // can't traverse; turn it off (through execution) so the metric
+    // objects are reachable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val partial =
+      try {
+        val df = customTopK(k)
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case e: TopKPerKeyExec if e.partial => e
+        }.head
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val out = partial.metrics("numOutputRows").value
+    val nKeys = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val parts = spark.sessionState.conf.numShufflePartitions
+    assert(out <= nKeys * k * parts, s"partial emitted $out rows")
+    assert(out > 0)
+  }
+}
