@@ -330,9 +330,32 @@ object ScaleOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q95
+
+  /** q95: key-skew profile — the diagnostic a planner (human or automated)
+    * reads before choosing plain vs salted vs broadcast for a join
+    * (operators q60/SkewJoin act on what this measures): per-key counts
+    * reduced to key cardinality, max/min key weight, mean (×100, integer),
+    * and a skew ratio (max ÷ mean, ×100) — skew≈100 means uniform,
+    * 10 000 means the hottest key is 100× the mean and needs salting.
+    * Two partial-agg groupBys (rows → per-key counts → 5 scalars); the
+    * second input is one row per key. All integer arithmetic.
+    */
+  val q95SkewProfile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(col("cnt")).as("total_rows"),
+           max(col("cnt")).as("max_cnt"),
+           min(col("cnt")).as("min_cnt"))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"), col("min_cnt"),
+        expr("total_rows * 100 div n_keys").as("mean_x100"),
+        expr("max_cnt * n_keys * 100 div total_rows").as("skew_x100"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q95_skew_profile"     -> q95SkewProfile,
     "q94_topk_custom"      -> q94TopkCustom,
     "q93_partitioned_write" -> q93PartitionedWrite,
     "x05_hll_sketch"       -> x05HllSketch,
@@ -354,6 +377,13 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q95_skew_profile" ->
+      """SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
+        |       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |       MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+        |       CAST(SUM(cnt) AS BIGINT) * 100 // COUNT(1) AS mean_x100,
+        |       MAX(cnt) * COUNT(1) * 100 // CAST(SUM(cnt) AS BIGINT) AS skew_x100
+        |FROM (SELECT l_suppkey, COUNT(1) AS cnt FROM lineitem GROUP BY l_suppkey)""".stripMargin,
     "q94_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

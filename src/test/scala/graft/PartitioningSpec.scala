@@ -93,6 +93,32 @@ class PartitioningSpec extends SparkSpec {
     assert(joined.count() === Tables.orders(spark, sf).count())
   }
 
+  test("dynamic partition overwrite: rewriting one partition leaves the others intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("dpo").toString
+    // initial load: two partitions
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(out)
+    // re-process ONLY partition b with corrected data; in dynamic mode the
+    // overwrite must replace b and must NOT touch a (static mode would
+    // clobber the whole table — the classic 100 TB reprocessing accident)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((3L, "b", 31.0), (4L, "b", 40.0)).toDF("id", "part", "v")
+        .write.partitionBy("part").mode("overwrite").parquet(out)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val rows = spark.read.parquet(out)
+      .select("id", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, "a", 10.0), (2L, "a", 20.0),
+                        (3L, "b", 31.0), (4L, "b", 40.0)), s"got $rows")
+  }
+
   test("partition pruning: partitioned write + filter reads one partition") {
     val dir = Files.createTempDirectory("part_orders").toString + "/data"
     Tables.orders(spark, sf)
