@@ -352,9 +352,26 @@ object ScaleOps {
         expr("total_rows * 100 div n_keys").as("mean_x100"),
         expr("max_cnt * n_keys * 100 div total_rows").as("skew_x100"))
 
+  // ---------------------------------------------------------------- q96
+
+  /** q96: file-level provenance — every row tagged with its source file
+    * (`input_file_name()`), rolled up to per-file row counts: the lineage
+    * audit a 100 TB ingest runs to reconcile "what landed" against the
+    * upstream manifest (and the first tool out when one bad file poisons
+    * a table). Per-row metadata column + one partial-agg groupBy over
+    * O(files) groups; the oracle pins the single-file fixture layout by
+    * name.
+    */
+  val q96FileProvenance: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(expr("regexp_extract(input_file_name(), '[^/]+$', 0)").as("src_file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("src_file")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q96_file_provenance"  -> q96FileProvenance,
     "q95_skew_profile"     -> q95SkewProfile,
     "q94_topk_custom"      -> q94TopkCustom,
     "q93_partitioned_write" -> q93PartitionedWrite,
@@ -377,6 +394,9 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q96_file_provenance" ->
+      """SELECT 'orders.parquet' AS src_file, COUNT(1) AS n_rows
+        |FROM orders ORDER BY src_file""".stripMargin,
     "q95_skew_profile" ->
       """SELECT CAST(COUNT(1) AS BIGINT) AS n_keys,
         |       CAST(SUM(cnt) AS BIGINT) AS total_rows,

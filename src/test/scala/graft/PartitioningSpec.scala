@@ -119,6 +119,30 @@ class PartitioningSpec extends SparkSpec {
                         (3L, "b", 31.0), (4L, "b", 40.0)), s"got $rows")
   }
 
+  test("output file sizing: maxRecordsPerFile splits files; codec honored") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("fsz").toString
+    (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1) // one task — file count below must come from the LIMIT, not parallelism
+      .write
+      .option("maxRecordsPerFile", 1000)
+      .option("compression", "zstd")
+      .mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    // 5000 rows / 1000-per-file cap => 5 files from ONE task: the knob that
+    // keeps 100 TB sinks from emitting unsplittable monster files
+    assert(files.length === 5, s"got ${files.map(_.getName).toSeq}")
+    assert(files.forall(_.getName.contains(".zstd.")),
+      s"zstd codec not in file names: ${files.map(_.getName).toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5000)
+    // per-file row bound holds
+    val perFile = back.groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 1000), s"file exceeded cap: ${perFile.toSeq}")
+  }
+
   test("partition pruning: partitioned write + filter reads one partition") {
     val dir = Files.createTempDirectory("part_orders").toString + "/data"
     Tables.orders(spark, sf)

@@ -376,6 +376,39 @@ class StreamingSpec extends SparkSpec {
     assert(fin === Set((3L, 3L, 9.0), (1L, 2L, 2.0)), s"got $fin")
   }
 
+  test("s10 stateful aggregation state survives a query restart (checkpoint recovery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("s10r_ckpt")
+    val outDir = tmp("s10r_out")
+    val mem = MemoryStream[(Long, Double)]
+    def start() = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    val q1 = start()
+    mem.addData((1L, 10.0), (2L, 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the SAME checkpoint: the per-key (count, sum) state
+    // must come back from the state store, not reset to zero
+    val q2 = start()
+    mem.addData((1L, 30.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // post-restart emission for user 1 carries the RECOVERED totals
+    assert(rows.contains((1L, 2L, 40.0)),
+      s"state lost across restart: ${rows.toSeq.sorted}")
+    // and without a batch-1 reset emission (n=1, 30.0) ever appearing
+    assert(!rows.contains((1L, 1L, 30.0)), s"state reset detected: ${rows.toSeq.sorted}")
+  }
+
   test("s07 stream-static join enriches each micro-batch from the dim table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -56,6 +56,29 @@ class TopKPerKeySpec extends SparkSpec {
       s"partial stage is not below the exchange in the tree:\n$s")
   }
 
+  test("randomized differential: custom operator equals window spelling on 50 seeds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42) // fixed seed: deterministic replay
+    for (trial <- 1 to 50) {
+      val n = 1 + rng.nextInt(60)
+      val nKeys = 1 + rng.nextInt(6)
+      val k = 1 + rng.nextInt(4)
+      // values collide often (small range) so heap tie-handling is exercised;
+      // rid makes the order total, per the operator's determinism contract
+      val rows = (0 until n).map { rid =>
+        (rng.nextInt(nKeys).toLong, rng.nextInt(5).toDouble, rid.toLong)
+      }
+      val df = rows.toDF("key", "v", "rid")
+      val got = TopKPerKey(df, Seq("key"), Seq(("v", false), ("rid", true)), k)
+        .orderBy("key", "rid").collect().toSeq
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("rid").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("key", "rid").collect().toSeq
+      assert(got === want, s"trial $trial diverged (n=$n keys=$nKeys k=$k)")
+    }
+  }
+
   test("map-side survivors bound the shuffle: partial output <= partitions * keys * k") {
     val k = 2
     // AQE wraps executed stages in query-stage nodes that plan.collect
