@@ -28,6 +28,7 @@ import graft.functions.{Hash56, PyRound, Shingles, VecDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopKPerKey)
     ext.injectFunction((
       new FunctionIdentifier("py_round"),
       new ExpressionInfo(classOf[PyRound].getName, "py_round"),

@@ -45,6 +45,30 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
+/** Optimizer rule for the custom node — the `Rule[LogicalPlan]` tier of
+  * the extension ladder (injected via `injectOptimizerRule`): a Filter
+  * that references ONLY grouping-key columns commutes with per-key top-k
+  * (dropping whole key groups before or after the heaps selects the same
+  * rows), so push it below the operator where it can reach the scan —
+  * Catalyst's own pushdown rules don't know the custom node and would
+  * otherwise stop at it, leaving the heaps to process groups the filter
+  * throws away. Filters touching ORDER columns must NOT be pushed: they
+  * would change which rows compete inside a group.
+  */
+object PushFilterThroughTopKPerKey
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKeyPlan)
+        if cond.references.subsetOf(
+             org.apache.spark.sql.catalyst.expressions.AttributeSet(
+               t.keys.flatMap(_.references))) &&
+           !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+             .hasSubquery(cond) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 /** Plans the logical node as partial-exec → (exchange inserted by
   * EnsureRequirements) → final-exec, exactly like a two-phase aggregate.
   */

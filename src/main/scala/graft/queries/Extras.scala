@@ -375,6 +375,32 @@ object Extras {
       .orderBy("user_id")
   }
 
+  /** q97: typed `cogroup` — the Dataset surface for "both sides of a key,
+    * together, as iterators": per customer, order stats from one table and
+    * presence from the other, computed in one closure. This is the escape
+    * hatch for per-key merge logic no join+agg can express (here it CAN —
+    * the oracle is a FULL JOIN of two GROUP BYs — which is what makes it
+    * verifiable); the closure sticks to order-independent reductions
+    * (count/max) because cogroup iterator order is not defined. Plans as
+    * one shuffle per side on the key — the same cost as the join spelling.
+    */
+  val q97Cogroup: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+    orders.groupByKey(_._1).cogroup(cust.groupByKey(_._1)) { (k, os, cs) =>
+      var nOrders = 0L
+      var maxPrice = -1.0
+      os.foreach { o => nOrders += 1; if (o._2 > maxPrice) maxPrice = o._2 }
+      var nCust = 0L
+      cs.foreach(_ => nCust += 1)
+      Iterator((k, nOrders, nCust, maxPrice))
+    }.toDF("k", "n_orders", "n_cust", "max_price")
+      .orderBy("k")
+  }
+
   /** q91: CDC apply / change-log compaction — reduce a keyed change stream
     * to its final state: the LATEST operation per key wins, and a terminal
     * delete removes the key entirely (the semantics of applying a CDC feed
@@ -586,6 +612,7 @@ object Extras {
     "q90_text_roundtrip"     -> q90TextRoundtrip,
     "q91_cdc_apply"          -> q91CdcApply,
     "q92_explode_outer"      -> q92ExplodeOuter,
+    "q97_cogroup"            -> q97Cogroup,
     "q81_orc_roundtrip"      -> q81OrcRoundtrip,
     "q82_exists_subquery"    -> q82ExistsSubquery,
     "q83_xml_roundtrip"      -> q83XmlRoundtrip,
@@ -700,6 +727,18 @@ object Extras {
     "q90_text_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q97_cogroup" ->
+      """SELECT COALESCE(o.k, c.k) AS k,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_cust, 0) AS n_cust,
+        |       COALESCE(max_price, -1.0) AS max_price
+        |FROM (SELECT o_custkey AS k, COUNT(1) AS n_orders,
+        |             MAX(o_totalprice) AS max_price
+        |      FROM orders GROUP BY o_custkey) o
+        |FULL JOIN (SELECT c_custkey AS k, COUNT(1) AS n_cust
+        |           FROM customer GROUP BY c_custkey) c
+        |  ON o.k = c.k
+        |ORDER BY k""".stripMargin,
     "q91_cdc_apply" ->
       """SELECT user_id, event_id AS last_event_id, value AS last_value,
         |       event_type AS last_op

@@ -56,6 +56,39 @@ class TopKPerKeySpec extends SparkSpec {
       s"partial stage is not below the exchange in the tree:\n$s")
   }
 
+  test("optimizer rule pushes key-only filters below the operator, to the scan") {
+    val filtered = customTopK(3).filter(col("o_custkey") < 50)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // after the rule, the Filter sits BELOW TopKPerKeyPlan (then Catalyst's
+    // own pushdown carries it into the parquet scan)
+    val topkIdx = optimized.collect { case t: graft.plans.TopKPerKeyPlan => t }
+    assert(topkIdx.nonEmpty, s"node vanished:\n$optimized")
+    assert(!optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      s"filter stayed above the top-k node:\n$optimized")
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") && physical.contains("LessThan(o_custkey,50)"),
+      s"key filter did not reach the parquet scan:\n$physical")
+    // and semantics hold: filter-then-topk == topk-then-filter for key filters
+    val got = filtered.orderBy("o_custkey", "o_orderkey").collect().toSeq
+    val want = windowTopK(3).filter(col("o_custkey") < 50)
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("order-column filters are NOT pushed (they would change the competition)") {
+    val filtered = customTopK(3).filter(col("o_totalprice") > 100.0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the top node must still be the Filter, above TopKPerKeyPlan
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      s"unsafe pushdown of an order-column filter:\n$optimized")
+    // and results match the window spelling filtered the same way
+    val got = filtered.orderBy("o_custkey", "o_orderkey").collect().toSeq
+    val want = windowTopK(3).filter(col("o_totalprice") > 100.0)
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    assert(got === want)
+  }
+
   test("randomized differential: custom operator equals window spelling on 50 seeds") {
     import spark.implicits._
     val rng = new scala.util.Random(42) // fixed seed: deterministic replay
