@@ -368,9 +368,38 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy("src_file")
 
+  // ---------------------------------------------------------------- q98
+
+  /** q98: star join — the fact table joined through a dimension chain
+    * (lineitem → supplier → nation → region) with revenue rolled up per
+    * region. The scale argument is per-leg: nation (25 rows) and region
+    * (5 rows) are FIXED-size dimensions at any corpus scale → provably
+    * broadcast (PlanSpec pins both legs as BroadcastHashJoin); supplier
+    * grows with the data → left to AQE, which broadcasts at this SF and
+    * shuffles at 100 TB — the decision is the optimizer's, per the
+    * measured size, which is the point. Revenue accumulates in
+    * DECIMAL(18,2) (order-independent) and lands as double.
+    */
+  val q98StarJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+    val reg = Tables.region(s, d).select("r_regionkey", "r_name")
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("price")).cast(DecimalType(18, 2)).cast("double").as("revenue"))
+      .orderBy("r_name")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
     "q95_skew_profile"     -> q95SkewProfile,
     "q94_topk_custom"      -> q94TopkCustom,
@@ -394,6 +423,14 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q98_star_join" ->
+      """SELECT r_name, COUNT(1) AS n_items,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q96_file_provenance" ->
       """SELECT 'orders.parquet' AS src_file, COUNT(1) AS n_rows
         |FROM orders ORDER BY src_file""".stripMargin,

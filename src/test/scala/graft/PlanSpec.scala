@@ -201,6 +201,14 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning on etype at the scan:\n$plan")
   }
 
+  test("q98: fixed-size dimension legs (nation, region) broadcast in the star join") {
+    val plan = planOf(graft.queries.ScaleOps.q98StarJoin(spark, sf))
+    // 3 joins; at minimum the two provably-constant dims must broadcast
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast legs, got $nBroadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q91: CDC compaction is a partial-agg argmax, never a per-key window sort") {
     val plan = planOf(graft.queries.Extras.q91CdcApply(spark, sf))
     assert(plan.contains("partial_max_by") || plan.contains("partial_"),
