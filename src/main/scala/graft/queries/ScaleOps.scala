@@ -396,9 +396,37 @@ object ScaleOps {
       .orderBy("r_name")
   }
 
+  // ---------------------------------------------------------------- q99
+
+  /** Shard count for rendezvous assignment (8 shards over 500 docs at
+    * sf0.01 → ~60 docs/shard, enough to see balance).
+    */
+  private val NumShards = 8
+
+  /** q99: rendezvous (highest-random-weight) shard assignment — the
+    * stable partitioner for distributed indexes/caches: each key goes to
+    * argmax over shards of hash(key, shard), so ADDING a shard moves only
+    * ~1/(N+1) of keys (consistent-hashing's property, no ring needed).
+    * Spelled as explode(shards) → one codegen md5 per (key, shard) →
+    * partial-agg `max_by` argmax — map-side combinable, no per-key window,
+    * N× row amplification only between the project and the partial agg of
+    * the same stage. Ties (never at 56-bit hashes, but pinned anyway)
+    * break to the smaller shard id on both engines.
+    */
+  val q99RendezvousShard: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${NumShards - 1})")).as("shard"))
+      .withColumn("h", expr(TextHash.sparkHash56(
+        "concat(cast(doc_id as string), '|', cast(shard as string))")))
+      .groupBy("doc_id")
+      .agg(max_by(col("shard"), struct(col("h"), negate(col("shard")))).as("shard"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
     "q95_skew_profile"     -> q95SkewProfile,
@@ -423,6 +451,17 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q99_rendezvous_shard" -> {
+      val h = TextHash.duckHash56(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(shard AS VARCHAR)")
+      s"""SELECT doc_id, CAST(shard AS INT) AS shard FROM (
+         |  SELECT doc_id, shard,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY $h DESC, shard ASC) AS rn
+         |  FROM (SELECT doc_id, unnest(generate_series(0, ${NumShards - 1})) AS shard
+         |        FROM documents))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "q98_star_join" ->
       """SELECT r_name, COUNT(1) AS n_items,
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue

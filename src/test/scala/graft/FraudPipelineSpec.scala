@@ -99,4 +99,28 @@ class FraudPipelineSpec extends SparkSpec {
     val df = FraudPipeline.readCsv(spark, writeCsv(csv), permissive = false)
     intercept[org.apache.spark.SparkException] { df.collect() }
   }
+
+  test("PERMISSIVE ingest quarantines the corrupt record; clean rows survive") {
+    // the third policy beside FAILFAST (die) and silent-null: capture the
+    // raw offending line in a quarantine column so a 100 TB ingest keeps
+    // going AND retains the evidence for replay
+    val dir = java.nio.file.Files.createTempDirectory("perm").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """{"id": 1, "v": 10.5}
+        |{"id": definitely not json
+        |{"id": 3, "v": 30.0}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id BIGINT, v DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val bad = rows.filter(r => !r.isNullAt(2))
+    assert(bad.length === 1)
+    assert(bad.head.getString(2).contains("definitely not json"))
+    val clean = rows.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(clean === Set((1L, 10.5), (3L, 30.0)))
+  }
 }
