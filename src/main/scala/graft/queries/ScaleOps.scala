@@ -410,17 +410,21 @@ object ScaleOps {
     * Spelled as explode(shards) → one codegen md5 per (key, shard) →
     * partial-agg `max_by` argmax — map-side combinable, no per-key window,
     * N× row amplification only between the project and the partial agg of
-    * the same stage. Ties (never at 56-bit hashes, but pinned anyway)
-    * break to the smaller shard id on both engines.
+    * the same stage. The (hash, smaller-shard-wins) tie-break is ENCODED
+    * into one BIGINT weight `h·N + (N−1−shard)` (h < 2⁵⁶, N = 8 → < 2⁵⁹):
+    * a struct ordering key would force the aggregate onto the sort-based
+    * path (struct buffers aren't hash-aggregable); the scalar weight keeps
+    * both phases in HashAggregate.
     */
   val q99RendezvousShard: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, ${NumShards - 1})")).as("shard"))
-      .withColumn("h", expr(TextHash.sparkHash56(
-        "concat(cast(doc_id as string), '|', cast(shard as string))")))
+      .withColumn("w", expr(TextHash.sparkHash56(
+        "concat(cast(doc_id as string), '|', cast(shard as string))") +
+        s" * $NumShards + (${NumShards - 1} - shard)"))
       .groupBy("doc_id")
-      .agg(max_by(col("shard"), struct(col("h"), negate(col("shard")))).as("shard"))
+      .agg(max_by(col("shard"), col("w")).as("shard"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ registry

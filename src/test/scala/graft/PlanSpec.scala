@@ -209,6 +209,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q99: rendezvous argmax is a two-phase HASH aggregate (scalar weight, no sort path)") {
+    val plan = planOf(graft.queries.ScaleOps.q99RendezvousShard(spark, sf))
+    assert(plan.contains("HashAggregate") && plan.contains("partial_max_by"),
+      s"expected hash-agg partial argmax:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"struct-ordering buffer forced the sort-based aggregate:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"per-key window crept into the shard argmax:\n$plan")
+  }
+
   test("q91: CDC compaction is a partial-agg argmax, never a per-key window sort") {
     val plan = planOf(graft.queries.Extras.q91CdcApply(spark, sf))
     assert(plan.contains("partial_max_by") || plan.contains("partial_"),
