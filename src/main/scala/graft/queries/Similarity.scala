@@ -421,7 +421,37 @@ object Similarity {
     recallRow("ivf", ivf).unionByName(recallRow("lsh", lsh)).orderBy("method")
   }
 
+  /** n09: multi-probe LSH ANN — the scale fix for n01's single-bucket
+    * recall deficit (n08 measures it at 0/10 on this fixture): probe the
+    * query's bucket PLUS the 8 single-bit-flip neighbors (the buckets a
+    * borderline hyperplane sign would have produced). Each vector lives in
+    * exactly one bucket, so the 9-row probe table broadcast-joins without
+    * fan-out; candidates ≈ 9/256 of the corpus instead of 1/256, and
+    * recall@10 rises 0 → 2 here — the probes/recall dial every LSH
+    * deployment tunes (more planes + more probes at production scale).
+    */
+  val n09AnnMultiprobe: Q = (s, d) => {
+    val v = prepared(s, d).withColumn("bkt", expr(bucket("q")))
+      .select("vec_id", "q", "nrm", "bkt")
+      .cache()
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"), col("bkt").as("qbkt"))
+    val flips = (0 until NumPlanes).map(j => s"qbkt ^ ${1 << j}")
+    val probes = qv.select(
+      explode(expr(s"array(qbkt, ${flips.mkString(", ")})")).as("pb"))
+    v.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bkt") === col("pb"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos",
+        expr(s"cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "bkt", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
     "d11_semdedup"       -> d11SemDedup,
     "n06_pq_codes"       -> n06PqCodes,
@@ -460,6 +490,22 @@ object Similarity {
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n09_ann_multiprobe" ->
+      s"""WITH $duckPrep,
+         |wb AS (SELECT vec_id, q, nrm, ${duckBucket("q")} AS bkt FROM prepn),
+         |qv AS (SELECT q AS qa, nrm AS na, bkt AS qbkt FROM wb WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT qbkt AS pb FROM qv
+         |  UNION ALL
+         |  SELECT xor(qbkt, 1 << j) FROM qv, generate_series(0, ${NumPlanes - 1}) AS g(j)),
+         |scored AS (
+         |  SELECT w.vec_id, w.bkt, ${duckDot("qa", "w.q")} AS dot,
+         |         CAST(${duckDot("qa", "w.q")} AS DOUBLE)
+         |           / sqrt(CAST(na AS DOUBLE) * CAST(w.nrm AS DOUBLE)) AS cos
+         |  FROM wb w JOIN probes p ON w.bkt = p.pb CROSS JOIN qv
+         |  WHERE w.vec_id <> 0)
+         |SELECT vec_id, bkt, dot, cos FROM scored
+         |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n08_ann_recall" ->
       s"""WITH $duckPrep,
          |$duckAssigned,
