@@ -450,7 +450,56 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** p03: the production dedup CASCADE — exact → MinHash/LSH cluster →
+    * semantic (SemDeDup), each stage running only on the previous stage's
+    * survivors, every document labeled with the stage that dropped it (or
+    * `kept`). This is the composition a real corpus pipeline deploys (cheap
+    * exact pass first, fuzzy text second, embedding-space last) stitched
+    * from the verified pieces: q32's text-min, d05's cluster table, d11's
+    * within-IVF-cluster pruning over `embeddings` (vec_id ≡ doc_id).
+    *
+    * Sequencing correctness without materializing intermediate corpora:
+    * exact twins share a MinHash signature, hence a cluster — so the
+    * cluster-min is NEVER exact-dropped, and "doc ≠ cluster-min" computed
+    * on the FULL corpus equals stage-2-on-survivors; stage 3 restricts its
+    * pair join to stage-2 survivors explicitly. At 100 TB each stage is
+    * the already-audited shape (partial-agg groupBy; log-round CC;
+    * per-cluster pairs); the cascade adds two metadata-scale joins.
+    */
+  val p03DedupCascade: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val exactMin = docs.groupBy("text").agg(min("doc_id").as("tmin"))
+    val st1 = docs.join(exactMin, "text")
+      .select(col("doc_id"), (col("doc_id") =!= col("tmin")).as("exact_dup"))
+    val clusters = buildClusterTable(s, d)
+    val surv = clusters.filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id").as("sid"))
+    val sa = Similarity.ivfAssigned(s, d)
+      .join(surv, col("vec_id") === col("sid"))
+      .select("vec_id", "q", "nrm", "cid")
+      .cache()
+    val a = sa.select(col("vec_id").as("v1"), col("q").as("q1"),
+                      col("nrm").as("n1"), col("cid"))
+    val b = sa.select(col("vec_id").as("v2"), col("q").as("q2"),
+                      col("nrm").as("n2"), col("cid"))
+    val semDropped = a.join(b, Seq("cid"))
+      .filter(col("v2") < col("v1"))
+      .withColumn("cos", expr(
+        "cast(vec_dot(q1, q2) as double) / sqrt(cast(n1 as double) * cast(n2 as double))"))
+      .filter(col("cos") >= Similarity.SemDedupCos)
+      .select(col("v1").as("dv")).distinct()
+    st1.join(clusters, "doc_id")
+      .join(semDropped, col("doc_id") === col("dv"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dup"), "exact")
+          .when(col("doc_id") =!= col("cluster"), "minhash")
+          .when(col("dv").isNotNull, "semantic")
+          .otherwise("kept").as("stage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "p03_dedup_cascade" -> p03DedupCascade,
     "d09_pagerank"      -> d09Pagerank,
     "d10_edit_blocking" -> d10EditBlocking,
     "d07_graph_stats"   -> d07GraphStats,
@@ -544,6 +593,37 @@ object Dedup {
       s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "p03_dedup_cascade" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |exact AS (
+         |  SELECT doc_id,
+         |         doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS exact_dup
+         |  FROM documents),
+         |${Similarity.duckPrep},
+         |${Similarity.duckAssigned},
+         |surv AS (SELECT doc_id AS sid FROM clusters WHERE doc_id = cluster),
+         |sa AS (
+         |  SELECT a.vec_id, a.q, a.nrm, a.cid
+         |  FROM assigned a JOIN surv ON a.vec_id = surv.sid),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id AS dv
+         |  FROM sa a JOIN sa b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE CAST(${Similarity.duckDot("a.q", "b.q")} AS DOUBLE)
+         |          / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+         |        >= ${Similarity.SemDedupCos})
+         |SELECT d.doc_id,
+         |       CASE WHEN e.exact_dup THEN 'exact'
+         |            WHEN d.doc_id <> c.cluster THEN 'minhash'
+         |            WHEN dr.dv IS NOT NULL THEN 'semantic'
+         |            ELSE 'kept' END AS stage
+         |FROM documents d
+         |JOIN exact e ON d.doc_id = e.doc_id
+         |JOIN clusters c ON d.doc_id = c.doc_id
+         |LEFT JOIN dropped dr ON d.doc_id = dr.dv
+         |ORDER BY d.doc_id""".stripMargin,
     "d07_graph_stats" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect),

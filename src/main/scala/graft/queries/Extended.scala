@@ -333,6 +333,12 @@ object Extended {
     * aggregate, with an exact-equality boolean asserting the builtin
     * follows the standard semantics. Same discipline as q74/q76: the
     * builtin is pinned against an exactly-computable twin.
+    *
+    * SCALE NOTE: the builtin leg buffers every group value in one task
+    * (percentile_disc is an ImperativeAggregate) — the exact shape the
+    * relational spelling replaces. It exists HERE as the verification
+    * twin; a 100 TB run keeps only the prefix-sum path (and most of this
+    * query's bench time is the builtin leg re-scanning lineitem).
     */
   val q80PercentileDisc: Q = (s, d) => {
     val li = Tables.lineitem(s, d)

@@ -72,7 +72,7 @@ object Similarity {
   private def dot(a: String, b: String): String =
     s"vec_dot($a, $b)"
 
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i])) AS BIGINT)"
 
   /** Spark SQL: 8-bit LSH bucket of a quantized vector — sign pattern of the
@@ -179,7 +179,7 @@ object Similarity {
   /** IVF assignment pass, shared by n02 (probe) and n03 (list stats):
     * every vector → its max-cosine centroid, ccos retained.
     */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
@@ -466,7 +466,7 @@ object Similarity {
 
   // ------------------------------------------------------------- oracles
 
-  private val duckPrep =
+  private[queries] val duckPrep =
     s"""prep AS (
        |  SELECT vec_id, ${duckQuant("embedding")} AS q FROM embeddings),
        |prepn AS (
@@ -475,7 +475,7 @@ object Similarity {
   /** Shared oracle CTE: the n02-spelled IVF assignment (window argmax — the
     * oracle's sequential spelling of the partial-agg max_by).
     */
-  private val duckAssigned =
+  private[queries] val duckAssigned =
     s"""cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
        |          FROM prepn WHERE vec_id < $NumCentroids),
        |scoredc AS (

@@ -181,4 +181,47 @@ class DedupSpec extends SparkSpec {
     val exact = (sa & sb).size.toDouble / (sa | sb).size
     assert(math.abs(est - exact) <= 0.35, s"est $est vs exact $exact")
   }
+
+  test("p03 cascade: every stage fires, in precedence order, on a planted corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cascade_fixture").toString
+    // 18 docs: 0,1 exact twins; 4,5 a near-dup pair; the rest unique
+    val near1 = distinct1
+    val near2 = distinct1.replace("tree", "graph")
+    val texts = (0 until 18).map {
+      case 0 | 1 => base
+      case 4 => near1
+      case 5 => near2
+      case i => s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"
+    }
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: one-hot basis for 0..15 (each its own IVF centroid);
+    // 16 and 17 lean on centroid 3 -> same cluster as surviving doc 3,
+    // cos ~0.98 >= SemDedupCos -> dropped by the semantic stage
+    def vec(hot: Int, extra: Option[Int]): Array[Float] = {
+      val v = new Array[Float](64)
+      v(hot) = 0.5f
+      extra.foreach(p => v(p) = 0.1f)
+      v
+    }
+    (0 until 18).map {
+      case 16 => (16L, vec(3, Some(20)), 0)
+      case 17 => (17L, vec(3, Some(21)), 0)
+      case i => (i.toLong, vec(i, None), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val stages = Dedup.p03DedupCascade(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stages(1L) === "exact")    // twin of doc 0, exact wins precedence
+    assert(stages(5L) === "minhash")  // near-dup of doc 4
+    assert(stages(16L) === "semantic")
+    assert(stages(17L) === "semantic")
+    val kept = stages.filter(_._2 == "kept").keySet
+    assert(kept === (0L until 18L).toSet -- Set(1L, 5L, 16L, 17L),
+      s"got $stages")
+  }
 }
