@@ -127,7 +127,9 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+          // initialCapacity is allocated EAGERLY — a huge k (top-1M) must
+          // not reserve a 1M-slot array per key; the queue grows as needed
+          heap = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16) + 1, cmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kLocal) {
