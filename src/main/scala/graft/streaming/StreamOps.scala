@@ -159,6 +159,21 @@ object StreamOps {
       .orderBy(col("n").desc, col("user_id").asc)
       .limit(k)
 
+  /** s12: stream-stream FULL OUTER interval join — completes the outer
+    * family (s06 inner, s09 left): unmatched rows from EITHER side emit
+    * null-padded once the watermark closes their window. Same time-bound
+    * state expiry; the join watermark is the min of the two sides'.
+    */
+  def s12StreamStreamFullJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
+        |e_ts <= p_ts""".stripMargin), "fullOuter")
+  }
+
   /** s10: update-mode keyed aggregation — the third output mode beside
     * s01-style append and the complete-mode snapshot: each micro-batch
     * re-emits ONLY the keys whose aggregate changed. Unwindowed per-key

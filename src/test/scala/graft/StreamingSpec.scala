@@ -333,6 +333,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_._1 == 2L) === 1)
   }
 
+  test("s12 full-outer stream-stream join null-pads BOTH sides after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s12StreamStreamFullJoin(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s12_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7 matches; user 9's purchase and user 8's error are orphans
+    emem.addData((ts(5), 7L, 100L), (ts(5), 8L, 101L))
+    pmem.addData((ts(10), 7L, 1L), (ts(10), 9L, 2L))
+    q.processAllAvailable()
+    // advance both watermarks past every open window
+    emem.addData((ts(60), 7L, 999L))
+    pmem.addData((ts(60), 7L, 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s12_out").select("p_id", "e_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 100L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, -1L)), s"left orphan not null-padded: $rows")
+    assert(rows.contains((-1L, 101L)), s"right orphan not null-padded: $rows")
+  }
+
   test("s10 update-mode aggregation re-emits only changed keys; snapshot equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
