@@ -534,7 +534,125 @@ object TextOps {
           .as("clean_hash"))
       .orderBy("doc_id")
 
+  /** URL pattern, escape-free like the PII patterns: character classes
+    * only, identical byte-for-byte semantics in Java regex and RE2.
+    */
+  val UrlRe = "https?://[a-z0-9./]+"
+
+  /** t16: URL extraction + registered-domain stats — the Common-Crawl-style
+    * provenance rollup (which domains feed the corpus, how many docs, how
+    * much is https). The synthetic corpus has no URLs, so both engines
+    * PLANT them deterministically from doc_id (the t15 discipline: the
+    * planted string is the pinned input, the extraction is the operator
+    * under test). Per-row regex extraction runs in codegen — embarrassingly
+    * parallel — and the only shuffle is the final partial-agg groupBy over
+    * O(domains) keys, so the shape is flat at 100 TB.
+    */
+  val t16UrlExtract: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("dirty", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 4 > 0
+          |       THEN concat(' see https://www.site', cast(doc_id % 7 as string),
+          |                   '.example', cast(doc_id % 5 as string),
+          |                   '.com/p/', cast(doc_id as string))
+          |       ELSE '' END,
+          |  CASE WHEN doc_id % 6 = 0
+          |       THEN concat(' via http://cdn.example', cast(doc_id % 5 as string),
+          |                   '.com/static/x.js')
+          |       ELSE '' END)""".stripMargin))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("dirty"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https?://([a-z0-9.]+)", 1).as("host"))
+      .withColumn("domain", regexp_extract(col("host"), "[a-z0-9]+[.][a-z]+$", 0))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           sum(when(col("url").startsWith("https"), 1L).otherwise(0L)).as("n_https"))
+      .orderBy("domain")
+
+  /** Tokens per "line" for t17 (the corpus is single-line, so lines are
+    * fixed 10-token chunks — the unit CCNet-style paragraph dedup hashes).
+    */
+  val LineTokens = 10
+
+  /** t17: cross-document line dedup (CCNet-style) — hash every line, keep
+    * only its globally FIRST occurrence (min (doc_id, line_idx)), and
+    * re-emit each document's audit row: line counts before/after and a
+    * hash of the surviving text. Unlike t14 (which only *detects* dup
+    * spans) this *removes* them with a deterministic keep policy and
+    * reconstructs the document. Scale shape: both shuffles key on the
+    * 56-bit line hash (uniform regardless of content skew); the first
+    * occurrence is a partial-agg `min` over an encoded (doc, idx) key,
+    * never a window; reconstruction state is per-document (collect_list
+    * over that doc's own lines — bounded by doc length, not corpus size).
+    */
+  val t17LineDedup: Q = (s, d) => {
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr(s"""explode(transform(
+                |  sequence(0, (size(toks) + ${LineTokens - 1}) div $LineTokens - 1),
+                |  i -> named_struct(
+                |    'idx', i,
+                |    'line', array_join(slice(toks, i * $LineTokens + 1, $LineTokens), ' '))))"""
+          .stripMargin).as("l"))
+      .select(col("doc_id"), col("l.idx").as("idx"), col("l.line").as("line"))
+      // encoded (doc, idx) key: min over ONE bigint is partial-agg exact on
+      // both engines (idx < 1e6 always — docs are ~128 tokens)
+      .withColumn("k", col("doc_id") * 1000000L + col("idx"))
+      .withColumn("h", expr(TextHash.sparkHash56("line")))
+    val first = lines.groupBy("h").agg(min(col("k")).as("first_k"))
+    lines.join(first, "h")
+      .withColumn("kept", col("k") === col("first_k"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        collect_list(when(col("kept"), struct(col("idx"), col("line")))).as("ks"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        expr(TextHash.sparkHash56(
+          "concat_ws(' ', transform(array_sort(ks), x -> x.line))")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashed-feature space size and weight formula for t18. Weights are a
+    * deterministic function of the bucket id so both engines build the
+    * identical "model" table; the multiplier is Knuth's 2654435761 (fits
+    * BIGINT: 1024 * 2654435761 < 2^42).
+    */
+  val ModelBuckets = 256
+
+  /** t18: quality-model inference — score every document with a hashed-
+    * feature (hashing-trick) linear model: token → md5 bucket → weight
+    * lookup → per-doc weight sum → keep/drop. This is the classifier-
+    * inference shape of a training-data pipeline (fastText-style quality
+    * gates) expressed as pure relational ops: the model is a metadata-scale
+    * table BROADCAST to every executor (never a shuffle of the corpus by
+    * bucket), scoring is one partial-agg sum, and there is no per-row UDF —
+    * the whole path stays in codegen. At 100 TB the corpus is touched once;
+    * model size is independent of corpus size.
+    */
+  val t18QualityModel: Q = (s, d) => {
+    val w = s.range(0, ModelBuckets)
+      .select(col("id").as("bucket"),
+              ((col("id") * 2654435761L) % 201 - 100).as("w"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket", expr(TextHash.sparkHash56("token") + s" % $ModelBuckets"))
+      .join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("w")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_url_extract"     -> t16UrlExtract,
+    "t17_line_dedup"      -> t17LineDedup,
+    "t18_quality_model"   -> t18QualityModel,
     "t15_pii_redact"      -> t15PiiRedact,
     "t14_substring_dedup" -> t14SubstringDedup,
     "p02_mixture_report"  -> p02MixtureReport,
@@ -559,6 +677,62 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t16_url_extract" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text ||
+         |         CASE WHEN doc_id % 4 > 0
+         |              THEN ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+         |                   '.example' || CAST(doc_id % 5 AS VARCHAR) ||
+         |                   '.com/p/' || CAST(doc_id AS VARCHAR)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 6 = 0
+         |              THEN ' via http://cdn.example' || CAST(doc_id % 5 AS VARCHAR) ||
+         |                   '.com/static/x.js'
+         |              ELSE '' END AS dirty
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(dirty, '$UrlRe')) AS url FROM d),
+         |h AS (SELECT doc_id, url,
+         |             regexp_extract(url, 'https?://([a-z0-9.]+)', 1) AS host
+         |      FROM u)
+         |SELECT regexp_extract(host, '[a-z0-9]+[.][a-z]+$$') AS domain,
+         |       COUNT(1) AS n_urls,
+         |       COUNT(DISTINCT doc_id) AS n_docs,
+         |       CAST(SUM(CASE WHEN url LIKE 'https%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+         |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
+    "t17_line_dedup" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, CAST(i AS INT) AS idx,
+         |         array_to_string(list_slice(toks, i * $LineTokens + 1,
+         |                                    i * $LineTokens + $LineTokens), ' ') AS line
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |               unnest(generate_series(0,
+         |                 (len(string_split(text, ' ')) + ${LineTokens - 1}) // $LineTokens - 1)) AS i
+         |        FROM documents)),
+         |hl AS (SELECT doc_id, idx, line,
+         |              doc_id * 1000000 + idx AS k,
+         |              ${TextHash.duckHash56("line")} AS h
+         |       FROM l),
+         |f AS (SELECT h, MIN(k) AS first_k FROM hl GROUP BY h)
+         |SELECT doc_id,
+         |       COUNT(1) AS n_lines,
+         |       CAST(SUM(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       ${TextHash.duckHash56(
+                  "COALESCE(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE k = first_k), '')")} AS kept_hash
+         |FROM hl JOIN f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t18_quality_model" ->
+      s"""WITH w AS (
+         |  SELECT i AS bucket, (i * 2654435761) % 201 - 100 AS w
+         |  FROM generate_series(0, ${ModelBuckets - 1}) t(i)),
+         |tok AS (
+         |  SELECT doc_id, ${TextHash.duckHash56("token")} % $ModelBuckets AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents))
+         |SELECT doc_id, COUNT(1) AS n_tokens,
+         |       CAST(SUM(w) AS BIGINT) AS score,
+         |       SUM(w) >= 0 AS keep
+         |FROM tok JOIN w USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t15_pii_redact" -> {
       val dirty =
         s"""text ||
