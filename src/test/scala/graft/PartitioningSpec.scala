@@ -158,4 +158,105 @@ class PartitioningSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "F").count()
     assert(pruned.count() === expected)
   }
+
+  /** Run `body` with the given SQL confs set, restoring prior values. */
+  private def withConfs(overrides: (String, String)*)(body: => Unit): Unit = {
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB read contract for star joins: when the selective filter
+    // sits on a NON-join dim column (so no static partition filter can be
+    // inferred), Spark must still skip fact partitions — by evaluating the
+    // dim at runtime and feeding the surviving join keys to the fact scan
+    // as a dynamicpruning subquery (reusing the join's own broadcast).
+    val dir = Files.createTempDirectory("dpp_fact").toString + "/data"
+    Tables.orders(spark, sf)
+      .withColumn("bucket", (col("o_orderkey") % 8).cast("int"))
+      .write.partitionBy("bucket").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // tag is what's filtered; only buckets 0-1 survive. A filter on the
+    // join column itself would be constant-propagated into a STATIC
+    // partition filter (that path is pinned by the test above) — the tag
+    // indirection is what forces the pruning to be dynamic. The dim must
+    // be file-backed: over an in-memory LocalRelation the optimizer
+    // evaluates the filter eagerly and PartitionPruning no longer sees a
+    // selective predicate to prune with.
+    val dimDir = Files.createTempDirectory("dpp_dim").toString + "/data"
+    (0 until 8).map(b => (b, if (b < 2) "keep" else "drop"))
+      .toDF("bucket", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val j = fact.join(dim, "bucket")
+    val n = j.count()
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 8 < 2).count()
+    assert(n === expected)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan:\n$plan")
+  }
+
+  test("runtime bloom-filter join: engine-injected might_contain pre-filters the fact side") {
+    // x03 spells a Bloom pre-filter by hand (oracle-checkable); this pins
+    // Spark's own InjectRuntimeFilter doing the same transparently: a
+    // selective dim predicate in a SHUFFLE join grows a bloom_filter_agg
+    // on the dim side and a might_contain guard on the fact side, so fact
+    // rows that cannot join die before the shuffle — the difference
+    // between shuffling 100 TB and shuffling the matching fraction.
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture-sized thresholds: any fact scan qualifies, dim always fits
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n$opt")
+      // semantics unchanged vs the same join with the filter rule off
+      val n = j.count()
+      withConfs("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        val plain = Tables.lineitem(spark, sf).join(
+          Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        assert(n === plain.count())
+      }
+    }
+  }
+
+  test("parquet aggregate pushdown: count/min/max answered from footer statistics (v2 scan)") {
+    // At 100 TB, COUNT/MIN/MAX over a table should read O(files) footers,
+    // not O(rows) pages. The v2 parquet scan does exactly that when
+    // aggregate pushdown is on — the plan carries PushedAggregation and
+    // the result comes from row-group statistics.
+    withConfs(
+      "spark.sql.parquet.aggregatePushDown" -> "true",
+      // aggregate pushdown is a DSv2 feature; parquet defaults to the v1
+      // FileSourceScanExec path, so route parquet through v2 here
+      "spark.sql.sources.useV1SourceList" -> "") {
+      val agg = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+             min(col("l_orderkey")).as("min_ok"),
+             max(col("l_quantity")).as("max_qty"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"expected footer-served aggregates in:\n$plan")
+      val row = agg.collect()(0)
+      // cross-check against the v1 path with pushdown off
+      val base = Tables.lineitem(spark, sf)
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_quantity")))
+        .collect()(0)
+      assert(row === base)
+    }
+  }
 }
