@@ -91,8 +91,14 @@ object Dedup {
   }
 
   /** (doc_id, band_key) table: NumBands rows per document. */
-  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, d))
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame =
+    bandTableOf(Tables.documents(s, d))
+
+  /** Band table over an arbitrary documents slice — p04 builds separate
+    * base/delta band tables from the same constants.
+    */
+  private[graft] def bandTableOf(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
@@ -498,7 +504,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** p04 near-dup verdict threshold: ≥ 8 of 16 agreeing signature slots
+    * (estimated Jaccard ≥ 0.5).
+    */
+  val IncrMinAgree = 8
+
+  /** p04: INCREMENTAL dedup — a delta batch (docs with doc_id % 5 = 0,
+    * "today's crawl") deduplicated AGAINST the base corpus (the other 80 %)
+    * through the base's index tables, never through the base corpus
+    * itself. Verdict precedence per delta doc: `exact_dup` (its text hash
+    * exists in the base hash set) → `near_dup` (best MinHash agreement
+    * against any band-sharing base doc ≥ 8/16) → `new`; evidence columns
+    * carry the candidate count and best agreement.
+    *
+    * This is the daily-refresh shape a 100 TB corpus actually runs: the
+    * base's text-hash, signature, and band tables are WRITTEN outputs of
+    * the last full pass (parquet, bucketed by band_key / hash), so the
+    * incremental job's cost scales with |delta| + |index|, not |base| —
+    * re-shingling 100 TB per day is the anti-pattern this query replaces.
+    * Self-contained here, the index tables are rebuilt inline (honest
+    * bench cost); the JOIN SHAPES — delta bands against base bands on
+    * band_key, delta hashes anti-probing the base hash set — are identical
+    * either way. Intra-delta duplicates are out of scope by design (q32/
+    * d01 on the delta cover that stage).
+    */
+  val p04IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 5 > 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // base index tables (in production: read back, not rebuilt)
+    val baseHashes = base
+      .select(expr(TextHash.sparkHash56("text")).as("th"))
+      .distinct()
+      .withColumn("exact_hit", lit(1))
+    val baseBands = bandTableOf(base).select(col("doc_id").as("bd"), col("band_key"))
+    val bSig = minhashSignatures(base)
+      .toDF("bd" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    // delta-side probes
+    val deltaBands = bandTableOf(delta).select(col("doc_id").as("dd"), col("band_key"))
+    val dSig = minhashSignatures(delta)
+      .toDF("dd" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val best = deltaBands.join(baseBands, "band_key")
+      .select("dd", "bd").distinct()
+      .join(dSig, "dd").join(bSig, "bd")
+      .withColumn("agree16", expr(
+        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
+      .groupBy("dd")
+      .agg(max(col("agree16")).cast("int").as("best_a"),
+           count(lit(1)).as("n_cand"))
+    delta
+      .select(col("doc_id"), expr(TextHash.sparkHash56("text")).as("th"))
+      .join(baseHashes, Seq("th"), "left")
+      .join(best, col("doc_id") === col("dd"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_base_candidates"),
+        coalesce(col("best_a"), lit(0)).as("best_agree16"),
+        when(col("exact_hit") === 1, lit("exact_dup"))
+          .when(coalesce(col("best_a"), lit(0)) >= IncrMinAgree, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "p04_incremental_dedup" -> p04IncrementalDedup,
     "p03_dedup_cascade" -> p03DedupCascade,
     "d09_pagerank"      -> d09Pagerank,
     "d10_edit_blocking" -> d10EditBlocking,
@@ -647,6 +715,39 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "p04_incremental_dedup" ->
+      s"""WITH $duckBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS dd, b.doc_id AS bd
+         |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 > 0),
+         |agree AS (
+         |  SELECT dd,
+         |         CAST(len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                              i -> sa.sigs[i + 1] = sb.sigs[i + 1])) AS INT) AS agree16
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = dd
+         |  JOIN sigs sb ON sb.doc_id = bd),
+         |best AS (
+         |  SELECT dd, MAX(agree16) AS best_a, COUNT(1) AS n_cand
+         |  FROM agree GROUP BY dd),
+         |exact AS (
+         |  SELECT DISTINCT dt.doc_id
+         |  FROM documents dt
+         |  WHERE dt.doc_id % 5 = 0
+         |    AND EXISTS (SELECT 1 FROM documents bt
+         |                WHERE bt.doc_id % 5 > 0
+         |                  AND ${TextHash.duckHash56("bt.text")} = ${TextHash.duckHash56("dt.text")}))
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(best.n_cand, 0) AS BIGINT) AS n_base_candidates,
+         |       CAST(COALESCE(best.best_a, 0) AS INT) AS best_agree16,
+         |       CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+         |            WHEN COALESCE(best.best_a, 0) >= $IncrMinAgree THEN 'near_dup'
+         |            ELSE 'new' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN best ON best.dd = d.doc_id
+         |LEFT JOIN exact ON exact.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d08_minhash_est" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect)

@@ -77,10 +77,32 @@ object UdfOps {
         (abs(col("approx") - col("n_exact")) * 100 <= col("n_exact") * 15)
           .as("within_15pct"))
 
+  /** u04: SQL-body UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) — the
+    * declarative extension surface: the function body is a SQL expression,
+    * so unlike u01's black-box closure Catalyst INLINES it into the plan
+    * (constant folding, pushdown, and codegen all still apply — the
+    * no-UDF-tax extension point). Body is floor math — IEEE multiply then
+    * exact floor — because round(_, 2) ties diverge between Spark
+    * (HALF_UP on the shortest decimal string) and DuckDB in OUTPUT
+    * position (q01 only ever compares the rounded value, which is stable;
+    * emitting it is not).
+    */
+  val u04SqlUdf: Q = (s, d) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION net_price(price DOUBLE, disc DOUBLE)
+        |RETURNS BIGINT RETURN CAST(floor(price * (1 - disc)) AS BIGINT)""".stripMargin)
+    Tables.lineitem(s, d).createOrReplaceTempView("li_u04")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |       net_price(l_extendedprice, l_discount) AS net
+        |FROM li_u04 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "u01_udf_fraud_score" -> u01UdfFraudScore,
     "u02_udaf_minhash"    -> u02UdafMinhash,
     "u03_udtf_tokenize"   -> u03UdtfTokenize,
+    "u04_sql_udf"         -> u04SqlUdf,
     "x01_approx_distinct" -> x01ApproxDistinct)
 
   val oracles: Map[String, String] = Map(
@@ -110,6 +132,10 @@ object UdfOps {
         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
         |  FROM documents)
         |ORDER BY doc_id, pos""".stripMargin,
+    "u04_sql_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS net
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // x01: the sketch value is engine-specific; the oracle checks the exact
     // count and the bounded-error property (Spark side emits the boolean).
     "x01_approx_distinct" ->
