@@ -598,7 +598,36 @@ object Extras {
       .orderBy("user_id", "event_id")
   }
 
+  /** q100: `GROUP BY ALL` / `ORDER BY ALL` — the analyst-SQL sugar Spark 4
+    * shares with DuckDB (grouping keys inferred from the non-aggregate
+    * select items; ordering by every output column left-to-right gives a
+    * total order for free). Same aggregation shape as q12 — this pins the
+    * PARSER surface, the plan is the ordinary two-phase hash aggregate.
+    */
+  val q100GroupOrderAll: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("li_q100")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM li_q100 GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  /** q101: SQL-standard `LISTAGG … WITHIN GROUP (ORDER BY …)` — the native
+    * spelling of q51's collect→sort→join listagg (Spark 4 implements the
+    * standard syntax; the WITHIN GROUP order is what makes the
+    * concatenation replay-deterministic).
+    */
+  val q101Listagg: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_q101")
+    s.sql(
+      """SELECT n_regionkey,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation_q101 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_group_order_all"   -> q100GroupOrderAll,
+    "q101_listagg"           -> q101Listagg,
     "q78_recursive_cte"      -> q78RecursiveCte,
     "q79_gap_fill"           -> q79GapFill,
     "q76_corr"               -> q76Corr,
@@ -634,6 +663,16 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q100_group_order_all" ->
+      // DuckDB shares the GROUP BY ALL / ORDER BY ALL dialect — the oracle
+      // IS the same query text (over the parquet view)
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q101_listagg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q78_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT 1

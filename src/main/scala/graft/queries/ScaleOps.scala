@@ -287,6 +287,26 @@ object ScaleOps {
     perOut.unionByName(allOut).orderBy("grp")
   }
 
+  // ---------------------------------------------------------------- x06
+
+  /** x06: frequent-items sketch — `approx_top_k` (Spark 4). The sketch's
+    * 100 TB role is heavy-hitter detection in one pass with bounded state
+    * (the hot-key feed for q95/q60-style skew decisions). Oracle
+    * discipline: run it in its EXACTNESS regime — k and maxItemsTracked
+    * both exceed the column's distinct count (event_type has a handful of
+    * values), where the sketch provably tracks every item with exact
+    * counts — and re-sort the exploded output by (count DESC, item) so no
+    * engine-specific tie order leaks. The approximate regime (distincts >
+    * capacity) is intentionally NOT oracle-declared: estimates there are
+    * sketch-internal, the x01/x05 bounded-property lesson.
+    */
+  val x06ApproxTopK: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -437,6 +457,7 @@ object ScaleOps {
     "q94_topk_custom"      -> q94TopkCustom,
     "q93_partitioned_write" -> q93PartitionedWrite,
     "x05_hll_sketch"       -> x05HllSketch,
+    "x06_approx_top_k"     -> x06ApproxTopK,
     "x03_bloom_filter"     -> x03BloomFilterJoin,
     "x04_count_min"        -> x04CountMin,
     "q86_zorder_layout"    -> q86ZorderLayout,
@@ -502,6 +523,10 @@ object ScaleOps {
         |  UNION ALL
         |  SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM orders)
         |ORDER BY grp""".stripMargin,
+    "x06_approx_top_k" ->
+      """SELECT event_type AS item, COUNT(1) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, item""".stripMargin,
     "x03_bloom_filter" ->
       s"""WITH build AS (
          |  SELECT DISTINCT o_custkey AS bkey FROM orders

@@ -234,6 +234,33 @@ class PlanSpec extends SparkSpec {
       s"edit-distance blocking degenerated to all-pairs:\n$plan")
   }
 
+  test("t18: the model table rides a broadcast join; scoring is a partial-agg sum") {
+    val plan = planOf(graft.queries.TextOps.t18QualityModel(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model lookup must broadcast (model size is corpus-independent):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never shuffle on the model's bucket key:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected map-side partial aggregation for the score:\n$plan")
+  }
+
+  test("t17: line first-occurrence is a partial-agg min, never a window") {
+    val plan = planOf(graft.queries.TextOps.t17LineDedup(spark, sf))
+    assert(plan.contains("partial_min"),
+      s"expected map-side combinable first-occurrence:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"a window sort crept into the line-dedup keep policy:\n$plan")
+  }
+
+  test("u04: the SQL-body UDF is inlined — no black-box ScalaUDF in the plan") {
+    val plan = planOf(graft.queries.UdfOps.u04SqlUdf(spark, sf))
+    assert(!plan.contains("ScalaUDF"),
+      s"SQL UDF must inline into codegen, not call a closure:\n$plan")
+    // the inlined body's floor math must be visible to the optimizer
+    assert(plan.contains("FLOOR") || plan.contains("floor"),
+      s"expected the inlined function body in the plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
     val df = graft.operators.FraudPipeline.validityFilter(
       Tables.lineitem(spark, sf)
