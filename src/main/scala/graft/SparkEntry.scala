@@ -28,7 +28,9 @@ object SparkEntry {
         "m01_multimodal_features" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m01MultimodalFeatures(s, d)),
         "m02_frame_explode" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m02FrameExplode(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m02FrameExplode(s, d)),
+        "m03_chunk_dedup" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m03ChunkDedup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -50,6 +52,17 @@ object SparkEntry {
         // Mirrors m02's chunking math: every 4th 1 KiB chunk of the payload
         // (generate_series as a per-row list function — lateral FROM-clause
         // generate_series with column bounds is not supported in DuckDB).
+        "m03_chunk_dedup" ->
+          // VARCHAR substr == binary slice here: the fixture corpus is pure
+          // ASCII (see Multimodal.m03ChunkDedup oracle note)
+          """WITH c AS (
+            |  SELECT DISTINCT doc_id AS mid, md5(substr(text, s, 256)) AS h
+            |  FROM (SELECT doc_id, text,
+            |               unnest(generate_series(1, length(text), 256)) AS s
+            |        FROM documents))
+            |SELECT a.mid AS m1, b.mid AS m2, COUNT(1) AS n_shared
+            |FROM c a JOIN c b ON a.h = b.h AND a.mid < b.mid
+            |GROUP BY m1, m2 ORDER BY m1, m2""".stripMargin,
         "m02_frame_explode" ->
           """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
             |       CAST(least(1024, n_bytes - chunk_idx * 1024) AS INT) AS chunk_bytes

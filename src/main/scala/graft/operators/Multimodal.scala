@@ -139,6 +139,40 @@ object Multimodal {
     * typed flatMap is the Dataset generator surface over binary payloads;
     * byte accounting is exact, so the oracle is real SQL.
     */
+  /** Chunk size for m03's content-defined dedup (bytes). */
+  val DedupChunkBytes = 256
+
+  /** m03: media near-dup via chunk hashing — the storage-dedup shape for
+    * binary columns: split each payload into fixed 256-byte chunks, hash
+    * every chunk (md5 IN CODEGEN over the binary slice — the hash, not the
+    * media bytes, is what shuffles), and report media pairs sharing ≥ 1
+    * chunk with the shared-count evidence. This is t14's cross-doc
+    * recurrence contract transplanted to the binary column: both shuffles
+    * key on the uniform hash, pair fan-out is bounded by real content
+    * overlap (never all-pairs). A real deployment hashes content-defined
+    * (rolling-hash) boundaries after decode; the fixed-boundary chunking
+    * here is the documented stub — the plumbing (binary slicing, hash
+    * shuffle, pair join) is production-real.
+    *
+    * Oracle note: fixture payloads are the documents' UTF-8 bytes and the
+    * corpus is pure ASCII (asserted across all SFs), so DuckDB's VARCHAR
+    * `substr` slices the same bytes Spark's binary `substring` does — no
+    * BLOB substring exists in DuckDB.
+    */
+  def m03ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
+      .select(col("media_id"),
+              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"))
+      .distinct() // a chunk repeated WITHIN one file counts once
+    val a = chunks.toDF("m1", "h")
+    val b = chunks.toDF("m2", "h")
+    a.join(b, "h").filter(col("m1") < col("m2"))
+      .groupBy("m1", "m2").agg(count(lit(1)).as("n_shared"))
+      .orderBy("m1", "m2")
+  }
+
   def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stride = 4

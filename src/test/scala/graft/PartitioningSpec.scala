@@ -234,6 +234,36 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("small-file compaction: range-clustered rewrite caps file count, preserves rows") {
+    // Table maintenance at 100 TB: streaming/incremental writers fragment a
+    // table into thousands of small files (per-trigger, per-task); readers
+    // then pay per-file open/footer costs that dwarf the data. The repair
+    // is a periodic rewrite: read → repartitionByRange(target, key) →
+    // sortWithinPartitions(key) → overwrite. Range + sort (not plain
+    // repartition) so the rewritten files carry DISJOINT key envelopes —
+    // the min/max-skipping layout q86 audits.
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String): Seq[java.nio.file.Path] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val fragmented = Files.createTempDirectory("frag").toString + "/data"
+    Tables.orders(spark, sf).repartition(64).write.parquet(fragmented)
+    assert(parquetFiles(fragmented).size === 64, "fixture must be fragmented")
+
+    val compacted = Files.createTempDirectory("compact").toString + "/data"
+    spark.read.parquet(fragmented)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(compacted)
+    assert(parquetFiles(compacted).size === 4,
+      "compaction must hit the target file count")
+    // content identical (multiset equality both directions)
+    val before = spark.read.parquet(fragmented)
+    val after = spark.read.parquet(compacted)
+    assert(after.count() === before.count())
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   test("parquet aggregate pushdown: count/min/max answered from footer statistics (v2 scan)") {
     // At 100 TB, COUNT/MIN/MAX over a table should read O(files) footers,
     // not O(rows) pages. The v2 parquet scan does exactly that when
