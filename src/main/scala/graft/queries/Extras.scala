@@ -625,7 +625,41 @@ object Extras {
         |FROM nation_q101 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** q102: bag-semantics set operations — `intersectAll` / `exceptAll`
+    * (SQL INTERSECT ALL / EXCEPT ALL). q22–q24 pin the SET variants; the
+    * ALL variants preserve multiplicity (min / subtraction of per-key
+    * counts), which Spark plans as the same shuffle as the set forms plus
+    * a count-carrying aggregate — no row explosion. Multiset fixture:
+    * customer keys by order status (each customer holds several orders).
+    */
+  val q102SetOpsAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    a.intersectAll(b).withColumn("op", lit("intersect"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except")))
+      .select("op", "k")
+      .orderBy("op", "k")
+  }
+
+  /** q103: lateral column alias — a SELECT item referencing an alias
+    * defined earlier in the SAME select list (Spark 3.4+/DuckDB shared
+    * dialect; ANSI requires a subquery). Parser/analyzer surface pin;
+    * integer math end to end.
+    */
+  val q103LateralAlias: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q103")
+    s.sql(
+      """SELECT o_orderkey,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS whole,
+        |       whole % 100 AS cents_bucket,
+        |       cents_bucket + 1 AS shifted
+        |FROM orders_q103 ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_set_ops_all"       -> q102SetOpsAll,
+    "q103_lateral_alias"     -> q103LateralAlias,
     "q100_group_order_all"   -> q100GroupOrderAll,
     "q101_listagg"           -> q101Listagg,
     "q78_recursive_cte"      -> q78RecursiveCte,
@@ -663,6 +697,23 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q102_set_ops_all" ->
+      """SELECT 'intersect' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op, k""".stripMargin,
+    "q103_lateral_alias" ->
+      """SELECT o_orderkey,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS whole,
+        |       whole % 100 AS cents_bucket,
+        |       cents_bucket + 1 AS shifted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q100_group_order_all" ->
       // DuckDB shares the GROUP BY ALL / ORDER BY ALL dialect — the oracle
       // IS the same query text (over the parquet view)

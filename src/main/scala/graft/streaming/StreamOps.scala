@@ -125,6 +125,23 @@ object StreamOps {
   def s07StreamStaticJoin(stream: DataFrame, dim: DataFrame): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), "key")
 
+  /** s13: streaming ingest dedup against a STATIC base index — p04's
+    * incremental contract on the streaming path: each arriving document is
+    * dropped when its content hash already exists in the base corpus's
+    * hash set, via a stream-static LEFT ANTI join (the index broadcasts;
+    * at 100 TB it is the written hash table of the last full pass, read
+    * per micro-batch). Stateless per batch — the dedup "memory" lives in
+    * the base index, not the state store; WITHIN-stream duplicates are
+    * deliberately out of scope here (that is s04's watermarked job, and
+    * composing s13 → s04 gives both).
+    */
+  def s13IngestDedup(stream: DataFrame, baseHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    stream
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .join(broadcast(baseHashes), Seq("th"), "left_anti")
+  }
+
   /** s09: stream-stream LEFT OUTER interval join — s06's shape with outer
     * semantics: a purchase with no matching error is HELD in state until
     * the watermark proves no match can still arrive, THEN emitted

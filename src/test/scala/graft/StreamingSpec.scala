@@ -455,6 +455,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, "gold", 10.0), (2L, "silver", 20.0)), s"got $rows")
   }
 
+  test("s13 ingest dedup drops stream docs whose hash exists in the static base index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val base = Seq("alpha beta gamma", "delta epsilon").toDF("text")
+      .select(expr(graft.functions.TextHash.sparkHash56("text")).as("th"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.s13IngestDedup(mem.toDF.toDF("doc_id", "text"), base)
+      .writeStream.format("memory").queryName("s13_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "alpha beta gamma"), (2L, "fresh content"))
+    q.processAllAvailable()
+    // a later batch re-probes the same index; within-stream dups pass (by
+    // design — that is s04's watermarked job)
+    mem.addData((3L, "delta epsilon"), (4L, "fresh content"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("s13_out").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 4L), s"base dups must drop, new docs must pass: $ids")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
