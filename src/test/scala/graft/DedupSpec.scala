@@ -182,6 +182,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 0.35, s"est $est vs exact $exact")
   }
 
+  test("p04 incremental dedup: exact/near/new verdicts with exact-over-near precedence") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("incr_fixture").toString
+    // delta = doc_id % 5 == 0 -> ids 0, 5, 10; the rest is the base corpus.
+    // 0 is an exact twin of base doc 1 (and thus also a band-sharing near
+    // candidate -> exact must WIN the precedence); 5 is a one-token edit of
+    // base doc 6; 10 shares nothing.
+    val texts = (0 until 15).map {
+      case 0 | 1 => base
+      case 5 => distinct1.replace("tree", "graph")
+      case 6 => distinct1
+      case 10 => "entirely fresh delta content never seen in the base corpus today"
+      case i => s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"
+    }
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = Dedup.p04IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(rows.keySet === Set(0L, 5L, 10L), "only delta docs are judged")
+    assert(rows(0L)._3 === "exact_dup", s"got ${rows(0L)}")
+    assert(rows(0L)._1 >= 1, "the exact twin must also surface as a band candidate")
+    assert(rows(5L)._3 === "near_dup", s"got ${rows(5L)}")
+    assert(rows(5L)._2 >= Dedup.IncrMinAgree && rows(5L)._2 < 16,
+      s"near (not exact) agreement expected: ${rows(5L)}")
+    assert(rows(10L) === ((0L, 0, "new")), s"got ${rows(10L)}")
+  }
+
   test("p03 cascade: every stage fires, in precedence order, on a planted corpus") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cascade_fixture").toString
