@@ -656,7 +656,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t19: bigram commonness — for each document, how CORPUS-COMMON its
+    * bigrams are: per-doc mean/max document frequency of its distinct
+    * bigrams (×100, integer div). High mean-df = the document is built
+    * from phrases everyone uses (boilerplate/template text) — the
+    * cross-document complement to t08's within-document repetition; low =
+    * distinctive content. Shape: bigrams hashed per-row in codegen, df =
+    * one partial-agg groupBy over the 56-bit hash, join back hash-to-hash,
+    * one partial-agg per-doc rollup — both shuffles uniform regardless of
+    * how skewed phrase usage is (the d03/t14 discipline: never shuffle or
+    * group on the raw text).
+    */
+  val t19BigramCommonness: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", 2)})")).as("bg"))
+      .select(col("doc_id"), expr(TextHash.sparkHash56("bg")).as("h"))
+    val df = bg.groupBy("h").agg(count(lit(1)).as("df"))
+    bg.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("(sum(df) * 100) div count(1)").as("mean_df_x100"),
+           max(col("df")).as("max_df"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_bigram_commonness" -> t19BigramCommonness,
     "t16_url_extract"     -> t16UrlExtract,
     "t17_line_dedup"      -> t17LineDedup,
     "t18_quality_model"   -> t18QualityModel,
@@ -684,6 +711,19 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t19_bigram_commonness" ->
+      s"""WITH bg AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${TextHash.duckHash56("b")} AS h
+         |  FROM (SELECT doc_id, unnest(${TextHash.duckShingles("text", 2)}) AS b
+         |        FROM documents)),
+         |df AS (SELECT h, COUNT(1) AS df FROM bg GROUP BY h)
+         |SELECT doc_id,
+         |       COUNT(1) AS n_bigrams,
+         |       CAST((SUM(df) * 100) // COUNT(1) AS BIGINT) AS mean_df_x100,
+         |       CAST(MAX(df) AS BIGINT) AS max_df
+         |FROM bg JOIN df USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t16_url_extract" ->
       s"""WITH d AS (
          |  SELECT doc_id,
