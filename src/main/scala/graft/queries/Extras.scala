@@ -657,7 +657,87 @@ object Extras {
         |FROM orders_q103 ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Funnel conversion window: 1 hour, in exact epoch microseconds. */
+  val FunnelWindowUs = 3600000000L
+
+  /** q104: behavioral funnel — of all users, who signed up, and who then
+    * purchased within one hour of their FIRST signup (the classic
+    * product-analytics conversion report; q52's sessionizer is the
+    * neighboring shape). Window math in exact epoch-µs integers. Scale:
+    * first-signup is a partial-agg min per user, conversion is one
+    * user_id-keyed join + distinct — everything partitions by user; the
+    * three stage counts are scalar aggregates over metadata-scale
+    * intermediates.
+    */
+  val q104Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("us") >= col("s_us") && col("us") <= col("s_us") + FunnelWindowUs)
+      .select("user_id").distinct()
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .select(lit("1_all").as("stage"), col("n_users"))
+      .unionByName(su.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_signup").as("stage"), col("n_users")))
+      .unionByName(conv.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_converted").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** q105: named window specs (`WINDOW w AS (…)` clause) — one definition,
+    * many OVER references; the SQL surface that keeps multi-function
+    * window queries single-shuffle AND single-source-of-truth. The order
+    * key is made unique (orderdate, orderkey) so the running sum's default
+    * RANGE frame has single-row peer groups — replay-deterministic.
+    */
+  val q105NamedWindow: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q105")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+        |FROM orders_q105
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** q106: data-quality constraint audit — the expectations table an
+    * ingest gate emits: one row per declared constraint with its violation
+    * count (FK orphans via anti-join, range breaches, null checks, JSON
+    * well-formedness). Each check is a filter or anti-join over one table
+    * — map-side except the FK's key-partitioned join — and the output is
+    * O(constraints). The pipeline decision (fail/quarantine/pass) reads
+    * THIS table instead of rescanning data.
+    */
+  val q106ConstraintAudit: Q = (s, d) => {
+    val orphans = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_custkey_fk").as("check_name"), col("n_violations"))
+    val range = Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_quantity_1_50").as("check_name"), col("n_violations"))
+    val nulls = Tables.customer(s, d)
+      .filter(col("c_acctbal").isNull)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("customer_acctbal_not_null").as("check_name"), col("n_violations"))
+    val json = Tables.events(s, d)
+      .filter(get_json_object(col("props"), "$.k").isNull)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("events_props_has_k").as("check_name"), col("n_violations"))
+    orphans.unionByName(range).unionByName(nulls).unionByName(json)
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q104_funnel"            -> q104Funnel,
+    "q105_named_window"      -> q105NamedWindow,
+    "q106_constraint_audit"  -> q106ConstraintAudit,
     "q102_set_ops_all"       -> q102SetOpsAll,
     "q103_lateral_alias"     -> q103LateralAlias,
     "q100_group_order_all"   -> q100GroupOrderAll,
@@ -697,6 +777,43 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q104_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |su AS (SELECT user_id, MIN(us) AS s_us FROM ev
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |conv AS (SELECT DISTINCT e.user_id
+         |         FROM ev e JOIN su USING (user_id)
+         |         WHERE e.event_type = 'purchase'
+         |           AND e.us >= s_us AND e.us <= s_us + $FunnelWindowUs)
+         |SELECT '1_all' AS stage, COUNT(DISTINCT user_id) AS n_users FROM ev
+         |UNION ALL SELECT '2_signup', COUNT(1) FROM su
+         |UNION ALL SELECT '3_converted', COUNT(1) FROM conv
+         |ORDER BY stage""".stripMargin,
+    "q105_named_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS INT) AS rn,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q106_constraint_audit" ->
+      // "constraint" is a DuckDB reserved word -> check_name
+      """SELECT 'customer_acctbal_not_null' AS check_name,
+        |       (SELECT COUNT(1) FROM customer WHERE c_acctbal IS NULL) AS n_violations
+        |UNION ALL
+        |SELECT 'events_props_has_k',
+        |       (SELECT COUNT(1) FROM events WHERE json_extract(props, '$.k') IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem_quantity_1_50',
+        |       (SELECT COUNT(1) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |       (SELECT COUNT(1) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY check_name""".stripMargin,
     "q102_set_ops_all" ->
       """SELECT 'intersect' AS op, k FROM (
         |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'

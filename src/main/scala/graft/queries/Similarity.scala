@@ -323,7 +323,10 @@ object Similarity {
     * 8-byte codes). Exact integer arithmetic end to end; top-k by the ADC
     * estimate with id tie-break.
     */
-  val n07PqSearch: Q = (s, d) => {
+  /** (vec_id, adc_dist2): the ADC estimate for every encoded vector —
+    * n07's search core, shared with n10's refine stage.
+    */
+  private def adcScores(s: SparkSession, d: String): DataFrame = {
     val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
       .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
     val cents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
@@ -337,7 +340,39 @@ object Similarity {
       .join(broadcast(qtable), Seq("sub", "code"))
       .groupBy("vec_id")
       .agg(sum("qd2").as("adc_dist2"))
+  }
+
+  val n07PqSearch: Q = (s, d) =>
+    adcScores(s, d)
       .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(TopK)
+
+  /** Shortlist size for n10's two-stage retrieval (5× the final k). */
+  val PqShortlist = 50
+
+  /** n10: PQ search with exact refinement — the production two-stage
+    * retrieval: the ADC estimate (n07) selects a SHORTLIST of 50
+    * candidates through the 8-byte codes alone, then ONLY those 50 rows'
+    * full vectors are fetched (a broadcast semi-join on vec_id — at 100 TB
+    * a point-lookup against the vector store, never a shuffle) and
+    * re-ranked by exact integer L2². This is how PQ serves accurate top-k
+    * without ever scanning full vectors corpus-wide: approximate math over
+    * everything, exact math over 50 rows. Ties at the shortlist boundary
+    * are broken by vec_id, so the candidate set — and therefore the final
+    * ranking — is replay-deterministic.
+    */
+  val n10PqRefine: Q = (s, d) => {
+    val short = adcScores(s, d)
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(PqShortlist)
+    val qv = prepared(s, d).filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    prepared(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("exact_d2", expr("na + nrm - 2 * vec_dot(qa, q)"))
+      .select("vec_id", "adc_dist2", "exact_d2")
+      .orderBy(col("exact_d2").asc, col("vec_id").asc)
       .limit(TopK)
   }
 
@@ -456,6 +491,7 @@ object Similarity {
     "d11_semdedup"       -> d11SemDedup,
     "n06_pq_codes"       -> n06PqCodes,
     "n07_pq_search"      -> n07PqSearch,
+    "n10_pq_refine"      -> n10PqRefine,
     "q33_similarity_knn" -> q33SimilarityKnn,
     "n01_ann_lsh"        -> n01AnnLsh,
     "n02_ann_ivf"        -> n02AnnIvf,
@@ -662,6 +698,46 @@ object Similarity {
          |WHERE b.vec_id <> 0
          |GROUP BY b.vec_id
          |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
+    },
+    "n10_pq_refine" -> {
+      def dot8(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+      s"""WITH $duckPrep,
+         |subs AS (
+         |  SELECT vec_id, g.j AS sub,
+         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+         |  FROM prepn CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
+         |          FROM subs WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT v.vec_id, v.sub, c.cid,
+         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
+         |  FROM subs v JOIN cents c USING (sub)),
+         |best AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dist2,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist2 ASC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
+         |qtable AS (
+         |  SELECT c.sub, c.cid AS code,
+         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
+         |  FROM cents c JOIN qsubs USING (sub)),
+         |adc AS (
+         |  SELECT b.vec_id, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
+         |  FROM best b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |  WHERE b.vec_id <> 0
+         |  GROUP BY b.vec_id),
+         |short AS (SELECT vec_id, adc_dist2 FROM adc
+         |          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $PqShortlist),
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0)
+         |SELECT s.vec_id, s.adc_dist2,
+         |       CAST(na + p.nrm - 2 * ${duckDot("qa", "p.q")} AS BIGINT) AS exact_d2
+         |FROM short s JOIN prepn p USING (vec_id) CROSS JOIN qv
+         |ORDER BY exact_d2 ASC, s.vec_id ASC LIMIT $TopK""".stripMargin
     },
     "n05_centroid_update" ->
       s"""WITH $duckPrep,
