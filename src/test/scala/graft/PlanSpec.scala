@@ -261,6 +261,35 @@ class PlanSpec extends SparkSpec {
       s"expected the inlined function body in the plan:\n$plan")
   }
 
+  test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
+    // The manual .explain sweep, automated: every declared query's physical
+    // plan is scanned for the two shapes that are NEVER acceptable at
+    // 100 TB — a cartesian product (all-pairs shuffle) and a window whose
+    // partition spec is empty (all rows to one task). BroadcastNestedLoop
+    // joins are deliberately allowed: every occurrence in this suite is a
+    // broadcast-scalar cross join (query vectors, corpus counts, grand
+    // totals), asserted individually by the targeted tests above.
+    val windowArgs = "windowspecdefinition\\(([^)]*)\\)".r
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val cart =
+        if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      // windowspecdefinition lists partition columns first, then "col ASC/
+      // DESC ..." order items — if the FIRST argument is an order item, the
+      // partition spec is empty and the window runs on a single task.
+      val globalWin = windowArgs.findAllMatchIn(plan)
+        .map(_.group(1).split(",")(0))
+        .filter(first => first.contains(" ASC") || first.contains(" DESC"))
+        .map(first => s"$name: unpartitioned window (orders by ${first.trim})")
+        .toSeq.distinct
+      cart ++ globalWin
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer shapes found:\n${offenders.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the fraud filter pipeline (py_round inside)") {
     val df = graft.operators.FraudPipeline.validityFilter(
       Tables.lineitem(spark, sf)
