@@ -182,6 +182,57 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 0.35, s"est $est vs exact $exact")
   }
 
+  test("t17 line dedup: matches a naive reference model and is a fixed point") {
+    import spark.implicits._
+    // corpus with planted cross-doc duplicate lines: each "line" is a
+    // 10-token chunk (TextOps.LineTokens), so docs are built from 10-token
+    // blocks, some shared across docs
+    def block(tag: String): String = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val shared1 = block("sa"); val shared2 = block("sb")
+    val texts = Seq(
+      s"$shared1 ${block("u0")}",            // doc 0: first owner of shared1
+      s"${block("u1")} $shared1 $shared2",   // doc 1: shared1 dup; first shared2
+      s"$shared2 ${block("u2")} $shared1",   // doc 2: both dups
+      block("u3"))                           // doc 3: all unique
+    val dir = docsDir(texts)
+
+    // naive single-threaded reference model of the keep policy
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def hash56(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(14), 16)
+    val lines = texts.zipWithIndex.flatMap { case (t, doc) =>
+      t.split(" ").grouped(10).zipWithIndex
+        .map { case (toks, idx) => (doc.toLong, idx, toks.mkString(" ")) }.toSeq
+    }
+    val firstK = lines.groupBy(l => hash56(l._3))
+      .map { case (h, ls) => h -> ls.map(l => l._1 * 1000000L + l._2).min }
+    val expected = lines.groupBy(_._1).map { case (doc, ls) =>
+      val kept = ls.filter(l => firstK(hash56(l._3)) == l._1 * 1000000L + l._2)
+      (doc, ls.size.toLong, kept.size.toLong,
+       hash56(kept.sortBy(_._2).map(_._3).mkString(" ")))
+    }.toSeq.sortBy(_._1)
+
+    val got = graft.queries.TextOps.t17LineDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, s"distributed result diverged from the reference model")
+
+    // fixed point: rebuild the corpus from the kept lines and re-run — no
+    // cross-doc duplicate lines can remain (every line is its own first
+    // occurrence), so n_kept == n_lines everywhere
+    val rebuilt = lines.groupBy(_._1).toSeq.map { case (doc, ls) =>
+      val kept = ls.filter(l => firstK(hash56(l._3)) == l._1 * 1000000L + l._2)
+        .sortBy(_._2).map(_._3).mkString(" ")
+      (doc, if (kept.isEmpty) "placeholder" else kept)
+    }.sortBy(_._1).map(_._2)
+    val dir2 = docsDir(rebuilt)
+    val round2 = graft.queries.TextOps.t17LineDedup(spark, dir2).collect()
+    round2.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: dedup is not a fixed point ($r)")
+    }
+  }
+
   test("p04 incremental dedup: exact/near/new verdicts with exact-over-near precedence") {
     import spark.implicits._
     val dir = Files.createTempDirectory("incr_fixture").toString

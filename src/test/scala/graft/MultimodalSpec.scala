@@ -20,6 +20,46 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.media_id).sorted === inIds)
   }
 
+  test("binaryFile source ingests raw media files into the Media pipeline") {
+    // The ingest half of the multimodal story: media lands as FILES, and
+    // Spark's binaryFile source turns a directory into (path, modTime,
+    // length, content) rows — the entry point that feeds Media/
+    // extractFeatures without any driver-side file reading. At 100 TB this
+    // is a distributed listing + ranged reads per executor; pathGlobFilter
+    // keeps non-media files out of the scan.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("media_files")
+    val fixtures = Seq(
+      "img_0.jpg" -> "fake jpeg payload zero",
+      "img_1.jpg" -> "fake jpeg payload one with more bytes",
+      "notes.txt" -> "not media; must be glob-filtered out")
+    fixtures.foreach { case (name, body) =>
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(dir.toString)
+    assert(files.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val media = files
+      .select(col("path"), col("content"), col("length"))
+      .as[(String, Array[Byte], Long)]
+      .map { case (path, content, length) =>
+        Multimodal.Media(
+          media_id = path.split('_').last.split('.').head.toLong,
+          kind = "image", payload = content,
+          width = 16, height = 16, duration_ms = 0L, format = "jpg")
+      }
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.keySet === Set(0L, 1L), "glob filter must exclude notes.txt")
+    // bytes survived the source intact: histogram totals == file sizes
+    assert(feats(0L).n_bytes === fixtures(0)._2.getBytes("UTF-8").length.toLong)
+    assert(feats(1L).n_bytes === fixtures(1)._2.getBytes("UTF-8").length.toLong)
+    assert(feats(1L).byte_histogram.sum === feats(1L).n_bytes)
+  }
+
   test("stub decode is deterministic and byte-exact") {
     val payload = "hello multimodal world".getBytes("UTF-8")
     val (m1, h1) = Multimodal.fakeDecode(payload)
