@@ -261,6 +261,41 @@ class PlanSpec extends SparkSpec {
       s"expected the inlined function body in the plan:\n$plan")
   }
 
+  test("join strategy hints honored: SHUFFLE_HASH and MERGE override the planner default") {
+    // At 100 TB, overriding JoinSelection per-query is how a pipeline
+    // rescues a misestimated join (build side too big to broadcast, or a
+    // hash build that would OOM → merge): the hint surface must actually
+    // reach the physical plan.
+    Tables.orders(spark, sf).createOrReplaceTempView("o_hint")
+    Tables.customer(spark, sf).createOrReplaceTempView("c_hint")
+    val sh = spark.sql(
+      """SELECT /*+ SHUFFLE_HASH(c) */ o_orderkey, c_name
+        |FROM o_hint o JOIN c_hint c ON o.o_custkey = c.c_custkey""".stripMargin)
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint ignored:\n${sh.queryExecution.executedPlan}")
+    val mj = spark.sql(
+      """SELECT /*+ MERGE(c) */ o_orderkey, c_name
+        |FROM o_hint o JOIN c_hint c ON o.o_custkey = c.c_custkey""".stripMargin)
+    assert(mj.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      s"MERGE hint ignored:\n${mj.queryExecution.executedPlan}")
+  }
+
+  test("SQL layout clauses: DISTRIBUTE BY plans a hash exchange; CLUSTER BY adds the sort") {
+    // The SQL spelling of repartition(col)/repartition+sortWithinPartitions
+    // — the pre-write layout control the compaction contract uses.
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_layout")
+    val dist = spark.sql(
+      "SELECT l_suppkey, l_quantity FROM li_layout DISTRIBUTE BY l_suppkey")
+    val dPlan = dist.queryExecution.executedPlan.toString
+    assert(dPlan.contains("hashpartitioning(l_suppkey"),
+      s"DISTRIBUTE BY must hash-partition:\n$dPlan")
+    val clus = spark.sql(
+      "SELECT l_suppkey, l_quantity FROM li_layout CLUSTER BY l_suppkey")
+    val cPlan = clus.queryExecution.executedPlan.toString
+    assert(cPlan.contains("hashpartitioning(l_suppkey") && cPlan.contains("Sort"),
+      s"CLUSTER BY must hash-partition AND sort within partitions:\n$cPlan")
+  }
+
   test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
     // The manual .explain sweep, automated: every declared query's physical
     // plan is scanned for the two shapes that are NEVER acceptable at
