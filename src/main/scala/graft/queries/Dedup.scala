@@ -456,6 +456,46 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Sorted-neighborhood window: candidate pairs within this many
+    * positions of each other in sort order.
+    */
+  val SnmWindow = 3
+
+  /** d12: sorted-neighborhood dedup blocking (Hernández & Stolfo's SNM) —
+    * the OTHER classic record-linkage family beside d10's deletion-
+    * neighborhood blocking: sort records by a key, then compare only rows
+    * within a w-position window of each other. Two distributed-shape
+    * choices make it 100 TB-safe: (1) the global rank comes from the
+    * range-partitioned [[TextOps.prefixSum]] (cum-count of ones), NOT a
+    * row_number over an unpartitioned window — no single task ever sees
+    * the whole sort; (2) the |r1−r2| ≤ w predicate is NOT a theta join:
+    * with bucket = rank div w, any qualifying partner sits in the same or
+    * next bucket, so the probe side emits each row twice (its bucket, its
+    * bucket + 1) and the join is EQUI on bucket with fan-out 2, then the
+    * exact window filter. Emits levenshtein evidence per candidate pair,
+    * ready for a d10-style verify stage.
+    */
+  val d12SortedNeighborhood: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val ranked = TextOps.prefixSum(
+        sup.withColumn("one", lit(1L)), "nm", "one", "rank",
+        includeCurrent = true)
+      .select(col("id"), col("nm"), col("rank"))
+    val a = ranked
+      .select(col("id").as("id1"), col("nm").as("n1"), col("rank").as("r1"))
+      .withColumn("bkt", explode(array(
+        expr(s"r1 div $SnmWindow"), expr(s"r1 div $SnmWindow + 1"))))
+    val b = ranked
+      .select(col("id").as("id2"), col("nm").as("n2"), col("rank").as("r2"))
+      .withColumn("bkt", expr(s"r2 div $SnmWindow"))
+    a.join(b, "bkt")
+      .filter(col("r2") > col("r1") && col("r2") - col("r1") <= SnmWindow)
+      .select(col("id1"), col("id2"), col("r1"), col("r2"),
+              expr("cast(levenshtein(n1, n2) as int)").as("lev"))
+      .orderBy("r1", "r2")
+  }
+
   /** p03: the production dedup CASCADE — exact → MinHash/LSH cluster →
     * semantic (SemDeDup), each stage running only on the previous stage's
     * survivors, every document labeled with the stage that dropped it (or
@@ -566,6 +606,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d12_sorted_neighborhood" -> d12SortedNeighborhood,
     "p04_incremental_dedup" -> p04IncrementalDedup,
     "p03_dedup_cascade" -> p03DedupCascade,
     "d09_pagerank"      -> d09Pagerank,
@@ -715,6 +756,16 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "d12_sorted_neighborhood" ->
+      s"""WITH ranked AS (
+         |  SELECT s_suppkey AS id, s_name AS nm,
+         |         CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS rank
+         |  FROM supplier)
+         |SELECT a.id AS id1, b.id AS id2, a.rank AS r1, b.rank AS r2,
+         |       CAST(levenshtein(a.nm, b.nm) AS INT) AS lev
+         |FROM ranked a JOIN ranked b
+         |  ON b.rank > a.rank AND b.rank - a.rank <= $SnmWindow
+         |ORDER BY r1, r2""".stripMargin,
     "p04_incremental_dedup" ->
       s"""WITH $duckBandCtes,
          |cand AS (
