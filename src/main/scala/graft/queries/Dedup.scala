@@ -496,6 +496,31 @@ object Dedup {
       .orderBy("r1", "r2")
   }
 
+  /** d13: LSH index-quality report — precision/recall of d01's MinHash
+    * band candidates against the exact-Jaccard truth set (d03's df-capped
+    * 2-gram pairs ≥ threshold): the text-dedup analogue of n08's ANN
+    * recall@k, i.e. the one-row report that tells a pipeline whether its
+    * banding parameters (16 hashes × 4 bands) are recalling the real
+    * duplicates before anything gets dropped. Ground truth is itself the
+    * BOUNDED exact method (the inverted-index universe, same framing as
+    * n08's brute-force side) — no all-pairs scan appears anywhere. Costs
+    * two metadata-scale count aggregates + one semi join over the two
+    * already-built pair tables.
+    */
+  val d13LshQuality: Q = (s, d) => {
+    val cand = pairsTable(s, d)
+    val truth = d03NgramJaccard(s, d).select("d1", "d2")
+    val tp = cand.join(truth, Seq("d1", "d2"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_positives"))))
+      .select(col("n_candidates"), col("n_truth"), col("n_true_positives"),
+        expr("n_true_positives * 10000 div greatest(n_candidates, 1)")
+          .as("precision_bp"),
+        expr("n_true_positives * 10000 div greatest(n_truth, 1)")
+          .as("recall_bp"))
+  }
+
   /** p03: the production dedup CASCADE — exact → MinHash/LSH cluster →
     * semantic (SemDeDup), each stage running only on the previous stage's
     * survivors, every document labeled with the stage that dropped it (or
@@ -606,6 +631,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d13_lsh_quality" -> d13LshQuality,
     "d12_sorted_neighborhood" -> d12SortedNeighborhood,
     "p04_incremental_dedup" -> p04IncrementalDedup,
     "p03_dedup_cascade" -> p03DedupCascade,
@@ -825,25 +851,49 @@ object Dedup {
          |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d03_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id, unnest(${TextHash.duckShingles("text", JaccardShingleK)}) AS shingle
-         |    FROM documents)),
-         |informative AS (
-         |  SELECT doc_id, shingle FROM (
-         |    SELECT doc_id, shingle, COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
-         |  WHERE df <= $MaxDf),
-         |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM informative GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
-         |  FROM informative a JOIN informative b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT d1, d2, inter, sa.sz AS na, sb.sz AS nb
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = d1
-         |JOIN sizes sb ON sb.doc_id = d2
-         |WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $JaccardPctThreshold
-         |ORDER BY d1, d2""".stripMargin
+      s"""WITH $duckD03Ctes
+         |$duckD03Select
+         |ORDER BY d1, d2""".stripMargin,
+    "d13_lsh_quality" ->
+      s"""WITH $duckBandCtes,
+         |$duckD03Ctes,
+         |cand AS ($duckPairSelect),
+         |truth AS (SELECT d1, d2 FROM ($duckD03Select) t),
+         |m AS (SELECT (SELECT COUNT(1) FROM cand) AS n_candidates,
+         |             (SELECT COUNT(1) FROM truth) AS n_truth,
+         |             (SELECT COUNT(1) FROM cand JOIN truth USING (d1, d2))
+         |               AS n_true_positives)
+         |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_truth AS BIGINT) AS n_truth,
+         |       CAST(n_true_positives AS BIGINT) AS n_true_positives,
+         |       CAST(n_true_positives * 10000 // greatest(n_candidates, 1) AS BIGINT) AS precision_bp,
+         |       CAST(n_true_positives * 10000 // greatest(n_truth, 1) AS BIGINT) AS recall_bp
+         |FROM m""".stripMargin
   )
+
+  /** d03's oracle CTE bodies + final select, factored so d13's quality
+    * report composes them with the d01 band CTEs in one WITH list.
+    */
+  private def duckD03Ctes: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(${TextHash.duckShingles("text", JaccardShingleK)}) AS shingle
+       |    FROM documents)),
+       |informative AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(1) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $MaxDf),
+       |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM informative GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+       |  FROM informative a JOIN informative b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  private def duckD03Select: String =
+    s"""SELECT d1, d2, inter, sa.sz AS na, sb.sz AS nb
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = d1
+       |JOIN sizes sb ON sb.doc_id = d2
+       |WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $JaccardPctThreshold""".stripMargin
 }
