@@ -734,7 +734,60 @@ object Extras {
       .orderBy("check_name")
   }
 
+  /** q107: SQL pipe syntax (Spark 4 `|>` operators) — the linear query
+    * dialect where each stage reads top-to-bottom (FROM |> WHERE |>
+    * AGGREGATE |> ORDER BY). Parser surface only: the plan is identical to
+    * the nested spelling, which is exactly what the shared oracle pins.
+    * (stripMargin uses '#' here — '|' is the pipe operator itself.)
+    */
+  val q107PipeSyntax: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("li_q107")
+    s.sql(
+      """FROM li_q107
+        #|> WHERE l_quantity > 25
+        #|> AGGREGATE COUNT(1) AS n,
+        #     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        #   GROUP BY l_returnflag
+        #|> ORDER BY l_returnflag""".stripMargin('#'))
+  }
+
+  /** q108: session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`) —
+    * parameterized SQL without string interpolation (the injection-safe
+    * way to thread a runtime threshold into query text). The variable is
+    * folded to a literal at analysis, so pushdown still works.
+    */
+  val q108SessionVariable: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("li_q108")
+    s.sql("DECLARE OR REPLACE VARIABLE minqty DOUBLE DEFAULT 0.0")
+    s.sql("SET VAR minqty = 45.0")
+    s.sql(
+      """SELECT l_returnflag, COUNT(1) AS n
+        |FROM li_q108 WHERE l_quantity >= minqty
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** q109: collation-aware grouping (Spark 4 `COLLATE UTF8_LCASE`) —
+    * case-insensitive semantics carried by the TYPE instead of wrapping
+    * every reference in lower() (at scale: one collated sort key vs a
+    * per-row function in every comparison). Mixed-case input synthesized
+    * deterministically; the output key is normalized via min(lower(..)) so
+    * the oracle (a plain lower() rollup) pins the grouping exactly.
+    */
+  val q109Collation: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("cust_q109")
+    s.sql(
+      """SELECT min(lower(seg)) AS seg, COUNT(1) AS n
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |                  ELSE lower(c_mktsegment) END AS seg
+        |      FROM cust_q109)
+        |GROUP BY seg COLLATE UTF8_LCASE
+        |ORDER BY seg""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_pipe_syntax"       -> q107PipeSyntax,
+    "q108_session_variable"  -> q108SessionVariable,
+    "q109_collation"         -> q109Collation,
     "q104_funnel"            -> q104Funnel,
     "q105_named_window"      -> q105NamedWindow,
     "q106_constraint_audit"  -> q106ConstraintAudit,
@@ -777,6 +830,21 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q107_pipe_syntax" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q108_session_variable" ->
+      """SELECT l_returnflag, COUNT(1) AS n
+        |FROM lineitem WHERE l_quantity >= 45.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q109_collation" ->
+      """SELECT lower(seg) AS seg, COUNT(1) AS n
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |                  ELSE lower(c_mktsegment) END AS seg
+        |      FROM customer)
+        |GROUP BY lower(seg) ORDER BY seg""".stripMargin,
     "q104_funnel" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type,
