@@ -784,7 +784,63 @@ object Extras {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** q110: MERGE/upsert semantics without a table format — the lakehouse
+    * MERGE INTO expressed relationally: updates overwrite matched target
+    * rows, unmatched source rows insert, unmatched target rows carry over.
+    * One FULL OUTER join on the key + coalesce per column — the
+    * snapshot-rewrite pattern a parquet-only pipeline uses where Delta/
+    * Iceberg would run MERGE (at 100 TB: join co-located by bucketing the
+    * snapshot on the merge key, the exact shape the bucketed-join pin
+    * proves shuffle-free). The update batch is synthesized
+    * deterministically from the target (every 7th order re-priced, plus
+    * new keys past the max).
+    */
+  val q110MergeUpsert: Q = (s, d) => {
+    val target = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price"))
+    val updates = target.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("U").as("s_status"),
+              (col("price") + 1000.0).as("s_price"))
+      .unionByName(
+        target.agg(max(col("k")).as("mx"))
+          .select(explode(expr("sequence(1, 5)")).as("i"), col("mx"))
+          .select((col("mx") + col("i")).as("k"), lit("N").as("s_status"),
+                  lit(1.0).as("s_price")))
+    target.join(updates, Seq("k"), "full_outer")
+      .select(col("k"),
+              coalesce(col("s_status"), col("status")).as("status"),
+              coalesce(col("s_price"), col("price")).as("price"),
+              when(col("s_status").isNull, "kept")
+                .when(col("status").isNull, "inserted")
+                .otherwise("updated").as("action"))
+      .orderBy("k")
+  }
+
+  /** q111: SCD type-2 history build — turn a per-key event log into
+    * validity intervals [ts, next_ts) with a current-row flag: the
+    * slowly-changing-dimension transform every warehouse load runs.
+    * One lead() window per key (user) ordered by (ts, event_id) — state
+    * bounded by the key's own history, partition-parallel across keys;
+    * interval ends in exact epoch-µs (NULL = still current).
+    */
+  val q111Scd2: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("us").as("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_merge_upsert"      -> q110MergeUpsert,
+    "q111_scd2"              -> q111Scd2,
     "q107_pipe_syntax"       -> q107PipeSyntax,
     "q108_session_variable"  -> q108SessionVariable,
     "q109_collation"         -> q109Collation,
@@ -830,6 +886,36 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q110_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |updates AS (
+        |  SELECT k, 'U' AS s_status, price + 1000.0 AS s_price
+        |  FROM target WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT mx + i, 'N', 1.0
+        |  FROM (SELECT MAX(k) AS mx FROM target)
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i))
+        |SELECT COALESCE(t.k, u.k) AS k,
+        |       COALESCE(u.s_status, t.status) AS status,
+        |       COALESCE(u.s_price, t.price) AS price,
+        |       CASE WHEN u.s_status IS NULL THEN 'kept'
+        |            WHEN t.status IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS action
+        |FROM target t FULL OUTER JOIN updates u ON t.k = u.k
+        |ORDER BY k""".stripMargin,
+    "q111_scd2" ->
+      """SELECT user_id, event_id, value,
+        |       us AS valid_from_us,
+        |       lead(us, 1) OVER (PARTITION BY user_id
+        |                         ORDER BY us, event_id) AS valid_to_us,
+        |       lead(us, 1) OVER (PARTITION BY user_id
+        |                         ORDER BY us, event_id) IS NULL AS is_current
+        |FROM (SELECT user_id, event_id, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q107_pipe_syntax" ->
       """SELECT l_returnflag, COUNT(1) AS n,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
