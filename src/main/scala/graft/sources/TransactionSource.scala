@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,29 +42,32 @@ class TransactionSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new TransactionTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "100").toLong)
 }
 
-class TransactionTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class TransactionTable(rows: Long, parts: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"synthetic_transactions($rows)"
   override def schema(): StructType = graft.operators.FraudPipeline.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxnScanBuilder(rows, parts)
+    new TxnScanBuilder(rows, parts, rowsPerBatch)
 }
 
-class TxnScanBuilder(rows: Long, parts: Int)
+class TxnScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = graft.operators.FraudPipeline.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = TxnScan(required, rows, parts)
+  override def build(): Scan = TxnScan(required, rows, parts, rowsPerBatch)
 }
 
 case class TxnPartition(partId: Int, start: Long, end: Long) extends InputPartition
 
-case class TxnScan(required: StructType, rows: Long, parts: Int)
+case class TxnScan(required: StructType, rows: Long, parts: Int,
+                   rowsPerBatch: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -77,6 +81,69 @@ case class TxnScan(required: StructType, rows: Long, parts: Int)
 
   override def createReaderFactory(): PartitionReaderFactory =
     TxnReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TxnMicroBatchStream(required, parts, rowsPerBatch)
+}
+
+/** Streaming offset = the next unread global row index. The whole stream
+  * state is this ONE long: restart-safe because every row is a pure
+  * function of its index (the same property that makes the batch scan
+  * partitioning-invariant).
+  */
+case class TxnOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+/** MICRO_BATCH_READ half of the source: each trigger advances the row
+  * index by `rowsPerBatch` and plans that index range across `parts`
+  * partitions with the SAME reader the batch path uses. Offsets are
+  * checkpointed by the engine, so a restarted query resumes at exactly
+  * the next unread index — the custom-source spelling of exactly-once
+  * (pinned in TransactionSourceSpec: stop → restart from the checkpoint
+  * continues the index sequence with no duplicate and no gap). Column
+  * pruning applies to streaming reads through the same ScanBuilder.
+  */
+class TxnMicroBatchStream(required: StructType, parts: Int, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = TxnOffset(0L)
+
+  /** Admission-control form: the engine hands us the CURRENT start offset
+    * (freshly initialized or restored from the checkpoint), so the next
+    * end is simply start + rowsPerBatch — no driver-side state to rebuild
+    * on restart. The zero-arg latestOffset() is never called once
+    * SupportsAdmissionControl is implemented (same contract as Spark's own
+    * rate-micro-batch source).
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    TxnOffset(startOffset.asInstanceOf[TxnOffset].index + rowsPerBatch)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TxnOffset].index
+    val e = end.asInstanceOf[TxnOffset].index
+    val n = e - s
+    if (n <= 0) Array.empty
+    else {
+      val per = (n + parts - 1) / parts
+      (0 until parts).map { p =>
+        TxnPartition(p, s + p * per, math.min(e, s + (p + 1) * per))
+      }.filter(p => p.end > p.start).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxnReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset = TxnOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TxnReaderFactory(required: StructType) extends PartitionReaderFactory {

@@ -10,6 +10,34 @@ class TransactionSourceSpec extends SparkSpec {
     spark.read.format("graft.sources.TransactionSource")
       .option("rows", rows).option("partitions", parts).load()
 
+  test("micro-batch stream: index offsets are exactly-once across a restart, equal to the batch read") {
+    // The streaming half of the custom source: each trigger advances the
+    // row-index offset by rowsPerBatch; the checkpoint stores that ONE
+    // long. Two AvailableNow runs against the same checkpoint must produce
+    // rows [0, 50) then [50, 100) — no duplicate, no gap — and together
+    // equal the batch read of the first 100 indices (same generator, same
+    // determinism guarantee).
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("txn_stream").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("txn_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.TransactionSource")
+        .option("rowsPerBatch", 50).option("partitions", 4).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 50L, "first run = one 50-row batch")
+    runOnce()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() === 100L, "restart must continue, not repeat")
+    val batch = read(100, 4)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "two streamed batches must equal the batch read of indices [0, 100)")
+  }
+
   test("schema matches the reference transaction schema; row count exact") {
     val df = read(10000, 8)
     assert(df.schema === FraudPipeline.schema)
