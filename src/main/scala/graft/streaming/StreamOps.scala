@@ -142,6 +142,23 @@ object StreamOps {
       .join(broadcast(baseHashes), Seq("th"), "left_anti")
   }
 
+  /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
+    * load-test configuration: `graft.sources.TransactionSource`'s
+    * micro-batch read (deterministic rows, admission-controlled index
+    * offsets) feeding the same A7+A8 filter pipeline the file trigger
+    * (s01) runs. Because every generated row is a pure function of its
+    * index, the streamed result over indices [0, N) is asserted EQUAL to
+    * the batch read's pipeline output — the stream/batch parity contract
+    * on a custom source.
+    */
+  def s14SyntheticFraudStream(spark: org.apache.spark.sql.SparkSession,
+                              rowsPerBatch: Long, parts: Int): DataFrame =
+    graft.operators.FraudPipeline(
+      spark.readStream.format("graft.sources.TransactionSource")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("partitions", parts)
+        .load())
+
   /** s09: stream-stream LEFT OUTER interval join — s06's shape with outer
     * semantics: a purchase with no matching error is HELD in state until
     * the watermark proves no match can still arrive, THEN emitted

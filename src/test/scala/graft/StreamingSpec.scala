@@ -455,6 +455,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, "gold", 10.0), (2L, "silver", 20.0)), s"got $rows")
   }
 
+  test("s14 synthetic-source fraud stream equals the batch pipeline on the same indices") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = StreamOps.s14SyntheticFraudStream(spark, rowsPerBatch = 500, parts = 4)
+      .writeStream.format("memory").queryName("s14_out")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append()).start()
+    q.awaitTermination()
+    val streamed = spark.table("s14_out")
+    val batch = graft.operators.FraudPipeline(
+      spark.read.format("graft.sources.TransactionSource")
+        .option("rows", 500).option("partitions", 4).load())
+    assert(streamed.count() > 0, "the synthetic generator plants fraud rows")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream/batch parity must hold on the deterministic source")
+  }
+
   test("s13 ingest dedup drops stream docs whose hash exists in the static base index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
