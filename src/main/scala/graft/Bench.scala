@@ -24,13 +24,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-        // Two timed passes, report the min: single-pass numbers on a shared
+        // Three timed passes, report the min: single-pass numbers on a shared
         // box showed 5-15x spikes on RANDOM queries run-to-run (GC debt,
-        // neighbor load) while isolated re-runs were always fast — min-of-2
-        // measures the plan, not the neighbor. clearCache between passes:
-        // self-join index caches (d01/d03/d04/n01/n02) must not leak across
-        // queries (round-1 anomaly) or let pass 2 skip the index build.
-        val dt = (1 to 2).map { _ =>
+        // neighbor load) while isolated re-runs were always fast — and the
+        // round-5 run showed min-of-2 still doesn't shield against SUSTAINED
+        // neighbor load (six >1.8x "regressions" on byte-identical code).
+        // Min-of-3 + a GC between passes measures the plan, not the neighbor.
+        // clearCache between passes: self-join index caches (d01/d03/d04/
+        // n01/n02) must not leak across queries (round-1 anomaly) or let
+        // later passes skip the index build.
+        val dt = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           // A failing query must fail the RUN (exit nonzero), never shrink
           // the total via a sentinel timing (round-2 verdict item 3).
@@ -43,9 +46,12 @@ object Bench {
           }
           val t = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          // Pay down GC debt BETWEEN passes so pass N+1 isn't charged pass
+          // N's garbage — the whole point of min-of-N is an uncontaminated
+          // floor (round-5 verdict item 1).
+          System.gc()
           t
         }.min
-        System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -76,6 +82,11 @@ object Bench {
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)
+    // Teardown: drop the memoized localCheckpointed pair/cluster tables
+    // (shared-index realism keeps them alive ACROSS queries by design;
+    // the run boundary is where they are released — round-5 verdict
+    // item 5).
+    graft.queries.Dedup.clearClusterMemo()
     spark.stop()
     // Print LAST, after Spark's shutdown chatter, so the JSON is the final
     // stdout line wherever possible.

@@ -54,11 +54,14 @@ object SparkEntry {
         // generate_series with column bounds is not supported in DuckDB).
         "m03_chunk_dedup" ->
           // VARCHAR substr == binary slice here: the fixture corpus is pure
-          // ASCII (see Multimodal.m03ChunkDedup oracle note)
-          """WITH c AS (
-            |  SELECT DISTINCT doc_id AS mid, md5(substr(text, s, 256)) AS h
+          // ASCII (see Multimodal.m03ChunkDedup oracle note). The chunk
+          // size is INTERPOLATED from the one shared constant so the two
+          // sides can never silently desynchronize (round-5 advice).
+          s"""WITH c AS (
+            |  SELECT DISTINCT doc_id AS mid,
+            |         md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h
             |  FROM (SELECT doc_id, text,
-            |               unnest(generate_series(1, length(text), 256)) AS s
+            |               unnest(generate_series(1, length(text), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
             |        FROM documents))
             |SELECT a.mid AS m1, b.mid AS m2, COUNT(1) AS n_shared
             |FROM c a JOIN c b ON a.h = b.h AND a.mid < b.mid

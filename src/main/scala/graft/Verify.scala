@@ -46,6 +46,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run-boundary teardown for the memoized pair/cluster index tables
+    // (see Bench — the memo deliberately survives clearCache within a run).
+    graft.queries.Dedup.clearClusterMemo()
     spark.stop()
   }
 }

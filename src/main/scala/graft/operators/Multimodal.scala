@@ -155,7 +155,8 @@ object Multimodal {
     * shuffle, pair join) is production-real.
     *
     * Oracle note: fixture payloads are the documents' UTF-8 bytes and the
-    * corpus is pure ASCII (asserted across all SFs), so DuckDB's VARCHAR
+    * corpus is pure ASCII — asserted by MultimodalSpec ("m03 oracle
+    * precondition") over every generated SF dir — so DuckDB's VARCHAR
     * `substr` slices the same bytes Spark's binary `substring` does — no
     * BLOB substring exists in DuckDB.
     */

@@ -593,18 +593,30 @@ object Dedup {
     * either way. Intra-delta duplicates are out of scope by design (q32/
     * d01 on the delta cover that stage).
     */
-  val p04IncrementalDedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val base = docs.filter(col("doc_id") % 5 > 0)
-    val delta = docs.filter(col("doc_id") % 5 === 0)
-    // base index tables (in production: read back, not rebuilt)
-    val baseHashes = base
+  /** The base corpus's three INDEX tables — in production these are the
+    * parquet outputs of the last full pass (hash table bucketed by `th`,
+    * band table bucketed by `band_key`), read back by every incremental
+    * job; the write → read-back round-trip is pinned in DedupSpec
+    * ("p04 written-index round-trip", round-5 verdict item 3).
+    */
+  def baseIndexTables(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val hashes = base
       .select(expr(TextHash.sparkHash56("text")).as("th"))
       .distinct()
       .withColumn("exact_hit", lit(1))
-    val baseBands = bandTableOf(base).select(col("doc_id").as("bd"), col("band_key"))
-    val bSig = minhashSignatures(base)
+    val bands = bandTableOf(base).select(col("doc_id").as("bd"), col("band_key"))
+    val sigs = minhashSignatures(base)
       .toDF("bd" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    (hashes, bands, sigs)
+  }
+
+  /** p04's verdict computation GIVEN the base index tables — factored so
+    * the production path (tables read back from parquet) and the
+    * self-contained inline path run the identical join shapes, and so the
+    * round-trip test can assert the two produce equal verdicts.
+    */
+  def incrementalVerdicts(delta: DataFrame, baseHashes: DataFrame,
+                          baseBands: DataFrame, bSig: DataFrame): DataFrame = {
     // delta-side probes
     val deltaBands = bandTableOf(delta).select(col("doc_id").as("dd"), col("band_key"))
     val dSig = minhashSignatures(delta)
@@ -628,6 +640,17 @@ object Dedup {
           .when(coalesce(col("best_a"), lit(0)) >= IncrMinAgree, lit("near_dup"))
           .otherwise(lit("new")).as("verdict"))
       .orderBy("doc_id")
+  }
+
+  val p04IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 5 > 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // base index tables (in production: read back, not rebuilt — the
+    // round-trip is pinned in DedupSpec; inline here keeps the bench cost
+    // of the build honest)
+    val (baseHashes, baseBands, bSig) = baseIndexTables(base)
+    incrementalVerdicts(delta, baseHashes, baseBands, bSig)
   }
 
   val queries: Map[String, Q] = Map(

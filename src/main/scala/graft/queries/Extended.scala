@@ -327,18 +327,17 @@ object Extended {
 
   /** q80: SQL-standard `percentile_disc(q) WITHIN GROUP (ORDER BY v)` —
     * the discrete percentile is the smallest value whose cume_dist reaches
-    * q, a DATA value (no interpolation), spelled here twice: relationally
-    * (grouped cum-sum + integer-rank threshold, the formulation that is
-    * bit-identical cross-engine and oracle-verified) and via the builtin
-    * aggregate, with an exact-equality boolean asserting the builtin
-    * follows the standard semantics. Same discipline as q74/q76: the
-    * builtin is pinned against an exactly-computable twin.
+    * q, a DATA value (no interpolation), spelled relationally: grouped
+    * cum-sum + integer-rank threshold, the formulation that is
+    * bit-identical cross-engine and oracle-verified.
     *
-    * SCALE NOTE: the builtin leg buffers every group value in one task
-    * (percentile_disc is an ImperativeAggregate) — the exact shape the
-    * relational spelling replaces. It exists HERE as the verification
-    * twin; a 100 TB run keeps only the prefix-sum path (and most of this
-    * query's bench time is the builtin leg re-scanning lineitem).
+    * SCALE NOTE: this is ONLY the prefix-sum leg. Spark's builtin
+    * `percentile_disc` is an ImperativeAggregate that buffers every group
+    * value in one task — exactly the shape the relational spelling
+    * replaces — so the builtin never appears on the benched/scale path; it
+    * is pinned against this leg in ExtendedSpec ("q80 builtin
+    * percentile_disc equals the relational leg") on the sf0.001 corpus
+    * (round-5 verdict item 2; same discipline as q74/q76's twins).
     */
   val q80PercentileDisc: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -352,20 +351,25 @@ object Extended {
     val cum = TextOps.prefixSum(g, "v", "c", "cum",
       includeCurrent = true, keyCols = Seq("k"))
     val totals = g.groupBy("k").agg(sum(col("c").cast("bigint")).as("n"))
-    val rel = cum.join(totals, "k").groupBy("k").agg(
-      min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
-      min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
-      min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
-    val builtin = li.groupBy("k").agg(
-      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("b25"),
-      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("b50"),
-      expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY v)").as("b90"))
-    rel.join(builtin, "k")
-      .select(col("k").as("l_returnflag"), col("p25"), col("p50"), col("p90"),
-        (col("b25") === col("p25") && col("b50") === col("p50") &&
-         col("b90") === col("p90")).as("builtin_ok"))
+    cum.join(totals, "k").groupBy("k").agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
+      .select(col("k").as("l_returnflag"), col("p25"), col("p50"), col("p90"))
       .orderBy("l_returnflag")
   }
+
+  /** The builtin-aggregate twin of q80, NOT on the benched path (it buffers
+    * whole groups in single tasks); exists solely for the ScalaTest pin. */
+  def q80BuiltinTwin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+      .groupBy("k").agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY v)").as("p90"))
+      .select(col("k").as("l_returnflag"), col("p25"), col("p50"), col("p90"))
+      .orderBy("l_returnflag")
 
   val queries: Map[String, Q] = Map(
     "q80_percentile_disc"     -> q80PercentileDisc,
@@ -401,8 +405,7 @@ object Extended {
         |SELECT k AS l_returnflag,
         |       MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25,
         |       MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90,
-        |       true AS builtin_ok
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90
         |FROM cum GROUP BY k ORDER BY l_returnflag""".stripMargin,
     // x02: the sketch value is engine-specific, so the booleans stay a
     // Spark-side property — but the BAND they test against is recomputed

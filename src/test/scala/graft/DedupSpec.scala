@@ -263,6 +263,55 @@ class DedupSpec extends SparkSpec {
     assert(rows(10L) === ((0L, 0, "new")), s"got ${rows(10L)}")
   }
 
+  test("p04 written-index round-trip: parquet-read index tables give identical verdicts") {
+    // The production contract p04's docstring promises (round-5 verdict
+    // item 3): the base's hash/signature/band tables are WRITTEN parquet
+    // outputs of the last full pass, bucketed on their probe keys, and the
+    // incremental job reads them back. Write -> read-back -> verdicts must
+    // equal the inline-rebuilt ones bit-for-bit, on the real sf corpus.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 > 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val (hashes, bands, sigs) = Dedup.baseIndexTables(base)
+    val dir = Files.createTempDirectory("graft_base_index").toString
+    // The hash and band tables are written BUCKETED on their probe keys
+    // (saveAsTable — bucket metadata lives in the catalog), exactly the
+    // layout a nightly pass leaves so the incremental probe join can be
+    // bucket-local; the signature table is a plain point-lookup side.
+    hashes.write.bucketBy(8, "th").sortBy("th")
+      .option("path", s"$dir/hashes").mode("overwrite")
+      .saveAsTable("p04_rt_hashes")
+    bands.write.bucketBy(8, "band_key").sortBy("band_key")
+      .option("path", s"$dir/bands").mode("overwrite")
+      .saveAsTable("p04_rt_bands")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    try {
+      val inline = Dedup.incrementalVerdicts(delta, hashes, bands, sigs)
+        .collect().toSeq
+      val readBack = Dedup.incrementalVerdicts(delta,
+        spark.table("p04_rt_hashes"),
+        spark.table("p04_rt_bands"),
+        spark.read.parquet(s"$dir/sigs"))
+        .collect().toSeq
+      assert(inline.nonEmpty, "sf corpus must yield delta verdicts")
+      assert(readBack === inline,
+        "read-back index tables must reproduce the inline verdicts exactly")
+      // s13's streaming ingest dedup shares the hash table: the anti-join
+      // survivor set against the read-back index equals the inline one.
+      val s13Inline = graft.streaming.StreamOps
+        .s13IngestDedup(delta, hashes.select("th"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val s13ReadBack = graft.streaming.StreamOps
+        .s13IngestDedup(delta, spark.table("p04_rt_hashes").select("th"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(s13ReadBack === s13Inline)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS p04_rt_hashes")
+      spark.sql("DROP TABLE IF EXISTS p04_rt_bands")
+    }
+  }
+
   test("p03 cascade: every stage fires, in precedence order, on a planted corpus") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cascade_fixture").toString

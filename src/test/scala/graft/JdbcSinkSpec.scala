@@ -60,6 +60,12 @@ class JdbcSinkSpec extends SparkSpec {
     val db = dataColumns(FraudSink.derbyDdl())
     assert(pg === db, s"dialect drift:\npostgres=$pg\nderby   =$db")
     assert(pg.size === 11, s"reference table has 11 data columns, got $pg")
+    // Regression (round-5 verdict item 7): a parenthesized precision type
+    // must parse as ONE column, not split at its interior comma.
+    val dec = dataColumns(FraudSink.postgresDdl()
+      .replace("amount FLOAT", "amount DECIMAL(10,2)"))
+    assert(dec.contains(("amount", "DECIMAL(10,2)")), dec.toString)
+    assert(dec.size === 11, s"DECIMAL(10,2) split the column list: $dec")
     // and the id lines carry each dialect's generated-key spelling
     assert(FraudSink.postgresDdl().contains("id SERIAL PRIMARY KEY"))
     assert(FraudSink.derbyDdl()

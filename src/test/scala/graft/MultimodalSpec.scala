@@ -90,4 +90,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(new Array[Byte](1), 4) === 1)
     assert(Multimodal.sampleFrames(new Array[Byte](0), 4) === 0)
   }
+
+  test("m03 oracle precondition: documents corpus is pure ASCII at every SF") {
+    // m03's DuckDB oracle slices the payload with VARCHAR substr while the
+    // Spark side slices BINARY — byte-identical ONLY while every character
+    // is one UTF-8 byte. This is the assertion the m03 oracle note cites
+    // (round-5 advice): a future non-ASCII fixture token fails HERE, at
+    // the cause, not as an opaque hash mismatch in the driver compare.
+    import org.apache.spark.sql.functions.expr
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s/documents.parquet")
+      .filter(p => new java.io.File(p).exists)
+    assert(sfDirs.nonEmpty, "no documents.parquet found in any SF dir")
+    sfDirs.foreach { p =>
+      val nonAscii = spark.read.parquet(p)
+        .filter(expr("octet_length(text) <> length(text)")).count()
+      assert(nonAscii === 0L,
+        s"$p has $nonAscii non-ASCII rows — m03's VARCHAR-substr oracle parity breaks")
+    }
+  }
 }

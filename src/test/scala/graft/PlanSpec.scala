@@ -319,7 +319,33 @@ class PlanSpec extends SparkSpec {
         .filter(first => first.contains(" ASC") || first.contains(" DESC"))
         .map(first => s"$name: unpartitioned window (orders by ${first.trim})")
         .toSeq.distinct
-      cart ++ globalWin
+      // A window whose partition key is a CONSTANT expression (a literal,
+      // or pmod(col, 1) which is one bucket by construction) is a
+      // single-reducer window wearing a partition spec — the same scale
+      // shape the check above exists to catch, and previously a documented
+      // evasion pattern (round-5 advice item 2). The ONE sanctioned
+      // occurrence is prefixSum's offsets window over `pmod(_pid, 1)`:
+      // its input is one row per (partition, key-slice) — metadata-scale
+      // by construction — and its allowlist entry lives HERE so the
+      // exemption is visible in the gate itself.
+      val constWin = windowArgs.findAllMatchIn(plan)
+        .map(_.group(1)) // capture stops at the first ')' — enough to see
+                         // "pmod(x#N, 1" and bare-literal first keys
+        .filter { spec =>
+          val fields = spec.split(",").map(_.trim)
+          // the regex capture stops at pmod's closing ')', so a one-bucket
+          // pmod key always splits to exactly ["pmod(<col>", "1"]
+          val constant =
+            (fields(0).startsWith("pmod(") && fields.lift(1).contains("1")) ||
+            fields(0).matches("-?\\d+(\\.\\d+)?") || fields(0) == "null"
+          val allowedPrefixSumOffsets =
+            fields(0).matches("pmod\\(_pid#\\d+L?") &&
+              fields.lift(1).contains("1")
+          constant && !allowedPrefixSumOffsets
+        }
+        .map(spec => s"$name: constant-partition window ($spec)")
+        .toSeq.distinct
+      cart ++ globalWin ++ constWin
     }
     assert(offenders.isEmpty,
       s"scale-killer shapes found:\n${offenders.mkString("\n")}")

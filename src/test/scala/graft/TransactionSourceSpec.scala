@@ -38,6 +38,59 @@ class TransactionSourceSpec extends SparkSpec {
       "two streamed batches must equal the batch read of indices [0, 100)")
   }
 
+  test("streaming latestOffset honors engine ReadLimits and the rows cap") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{TxnMicroBatchStream, TxnOffset}
+    def idx(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+      o.asInstanceOf[TxnOffset].index
+    val s = new TxnMicroBatchStream(FraudPipeline.schema, 4, 50, 120)
+    // an engine cap TIGHTER than the source's own pacing wins (the
+    // Trigger.AvailableNow wrapper passes one — round-5 verdict item 6)
+    assert(idx(s.latestOffset(TxnOffset(0), ReadLimit.maxRows(7))) === 7L)
+    // a LOOSER engine cap doesn't override the source's pacing
+    assert(idx(s.latestOffset(TxnOffset(0), ReadLimit.maxRows(1000))) === 50L)
+    assert(idx(s.latestOffset(TxnOffset(0), ReadLimit.allAvailable())) === 50L)
+    // the rows cap bounds the final batch, then halts the stream
+    assert(idx(s.latestOffset(TxnOffset(100), ReadLimit.allAvailable())) === 120L)
+    assert(idx(s.latestOffset(TxnOffset(120), ReadLimit.allAvailable())) === 120L)
+    // composite limit: the tightest row cap inside wins
+    val comp = ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(30), ReadLimit.allAvailable()))
+    assert(idx(s.latestOffset(TxnOffset(0), comp)) === 30L)
+    // the default read limit advertises the source's own pacing
+    assert(s.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxRows])
+  }
+
+  test("a rows-bounded stream drains to exactly the batch row set, then idles") {
+    // The same `rows` option that bounds the batch read bounds the stream
+    // (round-5 advice): 80 rows at 50/batch = a full batch + a 30-row tail
+    // batch. The source natively supports Trigger.AvailableNow, so ONE run
+    // drains both batches to the cap; two more runs against the same
+    // checkpoint must add NOTHING — converging on the batch read of [0,80).
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("txn_cap").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("txn_cap_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.TransactionSource")
+        .option("rows", 80).option("rowsPerBatch", 50).option("partitions", 4)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 80L,
+      "native AvailableNow must drain to the cap in one run")
+    runOnce(); runOnce()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() === 80L, "stream must stop at the rows cap")
+    val batch = read(80, 4)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "bounded stream must equal the bounded batch read")
+  }
+
   test("schema matches the reference transaction schema; row count exact") {
     val df = read(10000, 8)
     assert(df.schema === FraudPipeline.schema)
