@@ -838,7 +838,32 @@ object Extras {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** q112: re-aggregation / incremental-view merge — the materialized-view
+    * maintenance property every warehouse load relies on: per-(day,
+    * priority) PARTIAL aggregates (the state a daily load writes) merged
+    * into per-priority totals by re-aggregating the partial table — sums
+    * add, counts add, distinct-day count is a plain COUNT over partial
+    * rows (the day is a partial KEY), and the average is re-derived
+    * sum/count at the END, never an average of averages. The oracle is the
+    * DIRECT one-shot aggregation, so the hash match proves the merge is
+    * lossless. At 100 TB the merge reads |days × priorities| partial rows,
+    * not the fact table — the whole point of keeping partial state.
+    */
+  val q112Reaggregate: Q = (s, d) => {
+    val partial = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("sm"))
+    partial.groupBy("prio")
+      .agg(sum(col("cnt")).as("n_orders"),
+           count(lit(1)).as("n_days"),
+           decD(sum(col("sm"))).as("total_price"))
+      .withColumn("avg_price", col("total_price") / col("n_orders"))
+      .select("prio", "n_days", "n_orders", "total_price", "avg_price")
+      .orderBy("prio")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_reaggregate"       -> q112Reaggregate,
     "q110_merge_upsert"      -> q110MergeUpsert,
     "q111_scd2"              -> q111Scd2,
     "q107_pipe_syntax"       -> q107PipeSyntax,
@@ -886,6 +911,15 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    // q112's oracle is the DIRECT aggregation — hash equality proves the
+    // partial-merge is lossless.
+    "q112_reaggregate" ->
+      """SELECT o_orderpriority AS prio,
+        |       COUNT(DISTINCT o_orderdate) AS n_days,
+        |       COUNT(1) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
     "q110_merge_upsert" ->
       """WITH target AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price

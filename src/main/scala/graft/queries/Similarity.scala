@@ -485,7 +485,53 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** n11: scalar-quantization (SQ8) ANN — the third compression family
+    * next to LSH (n01) and PQ (n06/n07): each dimension is affinely mapped
+    * to an 8-bit code using per-dim corpus min/max, candidates are ranked
+    * by the cheap code-space dot product, and the top 4k survivors are
+    * re-ranked with the exact integer dot. All-integer quantization
+    * (((q_i − mn_i) · 255) div (mx_i − mn_i), numerator non-negative so
+    * truncating and flooring division agree) keeps both engines
+    * bit-identical.
+    *
+    * Scale design: the per-dim stats are a 64-row partial agg folded into
+    * ONE broadcast row (metadata); code building and the approx dot are
+    * per-row map work over 8-bit-range ints (4 bytes/dim here vs 8 for the
+    * raw quantized vector in principle — the storage/bandwidth win SQ8
+    * exists for); candidate selection is TakeOrderedAndProject (per-
+    * partition heap, no global sort); only 4k rows reach the exact
+    * re-rank.
+    */
+  val n11AnnSq8: Q = (s, d) => {
+    val p = prepared(s, d).cache()
+    val stats = p.select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, mn))), x -> x.mn)").as("mns"),
+           expr("transform(array_sort(collect_list(struct(i, mx))), x -> x.mx)").as("mxs"))
+    val coded = p.crossJoin(broadcast(stats))
+      .withColumn("code", expr(
+        s"""transform(sequence(1, $Dim), j ->
+           |  IF(element_at(mxs, j) = element_at(mns, j), 0L,
+           |     ((element_at(q, j) - element_at(mns, j)) * 255L)
+           |       div (element_at(mxs, j) - element_at(mns, j))))""".stripMargin))
+      .drop("mns", "mxs")
+    val qv = coded.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"), col("code").as("qc"))
+    coded.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("approx", expr(dot("qc", "code")))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+      .limit(TopK * 4)
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos",
+        expr(s"cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "approx", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
     "d11_semdedup"       -> d11SemDedup,
@@ -526,6 +572,30 @@ object Similarity {
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n11_ann_sq8" ->
+      s"""WITH $duckPrep,
+         |stats AS (
+         |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM (SELECT i, MIN(q[i]) AS mn, MAX(q[i]) AS mx
+         |        FROM prepn CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |        GROUP BY i)),
+         |coded AS (
+         |  SELECT vec_id, q, nrm,
+         |         list_transform(generate_series(1, $Dim), i ->
+         |           CASE WHEN mxs[i] = mns[i] THEN 0
+         |                ELSE ((q[i] - mns[i]) * 255) // (mxs[i] - mns[i]) END) AS code
+         |  FROM prepn, stats),
+         |qv AS (SELECT q AS qa, nrm AS na, code AS qc FROM coded WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, q, nrm, qa, na,
+         |         CAST(list_sum(list_transform(generate_series(1, $Dim),
+         |           i -> qc[i] * code[i])) AS BIGINT) AS approx
+         |  FROM coded, qv WHERE vec_id <> 0
+         |  ORDER BY approx DESC, vec_id ASC LIMIT ${TopK * 4})
+         |SELECT vec_id, approx, ${duckDot("qa", "q")} AS dot,
+         |       CAST(${duckDot("qa", "q")} AS DOUBLE)
+         |         / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
+         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n09_ann_multiprobe" ->
       s"""WITH $duckPrep,
          |wb AS (SELECT vec_id, q, nrm, ${duckBucket("q")} AS bkt FROM prepn),

@@ -682,7 +682,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t20: Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1 — public heuristics): word-count bounds, mean-word-length
+    * bounds, fraction of words containing an alphabetic character, and
+    * minimum stopword presence, each emitted as its own boolean plus the
+    * conjunction `keep`. All integer arithmetic (x100 fixed-point for the
+    * ratios) so both engines agree bit-for-bit. Pure per-row codegen+HOF
+    * work — no shuffle at all until the final presentation sort; at 100 TB
+    * this is a map-only stage.
+    */
+  val t20GopherRules: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", expr("size(toks)"))
+      .withColumn("mean_len_x100", expr(
+        "(aggregate(toks, 0L, (a, t) -> a + length(t)) * 100) div cast(size(toks) as bigint)"))
+      .withColumn("alpha_pct", expr(
+        "(cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint) * 100) div size(toks)"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ${inList(stopwords)}))"))
+      .withColumn("ok_words", col("n_words").between(50, 100000))
+      .withColumn("ok_mean_len", col("mean_len_x100").between(300, 1000))
+      .withColumn("ok_alpha", col("alpha_pct") >= 80)
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+      .select("doc_id", "n_words", "mean_len_x100", "alpha_pct", "n_stop",
+              "ok_words", "ok_mean_len", "ok_alpha", "ok_stop", "keep")
+      .orderBy("doc_id")
+
+  /** t21: lexical-diversity profile — per-doc type/token counts, hapax
+    * count, and type-token ratio (x100 fixed-point): the vocabulary-
+    * richness signal corpus-quality pipelines pair with t02/t20 (template
+    * spam has pathologically low TTR). Relational two-level partial agg:
+    * explode → (doc, token) counts → per-doc rollup; both shuffles key on
+    * (doc_id, token) / doc_id, no HOFs on the hot path, map-side combine
+    * does most of the work at 100 TB.
+    */
+  val t21LexicalDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_x100",
+        expr("(cast(n_types as bigint) * 100) div n_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t20_gopher_rules"    -> t20GopherRules,
+    "t21_lexical_diversity" -> t21LexicalDiversity,
     "t19_bigram_commonness" -> t19BigramCommonness,
     "t16_url_extract"     -> t16UrlExtract,
     "t17_line_dedup"      -> t17LineDedup,
@@ -711,6 +762,36 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
   val oracles: Map[String, String] = Map(
+    "t20_gopher_rules" ->
+      s"""SELECT doc_id, n_words, mean_len_x100, alpha_pct, n_stop,
+         |       (n_words BETWEEN 50 AND 100000) AS ok_words,
+         |       (mean_len_x100 BETWEEN 300 AND 1000) AS ok_mean_len,
+         |       (alpha_pct >= 80) AS ok_alpha,
+         |       (n_stop >= 2) AS ok_stop,
+         |       ((n_words BETWEEN 50 AND 100000)
+         |        AND (mean_len_x100 BETWEEN 300 AND 1000)
+         |        AND (alpha_pct >= 80) AND (n_stop >= 2)) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |         CAST((list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 100)
+         |              // len(string_split(text, ' ')) AS BIGINT) AS mean_len_x100,
+         |         CAST((len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) * 100)
+         |              // len(string_split(text, ' ')) AS BIGINT) AS alpha_pct,
+         |         CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t21_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, COUNT(1) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(1) AS BIGINT) AS n_types,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST((COUNT(1) * 100) // SUM(c) AS BIGINT) AS ttr_x100
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t19_bigram_commonness" ->
       s"""WITH bg AS (
          |  SELECT DISTINCT doc_id,

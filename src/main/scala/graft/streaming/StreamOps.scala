@@ -101,6 +101,28 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s15: CHAINED stateful aggregations — 5-minute per-type partial counts
+    * re-aggregated into 15-minute totals inside ONE streaming query
+    * (multiple stateful operators in append mode, a Spark 3.4+/4 surface;
+    * before it, this took two queries with an intermediate sink). The
+    * second groupBy keys on `window(window, ...)`: the downstream event-
+    * time column is the upstream WINDOW struct itself, so the watermark
+    * propagates through both state stores and each 15-minute row emits
+    * once, when all its 5-minute cells are final. This is the streaming
+    * spelling of q112's re-aggregation property — partials merge
+    * losslessly because sums and counts add; at scale the fine windows
+    * bound state and the coarse roll-up reads partials, not events.
+    */
+  def s15ChainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "15 minutes"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_cells"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+              col("n_events"), col("n_cells"))
+
   /** s06: stream-stream interval join — purchases matched to the same
     * user's error events from the preceding 10 minutes. Both sides carry
     * watermarks; the time-bound condition lets Spark expire join state

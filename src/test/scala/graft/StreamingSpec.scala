@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
 
+  test("s15 chained window aggs: 5-min partials roll up to 15-min totals in one query") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val q = StreamOps.s15ChainedWindowAgg(events)
+      .writeStream.format("memory").queryName("s15_out")
+      .outputMode(OutputMode.Append()).start()
+    // 5-min cells: [0,5) click:2, [0,5) view:1, [5,10) click:1, [15,20) view:1
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 1.0),
+                (ts(3), "view", 1.0), (ts(6), "click", 1.0),
+                (ts(16), "view", 1.0))
+    q.processAllAvailable()
+    // flush: push the watermark past every window so append emits them all
+    mem.addData((ts(1000), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("s15_out").collect()
+      .map(r => r.getTimestamp(0).getTime / 60000 ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // 15-min roll-up [0,15): 4 events across 3 (window,type) cells;
+    // [15,30): 1 event, 1 cell — each emitted exactly once, fully final.
+    assert(out(0L) === ((4L, 3L)), s"got $out")
+    assert(out(15L) === ((1L, 1L)), s"got $out")
+    // and the stream equals the batch twin of the same chained shape
+    val batch = Seq((ts(1), "click", 1.0), (ts(2), "click", 1.0),
+                    (ts(3), "view", 1.0), (ts(6), "click", 1.0),
+                    (ts(16), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    val twin = batch
+      .groupBy(F.window($"ts", "5 minutes"), $"event_type")
+      .agg(F.count(F.lit(1)).as("n"))
+      .groupBy(F.window($"window", "15 minutes"))
+      .agg(F.sum($"n").as("n_events"), F.count(F.lit(1)).as("n_cells"))
+      .collect()
+      .map(r => r.getStruct(0).getTimestamp(0).getTime / 60000 ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === twin, s"stream $out != batch $twin")
+  }
+
   test("s02 sliding window + watermark drops late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
