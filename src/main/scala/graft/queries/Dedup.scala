@@ -653,7 +653,32 @@ object Dedup {
     incrementalVerdicts(delta, baseHashes, baseBands, bSig)
   }
 
+  /** d14: quality-aware survivor selection — production dedup keeps the
+    * BEST member of each near-dup cluster, not the smallest id (the min-id
+    * rule of d06 is a determinism convenience, not a curation policy).
+    * Reuses the shared memoized cluster table (d05's CREATE-TABLE-AS
+    * output) joined to t02's integer quality score; the survivor is
+    * argmax(quality, tie → smaller doc_id) via ONE `max_by` partial
+    * aggregate per cluster — no window, no per-cluster sort. At 100 TB
+    * this is a join keyed on doc_id plus a combine-heavy groupBy on
+    * cluster ids (near-dup clusters are tiny, so map-side combine
+    * collapses almost everything).
+    */
+  val d14QualitySurvivors: Q = (s, d) => {
+    val clusters = buildClusterTable(s, d)
+    val quality = TextOps.qualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(expr("max_by(doc_id, struct(quality, -doc_id))").as("kept_doc"),
+           max(col("quality")).as("kept_quality"),
+           count(lit(1)).as("cluster_size"))
+      .select("cluster", "kept_doc", "kept_quality", "cluster_size")
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_quality_survivors" -> d14QualitySurvivors,
     "d13_lsh_quality" -> d13LshQuality,
     "d12_sorted_neighborhood" -> d12SortedNeighborhood,
     "p04_incremental_dedup" -> p04IncrementalDedup,
@@ -722,6 +747,26 @@ object Dedup {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // d14: clusters via the shared recursive-reach CTEs; survivor = the
+    // quality-then-min-id argmax, spelled sequentially as a row_number
+    // window (the oracle's formulation of the partial-agg max_by).
+    "d14_quality_survivors" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |q AS (${TextOps.duckQuality}),
+         |j AS (SELECT c.cluster, c.doc_id, q.quality
+         |      FROM clusters c JOIN q USING (doc_id)),
+         |ranked AS (
+         |  SELECT cluster, doc_id, quality,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         |         COUNT(1) OVER (PARTITION BY cluster) AS csz
+         |  FROM j)
+         |SELECT cluster, doc_id AS kept_doc, quality AS kept_quality,
+         |       CAST(csz AS BIGINT) AS cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "d09_pagerank" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect),

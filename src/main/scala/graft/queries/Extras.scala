@@ -862,7 +862,60 @@ object Extras {
       .orderBy("prio")
   }
 
+  /** q113: NOT IN vs NOT EXISTS under NULLs — the ANSI tri-valued-logic
+    * pitfall pinned as data: one planted NULL in the probe set makes every
+    * `NOT IN` comparison UNKNOWN, so the count collapses to 0, while
+    * `NOT EXISTS` (a proper anti join) and the null-filtered `NOT IN`
+    * return the real complement. Execution-wise Spark plans the null-aware
+    * NOT IN as a single-column NAAJ (broadcast hash with a null check),
+    * NOT a nested loop — the pin documents both the semantics trap and
+    * that the anti-join spelling is the scale-safe one.
+    */
+  val q113NotInNulls: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("cust_q113")
+    Tables.orders(s, d).createOrReplaceTempView("ord_q113")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(1) FROM cust_q113
+        |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM ord_q113))
+        |    AS n_not_in,
+        |  (SELECT COUNT(1) FROM cust_q113
+        |   WHERE NOT EXISTS (SELECT 1 FROM ord_q113
+        |                     WHERE NULLIF(o_custkey, 7) = c_custkey))
+        |    AS n_not_exists,
+        |  (SELECT COUNT(1) FROM cust_q113
+        |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM ord_q113
+        |                           WHERE NULLIF(o_custkey, 7) IS NOT NULL))
+        |    AS n_not_in_nullfree""".stripMargin)
+  }
+
+  /** q114: cumulative distinct users by day — the running-COUNT(DISTINCT)
+    * every retention dashboard needs, spelled scale-safe: a windowed
+    * COUNT(DISTINCT) would drag every user id through a growing frame, so
+    * instead each user contributes once at their FIRST day (min(day) —
+    * partial agg), days roll up new-user counts, and the cumulative total
+    * is a prefix sum over the per-day table (metadata-scale: one row per
+    * day). Daily actives come from the same (day, user) dedup. At 100 TB
+    * the only full-data shuffles key on user_id / (day, user_id); the
+    * running sum never touches event rows.
+    */
+  val q114CumulativeDistinct: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val firstDay = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+    val newUsers = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val daily = ev.distinct().groupBy("day").agg(count(lit(1)).as("daily_users"))
+    val joined = daily.join(newUsers, Seq("day"), "left")
+      .select(col("day"), col("daily_users"),
+              coalesce(col("new_users"), lit(0L)).as("new_users"))
+    TextOps.prefixSum(joined, "day", "new_users", "cum_users",
+        includeCurrent = true)
+      .select("day", "daily_users", "new_users", "cum_users")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q113_not_in_nulls"      -> q113NotInNulls,
+    "q114_cumulative_distinct" -> q114CumulativeDistinct,
     "q112_reaggregate"       -> q112Reaggregate,
     "q110_merge_upsert"      -> q110MergeUpsert,
     "q111_scd2"              -> q111Scd2,
@@ -911,6 +964,30 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q113_not_in_nulls" ->
+      """SELECT
+        |  (SELECT COUNT(1) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders))
+        |    AS n_not_in,
+        |  (SELECT COUNT(1) FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                     WHERE NULLIF(o_custkey, 7) = c_custkey))
+        |    AS n_not_exists,
+        |  (SELECT COUNT(1) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders
+        |                           WHERE NULLIF(o_custkey, 7) IS NOT NULL))
+        |    AS n_not_in_nullfree""".stripMargin,
+    "q114_cumulative_distinct" ->
+      """WITH fu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |            FROM events GROUP BY user_id),
+        |nu AS (SELECT day, COUNT(1) AS new_users FROM fu GROUP BY day),
+        |da AS (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS daily_users
+        |       FROM events GROUP BY 1)
+        |SELECT da.day, daily_users,
+        |       COALESCE(new_users, 0) AS new_users,
+        |       CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY da.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM da LEFT JOIN nu USING (day) ORDER BY da.day""".stripMargin,
     // q112's oracle is the DIRECT aggregation — hash equality proves the
     // partial-merge is lossless.
     "q112_reaggregate" ->

@@ -87,12 +87,12 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** t02: document quality scoring — length, stopword ratio, long-token
-    * ratio, folded into a 0–100 score with pure integer arithmetic (`div`)
-    * so Spark and DuckDB agree bit-for-bit.
+  /** t02's quality pipeline as reusable columns (d14 consumes doc_id +
+    * quality for quality-aware survivor selection). Pure per-row integer
+    * arithmetic (`div`) so Spark and DuckDB agree bit-for-bit.
     */
-  val t02QualityScore: Q = (s, d) =>
-    Tables.documents(s, d)
+  private[queries] def qualityCols(df: DataFrame): DataFrame =
+    df
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
       .withColumn("n_stop",
         expr(s"size(filter(split(text, ' '), t -> t IN ${inList(stopwords)}))"))
@@ -103,6 +103,28 @@ object TextOps {
       .withColumn("stop_pct", expr("(cast(n_stop as bigint) * 100) div n_tokens"))
       .withColumn("long_pct", expr("(cast(n_long as bigint) * 100) div n_tokens"))
       .withColumn("quality", expr("(len_score + (100 - stop_pct) + long_pct) div 3"))
+
+  /** The DuckDB spelling of the same (doc_id, quality) projection — kept
+    * NEXT to qualityCols so the two sides evolve together (t02's full
+    * oracle and d14's survivor oracle both derive from it).
+    */
+  private[queries] def duckQuality: String =
+    s"""SELECT doc_id,
+       |       CAST((CAST(least(100, (length(text) * 100) // 400) AS BIGINT)
+       |             + (100 - (n_stop * 100) // n_tokens)
+       |             + (n_long * 100) // n_tokens) // 3 AS BIGINT) AS quality
+       |FROM (SELECT doc_id, text,
+       |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |             CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop,
+       |             CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT) AS n_long
+       |      FROM documents)""".stripMargin
+
+  /** t02: document quality scoring — length, stopword ratio, long-token
+    * ratio, folded into a 0–100 score with pure integer arithmetic (`div`)
+    * so Spark and DuckDB agree bit-for-bit.
+    */
+  val t02QualityScore: Q = (s, d) =>
+    qualityCols(Tables.documents(s, d))
       .select("doc_id", "n_tokens", "n_stop", "n_long",
               "len_score", "stop_pct", "long_pct", "quality")
       .orderBy("doc_id")
