@@ -30,7 +30,9 @@ object SparkEntry {
         "m02_frame_explode" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m02FrameExplode(s, d)),
         "m03_chunk_dedup" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m03ChunkDedup(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m03ChunkDedup(s, d)),
+        "m04_cdc_chunks" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m04CdcChunks(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -66,6 +68,44 @@ object SparkEntry {
             |SELECT a.mid AS m1, b.mid AS m2, COUNT(1) AS n_shared
             |FROM c a JOIN c b ON a.h = b.h AND a.mid < b.mid
             |GROUP BY m1, m2 ORDER BY m1, m2""".stripMargin,
+        // m04: same window hash, boundaries, spans, and dedup profile as
+        // the Spark side — window size / mask / min-pos / 31^k powers all
+        // interpolated from the shared Multimodal constants; ord() on the
+        // ASCII corpus equals Spark's ascii() on the byte slice.
+        "m04_cdc_chunks" -> {
+          val pow = graft.operators.Multimodal.CdcPow31.mkString("[", ", ", "]")
+          val wb = graft.operators.Multimodal.CdcWindowBytes
+          s"""WITH m AS (SELECT doc_id AS media_id, text AS payload,
+             |                  length(text) AS len FROM documents),
+             |bnd AS (
+             |  SELECT media_id, len, pos FROM (
+             |    SELECT media_id, payload, len,
+             |           unnest(generate_series(1, len)) AS pos FROM m)
+             |  WHERE pos >= ${graft.operators.Multimodal.CdcMinPos}
+             |    AND CAST(list_sum(list_transform(generate_series(0, ${wb - 1}), k ->
+             |          CASE WHEN pos - k >= 1 THEN ord(substr(payload, pos - k, 1))
+             |               ELSE 0 END * $pow[k + 1])) AS BIGINT)
+             |        % ${graft.operators.Multimodal.CdcMask} = 0),
+             |starts AS (
+             |  SELECT media_id, len, 1 AS start FROM m
+             |  UNION ALL
+             |  SELECT media_id, len, pos + 1 AS start FROM bnd WHERE pos < len),
+             |spans AS (
+             |  SELECT media_id, start,
+             |         COALESCE(lead(start) OVER (PARTITION BY media_id
+             |                                    ORDER BY start) - 1, len) AS fin
+             |  FROM starts),
+             |hashed AS (
+             |  SELECT s.media_id, s.fin - s.start + 1 AS nb,
+             |         md5(substr(m.payload, s.start, s.fin - s.start + 1)) AS h
+             |  FROM spans s JOIN m USING (media_id)),
+             |df AS (SELECT h, COUNT(DISTINCT media_id) AS dm FROM hashed GROUP BY h)
+             |SELECT media_id, COUNT(1) AS n_chunks,
+             |       CAST(SUM(CASE WHEN dm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |       CAST(SUM(nb) AS BIGINT) AS bytes_covered
+             |FROM hashed JOIN df USING (h)
+             |GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
         "m02_frame_explode" ->
           """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
             |       CAST(least(1024, n_bytes - chunk_idx * 1024) AS INT) AS chunk_bytes

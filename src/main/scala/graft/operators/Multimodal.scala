@@ -174,6 +174,73 @@ object Multimodal {
       .orderBy("m1", "m2")
   }
 
+  /** m04 content-defined chunking parameters: an 8-byte polynomial window
+    * hash marks a boundary where `hash % 64 == 0` (expected chunk ≈ 64
+    * bytes on uniform content), boundaries only from byte 16 on so the
+    * window is always full. POSITION-INDEPENDENT by construction — every
+    * byte's window hash depends only on its own 8 trailing bytes, never on
+    * previous boundaries — which is what makes the boundary set (a) stable
+    * under inserts/deletes elsewhere in the payload (the CDC property m03's
+    * fixed 256-byte grid lacks) and (b) expressible as a pure per-row map
+    * in BOTH engines, no sequential state.
+    */
+  val CdcWindowBytes = 8
+  val CdcMask = 64L
+  val CdcMinPos = 16
+  /** 31^k literals, k = 0..7 — shared (interpolated) by both engines. */
+  val CdcPow31: IndexedSeq[Long] =
+    (0 until CdcWindowBytes).scanLeft(1L)((a, _) => a * 31L).take(CdcWindowBytes)
+
+  /** m04: content-defined chunk dedup profile — the rolling-hash upgrade
+    * m03's docstring promises: boundaries from content (window-hash
+    * zeroes), so shared runs dedup even when offsets shift. Per media:
+    * chunk count, chunks whose hash recurs in ANOTHER media, and the byte
+    * coverage identity (Σ chunk sizes == payload length — the partition
+    * proof).
+    *
+    * Scale shape: the per-byte explode lives entirely INSIDE one codegen
+    * stage — explode → boundary filter — so per-byte rows are never
+    * shuffled and never materialized (the filter passes ~len/64 boundary
+    * rows on); chunk spans come from a per-media window over those
+    * boundary rows (~10 rows per media); only chunk HASHES shuffle, as in
+    * m03. (A mapPartitions spelling at the decode boundary computes the
+    * same boundaries; the relational spelling is chosen because it is the
+    * one the oracle can replicate bit-for-bit.)
+    */
+  def m04CdcChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"),
+              expr("length(payload)").as("len"))
+    val pow = CdcPow31.mkString("array(", "L, ", "L)")
+    val bounds = media
+      .withColumn("pos", explode(expr("sequence(1, len)")))
+      .filter(expr(
+        s"""pos >= $CdcMinPos AND
+           |aggregate(sequence(0, ${CdcWindowBytes - 1}), 0L, (a, k) ->
+           |  a + IF(pos - k >= 1,
+           |         ascii(cast(substring(payload, pos - k, 1) as string)), 0)
+           |      * element_at($pow, k + 1)) % $CdcMask = 0""".stripMargin))
+      .select(col("media_id"), col("len"), col("pos"))
+    val starts = media.select(col("media_id"), col("len"), lit(1).as("start"))
+      .unionByName(bounds.filter(col("pos") < col("len"))
+        .select(col("media_id"), col("len"), (col("pos") + 1).as("start")))
+    val w = Window.partitionBy("media_id").orderBy("start")
+    val spans = starts
+      .withColumn("fin",
+        coalesce(lead(col("start"), 1).over(w) - 1, col("len")))
+    val hashed = spans.join(media.select("media_id", "payload"), "media_id")
+      .select(col("media_id"), (col("fin") - col("start") + 1).as("nb"),
+              md5(expr("substring(payload, start, fin - start + 1)")).as("h"))
+    val df = hashed.groupBy("h").agg(countDistinct(col("media_id")).as("dm"))
+    hashed.join(df, "h")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("dm") >= 2, 1L).otherwise(0L)).as("n_shared"),
+           sum(col("nb")).as("bytes_covered"))
+      .orderBy("media_id")
+  }
+
   def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stride = 4

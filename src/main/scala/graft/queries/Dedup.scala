@@ -677,7 +677,54 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** p05: the curation capstone — the three NEW stages composed into the
+    * end-to-end training-data job a curation team actually runs:
+    *
+    *  1. GATE: t20's Gopher rules drop low-quality docs (`gopher_drop`);
+    *  2. DEDUP: within each near-dup cluster (the shared d05 cluster
+    *     table), the best GATE-PASSING member survives — d14's
+    *     argmax(quality, tie min-id), restricted to passers — the rest are
+    *     `dup_drop` (a cluster whose every member fails the gate has no
+    *     survivor: the gate wins precedence);
+    *  3. PACK: survivors are packed into 4096-token bins in doc_id order
+    *     (t07's exclusive prefix sum); dropped docs carry a NULL bin.
+    *
+    * Scale shape = the pieces' shapes: per-row gate (map-only), one join +
+    * combine-heavy groupBy for survivor election, range-partitioned prefix
+    * sum for packing — nothing new shuffles. p01 composes lang-id/quality;
+    * p05 composes the round-6 additions; both exist because stitched
+    * pipelines expose sequencing bugs single-stage oracles can't.
+    */
+  val p05CurationPipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = TextOps.gopherCols(docs).select(col("doc_id"), col("keep"))
+    val quality = TextOps.qualityCols(docs).select(col("doc_id"), col("quality"))
+    val clusters = buildClusterTable(s, d)
+    val survivors = clusters.join(gated, "doc_id").filter(col("keep"))
+      .join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(expr("max_by(doc_id, struct(quality, -doc_id))").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("surv"))
+    val status = clusters.join(gated, "doc_id")
+      .join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("keep"), "gopher_drop")
+          .when(col("surv").isNotNull, "kept")
+          .otherwise("dup_drop").as("status"))
+    val kept = status.filter(col("status") === "kept")
+      .join(docs.select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_tokens")), "doc_id")
+    val packed = TextOps.prefixSum(kept, "doc_id", "n_tokens", "cum_before",
+        includeCurrent = false)
+      .select(col("doc_id"),
+        expr(s"cum_before div ${TextOps.PackBudget}").as("bin"))
+    status.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "p05_curation_pipeline" -> p05CurationPipeline,
     "d14_quality_survivors" -> d14QualitySurvivors,
     "d13_lsh_quality" -> d13LshQuality,
     "d12_sorted_neighborhood" -> d12SortedNeighborhood,
@@ -747,6 +794,44 @@ object Dedup {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // p05: the capstone's oracle stitches the shared CTEs — recursive
+    // reach clusters, the gopher gate, the quality argmax (row_number
+    // spelling), and the packing running sum.
+    "p05_curation_pipeline" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |g AS (${TextOps.duckGopherKeep}),
+         |q AS (${TextOps.duckQuality}),
+         |surv AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |                              ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         |    FROM clusters c JOIN g USING (doc_id) JOIN q USING (doc_id)
+         |    WHERE g.keep) WHERE rn = 1),
+         |status AS (
+         |  SELECT c.doc_id,
+         |         CASE WHEN NOT g.keep THEN 'gopher_drop'
+         |              WHEN s.doc_id IS NOT NULL THEN 'kept'
+         |              ELSE 'dup_drop' END AS status
+         |  FROM clusters c JOIN g USING (doc_id)
+         |  LEFT JOIN surv s ON s.doc_id = c.doc_id),
+         |kept AS (
+         |  SELECT st.doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM status st JOIN documents d USING (doc_id)
+         |  WHERE st.status = 'kept'),
+         |packed AS (
+         |  SELECT doc_id,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              // ${TextOps.PackBudget} AS BIGINT) AS bin
+         |  FROM kept)
+         |SELECT st.doc_id, st.status, p.bin
+         |FROM status st LEFT JOIN packed p USING (doc_id)
+         |ORDER BY st.doc_id""".stripMargin,
     // d14: clusters via the shared recursive-reach CTEs; survivor = the
     // quality-then-min-id argmax, spelled sequentially as a row_number
     // window (the oracle's formulation of the partial-agg max_by).

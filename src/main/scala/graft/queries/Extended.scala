@@ -350,7 +350,11 @@ object Extended {
     // is a partial-agg groupBy joined back, same discipline.
     val cum = TextOps.prefixSum(g, "v", "c", "cum",
       includeCurrent = true, keyCols = Seq("k"))
-    val totals = g.groupBy("k").agg(sum(col("c").cast("bigint")).as("n"))
+    // Per-key totals = the LAST inclusive running sum, i.e. max(cum) per
+    // key — derived from the prefix-sum output (whose ranged input is
+    // already cached) instead of a second full lineitem scan + groupBy
+    // (which was ~40% of this query's bench time).
+    val totals = cum.groupBy("k").agg(max(col("cum")).as("n"))
     cum.join(totals, "k").groupBy("k").agg(
         min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
         min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),

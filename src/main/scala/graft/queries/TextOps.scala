@@ -713,8 +713,10 @@ object TextOps {
     * work — no shuffle at all until the final presentation sort; at 100 TB
     * this is a map-only stage.
     */
-  val t20GopherRules: Q = (s, d) =>
-    Tables.documents(s, d)
+  /** t20's rule columns as a reusable transform (p05's gate consumes
+    * doc_id + keep). */
+  private[queries] def gopherCols(df: DataFrame): DataFrame =
+    df
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_words", expr("size(toks)"))
       .withColumn("mean_len_x100", expr(
@@ -729,6 +731,9 @@ object TextOps {
       .withColumn("ok_stop", col("n_stop") >= 2)
       .withColumn("keep",
         col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+
+  val t20GopherRules: Q = (s, d) =>
+    gopherCols(Tables.documents(s, d))
       .select("doc_id", "n_words", "mean_len_x100", "alpha_pct", "n_stop",
               "ok_words", "ok_mean_len", "ok_alpha", "ok_stop", "keep")
       .orderBy("doc_id")
@@ -783,6 +788,26 @@ object TextOps {
   private def duckMarkerCount(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
 
+  /** The DuckDB spelling of gopherCols' rule inputs (t20's oracle and
+    * p05's gate both build on it). */
+  private[queries] def duckGopherInner: String =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |       CAST((list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 100)
+       |            // len(string_split(text, ' ')) AS BIGINT) AS mean_len_x100,
+       |       CAST((len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) * 100)
+       |            // len(string_split(text, ' ')) AS BIGINT) AS alpha_pct,
+       |       CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop
+       |FROM documents""".stripMargin
+
+  /** (doc_id, keep) in DuckDB — the gate predicate, one spelling. */
+  private[queries] def duckGopherKeep: String =
+    s"""SELECT doc_id,
+       |       ((n_words BETWEEN 50 AND 100000)
+       |        AND (mean_len_x100 BETWEEN 300 AND 1000)
+       |        AND (alpha_pct >= 80) AND (n_stop >= 2)) AS keep
+       |FROM ($duckGopherInner)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t20_gopher_rules" ->
       s"""SELECT doc_id, n_words, mean_len_x100, alpha_pct, n_stop,
@@ -793,15 +818,7 @@ object TextOps {
          |       ((n_words BETWEEN 50 AND 100000)
          |        AND (mean_len_x100 BETWEEN 300 AND 1000)
          |        AND (alpha_pct >= 80) AND (n_stop >= 2)) AS keep
-         |FROM (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-         |         CAST((list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 100)
-         |              // len(string_split(text, ' ')) AS BIGINT) AS mean_len_x100,
-         |         CAST((len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) * 100)
-         |              // len(string_split(text, ' ')) AS BIGINT) AS alpha_pct,
-         |         CAST(${duckMarkerCount(stopwords)} AS INT) AS n_stop
-         |  FROM documents)
+         |FROM ($duckGopherInner)
          |ORDER BY doc_id""".stripMargin,
     "t21_lexical_diversity" ->
       """WITH tok AS (

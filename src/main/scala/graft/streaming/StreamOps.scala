@@ -101,6 +101,24 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s16: stream-stream JOIN chained into a windowed aggregation — the
+    * second multi-stateful composition (s15 chains agg → agg): purchases
+    * interval-joined to preceding errors (s06's state-bounded shape), the
+    * matched pairs then rolled into 10-minute correlation counts, all
+    * inside ONE streaming query. The join emits p_ts with its watermark
+    * intact, which is what entitles the downstream windowed aggregate to
+    * exist; each window row emits once, when the join can no longer add
+    * pairs to it. Before multi-stateful support this took two queries and
+    * an intermediate sink — operationally a checkpoint, a topic, and a
+    * latency hop that this composition deletes.
+    */
+  def s16JoinThenWindowAgg(purchases: DataFrame, errors: DataFrame): DataFrame =
+    s06StreamStreamJoin(purchases, errors)
+      .groupBy(window(col("p_ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+              col("n_matched"))
+
   /** s15: CHAINED stateful aggregations — 5-minute per-type partial counts
     * re-aggregated into 15-minute totals inside ONE streaming query
     * (multiple stateful operators in append mode, a Spark 3.4+/4 surface;

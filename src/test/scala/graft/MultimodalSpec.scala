@@ -91,6 +91,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(new Array[Byte](0), 4) === 0)
   }
 
+  test("m04 CDC chunking is shift-invariant where m03's fixed grid is not") {
+    // THE property content-defined chunking exists for: insert a short
+    // prefix into a payload and the boundaries re-synchronize right after
+    // it (window hashes depend only on local bytes), so most chunks still
+    // dedup; a fixed 256-byte grid shifts every boundary and shares
+    // nothing. Planted pair: doc 1 = doc 0 with a 3-byte prefix.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("cdc_fixture").toString
+    // deterministic pseudo-random ASCII text, long enough for ~12 chunks
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 160).map(_ => ('a' + rnd.nextInt(26)).toChar.toString +
+      ('a' + rnd.nextInt(26)).toChar + ('a' + rnd.nextInt(26)).toChar + " ")
+      .mkString.trim
+    Seq((0L, base, "en", "src0", base.length.toLong),
+        (1L, "xy " + base, "en", "src0", (base.length + 3).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdc = Multimodal.m04CdcChunks(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // byte-coverage identity holds for both payloads
+    assert(cdc(0L)._3 === base.length.toLong)
+    assert(cdc(1L)._3 === base.length.toLong + 3)
+    // most chunks re-align and dedup across the pair despite the shift
+    assert(cdc(0L)._2 >= cdc(0L)._1 / 2,
+      s"CDC should share at least half its chunks after re-sync: $cdc")
+    // the fixed-grid m03 shares NOTHING on the same shifted pair
+    val fixedPairs = Multimodal.m03ChunkDedup(spark, dir)
+      .filter(col("m1") === 0L && col("m2") === 1L).count()
+    assert(fixedPairs === 0L,
+      "fixed-grid chunking unexpectedly survived the prefix shift")
+  }
+
   test("m03 oracle precondition: documents corpus is pure ASCII at every SF") {
     // m03's DuckDB oracle slices the payload with VARCHAR substr while the
     // Spark side slices BINARY — byte-identical ONLY while every character

@@ -171,6 +171,35 @@ class StreamingSpec extends SparkSpec {
     assert(out === twin, s"stream $out != batch $twin")
   }
 
+  test("s16 join-then-window-agg: matched pairs roll into windows in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s16JoinThenWindowAgg(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s16_out")
+      .outputMode(OutputMode.Append()).start()
+    // same pairing fixture as s06: (purchase@10, error@5) and
+    // (purchase@40, error@30) match for user 7 — one pair in window
+    // [10,20), one in [40,50); unmatched users contribute nothing.
+    emem.addData((ts(5), 7L, 100L), (ts(30), 7L, 101L), (ts(5), 8L, 102L))
+    pmem.addData((ts(10), 7L, 1L), (ts(40), 7L, 2L), (ts(10), 9L, 3L))
+    q.processAllAvailable()
+    // flush both watermarks far past the join windows so the downstream
+    // windowed agg finalizes and emits in append mode
+    emem.addData((ts(2000), 99L, 999L))
+    pmem.addData((ts(2000), 99L, 998L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("s16_out").collect()
+      .map(r => r.getTimestamp(0).getTime / 60000 -> r.getLong(2)).toMap
+    assert(out.getOrElse(10L, 0L) === 1L, s"got $out")
+    assert(out.getOrElse(40L, 0L) === 1L, s"got $out")
+    assert(out.values.sum === 2L, s"unexpected extra windows: $out")
+  }
+
   test("s02 sliding window + watermark drops late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
