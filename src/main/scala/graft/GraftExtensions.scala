@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{Hash56, PyRound, Shingles, VecDot}
+import graft.functions.{CdcChunks, Hash56, PyRound, Shingles, VecDot}
 
 /** Engine extension point, registered via the PUBLIC
   * `SparkSessionExtensions` API (builder.withExtensions or
@@ -17,6 +17,9 @@ import graft.functions.{Hash56, PyRound, Shingles, VecDot}
   *    (see VecDot for why the HOF spelling was the d04 bottleneck).
   *  - `shingles(tokens, k)` — codegen'd word k-gram shingle array over
   *    array<string> (see Shingles for why the HOF spelling was the t04
+  *    bottleneck).
+  *  - `cdc_chunks(payload)` — codegen'd content-defined chunk spans over
+  *    binary (see CdcChunks for why the HOF spelling was the m04
   *    bottleneck).
   *
   * and one planner strategy:
@@ -55,6 +58,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"shingles(<array<string>>, <int literal k>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(payload) =>
+          CdcChunks(payload, graft.operators.Multimodal.CdcMinPos,
+            graft.operators.Multimodal.CdcWindowBytes,
+            graft.operators.Multimodal.CdcMask)
+        case other =>
+          throw new IllegalArgumentException(
+            s"cdc_chunks(<binary>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

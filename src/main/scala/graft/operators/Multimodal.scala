@@ -198,40 +198,26 @@ object Multimodal {
     * coverage identity (Σ chunk sizes == payload length — the partition
     * proof).
     *
-    * Scale shape: the per-byte explode lives entirely INSIDE one codegen
-    * stage — explode → boundary filter — so per-byte rows are never
-    * shuffled and never materialized (the filter passes ~len/64 boundary
-    * rows on); chunk spans come from a per-media window over those
-    * boundary rows (~10 rows per media); only chunk HASHES shuffle, as in
-    * m03. (A mapPartitions spelling at the decode boundary computes the
-    * same boundaries; the relational spelling is chosen because it is the
-    * one the oracle can replicate bit-for-bit.)
+    * Scale shape: boundary detection never leaves the row — the codegen'd
+    * [[graft.functions.CdcChunks]] expression (`cdc_chunks(payload)`)
+    * emits the span set in ONE JIT'd pass per payload, so the ONLY explode
+    * emits ~len/64 chunk rows and the only shuffles carry chunk hashes
+    * (exactly m03's shuffle footprint). Two slower spellings are
+    * documented on the expression: per-byte explode (6.2 s at sf0.1, 64×
+    * transient rows) and per-byte HOF lambdas (Catalyst inlines the byte
+    * array into every lambda → O(len² × window) interpreted evals — never
+    * finished). Same custom-expression escape hatch as `shingles`
+    * (SURVEY §7.3).
     */
   def m04CdcChunks(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val media = fixtureFromDocuments(s, d).toDF()
-      .select(col("media_id"), col("payload"),
-              expr("length(payload)").as("len"))
-    val pow = CdcPow31.mkString("array(", "L, ", "L)")
-    val bounds = media
-      .withColumn("pos", explode(expr("sequence(1, len)")))
-      .filter(expr(
-        s"""pos >= $CdcMinPos AND
-           |aggregate(sequence(0, ${CdcWindowBytes - 1}), 0L, (a, k) ->
-           |  a + IF(pos - k >= 1,
-           |         ascii(cast(substring(payload, pos - k, 1) as string)), 0)
-           |      * element_at($pow, k + 1)) % $CdcMask = 0""".stripMargin))
-      .select(col("media_id"), col("len"), col("pos"))
-    val starts = media.select(col("media_id"), col("len"), lit(1).as("start"))
-      .unionByName(bounds.filter(col("pos") < col("len"))
-        .select(col("media_id"), col("len"), (col("pos") + 1).as("start")))
-    val w = Window.partitionBy("media_id").orderBy("start")
-    val spans = starts
-      .withColumn("fin",
-        coalesce(lead(col("start"), 1).over(w) - 1, col("len")))
-    val hashed = spans.join(media.select("media_id", "payload"), "media_id")
-      .select(col("media_id"), (col("fin") - col("start") + 1).as("nb"),
-              md5(expr("substring(payload, start, fin - start + 1)")).as("h"))
+    val hashed = fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("span", explode(expr("cdc_chunks(payload)")))
+      .select(col("media_id"),
+              (col("span.fin") - col("span.start") + 1).as("nb"),
+              md5(expr(
+                "substring(payload, span.start, span.fin - span.start + 1)"))
+                .as("h"))
     val df = hashed.groupBy("h").agg(countDistinct(col("media_id")).as("dm"))
     hashed.join(df, "h")
       .groupBy("media_id")
