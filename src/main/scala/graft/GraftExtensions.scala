@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{CdcChunks, Hash56, PyRound, Shingles, VecDot}
+import graft.functions.{CdcChunks, CharStats, Hash56, PyRound, Shingles, VecDot}
 
 /** Engine extension point, registered via the PUBLIC
   * `SparkSessionExtensions` API (builder.withExtensions or
@@ -70,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"cdc_chunks(<binary>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_stats"),
+      new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CharStats(text)
+        case other =>
+          throw new IllegalArgumentException(
+            s"char_stats(<string>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -265,6 +265,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum("col").as("sum_q"))
       .orderBy("cid", "dim")
 
+  /** n12: every vec_id ≡ 0 (mod stride) is a query of the kNN JOIN. */
+  val KnnJoinStride = 20
+  val KnnJoinK = 5
+
+  /** n12: kNN JOIN — top-k neighbors for EVERY query vector at once (the
+    * batch retrieval shape behind SemDeDup-style semantic curation and
+    * RAG index refresh), not the single-probe lookup of n01/n02.
+    *
+    * Scale shape: both sides carry their IVF list id from [[ivfAssigned]],
+    * so the candidate generation is a plain EQUI-join on `cid` — shuffle
+    * co-partitioned at scale (queries here are \|corpus\|/stride, NOT
+    * broadcastable in general; AQE may still broadcast a small side). Pair
+    * fan-out is Σ_list(queries_in_list × list_size) — the IVF probe cost,
+    * never the \|Q\|×\|corpus\| cartesian. The per-query top-k runs on the
+    * custom [[graft.plans.TopKPerKey]] bounded-heap operator: k rows per
+    * key held per partition, no per-key full sort, no single-task group
+    * buffering (the same reason q94 exists). Final global orderBy is the
+    * oracle's presentation order.
+    */
+  val n12KnnJoin: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val qs = assigned.filter(col("vec_id") % KnnJoinStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+              col("nrm").as("na"), col("cid"))
+    val cs = assigned.filter(col("vec_id") % KnnJoinStride =!= 0)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+    val pairs = cs.join(qs, Seq("cid"))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select(col("query_id"), col("vec_id"), col("cid"), col("cos"))
+    graft.plans.TopKPerKey(pairs, Seq("query_id"),
+        Seq(("cos", false), ("vec_id", true)), KnnJoinK)
+      .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
+  }
+
   /** PQ layout: 64 dims split into 8 subspaces of 8 dims. */
   val NumSubspaces = 8
   val SubDim: Int = Dim / NumSubspaces
@@ -543,6 +578,7 @@ object Similarity {
     "n02_ann_ivf"        -> n02AnnIvf,
     "n03_ivf_stats"      -> n03IvfStats,
     "n04_l2_knn"         -> n04L2Knn,
+    "n12_knn_join"       -> n12KnnJoin,
     "n05_centroid_update" -> n05CentroidUpdate,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
@@ -572,6 +608,24 @@ object Similarity {
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n12_knn_join" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qs AS (SELECT vec_id AS query_id, q AS qa, nrm AS na, cid
+         |       FROM assigned WHERE vec_id % $KnnJoinStride = 0),
+         |cs AS (SELECT vec_id, q, nrm, cid
+         |       FROM assigned WHERE vec_id % $KnnJoinStride <> 0),
+         |pairs AS (
+         |  SELECT qs.query_id, cs.vec_id, cs.cid,
+         |         CAST(${duckDot("qs.qa", "cs.q")} AS DOUBLE)
+         |           / sqrt(CAST(qs.na AS DOUBLE) * CAST(cs.nrm AS DOUBLE)) AS cos
+         |  FROM cs JOIN qs ON cs.cid = qs.cid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT query_id, vec_id, cid, cos FROM ranked WHERE rn <= $KnnJoinK
+         |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
     "n11_ann_sq8" ->
       s"""WITH $duckPrep,
          |stats AS (

@@ -758,7 +758,34 @@ object TextOps {
         expr("(cast(n_types as bigint) * 100) div n_tokens"))
       .orderBy("doc_id")
 
+  /** t22: character-diversity quality scoring — the code-point histogram
+    * moments (count / distinct / top frequency / Σfreq²) plus two derived
+    * integer scores: the Simpson diversity index ×1e6 (1 − Σ(c/n)², the
+    * collision probability complement — a log-free stand-in for character
+    * entropy that collapses to 0 on single-char spam) and the top-char
+    * share in basis points (Gopher-style max-character-fraction rule).
+    *
+    * Scale shape: the histogram is the codegen'd [[graft.functions.CharStats]]
+    * expression — ONE JIT'd pass per row inside whole-stage codegen, so the
+    * query is a pure map + final presentation sort with NO shuffle at all
+    * (vs. the explode(split(text,'')) spelling that ships one shuffle row
+    * per CHARACTER — ~300× the corpus row count). All derived scores are
+    * integer-exact (`div`), so the oracle hash-matches bit-for-bit.
+    */
+  val t22CharDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("char_stats(text)").as("st"))
+      .select(col("doc_id"),
+        col("st.n_chars").as("n_chars"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.max_freq").as("max_freq"),
+        expr("((st.n_chars * st.n_chars - st.sum_sq) * 1000000) div greatest(st.n_chars * st.n_chars, 1)")
+          .as("simpson_x1e6"),
+        expr("(st.max_freq * 10000) div greatest(st.n_chars, 1)").as("top_char_bp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t22_char_diversity"  -> t22CharDiversity,
     "t20_gopher_rules"    -> t20GopherRules,
     "t21_lexical_diversity" -> t21LexicalDiversity,
     "t19_bigram_commonness" -> t19BigramCommonness,
@@ -820,6 +847,25 @@ object TextOps {
          |        AND (alpha_pct >= 80) AND (n_stop >= 2)) AS keep
          |FROM ($duckGopherInner)
          |ORDER BY doc_id""".stripMargin,
+    "t22_char_diversity" ->
+      // string_split(text, '') unnests per Unicode code point — the same
+      // units CharStatsUtil counts (codePointAt loop), so the histograms
+      // agree beyond ASCII too. All outputs integer-exact.
+      """WITH ch AS (
+        |  SELECT doc_id, c, COUNT(1) AS f
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(f) AS BIGINT) AS n,
+        |         CAST(COUNT(1) AS BIGINT) AS dn,
+        |         CAST(MAX(f) AS BIGINT) AS mx,
+        |         CAST(SUM(f * f) AS BIGINT) AS ss
+        |  FROM ch GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars, dn AS n_distinct, mx AS max_freq,
+        |       (n * n - ss) * 1000000 // greatest(n * n, 1) AS simpson_x1e6,
+        |       mx * 10000 // greatest(n, 1) AS top_char_bp
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "t21_lexical_diversity" ->
       """WITH tok AS (
         |  SELECT doc_id, t, COUNT(1) AS c

@@ -104,4 +104,29 @@ class PropertySpec extends AnyFunSuite {
       if (bs.nonEmpty) assert(mean >= 0 && mean <= 255)
     }
   }
+
+  test("char_stats histogram moments: goldens + invariants on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def st(s: String): (Long, Long, Long, Long) = {
+      val r = graft.functions.CharStatsUtil.stats(UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(st("") === ((0L, 0L, 0L, 0L)))
+    assert(st("aaaa") === ((4L, 1L, 4L, 16L)))
+    assert(st("abab") === ((4L, 2L, 2L, 8L)))
+    // non-ASCII and supplementary-plane: counts are CODE POINTS, so the
+    // 2-UTF-16-unit emoji is ONE char — the unit DuckDB's split('') yields
+    assert(st("héé") === ((3L, 2L, 2L, 5L)))
+    assert(st("a😀a") === ((3L, 2L, 2L, 5L)))
+    val r = rng
+    (1 to 300).foreach { _ =>
+      val s = (1 to r.nextInt(200)).map(_ => (r.nextInt(96) + 32).toChar).mkString
+      val (n, dn, mx, ss) = st(s)
+      val counts = s.groupBy(identity).map(_._2.length.toLong)
+      assert(n === s.length.toLong)
+      assert(dn === counts.size.toLong)
+      assert(mx === (if (counts.isEmpty) 0L else counts.max))
+      assert(ss === counts.map(c => c * c).sum)
+    }
+  }
 }

@@ -109,4 +109,25 @@ class SimilaritySpec extends SparkSpec {
       }
     assert(got === expected)
   }
+
+  test("n12 kNN join: <=k rows per query, within-list, exact-scored, no self") {
+    val rows = Similarity.n12KnnJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rs) =>
+      assert(qid % Similarity.KnnJoinStride === 0)
+      assert(rs.length <= Similarity.KnnJoinK)
+      // neighbors are candidates (never queries, never the query itself)
+      assert(rs.forall(_.getLong(1) % Similarity.KnnJoinStride != 0))
+      // sorted desc within the query (presentation order), list-coherent
+      val cos = rs.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // each (query, neighbor) pair shares the neighbor's IVF list: the cid
+    // column is the JOIN key, so it must equal the query's assigned list
+    val qCid = Similarity.n12KnnJoin(spark, sf)
+      .select("query_id", "cid").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    qCid.values.foreach(cids => assert(cids.size === 1))
+  }
 }
