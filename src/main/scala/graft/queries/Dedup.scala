@@ -723,7 +723,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d15: prefix-filter set-similarity join element/threshold. Word
+    * 3-gram shingles (k=2 is d03's; 3 separates this corpus cleanly) and
+    * Jaccard >= 0.30.
+    */
+  val PrefixShingleK = 3
+  val PrefixTauPct = 30
+
+  /** d15: EXACT set-similarity join via prefix filtering (AllPairs,
+    * Bayardo et al. WWW'07; prefix filter of Chaudhuri et al. ICDE'06) —
+    * every document pair with shingle-set Jaccard >= τ, with a
+    * COMPLETENESS GUARANTEE, unlike d03's df-capped blocking (which may
+    * drop a qualifying pair whose every shared shingle is hot) or d01's
+    * probabilistic LSH.
+    *
+    * The guarantee: order every doc's shingles by one global total order —
+    * (document frequency ASC, shingle ASC), rare first; no global RANK is
+    * materialized, so there is no single-task bottleneck — and emit only
+    * each doc's first `sz - ceil(τ·sz) + 1` shingles as its PREFIX. If
+    * J(A,B) >= τ then |A∩B| >= ceil(τ·|A|); a pair whose prefixes were
+    * disjoint would have |A∩B| <= |A| - plen(A) = ceil(τ·|A|) - 1 —
+    * contradiction. So the prefix equi-join finds every qualifying pair;
+    * the exact intersection count then drops false positives.
+    *
+    * Scale shape: df is a partial-agg groupBy (map-side combinable);
+    * per-doc ordering is a sort WITHIN each row's array (no shuffle
+    * beyond the doc-key groupBy); the candidate join is an equi-join on
+    * prefix shingles — rare-first prefixes keep hot shingles out of most
+    * prefixes, the standard AllPairs candidate bound; the verify join
+    * touches only candidate pairs × their token lists. No all-pairs shape
+    * anywhere.
+    */
+  val d15PrefixFilterJoin: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", PrefixShingleK)})"))
+          .as("t"))
+    val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    // (df, t) pairs sorted rare-first inside each doc's array; prefix
+    // length from the Jaccard prefix bound (integer ceil).
+    val ordered = tok.join(df, "t")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen", expr(s"sz - ((sz * $PrefixTauPct + 99) div 100) + 1"))
+    val prefix = ordered
+      .select(col("doc_id"), explode(expr("slice(toks, 1, cast(plen as int))")).as("p"))
+      .select(col("doc_id"), col("p.t").as("t"))
+      // consumed twice (both join sides); at 100 TB: a written prefix-index
+      .cache()
+    val cand = prefix.select(col("doc_id").as("d1"), col("t"))
+      .join(prefix.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    // exact verification restricted to candidate pairs
+    val inter = cand
+      .join(tok.select(col("doc_id").as("d1"), col("t")), Seq("d1"))
+      .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("d2", "t"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("na")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("nb")), Seq("d2"))
+      .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
+      .select("d1", "d2", "inter", "na", "nb")
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_prefix_filter_join" -> d15PrefixFilterJoin,
     "p05_curation_pipeline" -> p05CurationPipeline,
     "d14_quality_survivors" -> d14QualitySurvivors,
     "d13_lsh_quality" -> d13LshQuality,
@@ -794,6 +863,25 @@ object Dedup {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // d15: the oracle is the BRUTE-FORCE exact τ-join (no prefix filter)
+    // — DuckDB at sf0.01 affords the full shingle self-join, so the
+    // completeness guarantee is checked against ground truth, not against
+    // a re-spelling of the same pruning.
+    "d15_prefix_filter_join" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextHash.duckShingles("text", PrefixShingleK)}) AS t
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, inter, sa.sz AS na, sb.sz AS nb
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $PrefixTauPct
+         |ORDER BY d1, d2""".stripMargin,
     // p05: the capstone's oracle stitches the shared CTEs — recursive
     // reach clusters, the gopher gate, the quality argmax (row_number
     // spelling), and the packing running sum.

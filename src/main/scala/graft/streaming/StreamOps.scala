@@ -199,6 +199,23 @@ object StreamOps {
         .option("partitions", parts)
         .load())
 
+  /** s17: CDC key-compaction upsert into a relational sink — the streaming
+    * materialization of "latest state by key" (sink-side twin of q91's CDC
+    * apply / q110's batch MERGE). Each micro-batch is compacted to one row
+    * per key (last event-time wins) and upserted transactionally per
+    * partition; replays converge to the same table state because upsert is
+    * idempotent BY KEY — see [[graft.operators.UpsertSink]] for the
+    * idempotence model and the Postgres ON CONFLICT twin.
+    */
+  def s17UpsertSink(updates: DataFrame, url: String,
+                    props: java.util.Properties, table: String,
+                    checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.UpsertSink.upsertBatch(
+        url, props, table, graft.operators.UpsertSink.derbyDdl(table)) _)
+      .start()
+
   /** s09: stream-stream LEFT OUTER interval join — s06's shape with outer
     * semantics: a purchase with no matching error is HELD in state until
     * the watermark proves no match can still arrive, THEN emitted

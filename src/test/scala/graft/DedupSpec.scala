@@ -354,4 +354,30 @@ class DedupSpec extends SparkSpec {
     assert(kept === (0L until 18L).toSet -- Set(1L, 5L, 16L, 17L),
       s"got $stages")
   }
+
+  test("d15 prefix-filter join: complete vs brute force, thresholds honored") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    // ground truth: brute-force exact Jaccard join on the same shingle sets
+    val tok = Tables.documents(spark, sf)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(shingles(tokens, ${Dedup.PrefixShingleK}))")).as("t"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = tok.select(col("doc_id").as("d1"), col("t"))
+      .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("na")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("nb")), Seq("d2"))
+      .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * Dedup.PrefixTauPct)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.d15PrefixFilterJoin(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
+    // every emitted pair genuinely clears the threshold
+    got.foreach { r =>
+      val (i, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(i * 100 >= (na + nb - i) * Dedup.PrefixTauPct)
+    }
+  }
 }
