@@ -307,6 +307,59 @@ object ScaleOps {
       .select(col("e.item").as("item"), col("e.count").cast("bigint").as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
 
+  // ---------------------------------------------------------------- x07
+
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** x07: KMV (k-minimum-values) distinct-count sketch — the mergeable
+    * sketch family's DETERMINISTIC member: the sketch is just the k
+    * smallest distinct values of a uniform hash, so unlike HLL (x01/x05)
+    * or Count-Min (x04), whose estimates are implementation-internal, the
+    * whole sketch AND its estimate are oracle-exact bit-for-bit.
+    * Estimator: (k−1)/θ with θ = kth_min/2^56 (Bar-Yossef et al.
+    * RANDOM'02; Beyer et al. SIGMOD'07), spelled in pure BIGINT algebra.
+    *
+    * Mergeability — THE sketch property that matters at 100 TB (sketch
+    * per shard, union at the coordinator) — is demonstrated in-query: the
+    * union sketch over two disjoint-domain key sets (customer keys
+    * prefixed 'c', supplier keys prefixed 's') is the k-min over the two
+    * sketches' 2k rows, and its estimate is scored against the exact
+    * distinct union, in basis points.
+    *
+    * Plan shape per side: two-phase hash DISTINCT → TakeOrderedAndProject
+    * (k) — per-partition partial distinct + bounded heap, no full sort;
+    * the merge leg touches only 2k sketch rows; exact counts are partial-
+    * agg countDistinct, broadcast at one row each.
+    */
+  val x07KmvSketch: Q = (s, d) => {
+    val two56 = 72057594037927936L // 2^56
+    def hashed(df: DataFrame, keyExpr: String): DataFrame =
+      df.select(expr(TextHash.sparkHash56(keyExpr)).as("h")).distinct()
+    def kmin(h: DataFrame): DataFrame = h.orderBy("h").limit(KmvK)
+    // textbook estimator: a sketch SMALLER than k saw every distinct value
+    // — it IS the distinct set, so the estimate is its exact size
+    def est(sketch: DataFrame, name: String): DataFrame =
+      sketch.agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+        .select(expr(
+          s"IF(n < $KmvK, n, (${KmvK - 1} * ${two56}L) div kth)").as(s"est_$name"))
+    val ha = hashed(Tables.orders(s, d), "concat('c', cast(o_custkey as string))")
+    val hb = hashed(Tables.lineitem(s, d), "concat('s', cast(l_suppkey as string))")
+    val (ska, skb) = (kmin(ha), kmin(hb))
+    val sku = kmin(ska.union(skb)) // sketch merge: k-min of the union of sketches
+    val exact = ha.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
+      .withColumn("exact_u", col("exact_a") + col("exact_b")) // disjoint domains
+    est(ska, "a").crossJoin(broadcast(est(skb, "b"))).crossJoin(broadcast(est(sku, "u")))
+      .crossJoin(broadcast(exact))
+      .select(col("est_a"), col("exact_a"),
+        expr("abs(est_a - exact_a) * 10000 div exact_a").as("err_a_bp"),
+        col("est_b"), col("exact_b"),
+        expr("abs(est_b - exact_b) * 10000 div exact_b").as("err_b_bp"),
+        col("est_u"), col("exact_u"),
+        expr("abs(est_u - exact_u) * 10000 div exact_u").as("err_u_bp"))
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -450,6 +503,7 @@ object ScaleOps {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "x07_kmv_sketch"       -> x07KmvSketch,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
@@ -476,6 +530,29 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x07_kmv_sketch" -> {
+      val ha = TextHash.duckHash56("'c' || CAST(o_custkey AS VARCHAR)")
+      val hb = TextHash.duckHash56("'s' || CAST(l_suppkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $ha AS h FROM orders),
+         |hb AS (SELECT DISTINCT $hb AS h FROM lineitem),
+         |ska AS (SELECT h FROM ha ORDER BY h LIMIT $KmvK),
+         |skb AS (SELECT h FROM hb ORDER BY h LIMIT $KmvK),
+         |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+         |        ORDER BY h LIMIT $KmvK),
+         |ea AS (SELECT CASE WHEN COUNT(1) < $KmvK THEN COUNT(1)
+         |                    ELSE (${KmvK - 1} * 72057594037927936) // MAX(h) END AS est_a FROM ska),
+         |eb AS (SELECT CASE WHEN COUNT(1) < $KmvK THEN COUNT(1)
+         |                    ELSE (${KmvK - 1} * 72057594037927936) // MAX(h) END AS est_b FROM skb),
+         |eu AS (SELECT CASE WHEN COUNT(1) < $KmvK THEN COUNT(1)
+         |                    ELSE (${KmvK - 1} * 72057594037927936) // MAX(h) END AS est_u FROM sku),
+         |ex AS (SELECT (SELECT COUNT(1) FROM ha) AS exact_a,
+         |              (SELECT COUNT(1) FROM hb) AS exact_b,
+         |              (SELECT COUNT(1) FROM ha) + (SELECT COUNT(1) FROM hb) AS exact_u)
+         |SELECT est_a, exact_a, abs(est_a - exact_a) * 10000 // exact_a AS err_a_bp,
+         |       est_b, exact_b, abs(est_b - exact_b) * 10000 // exact_b AS err_b_bp,
+         |       est_u, exact_u, abs(est_u - exact_u) * 10000 // exact_u AS err_u_bp
+         |FROM ea, eb, eu, ex""".stripMargin
+    },
     "q99_rendezvous_shard" -> {
       val h = TextHash.duckHash56(
         "CAST(doc_id AS VARCHAR) || '|' || CAST(shard AS VARCHAR)")
