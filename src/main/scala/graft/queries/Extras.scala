@@ -913,7 +913,47 @@ object Extras {
       .orderBy("day")
   }
 
+  /** Benford expected shares ×1e6 for digits 1..9: floor(log10(1+1/d)·1e6).
+    * Computed ONCE here and interpolated as integer literals into BOTH
+    * engines' SQL, so no transcendental ever runs inside a query.
+    */
+  private[queries] val BenfordX1e6: IndexedSeq[Long] =
+    (1 to 9).map(dg => math.floor(math.log10(1.0 + 1.0 / dg) * 1e6).toLong)
+
+  /** q115: Benford's-law first-digit audit — the classic fraud-detection
+    * screen (fabricated amounts drift from the logarithmic first-digit
+    * law; the reference is a fraud-detection ETL, py:40-52's rule filter
+    * is its per-row cousin — this is the distributional one).
+    *
+    * Determinism: the first significant digit comes from INTEGER string
+    * math (floor → bigint → first char), never log10 of a double; the
+    * expected shares are pre-computed integer literals (same literal text
+    * in both engines), and the deviation is integer basis-point algebra.
+    * Prices are >= 1 in this schema so the integer part is never empty.
+    *
+    * Scale shape: per-row digit extraction in codegen → ONE partial-agg
+    * groupBy over 9 digit values (map-side combine collapses everything)
+    * → broadcast of the 1-row total. No sort until the 9-row output.
+    */
+  val q115BenfordAudit: Q = (s, d) => {
+    val expected = BenfordX1e6.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+      .mkString("CASE digit ", " ", " END")
+    val digits = Tables.orders(s, d)
+      .select(expr("cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("observed_x1e6"),
+        expr(expected).as("expected_x1e6"))
+      .withColumn("dev_x1e6", expr("abs(observed_x1e6 - expected_x1e6)"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q115_benford_audit"     -> q115BenfordAudit,
     "q113_not_in_nulls"      -> q113NotInNulls,
     "q114_cumulative_distinct" -> q114CumulativeDistinct,
     "q112_reaggregate"       -> q112Reaggregate,
@@ -964,6 +1004,21 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q115_benford_audit" -> {
+      val expected = BenfordX1e6.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |         COUNT(1) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+         |SELECT digit, n,
+         |       CAST(n * 1000000 // total AS BIGINT) AS observed_x1e6,
+         |       CAST($expected AS BIGINT) AS expected_x1e6,
+         |       CAST(abs(n * 1000000 // total - $expected) AS BIGINT) AS dev_x1e6
+         |FROM digits, tot ORDER BY digit""".stripMargin
+    },
     "q113_not_in_nulls" ->
       """SELECT
         |  (SELECT COUNT(1) FROM customer

@@ -93,6 +93,23 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("ss"),
               col("session_window.end").as("se"), col("n_events"), col("sum_value"))
 
+  /** s18: session windows with a DYNAMIC per-event gap (Spark 3.2+
+    * surface s03's fixed gap doesn't cover): engaged events ("click")
+    * hold a session open 10 minutes, passive ones ("view") only 2 — the
+    * per-activity timeout policy real engagement sessionization uses. The
+    * gap is an expression evaluated per event; state/merge semantics are
+    * otherwise s03's (windows that overlap merge, emit on watermark
+    * finality).
+    */
+  def s18DynamicGapSession(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "click", "10 minutes").otherwise("2 minutes")))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("ss"),
+              col("session_window.end").as("se"), col("n_events"))
+
   /** s04: streaming dedup by event_id with bounded state — duplicates
     * arriving within the watermark horizon are dropped exactly once.
     */

@@ -290,6 +290,29 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.containsSlice(Seq(2L, 3L)), s"got $sessions")
   }
 
+  test("s18 dynamic-gap sessions: clicks hold sessions open longer than views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type")
+    val q = StreamOps.s18DynamicGapSession(events)
+      .writeStream.format("memory").queryName("s18_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: views at 0 and 5 — the 2-minute view gap SPLITS them.
+    // user 2: clicks at 0 and 5 — the 10-minute click gap MERGES them.
+    mem.addData((ts(0), 1L, "view"), (ts(5), 1L, "view"),
+                (ts(0), 2L, "click"), (ts(5), 2L, "click"))
+    q.processAllAvailable()
+    mem.addData((ts(120), 3L, "view")) // advance watermark, flush sessions
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("s18_out").collect()
+      .filter(r => r.getLong(0) <= 2)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sorted.toSeq).toMap
+    assert(byUser(1L) === Seq(1L, 1L), s"got $byUser") // two 1-event sessions
+    assert(byUser(2L) === Seq(2L), s"got $byUser")     // one merged session
+  }
+
   test("s05 custom state: per-user running counters survive across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
