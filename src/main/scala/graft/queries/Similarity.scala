@@ -300,6 +300,38 @@ object Similarity {
       .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
   }
 
+  /** n13: mutual-kNN graph — edges (a, b) where EACH is in the other's
+    * top-k (the symmetric graph behind graph-based clustering and
+    * diversity-aware curation; one-directional kNN edges connect dense
+    * cores to everything, mutual edges don't). Built on the n12 machinery
+    * as a SELF kNN join: every vector is both query and candidate within
+    * its IVF list, per-source top-k via the TopKPerKey bounded heap, then
+    * mutuality = one equi-join of the directed edge table against its own
+    * swap. Cosine is symmetric, so each mutual pair is emitted once
+    * (v1 < v2) with its single score. Directed-pair fan-out is Σ_list n_l²
+    * — the IVF-bounded budget, never corpus²; the mutual join touches only
+    * |V|·k edge rows.
+    */
+  val n13MutualKnn: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val a = assigned.select(col("vec_id").as("src"), col("q").as("qa"),
+                            col("nrm").as("na"), col("cid"))
+    val b = assigned.select(col("vec_id").as("dst"), col("q"),
+                            col("nrm"), col("cid"))
+    val directed = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select(col("src"), col("dst"), col("cos"))
+    val topk = graft.plans.TopKPerKey(directed, Seq("src"),
+        Seq(("cos", false), ("dst", true)), KnnJoinK)
+      .select("src", "dst", "cos")
+    topk.filter(col("src") < col("dst"))
+      .join(topk.select(col("dst").as("src"), col("src").as("dst")),
+            Seq("src", "dst"), "left_semi")
+      .select(col("src").as("v1"), col("dst").as("v2"), col("cos"))
+      .orderBy("v1", "v2")
+  }
+
   /** PQ layout: 64 dims split into 8 subspaces of 8 dims. */
   val NumSubspaces = 8
   val SubDim: Int = Dim / NumSubspaces
@@ -579,6 +611,7 @@ object Similarity {
     "n03_ivf_stats"      -> n03IvfStats,
     "n04_l2_knn"         -> n04L2Knn,
     "n12_knn_join"       -> n12KnnJoin,
+    "n13_mutual_knn"     -> n13MutualKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
@@ -608,6 +641,24 @@ object Similarity {
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n13_mutual_knn" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |directed AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+         |           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |topk AS (
+         |  SELECT src, dst, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |                                 ORDER BY cos DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= $KnnJoinK)
+         |SELECT t1.src AS v1, t1.dst AS v2, t1.cos AS cos
+         |FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+         |WHERE t1.src < t1.dst
+         |ORDER BY v1, v2""".stripMargin,
     "n12_knn_join" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

@@ -380,4 +380,24 @@ class DedupSpec extends SparkSpec {
       assert(i * 100 >= (na + nb - i) * Dedup.PrefixTauPct)
     }
   }
+
+  test("d16 containment join: directed, complete vs brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    val tok = Tables.documents(spark, sf)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(shingles(tokens, ${Dedup.PrefixShingleK}))")).as("t"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = tok.select(col("doc_id").as("d1"), col("t"))
+      .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+      .filter(col("d1") =!= col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("na")), Seq("d1"))
+      .filter(col("inter") * 100 >= col("na") * Dedup.ContainTauPct)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.d16ContainmentJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
 }

@@ -130,4 +130,18 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
     qCid.values.foreach(cids => assert(cids.size === 1))
   }
+
+  test("n13 mutual kNN: canonical pairs, strictly mutual, symmetric-scored") {
+    val edges = Similarity.n13MutualKnn(spark, sf).collect()
+    assert(edges.nonEmpty)
+    edges.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    // no duplicate pairs
+    val pairs = edges.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+    // mutual ⊆ directed-top-k in BOTH directions: rebuild one direction's
+    // neighborhood per source from the mutual set and check k-bound
+    val bySrc = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    bySrc.values.foreach(n => assert(n <= Similarity.KnnJoinK))
+  }
 }
