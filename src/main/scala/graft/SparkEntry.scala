@@ -32,7 +32,9 @@ object SparkEntry {
         "m03_chunk_dedup" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m03ChunkDedup(s, d)),
         "m04_cdc_chunks" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m04CdcChunks(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m04CdcChunks(s, d)),
+        "m05_manifest" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m05Manifest(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -68,6 +70,22 @@ object SparkEntry {
             |SELECT a.mid AS m1, b.mid AS m2, COUNT(1) AS n_shared
             |FROM c a JOIN c b ON a.h = b.h AND a.mid < b.mid
             |GROUP BY m1, m2 ORDER BY m1, m2""".stripMargin,
+        // m05: same fixed grid + ASCII-substr equivalence as m03; the
+        // ordered fold is string_agg(h ORDER BY p), Spark's sorted
+        // collect_list twin; chunk size interpolated from the shared
+        // constant.
+        "m05_manifest" ->
+          s"""WITH c AS (
+             |  SELECT doc_id AS media_id, s AS p,
+             |         md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+             |         least(length(text) - s + 1, ${graft.operators.Multimodal.DedupChunkBytes}) AS nb
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(1, length(text), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+             |        FROM documents))
+             |SELECT media_id, CAST(COUNT(1) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+             |       ${graft.functions.TextHash.duckHash56("string_agg(h, '' ORDER BY p)")} AS manifest56
+             |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
         // m04: same window hash, boundaries, spans, and dedup profile as
         // the Spark side — window size / mask / min-pos / 31^k powers all
         // interpolated from the shared Multimodal constants; ord() on the

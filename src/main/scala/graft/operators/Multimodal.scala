@@ -174,6 +174,36 @@ object Multimodal {
       .orderBy("m1", "m2")
   }
 
+  /** m05: content-addressable media MANIFEST — per media the ordered
+    * chain of fixed-grid chunk hashes folded into one 56-bit manifest
+    * fingerprint (hash of the concatenated chunk-md5 hex strings in
+    * position order), plus chunk/byte totals. This is the dataset-
+    * versioning primitive chunk stores pair with m03/m04: the manifest
+    * names the FILE by content, the chunk hashes name its pieces, so a
+    * re-crawled byte-identical file dedupes at the manifest level and a
+    * locally-edited one re-uses every untouched chunk.
+    *
+    * Scale shape: per-media groupBy over chunk rows (map-side combinable
+    * counts/sums; the ordered fold materializes one ≈(len/chunk)·32-char
+    * string per media inside its row — bounded by media size, no
+    * cross-row state). Only chunk hashes shuffle, never payload bytes —
+    * m03's footprint.
+    */
+  def m05Manifest(s: SparkSession, d: String): DataFrame =
+    fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
+      .select(col("media_id"), col("p"),
+              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
+              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("nb").cast("long")).as("n_bytes"),
+           expr(graft.functions.TextHash.sparkHash56(
+             "array_join(transform(array_sort(collect_list(struct(p, h))), x -> x.h), '')"))
+             .as("manifest56"))
+      .orderBy("media_id")
+
   /** m04 content-defined chunking parameters: an 8-byte polynomial window
     * hash marks a boundary where `hash % 64 == 0` (expected chunk ≈ 64
     * bytes on uniform content), boundaries only from byte 16 on so the

@@ -142,4 +142,36 @@ class MultimodalSpec extends SparkSpec {
         s"$p has $nonAscii non-ASCII rows — m03's VARCHAR-substr oracle parity breaks")
     }
   }
+
+  test("m05 manifest: covers every byte, content-addressed, edit-sensitive") {
+    import org.apache.spark.sql.functions._
+    val m = graft.operators.Multimodal.m05Manifest(spark, sf)
+    val sizes = graft.operators.Multimodal.fixtureFromDocuments(spark, sf).toDF()
+      .select(col("media_id"), length(col("payload")).cast("long").as("len"))
+    // byte accounting: the chunk chain covers the payload exactly
+    assert(m.join(sizes, "media_id")
+      .filter(col("n_bytes") =!= col("len")).count() === 0L)
+    // content-addressing: identical payloads ⟺ identical manifests (the
+    // fixture has distinct payloads, so manifests must all be distinct)
+    val rows = m.select("manifest56").collect().map(_.getLong(0))
+    assert(rows.distinct.length === rows.length)
+    // edit sensitivity: recompute one manifest with a payload byte flipped
+    // via the same chain math — must differ from the original
+    val one = graft.operators.Multimodal.fixtureFromDocuments(spark, sf).toDF()
+      .filter(col("media_id") === 0).select(col("media_id"),
+        concat(lit("X".getBytes), expr("substring(payload, 2, length(payload))"))
+          .as("payload"))
+    val cb = graft.operators.Multimodal.DedupChunkBytes
+    val flipped = one
+      .withColumn("p", explode(expr(s"sequence(1, length(payload), $cb)")))
+      .select(col("media_id"), col("p"),
+              md5(expr(s"substring(payload, p, $cb)")).as("h"))
+      .groupBy("media_id")
+      .agg(expr(graft.functions.TextHash.sparkHash56(
+        "array_join(transform(array_sort(collect_list(struct(p, h))), x -> x.h), '')"))
+        .as("manifest56"))
+      .collect()(0).getLong(1)
+    val orig = m.filter(col("media_id") === 0).collect()(0).getLong(3)
+    assert(flipped !== orig)
+  }
 }

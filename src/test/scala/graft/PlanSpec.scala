@@ -252,6 +252,33 @@ class PlanSpec extends SparkSpec {
       s"a window sort crept into the line-dedup keep policy:\n$plan")
   }
 
+  test("n12: kNN join runs the two-phase TopKPerKey heap, candidates via equi-join") {
+    val plan = planOf(graft.queries.Similarity.n12KnnJoin(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"per-query top-k must be the bounded-heap operator, partial before the shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join on the IVF list id:\n$plan")
+  }
+
+  test("t22: char diversity is a pure map — zero exchanges before the presentation sort") {
+    val plan = planOf(graft.queries.TextOps.t22CharDiversity(spark, sf))
+    // exactly ONE exchange: the global orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // rangepartitioning prints one Exchange (+AQE read)
+      s"char_stats must not shuffle corpus rows (explode spelling crept back?):\n$plan")
+    assert(!plan.contains("Generate"),
+      s"per-character explode found — the codegen'd expression was bypassed:\n$plan")
+  }
+
+  test("d15: verify stage is per-pair array_intersect, never a re-explode + agg") {
+    val plan = planOf(graft.queries.Dedup.d15PrefixFilterJoin(spark, sf))
+    assert(plan.contains("array_intersect"),
+      s"exact verification must fold over the materialized sets:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidates degenerated to all-pairs:\n$plan")
+  }
+
   test("u04: the SQL-body UDF is inlined — no black-box ScalaUDF in the plan") {
     val plan = planOf(graft.queries.UdfOps.u04SqlUdf(spark, sf))
     assert(!plan.contains("ScalaUDF"),
