@@ -182,6 +182,37 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** t23: top-k keywords per document. */
+  val KeywordsK = 3
+
+  /** t23: per-document keyword extraction — the top-k terms by the t05
+    * integer TF-IDF (the "what is this document about" signal used for
+    * topic labeling, domain routing and retrieval-index metadata). The
+    * per-doc top-k runs on the custom TopKPerKey bounded-heap operator
+    * (partial heaps before the shuffle, k rows per doc held per
+    * partition) — never a per-doc sort or a row_number window that ships
+    * whole score groups to one task. Everything upstream is t05's
+    * 100 TB-safe shapes: one explode, two partial-agg groupBys, a key
+    * join, one broadcast scalar.
+    */
+  val t23Keywords: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+              expr("tf * ((n_docs * 100) div df)").as("tfidf100"))
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+        Seq(("tfidf100", false), ("token", true)), KeywordsK)
+      .select("doc_id", "token", "tfidf100")
+      .orderBy(col("doc_id"), col("tfidf100").desc, col("token"))
+  }
+
   /** t06: text normalization pipeline — lowercase, strip non-alphanumerics,
     * tokenize, drop stopwords/empties; emits the cleaned token count and
     * the first five cleaned tokens (scalar outputs for the oracle).
@@ -785,6 +816,7 @@ object TextOps {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "t23_keywords"        -> t23Keywords,
     "t22_char_diversity"  -> t22CharDiversity,
     "t20_gopher_rules"    -> t20GopherRules,
     "t21_lexical_diversity" -> t21LexicalDiversity,
@@ -1068,6 +1100,23 @@ object TextOps {
       s"""SELECT doc_id,
          |       list_min(list_transform(${TextHash.duckShingles("text", 8)}, s -> md5(s))) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t23_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(1) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token,
+         |         CAST(tf * ((n_docs * 100) // df) AS BIGINT) AS tfidf100
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY tfidf100 DESC, token ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, token, tfidf100 FROM ranked WHERE rn <= $KeywordsK
+         |ORDER BY doc_id, tfidf100 DESC, token""".stripMargin,
     "t05_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(1) AS tf

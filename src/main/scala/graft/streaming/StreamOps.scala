@@ -233,6 +233,25 @@ object StreamOps {
         url, props, table, graft.operators.UpsertSink.derbyDdl(table)) _)
       .start()
 
+  /** s19: streaming observability — the per-micro-batch operational health
+    * snapshot a production runner scrapes and alerts on (the streaming
+    * sibling of A14's batch `observe` counters): total rows held in state
+    * stores (the number that grows unbounded when a watermark is missing
+    * or an outer join's time bound is wrong), rows ingested by the last
+    * batch, and the current event-time watermark (the lag indicator).
+    * Pulled from the PUBLIC `StreamingQueryProgress` API — no listener
+    * thread needed for pull-based monitoring; a push pipeline attaches the
+    * same fields via `StreamingQueryListener`.
+    */
+  def s19HealthSnapshot(q: StreamingQuery): Option[(Long, Long, String)] =
+    Option(q.lastProgress).map { p =>
+      val stateRows =
+        if (p.stateOperators == null || p.stateOperators.isEmpty) 0L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      val wm = Option(p.eventTime.get("watermark")).getOrElse("")
+      (stateRows, p.numInputRows, wm)
+    }
+
   /** s09: stream-stream LEFT OUTER interval join — s06's shape with outer
     * semantics: a purchase with no matching error is HELD in state until
     * the watermark proves no match can still arrive, THEN emitted

@@ -153,4 +153,18 @@ class JdbcSinkSpec extends SparkSpec {
     FraudSink.appendBatch(url, table, props, FraudSink.derbyDdl(table))(fraud, 1L)
     assert(spark.read.jdbc(url, table, props).count() === 2)
   }
+
+  test("upsert sink: postgres and derby DDLs declare identical columns; ON CONFLICT targets the key") {
+    import graft.operators.UpsertSink
+    def cols(ddl: String): Seq[String] = {
+      val body = ddl.substring(ddl.indexOf('(') + 1, ddl.lastIndexOf(')'))
+      body.split(",(?![^(]*\\))").map(_.trim.split("\\s+")(0)).toSeq
+    }
+    // same columns in the same order; only type spellings may differ
+    assert(cols(UpsertSink.derbyDdl("t")) === cols(UpsertSink.postgresDdl("t")))
+    // the Postgres upsert twin must write exactly those columns and
+    // conflict on the declared key
+    val sql = UpsertSink.postgresUpsertSql("t")
+    assert(sql.contains("(k, v, updated_ts)") && sql.contains("ON CONFLICT (k)"))
+  }
 }

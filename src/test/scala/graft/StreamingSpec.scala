@@ -313,6 +313,28 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(2L) === Seq(2L), s"got $byUser")     // one merged session
   }
 
+  test("s19 health snapshot: state rows, input rows and watermark surface per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val q = StreamOps.s02SlidingWindow(events)
+      .writeStream.format("memory").queryName("s19_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), "click", 1.0), (ts(2), "view", 2.0), (ts(3), "click", 3.0))
+    q.processAllAvailable()
+    mem.addData((ts(60), "view", 0.0)) // advances the watermark
+    q.processAllAvailable()
+    val snap = StreamOps.s19HealthSnapshot(q)
+    q.stop()
+    assert(snap.isDefined)
+    val (stateRows, _, watermark) = snap.get
+    // the windowed agg holds state; the watermark string is a real instant
+    assert(stateRows > 0L, s"expected live state rows, got $snap")
+    assert(watermark.nonEmpty && watermark.startsWith("1970-01-01T"),
+      s"expected an advanced epoch-based watermark, got '$watermark'")
+  }
+
   test("s05 custom state: per-user running counters survive across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
