@@ -653,6 +653,48 @@ object Dedup {
     incrementalVerdicts(delta, baseHashes, baseBands, bSig)
   }
 
+  /** p06: the incremental REFRESH capstone — the nightly delta-admission
+    * job an operating corpus runs, composing p04's index-probe verdicts
+    * with p05's curation stages on the DELTA only:
+    *
+    *  1. DEDUP vs the BASE INDEX: p04's verdicts (exact hash anti-probe +
+    *     LSH band probe) reject `exact_dup` / `near_dup` arrivals — cost
+    *     scales with |delta| + |index|, never |base|;
+    *  2. GATE: surviving `new` docs pass t20's Gopher rules or become
+    *     `gopher_drop`;
+    *  3. PACK: accepted docs are packed into 4096-token bins (t07's
+    *     range-partitioned exclusive prefix sum) — the refresh's shard
+    *     set; rejected docs carry a NULL bin.
+    *
+    * p05 is the FULL-corpus build; p06 is its steady-state increment —
+    * together they are the two jobs a production curation pipeline
+    * alternates between.
+    */
+  val p06IncrementalRefresh: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 5 > 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val (baseHashes, baseBands, bSig) = baseIndexTables(base)
+    val verdicts = incrementalVerdicts(delta, baseHashes, baseBands, bSig)
+      .select("doc_id", "verdict")
+    val gated = TextOps.gopherCols(delta).select(col("doc_id"), col("keep"))
+    val status = verdicts.join(gated, "doc_id")
+      .select(col("doc_id"),
+        when(col("verdict") =!= "new", col("verdict"))
+          .when(!col("keep"), lit("gopher_drop"))
+          .otherwise(lit("accepted")).as("status"))
+    val accepted = status.filter(col("status") === "accepted")
+      .join(delta.select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_tokens")), "doc_id")
+    val packed = TextOps.prefixSum(accepted, "doc_id", "n_tokens",
+        "cum_before", includeCurrent = false)
+      .select(col("doc_id"),
+        expr(s"cum_before div ${TextOps.PackBudget}").as("bin"))
+    status.join(packed, Seq("doc_id"), "left")
+      .select("doc_id", "status", "bin")
+      .orderBy("doc_id")
+  }
+
   /** d14: quality-aware survivor selection — production dedup keeps the
     * BEST member of each near-dup cluster, not the smallest id (the min-id
     * rule of d06 is a determinism convenience, not a curation policy).
@@ -852,6 +894,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "p06_incremental_refresh" -> p06IncrementalRefresh,
     "d16_containment_join" -> d16ContainmentJoin,
     "d15_prefix_filter_join" -> d15PrefixFilterJoin,
     "p05_curation_pipeline" -> p05CurationPipeline,
@@ -1109,6 +1152,59 @@ object Dedup {
          |FROM ranked a JOIN ranked b
          |  ON b.rank > a.rank AND b.rank - a.rank <= $SnmWindow
          |ORDER BY r1, r2""".stripMargin,
+    // p06: p04's verdict CTEs (band probe + exact-hash probe) feeding
+    // p05's gate + packing spellings, all restricted to the delta.
+    "p06_incremental_refresh" ->
+      s"""WITH $duckBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS dd, b.doc_id AS bd
+         |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 > 0),
+         |agree AS (
+         |  SELECT dd,
+         |         CAST(len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                              i -> sa.sigs[i + 1] = sb.sigs[i + 1])) AS INT) AS agree16
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = dd
+         |  JOIN sigs sb ON sb.doc_id = bd),
+         |best AS (
+         |  SELECT dd, MAX(agree16) AS best_a FROM agree GROUP BY dd),
+         |exact AS (
+         |  SELECT DISTINCT dt.doc_id
+         |  FROM documents dt
+         |  WHERE dt.doc_id % 5 = 0
+         |    AND EXISTS (SELECT 1 FROM documents bt
+         |                WHERE bt.doc_id % 5 > 0
+         |                  AND ${TextHash.duckHash56("bt.text")} = ${TextHash.duckHash56("dt.text")})),
+         |verdicts AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+         |              WHEN COALESCE(best.best_a, 0) >= $IncrMinAgree THEN 'near_dup'
+         |              ELSE 'new' END AS verdict
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |  LEFT JOIN best ON best.dd = d.doc_id
+         |  LEFT JOIN exact ON exact.doc_id = d.doc_id),
+         |g AS (${TextOps.duckGopherKeep}),
+         |status AS (
+         |  SELECT v.doc_id,
+         |         CASE WHEN v.verdict <> 'new' THEN v.verdict
+         |              WHEN NOT g.keep THEN 'gopher_drop'
+         |              ELSE 'accepted' END AS status
+         |  FROM verdicts v JOIN g USING (doc_id)),
+         |kept AS (
+         |  SELECT st.doc_id,
+         |         CAST(len(string_split(dx.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM status st JOIN documents dx USING (doc_id)
+         |  WHERE st.status = 'accepted'),
+         |packed AS (
+         |  SELECT doc_id,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              // ${TextOps.PackBudget} AS BIGINT) AS bin
+         |  FROM kept)
+         |SELECT st.doc_id, st.status, p.bin
+         |FROM status st LEFT JOIN packed p USING (doc_id)
+         |ORDER BY st.doc_id""".stripMargin,
     "p04_incremental_dedup" ->
       s"""WITH $duckBandCtes,
          |cand AS (

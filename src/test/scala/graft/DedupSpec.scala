@@ -381,6 +381,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("p06 refresh: statuses partition the delta, bins only on accepted, consistent with p04/t20") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{Dedup, TextOps}
+    val out = Dedup.p06IncrementalRefresh(spark, sf).collect()
+    val delta = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet === delta) // every delta doc judged once
+    // bins exactly on accepted rows, contiguous from 0 in doc_id order
+    val binned = out.filter(!_.isNullAt(2))
+    assert(binned.map(_.getString(1)).toSet === Set("accepted"))
+    val bins = binned.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(bins.headOption.forall(_ == 0L))
+    bins.zip(bins.drop(1)).foreach { case (a, b) => assert(b >= a) }
+    // status agrees with the standalone stages: p04's verdict for dups,
+    // t20's gate for the rest
+    val verdicts = Dedup.p04IncrementalDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val keep = TextOps.t20GopherRules(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.foreach { r =>
+      val (id, st) = (r.getLong(0), r.getString(1))
+      verdicts(id) match {
+        case "new" => assert(st === (if (keep(id)) "accepted" else "gopher_drop"))
+        case dup   => assert(st === dup)
+      }
+    }
+  }
+
   test("d16 containment join: directed, complete vs brute force") {
     import org.apache.spark.sql.functions._
     import graft.queries.Dedup
