@@ -279,6 +279,14 @@ class PlanSpec extends SparkSpec {
       s"prefix-filter candidates degenerated to all-pairs:\n$plan")
   }
 
+  test("x07: KMV sketches build as two-phase distinct + bounded top-k, no full sort") {
+    val plan = planOf(graft.queries.ScaleOps.x07KmvSketch(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-min must be a bounded per-partition heap, not a global sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"distinct must be the two-phase hash aggregate:\n$plan")
+  }
+
   test("u04: the SQL-body UDF is inlined — no black-box ScalaUDF in the plan") {
     val plan = planOf(graft.queries.UdfOps.u04SqlUdf(spark, sf))
     assert(!plan.contains("ScalaUDF"),

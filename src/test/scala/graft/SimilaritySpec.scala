@@ -131,6 +131,25 @@ class SimilaritySpec extends SparkSpec {
     qCid.values.foreach(cids => assert(cids.size === 1))
   }
 
+  test("x07 KMV mergeability: sketch(A ∪ B) == kmin(sketch(A) ∪ sketch(B))") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHash
+    // arbitrary disjoint split of one key population — the sharding a
+    // 100 TB run would do; the union sketch from per-shard sketches must
+    // equal the sketch built over the whole population
+    val k = graft.queries.ScaleOps.KmvK
+    val all = Tables.orders(spark, sf)
+      .select(expr(TextHash.sparkHash56("cast(o_custkey as string)")).as("h"))
+      .distinct().cache()
+    val sa = all.filter(col("h") % 3 === 0).orderBy("h").limit(k)
+    val sb = all.filter(col("h") % 3 =!= 0).orderBy("h").limit(k)
+    val merged = sa.union(sb).orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = all.orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged === direct)
+  }
+
   test("n13 mutual kNN: canonical pairs, strictly mutual, symmetric-scored") {
     val edges = Similarity.n13MutualKnn(spark, sf).collect()
     assert(edges.nonEmpty)

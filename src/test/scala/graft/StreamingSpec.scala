@@ -661,5 +661,15 @@ class StreamingSpec extends SparkSpec {
     val replay = Seq((2L, 25.0, ts(3)), (3L, 30.0, ts(3))).toDF("k", "v", "ts")
     UpsertSink.upsertBatch(url, props, table, UpsertSink.derbyDdl(table))(replay, 1L)
     assert(snapshot() === after)
+    // rollback safety: a mid-partition failure must leave the table
+    // untouched (the per-partition transaction either fully lands or
+    // fully rolls back) — provoke it with a NULL key (bigint NOT NULL pk)
+    val poison = Seq((Some(7L), 70.0, ts(4)), (None: Option[Long], 9.0, ts(4)))
+      .toDF("k", "v", "ts")
+    intercept[Exception] {
+      UpsertSink.upsertBatch(url, props, table,
+        UpsertSink.derbyDdl(table))(poison.coalesce(1), 2L)
+    }
+    assert(snapshot() === after, "failed batch must not partially land")
   }
 }
