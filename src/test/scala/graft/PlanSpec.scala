@@ -103,16 +103,18 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial count for shingle df:\n$plan")
   }
 
-  test("q80: per-key cum-sum is range-partitioned, never one-task-per-key") {
-    // The killer shape is windowspecdefinition(k, v ASC ...) — all rows of
-    // a key sorted+buffered on ONE task. The keyed prefixSum windows carry
-    // _pid in their partition spec instead, and the data shuffle is a
-    // rangepartitioning on (k, v).
+  test("q80: histogram selection — no per-key data window, partial-agg histogram") {
+    // The killer shape is windowspecdefinition(k, v ASC ...) over the FULL
+    // table — all rows of a key sorted+buffered on ONE task. The histogram-
+    // selection spelling's only windows are (k, b) over the ≤ B-row-per-key
+    // histogram and (k, qq, v) over candidate-bucket rows (~n/B), both
+    // bounded by construction; the big table is scanned, never shuffled,
+    // so the histogram groupBy must show a map-side partial count.
     val plan = planOf(graft.queries.Extended.q80PercentileDisc(spark, sf))
     assert(!plan.matches("(?s).*windowspecdefinition\\(k#\\d+,\\s*v#\\d+.*"),
       s"per-key data window (one task per key) crept back into q80:\n$plan")
-    assert(plan.contains("rangepartitioning"),
-      s"expected the range-partitioned prefix-sum shuffle:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial count for the bucket histogram:\n$plan")
   }
 
   test("q10/q40: non-equi joins are broadcast nested-loop, never shuffle cartesian") {
