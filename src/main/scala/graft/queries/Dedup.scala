@@ -739,23 +739,33 @@ object Dedup {
     */
   val p05CurationPipeline: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val gated = TextOps.gopherCols(docs).select(col("doc_id"), col("keep"))
-    val quality = TextOps.qualityCols(docs).select(col("doc_id"), col("quality"))
+    // Gate + quality + token count are ALL map-only over the same scan —
+    // compose them into ONE projection (qualityCols over gopherCols; the
+    // n_stop column both define is the same stopword count, and quality's
+    // n_tokens is gopher's n_words) instead of three scans + three
+    // doc_id shuffle joins. n_tokens rides along so packing never has to
+    // re-join the documents table.
+    val feats = TextOps.qualityCols(TextOps.gopherCols(docs))
+      .select(col("doc_id"), col("keep"), col("quality"), col("n_tokens"))
     val clusters = buildClusterTable(s, d)
-    val survivors = clusters.join(gated, "doc_id").filter(col("keep"))
-      .join(quality, "doc_id")
+    // Cached: `membered` feeds survivor election AND status assignment —
+    // without the cache the cluster-join + feature scan runs twice. One
+    // narrow row per doc; at 100 TB this is the pipeline's natural stage
+    // boundary (the gated-membership table a real curation job would
+    // write out between gate and pack).
+    val membered = clusters.join(feats, "doc_id").cache()
+    val survivors = membered.filter(col("keep"))
       .groupBy("cluster")
       .agg(expr("max_by(doc_id, struct(quality, -doc_id))").as("doc_id"))
       .select(col("doc_id"), lit(1).as("surv"))
-    val status = clusters.join(gated, "doc_id")
+    val status = membered
       .join(survivors, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tokens"),
         when(!col("keep"), "gopher_drop")
           .when(col("surv").isNotNull, "kept")
           .otherwise("dup_drop").as("status"))
     val kept = status.filter(col("status") === "kept")
-      .join(docs.select(col("doc_id"),
-        expr("size(split(text, ' '))").as("n_tokens")), "doc_id")
+      .select("doc_id", "n_tokens")
     val packed = TextOps.prefixSum(kept, "doc_id", "n_tokens", "cum_before",
         includeCurrent = false)
       .select(col("doc_id"),
