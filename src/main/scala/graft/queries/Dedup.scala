@@ -424,6 +424,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d17: label-propagation communities (Raghavan et al. 2007, the
+    * synchronous variant) over the near-dup candidate graph — the third
+    * graph lens next to d05 (connectivity) and d09 (centrality): each
+    * round every node adopts its neighbors' MOST FREQUENT label
+    * (frequency ties broken toward the smallest label — the deterministic
+    * spelling of the paper's random tie-break; isolated nodes keep their
+    * own), which separates weakly-bridged communities that raw connected
+    * components would merge.
+    *
+    * Scale shape: 3 UNROLLED synchronous rounds (bounded lineage, same
+    * discipline as d09), each = one equi-join on the shared pair table +
+    * two partial-agg groupBys (label counting collapses map-side;
+    * `max_by(lbl, struct(c, -lbl))` is the argmax — no per-node window,
+    * no driver state). The oracle replays the identical rounds as
+    * unrolled CTEs, so every intermediate label is integer-pinned.
+    */
+  val d17LabelProp: Q = (s, d) => {
+    val pairs = pairsTable(s, d)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val adopted = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src", "nlbl").agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(expr("max_by(nlbl, struct(c, -nlbl))").as("newlbl"))
+      labels = labels
+        .join(adopted.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("lpa3"))
+      .orderBy("doc_id")
+  }
+
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
     * (the SymSpell index): each name emits itself + its single-char
     * deletions as join keys — O(n·len) index rows — and candidates come
@@ -904,6 +941,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
     "d16_containment_join" -> d16ContainmentJoin,
     "d15_prefix_filter_join" -> d15PrefixFilterJoin,
@@ -966,6 +1004,26 @@ object Dedup {
   /** Three unrolled PageRank iterations as CTEs (the d09 oracle), generated
     * from the same constants as the Spark loop.
     */
+  /** d17's rounds, unrolled for DuckDB: per round, count neighbor labels,
+    * pick (count DESC, label ASC) per node via row_number, left-join back
+    * so isolated nodes keep their previous label. */
+  private def duckLpaIters: String =
+    (1 to 3).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""n$k AS (
+         |  SELECT e.src AS node, l.lbl AS nlbl, COUNT(1) AS c
+         |  FROM edges e JOIN $prev l ON l.node = e.dst
+         |  GROUP BY 1, 2),
+         |p$k AS (
+         |  SELECT node, nlbl AS newlbl,
+         |         row_number() OVER (PARTITION BY node ORDER BY c DESC, nlbl ASC) AS rn
+         |  FROM n$k),
+         |l$k AS (
+         |  SELECT o.node, coalesce(p.newlbl, o.lbl) AS lbl
+         |  FROM $prev o LEFT JOIN (SELECT node, newlbl FROM p$k WHERE rn = 1) p
+         |    ON p.node = o.node)""".stripMargin
+    }.mkString(",\n")
+
   private def duckPagerankIters: String =
     (1 to 3).map { k =>
       val prev = if (k == 1) "r0" else s"i${k - 1}"
@@ -1069,6 +1127,15 @@ object Dedup {
          |SELECT cluster, doc_id AS kept_doc, quality AS kept_quality,
          |       CAST(csz AS BIGINT) AS cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "d17_label_prop" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$duckLpaIters
+         |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS lpa3
+         |FROM l3 ORDER BY doc_id""".stripMargin,
     "d09_pagerank" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect),

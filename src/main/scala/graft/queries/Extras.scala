@@ -952,7 +952,44 @@ object Extras {
       .orderBy("digit")
   }
 
+  /** q116: calendar-spine gap filling — materialize the MISSING days of a
+    * per-key daily time series (q79 forward-fills values over rows that
+    * exist; this one CREATES the absent rows, the other half of real
+    * time-series hygiene): per priority, a day spine spans min..max
+    * present day via `sequence` + explode, absent days join in with
+    * n_orders = 0, and the last active day's max price forward-fills
+    * across the gap (`last(..., ignoreNulls)`).
+    *
+    * Scale shape: the heavy input collapses in ONE partial-agg groupBy
+    * (orders → (priority, day) rows); everything after is bounded by
+    * #keys × calendar span — metadata that grows with TIME, not data
+    * volume, so the spine explode, the left join, and the per-key ffill
+    * window all stay metadata-scale at 100 TB (the window's partition is
+    * one key's calendar, ≤ span rows by construction). max, not sum, for
+    * the forward-filled metric: double max is order-insensitive, so no
+    * decimal detour is needed.
+    */
+  val q116CalendarSpine: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+      .groupBy("o_orderpriority", "day")
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+    val spine = daily.groupBy("o_orderpriority")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("o_orderpriority"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("o_orderpriority", "day"), "left")
+      .select(col("o_orderpriority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        last(col("mx"), ignoreNulls = true).over(w).as("ffill_max"))
+      .orderBy("o_orderpriority", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
     "q113_not_in_nulls"      -> q113NotInNulls,
     "q114_cumulative_distinct" -> q114CumulativeDistinct,
@@ -1004,6 +1041,25 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q116_calendar_spine" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |         COUNT(1) AS n, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT o_orderpriority,
+        |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT o_orderpriority, min(day) AS lo, max(day) AS hi
+        |        FROM daily GROUP BY 1)),
+        |j AS (SELECT s.o_orderpriority, s.day,
+        |             coalesce(d.n, 0) AS n_orders, d.mx
+        |      FROM spine s LEFT JOIN daily d
+        |        ON s.o_orderpriority = d.o_orderpriority AND s.day = d.day)
+        |SELECT o_orderpriority, day, n_orders,
+        |       last_value(mx IGNORE NULLS) OVER (
+        |         PARTITION BY o_orderpriority ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_max
+        |FROM j ORDER BY o_orderpriority, day""".stripMargin,
     "q115_benford_audit" -> {
       val expected = BenfordX1e6.zipWithIndex
         .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }

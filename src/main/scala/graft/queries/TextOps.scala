@@ -815,7 +815,36 @@ object TextOps {
         expr("(st.max_freq * 10000) div greatest(st.n_chars, 1)").as("top_char_bp"))
       .orderBy("doc_id")
 
+  /** t24: readability scoring — a Flesch-reading-ease analogue in exact
+    * integer fixed-point, the classic document-complexity signal a
+    * curation pipeline pairs with t02/t20/t22 (too-hard AND too-trivial
+    * text both get down-weighted in pretraining mixes):
+    *
+    *   flesch_x1000 = 206835 − 1015·(words/sentence) − 84600·(vowelgroups/word)
+    *
+    * with sentences = `[.!?]+` runs (min 1), words = whitespace tokens
+    * (min 1), and vowel-group runs `[aeiouy]+` as the engine-neutral
+    * syllable proxy (true syllabification needs a dictionary; vowel runs
+    * are the standard cheap stand-in). All three counts come from
+    * `regexp_count`/`split` — codegen'd, per-row, zero shuffle until the
+    * output sort; integer `div` on positive operands matches DuckDB `//`
+    * bit-for-bit.
+    */
+  val t24Readability: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_sent",
+        expr("cast(greatest(1, regexp_count(text, '[.!?]+')) as bigint)"))
+      .withColumn("n_words",
+        expr("cast(greatest(1, size(split(text, ' '))) as bigint)"))
+      .withColumn("n_vowel_groups",
+        expr("cast(regexp_count(lower(text), '[aeiouy]+') as bigint)"))
+      .select(col("doc_id"), col("n_sent"), col("n_words"), col("n_vowel_groups"),
+        expr("206835L - (1015L * n_words) div n_sent - (84600L * n_vowel_groups) div n_words")
+          .as("flesch_x1000"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t24_readability"     -> t24Readability,
     "t23_keywords"        -> t23Keywords,
     "t22_char_diversity"  -> t22CharDiversity,
     "t20_gopher_rules"    -> t20GopherRules,
@@ -868,6 +897,17 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t24_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sent,
+        |         CAST(greatest(1, len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups
+        |  FROM documents)
+        |SELECT doc_id, n_sent, n_words, n_vowel_groups,
+        |       206835 - (1015 * n_words) // n_sent
+        |              - (84600 * n_vowel_groups) // n_words AS flesch_x1000
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t20_gopher_rules" ->
       s"""SELECT doc_id, n_words, mean_len_x100, alpha_pct, n_stop,
          |       (n_words BETWEEN 50 AND 100000) AS ok_words,

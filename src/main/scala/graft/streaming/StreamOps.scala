@@ -301,6 +301,25 @@ object StreamOps {
         |e_ts <= p_ts""".stripMargin), "fullOuter")
   }
 
+  /** s20: stream-stream LEFT SEMI interval join — the existence-only
+    * member of the join family (s06 inner, s09 left, s12 full): emit each
+    * purchase exactly ONCE if any error from the same user landed in its
+    * trailing 10-minute window, with no error columns and no duplication
+    * when several errors match. Same time-bound state expiry as the outer
+    * variants; semi joins emit eagerly on first match (no watermark wait
+    * for positives) and simply drop unmatched rows once the watermark
+    * closes their window.
+    */
+  def s20StreamStreamSemiJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
+        |e_ts <= p_ts""".stripMargin), "leftSemi")
+  }
+
   /** s10: update-mode keyed aggregation — the third output mode beside
     * s01-style append and the complete-mode snapshot: each micro-batch
     * re-emits ONLY the keys whose aggregate changed. Unwindowed per-key

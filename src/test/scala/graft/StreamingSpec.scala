@@ -475,6 +475,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((-1L, 101L)), s"right orphan not null-padded: $rows")
   }
 
+  test("s20 left-semi stream-stream join emits once per matched purchase, drops orphans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s20StreamStreamSemiJoin(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s20_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7: TWO errors inside purchase 1's window — must emit ONCE;
+    // user 9's purchase has no error; user 8's error has no purchase
+    emem.addData((ts(5), 7L, 100L), (ts(6), 7L, 101L), (ts(5), 8L, 102L))
+    pmem.addData((ts(10), 7L, 1L), (ts(10), 9L, 2L))
+    q.processAllAvailable()
+    // advance both watermarks so unmatched state is provably dropped
+    emem.addData((ts(60), 7L, 999L))
+    pmem.addData((ts(60), 7L, 99L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("s20_out")
+    // semi join: only left columns survive
+    assert(out.columns.toSeq === Seq("p_ts", "p_user", "p_id"),
+      s"semi join must project only the left side: ${out.columns.toSeq}")
+    val ids = out.select("p_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) === 1,
+      s"purchase 1 must emit exactly once despite two matching errors: $ids")
+    assert(!ids.contains(2L), s"orphan purchase 2 must be dropped: $ids")
+  }
+
   test("s10 update-mode aggregation re-emits only changed keys; snapshot equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
