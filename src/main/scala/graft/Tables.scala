@@ -22,16 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
-    * default. Read nanos as raw long (legacy flag) and truncate to a µs
-    * timestamp with integer division (ns epoch values exceed 2^53, so
-    * float division would lose precision). Oracle SQL must truncate the
-    * same way: CAST(ts AS TIMESTAMP) in DuckDB.
+  /** events.ts arrives in whatever precision the driver generated this
+    * round: TIMESTAMP(NANOS) (older fixtures — Spark rejects it unless read
+    * as a raw long, then truncated with integer division; ns epoch values
+    * exceed 2^53, so float division would lose precision) or TIMESTAMP(US)
+    * without the UTC-adjusted flag (current fixtures — arrives as
+    * TIMESTAMP_NTZ). Both normalize to a session-TZ TimestampType (UTC is
+    * pinned in every entrypoint, so NTZ→LTZ is value-identity) and the same
+    * epoch-µs instants, keeping every downstream query and oracle stable
+    * across fixture regenerations.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
