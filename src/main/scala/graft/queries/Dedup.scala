@@ -461,6 +461,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d18: cross-source corpus overlap — the corpus-level view the
+    * per-document dedup family (d01/d03) doesn't give: for every pair of
+    * document sources, the Jaccard and containment of their distinct
+    * SHINGLE sets (word 3-grams, 56-bit-hashed). This is the standard
+    * "how much does corpus B re-publish corpus A" diagnostic run before
+    * mixing training sources — high containment with low Jaccard flags a
+    * subset-source worth dropping wholesale rather than deduping row by
+    * row.
+    *
+    * Scale shape: documents collapse to distinct (source, shingle-hash)
+    * rows in ONE partial-agg pass (`distinct` combines map-side); the
+    * self-join is an EQUI-join on the 56-bit hash whose per-key fan-out is
+    * bounded by #sources (a shingle appears in at most one row per
+    * source), so the join output is ≤ #sources²/2 rows per hash and the
+    * result is #sources² metadata. Per-source set sizes broadcast back;
+    * overlap scores are exact integer basis points — no float drift.
+    */
+  val d18CrossSourceOverlap: Q = (s, d) => {
+    val shSet = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("source"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", MinhashShingleK))).as("sh"))
+      .select(col("source"), expr(TextHash.sparkHash56("sh")).as("h"))
+      .distinct()
+    val sizes = shSet.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = shSet.select(col("source").as("s1"), col("h"))
+      .join(shSet.select(col("source").as("s2"), col("h")), "h")
+      .where(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("common"),
+        expr("common * 10000 div (n1 + n2 - common)").as("jaccard_bp"),
+        expr("common * 10000 div least(n1, n2)").as("containment_bp"))
+      .orderBy("s1", "s2")
+  }
+
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
     * (the SymSpell index): each name emits itself + its single-char
     * deletions as join keys — O(n·len) index rows — and candidates come
@@ -941,6 +979,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
     "d16_containment_join" -> d16ContainmentJoin,
@@ -1127,6 +1166,23 @@ object Dedup {
          |SELECT cluster, doc_id AS kept_doc, quality AS kept_quality,
          |       CAST(csz AS BIGINT) AS cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "d18_cross_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, ${TextHash.duckHash56("sh")} AS h
+         |  FROM (SELECT source,
+         |               unnest(${TextHash.duckShingles("text", MinhashShingleK)}) AS sh
+         |        FROM documents)),
+         |sizes AS (SELECT source, COUNT(1) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(1) AS common
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT s1, s2, sa.n AS n1, sb.n AS n2, common,
+         |       common * 10000 // (sa.n + sb.n - common) AS jaccard_bp,
+         |       common * 10000 // LEAST(sa.n, sb.n) AS containment_bp
+         |FROM inter
+         |JOIN sizes sa ON sa.source = s1
+         |JOIN sizes sb ON sb.source = s2
+         |ORDER BY s1, s2""".stripMargin,
     "d17_label_prop" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect),

@@ -422,7 +422,146 @@ object Extended {
       .select(col("k").as("l_returnflag"), col("p25"), col("p50"), col("p90"))
       .orderBy("l_returnflag")
 
+  /** q117: SQL-standard `percentile_cont` (continuous / interpolated
+    * percentile) — q80's other half: instead of the smallest data value at
+    * rank ceil(q·n), the continuous percentile interpolates between the
+    * two order statistics straddling position q·(n−1) (0-indexed):
+    * `v_lo + (v_hi − v_lo) · frac`. Same two-phase histogram-selection
+    * shape as q80 (per-key bounds → metadata-scale bucket histogram →
+    * candidate-bucket re-scan; the big table is only ever scanned, never
+    * shuffled) — each quantile just fetches TWO ranks instead of one.
+    *
+    * Determinism across engines: rank and fraction are exact INTEGER
+    * algebra — pos = (n−1)·num/den splits into r_lo = pos div den + 1 and
+    * frac = (pos mod den)/den — and the one float expression, the final
+    * interpolation `v1 + (v2 − v1) · (md/den)`, is spelled with the same
+    * operand order in the oracle, so IEEE doubles agree bit-for-bit
+    * (Spark's builtin percentile_cont is both an ImperativeAggregate that
+    * buffers whole groups AND free to associate the float math
+    * differently — two reasons it stays off this path).
+    */
+  val q117PercentileCont: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+    val B = PdBuckets
+    val stats = li.groupBy("k")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    def bucketed(rows: DataFrame): DataFrame = rows
+      .join(broadcast(stats), "k")
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(B - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
+            .cast("int")))
+    val hist = bucketed(li).groupBy("k", "b").agg(count(lit(1)).as("c"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    // One target row per (key, quantile, side): side 1 = the order
+    // statistic at r_lo, side 2 = at min(r_lo+1, n); md/den is the exact
+    // interpolation fraction. 18 rows total — pure metadata.
+    val targets = stats
+      .select(col("k"), col("n"),
+        explode(typedLit(Seq((25, 1, 4), (50, 1, 2), (90, 9, 10)))).as("t"))
+      .select(col("k"), col("n"), col("t._1").as("qq"),
+        expr("((n - 1) * t._2) div t._3 + 1").as("rlo"),
+        expr("((n - 1) * t._2) % t._3").as("md"),
+        col("t._3").as("den"))
+      .select(col("k"), col("qq"), col("md"), col("den"),
+        explode(typedLit(Seq(1, 2))).as("side"),
+        col("rlo"), col("n"))
+      .withColumn("r",
+        when(col("side") === 1, col("rlo"))
+          .otherwise(least(col("rlo") + 1, col("n"))))
+    val cand = cumHist.join(targets, "k")
+      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
+      .select(col("k"), col("b"), col("qq"), col("side"), col("md"),
+        col("den"), (col("r") - col("cb")).as("rr"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "qq", "side").orderBy("v")
+    val picked = bucketed(li).join(broadcast(cand), Seq("k", "b"))
+      .withColumn("rk", row_number().over(wv))
+      .where(col("rk") === col("rr"))
+    val interp = picked.groupBy("k", "qq")
+      .agg(min(when(col("side") === 1, col("v"))).as("v1"),
+        min(when(col("side") === 2, col("v"))).as("v2"),
+        min(col("md")).as("md"), min(col("den")).as("den"))
+      .withColumn("pv",
+        col("v1") + (col("v2") - col("v1")) *
+          (col("md").cast("double") / col("den").cast("double")))
+    interp.groupBy("k").agg(
+        min(when(col("qq") === 25, col("pv"))).as("p25c"),
+        min(when(col("qq") === 50, col("pv"))).as("p50c"),
+        min(when(col("qq") === 90, col("pv"))).as("p90c"))
+      .select(col("k").as("l_returnflag"), col("p25c"), col("p50c"), col("p90c"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q119: median absolute deviation (MAD) — the robust dispersion
+    * statistic (outlier-immune, unlike stddev): per key, the median of
+    * |v − median(v)|. Two DEPENDENT exact-selection problems, each solved
+    * with the q80 histogram machinery via [[histMedian]]: the first median
+    * comes from a bucket histogram of v, broadcasts back (one row per
+    * key), and the deviation column feeds a second, independent histogram.
+    * The big table is scanned (never shuffled) twice per level; every
+    * shuffle is metadata-scale. This is the composition test of the
+    * histogram-selection primitive — a second level stacks with no new
+    * shape.
+    *
+    * Determinism: medians are percentile_disc(0.5) DATA values (rank
+    * ceil(n/2), exact integer); |v − med| is one IEEE subtraction spelled
+    * identically in the oracle.
+    */
+  val q119Mad: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+    val med = histMedian(li).withColumnRenamed("m", "med")
+    val dev = li.join(broadcast(med), "k")
+      .select(col("k"), abs(col("v") - col("med")).as("v"))
+    histMedian(dev).withColumnRenamed("m", "mad")
+      .join(broadcast(med), "k")
+      .select(col("k").as("l_returnflag"), col("med"), col("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact per-key median (percentile_disc 0.5: the value at rank
+    * ceil(n/2)) of a (k, v) table by one level of q80's two-phase
+    * histogram selection: per-key bounds + count → metadata-scale bucket
+    * histogram → re-scan only the candidate bucket for the in-bucket order
+    * statistic. Returns one (k, m) row per key.
+    */
+  private def histMedian(li: DataFrame): DataFrame = {
+    val B = PdBuckets
+    val stats = li.groupBy("k")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    def bucketed(rows: DataFrame): DataFrame = rows
+      .join(broadcast(stats), "k")
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(B - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
+            .cast("int")))
+    val hist = bucketed(li).groupBy("k", "b").agg(count(lit(1)).as("c"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    val targets = stats.select(col("k"), expr("(n + 1) div 2").as("r"))
+    val cand = cumHist.join(targets, "k")
+      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
+      .select(col("k"), col("b"), (col("r") - col("cb")).as("rr"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v")
+    bucketed(li).join(broadcast(cand), Seq("k", "b"))
+      .withColumn("rk", row_number().over(wv))
+      .where(col("rk") === col("rr"))
+      .select(col("k"), col("v").as("m"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_mad"                -> q119Mad,
+    "q117_percentile_cont"    -> q117PercentileCont,
     "q80_percentile_disc"     -> q80PercentileDisc,
     "q52_sessionize"          -> q52Sessionize,
     "q50_agg_filter"          -> q50AggFilter,
@@ -445,6 +584,47 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
+    // q119: the ranks are exact integers ((n+1) div 2); the one float op
+    // (the deviation subtraction) is spelled identically on both sides.
+    "q119_mad" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v FROM lineitem),
+        |c1 AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+        |              COUNT(1) OVER (PARTITION BY k) AS n FROM g),
+        |med AS (SELECT k, MIN(v) AS med FROM c1
+        |        WHERE rn = (n + 1) // 2 GROUP BY k),
+        |dev AS (SELECT g.k, abs(v - med) AS w FROM g JOIN med ON g.k = med.k),
+        |c2 AS (SELECT k, w, ROW_NUMBER() OVER (PARTITION BY k ORDER BY w) AS rn,
+        |              COUNT(1) OVER (PARTITION BY k) AS n FROM dev)
+        |SELECT c2.k AS l_returnflag, med,
+        |       MIN(w) AS mad
+        |FROM c2 JOIN med ON c2.k = med.k
+        |WHERE rn = (n + 1) // 2
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
+    // q117: identical integer rank/fraction algebra, and the single float
+    // expression (the interpolation) spelled with the same operand order
+    // as the Spark side, so the doubles agree bit-for-bit.
+    "q117_percentile_cont" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_quantity AS v FROM lineitem),
+        |ord AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+        |               COUNT(1) OVER (PARTITION BY k) AS n FROM g),
+        |t AS (SELECT k, n, qq, ((n - 1) * num) // den + 1 AS rlo,
+        |             ((n - 1) * num) % den AS md, den
+        |      FROM (SELECT DISTINCT k, n FROM ord) s,
+        |           (VALUES (25, 1, 4), (50, 1, 2), (90, 9, 10)) q(qq, num, den)),
+        |pick AS (SELECT t.k, qq, md, den,
+        |                MIN(CASE WHEN rn = rlo THEN v END) AS v1,
+        |                MIN(CASE WHEN rn = LEAST(rlo + 1, t.n) THEN v END) AS v2
+        |         FROM t JOIN ord ON ord.k = t.k
+        |           AND (rn = rlo OR rn = LEAST(rlo + 1, t.n))
+        |         GROUP BY 1, 2, 3, 4),
+        |iv AS (SELECT k, qq,
+        |              v1 + (v2 - v1) * (CAST(md AS DOUBLE) / CAST(den AS DOUBLE)) AS pv
+        |       FROM pick)
+        |SELECT k AS l_returnflag,
+        |       MIN(CASE WHEN qq = 25 THEN pv END) AS p25c,
+        |       MIN(CASE WHEN qq = 50 THEN pv END) AS p50c,
+        |       MIN(CASE WHEN qq = 90 THEN pv END) AS p90c
+        |FROM iv GROUP BY k ORDER BY l_returnflag""".stripMargin,
     "q80_percentile_disc" ->
       """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(1) AS c
         |           FROM lineitem GROUP BY 1, 2),

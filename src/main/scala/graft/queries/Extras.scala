@@ -988,7 +988,37 @@ object Extras {
       .orderBy("o_orderpriority", "day")
   }
 
+  /** q118: event-transition matrix — the first-order Markov view of the
+    * event stream: per user, each event's type is paired with the NEXT
+    * event's type (`lead` over the per-user time order, ties broken by
+    * event_id for determinism), then (from, to) pairs are counted and
+    * row-normalized into transition probabilities. The classic
+    * behavioral-analytics / funnel-adjacent query (what follows what),
+    * and the input a sequence model's transition prior is estimated from.
+    *
+    * Scale shape: ONE shuffle of the event table (the per-user window —
+    * partitioned by user_id, never global), then everything collapses to
+    * |types|² rows via partial-agg counting; the row totals broadcast
+    * back. The probability is a BIGINT-over-BIGINT double division, spelled
+    * identically in the oracle, so IEEE doubles agree exactly.
+    */
+  val q118TransitionMatrix: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
     "q113_not_in_nulls"      -> q113NotInNulls,
@@ -1041,6 +1071,19 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q118_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT event_type AS from_type, to_type, COUNT(1) AS n
+        |       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, SUM(n) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q116_calendar_spine" ->
       """WITH daily AS (
         |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,

@@ -360,6 +360,46 @@ object ScaleOps {
         expr("abs(est_u - exact_u) * 10000 div exact_u").as("err_u_bp"))
   }
 
+  // ---------------------------------------------------------------- x08
+
+  /** Number of AMS estimators (averaged; a shard-median layer would sit on
+    * top at production scale). */
+  val AmsM = 64
+
+  /** x08: AMS second-frequency-moment sketch (Alon–Matias–Szegedy
+    * STOC'96) — F2 = Σ f_x² of the per-user event counts, estimated by M
+    * independent ±1-signed sums: Y_i = (Σ_x sign_i(x)·f_x)², E[Y_i] = F2.
+    * Like x07 (and unlike HLL/CMS), the randomness is a seeded md5-derived
+    * sign, so sketch AND estimate are deterministic, integer-exact, and
+    * hard-oracled against the exact F2 — error reported in basis points.
+    * F2 is the self-join size of the key column, i.e. THE statistic a
+    * planner wants before deciding whether a dedup self-join is feasible.
+    *
+    * Scale shape: the event table collapses to per-key counts in one
+    * partial-agg groupBy (the only data-scale shuffle); the M-way explode
+    * runs on the collapsed key table (keys × M rows — metadata), and the
+    * estimator sums collapse again map-side to M rows. BIGINT throughout:
+    * |Y_i| ≤ N², so at true 100 TB row counts the squares move to
+    * DECIMAL(38,0) — the estimator algebra is unchanged.
+    */
+  val x08AmsF2: Q = (s, d) => {
+    val freq = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("f"))
+    val sgnH = TextHash.sparkHash56(
+      "concat(cast(i as string), ':', cast(user_id as string))")
+    val est = freq
+      .select(col("user_id"), col("f"),
+        explode(expr(s"sequence(0, ${AmsM - 1})")).as("i"))
+      .withColumn("sgn", expr(s"1 - 2 * ($sgnH % 2)"))
+      .groupBy("i").agg(sum(col("sgn") * col("f")).as("y"))
+      .agg(sum(col("y") * col("y")).as("sy"))
+      .select(expr(s"sy div $AmsM").as("est_f2"))
+    val exact = freq.agg(sum(col("f") * col("f")).as("exact_f2"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_f2"), col("exact_f2"),
+        expr("abs(est_f2 - exact_f2) * 10000 div exact_f2").as("err_bp"))
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -504,6 +544,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "x07_kmv_sketch"       -> x07KmvSketch,
+    "x08_ams_f2"           -> x08AmsF2,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
@@ -530,6 +571,19 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x08_ams_f2" -> {
+      val h = TextHash.duckHash56(
+        "CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""WITH freq AS (SELECT user_id, COUNT(1) AS f FROM events GROUP BY 1),
+         |e AS (SELECT i, CAST(SUM((1 - 2 * ($h % 2)) * f) AS BIGINT) AS y
+         |      FROM freq, (SELECT unnest(generate_series(0, ${AmsM - 1})) AS i) ii
+         |      GROUP BY 1),
+         |est AS (SELECT CAST(SUM(y * y) AS BIGINT) // $AmsM AS est_f2 FROM e),
+         |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM freq)
+         |SELECT est_f2, exact_f2,
+         |       abs(est_f2 - exact_f2) * 10000 // exact_f2 AS err_bp
+         |FROM est, ex""".stripMargin
+    },
     "x07_kmv_sketch" -> {
       val ha = TextHash.duckHash56("'c' || CAST(o_custkey AS VARCHAR)")
       val hb = TextHash.duckHash56("'s' || CAST(l_suppkey AS VARCHAR)")
