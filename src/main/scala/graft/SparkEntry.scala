@@ -34,7 +34,9 @@ object SparkEntry {
         "m04_cdc_chunks" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m04CdcChunks(s, d)),
         "m05_manifest" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m05Manifest(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m05Manifest(s, d)),
+        "m06_phash_neardup" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m06PhashNearDup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -123,6 +125,39 @@ object SparkEntry {
              |       CAST(SUM(nb) AS BIGINT) AS bytes_covered
              |FROM hashed JOIN df USING (h)
              |GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m06: same strided byte sampling over the ASCII fixture (ord ==
+        // Spark's ascii on the byte slice); every constant interpolated
+        // from the shared Multimodal parameters.
+        "m06_phash_neardup" -> {
+          val nb = graft.operators.Multimodal.PhashBits
+          val bandBits = nb / graft.operators.Multimodal.PhashBands
+          s"""WITH px AS (
+             |  SELECT doc_id AS media_id, i,
+             |         ascii(substr(text,
+             |           1 + ((i - 1) * greatest(1, length(text) // $nb))
+             |               % greatest(1, length(text)), 1)) AS px
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(1, $nb)) AS i) ii),
+             |ph AS (
+             |  SELECT media_id,
+             |         CAST(SUM(CASE WHEN px * $nb > tot
+             |                  THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+             |              AS BIGINT) AS ph
+             |  FROM (SELECT media_id, i, px,
+             |               SUM(px) OVER (PARTITION BY media_id) AS tot FROM px) t
+             |  GROUP BY 1),
+             |bands AS (
+             |  SELECT media_id, ph, b, (ph >> (b * $bandBits)) & ${(1 << bandBits) - 1} AS bk
+             |  FROM ph, (SELECT unnest(generate_series(0, ${graft.operators.Multimodal.PhashBands - 1})) AS b) bb),
+             |cand AS (
+             |  SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+             |                  a.ph AS ph1, b.ph AS ph2
+             |  FROM bands a JOIN bands b
+             |    ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+             |SELECT m1, m2, CAST(bit_count(xor(ph1, ph2)) AS INT) AS ham
+             |FROM cand WHERE bit_count(xor(ph1, ph2)) <= ${graft.operators.Multimodal.PhashMaxHam}
+             |ORDER BY m1, m2""".stripMargin
         },
         "m02_frame_explode" ->
           """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,

@@ -257,6 +257,66 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m06 perceptual-hash parameters: [[PhashBits]] sampled "pixels" fold
+    * into a [[PhashBits]]-bit aHash; [[PhashBands]] bands of
+    * [[PhashBits]]/[[PhashBands]] bits make band blocking COMPLETE for
+    * Hamming distance ≤ [[PhashMaxHam]] by pigeonhole (3 differing bits
+    * can dirty at most 3 of 4 bands). */
+  val PhashBits = 32
+  val PhashBands = 4
+  val PhashMaxHam = 3
+
+  /** m06: perceptual near-dup via average-hash blocking — m03/m04 find
+    * media sharing EXACT byte runs; this finds media that LOOK alike after
+    * re-encoding jitter, the other half of media dedup. Real pipeline:
+    * decode → downscale to an 8×8 grey grid → threshold each cell against
+    * the mean → 64-bit aHash → pair media within small Hamming distance.
+    * Here the decode/downscale is the documented stub (strided byte
+    * sampling of the payload — deterministic, codec-free); everything
+    * downstream — the bit fold, the banded blocking join, the popcount
+    * verify — is the production shape.
+    *
+    * Scale shape: the hash is built in one pass (bounded [[PhashBits]]-row
+    * fan-out per media, keyed window + partial-agg fold); media pairs come
+    * from an EQUI-join on (band, 8-bit band value) — never all-pairs — and
+    * the exact `bit_count(xor)` re-check runs only on band-collision
+    * candidates, the generate-then-verify discipline of d10/d15. Only
+    * hashes shuffle; payload bytes never leave the first stage.
+    */
+  def m06PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"),
+        length(col("payload")).as("len"))
+      .select(col("media_id"), col("payload"), col("len"),
+        explode(expr(s"sequence(1, $PhashBits)")).as("i"))
+      .withColumn("step", greatest(lit(1), expr(s"len div $PhashBits")))
+      .withColumn("pos", expr("1 + ((i - 1) * step) % greatest(1, len)"))
+      .withColumn("px", expr("ascii(cast(substring(payload, pos, 1) as string))"))
+      .select("media_id", "i", "px")
+    val w = Window.partitionBy("media_id")
+    val ph = px
+      .withColumn("tot", sum(col("px")).over(w))
+      .groupBy("media_id")
+      .agg(sum(when(col("px") * PhashBits > col("tot"),
+        expr("shiftleft(cast(1 as bigint), i - 1)")).otherwise(lit(0L))).as("ph"))
+    val bands = ph.select(col("media_id"), col("ph"),
+        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("b"))
+      .withColumn("bk",
+        expr(s"shiftright(ph, b * ${PhashBits / PhashBands}) & ${(1 << (PhashBits / PhashBands)) - 1}"))
+    val lhs = bands.select(col("media_id").as("m1"), col("ph").as("ph1"),
+      col("b"), col("bk"))
+    val rhs = bands.select(col("media_id").as("m2"), col("ph").as("ph2"),
+      col("b"), col("bk"))
+    lhs.join(rhs, Seq("b", "bk"))
+      .where(col("m1") < col("m2"))
+      .select("m1", "m2", "ph1", "ph2").distinct()
+      .withColumn("ham", expr("cast(bit_count(ph1 ^ ph2) as int)"))
+      .where(col("ham") <= PhashMaxHam)
+      .select(col("m1"), col("m2"), col("ham"))
+      .orderBy("m1", "m2")
+  }
+
   def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stride = 4

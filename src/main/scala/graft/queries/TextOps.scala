@@ -843,7 +843,50 @@ object TextOps {
           .as("flesch_x1000"))
       .orderBy("doc_id")
 
+  /** t25: vocabulary coverage curve (the Zipf-head diagnostic) — the
+    * minimal number of distinct tokens whose occurrences cover 50/90/99 %
+    * of the corpus, the statistic that sizes a tokenizer vocabulary and
+    * flags boilerplate-heavy corpora (tiny v50 = a few tokens dominate).
+    *
+    * Scale shape: tokens collapse to per-token counts in one data-scale
+    * shuffle; counts collapse again to a FREQUENCY HISTOGRAM (one row per
+    * distinct count value — O(√N) rows by Zipf, pure metadata), and the
+    * cumulative walk down the histogram (count descending) runs through
+    * [[prefixSum]] — the range-partitioned two-pass spelling, never a
+    * global single-task window. Tie groups are resolved exactly: the
+    * boundary frequency class contributes ceil(missing_mass / cnt) tokens,
+    * so the answer is the true minimal vocabulary size, all in BIGINT
+    * algebra.
+    */
+  val t25VocabCoverage: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val hist = tok.groupBy("cnt").agg(count(lit(1)).as("ntok"))
+      .withColumn("mass", col("cnt") * col("ntok"))
+      .withColumn("negcnt", -col("cnt"))
+    val cum = prefixSum(
+      prefixSum(hist, "negcnt", "mass", "cum_mass", includeCurrent = true),
+      "negcnt", "ntok", "cum_vocab", includeCurrent = true)
+    val tot = tok.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    def vAt(tag: String, thExpr: String): Seq[Column] = {
+      val th = expr(thExpr)
+      Seq(min(when(col("cum_mass") >= th && col("cum_mass") - col("mass") < th,
+        col("cum_vocab") - col("ntok") +
+          expr(s"(($thExpr) - (cum_mass - mass) + cnt - 1) div cnt")))
+        .as(s"v$tag"))
+    }
+    val aggs = Seq(max(col("total_tokens")).as("total_tokens"),
+      max(col("vocab_size")).as("vocab_size")) ++
+      vAt("50", "(total_tokens + 1) div 2") ++
+      vAt("90", "(total_tokens * 9 + 9) div 10") ++
+      vAt("99", "(total_tokens * 99 + 99) div 100")
+    cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_vocab_coverage"  -> t25VocabCoverage,
     "t24_readability"     -> t24Readability,
     "t23_keywords"        -> t23Keywords,
     "t22_char_diversity"  -> t22CharDiversity,
@@ -897,6 +940,33 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t25_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT t, COUNT(1) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |hist AS (SELECT cnt, COUNT(1) AS ntok, cnt * COUNT(1) AS mass
+        |         FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |               COUNT(1) AS vocab_size FROM tok),
+        |cum AS (SELECT cnt, ntok, mass,
+        |               CAST(SUM(mass) OVER (ORDER BY cnt DESC) AS BIGINT) AS cum_mass,
+        |               CAST(SUM(ntok) OVER (ORDER BY cnt DESC) AS BIGINT) AS cum_vocab
+        |        FROM hist),
+        |sel AS (SELECT c.*, t.total_tokens, t.vocab_size,
+        |               (t.total_tokens + 1) // 2 AS th50,
+        |               (t.total_tokens * 9 + 9) // 10 AS th90,
+        |               (t.total_tokens * 99 + 99) // 100 AS th99
+        |        FROM cum c, tot t)
+        |SELECT max(total_tokens) AS total_tokens,
+        |       max(vocab_size) AS vocab_size,
+        |       MIN(CASE WHEN cum_mass >= th50 AND cum_mass - mass < th50
+        |            THEN cum_vocab - ntok + (th50 - (cum_mass - mass) + cnt - 1) // cnt END) AS v50,
+        |       MIN(CASE WHEN cum_mass >= th90 AND cum_mass - mass < th90
+        |            THEN cum_vocab - ntok + (th90 - (cum_mass - mass) + cnt - 1) // cnt END) AS v90,
+        |       MIN(CASE WHEN cum_mass >= th99 AND cum_mass - mass < th99
+        |            THEN cum_vocab - ntok + (th99 - (cum_mass - mass) + cnt - 1) // cnt END) AS v99
+        |FROM sel""".stripMargin,
     "t24_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

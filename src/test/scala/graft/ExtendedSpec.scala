@@ -7,6 +7,30 @@ package graft
   */
 class ExtendedSpec extends SparkSpec {
 
+  test("t25 vocabulary coverage equals the sorted-count reference") {
+    // Reference: sort per-token counts descending in memory and count how
+    // many tokens the greedy walk needs to reach each mass threshold —
+    // token-level truth that t25's class-level histogram arithmetic
+    // (boundary class contributes ceil(missing/cnt) tokens) must equal.
+    val toks = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val counts = toks.groupBy(identity).map(_._2.length.toLong).toSeq
+      .sorted(Ordering[Long].reverse)
+    val total = counts.sum
+    def vAt(th: Long): Long = {
+      var cum = 0L; var i = 0
+      while (cum < th) { cum += counts(i); i += 1 }
+      i.toLong
+    }
+    val r = graft.queries.TextOps.t25VocabCoverage(spark, sf).collect().head
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) === counts.size.toLong)
+    assert(r.getLong(2) === vAt((total + 1) / 2))
+    assert(r.getLong(3) === vAt((total * 9 + 9) / 10))
+    assert(r.getLong(4) === vAt((total * 99 + 99) / 100))
+  }
+
   test("q80 builtin percentile_disc equals the relational prefix-sum leg") {
     // The builtin is an ImperativeAggregate (buffers a whole group per
     // task) so it must never run in the benched query — but its semantics
@@ -21,6 +45,61 @@ class ExtendedSpec extends SparkSpec {
         assert(r.getDouble(i) === b.getDouble(i),
           s"quantile col $i diverges for key ${r.getString(0)}")
       }
+    }
+  }
+
+  test("q117 histogram percentile_cont equals the builtin aggregate") {
+    // Spark's builtin percentile_cont is the same ImperativeAggregate
+    // shape as percentile_disc (whole group buffered in one task), so it
+    // never runs in the benched query — but it is the semantic reference.
+    // Tolerance, not bit-equality: the builtin derives its interpolation
+    // fraction from the FLOAT position q*(n-1) while q117 keeps it exact
+    // integer ((n-1)*num mod den)/den, and e.g. 0.9*(n-1) can round to a
+    // different last ulp than 9*(n-1) div 10 + 9/10 — same q74/q76
+    // 1e-6-relative discipline.
+    import org.apache.spark.sql.functions._
+    val rel = graft.queries.Extended.q117PercentileCont(spark, sf).collect()
+    val blt = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+      .groupBy("k").agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)").as("p25c"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY v)").as("p50c"),
+        expr("percentile_cont(0.90) WITHIN GROUP (ORDER BY v)").as("p90c"))
+      .orderBy("k").collect()
+    assert(rel.length === blt.length)
+    rel.zip(blt).foreach { case (r, b) =>
+      assert(r.getString(0) === b.getString(0))
+      (1 to 3).foreach { i =>
+        val (x, y) = (r.getDouble(i), b.getDouble(i))
+        assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+          s"quantile col $i diverges for key ${r.getString(0)}: $x vs $y")
+      }
+    }
+  }
+
+  test("q119 histogram MAD equals the buffered-sort reference") {
+    // Reference: exact in-memory median-of-deviations per key, computed
+    // with plain Scala sorting — the semantics q119's two-level histogram
+    // selection must reproduce without ever buffering a group.
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def medianDisc(vs: Seq[Double]): Double = {
+      val sorted = vs.sorted
+      sorted(((vs.size + 1) / 2) - 1)
+    }
+    val want = rows.groupBy(_._1).map { case (k, kvs) =>
+      val vs = kvs.map(_._2)
+      val med = medianDisc(vs)
+      k -> (med, medianDisc(vs.map(v => math.abs(v - med))))
+    }
+    val got = graft.queries.Extended.q119Mad(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (med, mad) = want(r.getString(0))
+      assert(r.getDouble(1) === med, s"median diverges for ${r.getString(0)}")
+      assert(r.getDouble(2) === mad, s"MAD diverges for ${r.getString(0)}")
     }
   }
 }

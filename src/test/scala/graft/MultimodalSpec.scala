@@ -143,6 +143,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m06 band blocking is complete: equals brute-force Hamming pairs") {
+    // The pigeonhole claim made executable: 4 bands of 8 bits MUST
+    // recover every pair at Hamming distance <= 3, so the banded
+    // equi-join result equals the all-pairs reference computed here with
+    // plain Scala (charAt == byte on the ASCII corpus, asserted above).
+    val nb = Multimodal.PhashBits
+    def phash(text: String): Long = {
+      val len = math.max(1, text.length)
+      val step = math.max(1, len / nb)
+      val px = (1 to nb).map(i => text.charAt(((i - 1) * step) % len).toInt)
+      val tot = px.sum
+      px.zipWithIndex.foldLeft(0L) { case (acc, (p, idx)) =>
+        if (p.toLong * nb > tot) acc | (1L << idx) else acc
+      }
+    }
+    val hs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), phash(r.getString(1))))
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= Multimodal.PhashMaxHam
+    } yield (a, b, ham)).toSet
+    val got = Multimodal.m06PhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === got.toSet.size, "duplicate pairs in m06 output")
+    assert(got.toSet === want)
+  }
+
   test("m05 manifest: covers every byte, content-addressed, edit-sensitive") {
     import org.apache.spark.sql.functions._
     val m = graft.operators.Multimodal.m05Manifest(spark, sf)
