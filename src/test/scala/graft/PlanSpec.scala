@@ -289,6 +289,38 @@ class PlanSpec extends SparkSpec {
       s"distinct must be the two-phase hash aggregate:\n$plan")
   }
 
+  test("d18: source-overlap self-join is hash-equi on the shingle hash; sizes broadcast") {
+    val plan = planOf(graft.queries.Dedup.d18CrossSourceOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-overlap intersection degenerated to all-pairs:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"distinct (source, hash) and the pair counts must combine map-side:\n$plan")
+  }
+
+  test("x08: AMS estimator sums are two-phase partial aggregates") {
+    val plan = planOf(graft.queries.ScaleOps.x08AmsF2(spark, sf))
+    assert(plan.contains("partial_sum"),
+      s"the signed estimator sums must combine map-side (keys x M stays metadata):\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"no window belongs in the AMS fold:\n$plan")
+  }
+
+  test("m06: phash pairs come from a hash equi-join on (band, value)") {
+    val plan = planOf(graft.operators.Multimodal.m06PhashNearDup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded blocking degenerated to all-pairs:\n$plan")
+  }
+
+  test("q119: both MAD selection levels scan — no data-scale shuffle of lineitem rows") {
+    val plan = planOf(graft.queries.Extended.q119Mad(spark, sf))
+    // every window must be keyed (the global audit checks this too) and the
+    // builtin percentile aggregates must never appear
+    assert(!plan.contains("percentile"),
+      s"builtin percentile crept into the benched MAD path:\n$plan")
+  }
+
   test("u04: the SQL-body UDF is inlined — no black-box ScalaUDF in the plan") {
     val plan = planOf(graft.queries.UdfOps.u04SqlUdf(spark, sf))
     assert(!plan.contains("ScalaUDF"),
