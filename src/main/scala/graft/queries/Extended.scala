@@ -559,7 +559,55 @@ object Extended {
       .select(col("k"), col("v").as("m"))
   }
 
+  /** q121: weighted median — the smallest value whose cumulative WEIGHT
+    * reaches half the total (here: unit-price median weighted by quantity,
+    * i.e. "the price of the median unit sold", which differs from q80's
+    * row median whenever cheap rows carry big quantities). Third member of
+    * the histogram-selection family (q80 rank / q117 interpolated /
+    * q119 composed): the histogram simply sums WEIGHTS instead of counting
+    * rows, the target rank is ceil(W/2) in exact integers (weights are
+    * integral quantities, asserted in ExtendedSpec), and phase 2 pre-
+    * aggregates the candidate bucket per distinct value so the cumulative
+    * walk is over the value distribution — tie-safe by construction.
+    */
+  val q121WeightedMedian: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("bigint").as("wt"))
+    val B = PdBuckets
+    val stats = li.groupBy("k")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("wt").as("tw"))
+    def bucketed(rows: DataFrame): DataFrame = rows
+      .join(broadcast(stats), "k")
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(B - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
+            .cast("int")))
+    val hist = bucketed(li).groupBy("k", "b").agg(sum("wt").as("c"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    val targets = stats.select(col("k"), expr("(tw + 1) div 2").as("r"))
+    val cand = cumHist.join(targets, "k")
+      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
+      .select(col("k"), col("b"), (col("r") - col("cb")).as("rr"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v")
+    val picked = bucketed(li).join(broadcast(cand), Seq("k", "b"))
+      .groupBy("k", "v", "rr").agg(sum("wt").as("w"))
+      .withColumn("cw", sum("w").over(wv))
+      .where(col("cw") >= col("rr"))
+      .groupBy("k").agg(min("v").as("wmedian"))
+    picked.join(broadcast(stats.select(col("k"), col("tw"))), "k")
+      .select(col("k").as("l_returnflag"), col("tw").as("total_weight"),
+        col("wmedian"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_weighted_median"    -> q121WeightedMedian,
     "q119_mad"                -> q119Mad,
     "q117_percentile_cont"    -> q117PercentileCont,
     "q80_percentile_disc"     -> q80PercentileDisc,
@@ -584,6 +632,20 @@ object Extended {
     "q42_array_funcs"     -> q42ArrayFuncs)
 
   val oracles: Map[String, String] = Map(
+    // q121: the oracle computes the full per-value cumulative weight; the
+    // Spark side's bucket-local cw + cb offset is the same walk (rows of
+    // the candidate bucket satisfy local cw >= r - cb  <=>  full cw >= r).
+    "q121_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |                  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |d AS (SELECT k, v, SUM(wt) AS w FROM g GROUP BY 1, 2),
+        |c AS (SELECT k, v,
+        |             CAST(SUM(w) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cw,
+        |             CAST(SUM(w) OVER (PARTITION BY k) AS BIGINT) AS tw
+        |      FROM d)
+        |SELECT k AS l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+        |       MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmedian
+        |FROM c GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
     // q119: the ranks are exact integers ((n+1) div 2); the one float op
     // (the deviation subtraction) is spelled identically on both sides.
     "q119_mad" ->

@@ -548,6 +548,46 @@ object Extras {
       .select("l_returnflag", "n", "corr_exact", "builtin_ok")
       .orderBy("l_returnflag")
 
+  /** q120: linear-regression aggregates (regr_slope / regr_intercept /
+    * regr_r2, the SQL:2003 bivariate family beyond q74 variance and q76
+    * correlation) — per key, OLS of price on quantity. Same
+    * accumulation-order-safe technique: the five moments as exact decimal
+    * sums (order-insensitive), one identical double chain on top, and the
+    * builtins asserted within 1e-6 RELATIVE (slopes are O(10³) here, so
+    * absolute 1e-6 would test the builtins' last bits, not semantics) on
+    * both engines.
+    */
+  val q120LinReg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"),
+        expr("regr_slope(l_extendedprice, l_quantity)").as("b_slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("b_icept"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("b_r2"))
+      .withColumn("slope_exact", expr(
+        """(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          | / (n * cast(sxx as double) - cast(sx as double) * cast(sx as double))""".stripMargin))
+      .withColumn("icept_exact", expr(
+        "(cast(sy as double) - slope_exact * cast(sx as double)) / n"))
+      .withColumn("r2_exact", expr(
+        """((n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+          |  * (n * cast(sxy as double) - cast(sx as double) * cast(sy as double)))
+          | / ((n * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+          |    * (n * cast(syy as double) - cast(sy as double) * cast(sy as double)))""".stripMargin))
+      .withColumn("builtin_ok", expr(
+        """abs(b_slope - slope_exact) <= 1e-6 * greatest(1.0, abs(slope_exact))
+          | AND abs(b_icept - icept_exact) <= 1e-6 * greatest(1.0, abs(icept_exact))
+          | AND abs(b_r2 - r2_exact) <= 1e-6 * greatest(1.0, abs(r2_exact))""".stripMargin))
+      .select("l_returnflag", "n", "slope_exact", "icept_exact", "r2_exact",
+        "builtin_ok")
+      .orderBy("l_returnflag")
+
   /** q78: recursive CTE (Spark 4's `WITH RECURSIVE`, planned as UnionLoop)
     * — a recursion-generated month dimension LEFT-joined to real order
     * dates. Recursive CTEs are the one SQL-surface operator that cannot be
@@ -1018,6 +1058,7 @@ object Extras {
   }
 
   val queries: Map[String, Q] = Map(
+    "q120_linreg"            -> q120LinReg,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1071,6 +1112,35 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q120_linreg" ->
+      """SELECT l_returnflag, n, slope_exact, icept_exact, r2_exact,
+        |       abs(b_slope - slope_exact) <= 1e-6 * greatest(1.0, abs(slope_exact))
+        |        AND abs(b_icept - icept_exact) <= 1e-6 * greatest(1.0, abs(icept_exact))
+        |        AND abs(b_r2 - r2_exact) <= 1e-6 * greatest(1.0, abs(r2_exact)) AS builtin_ok
+        |FROM (
+        |  SELECT l_returnflag, n, slope_exact,
+        |         (CAST(sy AS DOUBLE) - slope_exact * CAST(sx AS DOUBLE)) / n AS icept_exact,
+        |         ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |          / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2_exact,
+        |         b_slope, b_icept, b_r2
+        |  FROM (
+        |    SELECT *,
+        |           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_exact
+        |    FROM (
+        |      SELECT l_returnflag, COUNT(1) AS n,
+        |             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |             regr_slope(l_extendedprice, l_quantity) AS b_slope,
+        |             regr_intercept(l_extendedprice, l_quantity) AS b_icept,
+        |             regr_r2(l_extendedprice, l_quantity) AS b_r2
+        |      FROM lineitem GROUP BY l_returnflag)))
+        |ORDER BY l_returnflag""".stripMargin,
     "q118_transition_matrix" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -31,6 +31,34 @@ class ExtendedSpec extends SparkSpec {
     assert(r.getLong(4) === vAt((total * 99 + 99) / 100))
   }
 
+  test("q121 precondition (integral weights) + buffered weighted-median reference") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // the bigint cast in q121 is lossless only while quantities are integral
+    rows.foreach { case (_, _, q) =>
+      assert(q == math.floor(q), s"non-integral quantity $q — q121's weight cast truncates")
+    }
+    val want = rows.groupBy(_._1).map { case (k, kvs) =>
+      val byV = kvs.groupBy(_._2).map { case (v, g) => (v, g.map(_._3.toLong).sum) }
+        .toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      val r = (tw + 1) / 2
+      var cum = 0L
+      val med = byV.find { case (_, w) => { cum += w; cum >= r } }.get._1
+      k -> (tw, med)
+    }
+    val got = graft.queries.Extended.q121WeightedMedian(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (tw, med) = want(r.getString(0))
+      assert(r.getLong(1) === tw)
+      assert(r.getDouble(2) === med, s"weighted median diverges for ${r.getString(0)}")
+    }
+  }
+
   test("q80 builtin percentile_disc equals the relational prefix-sum leg") {
     // The builtin is an ImperativeAggregate (buffers a whole group per
     // task) so it must never run in the benched query — but its semantics
