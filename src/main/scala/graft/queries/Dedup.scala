@@ -499,6 +499,49 @@ object Dedup {
       .orderBy("s1", "s2")
   }
 
+  /** d19: INCREMENTAL connected components — fold a batch of new edges
+    * into an existing cluster table without re-touching the base graph,
+    * the d05 analogue of p04's incremental dedup: at 100 TB the nightly
+    * near-dup graph delta must not trigger a full recompute. Split mirrors
+    * p04 (delta = docs with doc_id % 5 == 0): base clusters come from the
+    * base-only pair graph (in production: READ BACK from the last full
+    * pass, like p04's index tables); delta edges are CONTRACTED through
+    * the base labels (edge (u,v) → (label(u), label(v))), a second CC runs
+    * on that contracted graph — whose size is bounded by the DELTA edge
+    * count, never the corpus — and final labels remap through both levels.
+    *
+    * Correctness: labels are doc_ids and each CC level yields the minimum
+    * reachable label, so label∘label = the min doc_id of the merged
+    * component — EXACTLY what a full recompute over base+delta gives. The
+    * oracle is therefore d05's full-graph reach SQL verbatim: the
+    * incremental path must be indistinguishable from the rebuild.
+    */
+  val d19IncrementalCc: Q = (s, d) => {
+    val pairs = pairsTable(s, d)
+    def isBase(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c % 5 > 0
+    val basePairs = pairs.where(isBase(col("d1")) && isBase(col("d2")))
+    val deltaPairs = pairs.where(!(isBase(col("d1")) && isBase(col("d2"))))
+    val baseCc = connectedComponents(
+      basePairs.select(col("d1").as("src"), col("d2").as("dst")))
+      .localCheckpoint() // production: the written base cluster table
+    val contracted = deltaPairs
+      .join(baseCc.select(col("src").as("d1"), col("dst").as("l1")), Seq("d1"), "left")
+      .join(baseCc.select(col("src").as("d2"), col("dst").as("l2")), Seq("d2"), "left")
+      .select(coalesce(col("l1"), col("d1")).as("src"),
+        coalesce(col("l2"), col("d2")).as("dst"))
+    val mergeCc = connectedComponents(contracted)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    docs
+      .join(baseCc.select(col("src").as("doc_id"), col("dst").as("lb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lb"), col("doc_id")).as("lb"))
+      .join(mergeCc.select(col("src").as("lb"), col("dst").as("lm")),
+        Seq("lb"), "left")
+      .select(col("doc_id"), coalesce(col("lm"), col("lb")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
     * (the SymSpell index): each name emits itself + its single-char
     * deletions as join keys — O(n·len) index rows — and candidates come
@@ -979,6 +1022,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d19_incremental_cc" -> d19IncrementalCc,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -1218,6 +1262,13 @@ object Dedup {
     // candidate-pair graph transitively; MIN(lbl) per node = the component's
     // smallest doc_id — the same fixpoint the Spark label propagation hits.
     "d05_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckReachCtes
+         |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d19: the equivalence oracle — the incremental merge must be
+    // indistinguishable from a full recompute over base+delta, which IS
+    // d05's full-graph reach.
+    "d19_incremental_cc" ->
       s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
