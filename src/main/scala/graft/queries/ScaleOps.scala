@@ -360,6 +360,56 @@ object ScaleOps {
         expr("abs(est_u - exact_u) * 10000 div exact_u").as("err_u_bp"))
   }
 
+  // ---------------------------------------------------------------- x09
+
+  /** x09: KMV set-operation estimates — the theta-sketch trick on top of
+    * x07: for two OVERLAPPING key sets (customers with orders vs customers
+    * in credit), estimate INTERSECTION and Jaccard from the sketches
+    * alone: with θ = the union sketch's kth minimum, every common hash ≤ θ
+    * is a uniform sample of the union, so m = |ska ∩ skb ∩ [0,θ]| gives
+    * J ≈ m/k and |A∩B| ≈ m·est(U)/k. This is THE distributed-profile
+    * primitive: per-shard sketches union at a coordinator, and overlap
+    * questions (how much does this source duplicate that one) get
+    * answered without re-touching data. Deterministic md5 hashing → the
+    * whole derivation is oracle-exact (x07's discipline); the small-sketch
+    * branch (union saw everything → m IS the exact intersection) is taken
+    * on the same integer algebra.
+    *
+    * Plan: two two-phase hash DISTINCTs → bounded TakeOrderedAndProject
+    * heaps; every post-sketch join touches ≤ 2k rows.
+    */
+  val x09KmvSetOps: Q = (s, d) => {
+    val two56 = 72057594037927936L // 2^56
+    def kmin(h: DataFrame): DataFrame = h.orderBy("h").limit(KmvK)
+    val ha = Tables.orders(s, d)
+      .select(expr(TextHash.sparkHash56("cast(o_custkey as string)")).as("h"))
+      .distinct()
+    val hb = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      .select(expr(TextHash.sparkHash56("cast(c_custkey as string)")).as("h"))
+      .distinct()
+    val (ska, skb) = (kmin(ha), kmin(hb))
+    val sku = kmin(ska.union(skb).distinct()) // overlapping domains: dedup
+    val theta = sku.agg(count(lit(1)).as("nu"), max(col("h")).as("kth"))
+    val m = ska.join(skb, "h").crossJoin(broadcast(theta))
+      .where(col("h") <= col("kth"))
+      .agg(count(lit(1)).as("m"))
+    val exact = ha.join(hb, "h").agg(count(lit(1)).as("exact_inter"))
+      .crossJoin(ha.agg(count(lit(1)).as("na")))
+      .crossJoin(hb.agg(count(lit(1)).as("nb")))
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+    m.crossJoin(broadcast(theta)).crossJoin(broadcast(exact))
+      .select(col("m"), col("nu"), col("exact_inter"), col("exact_union"),
+        expr(s"IF(nu < $KmvK, nu, (${KmvK - 1} * ${two56}L) div kth)").as("est_u"))
+      .select(
+        expr(s"IF(nu < $KmvK, m, m * est_u div $KmvK)").as("est_inter"),
+        col("exact_inter"),
+        expr(s"m * 10000 div $KmvK").as("est_jaccard_bp"),
+        expr("exact_inter * 10000 div exact_union").as("exact_jaccard_bp"))
+      .select(col("est_inter"), col("exact_inter"),
+        expr("abs(est_inter - exact_inter) * 10000 div exact_inter").as("err_inter_bp"),
+        col("est_jaccard_bp"), col("exact_jaccard_bp"))
+  }
+
   // ---------------------------------------------------------------- x08
 
   /** Number of AMS estimators (averaged; a shard-median layer would sit on
@@ -545,6 +595,7 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
+    "x09_kmv_setops"       -> x09KmvSetOps,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
@@ -571,6 +622,32 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x09_kmv_setops" -> {
+      val ha = TextHash.duckHash56("CAST(o_custkey AS VARCHAR)")
+      val hb = TextHash.duckHash56("CAST(c_custkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $ha AS h FROM orders),
+         |hb AS (SELECT DISTINCT $hb AS h FROM customer WHERE c_acctbal > 0),
+         |ska AS (SELECT h FROM ha ORDER BY h LIMIT $KmvK),
+         |skb AS (SELECT h FROM hb ORDER BY h LIMIT $KmvK),
+         |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+         |        ORDER BY h LIMIT $KmvK),
+         |th AS (SELECT COUNT(1) AS nu, MAX(h) AS kth FROM sku),
+         |mm AS (SELECT COUNT(1) AS m FROM ska JOIN skb USING (h), th
+         |       WHERE h <= kth),
+         |ex AS (SELECT (SELECT COUNT(1) FROM ha JOIN hb USING (h)) AS exact_inter,
+         |              (SELECT COUNT(1) FROM ha) AS na,
+         |              (SELECT COUNT(1) FROM hb) AS nb),
+         |eu AS (SELECT CASE WHEN nu < $KmvK THEN nu
+         |                   ELSE (${KmvK - 1} * 72057594037927936) // kth END AS est_u,
+         |              nu FROM th)
+         |SELECT CASE WHEN nu < $KmvK THEN m ELSE m * est_u // $KmvK END AS est_inter,
+         |       exact_inter,
+         |       abs((CASE WHEN nu < $KmvK THEN m ELSE m * est_u // $KmvK END) - exact_inter)
+         |         * 10000 // exact_inter AS err_inter_bp,
+         |       m * 10000 // $KmvK AS est_jaccard_bp,
+         |       exact_inter * 10000 // (na + nb - exact_inter) AS exact_jaccard_bp
+         |FROM mm, ex, eu""".stripMargin
+    },
     "x08_ams_f2" -> {
       val h = TextHash.duckHash56(
         "CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
