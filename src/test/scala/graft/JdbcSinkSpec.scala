@@ -92,6 +92,32 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, table, props).count() === 4)
   }
 
+  test("partitioned JDBC read: auto-bounded parallel range scans cover the table exactly") {
+    val table = "fraud_parallel_read"
+    FraudSink.ensureTable(url, props, FraudSink.derbyDdl(table))
+    val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+    (1 to 4).foreach(_ => FraudSink.append(fraud, url, table, props)) // 8 rows
+    val df = graft.sources.JdbcRead.partitionedRead(spark, url, table, "ID", 4, props)
+    // the read must plan one task per key range, not one socket for all
+    assert(df.rdd.getNumPartitions === 4,
+      s"expected 4 parallel range scans, got ${df.rdd.getNumPartitions}")
+    // and the ranges must cover every row exactly once
+    val serial = spark.read.jdbc(url, table, props)
+    assert(df.count() === serial.count())
+    assert(df.select("ID").collect().map(_.getInt(0)).toSet ===
+      serial.select("ID").collect().map(_.getInt(0)).toSet)
+    // degenerate tables fall back to a single clean scan
+    val one = "fraud_single_row"
+    FraudSink.ensureTable(url, props, FraudSink.derbyDdl(one))
+    FraudSink.append(fraud.limit(1), url, one, props)
+    val dfOne = graft.sources.JdbcRead.partitionedRead(spark, url, one, "ID", 4, props)
+    assert(dfOne.count() === 1)
+    val empty = "fraud_empty_read"
+    FraudSink.ensureTable(url, props, FraudSink.derbyDdl(empty))
+    val dfEmpty = graft.sources.JdbcRead.partitionedRead(spark, url, empty, "ID", 4, props)
+    assert(dfEmpty.count() === 0)
+  }
+
   test("idempotent variant: replaying the same batchId inserts exactly once") {
     val table = "fraud_idem"
     val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
