@@ -806,6 +806,38 @@ object Extras {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q122: SQL SCRIPTING (Spark 4 `BEGIN … END` with DECLARE / SET /
+    * WHILE, SPARK-48338) — the procedural surface: an adaptive
+    * doubling-probe search for the smallest power-of-two price threshold
+    * covering half the orders. Control flow lives in the ENGINE (script
+    * variables + loop), not the driver program — the SQL-native spelling
+    * of what d05/d09 do with Scala driver loops.
+    *
+    * Scale note: the loop is LOG-bounded (≤ ~20 iterations to cross any
+    * realistic price ceiling) and each probe is one partial-agg COUNT
+    * under a pushed-down predicate — the adaptive-probing shape (cheap
+    * monotone probes, geometric stride) that replaces a full sort/
+    * percentile pass when only a coarse threshold is needed. The oracle
+    * replays all candidate powers at once via generate_series and takes
+    * the minimal satisfying one — equal by monotonicity.
+    */
+  val q122SqlScript: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q122")
+    s.sql(
+      """BEGIN
+        |  DECLARE t BIGINT DEFAULT 1;
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  DECLARE nb BIGINT DEFAULT 0;
+        |  SET total = (SELECT COUNT(1) FROM orders_q122);
+        |  SET nb = (SELECT COUNT(1) FROM orders_q122 WHERE o_totalprice < 1);
+        |  WHILE nb * 2 < total DO
+        |    SET t = t * 2;
+        |    SET nb = (SELECT COUNT(1) FROM orders_q122 WHERE o_totalprice < t);
+        |  END WHILE;
+        |  SELECT t AS threshold, nb AS n_below, total AS n_total;
+        |END""".stripMargin)
+  }
+
   /** q109: collation-aware grouping (Spark 4 `COLLATE UTF8_LCASE`) —
     * case-insensitive semantics carried by the TYPE instead of wrapping
     * every reference in lower() (at scale: one collated sort key vs a
@@ -1059,6 +1091,7 @@ object Extras {
 
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
+    "q122_sql_script"        -> q122SqlScript,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1112,6 +1145,15 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q122_sql_script" ->
+      """WITH tot AS (SELECT COUNT(1) AS total FROM orders),
+        |cand AS (SELECT i, (CAST(1 AS BIGINT) << i) AS t
+        |         FROM (SELECT unnest(generate_series(0, 40)) AS i)),
+        |cnt AS (SELECT i, t,
+        |               (SELECT COUNT(1) FROM orders WHERE o_totalprice < t) AS nb
+        |        FROM cand)
+        |SELECT t AS threshold, nb AS n_below, total AS n_total
+        |FROM cnt, tot WHERE nb * 2 >= total ORDER BY t LIMIT 1""".stripMargin,
     "q120_linreg" ->
       """SELECT l_returnflag, n, slope_exact, icept_exact, r2_exact,
         |       abs(b_slope - slope_exact) <= 1e-6 * greatest(1.0, abs(slope_exact))

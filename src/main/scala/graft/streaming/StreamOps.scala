@@ -332,6 +332,24 @@ object StreamOps {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** s21: OFFLINE state-store inspection (the Spark 4 state data source,
+    * SPARK-45511) — read a streaming checkpoint's keyed state back as a
+    * plain DataFrame, without the query running. This is the debugging /
+    * auditing surface production streaming needs most: "what exactly is
+    * this job holding in state?" answered with SQL instead of log
+    * archaeology — count state rows per key range, find the key whose
+    * state exploded, diff state across two checkpoints. Reads the same
+    * HDFS-backed store files the query writes; `batchId`/`operatorId`
+    * options select other snapshots when set.
+    *
+    * Scale note: the source plans one task per state-store PARTITION
+    * (same layout the query itself uses), so inspection parallelism
+    * equals the job's shuffle partition count — no single-reader drain.
+    */
+  def s21StateRead(spark: org.apache.spark.sql.SparkSession,
+                   checkpoint: String): DataFrame =
+    spark.read.format("statestore").load(checkpoint)
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
                             seq_no: Long, running_sum: Double)

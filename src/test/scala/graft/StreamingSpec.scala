@@ -581,6 +581,31 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.contains((1L, 1L, 30.0)), s"state reset detected: ${rows.toSeq.sorted}")
   }
 
+  test("s21 state data source reads a checkpoint's keyed state offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("s21_ckpt")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("s21_out")
+      .start()
+    mem.addData((1L, 10.0), (2L, 5.0), (1L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    // the query is STOPPED; the state is read back from checkpoint files.
+    // The value struct is the PHYSICAL aggregation buffer (count/sum
+    // fields), not the query's output aliases — state inspection sees the
+    // operator's internals, which is exactly its point.
+    val state = StreamOps.s21StateRead(spark, ckpt)
+    val rows = state.selectExpr("key.user_id", "value.count", "value.sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, 2L, 40.0), (2L, 1L, 5.0)),
+      s"offline state read diverges from the aggregation state: $rows")
+  }
+
   test("s07 stream-static join enriches each micro-batch from the dim table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
