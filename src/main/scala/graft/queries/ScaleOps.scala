@@ -403,7 +403,9 @@ object ScaleOps {
       .select(
         expr(s"IF(nu < $KmvK, m, m * est_u div $KmvK)").as("est_inter"),
         col("exact_inter"),
-        expr(s"m * 10000 div $KmvK").as("est_jaccard_bp"),
+        // div nu, not k: in the estimator regime nu == k; in the exact
+        // regime (union sketch under-filled) nu IS the exact union size
+        expr("m * 10000 div nu").as("est_jaccard_bp"),
         expr("exact_inter * 10000 div exact_union").as("exact_jaccard_bp"))
       .select(col("est_inter"), col("exact_inter"),
         expr("abs(est_inter - exact_inter) * 10000 div exact_inter").as("err_inter_bp"),
@@ -644,7 +646,7 @@ object ScaleOps {
          |       exact_inter,
          |       abs((CASE WHEN nu < $KmvK THEN m ELSE m * est_u // $KmvK END) - exact_inter)
          |         * 10000 // exact_inter AS err_inter_bp,
-         |       m * 10000 // $KmvK AS est_jaccard_bp,
+         |       m * 10000 // nu AS est_jaccard_bp,
          |       exact_inter * 10000 // (na + nb - exact_inter) AS exact_jaccard_bp
          |FROM mm, ex, eu""".stripMargin
     },
