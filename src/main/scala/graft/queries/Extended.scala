@@ -33,6 +33,31 @@ object Extended {
       .agg(decD(sum(dec(col("l_quantity")))))
       .orderBy("l_linestatus")
 
+  /** q123: DYNAMIC pivot — q35 declares its pivot values; this one
+    * DISCOVERS them first (the two-job discipline every warehouse pivot
+    * uses at scale): job 1 collects the distinct pivot domain — bounded by
+    * the column's true cardinality and guarded loudly here, the one
+    * driver-side collect this suite allows because the pivot SCHEMA is
+    * driver state by definition (Spark's own values-less `pivot()` runs
+    * the same discovery internally, capped by
+    * spark.sql.pivotMaxValues) — job 2 pivots with the discovered,
+    * SORTED value list so output columns are deterministic. Missing cells
+    * are zero-filled: a discovered-domain pivot means "this combination
+    * had no rows", not "unknown".
+    */
+  val q123DynamicPivot: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(expr("dayofweek(ts)").as("dow"), col("event_type"))
+    val vals = ev.select("event_type").distinct().orderBy("event_type")
+      .collect().map(_.getString(0)).toSeq
+    require(vals.size <= 100,
+      s"pivot domain has ${vals.size} values — a pivot this wide is a " +
+        "modeling bug, not a schema")
+    ev.groupBy("dow").pivot("event_type", vals).agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("dow")
+  }
+
   /** q36: unpivot (wide → long) of per-row charge components. */
   val q36Unpivot: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -610,6 +635,7 @@ object Extended {
     "q121_weighted_median"    -> q121WeightedMedian,
     "q119_mad"                -> q119Mad,
     "q117_percentile_cont"    -> q117PercentileCont,
+    "q123_dynamic_pivot"      -> q123DynamicPivot,
     "q80_percentile_disc"     -> q80PercentileDisc,
     "q52_sessionize"          -> q52Sessionize,
     "q50_agg_filter"          -> q50AggFilter,
@@ -646,6 +672,17 @@ object Extended {
         |SELECT k AS l_returnflag, CAST(tw AS BIGINT) AS total_weight,
         |       MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmedian
         |FROM c GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
+    // q123: the oracle hardcodes the domain the Spark side must DISCOVER —
+    // a discovery bug (missed or phantom value) becomes a column-set
+    // mismatch, so the dynamic half is what's actually under test.
+    "q123_dynamic_pivot" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
     // q119: the ranks are exact integers ((n+1) div 2); the one float op
     // (the deviation subtraction) is spelled identically on both sides.
     "q119_mad" ->
