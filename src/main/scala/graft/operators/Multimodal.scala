@@ -248,6 +248,10 @@ object Multimodal {
               md5(expr(
                 "substring(payload, span.start, span.fin - span.start + 1)"))
                 .as("h"))
+      // two consumers with different shuffle shapes (df build + the join
+      // probe): cache so cdc_chunks + per-chunk md5 over the payload bytes
+      // run once, keeping the "one JIT'd pass per payload" contract
+      .cache()
     val df = hashed.groupBy("h").agg(countDistinct(col("media_id")).as("dm"))
     hashed.join(df, "h")
       .groupBy("media_id")

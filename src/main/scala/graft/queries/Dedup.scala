@@ -485,6 +485,10 @@ object Dedup {
         explode(expr(TextHash.sparkShinglesOf("tokens", MinhashShingleK))).as("sh"))
       .select(col("source"), expr(TextHash.sparkHash56("sh")).as("h"))
       .distinct()
+      // three consumers (sizes + both join sides); ReuseExchange only
+      // dedupes the two identical join sides, so without this the shingle
+      // explode + hash would run twice (harness clearCache()s per query)
+      .cache()
     val sizes = shSet.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = shSet.select(col("source").as("s1"), col("h"))
       .join(shSet.select(col("source").as("s2"), col("h")), "h")

@@ -350,6 +350,47 @@ object Extended {
       .orderBy("user_id", "event_id")
   }
 
+  /** Shared scaffold of the histogram-selection family (q80 / q117 /
+    * q119's histMedian / q121): per-key bounds + measure total (`stats`:
+    * k, lo, hi, n), the deterministic equi-width bucket assignment
+    * (`bucketed` — IDENTICAL double math in every pass, so bucket
+    * membership can never disagree between phases), and the cumulative
+    * bucket histogram (`cumHist`: k, b, c, cb — ≤ B rows per key,
+    * metadata-scale). `measure` is count(lit(1)) for rank selection,
+    * sum(weight) for weighted-rank selection (q121).
+    */
+  private def histFrame(li: DataFrame, measure: Column)
+      : (DataFrame, DataFrame => DataFrame, DataFrame) = {
+    val B = PdBuckets
+    val stats = li.groupBy("k")
+      .agg(min("v").as("lo"), max("v").as("hi"), measure.as("n"))
+    def bucketed(rows: DataFrame): DataFrame = rows
+      .join(broadcast(stats), "k")
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(B - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
+            .cast("int")))
+    val hist = bucketed(li).groupBy("k", "b").agg(measure.as("c"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    (stats, bucketed, cumHist)
+  }
+
+  /** Candidate buckets for a target-rank table (k, <carry...>, r): the ONE
+    * bucket per target satisfying cb < r ≤ cb + c, annotated with the
+    * in-bucket rank rr and the carried target columns — broadcastable
+    * metadata for phase 2's re-scan.
+    */
+  private def histCand(cumHist: DataFrame, targets: DataFrame,
+                       carry: Seq[String]): DataFrame =
+    cumHist.join(targets, "k")
+      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
+      .select((Seq(col("k"), col("b"), (col("r") - col("cb")).as("rr")) ++
+        carry.map(col)): _*)
+
   /** q80: SQL-standard `percentile_disc(q) WITHIN GROUP (ORDER BY v)` —
     * the discrete percentile is the smallest value whose cume_dist reaches
     * q, i.e. the ceil(q*n)-th order statistic per key, a DATA value (no
@@ -388,27 +429,7 @@ object Extended {
     // broadcast(stats) builds are deduped by ReuseExchange.
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
-    val B = PdBuckets
-    // Phase 1a: per-key bounds + row count — pure partial agg, 3 rows out.
-    val stats = li.groupBy("k")
-      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-    // Equi-width bucket id in [0, B-1]; identical (deterministic double
-    // math) in both passes, so bucket membership can never disagree.
-    def bucketed(rows: DataFrame): DataFrame = rows
-      .join(broadcast(stats), "k")
-      .withColumn("b",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(lit(B - 1),
-            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
-            .cast("int")))
-    // Phase 1b: histogram — partial-agg groupBy, ≤ keys×B rows after the
-    // map-side combine. The cumulative window below runs over that
-    // metadata-scale table (≤ B rows per key by construction).
-    val hist = bucketed(li).groupBy("k", "b").agg(count(lit(1)).as("c"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
     // Quantile targets: rank r = ceil(num*n/den), spelled in exact integer
     // arithmetic; one row per (key, quantile) — 9 rows total.
     val targets = stats
@@ -416,10 +437,7 @@ object Extended {
         explode(typedLit(Seq((25, 1, 4), (50, 1, 2), (90, 9, 10)))).as("t"))
       .select(col("k"), col("t._1").as("qq"),
         expr("(n * t._2 + t._3 - 1) div t._3").as("r"))
-    // Candidate buckets: cb < r <= cb + c, carrying the in-bucket rank.
-    val cand = cumHist.join(targets, "k")
-      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
-      .select(col("k"), col("b"), col("qq"), (col("r") - col("cb")).as("rr"))
+    val cand = histCand(cumHist, targets, Seq("qq"))
     // Phase 2: only candidate-bucket rows survive the broadcast join; the
     // per-(k, quantile) window is bounded by bucket width (~n/B rows).
     val wv = org.apache.spark.sql.expressions.Window
@@ -468,21 +486,7 @@ object Extended {
   val q117PercentileCont: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
-    val B = PdBuckets
-    val stats = li.groupBy("k")
-      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-    def bucketed(rows: DataFrame): DataFrame = rows
-      .join(broadcast(stats), "k")
-      .withColumn("b",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(lit(B - 1),
-            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
-            .cast("int")))
-    val hist = bucketed(li).groupBy("k", "b").agg(count(lit(1)).as("c"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
     // One target row per (key, quantile, side): side 1 = the order
     // statistic at r_lo, side 2 = at min(r_lo+1, n); md/den is the exact
     // interpolation fraction. 18 rows total — pure metadata.
@@ -499,10 +503,7 @@ object Extended {
       .withColumn("r",
         when(col("side") === 1, col("rlo"))
           .otherwise(least(col("rlo") + 1, col("n"))))
-    val cand = cumHist.join(targets, "k")
-      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
-      .select(col("k"), col("b"), col("qq"), col("side"), col("md"),
-        col("den"), (col("r") - col("cb")).as("rr"))
+    val cand = histCand(cumHist, targets, Seq("qq", "side", "md", "den"))
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("k", "qq", "side").orderBy("v")
     val picked = bucketed(li).join(broadcast(cand), Seq("k", "b"))
@@ -557,25 +558,9 @@ object Extended {
     * statistic. Returns one (k, m) row per key.
     */
   private def histMedian(li: DataFrame): DataFrame = {
-    val B = PdBuckets
-    val stats = li.groupBy("k")
-      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-    def bucketed(rows: DataFrame): DataFrame = rows
-      .join(broadcast(stats), "k")
-      .withColumn("b",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(lit(B - 1),
-            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
-            .cast("int")))
-    val hist = bucketed(li).groupBy("k", "b").agg(count(lit(1)).as("c"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
+    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
     val targets = stats.select(col("k"), expr("(n + 1) div 2").as("r"))
-    val cand = cumHist.join(targets, "k")
-      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
-      .select(col("k"), col("b"), (col("r") - col("cb")).as("rr"))
+    val cand = histCand(cumHist, targets, Nil)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy("v")
     bucketed(li).join(broadcast(cand), Seq("k", "b"))
@@ -599,25 +584,9 @@ object Extended {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"),
         col("l_quantity").cast("bigint").as("wt"))
-    val B = PdBuckets
-    val stats = li.groupBy("k")
-      .agg(min("v").as("lo"), max("v").as("hi"), sum("wt").as("tw"))
-    def bucketed(rows: DataFrame): DataFrame = rows
-      .join(broadcast(stats), "k")
-      .withColumn("b",
-        when(col("hi") === col("lo"), lit(0)).otherwise(
-          least(lit(B - 1),
-            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * B))
-            .cast("int")))
-    val hist = bucketed(li).groupBy("k", "b").agg(sum("wt").as("c"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("b")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cumHist = hist.withColumn("cb", coalesce(sum("c").over(wb), lit(0L)))
-    val targets = stats.select(col("k"), expr("(tw + 1) div 2").as("r"))
-    val cand = cumHist.join(targets, "k")
-      .where(col("cb") < col("r") && col("r") <= col("cb") + col("c"))
-      .select(col("k"), col("b"), (col("r") - col("cb")).as("rr"))
+    val (stats, bucketed, cumHist) = histFrame(li, sum(col("wt")))
+    val targets = stats.select(col("k"), expr("(n + 1) div 2").as("r"))
+    val cand = histCand(cumHist, targets, Nil)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy("v")
     val picked = bucketed(li).join(broadcast(cand), Seq("k", "b"))
@@ -625,7 +594,7 @@ object Extended {
       .withColumn("cw", sum("w").over(wv))
       .where(col("cw") >= col("rr"))
       .groupBy("k").agg(min("v").as("wmedian"))
-    picked.join(broadcast(stats.select(col("k"), col("tw"))), "k")
+    picked.join(broadcast(stats.select(col("k"), col("n").as("tw"))), "k")
       .select(col("k").as("l_returnflag"), col("tw").as("total_weight"),
         col("wmedian"))
       .orderBy("l_returnflag")

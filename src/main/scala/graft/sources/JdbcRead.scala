@@ -36,6 +36,6 @@ object JdbcRead {
     val hi = bounds.get(1).toString.toLong
     if (lo == hi) spark.read.jdbc(url, table, props)
     else spark.read.jdbc(url, table, partitionColumn, lo, hi + 1,
-      math.min(numPartitions, (hi - lo + 1).toInt), props)
+      math.min(numPartitions.toLong, hi - lo + 1).toInt, props)
   }
 }
