@@ -141,7 +141,10 @@ object Dedup {
     * Partial aggregation keeps the shuffle at one 32-int row per
     * (doc × partition) — the formulation that survives 100 TB.
     */
-  val d02Simhash: Q = (s, d) => {
+  /** (doc_id, simhash): the 32-bit SimHash table d02 presents and d20
+    * blocks on — factored so the band join never recomputes it twice.
+    */
+  private def simhashTable(s: SparkSession, d: String): DataFrame = {
     val h = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", expr(TextHash.sparkHash56("t")))
@@ -151,7 +154,50 @@ object Dedup {
       .withColumn("simhash",
         expr((0 until 32).map(i => s"IF(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")))
       .select("doc_id", "simhash")
-      .orderBy("doc_id")
+  }
+
+  val d02Simhash: Q = (s, d) => simhashTable(s, d).orderBy("doc_id")
+
+  /** Band geometry for d20: 4 bands x 8 bits over the 32-bit SimHash.
+    * Pigeonhole completeness: a pair at Hamming distance <= 3 differs in at
+    * most 3 of the 4 bands, so at least one band matches exactly and the
+    * equi-join surfaces the pair — the blocking scheme of Manku, Jain &
+    * Das Sarma, "Detecting Near-Duplicates for Web Crawling" (WWW'07),
+    * which ran it at multi-billion-page scale.
+    */
+  val SimhashBands = 4
+  val SimhashBandBits = 32 / SimhashBands
+  val SimhashMaxHam = 3
+
+  /** d20: SimHash Hamming near-dup pairs — the web-crawl dedup classic.
+    * d02 computes the fingerprint; this turns it into PAIRS without the
+    * n^2 scan: explode each doc into 4 (band, band-key) rows, EQUI-join on
+    * (band, key) — candidates only where an 8-bit slice collides, ~n/2^8
+    * expected fan-in per bucket on random fingerprints — then verify with
+    * one codegen'd `bit_count(xor)` popcount per candidate. Complete for
+    * Hamming <= [[SimhashMaxHam]] by the pigeonhole argument above (no
+    * recall loss, unlike MinHash banding's probabilistic S-curve), and
+    * never materializes more than candidates + the 4-row-per-doc band
+    * table. The fingerprint build is d02's partial-agg shape; everything
+    * after it shuffles O(n) band rows and the verify is map-side.
+    */
+  val d20SimhashHamming: Q = (s, d) => {
+    val ph = simhashTable(s, d)
+    val bands = ph.select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${SimhashBands - 1})")).as("b"))
+      .withColumn("bk",
+        expr(s"shiftright(simhash, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1}"))
+    val lhs = bands.select(col("doc_id").as("d1"), col("simhash").as("h1"),
+      col("b"), col("bk"))
+    val rhs = bands.select(col("doc_id").as("d2"), col("simhash").as("h2"),
+      col("b"), col("bk"))
+    lhs.join(rhs, Seq("b", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2", "h1", "h2").distinct()
+      .withColumn("ham", expr("cast(bit_count(h1 ^ h2) as int)"))
+      .where(col("ham") <= SimhashMaxHam)
+      .select(col("d1"), col("d2"), col("ham"))
+      .orderBy("d1", "d2")
   }
 
   /** Shingle size and df cap for the Jaccard inverted index. */
@@ -1026,6 +1072,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
@@ -1438,6 +1485,33 @@ object Dedup {
          |FROM pairs
          |JOIN sigs sa ON sa.doc_id = d1
          |JOIN sigs sb ON sb.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin,
+    "d20_simhash_hamming" ->
+      // Same simhash CTE as d02, then the 4x8 band blocking + popcount
+      // verify; every constant interpolated from the shared Scala values.
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, ${TextHash.duckHash56("t")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, g.i AS i,
+         |         SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN generate_series(0, 31) AS g(i)
+         |  GROUP BY doc_id, g.i),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |         (simhash >> (b * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bk
+         |  FROM sh, (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |                  a.simhash AS h1, b.simhash AS h2
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS ham
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= $SimhashMaxHam
          |ORDER BY d1, d2""".stripMargin,
     "d02_simhash" ->
       s"""WITH tok AS (

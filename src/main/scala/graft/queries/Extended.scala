@@ -453,6 +453,49 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** q124: equi-depth (quantile) binning — the data-layout primitive behind
+    * range-partitioned writes, histogram statistics, and stratified
+    * sharding: every row is assigned to one of 4 depth-balanced bins by
+    * comparing against the per-key quartile boundaries, then audited with
+    * per-bin counts and value sums. The boundaries are exact
+    * `percentile_disc` order statistics computed with the SAME two-phase
+    * histogram-selection scaffold as q80 ([[histFrame]]/[[histCand]] —
+    * metadata-scale shuffles only, the big table is scanned, never
+    * shuffled); the bin assignment pass is one broadcast join (3 doubles
+    * per key) + a map-side comparison, and the audit is one partial-agg
+    * groupBy over keys × 4 groups. Ties sit in the lower bin (strict `>`),
+    * so membership is deterministic — no row_number tie-splitting, which
+    * would force a global sort. Bin sums accumulate in DECIMAL(18,2)
+    * (order-independent) and land as double.
+    */
+  val q124EquidepthBins: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
+    val targets = stats
+      .select(col("k"), col("n"),
+        explode(typedLit(Seq((25, 1, 4), (50, 1, 2), (75, 3, 4)))).as("t"))
+      .select(col("k"), col("t._1").as("qq"),
+        expr("(n * t._2 + t._3 - 1) div t._3").as("r"))
+    val cand = histCand(cumHist, targets, Seq("qq"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "qq").orderBy("v")
+    val bounds = bucketed(li).join(broadcast(cand), Seq("k", "b"))
+      .withColumn("rk", row_number().over(wv))
+      .where(col("rk") === col("rr"))
+      .groupBy("k").agg(
+        min(when(col("qq") === 25, col("v"))).as("b25"),
+        min(when(col("qq") === 50, col("v"))).as("b50"),
+        min(when(col("qq") === 75, col("v"))).as("b75"))
+    li.join(broadcast(bounds), "k")
+      .withColumn("bin",
+        expr("1 + IF(v > b25, 1, 0) + IF(v > b50, 1, 0) + IF(v > b75, 1, 0)"))
+      .groupBy("k", "bin")
+      .agg(count(lit(1)).as("n_rows"), decD(sum(dec(col("v")))).as("sum_v"))
+      .select(col("k").as("l_returnflag"), col("bin"), col("n_rows"), col("sum_v"))
+      .orderBy("l_returnflag", "bin")
+  }
+
   /** The builtin-aggregate twin of q80, NOT on the benched path (it buffers
     * whole groups in single tasks); exists solely for the ScalaTest pin. */
   def q80BuiltinTwin(s: SparkSession, d: String): DataFrame =
@@ -604,6 +647,7 @@ object Extended {
     "q121_weighted_median"    -> q121WeightedMedian,
     "q119_mad"                -> q119Mad,
     "q117_percentile_cont"    -> q117PercentileCont,
+    "q124_equidepth_bins"     -> q124EquidepthBins,
     "q123_dynamic_pivot"      -> q123DynamicPivot,
     "q80_percentile_disc"     -> q80PercentileDisc,
     "q52_sessionize"          -> q52Sessionize,
@@ -693,6 +737,32 @@ object Extended {
         |       MIN(CASE WHEN qq = 50 THEN pv END) AS p50c,
         |       MIN(CASE WHEN qq = 90 THEN pv END) AS p90c
         |FROM iv GROUP BY k ORDER BY l_returnflag""".stripMargin,
+    "q124_equidepth_bins" ->
+      // Boundaries = the same relational percentile_disc spelling as q80's
+      // oracle (cum-sum + smallest value reaching rank), then the strict->
+      // bin CASE and the decimal-accumulated audit.
+      """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(1) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT k, v,
+        |               SUM(c) OVER (PARTITION BY k ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |               SUM(c) OVER (PARTITION BY k) AS n
+        |        FROM g),
+        |bounds AS (
+        |  SELECT k,
+        |         MIN(CASE WHEN cum * 4 >= n THEN v END) AS b25,
+        |         MIN(CASE WHEN cum * 2 >= n THEN v END) AS b50,
+        |         MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS b75
+        |  FROM cum GROUP BY k)
+        |SELECT l_returnflag, bin, n_rows, sum_v FROM (
+        |  SELECT l.l_returnflag, 1 + (CASE WHEN l.l_extendedprice > b.b25 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN l.l_extendedprice > b.b50 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN l.l_extendedprice > b.b75 THEN 1 ELSE 0 END) AS bin,
+        |         COUNT(1) AS n_rows,
+        |         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+        |  FROM lineitem l JOIN bounds b ON l.l_returnflag = b.k
+        |  GROUP BY 1, 2)
+        |ORDER BY l_returnflag, bin""".stripMargin,
     "q80_percentile_disc" ->
       """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(1) AS c
         |           FROM lineitem GROUP BY 1, 2),

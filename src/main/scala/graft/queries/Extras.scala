@@ -1089,9 +1089,58 @@ object Extras {
       .orderBy("from_type", "to_type")
   }
 
+  /** q125: incremental materialized-view refresh — the warehouse op that
+    * keeps a per-customer order summary current without re-touching the
+    * base fact table: the standing MV (here rebuilt from the non-late
+    * subset; in production a stored table) is FULL-OUTER merged with the
+    * aggregate of just the late-arriving delta, additive measures coalesce
+    * and add, and brand-new keys enter as delta-only rows. Refresh cost is
+    * O(|delta| + |MV keys|) — the 100 TB fact table is never re-scanned —
+    * and the oracle is the FULL RECOMPUTE over all orders, so the merge
+    * algebra (count/sum additivity, null-completion on both sides) is
+    * pinned to be indistinguishable from rebuilding. Both aggregates are
+    * partial-agg groupBys; the merge join carries one row per key.
+    */
+  val q125IncrementalMv: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+    val mv = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("bn"), sum("p").as("bs"))
+    val deltaAgg = orders.filter(col("o_orderkey") % 97 === 0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("dn"), sum("p").as("ds"))
+    mv.join(deltaAgg, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        decD(coalesce(col("bs"), lit(0).cast(DecimalType(18, 2))) +
+             coalesce(col("ds"), lit(0).cast(DecimalType(18, 2)))).as("sum_price"),
+        when(col("bn").isNull, lit("delta_only"))
+          .when(col("dn").isNull, lit("base_only"))
+          .otherwise(lit("merged")).as("src"))
+      .orderBy("o_custkey")
+  }
+
+  /** q126: Gini impurity per key — the class-balance profile of each
+    * user's event-type distribution (1 − Σ p_c²), the split-quality /
+    * skew diagnostic that needs no logarithm: spelled in exact integer
+    * basis points (10000 − Σcnt²·10000 div total²) so both engines agree
+    * bit-for-bit where an entropy spelling would drift in float log space.
+    * Two partial-agg groupBys (rows → per-(user, type) counts → per-user
+    * fold); counts per user are bounded by |event types|.
+    */
+  val q126GiniImpurity: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"),
+           count(lit(1)).as("n_types"),
+           expr("10000 - sum(c * c) * 10000 div (sum(c) * sum(c))").as("gini_bp"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
+    "q125_incremental_mv"    -> q125IncrementalMv,
+    "q126_gini_impurity"     -> q126GiniImpurity,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1145,6 +1194,26 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q125_incremental_mv" ->
+      // The FULL RECOMPUTE: the incremental merge must be indistinguishable
+      // from rebuilding the view over all orders; src derived from the
+      // same late-arrival predicate.
+      """SELECT o_custkey,
+        |       COUNT(1) AS n_orders,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        |       CASE WHEN SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) = 0 THEN 'delta_only'
+        |            WHEN SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) = 0 THEN 'base_only'
+        |            ELSE 'merged' END AS src
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q126_gini_impurity" ->
+      """SELECT user_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_events,
+        |       CAST(COUNT(1) AS BIGINT) AS n_types,
+        |       CAST(10000 - CAST(SUM(c * c) AS BIGINT) * 10000
+        |            // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS BIGINT) AS gini_bp
+        |FROM (SELECT user_id, event_type, COUNT(1) AS c
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q122_sql_script" ->
       """WITH tot AS (SELECT COUNT(1) AS total FROM orders),
         |cand AS (SELECT i, (CAST(1 AS BIGINT) << i) AS t

@@ -119,6 +119,47 @@ object ScaleOps {
       .orderBy("l_suppkey")
   }
 
+  // ---------------------------------------------------------------- x10
+
+  /** x10: join-size estimation via Count-Min inner product — the planner
+    * statistic behind "should this join broadcast, shuffle, or be
+    * re-ordered": |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), estimated as
+    * min over the d sketch rows of Σ_c cntA(r,c)·cntB(r,c) (the CM
+    * inner-product estimator of Cormode–Muthukrishnan '05, §4.2). Hash
+    * collisions only ever ADD cross terms, so the estimate is one-sided
+    * (est ≥ exact, emitted and pinned per the x04 discipline). The probe
+    * side is the R-returnflag subset of the build side — the filtered-join
+    * cardinality question planners actually face. Shapes: each sketch is
+    * one partial-agg groupBy reduced to d·w integer cells (metadata no
+    * matter the input size); the exact twin joins the two per-key count
+    * tables (O(keys) rows). Nothing bigger than the sketches is ever
+    * joined, and every number is an integer.
+    */
+  val x10CmsJoinSize: Q = (s, d) => {
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("h", expr(TextHash.sparkHash56("cast(l_suppkey as string)")))
+      .withColumn("h1", expr(s"h % ${CmsHalf}L"))
+      .withColumn("h2", expr(s"(h div ${CmsHalf}L) | 1"))
+      .select(col("l_suppkey"), col("h1"), col("h2"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("c", expr(cmsCellExpr("h1", "h2")))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val a = Tables.lineitem(s, d).select("l_suppkey", "l_returnflag")
+    val b = a.filter(col("l_returnflag") === "R")
+    val est = cells(a).withColumnRenamed("cnt", "ca")
+      .join(cells(b).withColumnRenamed("cnt", "cb"), Seq("r", "c"))
+      .groupBy("r").agg(sum(expr("ca * cb")).as("dot"))
+      .agg(min("dot").as("est_join"))
+    val fa = a.groupBy("l_suppkey").agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy("l_suppkey").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "l_suppkey")
+      .agg(sum(expr("fa * fb")).as("exact_join"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join"), col("exact_join"),
+        expr("(est_join - exact_join) * 10000 div exact_join").as("overshoot_bp"),
+        (col("est_join") >= col("exact_join")).as("bound_ok"))
+  }
+
   // ---------------------------------------------------------------- q86
 
   /** Bit-interleave of two 10-bit dimensions — generated from the same loop
@@ -597,6 +638,7 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
+    "x10_cms_join_size"    -> x10CmsJoinSize,
     "x09_kmv_setops"       -> x09KmvSetOps,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
@@ -753,6 +795,30 @@ object ScaleOps {
          |SELECT c_custkey, bkey IS NOT NULL AS is_member
          |FROM pass LEFT JOIN build ON c_custkey = bkey
          |ORDER BY c_custkey""".stripMargin,
+    "x10_cms_join_size" ->
+      s"""WITH ca AS (
+         |  SELECT r, c, COUNT(1) AS ca FROM (
+         |    SELECT $duckCell AS c, r
+         |    FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS g(r))
+         |  GROUP BY r, c),
+         |cb AS (
+         |  SELECT r, c, COUNT(1) AS cb FROM (
+         |    SELECT $duckCell AS c, r
+         |    FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS g(r)
+         |    WHERE l_returnflag = 'R')
+         |  GROUP BY r, c),
+         |est AS (
+         |  SELECT CAST(MIN(dot) AS BIGINT) AS est_join FROM (
+         |    SELECT r, SUM(ca * cb) AS dot FROM ca JOIN cb USING (r, c) GROUP BY r)),
+         |fa AS (SELECT l_suppkey, COUNT(1) AS fa FROM lineitem GROUP BY 1),
+         |fb AS (SELECT l_suppkey, COUNT(1) AS fb FROM lineitem
+         |       WHERE l_returnflag = 'R' GROUP BY 1),
+         |ex AS (SELECT CAST(SUM(fa * fb) AS BIGINT) AS exact_join
+         |       FROM fa JOIN fb USING (l_suppkey))
+         |SELECT est_join, exact_join,
+         |       CAST((est_join - exact_join) * 10000 // exact_join AS BIGINT) AS overshoot_bp,
+         |       est_join >= exact_join AS bound_ok
+         |FROM est, ex""".stripMargin,
     "x04_count_min" ->
       s"""WITH sketch AS (
          |  SELECT r, c, COUNT(1) AS cnt FROM (

@@ -735,6 +735,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t26: unigram surprisal scoring — the zero-model cousin of perplexity
+    * filtering (the ranking signal of CCNet, Wenzek et al. 2020, with the
+    * corpus's own unigram table standing in for the LM): each token
+    * contributes `total_tokens div freq(token)` — the integer reciprocal
+    * of its unigram probability — so rare-token-heavy (surprising) docs
+    * score high and boilerplate scores low, with zero float divergence
+    * between engines. Shape: explode -> one codegen md5 per token ->
+    * partial-agg frequency table keyed by the uniform 56-bit hash -> one
+    * equi-join back -> partial-agg per-doc sums; the corpus-total is a
+    * one-row broadcast. Both shuffles key on the hash, never token text.
+    */
+  val t26UnigramSurprisal: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), expr(TextHash.sparkHash56("t")).as("h"))
+    val tf = tok.groupBy("h").agg(count(lit(1)).as("f"))
+    val total = tf.agg(sum("f").as("total"))
+    tok.join(tf, "h")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(expr("total div f")).as("surprisal_sum"))
+      .withColumn("mean_surprisal", expr("surprisal_sum div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** t27: shingle novelty vs the earlier corpus — for each doc, the
+    * fraction of its distinct 3-token shingles whose FIRST owner (minimum
+    * doc_id corpus-wide) is the doc itself: ~1e6 ppm means genuinely new
+    * content, low values mean the doc re-shuffles text that already
+    * exists — the growth-curve diagnostic a crawl pipeline reads to decide
+    * whether another dump is worth ingesting (and the per-doc form of
+    * d18's corpus-level overlap). Shape: explode distinct shingles -> one
+    * md5 per shingle -> partial-agg min(doc_id) ownership table -> join
+    * back -> per-doc counts; both shuffles key on the 56-bit hash.
+    */
+  val t27ShingleNovelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", 3)})")).as("sg"))
+      .select(col("doc_id"), expr(TextHash.sparkHash56("sg")).as("h"))
+    val owner = sh.groupBy("h").agg(min("doc_id").as("first_owner"))
+    sh.join(owner, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("first_owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** t20: Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
     * §A1.1 — public heuristics): word-count bounds, mean-word-length
     * bounds, fraction of words containing an alphabetic character, and
@@ -886,6 +937,8 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t27_shingle_novelty" -> t27ShingleNovelty,
+    "t26_surprisal"       -> t26UnigramSurprisal,
     "t25_vocab_coverage"  -> t25VocabCoverage,
     "t24_readability"     -> t24Readability,
     "t23_keywords"        -> t23Keywords,
@@ -940,6 +993,31 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t26_surprisal" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${TextHash.duckHash56("t")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         |tf AS (SELECT h, COUNT(1) AS f FROM tok GROUP BY h),
+         |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM tf)
+         |SELECT doc_id,
+         |       CAST(COUNT(1) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(total // f) AS BIGINT) AS surprisal_sum,
+         |       CAST(CAST(SUM(total // f) AS BIGINT) // COUNT(1) AS BIGINT) AS mean_surprisal
+         |FROM tok JOIN tf USING (h), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t27_shingle_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ${TextHash.duckHash56("shingle")} AS h FROM (
+         |    SELECT doc_id, unnest(${TextHash.duckShingles("text", 3)}) AS shingle
+         |    FROM documents)),
+         |own AS (SELECT h, MIN(doc_id) AS first_owner FROM sh GROUP BY h)
+         |SELECT doc_id,
+         |       CAST(COUNT(1) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(CAST(SUM(CASE WHEN first_owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |            * 1000000 // COUNT(1) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN own USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t25_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT t, COUNT(1) AS cnt

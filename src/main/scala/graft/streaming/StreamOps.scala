@@ -399,6 +399,35 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class KeyedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** TTL for s22's dedup memory: an id seen again within this horizon is a
+    * duplicate; past it, the id is forgotten and re-admitted. */
+  val DedupTtlMs: Long = 30 * 60 * 1000L
+
+  /** s22: TTL'd streaming dedup via `transformWithState` MAP state + EVENT-
+    * TIME TIMERS — the two transformWithState surfaces s08 doesn't touch.
+    * Each user keeps a MapState(event_id -> expiry); a row whose id is in
+    * the map is dropped, a fresh id is emitted and remembered, and a timer
+    * registered at the expiry lets `handleExpiredTimer` delete forgotten
+    * ids when the WATERMARK (not wall clock) passes them — so state is
+    * bounded by ids-per-TTL-window per user instead of growing forever
+    * (the failure mode of a plain seen-set), and replays are deterministic
+    * because eviction follows event time. The built-in twin is s04's
+    * `dropDuplicatesWithinWatermark`; this is the custom-processor spelling
+    * a pipeline needs once the policy diverges from the built-in (per-key
+    * TTLs, re-admission, side outputs).
+    */
+  def s22TtlDedup(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlDedupProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** The s08 StatefulProcessor: one ValueState[(count, sum)] per user —
@@ -429,5 +458,46 @@ class RunningTotalsProcessor
     }
     totals.update((n, sum))
     out.iterator
+  }
+}
+
+/** The s22 StatefulProcessor: MapState(event_id -> expiry ms) per user,
+  * one event-time timer per remembered id; expired ids are deleted when
+  * the watermark crosses their expiry. State per user is bounded by the
+  * number of distinct ids inside one TTL horizon.
+  */
+class TtlDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamOps.KeyedEvent, StreamOps.KeyedEvent] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var seen: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[Long, Long]("seen",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[StreamOps.KeyedEvent],
+      timers: TimerValues): Iterator[StreamOps.KeyedEvent] = {
+    // iterator order within a batch is not guaranteed — sort, like s05/s08
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      if (seen.containsKey(e.event_id)) None
+      else {
+        val expiry = e.ts.getTime + StreamOps.DedupTtlMs
+        seen.updateValue(e.event_id, expiry)
+        getHandle.registerTimer(expiry)
+        Some(e)
+      }
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[StreamOps.KeyedEvent] = {
+    val cutoff = expired.getExpiryTimeInMs
+    seen.iterator().filter(_._2 <= cutoff).map(_._1).toSeq
+      .foreach(seen.removeKey)
+    Iterator.empty
   }
 }

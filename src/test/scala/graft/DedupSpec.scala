@@ -31,6 +31,35 @@ class DedupSpec extends SparkSpec {
   private val distinct2 =
     "minhash signatures estimate jaccard similarity between shingle sets without pairwise comparison cost"
 
+  test("d20 simhash banding equals brute-force Hamming pairs (pigeonhole completeness)") {
+    // The 4x8 banding is COMPLETE for Hamming <= 3 (some band must match);
+    // prove it empirically: the banded join's output equals the all-pairs
+    // popcount filter on the same fingerprints, over the full sf corpus.
+    import org.apache.spark.sql.functions._
+    val banded = Dedup.d20SimhashHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ph = Dedup.d02Simhash(spark, sf)
+    val a = ph.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = ph.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val brute = a.crossJoin(b).where(col("d1") < col("d2"))
+      .withColumn("ham", expr("cast(bit_count(h1 ^ h2) as int)"))
+      .where(col("ham") <= Dedup.SimhashMaxHam)
+      .select("d1", "d2", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute, s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("d20 planted near-identical doc pairs with its simhash neighbor") {
+    // One token swapped out of 17 flips few fingerprint bits; the planted
+    // pair must surface while the two distinct docs stay unpaired with it.
+    val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
+    val pairs = Dedup.d20SimhashHamming(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in ${pairs.toSeq}")
+    assert(!pairs.exists { case (x, y) => x >= 2 || y >= 2 },
+      s"distinct docs must not pair: ${pairs.toSeq}")
+  }
+
   test("d01 MinHash LSH finds planted near-dup, skips distinct docs") {
     val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
     val pairs = Dedup.d01MinhashLsh(spark, dir).collect()

@@ -59,6 +59,35 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q124 equi-depth bins agree with builtin percentile_disc boundaries") {
+    // Recompute the quartile boundaries with the builtin aggregate (fine
+    // in a test, never on the benched path) and re-derive every bin with
+    // the same strict-> comparison; the histogram-selection machinery must
+    // reproduce it bin-for-bin, count-for-count.
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extended.q124EquidepthBins(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val bounds = li.groupBy("k").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("b25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY v)").as("b50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("b75"))
+    val want = li.join(bounds, "k")
+      .withColumn("bin",
+        expr("1 + IF(v > b25, 1, 0) + IF(v > b50, 1, 0) + IF(v > b75, 1, 0)"))
+      .groupBy("k", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+             .cast("double").as("sum_v"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === want, s"got $got\nwant $want")
+  }
+
   test("q80 builtin percentile_disc equals the relational prefix-sum leg") {
     // The builtin is an ImperativeAggregate (buffers a whole group per
     // task) so it must never run in the benched query — but its semantics

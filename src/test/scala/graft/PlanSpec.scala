@@ -306,6 +306,45 @@ class PlanSpec extends SparkSpec {
       s"no window belongs in the AMS fold:\n$plan")
   }
 
+  test("d20: simhash pairs come from a hash equi-join on (band, value)") {
+    val plan = planOf(graft.queries.Dedup.d20SimhashHamming(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded simhash blocking degenerated to all-pairs:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the 32 bit sums must combine map-side (d02's shape):\n$plan")
+  }
+
+  test("t26/t27: token-frequency and ownership joins are hash-equi with partial aggs") {
+    for ((name, df) <- Seq(
+        "t26" -> graft.queries.TextOps.t26UnigramSurprisal(spark, sf),
+        "t27" -> graft.queries.TextOps.t27ShingleNovelty(spark, sf))) {
+      val plan = planOf(df)
+      // t26 legitimately carries ONE BroadcastNestedLoopJoin: the one-row
+      // corpus-total broadcast cross join (the global audit's allowance)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: the frequency join must stay hash-equi on the 56-bit hash:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name: frequency/ownership tables must combine map-side:\n$plan")
+    }
+  }
+
+  test("x10: join-size estimate joins only d*w sketch cells; exact twin joins key counts") {
+    val plan = planOf(graft.queries.ScaleOps.x10CmsJoinSize(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast one-row combines may cross:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"sketch cells must combine map-side:\n$plan")
+  }
+
+  test("q124: bin boundaries broadcast back; lineitem is scanned, never shuffled whole") {
+    val plan = planOf(graft.queries.Extended.q124EquidepthBins(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 3-doubles-per-key bounds table must broadcast:\n$plan")
+    assert(!plan.contains("percentile"),
+      s"builtin percentile crept into the benched binning path:\n$plan")
+  }
+
   test("m06: phash pairs come from a hash equi-join on (band, value)") {
     val plan = planOf(graft.operators.Multimodal.m06PhashNearDup(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

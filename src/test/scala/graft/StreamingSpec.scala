@@ -394,6 +394,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s22 transformWithState TTL dedup: drop within horizon, re-admit after timer eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.KeyedEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[KeyedEvent]
+      val q = StreamOps.s22TtlDedup(mem.toDS())
+        .writeStream.format("memory").queryName("s22_out")
+        .outputMode(OutputMode.Append()).start()
+      // b1: id 1 emitted once — the in-batch duplicate at ts(2) is dropped
+      mem.addData(KeyedEvent(7L, 1L, ts(1)), KeyedEvent(7L, 1L, ts(2)))
+      q.processAllAvailable()
+      // b2: id 1 again, 4 min later — inside the 30 min TTL, dropped
+      mem.addData(KeyedEvent(7L, 1L, ts(5)))
+      q.processAllAvailable()
+      // b3: fresh id far in the future — emitted, and advances the
+      // watermark (120 - 10 = 110 min) past id 1's expiry (1 + 30 min)
+      mem.addData(KeyedEvent(7L, 2L, ts(120)))
+      q.processAllAvailable()
+      // b4: unrelated user triggers the batch in which user 7's expired
+      // timer fires and evicts id 1 from the map
+      mem.addData(KeyedEvent(8L, 3L, ts(121)))
+      q.processAllAvailable()
+      // b5: id 1 re-admitted — proof the timer actually removed it (a
+      // plain seen-set would still drop it here)
+      mem.addData(KeyedEvent(7L, 1L, ts(130)))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("s22_out")
+        .select("user_id", "event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(rows === Set((7L, 1L, ts(1)), (7L, 2L, ts(120)),
+                          (8L, 3L, ts(121)), (7L, 1L, ts(130))), s"got $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s06 stream-stream interval join matches purchases to recent errors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
