@@ -823,6 +823,12 @@ object Extras {
     */
   val q122SqlScript: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders_q122")
+    // Bench fact: the loop's cost is per-STATEMENT engine latency
+    // (analyze/plan/schedule ~0.1 s each), not IO — the probe itself is a
+    // pruned one-column partial-agg count (~10 ms at sf0.1; caching the
+    // column measured SLOWER: same statement count plus a materialization).
+    // So the loop body is ONE multi-assignment SET per iteration (probe +
+    // advance fused into a single statement) instead of two.
     s.sql(
       """BEGIN
         |  DECLARE t BIGINT DEFAULT 1;
@@ -831,8 +837,9 @@ object Extras {
         |  SET total = (SELECT COUNT(1) FROM orders_q122);
         |  SET nb = (SELECT COUNT(1) FROM orders_q122 WHERE o_totalprice < 1);
         |  WHILE nb * 2 < total DO
-        |    SET t = t * 2;
-        |    SET nb = (SELECT COUNT(1) FROM orders_q122 WHERE o_totalprice < t);
+        |    SET (t, nb) = (SELECT t * 2,
+        |                          COUNT(CASE WHEN o_totalprice < t * 2 THEN 1 END)
+        |                   FROM orders_q122);
         |  END WHILE;
         |  SELECT t AS threshold, nb AS n_below, total AS n_total;
         |END""".stripMargin)
