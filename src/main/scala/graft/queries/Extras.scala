@@ -1126,6 +1126,48 @@ object Extras {
       .orderBy("o_custkey")
   }
 
+  /** q127: time-interval RANGE window frame — the trailing-hour rollup at
+    * every event (the batch twin of s02's sliding windows, but anchored at
+    * each row instead of fixed grid buckets): `RANGE BETWEEN INTERVAL '1'
+    * HOUR PRECEDING AND CURRENT ROW` over event time. RANGE (peer-group)
+    * framing makes ties deterministic — all rows at the same timestamp
+    * share one frame regardless of intra-tie order, where a ROWS frame
+    * would be replay-unstable. One shuffle on user_id; frame state is
+    * bounded by events-per-hour-per-user. The sum accumulates in
+    * DECIMAL(18,6) so the sliding add/remove order can't drift the double.
+    */
+  val q127TimeRangeFrame: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("ev_q127")
+    s.sql(
+      """SELECT user_id, event_id,
+        |       COUNT(1) OVER w AS n_1h,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+        |            AS DECIMAL(18,6)) AS DOUBLE) AS v_1h
+        |FROM ev_q127
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** q128: contingency table via the `DataFrame.stat.crosstab` surface —
+    * the two-categorical profile (status × priority counts) a feature
+    * audit reads before encoding. The API computes a pivoted count table
+    * in one pass; the output columns are re-selected in sorted order and
+    * rows re-sorted so the result is deterministic (crosstab's own column
+    * order is data-arrival-dependent). Oracle = the equivalent grouped
+    * CASE pivot. Scale: one partial-agg groupBy over |statuses|×|prios|
+    * cells — metadata-sized output.
+    */
+  val q128Crosstab: Q = (s, d) => {
+    val ct = Tables.orders(s, d)
+      .withColumn("prio", expr("substring(o_orderpriority, 1, 1)"))
+      .stat.crosstab("o_orderstatus", "prio")
+    val key = ct.columns.head
+    val cols = ct.columns.tail.sorted
+    ct.select((col(key).as("status") +: cols.map(c => col(c).as(s"p$c"))): _*)
+      .orderBy("status")
+  }
+
   /** q126: Gini impurity per key — the class-balance profile of each
     * user's event-type distribution (1 − Σ p_c²), the split-quality /
     * skew diagnostic that needs no logarithm: spelled in exact integer
@@ -1148,6 +1190,8 @@ object Extras {
     "q122_sql_script"        -> q122SqlScript,
     "q125_incremental_mv"    -> q125IncrementalMv,
     "q126_gini_impurity"     -> q126GiniImpurity,
+    "q127_time_range_frame"  -> q127TimeRangeFrame,
+    "q128_crosstab"          -> q128Crosstab,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1201,6 +1245,26 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q127_time_range_frame" ->
+      """SELECT user_id, event_id,
+        |       COUNT(1) OVER w AS n_1h,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+        |            AS DECIMAL(18,6)) AS DOUBLE) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q128_crosstab" ->
+      // The pivot domain (priority digits 1..5, statuses) is fixed by the
+      // generator; a missing digit surfaces as a column-set mismatch, the
+      // q123 dynamic-pivot discipline.
+      """SELECT o_orderstatus AS status,
+        |       COUNT(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 END) AS p1,
+        |       COUNT(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 END) AS p2,
+        |       COUNT(CASE WHEN substr(o_orderpriority, 1, 1) = '3' THEN 1 END) AS p3,
+        |       COUNT(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN 1 END) AS p4,
+        |       COUNT(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     "q125_incremental_mv" ->
       // The FULL RECOMPUTE: the incremental merge must be indistinguishable
       // from rebuilding the view over all orders; src derived from the
