@@ -22,16 +22,24 @@ import graft.functions.{CdcChunks, CharStats, Hash56, PyRound, Shingles, VecDot}
   *    binary (see CdcChunks for why the HOF spelling was the m04
   *    bottleneck).
   *
-  * and one planner strategy:
+  * one planner strategy:
   *  - [[graft.plans.TopKPerKeyStrategy]] — plans the custom
   *    [[graft.plans.TopKPerKeyPlan]] node as a two-phase bounded-heap
   *    top-k per key (map-side partial before the shuffle — the shape
   *    window `row_number() <= k` cannot produce).
+  *
+  * and two optimizer rules:
+  *  - [[graft.plans.PushFilterThroughTopKPerKey]] — key-only filters
+  *    commute with the custom top-k node and reach the scan.
+  *  - [[graft.plans.RangeBucketJoin]] — conf-gated automatic rewrite of
+  *    pure point-in-interval inner joins into bucketed equi-joins
+  *    (see the rule's scaladoc; exercised by q129).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopKPerKey)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBucketJoin)
     ext.injectFunction((
       new FunctionIdentifier("py_round"),
       new ExpressionInfo(classOf[PyRound].getName, "py_round"),

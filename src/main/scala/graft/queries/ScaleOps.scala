@@ -633,12 +633,45 @@ object ScaleOps {
       .agg(max_by(col("shard"), col("w")).as("shard"))
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q129
+
+  /** q129: point-in-interval join through the ENGINE's automatic
+    * range-bucketing rule ([[graft.plans.RangeBucketJoin]], injected via
+    * GraftExtensions): customers matched to suppliers whose account
+    * balance lies within ±50 — a pure range predicate, no equi key, which
+    * stock Spark can only plan as an O(|C|·|S|) BroadcastNestedLoopJoin.
+    * With the rule enabled (bucket width 100 ≈ interval length), the SAME
+    * declarative join compiles to floor-bucket derivation + a ≤ 2-bucket
+    * explode + a hash equi-join — the q89 rescue performed by the
+    * optimizer instead of the query author. PlanSpec pins both directions
+    * (rule on → no BNLJ anywhere; rule off → BNLJ), and the oracle pins
+    * result equivalence. The conf is scoped to this query: the join is
+    * materialized eagerly (localCheckpoint) so the flag can be unset
+    * before returning — later queries that WANT the bounded-broadcast
+    * BNLJ shape (q40's tiny band table) keep their pinned plans.
+    */
+  val q129RangeJoinAuto: Q = (s, d) => {
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    s.conf.set(key, "100")
+    try {
+      val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
+      cust.join(sup,
+          col("c_acctbal") >= col("s_acctbal") - 50.0 &&
+          col("c_acctbal") <= col("s_acctbal") + 50.0)
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_sup"))
+        .orderBy("c_custkey")
+        .localCheckpoint(true)
+    } finally s.conf.unset(key)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x10_cms_join_size"    -> x10CmsJoinSize,
+    "q129_range_join_auto" -> q129RangeJoinAuto,
     "x09_kmv_setops"       -> x09KmvSetOps,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
@@ -795,6 +828,11 @@ object ScaleOps {
          |SELECT c_custkey, bkey IS NOT NULL AS is_member
          |FROM pass LEFT JOIN build ON c_custkey = bkey
          |ORDER BY c_custkey""".stripMargin,
+    "q129_range_join_auto" ->
+      """SELECT c_custkey, COUNT(1) AS n_sup
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "x10_cms_join_size" ->
       s"""WITH ca AS (
          |  SELECT r, c, COUNT(1) AS ca FROM (

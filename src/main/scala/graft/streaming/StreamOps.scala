@@ -400,6 +400,25 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** s23: the NATIVE streaming file sink — `format("parquet")` with a
+    * checkpoint, not a foreachBatch writer (s01/s10's shape): the sink
+    * maintains a `_spark_metadata` transaction log naming exactly the
+    * files each committed batch produced, and batch readers of the output
+    * directory consult that log — so a file half-written by a crashed
+    * batch, or a re-attempted batch's orphan, is INVISIBLE downstream
+    * without any ledger of our own (the file-sink counterpart of
+    * FraudSink's two-phase JDBC ledger). Restarting from the same
+    * checkpoint resumes offsets and keeps appending to the same log.
+    */
+  def s23FileSink(events: DataFrame, path: String, checkpoint: String)
+      : StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+
   final case class KeyedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
   /** TTL for s22's dedup memory: an id seen again within this horizon is a

@@ -329,6 +329,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
+    import org.apache.spark.sql.functions.col
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    def rangeJoin() = {
+      val cust = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+      val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
+      cust.join(sup,
+        col("c_acctbal") >= col("s_acctbal") - 50.0 &&
+        col("c_acctbal") <= col("s_acctbal") + 50.0)
+    }
+    // Rule ON: the non-equi join must compile to explode + hash equi-join
+    spark.conf.set(key, "100")
+    try {
+      val on = planOf(rangeJoin())
+      assert(!on.contains("BroadcastNestedLoopJoin") && !on.contains("CartesianProduct"),
+        s"rule enabled but the range join still plans all-pairs:\n$on")
+      assert(on.contains("Generate explode") || on.contains("explode"),
+        s"expected the interval-side bucket explode:\n$on")
+      assert(on.contains("_graft_pbucket") || on.contains("_graft_ibucket"),
+        s"expected the bucket equi keys in the plan:\n$on")
+    } finally spark.conf.unset(key)
+    // Rule OFF (negative control): stock Spark plans the nested loop
+    val off = planOf(rangeJoin())
+    assert(off.contains("BroadcastNestedLoopJoin") || off.contains("CartesianProduct"),
+      s"without the rule this must be the all-pairs baseline:\n$off")
+  }
+
   test("x10: join-size estimate joins only d*w sketch cells; exact twin joins key counts") {
     val plan = planOf(graft.queries.ScaleOps.x10CmsJoinSize(spark, sf))
     assert(!plan.contains("CartesianProduct"),

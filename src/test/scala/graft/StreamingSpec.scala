@@ -627,6 +627,33 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.contains((1L, 1L, 30.0)), s"state reset detected: ${rows.toSeq.sorted}")
   }
 
+  test("s23 native file sink: restart resumes the _spark_metadata log, reads stay exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("s23_ckpt")
+    val outDir = tmp("s23_out")
+    val mem = MemoryStream[(Long, Double)]
+    def start() = StreamOps.s23FileSink(
+      mem.toDF.toDF("user_id", "value"), outDir, ckpt)
+    val q1 = start()
+    mem.addData((1L, 10.0), (2L, 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint: offsets resume (batch 0 not
+    // re-emitted), the sink keeps appending to the SAME transaction log
+    val q2 = start()
+    mem.addData((3L, 7.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(rows === Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)),
+      s"file-sink output not exactly-once across restart: $rows")
+    // the sink's transaction log is what made that read authoritative
+    assert(new java.io.File(s"$outDir/_spark_metadata").exists(),
+      "expected the file sink's _spark_metadata transaction log")
+  }
+
   test("s21 state data source reads a checkpoint's keyed state offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
