@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, AttributeReference, BinaryComparison, Cast, Divide, EqualTo,
-  Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual, If, LessThan,
-  LessThanOrEqual, Literal, PredicateHelper, Sequence}
+  Explode, Expression, Floor, Greatest, GreaterThan, GreaterThanOrEqual, If,
+  Least, LessThan, LessThanOrEqual, Literal, PredicateHelper, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Generate, Join, LogicalPlan, Project}
@@ -56,7 +56,9 @@ object RangeBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && eligible(j, cond) =>
-        rewrite(j, cond, width).getOrElse(j)
+        rewrite(j, cond, width)
+          .orElse(rewriteOverlap(j, cond, width))
+          .getOrElse(j)
     }
   }
 
@@ -130,6 +132,60 @@ object RangeBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight) =
         if (pointIsLeft) (projected, generated) else (generated, projected)
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    }
+  }
+
+  /** The INTERVAL-OVERLAP class (`lo1 <= hi2 AND lo2 <= hi1` — q89's
+    * manual shape): both sides explode to their covered buckets and the
+    * pair is kept only in the MEETING BUCKET `floor(greatest(lo1, lo2)/W)`
+    * — overlap ⟹ max(lo) ≤ min(hi), so that bucket lies inside BOTH
+    * exploded ranges: every qualifying pair meets exactly once, no dedup
+    * pass. Each side explodes over `[least(lo,hi), greatest(lo,hi)]`
+    * (not `[lo, hi]`): an INVERTED interval can still satisfy the raw
+    * overlap predicate, and the min/max normalization keeps the
+    * completeness proof intact for it (meet = lo1 ≤ max(lo1,hi1); meet =
+    * lo2 ≤ hi1 ≤ max(lo1,hi1) by the predicate, and symmetrically).
+    * The bucket-equality conjunct is the extractable equi key; the
+    * meeting-bucket conjunct (mixed-side refs) rides along as the
+    * join's residual filter, like the original predicate.
+    */
+  private def rewriteOverlap(j: Join, cond: Expression,
+                             width: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // X bounded above by B, from either comparison direction
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(x, b)    => (x, b)
+      case LessThan(x, b)           => (x, b)
+      case GreaterThanOrEqual(b, x) => (x, b)
+      case GreaterThan(b, x)        => (x, b)
+    }
+    def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
+    val candidates = for {
+      (lo1, hi2) <- uppers // lo1 <= hi2: left lower bound vs right upper
+      (lo2, hi1) <- uppers // lo2 <= hi1: right lower bound vs left upper
+      if Seq(lo1, hi1, lo2, hi2).forall(e =>
+        e.deterministic && numeric(e) && e.references.nonEmpty)
+      if lo1.references.subsetOf(j.left.outputSet) &&
+         hi1.references.subsetOf(j.left.outputSet) &&
+         lo2.references.subsetOf(j.right.outputSet) &&
+         hi2.references.subsetOf(j.right.outputSet)
+    } yield (lo1, hi1, lo2, hi2)
+    candidates.headOption.map { case (lo1, hi1, lo2, hi2) =>
+      val bucket = (e: Expression) =>
+        Floor(Divide(Cast(e, DoubleType), Literal(width)))
+      def gen(side: LogicalPlan, lo: Expression, hi: Expression, name: String) = {
+        val seq = Sequence(bucket(Least(Seq(lo, hi))),
+          bucket(Greatest(Seq(lo, hi))), Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone))
+        val attr = AttributeReference(name, LongType, nullable = false)()
+        (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child = side), attr)
+      }
+      val (genL, bL) = gen(j.left, lo1, hi1, "_graft_lbucket")
+      val (genR, bR) = gen(j.right, lo2, hi2, "_graft_rbucket")
+      val meet = bucket(Greatest(Seq(lo1, lo2)))
+      val newCond = And(And(cond, EqualTo(bL, bR)), EqualTo(bL, meet))
+      Project(j.output, Join(genL, genR, Inner, Some(newCond), j.hint))
     }
   }
 

@@ -665,6 +665,33 @@ object ScaleOps {
     } finally s.conf.unset(key)
   }
 
+  // --------------------------------------------------------------- q130
+
+  /** q130: interval-OVERLAP join through the same engine rule — the second
+    * range-join class [[graft.plans.RangeBucketJoin]] covers: customer
+    * balance windows [c−20, c+20] against supplier windows [s−50, s+50],
+    * overlap iff |c−s| ≤ 70 — again no equi key, again BNLJ in stock
+    * Spark. The rule explodes BOTH sides to their covered buckets and
+    * keeps each pair only in the meeting bucket floor(max(lo₁,lo₂)/W), so
+    * every overlapping pair is found exactly once with no dedup pass
+    * (q89 spells this convention by hand for sessions; here the optimizer
+    * applies it to a declarative join). Same conf scoping as q129.
+    */
+  val q130IntervalJoinAuto: Q = (s, d) => {
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    s.conf.set(key, "100")
+    try {
+      val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_acctbal")
+      cust.join(sup,
+          col("c_acctbal") - 20.0 <= col("s_acctbal") + 50.0 &&
+          col("s_acctbal") - 50.0 <= col("c_acctbal") + 20.0)
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_sup"))
+        .orderBy("c_custkey")
+        .localCheckpoint(true)
+    } finally s.conf.unset(key)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -672,6 +699,7 @@ object ScaleOps {
     "x08_ams_f2"           -> x08AmsF2,
     "x10_cms_join_size"    -> x10CmsJoinSize,
     "q129_range_join_auto" -> q129RangeJoinAuto,
+    "q130_interval_join_auto" -> q130IntervalJoinAuto,
     "x09_kmv_setops"       -> x09KmvSetOps,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
@@ -832,6 +860,12 @@ object ScaleOps {
       """SELECT c_custkey, COUNT(1) AS n_sup
         |FROM customer JOIN supplier
         |  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal <= s_acctbal + 50.0
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q130_interval_join_auto" ->
+      """SELECT c_custkey, COUNT(1) AS n_sup
+        |FROM customer JOIN supplier
+        |  ON c_acctbal - 20.0 <= s_acctbal + 50.0
+        | AND s_acctbal - 50.0 <= c_acctbal + 20.0
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "x10_cms_join_size" ->
       s"""WITH ca AS (

@@ -356,6 +356,29 @@ class PlanSpec extends SparkSpec {
       s"without the rule this must be the all-pairs baseline:\n$off")
   }
 
+  test("q130: overlap joins rewrite to double-explode + meeting-bucket equi-join") {
+    import org.apache.spark.sql.functions.col
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    def overlapJoin() = {
+      val cust = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+      val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
+      cust.join(sup,
+        col("c_acctbal") - 20.0 <= col("s_acctbal") + 50.0 &&
+        col("s_acctbal") - 50.0 <= col("c_acctbal") + 20.0)
+    }
+    spark.conf.set(key, "100")
+    try {
+      val on = planOf(overlapJoin())
+      assert(!on.contains("BroadcastNestedLoopJoin") && !on.contains("CartesianProduct"),
+        s"rule enabled but the overlap join still plans all-pairs:\n$on")
+      assert(on.contains("_graft_lbucket") && on.contains("_graft_rbucket"),
+        s"expected both sides' bucket explodes in the plan:\n$on")
+    } finally spark.conf.unset(key)
+    val off = planOf(overlapJoin())
+    assert(off.contains("BroadcastNestedLoopJoin") || off.contains("CartesianProduct"),
+      s"without the rule this must be the all-pairs baseline:\n$off")
+  }
+
   test("x10: join-size estimate joins only d*w sketch cells; exact twin joins key counts") {
     val plan = planOf(graft.queries.ScaleOps.x10CmsJoinSize(spark, sf))
     assert(!plan.contains("CartesianProduct"),
