@@ -215,6 +215,42 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** Lists probed by n14 — the IVF recall/cost knob. */
+  val NProbe = 2
+
+  /** n14: IVF with MULTI-LIST probing (`nprobe`) — the knob every IVF
+    * deployment turns when single-list recall disappoints (n08 measures
+    * exactly that disappointment; n09 is the same move for LSH): score the
+    * query against all NumCentroids centroids (metadata — 16 rows), take
+    * the [[NProbe]] nearest lists, and re-rank exactly over their union
+    * (~NProbe/NumCentroids of the corpus instead of 1/NumCentroids). The
+    * probe set is an orderBy+limit over 16 broadcast rows — driver-free,
+    * deterministic (cosine desc, cid tiebreak) — and the corpus is touched
+    * only through the broadcast-semi-joined union of the probed lists.
+    */
+  val n14IvfNprobe: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val prep = prepared(s, d)
+    val qv = prep.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val probes = prep.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(na as double) * cast(cnrm as double))"))
+      .orderBy(col("qcos").desc, col("pcid").asc).limit(NProbe)
+      .select("pcid")
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos", expr(
+        "cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cid", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   /** n03: IVF index statistics — per-list member count and the cosine
     * range to the centroid: the index-health profile an ANN pipeline
     * monitors (empty/overfull lists → re-train centroids). min/max are
@@ -612,6 +648,7 @@ object Similarity {
     "n04_l2_knn"         -> n04L2Knn,
     "n12_knn_join"       -> n12KnnJoin,
     "n13_mutual_knn"     -> n13MutualKnn,
+    "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n05_centroid_update" -> n05CentroidUpdate,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
@@ -784,6 +821,25 @@ object Similarity {
          |           / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
          |  FROM wb, qv WHERE vec_id <> 0 AND bkt = qbkt)
          |SELECT vec_id, bkt, dot, cos FROM scored
+         |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n14_ivf_nprobe" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid AS pcid FROM (
+         |    SELECT c.cid,
+         |           CAST(${duckDot("qa", "c.cq")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS qcos
+         |    FROM cents c CROSS JOIN qv)
+         |  ORDER BY qcos DESC, cid ASC LIMIT $NProbe),
+         |sel AS (
+         |  SELECT a.vec_id, a.cid, ${duckDot("qa", "a.q")} AS dot,
+         |         CAST(${duckDot("qa", "a.q")} AS DOUBLE)
+         |           / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |  FROM assigned a JOIN probes ON a.cid = pcid CROSS JOIN qv
+         |  WHERE a.vec_id <> 0)
+         |SELECT vec_id, cid, dot, cos FROM sel
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n02_ann_ivf" ->
       s"""WITH $duckPrep,
