@@ -1185,6 +1185,69 @@ object Extras {
            expr("10000 - sum(c * c) * 10000 div (sum(c) * sum(c))").as("gini_bp"))
       .orderBy("user_id")
 
+  /** q131: TPC-H Q3 (shipping priority) — the composite reporting workload
+    * a warehouse user actually submits, stitching operators this suite
+    * pins individually: segment-filtered customers SEMI-join-prune orders
+    * (broadcastable dimension filter), lineitem joins the surviving
+    * orders, revenue aggregates per order, top-10 by revenue. Revenue is
+    * floor-cents integer math (`floor(px·100)` — the UdfOps discipline:
+    * IEEE product then exact BIGINT sum, one final /100.0) so the
+    * cross-engine compare is bit-exact with no decimal-rounding edge.
+    * Plan shape at 100 TB: two dimension broadcasts, one fact shuffle on
+    * l_orderkey for the agg, TakeOrderedAndProject for the top-10.
+    */
+  val q131TpchQ3: Q = (s, d) => {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)").as("rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q132: TPC-H Q10 (returned-item reporting) — who returned the most
+    * revenue in a half-year window, with their nation attached. The spelt
+    * plan PRE-AGGREGATES revenue per customer key BEFORE joining the
+    * customer and nation dimensions (TPC-H's textbook spelling groups by
+    * every output column, dragging c_name/c_acctbal through the shuffle —
+    * same result, strictly worse at scale); nation broadcasts; top-20 by
+    * revenue with key tiebreak. Same floor-cents revenue discipline as
+    * q131.
+    */
+  val q132TpchQ10: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)").as("rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"))
+    rev
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
@@ -1192,6 +1255,8 @@ object Extras {
     "q126_gini_impurity"     -> q126GiniImpurity,
     "q127_time_range_frame"  -> q127TimeRangeFrame,
     "q128_crosstab"          -> q128Crosstab,
+    "q131_tpch_q3"           -> q131TpchQ3,
+    "q132_tpch_q10"          -> q132TpchQ10,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1245,6 +1310,36 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q131_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        |      WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |        AND o_custkey IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING')) o
+        |  ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q132_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |              AS BIGINT) / 100.0 AS revenue
+        |  FROM lineitem
+        |  JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |          AND o_orderdate < TIMESTAMP '1997-07-01') o
+        |    ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q127_time_range_frame" ->
       """SELECT user_id, event_id,
         |       COUNT(1) OVER w AS n_1h,

@@ -329,6 +329,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q131/q132: TPC-H composites plan dimension broadcasts + top-k as TakeOrderedAndProject") {
+    val p3 = planOf(graft.queries.Extras.q131TpchQ3(spark, sf))
+    assert(p3.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as a bounded heap, not a global sort:\n$p3")
+    assert(p3.contains("BroadcastHashJoin"),
+      s"the segment-filtered customer prune must broadcast at this scale:\n$p3")
+    val p10 = planOf(graft.queries.Extras.q132TpchQ10(spark, sf))
+    assert(p10.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as a bounded heap:\n$p10")
+    // revenue pre-aggregation must be two-phase (map-side combine before
+    // the o_custkey shuffle)
+    assert(p10.contains("partial_sum"),
+      s"per-customer revenue must combine map-side:\n$p10")
+  }
+
   test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
     import org.apache.spark.sql.functions.col
     val key = graft.plans.RangeBucketJoin.WidthConf
