@@ -786,6 +786,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** p07: per-source corpus provenance report (capstone over the
+    * shingle-ownership machinery): for every source, how much of its
+    * content is EXCLUSIVE (shingles no other source has), how much it
+    * FIRST-OWNS corpus-wide (t27's min-doc_id rule rolled up to sources),
+    * and the doc count — the table a data-sourcing team reads to decide
+    * which feeds to keep paying for and which re-publish others' content
+    * (d18 answers this for one source pair; this is the all-sources
+    * rollup). Shapes: distinct (source, shingle-hash) pairs → per-hash
+    * source counts and min-doc ownership (both partial-agg groupBys keyed
+    * on the 56-bit hash) → per-source rollups over O(sources) rows; the
+    * ownership join resolves first_doc → source through the slim
+    * (doc_id, source) projection. All counts integer, ppm via integer
+    * div.
+    */
+  val p07SourceReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val meta = docs.select(col("doc_id").as("fd"), col("source").as("first_source"))
+    val sh = docs
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", 3)})")).as("sg"))
+      .select(col("doc_id"), col("source"), expr(TextHash.sparkHash56("sg")).as("h"))
+    val srcSh = sh.select("source", "h").distinct()
+    val nsrc = srcSh.groupBy("h").agg(count(lit(1)).as("n_src"))
+    val perSrc = srcSh.join(nsrc, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+    val owned = sh.groupBy("h").agg(min(col("doc_id")).as("fd"))
+      .join(meta, "fd")
+      .groupBy("first_source").agg(count(lit(1)).as("n_first_owned"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    perSrc
+      .join(owned, col("source") === col("first_source"))
+      .join(nDocs, "source")
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_exclusive"),
+        expr("n_exclusive * 1000000 div n_shingles").as("exclusive_ppm"),
+        col("n_first_owned"))
+      .orderBy("source")
+  }
+
   /** t20: Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
     * §A1.1 — public heuristics): word-count bounds, mean-word-length
     * bounds, fraction of words containing an alphabetic character, and
@@ -937,6 +979,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "p07_source_report"   -> p07SourceReport,
     "t27_shingle_novelty" -> t27ShingleNovelty,
     "t26_surprisal"       -> t26UnigramSurprisal,
     "t25_vocab_coverage"  -> t25VocabCoverage,
@@ -993,6 +1036,31 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p07_source_report" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, source, ${TextHash.duckHash56("shingle")} AS h FROM (
+         |    SELECT doc_id, source, unnest(${TextHash.duckShingles("text", 3)}) AS shingle
+         |    FROM documents)),
+         |srcsh AS (SELECT DISTINCT source, h FROM sh),
+         |nsrc AS (SELECT h, COUNT(1) AS n_src FROM srcsh GROUP BY h),
+         |persrc AS (
+         |  SELECT source, CAST(COUNT(1) AS BIGINT) AS n_shingles,
+         |         CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+         |  FROM srcsh JOIN nsrc USING (h) GROUP BY source),
+         |owned AS (
+         |  SELECT d.source AS first_source, CAST(COUNT(1) AS BIGINT) AS n_first_owned
+         |  FROM (SELECT h, MIN(doc_id) AS fd FROM sh GROUP BY h) o
+         |  JOIN documents d ON d.doc_id = o.fd
+         |  GROUP BY d.source),
+         |nd AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_shingles, n_exclusive,
+         |       CAST(n_exclusive * 1000000 // n_shingles AS BIGINT) AS exclusive_ppm,
+         |       n_first_owned
+         |FROM persrc
+         |JOIN owned ON source = first_source
+         |JOIN nd USING (source)
+         |ORDER BY source""".stripMargin,
     "t26_surprisal" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${TextHash.duckHash56("t")} AS h FROM (
