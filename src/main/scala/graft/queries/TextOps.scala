@@ -786,6 +786,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t28: per-doc length CDF + tail flags — where each document sits in
+    * the corpus length distribution (exact percentile basis points), with
+    * the <5% / ≥95% tails flagged: the length-outlier filter every
+    * curation recipe applies (truncated crawls at one end, concatenation
+    * glitches at the other). The CDF never sorts the corpus: lengths
+    * collapse to a FREQUENCY HISTOGRAM (one row per distinct length —
+    * metadata-scale), the strictly-below running count comes from the
+    * range-partitioned [[prefixSum]] (t25's walk), and the per-doc rank is
+    * a broadcast join back on length. Integer bp only.
+    */
+  val t28LengthCdf: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = prefixSum(hist, "n_chars", "cnt", "n_less", includeCurrent = false)
+      .select(col("n_chars"), col("n_less"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.join(broadcast(cum), "n_chars")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_chars"),
+        expr("n_less * 10000 div n_total").as("pct_bp"),
+        expr("n_less * 100 < n_total * 5").as("short_tail"),
+        expr("n_less * 100 >= n_total * 95").as("long_tail"))
+      .orderBy("doc_id")
+  }
+
   /** p07: per-source corpus provenance report (capstone over the
     * shingle-ownership machinery): for every source, how much of its
     * content is EXCLUSIVE (shingles no other source has), how much it
@@ -980,6 +1005,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "p07_source_report"   -> p07SourceReport,
+    "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
     "t26_surprisal"       -> t26UnigramSurprisal,
     "t25_vocab_coverage"  -> t25VocabCoverage,
@@ -1036,6 +1062,20 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t28_length_cdf" ->
+      """WITH h AS (SELECT n_chars, COUNT(1) AS cnt FROM documents GROUP BY 1),
+        |c AS (SELECT n_chars,
+        |             CAST(COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS n_less
+        |      FROM h),
+        |t AS (SELECT COUNT(1) AS n_total FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(n_less * 10000 // n_total AS BIGINT) AS pct_bp,
+        |       n_less * 100 < n_total * 5 AS short_tail,
+        |       n_less * 100 >= n_total * 95 AS long_tail
+        |FROM documents JOIN c USING (n_chars), t
+        |ORDER BY doc_id""".stripMargin,
     "p07_source_report" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, source, ${TextHash.duckHash56("shingle")} AS h FROM (
