@@ -251,6 +251,38 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** Quality gate for n15's filtered search (t02's 0-100 integer score). */
+  val FilterMinQuality = 60
+
+  /** n15: FILTERED vector search — top-k under a metadata predicate, the
+    * feature every production vector store bolts on after plain ANN ships
+    * (only retrieve from quality-gated / policy-cleared documents): t02's
+    * integer quality score gates the corpus through a semi join on the
+    * doc_id ↔ vec_id linkage, then the exact cosine top-k runs over the
+    * survivors. Pre-filtering (gate BEFORE rank) is the correct semantics
+    * — post-filtering a k-list can starve below k — and the plan keeps it
+    * cheap: the gate is map-side scoring + one semi join, the rank is the
+    * same broadcast + TakeOrderedAndProject shape as q33. Also the suite's
+    * modality-linkage pin: documents and embeddings are joined on their
+    * shared id space.
+    */
+  val n15FilteredKnn: Q = (s, d) => {
+    val good = TextOps.qualityCols(Tables.documents(s, d))
+      .filter(col("quality") >= FilterMinQuality)
+      .select(col("doc_id").as("vid"))
+    val qv = prepared(s, d).filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    prepared(s, d).filter(col("vec_id") =!= 0)
+      .join(good, col("vec_id") === col("vid"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos", expr(
+        "cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   /** n03: IVF index statistics — per-list member count and the cosine
     * range to the centroid: the index-health profile an ANN pipeline
     * monitors (empty/overfull lists → re-train centroids). min/max are
@@ -649,6 +681,7 @@ object Similarity {
     "n12_knn_join"       -> n12KnnJoin,
     "n13_mutual_knn"     -> n13MutualKnn,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
+    "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
     "d04_embed_near_dup" -> d04EmbedNearDup)
 
@@ -821,6 +854,17 @@ object Similarity {
          |           / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
          |  FROM wb, qv WHERE vec_id <> 0 AND bkt = qbkt)
          |SELECT vec_id, bkt, dot, cos FROM scored
+         |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n15_filtered_knn" ->
+      s"""WITH $duckPrep,
+         |qual AS (${graft.queries.TextOps.duckQuality}),
+         |good AS (SELECT doc_id FROM qual WHERE quality >= $FilterMinQuality),
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0)
+         |SELECT vec_id, ${duckDot("qa", "q")} AS dot,
+         |       CAST(${duckDot("qa", "q")} AS DOUBLE)
+         |         / sqrt(CAST(na AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cos
+         |FROM prepn JOIN good ON vec_id = doc_id CROSS JOIN qv
+         |WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n14_ivf_nprobe" ->
       s"""WITH $duckPrep,

@@ -98,11 +98,35 @@ object UdfOps {
         |FROM li_u04 ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** u05: SQL TABLE function (Spark 4 `CREATE FUNCTION … RETURNS TABLE`)
+    * — the declarative UDTF surface beside u03's generator and u04's
+    * scalar SQL UDF: a per-document term-frequency table expanded through
+    * correlated LATERAL invocation. Like u04, the body is a macro the
+    * analyzer INLINES into the calling plan (explode + partial-agg
+    * groupBy here) — no black-box row-at-a-time callback, so pushdown and
+    * codegen see straight through it; the repeated-token filter composes
+    * on the function's output columns.
+    */
+  val u05SqlTableUdf: Q = (s, d) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION tok_tf(txt STRING)
+        |RETURNS TABLE (t STRING, n BIGINT)
+        |RETURN SELECT t, COUNT(1) AS n
+        |       FROM (SELECT explode(split(txt, ' ')) AS t) GROUP BY t""".stripMargin)
+    Tables.documents(s, d).createOrReplaceTempView("docs_u05")
+    s.sql(
+      """SELECT d.doc_id, f.t, f.n
+        |FROM docs_u05 d, LATERAL tok_tf(d.text) f
+        |WHERE f.n >= 3
+        |ORDER BY d.doc_id, f.t""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "u01_udf_fraud_score" -> u01UdfFraudScore,
     "u02_udaf_minhash"    -> u02UdafMinhash,
     "u03_udtf_tokenize"   -> u03UdtfTokenize,
     "u04_sql_udf"         -> u04SqlUdf,
+    "u05_sql_table_udf"   -> u05SqlTableUdf,
     "x01_approx_distinct" -> x01ApproxDistinct)
 
   val oracles: Map[String, String] = Map(
@@ -132,6 +156,12 @@ object UdfOps {
         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
         |  FROM documents)
         |ORDER BY doc_id, pos""".stripMargin,
+    "u05_sql_table_udf" ->
+      """SELECT doc_id, t, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT doc_id, t, COUNT(1) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t)
+        |WHERE n >= 3 ORDER BY doc_id, t""".stripMargin,
     "u04_sql_udf" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS net
