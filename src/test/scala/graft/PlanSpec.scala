@@ -394,6 +394,50 @@ class PlanSpec extends SparkSpec {
       s"without the rule this must be the all-pairs baseline:\n$off")
   }
 
+  test("RangeBucketJoin differential: rewrite equals baseline on adversarial data") {
+    // The rule claims equivalence — prove it on data built to break it:
+    // nulls (never match), negatives (floor toward -inf), values exactly
+    // on bucket boundaries, inverted intervals (which can still satisfy
+    // the raw overlap predicate — the least/greatest normalization case),
+    // and duplicates. Width 50 so intervals span 0-4 buckets.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    val r = new scala.util.Random(7)
+    def d(): Option[Double] = r.nextInt(20) match {
+      case 0 => None
+      case 1 => Some(50.0 * r.nextInt(8) - 100.0) // exact bucket boundary
+      case _ => Some((r.nextDouble() - 0.5) * 400.0)
+    }
+    val points = (1 to 300).map(i => (i.toLong, d())).toDF("pid", "p")
+    val ivals = (1 to 200).map { i =>
+      val lo = d(); val hi = d()
+      // every 5th interval deliberately inverted
+      if (i % 5 == 0) (i.toLong, hi, lo) else (i.toLong, lo, hi)
+    }.toDF("iid", "lo", "hi")
+    def pointJoin() = points.join(ivals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid")
+    def overlapJoin() = {
+      val a = ivals.toDF("aid", "alo", "ahi")
+      val b = ivals.toDF("bid", "blo", "bhi")
+      a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select("aid", "bid")
+    }
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq.sorted
+    val (pOff, oOff) = (collectSorted(pointJoin()), collectSorted(overlapJoin()))
+    spark.conf.set(key, "50")
+    val (pOn, oOn) =
+      try (collectSorted(pointJoin()), collectSorted(overlapJoin()))
+      finally spark.conf.unset(key)
+    assert(pOn === pOff,
+      s"point-in-interval rewrite diverged: on=${pOn.size} off=${pOff.size}")
+    assert(oOn === oOff,
+      s"overlap rewrite diverged: on=${oOn.size} off=${oOff.size}")
+    assert(pOff.nonEmpty && oOff.nonEmpty, "fixture produced no matches — test is vacuous")
+  }
+
   test("x10: join-size estimate joins only d*w sketch cells; exact twin joins key counts") {
     val plan = planOf(graft.queries.ScaleOps.x10CmsJoinSize(spark, sf))
     assert(!plan.contains("CartesianProduct"),
