@@ -1248,6 +1248,23 @@ object Extras {
       .limit(20)
   }
 
+  /** q133: table-valued functions in FROM position — `range()` (the
+    * parallel sequence generator whose start/stop/step/numSlices make it
+    * the scalable dimension spine, q116's calendar trick in its rawest
+    * form), `posexplode` as an uncorrelated FROM-clause generator, and
+    * `stack` (the inline VALUES-pivot) — composed by cross join. All three
+    * are metadata generators: the product here is 18 rows, but range()
+    * alone scales to billions of rows with no driver materialization,
+    * which is what earns the surface its pin.
+    */
+  val q133TvfSuite: Q = (s, d) =>
+    s.sql(
+      """SELECT r.id AS seq_id, p.pos, p.tok, st.k, st.v
+        |FROM range(0, 3) r,
+        |     posexplode(split('alpha beta gamma', ' ')) p(pos, tok),
+        |     stack(2, 'x', 1, 'y', 2) st(k, v)
+        |ORDER BY seq_id, pos, k""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
@@ -1257,6 +1274,7 @@ object Extras {
     "q128_crosstab"          -> q128Crosstab,
     "q131_tpch_q3"           -> q131TpchQ3,
     "q132_tpch_q10"          -> q132TpchQ10,
+    "q133_tvf_suite"         -> q133TvfSuite,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1310,6 +1328,14 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q133_tvf_suite" ->
+      """SELECT r.id AS seq_id, p.pos, p.tok, s.k, s.v
+        |FROM range(0, 3) r(id),
+        |     (SELECT CAST(i - 1 AS INT) AS pos, t[i] AS tok
+        |      FROM (SELECT string_split('alpha beta gamma', ' ') AS t),
+        |           generate_series(1, 3) g(i)) p,
+        |     (VALUES ('x', 1), ('y', 2)) s(k, v)
+        |ORDER BY seq_id, pos, k""".stripMargin,
     "q131_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

@@ -419,6 +419,29 @@ object StreamOps {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
 
+  /** s24: the `rate-micro-batch` built-in source — the DETERMINISTIC load
+    * generator Spark ships (unlike `rate`, whose wall-clock anchoring
+    * makes replays diverge): batch N always carries the same
+    * (timestamp, value) rows, derived from a declared start timestamp and
+    * rows-per-batch. The source surface beside the file source (s01),
+    * MemoryStream (specs), and the custom DSv2 TransactionSource (s14) —
+    * and the right harness for throughput experiments that must be
+    * replayable. Downstream here: value-keyed modular bucketing + a
+    * per-bucket running aggregate in update mode.
+    */
+  def s24RateMicroBatch(spark: org.apache.spark.sql.SparkSession,
+                        rowsPerBatch: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", 1000)
+      .load()
+      .groupBy((col("value") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+  }
+
   final case class KeyedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
   /** TTL for s22's dedup memory: an id seen again within this horizon is a

@@ -654,6 +654,27 @@ class StreamingSpec extends SparkSpec {
       "expected the file sink's _spark_metadata transaction log")
   }
 
+  test("s24 rate-micro-batch source is deterministic: two runs, identical buckets") {
+    import org.apache.spark.sql.streaming.Trigger
+    def run(name: String): Map[Long, (Long, Long)] = {
+      val q = StreamOps.s24RateMicroBatch(spark, rowsPerBatch = 20)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val a = run("s24_a")
+    val b = run("s24_b")
+    assert(a === b, s"rate-micro-batch replay diverged: $a vs $b")
+    assert(a.keySet === Set(0L, 1L, 2L, 3L), s"expected 4 buckets: $a")
+    // 20 rows, values 0..19 → 5 per bucket, sums 0+4+8+12+16=40, 45, 50, 55
+    assert(a(0L) === (5L, 40L) && a(1L) === (5L, 45L) &&
+           a(2L) === (5L, 50L) && a(3L) === (5L, 55L), s"got $a")
+  }
+
   test("s21 state data source reads a checkpoint's keyed state offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
