@@ -329,6 +329,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("n14/n15: probe set and quality gate broadcast; top-k is a bounded heap") {
+    for ((name, df) <- Seq(
+        "n14" -> graft.queries.Similarity.n14IvfNprobe(spark, sf),
+        "n15" -> graft.queries.Similarity.n15FilteredKnn(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: top-k must plan as a bounded heap, not a global sort:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: the probe-set/gate join must broadcast:\n$plan")
+    }
+  }
+
+  test("p07/t28: provenance and CDF rollups are partial aggregates; no corpus sort") {
+    for ((name, df) <- Seq(
+        "p07" -> graft.queries.TextOps.p07SourceReport(spark, sf),
+        "t28" -> graft.queries.TextOps.t28LengthCdf(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name: rollups must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: no all-pairs shape:\n$plan")
+    }
+  }
+
+  test("u05: the SQL table function inlines — no ScalaUDF, generator visible") {
+    val plan = planOf(graft.queries.UdfOps.u05SqlTableUdf(spark, sf))
+    assert(!plan.contains("ScalaUDF"),
+      s"SQL table function must inline, not call a closure:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"expected the inlined explode in the plan:\n$plan")
+  }
+
   test("q131/q132: TPC-H composites plan dimension broadcasts + top-k as TakeOrderedAndProject") {
     val p3 = planOf(graft.queries.Extras.q131TpchQ3(spark, sf))
     assert(p3.contains("TakeOrderedAndProject"),
