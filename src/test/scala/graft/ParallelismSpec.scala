@@ -1,0 +1,44 @@
+package graft
+
+/** Parallelism-invariance battery: on a real cluster the shuffle partition
+  * count is a tuning knob (and AQE moves it at runtime), so any query whose
+  * RESULT depends on it is silently broken at scale. The operators most at
+  * risk are exactly the ones that do their own partition-aware work — the
+  * range-partitioned prefixSum (t07/d12), per-partition heaps (q49/q94),
+  * hash-bucketed pair joins (d01), survivor election (q32) and rendezvous
+  * assignment (q99). Run each at 4 vs 32 shuffle partitions and require
+  * row-identical output (every one of these ends in a total-order sort, so
+  * ordering is part of the contract).
+  */
+class ParallelismSpec extends SparkSpec {
+
+  private val Names = Seq(
+    "q32_dedup_exact", "d01_minhash_lsh", "t07_seq_packing",
+    "d12_sorted_neighborhood", "q49_topk_per_group", "q94_topk_custom",
+    "q99_rendezvous_shard", "t28_length_cdf")
+
+  private def runClean(name: String): Seq[Seq[String]] = {
+    // the dedup suite memoizes its pair/cluster index tables — clear so
+    // each run genuinely recomputes under the active parallelism
+    graft.queries.Dedup.clearClusterMemo()
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq
+  }
+
+  test("results are invariant to shuffle parallelism (4 vs 32)") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    Names.foreach { name =>
+      spark.conf.set(key, "4")
+      val at4 =
+        try runClean(name)
+        finally spark.conf.set(key, prev)
+      val at32 = runClean(name)
+      assert(at4 === at32,
+        s"$name produces different rows at 4 vs 32 shuffle partitions " +
+          s"(${at4.size} vs ${at32.size} rows)")
+      assert(at4.nonEmpty, s"$name returned no rows — invariance check vacuous")
+    }
+  }
+}
