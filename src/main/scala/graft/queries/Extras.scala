@@ -1265,6 +1265,26 @@ object Extras {
         |     stack(2, 'x', 1, 'y', 2) st(k, v)
         |ORDER BY seq_id, pos, k""".stripMargin)
 
+  /** q134: the `IDENTIFIER()` clause (Spark 4, SQL:2023-adjacent) —
+    * injection-SAFE dynamic table/column references: the template query
+    * takes its target table from a session VARIABLE and its grouping
+    * column from a string literal, and both resolve as identifiers, never
+    * as spliced SQL text (the templating surface q108's variables provide
+    * for VALUES, completed for NAMES — together they eliminate string
+    * interpolation from parameterized SQL). Resolution happens at
+    * analysis, so pushdown/pruning see an ordinary plan.
+    */
+  val q134Identifier: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q134")
+    s.sql("DECLARE OR REPLACE VARIABLE tab STRING DEFAULT ''")
+    s.sql("SET VAR tab = 'orders_q134'")
+    s.sql(
+      """SELECT IDENTIFIER('o_orderstatus') AS status, COUNT(1) AS n
+        |FROM IDENTIFIER(tab)
+        |GROUP BY IDENTIFIER('o_orderstatus')
+        |ORDER BY status""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
@@ -1275,6 +1295,7 @@ object Extras {
     "q131_tpch_q3"           -> q131TpchQ3,
     "q132_tpch_q10"          -> q132TpchQ10,
     "q133_tvf_suite"         -> q133TvfSuite,
+    "q134_identifier"        -> q134Identifier,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1328,6 +1349,9 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q134_identifier" ->
+      """SELECT o_orderstatus AS status, COUNT(1) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     "q133_tvf_suite" ->
       """SELECT r.id AS seq_id, p.pos, p.tok, s.k, s.v
         |FROM range(0, 3) r(id),

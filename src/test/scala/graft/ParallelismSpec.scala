@@ -41,4 +41,22 @@ class ParallelismSpec extends SparkSpec {
       assert(at4.nonEmpty, s"$name returned no rows — invariance check vacuous")
     }
   }
+
+  test("results are invariant to AQE on/off") {
+    // AQE re-plans at runtime (coalesced partitions, demoted/promoted join
+    // strategies, skew splits) — none of which may change RESULTS. Same
+    // battery, adaptive toggled instead of the partition count.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    Names.foreach { name =>
+      spark.conf.set(key, "false")
+      val off =
+        try runClean(name)
+        finally spark.conf.set(key, prev)
+      val on = runClean(name)
+      assert(off === on,
+        s"$name produces different rows with AQE off vs on " +
+          s"(${off.size} vs ${on.size} rows)")
+    }
+  }
 }
