@@ -9,6 +9,38 @@ import graft.operators.SkewJoin
   */
 class PartitioningSpec extends SparkSpec {
 
+  test("ANALYZE TABLE feeds the CBO: exact row count in stats, stats-driven broadcast without AQE") {
+    // The cost-based path a long-lived warehouse relies on when AQE's
+    // runtime sizes aren't available (first stage, no shuffle yet):
+    // ANALYZE writes rowCount/sizeInBytes into the catalog, the optimizer
+    // reads them, and a provably-small side broadcasts at PLAN time.
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    spark.sql(s"CREATE TABLE cbo_nation USING parquet LOCATION '$sf/nation.parquet'")
+    try {
+      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+      // rowCount propagates into plan stats only under the CBO flag (the
+      // default size-only estimator ignores it) — turn it on for the pin
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats =
+        try spark.table("cbo_nation").queryExecution.optimizedPlan.stats
+        finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      assert(stats.rowCount.exists(_.toLong === 25L),
+        s"ANALYZE must land the exact row count in catalog stats, got ${stats.rowCount}")
+      // plan-time broadcast decision from catalog stats alone (AQE off)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = Tables.supplier(spark, sf)
+          .join(spark.table("cbo_nation"),
+            col("s_nationkey") === col("n_nationkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"catalog-stats-sized 25-row table must broadcast at plan time:\n$plan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally spark.sql("DROP TABLE IF EXISTS cbo_nation")
+  }
+
   test("salted join equals plain join on a skewed fixture") {
     import spark.implicits._
     // hot key: 10k rows of key=1, plus a uniform tail
