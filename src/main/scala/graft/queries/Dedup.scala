@@ -943,6 +943,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d21: blocking-quality report — the two numbers record-linkage
+    * evaluates ANY blocking scheme by (Christen's survey metrics):
+    * REDUCTION RATIO (how much of the n² comparison space the blocker
+    * avoided) and PAIRS COMPLETENESS (what fraction of true matches the
+    * blocker retained), here scoring d12's sorted-neighborhood window
+    * against d10's exact lev ≤ 1 truth on the same supplier names — the
+    * SNM analogue of d13's LSH precision/recall report. Everything after
+    * the two reused pair builds is metadata-scale: normalized pair sets,
+    * one semi join, four scalar counts.
+    */
+  val d21BlockingQuality: Q = (s, d) => {
+    val truth = d10EditBlocking(s, d)
+      .select(col("id1").as("t1"), col("id2").as("t2"))
+    val cand = d12SortedNeighborhood(s, d)
+      .select(least(col("id1"), col("id2")).as("t1"),
+              greatest(col("id1"), col("id2")).as("t2"))
+      .distinct()
+    val nRec = Tables.supplier(s, d).agg(count(lit(1)).as("n_rec"))
+    val found = cand.join(truth, Seq("t1", "t2"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(found))
+      .crossJoin(broadcast(nRec))
+      .select(col("n_candidates"), col("n_truth"), col("n_found"),
+        expr("n_found * 10000 div greatest(n_truth, 1)").as("completeness_bp"),
+        expr("10000 - n_candidates * 20000 div (n_rec * (n_rec - 1))").as("reduction_bp"))
+  }
+
   /** d15: prefix-filter set-similarity join element/threshold. Word
     * 3-gram shingles (k=2 is d03's; 3 separates this corpus cleanly) and
     * Jaccard >= 0.30.
@@ -1072,6 +1101,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d21_blocking_quality" -> d21BlockingQuality,
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
@@ -1377,6 +1407,29 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "d21_blocking_quality" ->
+      s"""WITH truth AS (
+         |  SELECT a.s_suppkey AS t1, b.s_suppkey AS t2
+         |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+         |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+         |ranked AS (
+         |  SELECT s_suppkey AS id, s_name AS nm,
+         |         CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS rank
+         |  FROM supplier),
+         |cand AS (
+         |  SELECT DISTINCT least(a.id, b.id) AS t1, greatest(a.id, b.id) AS t2
+         |  FROM ranked a JOIN ranked b
+         |    ON b.rank > a.rank AND b.rank - a.rank <= $SnmWindow),
+         |nn AS (SELECT COUNT(1) AS n_rec FROM supplier),
+         |f AS (SELECT COUNT(1) AS n_found FROM cand
+         |      WHERE EXISTS (SELECT 1 FROM truth
+         |                    WHERE truth.t1 = cand.t1 AND truth.t2 = cand.t2)),
+         |c AS (SELECT COUNT(1) AS n_candidates FROM cand),
+         |t AS (SELECT COUNT(1) AS n_truth FROM truth)
+         |SELECT n_candidates, n_truth, n_found,
+         |       CAST(n_found * 10000 // greatest(n_truth, 1) AS BIGINT) AS completeness_bp,
+         |       CAST(10000 - n_candidates * 20000 // (n_rec * (n_rec - 1)) AS BIGINT) AS reduction_bp
+         |FROM c, t, f, nn""".stripMargin,
     "d12_sorted_neighborhood" ->
       s"""WITH ranked AS (
          |  SELECT s_suppkey AS id, s_name AS nm,

@@ -1285,6 +1285,26 @@ object Extras {
         |ORDER BY status""".stripMargin)
   }
 
+  /** q135: cohort retention matrix — the product-analytics staple beside
+    * q104's funnel and q118's transition matrix: users are binned by their
+    * FIRST-activity day (the cohort), and each later day counts how many
+    * of that cohort came back (distinct users at days-since k). Shapes:
+    * per-user min-day (one partial-agg groupBy), join the cohort back
+    * (shuffle on user_id), distinct (cohort, k, user) to collapse
+    * within-day repeats, then a metadata-scale rollup — cohorts × horizon
+    * rows out. Integer day arithmetic both engines share.
+    */
+  val q135CohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("date_trunc('day', ts)").as("m"))
+    val cohort = ev.groupBy("user_id").agg(min(col("m")).as("c0"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("c0"), expr("datediff(m, c0)").as("k"))
+      .distinct()
+      .groupBy("c0", "k").agg(count(lit(1)).as("n_users"))
+      .orderBy("c0", "k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
@@ -1296,6 +1316,7 @@ object Extras {
     "q132_tpch_q10"          -> q132TpchQ10,
     "q133_tvf_suite"         -> q133TvfSuite,
     "q134_identifier"        -> q134Identifier,
+    "q135_cohort_retention"  -> q135CohortRetention,
     "q118_transition_matrix" -> q118TransitionMatrix,
     "q116_calendar_spine"    -> q116CalendarSpine,
     "q115_benford_audit"     -> q115BenfordAudit,
@@ -1349,6 +1370,15 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q135_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS m FROM events),
+        |cohort AS (SELECT user_id, MIN(m) AS c0 FROM ev GROUP BY user_id),
+        |visits AS (
+        |  SELECT DISTINCT ev.user_id, c0,
+        |         date_diff('day', c0, m) AS k
+        |  FROM ev JOIN cohort USING (user_id))
+        |SELECT c0, CAST(k AS INT) AS k, COUNT(1) AS n_users
+        |FROM visits GROUP BY c0, k ORDER BY c0, k""".stripMargin,
     "q134_identifier" ->
       """SELECT o_orderstatus AS status, COUNT(1) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
