@@ -972,6 +972,39 @@ object Dedup {
         expr("10000 - n_candidates * 20000 div (n_rec * (n_rec - 1))").as("reduction_bp"))
   }
 
+  /** t29: quality-decile vs duplication-rate curve — the corpus-science
+    * question behind quality-aware dedup policies (d14/p05 assume
+    * low-quality text duplicates more; this MEASURES it): documents are
+    * placed into global quality deciles (t02's integer score through the
+    * t28 frequency-histogram CDF walk — no corpus sort), flagged as
+    * duplicates iff their d05 cluster has ≥ 2 members, and rolled up to a
+    * 10-row decile × dup-rate curve. Shapes: score histogram (≤ 101 rows)
+    * → prefixSum → broadcast join back; cluster sizes from the shared
+    * memoized cluster table; one final metadata rollup.
+    */
+  val t29QualityDupCurve: Q = (s, d) => {
+    val quality = TextOps.qualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val hist = quality.groupBy("quality").agg(count(lit(1)).as("cnt"))
+    val cum = TextOps.prefixSum(hist, "quality", "cnt", "n_less",
+        includeCurrent = false)
+      .select(col("quality"), col("n_less"))
+    val total = quality.agg(count(lit(1)).as("n_total"))
+    val deciled = quality.join(broadcast(cum), "quality")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("least(9, n_less * 10 div n_total)").as("decile"))
+    val clusters = buildClusterTable(s, d)
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val flagged = clusters.join(sizes, "cluster")
+      .select(col("doc_id"), (col("sz") > 1).as("is_dup"))
+    deciled.join(flagged, "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+      .orderBy("decile")
+  }
+
   /** d15: prefix-filter set-similarity join element/threshold. Word
     * 3-gram shingles (k=2 is d03's; 3 separates this corpus cleanly) and
     * Jaccard >= 0.30.
@@ -1102,6 +1135,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d21_blocking_quality" -> d21BlockingQuality,
+    "t29_quality_dup_curve" -> t29QualityDupCurve,
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
@@ -1407,6 +1441,29 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "t29_quality_dup_curve" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, COUNT(1) AS sz FROM clusters GROUP BY cluster),
+         |flags AS (SELECT doc_id, sz > 1 AS is_dup
+         |          FROM clusters JOIN sizes USING (cluster)),
+         |qual AS (${TextOps.duckQuality}),
+         |h AS (SELECT quality, COUNT(1) AS cnt FROM qual GROUP BY quality),
+         |c AS (SELECT quality,
+         |             CAST(COALESCE(SUM(cnt) OVER (ORDER BY quality
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS BIGINT) AS n_less
+         |      FROM h),
+         |t AS (SELECT COUNT(1) AS n_total FROM qual),
+         |dec AS (SELECT doc_id, least(9, n_less * 10 // n_total) AS decile
+         |        FROM qual JOIN c USING (quality), t)
+         |SELECT CAST(decile AS BIGINT) AS decile, COUNT(1) AS n_docs,
+         |       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |            * 1000000 // COUNT(1) AS BIGINT) AS dup_ppm
+         |FROM dec JOIN flags USING (doc_id)
+         |GROUP BY decile ORDER BY decile""".stripMargin,
     "d21_blocking_quality" ->
       s"""WITH truth AS (
          |  SELECT a.s_suppkey AS t1, b.s_suppkey AS t2
