@@ -972,6 +972,45 @@ object Dedup {
         expr("10000 - n_candidates * 20000 div (n_rec * (n_rec - 1))").as("reduction_bp"))
   }
 
+  /** Banding geometries d22 sweeps: (bands, rowsPerBand), product = 16 so
+    * every config reads the SAME 16-slot signature table. */
+  val BandSweepConfigs = Seq((2, 8), (4, 4), (8, 2))
+
+  /** d22: LSH banding-geometry sweep — the INDEX-TUNING table behind
+    * d01's 4×4 choice: for each (bands b, rows r) with b·r = 16, the
+    * S-curve P(candidate) = 1−(1−s^r)^b trades precision against recall
+    * (more bands → higher recall, more junk candidates; longer rows →
+    * the reverse). d13 scores the deployed config; this scores the
+    * ALTERNATIVES from the same signature table against the same
+    * df-capped exact-Jaccard truth, so re-banding decisions are made from
+    * measured numbers, not the formula. Cost: the signature table is
+    * built once (cached) and each config adds only a band explode + an
+    * equi self-join + metadata counts; truth is built once and
+    * checkpoint-shared.
+    */
+  val d22BandingSweep: Q = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d)).cache()
+    val truth = d03NgramJaccard(s, d).select("d1", "d2").localCheckpoint()
+    val reports = BandSweepConfigs.map { case (nb, rpb) =>
+      val bandKeys = (0 until nb).map { b =>
+        val parts = (0 until rpb).map(r => col(s"s${b * rpb + r}").cast("string"))
+        concat(lit(s"$b:"), concat_ws(",", parts: _*))
+      }
+      val bands = sigs.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("band_key"))
+      val cand = candidatePairsPlan(bands)
+      val tp = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .select(lit(nb).as("bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"), col("n_tp"),
+          expr("n_tp * 10000 div greatest(n_candidates, 1)").as("precision_bp"),
+          expr("n_tp * 10000 div greatest(n_truth, 1)").as("recall_bp"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
   /** t29: quality-decile vs duplication-rate curve — the corpus-science
     * question behind quality-aware dedup policies (d14/p05 assume
     * low-quality text duplicates more; this MEASURES it): documents are
@@ -1135,6 +1174,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d21_blocking_quality" -> d21BlockingQuality,
+    "d22_banding_sweep" -> d22BandingSweep,
     "t29_quality_dup_curve" -> t29QualityDupCurve,
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
@@ -1441,6 +1481,42 @@ object Dedup {
          |  FROM reach GROUP BY node)
          |SELECT cluster AS kept_doc, COUNT(1) AS cluster_size
          |FROM clusters GROUP BY cluster ORDER BY kept_doc""".stripMargin,
+    "d22_banding_sweep" -> {
+      // per-config band + candidate CTEs generated from the SAME loop
+      // shape as the Spark side (duckBandCtes generalized over geometry)
+      def bandsFor(nb: Int, rpb: Int) =
+        s"""b${nb} AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(0, ${nb - 1}), b ->
+           |    concat(CAST(b AS VARCHAR), ':',
+           |           array_to_string(list_transform(list_slice(sigs, b * $rpb + 1, b * $rpb + $rpb),
+           |                                          v -> CAST(v AS VARCHAR)), ',')))) AS band_key
+           |  FROM sigs),
+           |c${nb} AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM b${nb} a JOIN b${nb} b
+           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |r${nb} AS (
+           |  SELECT $nb AS bands, $rpb AS rows_per_band,
+           |         (SELECT COUNT(1) FROM c${nb}) AS n_candidates,
+           |         (SELECT COUNT(1) FROM (SELECT * FROM c${nb}
+           |                                INTERSECT SELECT * FROM truth) x) AS n_tp)""".stripMargin
+      val cfgs = BandSweepConfigs.map { case (nb, rpb) => bandsFor(nb, rpb) }
+        .mkString(",\n")
+      val unioned = BandSweepConfigs.map { case (nb, _) => s"SELECT * FROM r$nb" }
+        .mkString(" UNION ALL ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $duckSig AS sigs FROM documents),
+         |$duckD03Ctes,
+         |truth AS (SELECT d1, d2 FROM ($duckD03Select) t),
+         |$cfgs
+         |SELECT bands, rows_per_band,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_tp AS BIGINT) AS n_tp,
+         |       CAST(n_tp * 10000 // greatest(n_candidates, 1) AS BIGINT) AS precision_bp,
+         |       CAST(n_tp * 10000 // greatest(nt, 1) AS BIGINT) AS recall_bp
+         |FROM ($unioned), (SELECT COUNT(1) AS nt FROM truth) tt
+         |ORDER BY bands""".stripMargin
+    },
     "t29_quality_dup_curve" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
