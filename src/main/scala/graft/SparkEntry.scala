@@ -36,7 +36,9 @@ object SparkEntry {
         "m05_manifest" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m05Manifest(s, d)),
         "m06_phash_neardup" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m06PhashNearDup(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m06PhashNearDup(s, d)),
+        "m07_tier_report" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m07TierReport(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -72,6 +74,24 @@ object SparkEntry {
             |SELECT a.mid AS m1, b.mid AS m2, COUNT(1) AS n_shared
             |FROM c a JOIN c b ON a.h = b.h AND a.mid < b.mid
             |GROUP BY m1, m2 ORDER BY m1, m2""".stripMargin,
+        // m07: same fixed grid + ASCII-substr equivalence + shared chunk
+        // size as m03; hot = chunk hash in ≥ 2 media (dm from the same df
+        // CTE shape as m04's oracle).
+        "m07_tier_report" ->
+          s"""WITH c AS (
+             |  SELECT doc_id AS media_id,
+             |         md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+             |         least(length(text) - s + 1, ${graft.operators.Multimodal.DedupChunkBytes}) AS nb
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(1, length(text), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+             |        FROM documents)),
+             |df AS (SELECT h, COUNT(DISTINCT media_id) AS dm FROM c GROUP BY h)
+             |SELECT media_id, COUNT(1) AS n_chunks,
+             |       CAST(SUM(CASE WHEN dm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_chunks,
+             |       CAST(SUM(CASE WHEN dm >= 2 THEN nb ELSE 0 END) AS BIGINT) AS hot_bytes,
+             |       CAST(SUM(CASE WHEN dm < 2 THEN nb ELSE 0 END) AS BIGINT) AS cold_bytes
+             |FROM c JOIN df USING (h)
+             |GROUP BY media_id ORDER BY media_id""".stripMargin,
         // m05: same fixed grid + ASCII-substr equivalence as m03; the
         // ordered fold is string_agg(h ORDER BY p), Spark's sorted
         // collect_list twin; chunk size interpolated from the shared

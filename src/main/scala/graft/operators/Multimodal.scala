@@ -174,6 +174,38 @@ object Multimodal {
       .orderBy("m1", "m2")
   }
 
+  /** m07: chunk-store TIERING report — the capacity-planning view a
+    * content-addressable media store derives from m03/m05's chunk table:
+    * each chunk slot is HOT if its content hash appears in ≥ 2 media
+    * (stored once, amortized across referrers — the dedup win) or COLD
+    * (unique to its file), and each media file reports its slot count
+    * plus hot/cold byte split — the numbers that size the shared-chunk
+    * cache tier vs the per-file archive tier, and that show per file how
+    * much of it is "common material".
+    *
+    * Scale shapes: m03's footprint exactly — chunk hashes shuffle (one
+    * partial-agg distinct + groupBy over the uniform md5 key), payload
+    * bytes never do; popularity joins back hash-to-hash; the per-media
+    * rollup is a map-side-combinable groupBy on media_id.
+    */
+  def m07TierReport(s: SparkSession, d: String): DataFrame = {
+    val slots = fixtureFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("payload"))
+      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
+      .select(col("media_id"),
+              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
+              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+    val pop = slots.select(col("media_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("dm"))
+    slots.join(pop, "h")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("dm") >= 2, 1L).otherwise(0L)).as("n_hot_chunks"),
+           sum(when(col("dm") >= 2, col("nb").cast("long")).otherwise(0L)).as("hot_bytes"),
+           sum(when(col("dm") < 2, col("nb").cast("long")).otherwise(0L)).as("cold_bytes"))
+      .orderBy("media_id")
+  }
+
   /** m05: content-addressable media MANIFEST — per media the ordered
     * chain of fixed-grid chunk hashes folded into one 56-bit manifest
     * fingerprint (hash of the concatenated chunk-md5 hex strings in

@@ -422,6 +422,102 @@ object Dedup {
       .select("n_nodes", "n_edges", "n_triangles", "max_degree")
   }
 
+  /** p08: train/val/test SPLIT-LEAKAGE audit — the release gate an eval
+    * pipeline runs before shipping a split: docs are assigned
+    * deterministically (hash56(doc_id) % 10 → 8/1/1 train/val/test, q39's
+    * replay-stable discipline), then each holdout split is scored for
+    * (a) EXACT leakage — its text appears verbatim in train — and
+    * (b) NEAR-DUP leakage — it shares a MinHash band with any train doc
+    * (d01's banding as the leak detector, the Lee et al. 2022 finding
+    * that test-set near-dups inflate eval scores). Basis-point rates per
+    * split are the numbers a model card reports.
+    *
+    * Scale shapes: ONE signature/band build over the whole corpus
+    * (bandTableOf — at 100 TB the already-written band table), split
+    * assignment is a map-side hash; exact leakage joins 56-bit text
+    * hashes (never full texts on the wire); near leakage is an equi-join
+    * on band_key against the distinct train band set — d01's bucket-join
+    * shape, never holdout × train.
+    */
+  val p08SplitLeakage: Q = (s, d) => {
+    val hashMod = s"${TextHash.sparkHash56("cast(doc_id as string)")} % 10"
+    val docs = Tables.documents(s, d)
+      .withColumn("split", expr(
+        s"CASE WHEN $hashMod < 8 THEN 'train' WHEN $hashMod = 8 THEN 'val' ELSE 'test' END"))
+    val bands = bandTableOf(docs)
+    val splitOf = docs.select("doc_id", "split")
+    val trainIds = splitOf.filter(col("split") === "train").select("doc_id")
+    val th = expr(TextHash.sparkHash56("text"))
+    val trainTexts = docs.filter(col("split") === "train")
+      .select(th.as("th")).distinct()
+    val exact = docs.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), th.as("th"))
+      .join(trainTexts, "th")
+      .select("split", "doc_id").distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_exact_leak"))
+    val trainBands = bands.join(trainIds, "doc_id").select("band_key").distinct()
+    val near = bands.join(splitOf, "doc_id").filter(col("split") =!= "train")
+      .join(trainBands, "band_key")
+      .select("split", "doc_id").distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_near_leak"))
+    splitOf.filter(col("split") =!= "train")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(exact, Seq("split"), "left").join(near, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_exact_leak"), lit(0L)).as("n_exact_leak"),
+        coalesce(col("n_near_leak"), lit(0L)).as("n_near_leak"),
+        expr("coalesce(n_exact_leak, 0) * 10000 div n_docs").as("exact_bp"),
+        expr("coalesce(n_near_leak, 0) * 10000 div n_docs").as("near_bp"))
+      .orderBy("split")
+  }
+
+  /** d23: per-node LOCAL clustering coefficient over the candidate-pair
+    * graph — d07's global triangle count localized: for each node, its
+    * degree, incident-triangle count, and coefficient 2·T/(deg·(deg−1)) in
+    * ppm. This is the per-document neighborhood-density signal a dedup
+    * pipeline reads to tell template families (coefficient → 1: neighbors
+    * all mutually similar, safe to collapse to one survivor) from chain
+    * artifacts (coefficient → 0: A~B~C but A≁C — collapsing the chain
+    * would merge genuinely distinct documents).
+    *
+    * Same degree-ordered oriented wedge join as d07 (O(E^1.5) wedge
+    * bound), but each closed wedge EMITS its three corners (explode of a
+    * 3-array) into a partial-agg per-node count instead of a global one —
+    * one extra uniform-key shuffle over O(3·triangles) rows. Coefficient
+    * is orientation-invariant, so the id-ordered DuckDB oracle pins every
+    * row; pure integer ppm math.
+    */
+  val d23LocalClustering: Q = (s, d) => {
+    val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
+    val deg = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dg1 = deg.select(col("node").as("d1"), col("deg").as("g1"))
+    val dg2 = deg.select(col("node").as("d2"), col("deg").as("g2"))
+    val k1 = struct(col("g1").as("g"), col("d1").as("n"))
+    val k2 = struct(col("g2").as("g"), col("d2").as("n"))
+    // cache: read three times by the wedge join (d07's discipline)
+    val oriented = pairs.join(dg1, "d1").join(dg2, "d2")
+      .select(
+        when(k1 < k2, col("d1")).otherwise(col("d2")).as("src"),
+        when(k1 < k2, col("d2")).otherwise(col("d1")).as("dst"),
+        when(k1 < k2, k2).otherwise(k1).as("dkey"))
+      .cache()
+    val triPerNode = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1))").as("coeff_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** d08: MinHash-estimated Jaccard for each candidate pair — the cheap
     * similarity SCORE a dedup pipeline uses to rank/threshold candidates
     * before any exact verification: the fraction of agreeing signature
@@ -1173,6 +1269,8 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d23_local_clustering" -> d23LocalClustering,
+    "p08_split_leakage" -> p08SplitLeakage,
     "d21_blocking_quality" -> d21BlockingQuality,
     "d22_banding_sweep" -> d22BandingSweep,
     "t29_quality_dup_curve" -> t29QualityDupCurve,
@@ -1391,6 +1489,58 @@ object Dedup {
          |$duckLpaIters
          |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS lpa3
          |FROM l3 ORDER BY doc_id""".stripMargin,
+    // p08: split assignment inlined, bands CTE shared with d01's oracle;
+    // leakage joins spelled on the same hashes as the Spark side.
+    "p08_split_leakage" -> {
+      val hm = s"${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} % 10"
+      s"""WITH $duckBandCtes,
+         |docs AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN $hm < 8 THEN 'train'
+         |              WHEN $hm = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |tt AS (SELECT DISTINCT ${TextHash.duckHash56("text")} AS th
+         |       FROM docs WHERE split = 'train'),
+         |ex AS (SELECT d.split, COUNT(DISTINCT d.doc_id) AS n_exact_leak
+         |       FROM docs d JOIN tt ON ${TextHash.duckHash56("d.text")} = tt.th
+         |       WHERE d.split <> 'train' GROUP BY d.split),
+         |tb AS (SELECT DISTINCT b.band_key
+         |       FROM bands b JOIN docs t ON t.doc_id = b.doc_id AND t.split = 'train'),
+         |nr AS (SELECT d.split, COUNT(DISTINCT b.doc_id) AS n_near_leak
+         |       FROM bands b
+         |       JOIN docs d ON d.doc_id = b.doc_id AND d.split <> 'train'
+         |       JOIN tb ON tb.band_key = b.band_key
+         |       GROUP BY d.split),
+         |sz AS (SELECT split, COUNT(1) AS n_docs FROM docs
+         |       WHERE split <> 'train' GROUP BY split)
+         |SELECT sz.split AS split, n_docs,
+         |       COALESCE(n_exact_leak, CAST(0 AS BIGINT)) AS n_exact_leak,
+         |       COALESCE(n_near_leak, CAST(0 AS BIGINT)) AS n_near_leak,
+         |       COALESCE(n_exact_leak, 0) * 10000 // n_docs AS exact_bp,
+         |       COALESCE(n_near_leak, 0) * 10000 // n_docs AS near_bp
+         |FROM sz LEFT JOIN ex ON ex.split = sz.split
+         |        LEFT JOIN nr ON nr.split = sz.split
+         |ORDER BY split""".stripMargin
+    },
+    // d23: id-ordered triangle enumeration (a<b<c) — the coefficient is
+    // orientation-invariant, so it pins the degree-ordered Spark plan.
+    "d23_local_clustering" ->
+      s"""WITH $duckBandCtes,
+         |e AS ($duckPairSelect),
+         |deg AS (SELECT node, COUNT(1) AS deg FROM (
+         |          SELECT d1 AS node FROM e UNION ALL SELECT d2 AS node FROM e) u
+         |        GROUP BY node),
+         |tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+         |        FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+         |                  JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+         |inc AS (SELECT unnest([a, b, c]) AS node FROM tri),
+         |nt AS (SELECT node, COUNT(1) AS n_tri FROM inc GROUP BY node)
+         |SELECT deg.node AS doc_id, deg,
+         |       COALESCE(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+         |       COALESCE(n_tri, 0) * 2000000 // (deg * (deg - 1)) AS coeff_ppm
+         |FROM deg LEFT JOIN nt USING (node)
+         |WHERE deg >= 2
+         |ORDER BY doc_id""".stripMargin,
     "d09_pagerank" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect),

@@ -1305,7 +1305,31 @@ object Extras {
       .orderBy("c0", "k")
   }
 
+  /** q136: EXECUTE IMMEDIATE — Spark 4's dynamic-SQL surface (the third
+    * leg of the parameterized-SQL triad: q108 binds VALUES via session
+    * variables, q134 binds NAMES via IDENTIFIER, q136 binds a WHOLE
+    * STATEMENT held in a string). The statement text lives in a session
+    * variable, carries a named parameter marker (`:minbal`), and executes
+    * with `USING` supplying the binding — the safe replacement for string
+    * interpolation when the query itself is data (rule engines, saved
+    * reports, scheduled jobs). The dynamic text parses to an ordinary
+    * analyzed plan, so pushdown/pruning/codegen are unaffected — pinned by
+    * the plain statically-spelled oracle.
+    */
+  val q136ExecuteImmediate: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("cust_q136")
+    s.sql("DECLARE OR REPLACE VARIABLE q136_stmt STRING DEFAULT ''")
+    s.sql(
+      """SET VAR q136_stmt =
+        |  'SELECT c_mktsegment, COUNT(1) AS n_custs,
+        |          CAST(SUM(FLOOR(c_acctbal * 100)) AS BIGINT) AS bal_cents
+        |   FROM cust_q136 WHERE c_acctbal > :minbal
+        |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
+    s.sql("EXECUTE IMMEDIATE q136_stmt USING 1000 AS minbal")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_execute_immediate" -> q136ExecuteImmediate,
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
     "q125_incremental_mv"    -> q125IncrementalMv,
@@ -1370,6 +1394,13 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    // q136: the dynamic statement, spelled statically with the binding
+    // inlined — EXECUTE IMMEDIATE must change nothing but the plumbing.
+    "q136_execute_immediate" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_custs,
+        |       CAST(SUM(FLOOR(c_acctbal * 100)) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_acctbal > 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q135_cohort_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS m FROM events),
         |cohort AS (SELECT user_id, MIN(m) AS c0 FROM ev GROUP BY user_id),

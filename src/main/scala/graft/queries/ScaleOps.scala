@@ -493,6 +493,56 @@ object ScaleOps {
         expr("abs(est_f2 - exact_f2) * 10000 div exact_f2").as("err_bp"))
   }
 
+  // ---------------------------------------------------------------- x11
+
+  /** Shard fan-out for x11's merge leg (stands in for per-executor /
+    * per-file sketches at scale). */
+  val BitmapShards = 8
+
+  /** x11: EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    * `bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`) — the
+    * materialized-rollup alternative to both `countDistinct` (exact but
+    * re-shuffles raw keys on every query) and HLL (mergeable but
+    * approximate): per (group, 32 Ki-key bucket) the keys collapse to ONE
+    * 4 KiB bitmap in a single partial agg, bitmaps OR-merge associatively,
+    * and `bitmap_count` recovers the EXACT distinct count. This is the
+    * warehouse pattern for incremental distinct-count rollups (per-shard /
+    * per-day bitmaps merged at read time, never re-touching the fact
+    * rows).
+    *
+    * Two legs, both exact and both pinned by a plain COUNT(DISTINCT)
+    * oracle: (1) direct two-level rollup — groupBy (status, bucket) →
+    * bitmap → Σ bitmap_count; (2) shard-then-merge — per (status, shard,
+    * bucket) bitmaps OR-merged across shards first (the per-executor →
+    * coordinator contract), proving merge loses nothing. Every shuffle
+    * carries O(groups × buckets) bitmap rows, never raw keys; countDistinct
+    * rides along as in-query self-evidence.
+    */
+  val x11BitmapDistinct: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val direct = o
+      .groupBy(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy("o_orderstatus")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_bitmap"))
+    val merged = o
+      .groupBy(col("o_orderstatus"),
+        expr(s"pmod(o_orderkey, $BitmapShards)").as("shard"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy(col("o_orderstatus"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("o_orderstatus")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_merged"))
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    direct.join(merged, "o_orderstatus").join(exact, "o_orderstatus")
+      .select("o_orderstatus", "n_bitmap", "n_merged", "n_exact")
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -697,6 +747,7 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
+    "x11_bitmap_distinct"  -> x11BitmapDistinct,
     "x10_cms_join_size"    -> x10CmsJoinSize,
     "q129_range_join_auto" -> q129RangeJoinAuto,
     "q130_interval_join_auto" -> q130IntervalJoinAuto,
@@ -727,6 +778,14 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x11 is EXACT (bitmaps are a lossless distinct-set representation),
+    // so all three legs pin against the one plain spelling.
+    "x11_bitmap_distinct" ->
+      """SELECT o_orderstatus,
+        |       COUNT(DISTINCT o_custkey) AS n_bitmap,
+        |       COUNT(DISTINCT o_custkey) AS n_merged,
+        |       COUNT(DISTINCT o_custkey) AS n_exact
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x09_kmv_setops" -> {
       val ha = TextHash.duckHash56("CAST(o_custkey AS VARCHAR)")
       val hb = TextHash.duckHash56("CAST(c_custkey AS VARCHAR)")

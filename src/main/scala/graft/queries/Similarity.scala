@@ -316,6 +316,115 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** Number of seeds n16's farthest-first traversal picks. */
+  val KcenterSeeds = 4
+
+  /** n16: deterministic k-center seeding — Gonzalez's farthest-first
+    * traversal (the 2-approximation for k-center, and the deterministic
+    * seeding an IVF/k-means index build wants instead of random init):
+    * start from vec_id 0, then repeatedly pick the point FARTHEST from the
+    * already-chosen set (exact integer L2² on quantized vectors, ties to
+    * the lowest id). Emits each seed with its distance-to-predecessors —
+    * the covering-radius sequence, i.e. the index designer's read on how
+    * many lists the corpus geometry actually needs (a sharp drop at k
+    * means k lists suffice).
+    *
+    * Scale shapes per round: the chosen set (≤ k rows) broadcasts; min
+    * distance per point is a map-side fold over that broadcast + one
+    * partial-agg groupBy; the argmax is `max_by` over a metadata-scale
+    * table (never a global sort); the next seed's vector comes back via a
+    * broadcast point-lookup join. k rounds = k linear scans of the cached
+    * corpus — the textbook cost of farthest-first — with per-round
+    * localCheckpoint keeping the 4-row chosen table's lineage flat.
+    */
+  val n16KcenterSeed: Q = (s, d) => {
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    var chosen = v.filter(col("vec_id") === 0)
+      .select(lit(1).as("seed_rank"), col("vec_id"), col("q"), col("nrm"),
+        lit(0L).as("dist2"))
+      .localCheckpoint()
+    for (k <- 2 to KcenterSeeds) {
+      val c = chosen.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("nrm").as("cnrm"))
+      val md = v.crossJoin(broadcast(c))
+        .withColumn("d2", expr(s"nrm + cnrm - 2 * ${dot("q", "cq")}"))
+        .groupBy("vec_id").agg(min(col("d2")).as("md"))
+      val pick = md
+        .agg(expr("max_by(struct(vec_id, md), struct(md, -vec_id))").as("p"))
+        .select(col("p.vec_id").as("vec_id"), col("p.md").as("dist2"))
+      chosen = chosen.unionByName(
+          v.join(broadcast(pick), "vec_id")
+            .select(lit(k).as("seed_rank"), col("vec_id"), col("q"),
+              col("nrm"), col("dist2")))
+        .localCheckpoint()
+    }
+    chosen.select("seed_rank", "vec_id", "dist2").orderBy("seed_rank")
+  }
+
+  /** n17 capacity slack: a list may hold up to 11/10 of the mean size
+    * before it sheds members (numerator/denominator kept integer so the
+    * cap is engine-exact).
+    */
+  val RebalanceNum = 11
+  val RebalanceDen = 10
+
+  /** n17: IVF list rebalancing — the index-MAINTENANCE pass that keeps
+    * n02's probe cost predictable: skewed assignment makes hot lists (and
+    * probing a hot list costs its size, n03 measures exactly that skew),
+    * so lists above [[RebalanceNum]]/[[RebalanceDen]] of the mean shed
+    * their WEAKEST members (lowest cosine affinity, the ones the centroid
+    * represents worst) to each member's SECOND-nearest centroid. One
+    * round, deterministic, reported as the per-list migration matrix
+    * (before / out / in / after) an index operator reviews before
+    * committing the move.
+    *
+    * Scale shapes: centroids broadcast (16 rows); best + second-best per
+    * vector from one scored pass via a per-VECTOR window (16 rows per
+    * partition key — bounded); the within-list affinity rank is a
+    * per-LIST window — state bounded by the largest list; a 100 TB build
+    * with multi-GB lists would swap that one window for the
+    * range-partitioned keyed prefix-sum rank (d12's discipline), same
+    * semantics. Totals ride a broadcast one-row cross join, outputs are
+    * NumCentroids rows.
+    */
+  val n17IvfRebalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    val cents = v.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
+      .select("vec_id", "cid", "ccos")
+    val wv = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 2).cache()
+    val best = ranked.filter(col("rn") === 1).select("vec_id", "cid", "ccos")
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("cid").as("cid2"))
+    val tot = best.agg(count(lit(1)).as("n_total"))
+    val wl = Window.partitionBy("cid").orderBy(col("ccos").desc, col("vec_id").asc)
+    val withCap = best.withColumn("kr", row_number().over(wl))
+      .crossJoin(broadcast(tot))
+      .withColumn("cap",
+        expr(s"($RebalanceNum * n_total) div ($RebalanceDen * $NumCentroids)"))
+    val moved = withCap.filter(col("kr") > col("cap"))
+      .join(second, "vec_id")
+      .select(col("vec_id"), col("cid").as("ocid"), col("cid2").as("fcid"))
+    val before = best.groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val out = moved.groupBy("ocid").agg(count(lit(1)).as("n_out"))
+      .withColumnRenamed("ocid", "cid")
+    val in_ = moved.groupBy("fcid").agg(count(lit(1)).as("n_in"))
+      .withColumnRenamed("fcid", "cid")
+    before.join(out, Seq("cid"), "left").join(in_, Seq("cid"), "left")
+      .select(col("cid"), col("n_before"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        (col("n_before") - coalesce(col("n_out"), lit(0L))
+          + coalesce(col("n_in"), lit(0L))).as("n_after"))
+      .orderBy("cid")
+  }
+
   /** n05: centroid update — the k-means M-step over the IVF assignment:
     * per (list, dimension) the member count and the exact integer sum of
     * the quantized coordinate (the new centroid is sum_q/n, a division the
@@ -666,6 +775,8 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "n16_kcenter_seed"   -> n16KcenterSeed,
+    "n17_ivf_rebalance"  -> n17IvfRebalance,
     "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
@@ -710,7 +821,67 @@ object Similarity {
        |                                 ORDER BY ccos DESC, cid ASC) AS rn
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
 
+  /** n16 oracle round k: min-dist to chosen set ch{k-1}, argmax pick (md
+    * DESC, id ASC — max_by's tie-break), vector lookback, chosen-set
+    * append. The same unrolled-iteration discipline as the d09/d17 oracle
+    * chains.
+    */
+  private def duckKcenterRound(k: Int): String = {
+    val prev = if (k == 2) "ch1" else s"ch${k - 1}"
+    s"""m$k AS (
+       |  SELECT a.vec_id,
+       |         MIN(a.nrm + c.nrm - 2 * ${duckDot("a.q", "c.q")}) AS md
+       |  FROM prepn a CROSS JOIN $prev c GROUP BY a.vec_id),
+       |p$k AS (SELECT vec_id, md FROM m$k ORDER BY md DESC, vec_id LIMIT 1),
+       |c$k AS (SELECT n.vec_id, n.q, n.nrm FROM prepn n JOIN p$k USING (vec_id)),
+       |ch$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM c$k)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // n17: windows spelled sequentially (row_number) — ccos doubles are
+    // IEEE-identical, ties broken (ccos desc, id asc) on both sides.
+    "n17_ivf_rebalance" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+         |          FROM prepn WHERE vec_id < $NumCentroids),
+         |scored AS (
+         |  SELECT v.vec_id, c.cid,
+         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+         |  FROM prepn v CROSS JOIN cents c),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY ccos DESC, cid ASC) AS rn
+         |       FROM scored),
+         |best AS (SELECT vec_id, cid, ccos FROM rk WHERE rn = 1),
+         |sec AS (SELECT vec_id, cid AS cid2 FROM rk WHERE rn = 2),
+         |tot AS (SELECT COUNT(1) AS n_total FROM best),
+         |wc AS (SELECT b.vec_id, b.cid, b.ccos,
+         |              row_number() OVER (PARTITION BY b.cid
+         |                                 ORDER BY b.ccos DESC, b.vec_id ASC) AS kr,
+         |              ($RebalanceNum * n_total) // ($RebalanceDen * $NumCentroids) AS cap
+         |       FROM best b CROSS JOIN tot),
+         |mv AS (SELECT w.vec_id, w.cid AS ocid, s.cid2 AS fcid
+         |       FROM wc w JOIN sec s USING (vec_id) WHERE kr > cap),
+         |bf AS (SELECT cid, COUNT(1) AS n_before FROM best GROUP BY cid),
+         |oo AS (SELECT ocid AS cid, COUNT(1) AS n_out FROM mv GROUP BY ocid),
+         |ii AS (SELECT fcid AS cid, COUNT(1) AS n_in FROM mv GROUP BY fcid)
+         |SELECT bf.cid, n_before,
+         |       COALESCE(n_out, CAST(0 AS BIGINT)) AS n_out,
+         |       COALESCE(n_in, CAST(0 AS BIGINT)) AS n_in,
+         |       n_before - COALESCE(n_out, 0) + COALESCE(n_in, 0) AS n_after
+         |FROM bf LEFT JOIN oo USING (cid) LEFT JOIN ii USING (cid)
+         |ORDER BY cid""".stripMargin,
+    "n16_kcenter_seed" -> {
+      val rounds = (2 to KcenterSeeds).map(duckKcenterRound).mkString(",\n")
+      val legs = (2 to KcenterSeeds).map(k =>
+        s"UNION ALL SELECT $k, vec_id, md FROM p$k").mkString("\n")
+      s"""WITH $duckPrep,
+         |ch1 AS (SELECT vec_id, q, nrm FROM prepn WHERE vec_id = 0),
+         |$rounds
+         |SELECT 1 AS seed_rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM ch1
+         |$legs
+         |ORDER BY seed_rank""".stripMargin
+    },
     "n13_mutual_knn" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

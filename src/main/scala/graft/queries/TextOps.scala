@@ -535,6 +535,81 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t30: duplicated-span REMOVAL — completes t14's contract: t14 only
+    * *detects* duplicated 60-char windows; t30 merges each document's
+    * flagged windows into maximal spans (classic interval merging: a span
+    * opens a new island exactly when its start clears the running max of
+    * previous ends) and re-emits the CLEANED document — retained-segment
+    * stitching, with span/char-removal audit columns — the actual
+    * ExactSubstr deletion step of Lee et al. 2022.
+    *
+    * Scale shapes: window hashing and recurrence are t14's (both shuffles
+    * key on the uniform 56-bit hash); interval merging and stitching are
+    * windows/aggregations PARTITIONED BY doc_id — state bounded by one
+    * document's span count, never corpus-scale; docs with no duplicated
+    * span bypass reconstruction entirely via a LEFT ANTI join (at 100 TB
+    * that's most of the corpus — they are never re-stitched, just
+    * re-emitted).
+    */
+  val t30SpanRemoval: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val w = docs
+      .withColumn("p", explode(expr(
+        s"sequence(1, greatest(1, length(text) - ${SubstrWindow - 1}), $SubstrStride)")))
+      .select(col("doc_id"), col("p"), col("len"),
+        expr(TextHash.sparkHash56(s"substring(text, p, $SubstrWindow)")).as("h"))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    val spans = w.join(dup, "h")
+      .select(col("doc_id"), col("p").as("ss"),
+        least(col("p") + lit(SubstrWindow), col("len") + lit(1)).as("se"))
+    val ord = Window.partitionBy("doc_id").orderBy("ss")
+    val merged = spans
+      .withColumn("prev_max",
+        max(col("se")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max").isNull || col("ss") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("ss")).as("ss"), max(col("se")).as("se"))
+    // kept segments: the gap before each merged span + the tail after the
+    // last one (gs < ss strictly inside a doc — islands are separated by
+    // construction; zero-length tails stitch as '')
+    val gaps = merged
+      .select(col("doc_id"),
+        lag(col("se"), 1, 1).over(ord).as("gs"), col("ss").as("ge"))
+    val tails = merged.groupBy("doc_id").agg(max(col("se")).as("gs"))
+      .join(docs.select("doc_id", "len"), "doc_id")
+      .select(col("doc_id"), col("gs"), (col("len") + lit(1)).as("ge"))
+    val cleanedSpanned = gaps.unionByName(tails)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("substring(text, gs, ge - gs)").as("seg"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("gs"), col("seg"))).as("segs"))
+      .select(col("doc_id"),
+        expr("array_join(transform(array_sort(segs), x -> x.seg), '')").as("cleaned"))
+    val stats = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum((col("se") - col("ss")).cast("bigint")).as("chars_removed"))
+    val spanned = cleanedSpanned.join(stats, "doc_id")
+      .select("doc_id", "n_spans", "chars_removed", "cleaned")
+    val untouched = docs
+      .join(merged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_spans"), lit(0L).as("chars_removed"),
+        col("text").as("cleaned"))
+    spanned.unionByName(untouched)
+      .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+        length(col("cleaned")).as("clean_len"),
+        expr(TextHash.sparkHash56("cleaned")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** p02: corpus mixture report — per (lang, source) document/token counts
     * and each cell's share of the total token budget in basis points. This
     * is the planning table a data-mixing pipeline reads before sampling
@@ -1020,6 +1095,7 @@ object TextOps {
     "t18_quality_model"   -> t18QualityModel,
     "t15_pii_redact"      -> t15PiiRedact,
     "t14_substring_dedup" -> t14SubstringDedup,
+    "t30_span_removal"    -> t30SpanRemoval,
     "p02_mixture_report"  -> p02MixtureReport,
     "t11_weighted_sample" -> t11WeightedSample,
     "t12_chunk_sliding"   -> t12ChunkSliding,
@@ -1307,6 +1383,57 @@ object TextOps {
          |SELECT doc_id, COUNT(1) AS n_windows, COUNT(dh) AS n_dup_windows
          |FROM w LEFT JOIN dup ON w.h = dup.dh
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t30_span_removal" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(p AS INT) AS p, len,
+         |         ${TextHash.duckHash56(s"substr(text, CAST(p AS INT), $SubstrWindow)")} AS h
+         |  FROM (
+         |    SELECT doc_id, text, len(text) AS len,
+         |           unnest(generate_series(1, greatest(1, len(text) - ${SubstrWindow - 1}),
+         |                                  $SubstrStride)) AS p
+         |    FROM documents)),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |sp AS (SELECT doc_id, p AS ss, least(p + $SubstrWindow, len + 1) AS se
+         |       FROM w WHERE h IN (SELECT h FROM dup)),
+         |isl AS (
+         |  SELECT doc_id, ss, se,
+         |         SUM(CASE WHEN prev_max IS NULL OR ss > prev_max THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY ss
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM (SELECT doc_id, ss, se,
+         |               MAX(se) OVER (PARTITION BY doc_id ORDER BY ss
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |                 AS prev_max
+         |        FROM sp) t),
+         |m AS (SELECT doc_id, MIN(ss) AS ss, MAX(se) AS se
+         |      FROM isl GROUP BY doc_id, island),
+         |gaps AS (
+         |  SELECT doc_id,
+         |         COALESCE(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS gs,
+         |         ss AS ge
+         |  FROM m),
+         |tl AS (SELECT m.doc_id, MAX(m.se) AS gs, len(dd.text) + 1 AS ge
+         |       FROM m JOIN documents dd ON dd.doc_id = m.doc_id
+         |       GROUP BY m.doc_id, len(dd.text)),
+         |segs AS (SELECT doc_id, gs, ge FROM gaps
+         |         UNION ALL SELECT doc_id, gs, ge FROM tl),
+         |cl AS (SELECT s.doc_id,
+         |              string_agg(substr(dd.text, s.gs, s.ge - s.gs), '' ORDER BY s.gs)
+         |                AS cleaned
+         |       FROM segs s JOIN documents dd USING (doc_id) GROUP BY s.doc_id),
+         |st AS (SELECT doc_id, COUNT(1) AS n_spans,
+         |              CAST(SUM(se - ss) AS BIGINT) AS chars_removed
+         |       FROM m GROUP BY doc_id),
+         |res AS (
+         |  SELECT c.doc_id, n_spans, chars_removed, cleaned
+         |  FROM cl c JOIN st USING (doc_id)
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), d.text
+         |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM m))
+         |SELECT doc_id, n_spans, chars_removed,
+         |       CAST(length(cleaned) AS INT) AS clean_len,
+         |       ${TextHash.duckHash56("cleaned")} AS clean_hash
+         |FROM res ORDER BY doc_id""".stripMargin,
     "p02_mixture_report" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(1) AS n_docs,

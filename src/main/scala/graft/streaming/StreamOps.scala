@@ -174,6 +174,26 @@ object StreamOps {
         |e_ts <= p_ts""".stripMargin), "inner")
   }
 
+  /** s25: stream-stream LEFT SEMI interval join — "purchases preceded by
+    * at least one error from the same user within 10 minutes", emitted
+    * ONCE per purchase no matter how many errors matched (the
+    * existence-test streaming shape: s06's inner join would fan out one
+    * row per matching error — wrong cardinality for an alerting/flagging
+    * consumer). Same dual-watermark + time-bound condition as s06: the
+    * bound is what lets Spark expire semi-join state, and the semi form
+    * additionally drops a left row from state the moment its first match
+    * arrives — strictly LESS state than inner at 100 TB.
+    */
+  def s25StreamSemiJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
+        |e_ts <= p_ts""".stripMargin), "left_semi")
+  }
+
   /** s07: stream-static join — the streaming side enriched against a
     * static dimension table (the lookup-table pattern). Stateless: each
     * micro-batch joins against the static plan; a broadcast hint keeps the

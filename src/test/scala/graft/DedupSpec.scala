@@ -120,6 +120,42 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("t30 span removal merges overlapping dup windows and stitches the remainder") {
+    // 100-char shared prefix: windows p=1,21,41 (60-char, stride 20) sit
+    // fully inside it on BOTH docs at the same offsets → cross-doc dups;
+    // p=61 reaches into the distinct tails and must not flag. The three
+    // spans [1,61)∪[21,81)∪[41,101) merge to ONE island [1,101).
+    val shared = ("shared prefix block " * 5).take(100)
+    val a = shared + " unique continuation alpha alpha alpha"
+    val b = shared + " entirely different ending beta beta"
+    val c = "completely unrelated text that stays untouched by span removal here"
+    val dir = docsDir(Seq(a, b, c))
+    val rows = TextOps.t30SpanRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(1) === 1L, "spans must merge to one island")
+    assert(rows(0L).getLong(2) === 100L, "the whole shared prefix is removed")
+    assert(rows(0L).getInt(3) === a.length - 100)
+    assert(rows(1L).getLong(2) === 100L)
+    assert(rows(1L).getInt(3) === b.length - 100)
+    // untouched doc: zero spans, full length survives
+    assert(rows(2L).getLong(1) === 0L && rows(2L).getLong(2) === 0L)
+    assert(rows(2L).getInt(3) === c.length)
+  }
+
+  test("d23 local clustering: a planted 3-clique scores coefficient 1.0") {
+    // three byte-identical docs share every band → all 3 pairs are
+    // candidates → each node has deg 2, sits in 1 triangle, coefficient
+    // 2·1/(2·1) = 1 (ppm 1e6); the distinct doc has no edges and no row.
+    val dir = docsDir(Seq(base, base, base, distinct1))
+    val rows = Dedup.d23LocalClustering(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    rows.values.foreach { case (deg, tri, ppm) =>
+      assert(deg === 2L && tri === 1L && ppm === 1000000L)
+    }
+  }
+
   test("d08 estimate: planted near-dup scores high, agree16 within [0,16]") {
     val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
     val rows = Dedup.d08MinhashEst(spark, dir).collect()

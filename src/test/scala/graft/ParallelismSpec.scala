@@ -15,7 +15,12 @@ class ParallelismSpec extends SparkSpec {
   private val Names = Seq(
     "q32_dedup_exact", "d01_minhash_lsh", "t07_seq_packing",
     "d12_sorted_neighborhood", "q49_topk_per_group", "q94_topk_custom",
-    "q99_rendezvous_shard", "t28_length_cdf")
+    "q99_rendezvous_shard", "t28_length_cdf",
+    // round-6 additions whose determinism depends on explicit ordering
+    // devices: t30 stitches segments via array_sort over collect_list
+    // (collect order itself is partition-dependent), n17 ranks via
+    // tie-broken windows, n16 argmaxes via struct max_by.
+    "t30_span_removal", "n17_ivf_rebalance", "n16_kcenter_seed")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so

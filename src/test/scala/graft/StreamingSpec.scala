@@ -463,6 +463,33 @@ class StreamingSpec extends SparkSpec {
     assert(joined === Set((1L, 100L), (2L, 101L)), s"got $joined")
   }
 
+  test("s25 left-semi stream-stream join emits each purchase once regardless of match count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pmem = MemoryStream[(Timestamp, Long, Long)]
+    val emem = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamOps.s25StreamSemiJoin(
+        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
+        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+      .writeStream.format("memory").queryName("s25_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7: TWO errors (@5, @8) inside purchase@10's window — the semi
+    // join must emit p_id 1 exactly once (s06's inner join would emit it
+    // twice); error@30 pairs purchase@40; user 8 error-only and user 9
+    // purchase-only must not emit.
+    emem.addData((ts(5), 7L, 100L), (ts(8), 7L, 103L), (ts(30), 7L, 101L),
+                 (ts(5), 8L, 102L))
+    pmem.addData((ts(10), 7L, 1L), (ts(40), 7L, 2L), (ts(10), 9L, 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("s25_out").select("p_id").collect()
+      .map(_.getLong(0)).toList.sorted
+    assert(rows === List(1L, 2L), s"got $rows")
+    // semi output carries ONLY the left side's columns
+    assert(spark.table("s25_out").columns.toSet === Set("p_ts", "p_user", "p_id"))
+  }
+
   test("s09 left-outer stream-stream join: unmatched rows emit null-padded only after the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
