@@ -316,7 +316,10 @@ object Dedup {
   }
 
   /** Materialized cluster table (doc_id, cluster) — built by d05, READ by
-    * d06, exactly the "one shared, checkpointed cluster table both queries
+    * d06/d14/p03/p05/t29/t31 (every downstream consumer takes
+    * `getOrElseUpdate`, so across a whole verify/bench run the expensive
+    * contraction executes exactly once — the written-table contract),
+    * exactly the "one shared, checkpointed cluster table both queries
     * read" shape of the round-2 verdict. At 100 TB this memo is a written
     * `clusters` parquet table the downstream survivor/filter jobs scan;
     * in-JVM it is a localCheckpointed DataFrame keyed by (session, dir).
@@ -582,7 +585,15 @@ object Dedup {
     * no driver state). The oracle replays the identical rounds as
     * unrolled CTEs, so every intermediate label is integer-pinned.
     */
-  val d17LabelProp: Q = (s, d) => {
+  val d17LabelProp: Q = (s, d) =>
+    lpaLabels(s, d)
+      .select(col("node").as("doc_id"), col("lbl").as("lpa3"))
+      .orderBy("doc_id")
+
+  /** The 3-round synchronous LPA label table (node, lbl) — d17's loop,
+    * factored so d24 can score the labels against d05's components.
+    */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = pairsTable(s, d)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -599,8 +610,52 @@ object Dedup {
         .join(adopted.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("lpa3"))
-      .orderBy("doc_id")
+    labels
+  }
+
+  /** d24: community-refinement report — where LABEL PROPAGATION (d17)
+    * splits what CONNECTED COMPONENTS (d05) merges. Every candidate edge
+    * lies inside one component by construction, so the interesting signal
+    * is the edges LPA labels DISAGREE on: per multi-doc cluster, its
+    * size, how many LPA communities it fragments into, and how many of
+    * its edges are BRIDGES (endpoints in different communities). A
+    * cluster with many communities and few bridges is chain-shaped —
+    * exactly the structure d23's low clustering coefficient flags — and
+    * is the cluster a dedup operator reviews before collapsing to one
+    * survivor (CC would over-merge; the bridge edges are where to cut).
+    *
+    * Caveat the report surfaces honestly: SYNCHRONOUS LPA oscillates on
+    * even cycles (Raghavan et al. §3), so an isolated 2-clique lands with
+    * its two labels swapped after an odd round count and reads as 2
+    * communities / 1 bridge — the report is a deterministic property of
+    * d17's synchronous variant, and the structural signal is in how
+    * larger clusters fragment (e.g. a triangle stabilizes to 1 community,
+    * 0 bridges).
+    *
+    * Scale shapes: both label tables are reused builds (memoized cluster
+    * table; pair-table-driven LPA rounds); the scoring is one doc_id
+    * join + one pair join against the (doc → cluster, lpa) map + two
+    * partial-agg groupBys over O(clusters) keys.
+    */
+  val d24CommunityRefinement: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val m = clusters
+      .join(lpaLabels(s, d), clusters("doc_id") === col("node"))
+      .select(col("doc_id"), col("cluster"), col("lbl").as("lpa"))
+      .cache()
+    val agg = m.groupBy("cluster")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("lpa")).as("n_communities"))
+    val m1 = m.select(col("doc_id").as("d1"), col("cluster"), col("lpa").as("lpa1"))
+    val m2 = m.select(col("doc_id").as("d2"), col("lpa").as("lpa2"))
+    val bridges = pairsTable(s, d)
+      .join(m1, "d1").join(m2, "d2")
+      .filter(col("lpa1") =!= col("lpa2"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_bridges"))
+    agg.filter(col("sz") >= 2)
+      .join(bridges, Seq("cluster"), "left")
+      .select(col("cluster"), col("sz"), col("n_communities"),
+        coalesce(col("n_bridges"), lit(0L)).as("n_bridges"))
+      .orderBy("cluster")
   }
 
   /** d18: cross-source corpus overlap — the corpus-level view the
@@ -806,7 +861,7 @@ object Dedup {
     val exactMin = docs.groupBy("text").agg(min("doc_id").as("tmin"))
     val st1 = docs.join(exactMin, "text")
       .select(col("doc_id"), (col("doc_id") =!= col("tmin")).as("exact_dup"))
-    val clusters = buildClusterTable(s, d)
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
     val surv = clusters.filter(col("doc_id") === col("cluster"))
       .select(col("doc_id").as("sid"))
     val sa = Similarity.ivfAssigned(s, d)
@@ -971,7 +1026,7 @@ object Dedup {
     * collapses almost everything).
     */
   val d14QualitySurvivors: Q = (s, d) => {
-    val clusters = buildClusterTable(s, d)
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
     val quality = TextOps.qualityCols(Tables.documents(s, d))
       .select(col("doc_id"), col("quality"))
     clusters.join(quality, "doc_id")
@@ -1011,7 +1066,7 @@ object Dedup {
     // re-join the documents table.
     val feats = TextOps.qualityCols(TextOps.gopherCols(docs))
       .select(col("doc_id"), col("keep"), col("quality"), col("n_tokens"))
-    val clusters = buildClusterTable(s, d)
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
     // Cached: `membered` feeds survivor election AND status assignment —
     // without the cache the cluster-join + feature scan runs twice. One
     // narrow row per doc; at 100 TB this is the pipeline's natural stage
@@ -1128,7 +1183,7 @@ object Dedup {
     val deciled = quality.join(broadcast(cum), "quality")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), expr("least(9, n_less * 10 div n_total)").as("decile"))
-    val clusters = buildClusterTable(s, d)
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
     val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
     val flagged = clusters.join(sizes, "cluster")
       .select(col("doc_id"), (col("sz") > 1).as("is_dup"))
@@ -1138,6 +1193,37 @@ object Dedup {
            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
       .orderBy("decile")
+  }
+
+  /** t31: effective-token budget after dedup — the per-source report a
+    * training-mix planner actually reads off the dedup pass: raw tokens
+    * vs EFFECTIVE tokens (tokens of each near-dup cluster's kept survivor
+    * only — d05/d06's min-doc_id policy), and the ppm of each source's
+    * budget that evaporates when duplicates collapse. p02 reports the raw
+    * mixture; t31 is the post-dedup correction the sampling weights must
+    * be re-normalized against (near-dup-heavy sources shrink, and a mix
+    * tuned on raw counts over-samples them).
+    *
+    * Scale shapes: token counts are per-row codegen; the cluster table is
+    * the SHARED memoized d05 output (at 100 TB the written cluster table
+    * every consumer scans — built at most once per run across
+    * d05/d06/t29/t31); one join on doc_id + one partial-agg groupBy on
+    * source.
+    */
+  val t31EffectiveTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    docs.join(clusters, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("raw_tokens"),
+        sum(when(col("doc_id") === col("cluster"), col("tok")).otherwise(0L))
+          .as("eff_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("eff_tokens"),
+        expr("(raw_tokens - eff_tokens) * 1000000 div raw_tokens").as("dup_ppm"))
+      .orderBy("source")
   }
 
   /** d15: prefix-filter set-similarity join element/threshold. Word
@@ -1274,6 +1360,8 @@ object Dedup {
     "d21_blocking_quality" -> d21BlockingQuality,
     "d22_banding_sweep" -> d22BandingSweep,
     "t29_quality_dup_curve" -> t29QualityDupCurve,
+    "t31_effective_tokens" -> t31EffectiveTokens,
+    "d24_community_refinement" -> d24CommunityRefinement,
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
@@ -1667,6 +1755,45 @@ object Dedup {
          |FROM ($unioned), (SELECT COUNT(1) AS nt FROM truth) tt
          |ORDER BY bands""".stripMargin
     },
+    // d24: the reach (CC) and LPA chains composed in one WITH list — both
+    // reuse the shared band/pair CTEs; scoring spelled on the same joins.
+    "d24_community_refinement" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$duckLpaIters,
+         |m AS (SELECT c.doc_id, c.cluster, CAST(l.lbl AS BIGINT) AS lpa
+         |      FROM clusters c JOIN l3 l ON l.node = c.doc_id),
+         |agg AS (SELECT cluster, COUNT(1) AS sz,
+         |               COUNT(DISTINCT lpa) AS n_communities
+         |        FROM m GROUP BY cluster),
+         |br AS (SELECT m1.cluster, COUNT(1) AS n_bridges
+         |       FROM pairs p
+         |       JOIN m m1 ON m1.doc_id = p.d1
+         |       JOIN m m2 ON m2.doc_id = p.d2
+         |       WHERE m1.lpa <> m2.lpa GROUP BY m1.cluster)
+         |SELECT cluster, sz, n_communities,
+         |       COALESCE(n_bridges, CAST(0 AS BIGINT)) AS n_bridges
+         |FROM agg LEFT JOIN br USING (cluster)
+         |WHERE sz >= 2
+         |ORDER BY cluster""".stripMargin,
+    "t31_effective_tokens" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |docs AS (SELECT doc_id, source,
+         |                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |         FROM documents)
+         |SELECT source, COUNT(1) AS n_docs,
+         |       CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+         |       CAST(SUM(CASE WHEN d.doc_id = cluster THEN tok ELSE 0 END)
+         |            AS BIGINT) AS eff_tokens,
+         |       (CAST(SUM(tok) AS BIGINT)
+         |        - CAST(SUM(CASE WHEN d.doc_id = cluster THEN tok ELSE 0 END) AS BIGINT))
+         |         * 1000000 // CAST(SUM(tok) AS BIGINT) AS dup_ppm
+         |FROM docs d JOIN clusters USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t29_quality_dup_curve" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster

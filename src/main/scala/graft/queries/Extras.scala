@@ -1328,7 +1328,64 @@ object Extras {
     s.sql("EXECUTE IMMEDIATE q136_stmt USING 1000 AS minbal")
   }
 
+  /** q137: TPC-H Q5 (local-supplier volume) — the six-table join the
+    * benchmark uses to exercise join ORDER: region-filtered nations
+    * qualify both ends, and the "local" condition (customer and supplier
+    * in the SAME nation) correlates two dimension keys at the fact row.
+    * Spelt scale-first: the fact table joins the date-filtered orders
+    * first (the only row-reducing fact-side join), then every dimension
+    * BROADCASTS (customer/supplier/nation/region are all sub-percent of
+    * the fact at any scale), so the single data-scale shuffle is the
+    * final groupBy on nation. Floor-cents revenue (q131's discipline).
+    */
+  val q137TpchQ5: Q = (s, d) => {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** q138: keyset-free pagination — ORDER BY … LIMIT n OFFSET m (Spark
+    * 3.4+'s OFFSET), page 3 of the order book at 20 rows/page. The plan
+    * matters more than the surface: a global sort feeding
+    * GlobalLimit(offset+limit) ships only the first m+n rows per
+    * partition (TakeOrdered-style), never materializing the full sorted
+    * table — but the driver-side cost still grows with m·partitions,
+    * which is why the scaladoc's production advice is keyset pagination
+    * (WHERE key > last_seen ORDER BY key LIMIT n) once m is deep. Total
+    * order via the (o_totalprice desc, o_orderkey) tiebreak.
+    */
+  val q138Pagination: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q138")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_q138
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 40""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_tpch_q5"           -> q137TpchQ5,
+    "q138_pagination"        -> q138Pagination,
     "q136_execute_immediate" -> q136ExecuteImmediate,
     "q120_linreg"            -> q120LinReg,
     "q122_sql_script"        -> q122SqlScript,
@@ -1394,6 +1451,26 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q137_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q138_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 40""".stripMargin,
     // q136: the dynamic statement, spelled statically with the binding
     // inlined — EXECUTE IMMEDIATE must change nothing but the plumbing.
     "q136_execute_immediate" ->

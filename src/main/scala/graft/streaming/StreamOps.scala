@@ -158,6 +158,24 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
               col("n_events"), col("n_cells"))
 
+  /** s26: streaming DEDUP chained into a windowed aggregation — the third
+    * multi-stateful composition (s15 chains agg→agg, s16 join→agg):
+    * exactly-once-per-event_id admission via
+    * `dropDuplicatesWithinWatermark` feeding tumbling per-type counts, in
+    * ONE query. This is the at-least-once-ingest correction pattern — the
+    * upstream bus may redeliver, the dedup state absorbs the redelivery,
+    * and the aggregate downstream counts each event once. The dedup
+    * operator passes `ts` through with its watermark intact, which is
+    * what entitles the downstream windowed aggregate to exist; dedup
+    * state expires at the watermark, window state when each window
+    * finalizes — both bounded.
+    */
+  def s26DedupThenWindowAgg(events: DataFrame): DataFrame =
+    s04StreamDedup(events)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n_unique"))
+
   /** s06: stream-stream interval join — purchases matched to the same
     * user's error events from the preceding 10 minutes. Both sides carry
     * watermarks; the time-bound condition lets Spark expire join state

@@ -142,6 +142,19 @@ class DedupSpec extends SparkSpec {
     assert(rows(2L).getInt(3) === c.length)
   }
 
+  test("t30 invariant on the real corpus: clean_len + chars_removed == original length") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val bad = TextOps.t30SpanRemoval(spark, d)
+      .select("doc_id", "chars_removed", "clean_len")
+      .join(docs, "doc_id")
+      .filter(col("clean_len") + col("chars_removed") =!= col("len"))
+      .count()
+    assert(bad === 0L, "span removal must conserve characters exactly")
+  }
+
   test("d23 local clustering: a planted 3-clique scores coefficient 1.0") {
     // three byte-identical docs share every band → all 3 pairs are
     // candidates → each node has deg 2, sits in 1 triangle, coefficient

@@ -211,6 +211,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q137: TPC-H Q5's four dimension legs all broadcast; one fact-side shuffle") {
+    val plan = planOf(graft.queries.Extras.q137TpchQ5(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast dimension legs, got $nBroadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q99: rendezvous argmax is a two-phase HASH aggregate (scalar weight, no sort path)") {
     val plan = planOf(graft.queries.ScaleOps.q99RendezvousShard(spark, sf))
     assert(plan.contains("HashAggregate") && plan.contains("partial_max_by"),

@@ -783,6 +783,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(2L, 4L), s"base dups must drop, new docs must pass: $ids")
   }
 
+  test("s26 dedup→window chain counts each redelivered event_id exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.s26DedupThenWindowAgg(
+        mem.toDF.toDF("ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("s26_out")
+      .outputMode(OutputMode.Append()).start()
+    // at-least-once ingest: id 100 delivered 3x, id 101 2x, all in the
+    // [0,10) window; one clean 'view' id
+    mem.addData((ts(1), 100L, "click"), (ts(2), 100L, "click"),
+                (ts(3), 101L, "click"), (ts(4), 101L, "click"),
+                (ts(5), 102L, "view"))
+    q.processAllAvailable()
+    mem.addData((ts(40), 900L, "flush")) // advance watermark past window end
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("s26_out").select("event_type", "n_unique").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows === Set(("click", 2L), ("view", 1L)), s"got $rows")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
