@@ -1383,7 +1383,48 @@ object Extras {
         |LIMIT 20 OFFSET 40""".stripMargin)
   }
 
+  /** q139: ANSI FILTER clause on aggregates — per-aggregate predicates
+    * (`COUNT(1) FILTER (WHERE …)`) instead of the CASE-WHEN spelling the
+    * rest of the suite uses; one pass computes differently-conditioned
+    * aggregates side by side (Catalyst plans the same conditional
+    * partial-agg either way — the surface, not the plan, is what this
+    * pins). COALESCE keeps the empty-filter SUM integer-typed on both
+    * engines.
+    */
+  val q139FilterClause: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q139")
+    s.sql(
+      """SELECT o_orderstatus,
+        |       COUNT(1) AS n,
+        |       COUNT(1) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |                       FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+        |            AS BIGINT) AS urgent_cents
+        |FROM orders_q139
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** q140: row-value IN subquery — `(a, b) IN (SELECT x, y …)`, the
+    * multi-column membership surface (Catalyst rewrites it to a left-semi
+    * join on both columns, exactly like q38's scalar IN). DuckDB has no
+    * tuple-IN, so the oracle pins the SEMANTICS through its EXISTS twin —
+    * same discipline as the bag-semantics and VARIANT oracles: equivalent
+    * result, engine-native spelling.
+    */
+  val q140MultiColIn: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q140")
+    Tables.customer(s, d).createOrReplaceTempView("cust_q140")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders_q140
+        |WHERE (o_custkey, o_orderstatus) IN
+        |      (SELECT c_custkey, 'F' FROM cust_q140 WHERE c_acctbal > 5000)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_filter_clause"     -> q139FilterClause,
+    "q140_multi_col_in"      -> q140MultiColIn,
     "q137_tpch_q5"           -> q137TpchQ5,
     "q138_pagination"        -> q138Pagination,
     "q136_execute_immediate" -> q136ExecuteImmediate,
@@ -1451,6 +1492,24 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q139_filter_clause" ->
+      """SELECT o_orderstatus,
+        |       COUNT(1) AS n,
+        |       COUNT(1) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |       CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        |                       FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+        |            AS BIGINT) AS urgent_cents
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q140: DuckDB has no tuple-IN — EXISTS is the semantic twin.
+    "q140_multi_col_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND o.o_orderstatus = 'F'
+        |                AND c.c_acctbal > 5000)
+        |ORDER BY o_orderkey""".stripMargin,
     "q137_tpch_q5" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

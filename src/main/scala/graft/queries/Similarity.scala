@@ -361,6 +361,57 @@ object Similarity {
     chosen.select("seed_rank", "vec_id", "dist2").orderBy("seed_rank")
   }
 
+  /** nprobe values n18 sweeps. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** n18: nprobe recall/cost sweep — the IVF analogue of d22's LSH
+    * banding sweep: for every nprobe in [[NprobeSweep]], the MEASURED
+    * candidate count (the cost: how much corpus the probe touches) and
+    * recall@10 against the exact brute-force truth. n14 runs one chosen
+    * nprobe; n18 is the table that choice comes from — an index operator
+    * reads the recall curve's knee, not the 1/nprobe rule of thumb.
+    *
+    * Scale shapes: the scored corpus (one pass, broadcast query vector)
+    * and the 16-row centroid scores are each built ONCE and cached; every
+    * config adds only an orderBy+limit over 16 rows (probe set, n14's
+    * device — no unpartitioned window), a broadcast semi-join against it,
+    * a TakeOrderedAndProject top-10, and two metadata-scale counts. At
+    * 100 TB this sweeps over a query SAMPLE; per-query shapes identical.
+    */
+  val n18NprobeSweep: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val prep = prepared(s, d)
+    val qv = prep.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val scored = assigned.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cid", "cos")
+      .cache()
+    val truth = scored.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id").as("tid"))
+    val centScores = prep.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(na as double) * cast(cnrm as double))"))
+      .select("pcid", "qcos")
+      .cache()
+    val reports = NprobeSweep.map { np =>
+      val probes = centScores.orderBy(col("qcos").desc, col("pcid").asc)
+        .limit(np).select("pcid")
+      val cand = scored.join(broadcast(probes), col("cid") === col("pcid"))
+      val res = cand.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      val hits = res.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("hits10"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits))
+        .select(lit(np).as("nprobe"), col("n_candidates"), col("hits10"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** n17 capacity slack: a list may hold up to 11/10 of the mean size
     * before it sheds members (numerator/denominator kept integer so the
     * cap is engine-exact).
@@ -777,6 +828,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "n16_kcenter_seed"   -> n16KcenterSeed,
     "n17_ivf_rebalance"  -> n17IvfRebalance,
+    "n18_nprobe_sweep"   -> n18NprobeSweep,
     "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
@@ -838,6 +890,37 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // n18: per-config CTEs generated from the same sweep list as the
+    // Spark side (d22's discipline); cosine doubles IEEE-identical.
+    "n18_nprobe_sweep" -> {
+      val perK = NprobeSweep.map { k =>
+        s"""pb$k AS (SELECT pcid FROM cs ORDER BY qcos DESC, pcid LIMIT $k),
+           |cd$k AS (SELECT * FROM sc WHERE cid IN (SELECT pcid FROM pb$k)),
+           |rs$k AS (SELECT vec_id FROM cd$k ORDER BY cos DESC, vec_id LIMIT $TopK)"""
+          .stripMargin
+      }.mkString(",\n")
+      val legs = NprobeSweep.map { k =>
+        s"""SELECT $k AS nprobe,
+           |       (SELECT COUNT(1) FROM cd$k) AS n_candidates,
+           |       (SELECT COUNT(1) FROM rs$k JOIN truth ON vec_id = tid) AS hits10"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |sc AS (SELECT a.vec_id, a.cid,
+         |              CAST(${duckDot("a.q", "qa")} AS DOUBLE)
+         |                / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |       FROM assigned a, qv WHERE a.vec_id <> 0),
+         |truth AS (SELECT vec_id AS tid FROM sc ORDER BY cos DESC, vec_id LIMIT $TopK),
+         |cs AS (SELECT c.cid AS pcid,
+         |              CAST(${duckDot("c.cq", "qa")} AS DOUBLE)
+         |                / sqrt(CAST(na AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS qcos
+         |       FROM cents c, qv),
+         |$perK
+         |$legs
+         |ORDER BY nprobe""".stripMargin
+    },
     // n17: windows spelled sequentially (row_number) — ccos doubles are
     // IEEE-identical, ties broken (ccos desc, id asc) on both sides.
     "n17_ivf_rebalance" ->
