@@ -38,7 +38,9 @@ object SparkEntry {
         "m06_phash_neardup" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m06PhashNearDup(s, d)),
         "m07_tier_report" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m07TierReport(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m07TierReport(s, d)),
+        "m08_delta_sync" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m08DeltaSync(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -92,6 +94,28 @@ object SparkEntry {
              |       CAST(SUM(CASE WHEN dm < 2 THEN nb ELSE 0 END) AS BIGINT) AS cold_bytes
              |FROM c JOIN df USING (h)
              |GROUP BY media_id ORDER BY media_id""".stripMargin,
+        // m08: same fixed grid + ASCII-substr equivalence + shared chunk
+        // size; the planted suffix is spelled identically on both sides.
+        "m08_delta_sync" ->
+          s"""WITH base AS (SELECT doc_id AS media_id, text AS payload FROM documents),
+             |md AS (SELECT media_id,
+             |              payload || ' updated rev ' || CAST(media_id AS VARCHAR) AS payload
+             |       FROM base WHERE media_id % 5 = 0),
+             |bc AS (SELECT DISTINCT md5(substr(payload, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h
+             |       FROM (SELECT payload,
+             |                    unnest(generate_series(1, length(payload), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+             |             FROM base)),
+             |mc AS (SELECT media_id,
+             |              md5(substr(payload, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+             |              least(length(payload) - s + 1, ${graft.operators.Multimodal.DedupChunkBytes}) AS nb
+             |       FROM (SELECT media_id, payload,
+             |                    unnest(generate_series(1, length(payload), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+             |             FROM md))
+             |SELECT media_id, COUNT(1) AS n_chunks,
+             |       CAST(SUM(CASE WHEN h IN (SELECT h FROM bc) THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+             |       CAST(SUM(CASE WHEN h IN (SELECT h FROM bc) THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+             |       CAST(SUM(CASE WHEN h IN (SELECT h FROM bc) THEN 0 ELSE nb END) AS BIGINT) AS bytes_upload
+             |FROM mc GROUP BY media_id ORDER BY media_id""".stripMargin,
         // m05: same fixed grid + ASCII-substr equivalence as m03; the
         // ordered fold is string_agg(h ORDER BY p), Spark's sorted
         // collect_list twin; chunk size interpolated from the shared

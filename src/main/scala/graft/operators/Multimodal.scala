@@ -206,6 +206,45 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m08: delta-sync (re-crawl) report — the rsync/CAS economics of a
+    * re-ingested media batch against the existing chunk store: every 5th
+    * media file arrives MODIFIED (a deterministic byte suffix — the t15
+    * discipline: the planted delta is the pinned input, the sync math is
+    * the operator), its fixed-grid chunks are hashed and probed against
+    * the base store's distinct chunk-hash set, and the report says per
+    * file how many chunks REUSE existing storage vs how many (and how
+    * many bytes) must actually upload. With a fixed grid an append-only
+    * edit re-uploads just the tail — the quantified version of m05's
+    * "locally-edited file re-uses every untouched chunk" claim. (A
+    * mid-file INSERT would shift every later grid boundary and re-upload
+    * the rest — the failure mode m04's content-defined chunking exists to
+    * avoid; m08 pins the grid's happy path.)
+    *
+    * Scale shapes: m03's footprint — only chunk hashes shuffle; the base
+    * store probe is one equi-join on the uniform md5 key (at 100 TB: the
+    * written chunk index); per-media rollup is map-side combinable.
+    */
+  def m08DeltaSync(s: SparkSession, d: String): DataFrame = {
+    val base = fixtureFromDocuments(s, d).toDF().select("media_id", "payload")
+    val mod = base.filter(col("media_id") % 5 === 0)
+      .withColumn("payload", concat(col("payload"),
+        expr("cast(concat(' updated rev ', cast(media_id as string)) as binary)")))
+    def chunks(df: DataFrame): DataFrame = df
+      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
+      .select(col("media_id"),
+              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
+              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+    val store = chunks(base).select(col("h").as("bh")).distinct()
+    chunks(mod).join(store, col("h") === col("bh"), "left")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_reused"),
+           sum(when(col("bh").isNull, 1L).otherwise(0L)).as("n_new"),
+           sum(when(col("bh").isNull, col("nb").cast("long")).otherwise(0L))
+             .as("bytes_upload"))
+      .orderBy("media_id")
+  }
+
   /** m05: content-addressable media MANIFEST — per media the ordered
     * chain of fixed-grid chunk hashes folded into one 56-bit manifest
     * fingerprint (hash of the concatenated chunk-md5 hex strings in

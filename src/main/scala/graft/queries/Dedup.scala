@@ -1241,7 +1241,7 @@ object Dedup {
     * probabilistic LSH.
     *
     * The guarantee: order every doc's shingles by one global total order —
-    * (document frequency ASC, shingle ASC), rare first; no global RANK is
+    * (document frequency ASC, 56-bit shingle hash ASC), rare first; no global RANK is
     * materialized, so there is no single-task bottleneck — and emit only
     * each doc's first `sz - ceil(τ·sz) + 1` shingles as its PREFIX. If
     * J(A,B) >= τ then |A∩B| >= ceil(τ·|A|); a pair whose prefixes were
@@ -1266,25 +1266,33 @@ object Dedup {
     * prefix-index table.
     */
   private def prefixIndex(s: SparkSession, d: String, tauPct: Int): DataFrame = {
+    // hash at the ROW stage, before any shuffle: one codegen'd md5 per
+    // (doc, shingle) row, so the df groupBy, the index join, and the
+    // collect_list all carry 8-byte longs instead of 20-byte shingle
+    // strings (measured ~parity at sf0.1 where the verify join dominates,
+    // but the shuffle-byte halving is what matters at 100 TB, and the
+    // md5 moves from an interpreted post-collect transform into
+    // whole-stage codegen). The
+    // global total order becomes (df ASC, hash ASC) — the prefix-filter
+    // completeness argument needs only that the order is TOTAL and shared
+    // by all documents, which any injective relabeling of shingles
+    // preserves. Distinct shingles per doc → within-doc hashes distinct;
+    // a CROSS-doc 56-bit collision (≈|shingles|²/2^57 < 1e-5 corpus-wide
+    // at sf0.1) could perturb one pair's inter by 1 — the same
+    // whp-exactness contract d01/d10 already run under, and the
+    // string-array spelling remains the drop-in fallback if a corpus
+    // ever trips it.
     val tok = Tables.documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", PrefixShingleK)})"))
           .as("t"))
-    val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
-    tok.join(df, "t")
+      .select(col("doc_id"), expr(TextHash.sparkHash56("t")).as("h"))
+    val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    tok.join(df, "h")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("toks"))
-      // the set materializes as 56-BIT HASHES: 8-byte elements make the
-      // per-pair array_intersect ~5× cheaper than hashing 20-byte shingle
-      // strings per probe, and the prefix explode ships longs. Distinct
-      // shingles per doc → within-doc hashes distinct; a CROSS-doc 56-bit
-      // collision (≈|shingles|²/2^57 < 1e-5 corpus-wide at sf0.1) could
-      // perturb one pair's inter by 1 — the same whp-exactness contract
-      // d01/d10 already run under, and the string-array spelling remains
-      // the drop-in fallback if a corpus ever trips it.
-      .withColumn("tarr",
-        expr(s"transform(toks, x -> ${TextHash.sparkHash56("x.t")})"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+      .withColumn("tarr", expr("transform(toks, x -> x.h)"))
       .withColumn("sz", size(col("toks")))
       .withColumn("plen", expr(s"sz - ((sz * $tauPct + 99) div 100) + 1"))
       .select("doc_id", "tarr", "sz", "plen")
