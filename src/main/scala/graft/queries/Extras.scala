@@ -1422,7 +1422,44 @@ object Extras {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q141: binary codec surface — base64 / hex encoding of UTF-8 bytes
+    * and the unbase64 round-trip (length-pinned in raw bytes). This is
+    * the string↔binary boundary every ingest with binary payloads (m01's
+    * multimodal columns, JDBC BLOBs, webhook signatures) crosses; both
+    * engines emit the same RFC 4648 alphabet and uppercase hex, so the
+    * encodings pin value-exactly.
+    */
+  val q141BinaryCodec: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("docs_q141")
+    s.sql(
+      """SELECT doc_id,
+        |       base64(encode(substr(text, 1, 24), 'UTF-8')) AS b64,
+        |       hex(encode(substr(text, 1, 12), 'UTF-8')) AS hx,
+        |       CAST(length(unbase64(base64(encode(text, 'UTF-8')))) AS BIGINT) AS rt
+        |FROM docs_q141 ORDER BY doc_id""".stripMargin)
+  }
+
+  /** q142: bitwise AGGREGATES — `bit_and` / `bit_or` / `bit_xor` over
+    * grouped keys (the aggregate family beside q61's scalar bit ops):
+    * bit_or builds presence masks, bit_xor is the order-independent
+    * set-digest trick (xor of all ids detects single-row drift between
+    * replicas at zero memory). All three are partial-agg friendly —
+    * associative + commutative, so they combine map-side like sum.
+    */
+  val q142BitwiseAgg: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q142")
+    s.sql(
+      """SELECT o_orderstatus,
+        |       bit_and(o_custkey) AS mask_and,
+        |       bit_or(o_custkey) AS mask_or,
+        |       bit_xor(o_custkey) AS digest_xor
+        |FROM orders_q142
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_binary_codec"      -> q141BinaryCodec,
+    "q142_bitwise_agg"       -> q142BitwiseAgg,
     "q139_filter_clause"     -> q139FilterClause,
     "q140_multi_col_in"      -> q140MultiColIn,
     "q137_tpch_q5"           -> q137TpchQ5,
@@ -1492,6 +1529,19 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    "q141_binary_codec" ->
+      """SELECT doc_id,
+        |       to_base64(encode(substr(text, 1, 24))) AS b64,
+        |       hex(encode(substr(text, 1, 12))) AS hx,
+        |       octet_length(from_base64(to_base64(encode(text)))) AS rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q142_bitwise_agg" ->
+      """SELECT o_orderstatus,
+        |       bit_and(o_custkey) AS mask_and,
+        |       bit_or(o_custkey) AS mask_or,
+        |       bit_xor(o_custkey) AS digest_xor
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q139_filter_clause" ->
       """SELECT o_orderstatus,
         |       COUNT(1) AS n,

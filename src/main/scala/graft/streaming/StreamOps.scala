@@ -176,6 +176,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n_unique"))
       .select(col("window.start").as("ws"), col("event_type"), col("n_unique"))
 
+  /** s27: multi-watermark policy — a UNION of two sources with divergent
+    * event-time progress feeding one windowed aggregate. Each branch
+    * carries its own watermark; Spark combines them with the MIN policy
+    * by default (`spark.sql.streaming.multipleWatermarkPolicy`), so the
+    * SLOWEST source gates every emission — the safety default that never
+    * drops a slower source's still-in-flight rows ('max' trades that
+    * safety for latency). This is the multi-region / multi-topic ingest
+    * reality: one lagging partition holds the fleet's windows open, and
+    * knowing WHICH policy is in force is an operational must.
+    */
+  def s27UnionWatermark(a: DataFrame, b: DataFrame): DataFrame =
+    a.withWatermark("ts", "10 minutes")
+      .unionByName(b.withWatermark("ts", "10 minutes"))
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
   /** s06: stream-stream interval join — purchases matched to the same
     * user's error events from the preceding 10 minutes. Both sides carry
     * watermarks; the time-bound condition lets Spark expire join state

@@ -806,6 +806,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("click", 2L), ("view", 1L)), s"got $rows")
   }
 
+  test("s27 min watermark policy: the slowest unioned source gates emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Timestamp, Long)]
+    val memB = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.s27UnionWatermark(
+        memA.toDF.toDF("ts", "id"), memB.toDF.toDF("ts", "id"))
+      .writeStream.format("memory").queryName("s27_out")
+      .outputMode(OutputMode.Append()).start()
+    memA.addData((ts(1), 1L)); memB.addData((ts(2), 2L))
+    q.processAllAvailable()
+    // A races ahead (watermark 30) but B is still at ~0: under the
+    // default MIN policy the [0,10) window must stay open
+    memA.addData((ts(40), 3L))
+    q.processAllAvailable()
+    assert(spark.table("s27_out").count() === 0L,
+      "window emitted while the slower source could still add rows")
+    // B catches up → combined watermark passes 10 → the window finalizes
+    // with BOTH sources' rows
+    memB.addData((ts(41), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s27_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(rows === Set((ts(0), 2L)), s"got $rows")
+  }
+
   test("s04 streaming dedup keeps one copy within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
