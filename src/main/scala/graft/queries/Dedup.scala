@@ -1362,7 +1362,43 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** d25: canonical-URL dedup — the CommonCrawl-style first pass that
+    * collapses crawl records whose URLs differ only in scheme (http/https),
+    * a `www.` prefix, tracking query strings, or a trailing slash. URLs are
+    * planted deterministically on the corpus (same convention as
+    * t15/t16's fixture decoration: lcm(25, 50) = 50 canonical pages over
+    * 500 docs, with four surface variants cycling by doc_id). The
+    * canonicalizer is a chain of anchored regex rewrites — strip scheme,
+    * strip leading `www.`, drop `?…`/`#…`, drop one trailing slash — all
+    * inside whole-stage codegen (RE2-safe patterns so the oracle's regex
+    * engine agrees). The dedup itself is ONE partial-agg groupBy on the
+    * canonical key: survivor = min doc_id, plus variant/tracking counters;
+    * keys are near-uniform (page ids), so no salting needed, and at 100 TB
+    * this is the same single-shuffle shape as q32's exact dedup.
+    */
+  val d25UrlCanonical: Q = (s, d) => {
+    val planted = Tables.documents(s, d)
+      .withColumn("url", expr(
+        """concat('http', CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END, '://',
+          |       CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+          |       'site', cast(doc_id % 25 as string), '.example.com/page/',
+          |       cast(doc_id % 50 as string),
+          |       CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+          |            WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)""".stripMargin))
+      .withColumn("canon", expr(
+        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |  url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')""".stripMargin))
+    planted.groupBy("canon")
+      .agg(min(col("doc_id")).as("survivor_doc"),
+           count(lit(1)).as("n_variants"),
+           countDistinct(col("url")).as("n_distinct_raw"),
+           sum(when(col("url").contains("?"), 1L).otherwise(0L)).as("n_tracked"),
+           sum(when(col("url").startsWith("https"), 1L).otherwise(0L)).as("n_https"))
+      .orderBy("canon")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
     "p08_split_leakage" -> p08SplitLeakage,
     "d21_blocking_quality" -> d21BlockingQuality,
@@ -1467,6 +1503,29 @@ object Dedup {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // d25: same planted variants + the same RE2-safe rewrite chain
+    // (DuckDB regexp_replace is first-match, but every pattern is anchored
+    // or runs to end-of-string, so first-match == replace-all here).
+    "d25_url_canonical" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://'
+        |         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |         || 'site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com/page/'
+        |         || CAST(doc_id % 50 AS VARCHAR)
+        |         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+        |                 WHEN doc_id % 4 = 1 THEN '/' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           url, '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS canon
+        |  FROM planted)
+        |SELECT canon, MIN(doc_id) AS survivor_doc, COUNT(1) AS n_variants,
+        |       COUNT(DISTINCT url) AS n_distinct_raw,
+        |       CAST(SUM(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
+        |       CAST(SUM(CASE WHEN starts_with(url, 'https') THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
     // d16: brute-force directed containment ground truth (same discipline
     // as d15 — the oracle does NOT replicate the pruning).
     "d16_containment_join" ->

@@ -1457,9 +1457,44 @@ object Extras {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** q143: skyline / Pareto frontier — customers not dominated on
+    * (order count, minimum order value): no other customer has ≥ both with one
+    * strict. The naive spelling is a quadratic NOT EXISTS self-join (the
+    * oracle uses the equivalent window, which DuckDB may run wherever it
+    * likes); the distributed plan is three bounded steps: (1) one
+    * partial-agg groupBy builds the point set (one row per customer),
+    * (2) a second partial-agg collapses it to max(y) per distinct x, and
+    * (3) the STRICT suffix max over x — "best y among all strictly larger
+    * order counts" — comes from [[TextOps.prefixMax]]'s range-partitioned
+    * two-pass scan (descending order, exclude current), never a global
+    * window. A point is on the frontier iff its x-group's ymax beats that
+    * suffix max; the final equi-join re-attaches customers. Every shuffle
+    * keys on custkey/x (no skew — keys are near-unique), and the only
+    * broadcast is prefixMax's one-row-per-partition offsets table, so the
+    * shape survives 1000 executors unchanged.
+    */
+  val q143Skyline: Q = (s, d) => {
+    val pts = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(expr("cast(floor(o_totalprice * 100) as bigint)")).as("min_cents"))
+    val xmax = pts.groupBy("n_orders")
+      .agg(max(col("min_cents")).as("ymax"))
+    val frontier = graft.queries.TextOps
+      .prefixMax(xmax, "n_orders", "ymax", "smax",
+        includeCurrent = false, descending = true)
+      .filter(col("smax").isNull || col("ymax") > col("smax"))
+      .select("n_orders", "ymax")
+    pts.join(frontier, Seq("n_orders"))
+      .filter(col("min_cents") === col("ymax"))
+      .select(col("c_custkey"), col("n_orders"), col("min_cents"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q141_binary_codec"      -> q141BinaryCodec,
     "q142_bitwise_agg"       -> q142BitwiseAgg,
+    "q143_skyline"           -> q143Skyline,
     "q139_filter_clause"     -> q139FilterClause,
     "q140_multi_col_in"      -> q140MultiColIn,
     "q137_tpch_q5"           -> q137TpchQ5,
@@ -1535,6 +1570,28 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q143: the frontier predicate spelled as the strict-suffix-max window
+    // (dominated iff some strictly-larger spend reaches ≥ my order count);
+    // DuckDB runs the window however it likes — the Spark side replaces it
+    // with the range-partitioned prefixMax scan.
+    "q143_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         COUNT(1) AS n_orders,
+        |         CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
+        |  FROM orders GROUP BY 1),
+        |xm AS (SELECT n_orders, MAX(min_cents) AS ymax
+        |       FROM pts GROUP BY 1),
+        |sky AS (
+        |  SELECT n_orders, ymax,
+        |         MAX(ymax) OVER (ORDER BY n_orders DESC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING
+        |                              AND 1 PRECEDING) AS smax
+        |  FROM xm)
+        |SELECT p.c_custkey, p.n_orders, p.min_cents
+        |FROM pts p JOIN sky s USING (n_orders)
+        |WHERE (s.smax IS NULL OR s.ymax > s.smax) AND p.min_cents = s.ymax
+        |ORDER BY p.n_orders DESC, p.c_custkey""".stripMargin,
     "q142_bitwise_agg" ->
       """SELECT o_orderstatus,
         |       bit_and(o_custkey) AS mask_and,

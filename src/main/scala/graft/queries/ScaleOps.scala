@@ -543,6 +543,44 @@ object ScaleOps {
       .orderBy("o_orderstatus")
   }
 
+  /** x12: power-of-two (HdrHistogram-style) value histogram + histogram
+    * quantiles — the mergeable latency/size-distribution sketch every
+    * metrics pipeline keeps: bucket = floor(log2(cents)), computed EXACTLY
+    * as `length(bin(v)) - 1` (bit length of a positive bigint — no float
+    * log, so both engines agree on every boundary). The build is one
+    * partial-agg groupBy over ≤ 64 keys (bucket counts merge by addition
+    * — the sketch is trivially mergeable across shards/days); the
+    * cumulative pass joins the ≤ 64-row histogram against itself via a
+    * broadcast theta join (metadata-scale by construction, the sanctioned
+    * BNLJ shape — never a corpus-scale window), and p50/p95/p99 fall out
+    * of integer cross-multiplication against the broadcast grand total:
+    * bucket b holds quantile p iff cum(b-1) < ceil(p·N) <= cum(b).
+    */
+  val x12Log2Histogram: Q = (s, d) => {
+    val hist = Tables.orders(s, d)
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)").as("v"))
+      .withColumn("bucket", expr("cast(length(bin(v)) - 1 as int)"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val cum = hist
+      .join(broadcast(hist.select(col("bucket").as("b2"), col("n").as("n2"))),
+            col("b2") <= col("bucket"))
+      .groupBy("bucket", "n").agg(sum("n2").as("cum"))
+    val total = hist.agg(sum("n").as("total"))
+    cum.crossJoin(broadcast(total))
+      .select(
+        col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket)").as("lo"),
+        expr("shiftleft(cast(1 as bigint), bucket + 1) - 1").as("hi"),
+        col("n"), col("cum"),
+        ((col("cum") - col("n")) * 2 < col("total") &&
+          col("cum") * 2 >= col("total")).as("is_p50"),
+        ((col("cum") - col("n")) * 20 < col("total") * 19 &&
+          col("cum") * 20 >= col("total") * 19).as("is_p95"),
+        ((col("cum") - col("n")) * 100 < col("total") * 99 &&
+          col("cum") * 100 >= col("total") * 99).as("is_p99"))
+      .orderBy("bucket")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -745,6 +783,7 @@ object ScaleOps {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "x12_log2_histogram"   -> x12Log2Histogram,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -778,6 +817,27 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x12: same exact bit-length bucketing (format('{:b}') == Spark's
+    // bin() for positive bigints); the oracle's cumulative pass is the
+    // window spelling of the Spark side's broadcast theta join.
+    "x12_log2_histogram" ->
+      """WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |h AS (SELECT CAST(length(format('{:b}', v)) - 1 AS INT) AS bucket,
+        |             COUNT(1) AS n
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT bucket, n,
+        |             CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+        |             CAST(SUM(n) OVER () AS BIGINT) AS total
+        |      FROM h)
+        |SELECT bucket,
+        |       (CAST(1 AS BIGINT) << bucket) AS lo,
+        |       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi,
+        |       n, cum,
+        |       (cum - n) * 2 < total AND cum * 2 >= total AS is_p50,
+        |       (cum - n) * 20 < total * 19 AND cum * 20 >= total * 19 AS is_p95,
+        |       (cum - n) * 100 < total * 99 AND cum * 100 >= total * 99 AS is_p99
+        |FROM c ORDER BY bucket""".stripMargin,
     // x11 is EXACT (bitmaps are a lossless distinct-set representation),
     // so all three legs pin against the one plain spelling.
     "x11_bitmap_distinct" ->

@@ -560,6 +560,61 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
+    * reciprocal-rank-fusion formulation) and the integer scale that keeps
+    * the fused score exact on both engines (1e6 div (k + rank)).
+    */
+  val RrfK = 60
+  val RrfScale = 1000000L
+
+  /** n19: hybrid retrieval with reciprocal-rank fusion — the production
+    * "retrieve by ANN, re-rank by a fused lexical+vector score" shape.
+    * Candidate generation is the IVF list (bounded — Σ list², never
+    * corpus²; same machinery as n12); each (query, candidate) pair is
+    * scored twice: exact-integer cosine (vector leg) and distinct-token
+    * overlap via `array_intersect` on token arrays carried through the
+    * join (lexical leg — a bounded per-row set op, codegen'd, no
+    * token-level shuffle). Ranks are per-query `row_number`s over the
+    * bounded candidate set (each window group is one IVF list's worth of
+    * rows, never the corpus), fused as Σ 1e6 div (60 + r) — integer-exact
+    * RRF, no float drift — and the final top-k runs on the TopKPerKey
+    * bounded heap. At 100 TB the only corpus-scale work is the IVF
+    * assignment scan; everything downstream touches candidate pairs.
+    */
+  val n19RankFusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssigned(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val qs = assigned.filter(col("vec_id") % KnnJoinStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+              col("nrm").as("na"), col("cid"))
+      .join(toks.select(col("doc_id").as("query_id"), col("toks").as("qtoks")),
+            "query_id")
+    val cs = assigned.filter(col("vec_id") % KnnJoinStride =!= 0)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+      .join(toks.select(col("doc_id").as("vec_id"), col("toks")), "vec_id")
+    val pairs = cs.join(qs, Seq("cid"))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .withColumn("overlap", expr("cast(size(array_intersect(qtoks, toks)) as int)"))
+      .select("query_id", "vec_id", "cos", "overlap")
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("vec_id").asc)
+    val ranked = pairs
+      .withColumn("r_vec", row_number().over(wVec))
+      .withColumn("r_lex", row_number().over(wLex))
+      .withColumn("fused", expr(
+        s"cast($RrfScale div ($RrfK + r_vec) + $RrfScale div ($RrfK + r_lex) as bigint)"))
+    graft.plans.TopKPerKey(ranked, Seq("query_id"),
+        Seq(("fused", false), ("vec_id", true)), KnnJoinK)
+      .select(col("query_id"), col("vec_id"), col("r_vec"), col("r_lex"),
+              col("fused"))
+      .orderBy(col("query_id").asc, col("fused").desc, col("vec_id").asc)
+  }
+
   /** PQ layout: 64 dims split into 8 subspaces of 8 dims. */
   val NumSubspaces = 8
   val SubDim: Int = Dim / NumSubspaces
@@ -843,6 +898,7 @@ object Similarity {
     "n04_l2_knn"         -> n04L2Knn,
     "n12_knn_join"       -> n12KnnJoin,
     "n13_mutual_knn"     -> n13MutualKnn,
+    "n19_rank_fusion"    -> n19RankFusion,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -983,6 +1039,47 @@ object Similarity {
          |FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
          |WHERE t1.src < t1.dst
          |ORDER BY v1, v2""".stripMargin,
+    // n19: same candidate CTEs as n12 plus the lexical leg
+    // (list_intersect of distinct-token lists == Spark's array_intersect
+    // on array_distinct inputs — both deduplicate, so the SIZE matches
+    // even though element order differs); ranks and RRF are integer-exact.
+    "n19_rank_fusion" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |         FROM documents),
+         |qs AS (SELECT a.vec_id AS query_id, a.q AS qa, a.nrm AS na, a.cid,
+         |              t.tk AS qtk
+         |       FROM assigned a JOIN toks t ON t.doc_id = a.vec_id
+         |       WHERE a.vec_id % $KnnJoinStride = 0),
+         |cs AS (SELECT a.vec_id, a.q, a.nrm, a.cid, t.tk
+         |       FROM assigned a JOIN toks t ON t.doc_id = a.vec_id
+         |       WHERE a.vec_id % $KnnJoinStride <> 0),
+         |pairs AS (
+         |  SELECT qs.query_id, cs.vec_id,
+         |         CAST(${duckDot("qs.qa", "cs.q")} AS DOUBLE)
+         |           / sqrt(CAST(qs.na AS DOUBLE) * CAST(cs.nrm AS DOUBLE)) AS cos,
+         |         CAST(len(list_intersect(qs.qtk, cs.tk)) AS INT) AS overlap
+         |  FROM cs JOIN qs ON cs.cid = qs.cid),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, vec_id ASC) AS INT) AS r_vec,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY overlap DESC, vec_id ASC) AS INT) AS r_lex
+         |  FROM pairs),
+         |fused AS (
+         |  SELECT query_id, vec_id, r_vec, r_lex,
+         |         CAST($RrfScale // ($RrfK + r_vec)
+         |              + $RrfScale // ($RrfK + r_lex) AS BIGINT) AS fused
+         |  FROM ranked),
+         |sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY fused DESC, vec_id ASC) AS rn
+         |  FROM fused)
+         |SELECT query_id, vec_id, r_vec, r_lex, fused
+         |FROM sel WHERE rn <= $KnnJoinK
+         |ORDER BY query_id ASC, fused DESC, vec_id ASC""".stripMargin,
     "n12_knn_join" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

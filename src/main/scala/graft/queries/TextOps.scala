@@ -296,6 +296,49 @@ object TextOps {
       .drop("_pid", "_loc", "_off")
   }
 
+  /** Distributed prefix MAX of `valueCol` in `orderCol` order — the
+    * running-max sibling of [[prefixSum]], same two-pass range-partitioned
+    * shape (local per-partition window + metadata-scale broadcast offsets),
+    * never a global single-partition window. `descending = true` scans the
+    * order key high→low, which makes this a SUFFIX max of the ascending
+    * order — the primitive behind skyline/Pareto pruning (q143). Rows with
+    * no preceding row (under `includeCurrent = false`) get NULL, exactly
+    * like `max(...) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)`; `greatest` skips the NULL legs (local/offset)
+    * without collapsing genuine values. Exact `bigint` values only, so the
+    * result is identical under any partition count.
+    */
+  def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String, includeCurrent: Boolean,
+                descending: Boolean = false,
+                numParts: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val upper = if (includeCurrent) 0L else -1L
+    def ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    // cache: both passes read the ranged table (same contract as prefixSum).
+    val ranged = df.repartitionByRange(parts, ord)
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, upper)
+    val local = ranged.withColumn("_loc",
+      max(col(valueCol).cast("bigint")).over(wLocal))
+    // `pmod(_pid, 1)`: the sanctioned metadata-scale offsets window — one
+    // row per partition (see prefixSum + the PlanSpec audit allowlist).
+    val wOff = Window.partitionBy(pmod(col("_pid"), lit(1))).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(max(col(valueCol).cast("bigint")).as("_t"))
+      .withColumn("_off", max("_t").over(wOff))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, greatest(col("_loc"), col("_off")))
+      .drop("_pid", "_loc", "_off")
+  }
+
   /** t07: training-sequence packing — assign documents (in doc_id order) to
     * fixed-token-budget bins by cumulative token count, the deterministic
     * sequential-packing policy an LLM data pipeline applies before writing
@@ -1078,7 +1121,48 @@ object TextOps {
     cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** t32: document-structure (markup) profile — the WARC/markdown
+    * structure signals a pretraining filter reads before keeping a page:
+    * heading/bullet/code-fence line counts, link density, and a
+    * structure-ratio verdict (drop pages that are mostly navigation/code
+    * scaffolding). The corpus is single-line, so documents are first
+    * re-rendered as [[LineTokens]]-token lines (t17's line convention)
+    * with markers planted deterministically by (doc_id + line) % 7 — the
+    * same fixture-decoration discipline as t15/t16 — and the profiler then
+    * reads ONLY the rendered string, via `(?m)`-anchored regex counts
+    * (RE2-safe, so both engines agree). Everything is per-row codegen'd
+    * string work + one final sort: embarrassingly parallel, no shuffle at
+    * all before the oracle's total-order sort, flat at 100 TB.
+    */
+  val t32MarkupProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_lines",
+        expr(s"cast((size(toks) + $LineTokens - 1) div $LineTokens as int)"))
+      .withColumn("md", expr(
+        s"""array_join(transform(sequence(0, (size(toks) + $LineTokens - 1) div $LineTokens - 1),
+           |  i -> concat(
+           |    CASE cast((doc_id + i) % 7 as int)
+           |      WHEN 0 THEN '# ' WHEN 1 THEN '- ' WHEN 2 THEN '``` ' ELSE '' END,
+           |    array_join(slice(toks, cast(i * $LineTokens + 1 as int), $LineTokens), ' '),
+           |    CASE WHEN (doc_id + i) % 7 = 3
+           |         THEN ' see [ref](https://docs.example.org)' ELSE '' END)),
+           |  chr(10))""".stripMargin))
+      .select(
+        col("doc_id"), col("n_lines"),
+        expr("cast(regexp_count(md, '(?m)^# ') as int)").as("n_head"),
+        expr("cast(regexp_count(md, '(?m)^- ') as int)").as("n_bullet"),
+        expr("cast(regexp_count(md, '(?m)^```') as int)").as("n_fence"),
+        // java.util.regex needs the backslash spelling; the oracle uses
+        // RE2's POSIX class spelling '[[]ref[]]' for the same literal.
+        expr("cast(regexp_count(md, '\\\\[ref\\\\]') as int)").as("n_links"))
+      .withColumn("structured_permille",
+        expr("cast(1000 * (n_head + n_bullet + n_fence) div n_lines as int)"))
+      .withColumn("keep", col("structured_permille") <= 500)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t32_markup_profile" -> t32MarkupProfile,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
@@ -1138,6 +1222,39 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t32: same deterministic rendering (list_slice is index-inclusive =
+    // Spark's slice(start, length) here), then the same (?m) regex counts
+    // via len(regexp_extract_all). The corpus is nonempty per doc, so the
+    // line count is always >= 1.
+    "t32_markup_profile" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |md AS (
+         |  SELECT doc_id,
+         |         CAST((len(tk) + $LineTokens - 1) // $LineTokens AS INT) AS n_lines,
+         |         array_to_string(list_transform(
+         |           generate_series(0, (len(tk) + $LineTokens - 1) // $LineTokens - 1),
+         |           i -> (CASE CAST((doc_id + i) % 7 AS INT)
+         |                   WHEN 0 THEN '# ' WHEN 1 THEN '- '
+         |                   WHEN 2 THEN '``` ' ELSE '' END)
+         |                || array_to_string(list_slice(tk, i * $LineTokens + 1,
+         |                                              i * $LineTokens + $LineTokens), ' ')
+         |                || (CASE WHEN (doc_id + i) % 7 = 3
+         |                         THEN ' see [ref](https://docs.example.org)'
+         |                         ELSE '' END)), chr(10)) AS md
+         |  FROM r),
+         |prof AS (
+         |  SELECT doc_id, n_lines,
+         |         CAST(len(regexp_extract_all(md, '(?m)^# ')) AS INT) AS n_head,
+         |         CAST(len(regexp_extract_all(md, '(?m)^- ')) AS INT) AS n_bullet,
+         |         CAST(len(regexp_extract_all(md, '(?m)^```')) AS INT) AS n_fence,
+         |         CAST(len(regexp_extract_all(md, '[[]ref[]]')) AS INT) AS n_links
+         |  FROM md)
+         |SELECT doc_id, n_lines, n_head, n_bullet, n_fence, n_links,
+         |       CAST(1000 * (n_head + n_bullet + n_fence) // n_lines AS INT)
+         |         AS structured_permille,
+         |       1000 * (n_head + n_bullet + n_fence) // n_lines <= 500 AS keep
+         |FROM prof ORDER BY doc_id""".stripMargin,
     "t28_length_cdf" ->
       """WITH h AS (SELECT n_chars, COUNT(1) AS cnt FROM documents GROUP BY 1),
         |c AS (SELECT n_chars,
