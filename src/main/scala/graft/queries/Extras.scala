@@ -1491,7 +1491,66 @@ object Extras {
       .orderBy(col("n_orders").desc, col("c_custkey"))
   }
 
+  /** q144: time-weighted average (TWAP) over an irregular event series —
+    * the metrics/finance aggregate where each observation counts for the
+    * DURATION it was in force, not once: per user, Σ value·Δt / Σ Δt with
+    * Δt the µs gap to the user's next event (the last observation has no
+    * holding period and drops — the standard left-closed convention).
+    * Δt comes from one `lead` over a per-user window (each group is one
+    * user's events — bounded, never a global window); everything else is
+    * a partial-agg groupBy on exact integers (cents × µs stays well
+    * inside bigint: ≤ 1e4 · 2.6e12 per term), and the final average is
+    * one double divide of identical bigints — IEEE-identical cross-engine.
+    */
+  val q144TimeWeightedAvg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - col("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"),
+           sum(col("dur_us")).as("held_us"),
+           sum(col("cents") * col("dur_us")).as("weighted"))
+      .withColumn("twa_cents",
+        expr("cast(weighted as double) / cast(held_us as double)"))
+      .orderBy("user_id")
+  }
+
+  /** q145: timezone conversion semantics — `from_utc_timestamp` /
+    * `to_utc_timestamp` against IANA zones, pinned ACROSS the US
+    * spring-forward boundary: the January fixture shifted by 69 days
+    * spans 2024-03-10/11, so America/New_York flips EST(-300) → EDT(-240)
+    * mid-corpus and the skipped 02:xx wall hour must never appear.
+    * Asia/Tokyo (+540, no DST) is the control zone. The offset is derived
+    * from the converted values themselves (µs delta), the local
+    * date/hour pin the wall-clock fields, and the round trip back to UTC
+    * must be exact (spring-forward only — no ambiguous fall-back times in
+    * range). All per-row codegen, no shuffle before the output sort; both
+    * engines read the same IANA tzdb, which is the point of the pin.
+    */
+  val q145Timezone: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("shifted", expr("ts + INTERVAL 69 DAYS"))
+      .withColumn("ny", expr("from_utc_timestamp(shifted, 'America/New_York')"))
+      .withColumn("tokyo", expr("from_utc_timestamp(shifted, 'Asia/Tokyo')"))
+      .select(
+        col("event_id"), col("shifted"), col("ny"),
+        expr("cast((unix_micros(ny) - unix_micros(shifted)) div 60000000 as int)")
+          .as("offset_min_ny"),
+        expr("cast(date_format(ny, 'H') as int)").as("ny_hour"),
+        expr("cast(ny as date)").as("ny_date"),
+        expr("cast((unix_micros(tokyo) - unix_micros(shifted)) div 60000000 as int)")
+          .as("offset_min_tokyo"),
+        expr("to_utc_timestamp(ny, 'America/New_York') = shifted").as("rt_ok"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "q144_time_weighted_avg" -> q144TimeWeightedAvg,
+    "q145_timezone"          -> q145Timezone,
     "q141_binary_codec"      -> q141BinaryCodec,
     "q142_bitwise_agg"       -> q142BitwiseAgg,
     "q143_skyline"           -> q143Skyline,
@@ -1570,6 +1629,47 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q145: DuckDB's two-step timezone() composition — interpret naive as
+    // UTC (→ TIMESTAMPTZ instant), then render in the target zone (→ naive
+    // wall-clock) — is from_utc_timestamp's exact twin; the inverse
+    // composition is to_utc_timestamp. Session-TZ independent: only naive
+    // timestamps cross the compare boundary.
+    "q145_timezone" ->
+      """WITH e AS (
+        |  SELECT event_id, ts + INTERVAL 69 DAY AS shifted FROM events),
+        |c AS (
+        |  SELECT event_id, shifted,
+        |         timezone('America/New_York', timezone('UTC', shifted)) AS ny,
+        |         timezone('Asia/Tokyo', timezone('UTC', shifted)) AS tokyo
+        |  FROM e)
+        |SELECT event_id, shifted, ny,
+        |       CAST((epoch_us(ny) - epoch_us(shifted)) // 60000000 AS INT)
+        |         AS offset_min_ny,
+        |       CAST(hour(ny) AS INT) AS ny_hour,
+        |       CAST(ny AS DATE) AS ny_date,
+        |       CAST((epoch_us(tokyo) - epoch_us(shifted)) // 60000000 AS INT)
+        |         AS offset_min_tokyo,
+        |       timezone('UTC', timezone('America/New_York', ny)) = shifted AS rt_ok
+        |FROM c ORDER BY event_id""".stripMargin,
+    // q144: identical lead/groupBy spelling; epoch_us == unix_micros and
+    // the lead window shares the (us, event_id) tiebreak.
+    "q144_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, cents, us,
+        |         lead(us) OVER (PARTITION BY user_id
+        |                        ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id, COUNT(1) AS n_holds,
+        |       CAST(SUM(next_us - us) AS BIGINT) AS held_us,
+        |       CAST(SUM(cents * (next_us - us)) AS BIGINT) AS weighted,
+        |       CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+        |         / CAST(SUM(next_us - us) AS DOUBLE) AS twa_cents
+        |FROM h WHERE next_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q143: the frontier predicate spelled as the strict-suffix-max window
     // (dominated iff some strictly-larger spend reaches ≥ my order count);
     // DuckDB runs the window however it likes — the Spark side replaces it

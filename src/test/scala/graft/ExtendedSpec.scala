@@ -7,6 +7,43 @@ package graft
   */
 class ExtendedSpec extends SparkSpec {
 
+  test("prefixMax equals the global-window reference in all 4 modes") {
+    import org.apache.spark.sql.functions._
+    // Unique order key (orderkey, linenumber packed) with a non-monotone
+    // value column, so running maxes genuinely interleave across range
+    // partitions; the reference is the single-partition window (fine in a
+    // TEST — it is exactly the shape prefixMax exists to replace).
+    // (orderkey, linenumber) is NOT unique in the synthetic fixture —
+    // collapse to one row per key (prefixSum/prefixMax's documented
+    // unique-order-key contract; ties could split across range bounds).
+    val df = graft.Tables.lineitem(spark, sf)
+      .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("k"))
+      .agg(max(col("l_partkey").cast("bigint")).as("v"))
+    for {
+      desc <- Seq(false, true)
+      incl <- Seq(false, true)
+      parts <- Seq(3, 32)
+    } {
+      val got = graft.queries.TextOps
+        .prefixMax(df, "k", "v", "pm", includeCurrent = incl,
+          descending = desc, numParts = parts)
+        .select("k", "pm").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(r => if (desc) -r._1 else r._1)
+      var best: Option[Long] = None
+      rows.foreach { case (k, v) =>
+        val withCur = Some(best.fold(v)(math.max(_, v)))
+        val expect = if (incl) withCur else best
+        assert(got(k) === expect,
+          s"k=$k desc=$desc incl=$incl parts=$parts")
+        best = withCur
+      }
+      assert(rows.nonEmpty && got.size === rows.length)
+    }
+  }
+
   test("t25 vocabulary coverage equals the sorted-count reference") {
     // Reference: sort per-token counts descending in memory and count how
     // many tokens the greedy walk needs to reach each mass threshold —

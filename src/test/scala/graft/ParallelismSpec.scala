@@ -20,7 +20,11 @@ class ParallelismSpec extends SparkSpec {
     // devices: t30 stitches segments via array_sort over collect_list
     // (collect order itself is partition-dependent), n17 ranks via
     // tie-broken windows, n16 argmaxes via struct max_by.
-    "t30_span_removal", "n17_ivf_rebalance", "n16_kcenter_seed")
+    "t30_span_removal", "n17_ivf_rebalance", "n16_kcenter_seed",
+    // q143 rides the two-pass prefixMax (range partition count changes the
+    // offset table shape but must not change results); n19 ranks via
+    // tie-broken per-query windows + the TopKPerKey bounded heap.
+    "q143_skyline", "n19_rank_fusion")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so
