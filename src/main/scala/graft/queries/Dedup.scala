@@ -1376,6 +1376,16 @@ object Dedup {
     * keys are near-uniform (page ids), so no salting needed, and at 100 TB
     * this is the same single-shuffle shape as q32's exact dedup.
     */
+  /** d25's canonicalization chain over a column named `url` (Spark SQL
+    * spelling — the doubled backslash survives the SQL-literal unescape;
+    * the oracle mirrors with RE2 single-backslash literals). `(www\.)+`
+    * and `/+$` make the rewrite IDEMPOTENT (canon∘canon = canon — pinned
+    * in DedupSpec), which a single `www\.`/`/$` strip is not.
+    */
+  val UrlCanonExpr: String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "url, '^https?://', ''), '^(www\\\\.)+', ''), '[?#].*$', ''), '/+$', '')"
+
   val d25UrlCanonical: Q = (s, d) => {
     val planted = Tables.documents(s, d)
       .withColumn("url", expr(
@@ -1385,9 +1395,7 @@ object Dedup {
           |       cast(doc_id % 50 as string),
           |       CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
           |            WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)""".stripMargin))
-      .withColumn("canon", expr(
-        """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          |  url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')""".stripMargin))
+      .withColumn("canon", expr(UrlCanonExpr))
     planted.groupBy("canon")
       .agg(min(col("doc_id")).as("survivor_doc"),
            count(lit(1)).as("n_variants"),
@@ -1519,7 +1527,7 @@ object Dedup {
         |canon AS (
         |  SELECT doc_id, url,
         |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |           url, '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS canon
+        |           url, '^https?://', ''), '^(www\.)+', ''), '[?#].*$', ''), '/+$', '') AS canon
         |  FROM planted)
         |SELECT canon, MIN(doc_id) AS survivor_doc, COUNT(1) AS n_variants,
         |       COUNT(DISTINCT url) AS n_distinct_raw,

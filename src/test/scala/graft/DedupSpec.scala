@@ -10,6 +10,33 @@ import graft.functions.TextHash
   */
 class DedupSpec extends SparkSpec {
 
+  test("d25 URL canonicalizer: goldens + idempotence on adversarial inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // Shapes the planted fixture never produces — stacked www, doubled
+    // trailing slashes, fragment-only, query+slash interplay, no scheme,
+    // www-lookalike hosts. Goldens are the intended canonical identity.
+    val goldens = Seq(
+      "https://www.x.com/"            -> "x.com",
+      "http://x.com?a=1#f"            -> "x.com",
+      "x.com/"                        -> "x.com",
+      "http://wwwx.com"               -> "wwwx.com",
+      "https://www.www.x.com/p//"     -> "x.com/p",
+      "https://x.com/p/?utm_source=t" -> "x.com/p",
+      "http://x.com/#frag"            -> "x.com",
+      "www.x.com/a/b/"                -> "x.com/a/b",
+      "https://x.com///"              -> "x.com")
+    val got = goldens.map(_._1).toDF("url")
+      .withColumn("canon", expr(Dedup.UrlCanonExpr))
+      .withColumn("twice",
+        expr(Dedup.UrlCanonExpr.replace("url,", "canon,")))
+      .collect()
+    got.zip(goldens).foreach { case (r, (in, want)) =>
+      assert(r.getString(1) === want, s"canon($in)")
+      assert(r.getString(2) === r.getString(1), s"idempotence at $in")
+    }
+  }
+
   /** Write a documents.parquet fixture so the Q(spark, dir) contract runs
     * unchanged against planted data.
     */
