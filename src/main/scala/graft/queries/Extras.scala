@@ -1548,9 +1548,36 @@ object Extras {
         expr("to_utc_timestamp(ny, 'America/New_York') = shifted").as("rt_ok"))
       .orderBy("event_id")
 
+  /** q146: `DataFrameNaFunctions` surface — `na.replace` (value remap),
+    * `na.fill` (typed per-column defaults), and the `na.drop("any")`
+    * predicate, pinned as data: nulls are planted deterministically
+    * (`nullif` on modular slices of the fixture), then each API call's
+    * effect is emitted per row. These are thin Catalyst rewrites (replace
+    * → CASE, fill → coalesce, drop → IsNotNull filter), so the pin is
+    * about SEMANTICS (replace-before-fill ordering, fill's type scoping,
+    * drop's any-vs-all) — all whole-stage codegen, no shuffle before the
+    * output sort.
+    */
+  val q146NaFuncs: Q = (s, d) => {
+    val planted = Tables.events(s, d)
+      .select(col("event_id"),
+        expr("nullif(value, 6.55)").as("v"),
+        expr("CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END").as("et"))
+    val kept = planted.na.drop("any", Seq("v", "et"))
+      .select(col("event_id"), lit(true).as("survives_drop"))
+    planted
+      .na.replace("et", Map("click" -> "tap"))
+      .na.fill(Map("v" -> -1.0, "et" -> "unknown"))
+      .join(kept, Seq("event_id"), "left")
+      .select(col("event_id"), col("v"), col("et"),
+        coalesce(col("survives_drop"), lit(false)).as("survives_drop"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q144_time_weighted_avg" -> q144TimeWeightedAvg,
     "q145_timezone"          -> q145Timezone,
+    "q146_na_funcs"          -> q146NaFuncs,
     "q141_binary_codec"      -> q141BinaryCodec,
     "q142_bitwise_agg"       -> q142BitwiseAgg,
     "q143_skyline"           -> q143Skyline,
@@ -1629,6 +1656,20 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q146: replace runs BEFORE fill (the planted null never becomes
+    // 'tap'), fill touches only its own column's type, drop's "any" is an
+    // OR of null tests — all spelled as CASE/COALESCE.
+    "q146_na_funcs" ->
+      """WITH planted AS (
+        |  SELECT event_id, nullif(value, 6.55) AS v,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et
+        |  FROM events)
+        |SELECT event_id,
+        |       COALESCE(v, -1.0) AS v,
+        |       COALESCE(CASE WHEN et = 'click' THEN 'tap' ELSE et END,
+        |                'unknown') AS et,
+        |       v IS NOT NULL AND et IS NOT NULL AS survives_drop
+        |FROM planted ORDER BY event_id""".stripMargin,
     // q145: DuckDB's two-step timezone() composition — interpret naive as
     // UTC (→ TIMESTAMPTZ instant), then render in the target zone (→ naive
     // wall-clock) — is from_utc_timestamp's exact twin; the inverse

@@ -581,6 +581,38 @@ object ScaleOps {
       .orderBy("bucket")
   }
 
+  /** x13: `stat.freqItems` (Karp–Shenker–Papadimitriou heavy hitters) —
+    * the one-pass mergeable frequent-items summary behind hot-key
+    * detection (the input to q60's salting decision). The EXACT report
+    * set is partition-layout-dependent (false positives allowed by
+    * construction), so — x01/x02 discipline — the query emits only the
+    * algorithm's GUARANTEE as booleans: every value with relative
+    * frequency > support must be reported. Two columns probe both
+    * regimes: near-uniform event_type (all 5 values frequent) and a
+    * planted 10%-heavy key in a long tail of per-user rarities. The
+    * exact-count side is two partial-agg groupBys; the freqItems summary
+    * is one row, broadcast everywhere it's consulted.
+    */
+  val x13FreqItems: Q = (s, d) => {
+    val e = Tables.events(s, d).withColumn("k", expr(
+      "CASE WHEN user_id % 10 = 0 THEN 'heavy' " +
+        "ELSE concat('u', cast(user_id as string)) END"))
+    val fi = broadcast(e.stat.freqItems(Seq("event_type", "k"), 0.05)
+      .select(col("event_type_freqItems").as("ft"),
+              col("k_freqItems").as("fk")))
+    val tot = e.agg(count(lit(1)).as("n"))
+    val freqTypes = e.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot)).filter(col("c") * 20 > col("n"))
+    freqTypes.crossJoin(fi)
+      .select(col("event_type"),
+        expr("array_contains(ft, event_type)").as("reported"))
+      .agg(count(lit(1)).as("n_frequent_types"),
+           expr("bool_and(reported)").as("all_frequent_reported"))
+      .crossJoin(fi.select(
+        expr("array_contains(fk, 'heavy')").as("heavy_reported")))
+      .select("n_frequent_types", "all_frequent_reported", "heavy_reported")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -784,6 +816,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "x12_log2_histogram"   -> x12Log2Histogram,
+    "x13_freq_items"       -> x13FreqItems,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -817,6 +850,16 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x13: the oracle pins the exact-count leg and the guarantee booleans
+    // as literals (x01/x02 discipline — the report SET is layout-dependent
+    // but the inclusion guarantee is not).
+    "x13_freq_items" ->
+      """SELECT COUNT(1) AS n_frequent_types,
+        |       TRUE AS all_frequent_reported,
+        |       TRUE AS heavy_reported
+        |FROM (SELECT event_type, COUNT(1) AS c FROM events GROUP BY 1) t,
+        |     (SELECT COUNT(1) AS n FROM events) g
+        |WHERE c * 20 > n""".stripMargin,
     // x12: same exact bit-length bucketing (format('{:b}') == Spark's
     // bin() for positive bigints); the oracle's cumulative pass is the
     // window spelling of the Spark side's broadcast theta join.
