@@ -21,6 +21,9 @@ import graft.functions.{CdcChunks, CharStats, Hash56, PyRound, Shingles, VecDot}
   *  - `cdc_chunks(payload)` — codegen'd content-defined chunk spans over
   *    binary (see CdcChunks for why the HOF spelling was the m04
   *    bottleneck).
+  *  - `log2_hist(v)` — native TypedImperativeAggregate building the
+  *    power-of-two histogram sketch with a genuine partial phase (see
+  *    Log2Hist; pinned by x14 + PlanSpec).
   *
   * one planner strategy:
   *  - [[graft.plans.TopKPerKeyStrategy]] — plans the custom
@@ -87,6 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"char_stats(<string>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("log2_hist"),
+      new ExpressionInfo(classOf[graft.functions.Log2Hist].getName, "log2_hist"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) =>
+          graft.functions.Log2Hist(
+            Cast(v, org.apache.spark.sql.types.LongType)).toAggregateExpression()
+        case other =>
+          throw new IllegalArgumentException(
+            s"log2_hist(<bigint>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

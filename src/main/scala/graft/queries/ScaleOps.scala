@@ -613,6 +613,75 @@ object ScaleOps {
       .select("n_frequent_types", "all_frequent_reported", "heavy_reported")
   }
 
+  /** q147: Merkle-style replica reconciliation — find every drifted row
+    * between a 100 TB table and its replica WITHOUT a full-table row
+    * compare. Two phases: (1) each side collapses to ≤256 (bucket, count,
+    * xor-of-row-hash) digest rows — a partial-agg groupBy whose shuffle
+    * carries metadata, never rows (q142's order-independent xor digest
+    * over the 56-bit row hash; a colliding bucket needs two drifted rows
+    * whose hashes xor-cancel — ~2⁻⁵⁶); (2) only buckets whose digests
+    * disagree are re-scanned and full-outer-joined per key (the dirty
+    * bucket list broadcasts — ≤256 rows by construction). The planted
+    * drift: keys ≡0 (mod 1013) deleted from the replica, keys ≡0
+    * (mod 997) modified by one cent. At scale phase 2 touches
+    * dirty/256ths of the data; the oracle is the semantic ground truth
+    * (the direct full-outer diff).
+    */
+  val q147ReplicaDiff: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    val replica = base.filter(col("k") % 1013 =!= 0)
+      .withColumn("cents",
+        when(col("k") % 997 === 0, col("cents") + 1).otherwise(col("cents")))
+    def digests(t: DataFrame): DataFrame = t
+      .withColumn("bkt", pmod(col("k"), lit(256)).cast("int"))
+      .withColumn("h", expr(TextHash.sparkHash56(
+        "concat(cast(k as string), ':', cast(cents as string))")))
+      .groupBy("bkt").agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("dg"))
+    val dirty = digests(base).select(col("bkt"), col("n").as("an"), col("dg").as("adg"))
+      .join(digests(replica).select(col("bkt"), col("n").as("bn"), col("dg").as("bdg")),
+            Seq("bkt"), "full")
+      .filter(coalesce(col("an"), lit(-1L)) =!= coalesce(col("bn"), lit(-1L)) ||
+              coalesce(col("adg"), lit(-1L)) =!= coalesce(col("bdg"), lit(-1L)))
+      .select("bkt")
+    def dirtyOnly(t: DataFrame): DataFrame = t
+      .withColumn("bkt", pmod(col("k"), lit(256)).cast("int"))
+      .join(broadcast(dirty), "bkt")
+    dirtyOnly(base).select(col("k"), col("cents").as("base_cents"))
+      .join(dirtyOnly(replica).select(col("k"), col("cents").as("replica_cents")),
+            Seq("k"), "full")
+      .filter(col("base_cents").isNull || col("replica_cents").isNull ||
+              col("base_cents") =!= col("replica_cents"))
+      .withColumn("status",
+        when(col("replica_cents").isNull, "missing_in_replica")
+          .when(col("base_cents").isNull, "added_in_replica")
+          .otherwise("modified"))
+      .select("k", "status", "base_cents", "replica_cents")
+      .orderBy("k")
+  }
+
+  /** x14: the [[graft.functions.Log2Hist]] NATIVE aggregate — x12's
+    * power-of-two histogram built by the engine-extension sketch instead
+    * of a relational groupBy: one ObjectHashAggregate with a genuine
+    * partial phase (512-byte buffer per group × partition crosses the
+    * shuffle, never rows — PlanSpec pins the shape). The array result is
+    * posexploded back to (bucket, n) rows so the relational ground truth
+    * (the oracle's plain per-bucket counts) pins the sketch value-exactly,
+    * partial/merge path included.
+    */
+  val x14Log2HistAgg: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_x14")
+    s.sql(
+      """WITH h AS (
+        |  SELECT o_orderstatus,
+        |         log2_hist(cast(floor(o_totalprice * 100) as bigint)) AS hist
+        |  FROM orders_x14 GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, bucket, n
+        |FROM h LATERAL VIEW posexplode(hist) t AS bucket, n
+        |WHERE n > 0
+        |ORDER BY o_orderstatus, bucket""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -817,6 +886,8 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "x12_log2_histogram"   -> x12Log2Histogram,
     "x13_freq_items"       -> x13FreqItems,
+    "q147_replica_diff"    -> q147ReplicaDiff,
+    "x14_log2_hist_agg"    -> x14Log2HistAgg,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -850,6 +921,34 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x14: relational ground truth for the native sketch — per-bucket
+    // exact counts with the same bit-length bucketing as x12.
+    "x14_log2_hist_agg" ->
+      """SELECT o_orderstatus,
+        |       CAST(length(format('{:b}',
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT))) - 1 AS INT) AS bucket,
+        |       COUNT(1) AS n
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
+    // q147: ground truth = the direct full-outer diff (no digests — the
+    // oracle checks WHAT drifted, the Spark side proves it can be found
+    // while moving only bucket digests).
+    "q147_replica_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |replica AS (
+        |  SELECT k, CASE WHEN k % 997 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM base WHERE k % 1013 <> 0)
+        |SELECT COALESCE(b.k, r.k) AS k,
+        |       CASE WHEN r.k IS NULL THEN 'missing_in_replica'
+        |            WHEN b.k IS NULL THEN 'added_in_replica'
+        |            ELSE 'modified' END AS status,
+        |       b.cents AS base_cents, r.cents AS replica_cents
+        |FROM base b FULL OUTER JOIN replica r ON b.k = r.k
+        |WHERE b.k IS NULL OR r.k IS NULL OR b.cents <> r.cents
+        |ORDER BY k""".stripMargin,
     // x13: the oracle pins the exact-count leg and the guarantee booleans
     // as literals (x01/x02 discipline — the report SET is layout-dependent
     // but the inclusion guarantee is not).

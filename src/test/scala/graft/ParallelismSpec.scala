@@ -24,7 +24,10 @@ class ParallelismSpec extends SparkSpec {
     // q143 rides the two-pass prefixMax (range partition count changes the
     // offset table shape but must not change results); n19 ranks via
     // tie-broken per-query windows + the TopKPerKey bounded heap.
-    "q143_skyline", "n19_rank_fusion")
+    "q143_skyline", "n19_rank_fusion",
+    // x14's native aggregate must merge identically under any partial
+    // layout; q147's digest phase must flag the same dirty buckets.
+    "x14_log2_hist_agg", "q147_replica_diff")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so

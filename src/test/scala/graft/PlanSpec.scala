@@ -552,6 +552,18 @@ class PlanSpec extends SparkSpec {
       s"CLUSTER BY must hash-partition AND sort within partitions:\n$cPlan")
   }
 
+  test("x14: the native log2_hist aggregate plans as PARTIAL ObjectHashAggregate") {
+    // The point of the TypedImperativeAggregate tier: a 100 TB scan must
+    // collapse to one 512-byte buffer per (group x partition) BEFORE the
+    // shuffle. partial_log2_hist in an ObjectHashAggregate is that shape;
+    // a final-only aggregate (rows crossing the shuffle) would be wrong.
+    val plan = SparkEntry.queries("x14_log2_hist_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+             plan.contains("partial_log2_hist"),
+      s"expected a partial ObjectHashAggregate for log2_hist:\n$plan")
+  }
+
   test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
     // The manual .explain sweep, automated: every declared query's physical
     // plan is scanned for the two shapes that are NEVER acceptable at
