@@ -1574,7 +1574,40 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** q148: relational division — "customers whose orders cover ALL order
+    * priorities", the universal-quantification join (Codd's ÷) that
+    * FOR ALL-style requirements compile to. Two independent spellings run
+    * and must agree: (1) the scale spelling — one partial-agg
+    * `countDistinct` per customer against the broadcast divisor
+    * cardinality (the only corpus-scale work is one groupBy; the divisor
+    * table is 5 rows); (2) the textbook double negation — customers with
+    * NO missing (customer × priority) pair, via a broadcast cross join
+    * against the divisor and two anti-joins. The `agrees` column pins
+    * leg 2 ⊇ leg 1 row-by-row (the reverse inclusion holds by
+    * construction: leg 2's anti-join can only ever drop customers).
+    */
+  val q148RelationalDivision: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"), col("o_orderpriority").as("p"))
+    val pri = o.select("p").distinct()
+    val nPri = pri.agg(count(lit(1)).as("np"))
+    val leg1 = o.groupBy("c").agg(countDistinct(col("p")).as("n_priorities"))
+      .crossJoin(broadcast(nPri))
+      .filter(col("n_priorities") === col("np"))
+      .select("c", "n_priorities")
+    val missing = o.select("c").distinct().crossJoin(broadcast(pri))
+      .join(o, Seq("c", "p"), "left_anti")
+    val leg2 = o.select("c").distinct()
+      .join(missing.select("c").distinct(), Seq("c"), "left_anti")
+      .withColumn("by_double_neg", lit(true))
+    leg1.join(leg2, Seq("c"), "left")
+      .select(col("c").as("c_custkey"), col("n_priorities"),
+        coalesce(col("by_double_neg"), lit(false)).as("agrees"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_relational_division" -> q148RelationalDivision,
     "q144_time_weighted_avg" -> q144TimeWeightedAvg,
     "q145_timezone"          -> q145Timezone,
     "q146_na_funcs"          -> q146NaFuncs,
@@ -1656,6 +1689,18 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q148: the oracle uses the count-distinct spelling (the ground
+    // truth); `agrees` is literal TRUE — the Spark side must prove its
+    // double-negation leg reaches the same set.
+    "q148_relational_division" ->
+      """WITH o AS (SELECT o_custkey AS c, o_orderpriority AS p FROM orders),
+        |np AS (SELECT COUNT(DISTINCT p) AS np FROM o)
+        |SELECT c AS c_custkey, COUNT(DISTINCT p) AS n_priorities,
+        |       TRUE AS agrees
+        |FROM o, np
+        |GROUP BY c, np
+        |HAVING COUNT(DISTINCT p) = np
+        |ORDER BY c_custkey""".stripMargin,
     // q146: replace runs BEFORE fill (the planted null never becomes
     // 'tap'), fill touches only its own column's type, drop's "any" is an
     // OR of null tests — all spelled as CASE/COALESCE.

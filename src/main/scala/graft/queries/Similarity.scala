@@ -726,6 +726,56 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** Coarse lists probed by n20's IVF-PQ search. */
+  val IvfPqNprobe = 2
+
+  /** n20: IVF-PQ — the FAISS `IVFPQ` index architecture, composing the
+    * two index families this suite builds separately: a COARSE IVF probe
+    * (query's top-[[IvfPqNprobe]] centroid lists by exact cosine — the
+    * 16-row centroid table broadcasts, top-2 is a 16-row sort) restricts
+    * the candidate set, then PQ ADC scores ONLY those candidates through
+    * their 8-byte codes (the semi-join on the probed lists lands BEFORE
+    * the distance-table join — the whole point of IVFPQ: ADC work scales
+    * with probed-list size, not corpus size), and n10's exact-refine
+    * stage re-ranks the 50-row shortlist with full vectors. All integer
+    * algebra; every intermediate (probe list, distance table, shortlist)
+    * is metadata-scale and broadcast.
+    */
+  val n20Ivfpq: Q = (s, d) => {
+    val v = prepared(s, d)
+    val qfull = v.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("qn"))
+    val cents = v.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val probed = cents.crossJoin(broadcast(qfull))
+      .withColumn("ccos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(qn as double) * cast(cnrm as double))"))
+      .orderBy(col("ccos").desc, col("cid").asc).limit(IvfPqNprobe)
+      .select("cid")
+    val cand = ivfAssigned(s, d).select("vec_id", "cid")
+      .join(broadcast(probed), "cid")
+      .filter(col("vec_id") =!= 0)
+    val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
+      .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
+    val pcents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("code"), col("sub"),
+              col("sq").as("cq"), col("snrm").as("cnrm"))
+    val qtable = pcents.join(broadcast(qsubs), "sub")
+      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
+      .select("sub", "code", "qd2")
+    val adc = pqAssigned(s, d).join(cand, "vec_id")
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("vec_id", "cid").agg(sum("qd2").as("adc_dist2"))
+    val short = adc.orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(PqShortlist)
+    v.filter(col("vec_id") =!= 0).join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qfull))
+      .withColumn("exact_d2", expr("qn + nrm - 2 * vec_dot(qa, q)"))
+      .select("vec_id", "cid", "adc_dist2", "exact_d2")
+      .orderBy(col("exact_d2").asc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   /** SemDeDup within-cluster cosine threshold (the sf corpus is diffuse —
     * within-cluster pair cosines top out near 0.5 — so 0.30 prunes a real
     * but small set; production corpora use 0.9+ on trained clusters).
@@ -899,6 +949,7 @@ object Similarity {
     "n12_knn_join"       -> n12KnnJoin,
     "n13_mutual_knn"     -> n13MutualKnn,
     "n19_rank_fusion"    -> n19RankFusion,
+    "n20_ivfpq"          -> n20Ivfpq,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1290,6 +1341,61 @@ object Similarity {
          |SELECT vec_id, CAST(sub AS INT) AS sub,
          |       CAST(cid AS BIGINT) AS code, CAST(dist2 AS BIGINT) AS dist2
          |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+    },
+    // n20: IVF probe + PQ ADC + exact refine, composed from the same CTE
+    // bodies as the n02/n07/n10 oracles; the candidate restriction (JOIN
+    // probed) lands before the ADC join exactly as the Spark side's
+    // semi-join does.
+    "n20_ivfpq" -> {
+      def dot8(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qf AS (SELECT q AS qa, nrm AS qn FROM prepn WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.vec_id AS cid,
+         |           CAST(${duckDot("q0.qa", "c.q")} AS DOUBLE)
+         |             / sqrt(CAST(q0.qn AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS ccos
+         |    FROM prepn c, qf q0 WHERE c.vec_id < $NumCentroids)
+         |  ORDER BY ccos DESC, cid ASC LIMIT $IvfPqNprobe),
+         |cand AS (SELECT a.vec_id, a.cid FROM assigned a JOIN probed USING (cid)
+         |         WHERE a.vec_id <> 0),
+         |subs AS (
+         |  SELECT vec_id, g.j AS sub,
+         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+         |pcents AS (SELECT vec_id AS cid, sub, sq AS cq
+         |           FROM subs WHERE vec_id < $NumCentroids),
+         |pscored AS (
+         |  SELECT v.vec_id, v.sub, c.cid,
+         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
+         |  FROM subs v JOIN pcents c USING (sub)),
+         |best AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dist2,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist2 ASC, cid ASC) AS rn
+         |    FROM pscored) WHERE rn = 1),
+         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
+         |qtable AS (
+         |  SELECT c.sub, c.cid AS code,
+         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
+         |  FROM pcents c JOIN qsubs USING (sub)),
+         |adc AS (
+         |  SELECT b.vec_id, cand.cid, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
+         |  FROM best b JOIN cand ON cand.vec_id = b.vec_id
+         |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |  GROUP BY b.vec_id, cand.cid),
+         |short AS (SELECT * FROM adc
+         |          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $PqShortlist)
+         |SELECT s.vec_id, s.cid, s.adc_dist2,
+         |       CAST(q0.qn + p.nrm - 2 * ${duckDot("q0.qa", "p.q")} AS BIGINT)
+         |         AS exact_d2
+         |FROM short s JOIN prepn p USING (vec_id), qf q0
+         |ORDER BY exact_d2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
     },
     "n07_pq_search" -> {
       def dot8(a: String, b: String): String =
