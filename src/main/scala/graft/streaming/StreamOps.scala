@@ -387,6 +387,19 @@ object StreamOps {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** s28: the NATIVE [[graft.functions.Log2Hist]] sketch aggregate under
+    * streaming state — the extension tiers composing: a custom
+    * TypedImperativeAggregate's buffer must round-trip the STATE STORE
+    * (serialize at micro-batch commit, deserialize + merge on the next
+    * batch's update), not just the batch shuffle x14 pins. Update-mode
+    * per-key histograms are the streaming metrics-pipeline shape (one
+    * 512-byte sketch per key in state regardless of event volume); the
+    * spec replays two batches and asserts the final snapshot equals the
+    * batch aggregate over the same data.
+    */
+  def s28StreamingSketch(values: DataFrame): DataFrame =
+    values.groupBy(col("grp")).agg(expr("log2_hist(v)").as("hist"))
+
   /** s21: OFFLINE state-store inspection (the Spark 4 state data source,
     * SPARK-45511) — read a streaming checkpoint's keyed state back as a
     * plain DataFrame, without the query running. This is the debugging /

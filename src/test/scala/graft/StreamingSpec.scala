@@ -600,6 +600,35 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot === Set((1L, 3L, 60.0), (2L, 1L, 5.0)), s"got $snapshot")
   }
 
+  test("s28 native log2_hist sketch buffers round-trip the state store across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamOps.s28StreamingSketch(mem.toDF.toDF("grp", "v"))
+      .writeStream.format("memory").queryName("s28_out")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(("a", 1L), ("a", 2L), ("a", 3L))
+    q.processAllAvailable()
+    // batch 2 MERGES into batch 1's deserialized state buffer
+    mem.addData(("a", 1024L), ("b", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("s28_out").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    // latest emission per key == the batch aggregate over the full replay
+    val snapshot = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1._2 }
+    def hist(vs: Long*): Seq[Long] = {
+      val h = Array.fill(64)(0L)
+      vs.foreach(v => h(63 - java.lang.Long.numberOfLeadingZeros(v)) += 1)
+      h.toSeq
+    }
+    assert(snapshot("a") === hist(1L, 2L, 3L, 1024L), s"a: ${snapshot("a")}")
+    assert(snapshot("b") === hist(5L), s"b: ${snapshot("b")}")
+    // 'a' must have been emitted twice (update mode, touched both batches)
+    assert(emitted.count(_._1 == "a") === 2)
+  }
+
   test("s11 complete-mode top-k re-ranks every batch; final snapshot equals batch top-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
