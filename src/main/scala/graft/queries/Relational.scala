@@ -170,6 +170,45 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** q149: FORWARD as-of join with tolerance — for each purchase, the
+    * EARLIEST error by the same user at-or-after it, but only within a
+    * 30-minute window (the "did an error follow this action soon after"
+    * shape behind alert correlation and label attribution; q11 pins the
+    * backward direction). Same scale discipline as q11 — union + one
+    * per-user running frame, never a (purchase × error) pair join — run
+    * DESCENDING: scanning ts high→low, the carried "last seen error" is
+    * exactly the smallest error ts ≥ current row (ties: errors sort
+    * before purchases at equal ts for inclusive semantics, and the id
+    * DESC scan order makes the carried pick the smallest e_id — the
+    * deterministic (ts ASC, id ASC) choice). The tolerance is a post-hoc
+    * filter on the matched gap, so it costs nothing extra.
+    */
+  val q149AsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+              lit(null).cast("long").as("p_id"),
+              col("event_id").as("e_id"), col("ts").as("e_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+              col("event_id").as("p_id"),
+              lit(null).cast("long").as("e_id"),
+              lit(null).cast("timestamp").as("e_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("kind").asc,
+               coalesce(col("e_id"), col("p_id")).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.union(p)
+      .withColumn("nxt_e_id", last(col("e_id"), ignoreNulls = true).over(w))
+      .withColumn("nxt_e_ts", last(col("e_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("nxt_e_id").isNotNull)
+      .withColumn("gap_us",
+        expr("unix_micros(nxt_e_ts) - unix_micros(ts)"))
+      .filter(col("gap_us") <= 30L * 60L * 1000000L)
+      .select(col("p_id"), col("nxt_e_id").as("e_id"), col("gap_us"))
+      .orderBy("p_id")
+  }
+
   // ------------------------------------------------------------ aggregates
 
   /** q12: TPC-H Q1-shaped hash aggregate. Partial (map-side) aggregation
@@ -421,6 +460,7 @@ object Relational {
     "q09_join_broadcast"    -> q09JoinBroadcast,
     "q10_join_theta"        -> q10JoinTheta,
     "q11_join_asof"         -> q11JoinAsof,
+    "q149_asof_forward"     -> q149AsofForward,
     "q12_agg_group"         -> q12AggGroup,
     "q13_agg_distinct"      -> q13AggDistinct,
     "q14_rollup"            -> q14Rollup,
@@ -501,6 +541,22 @@ object Relational {
         |    ON p.user_id = e.user_id AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |  WHERE p.event_type = 'purchase' AND e.event_type = 'error'
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    // q149: independent brute spelling (pair join + rank), like q11's
+    // oracle — nearest-first, THEN the tolerance filter, matching the
+    // query's drop-if-beyond-window semantics.
+    "q149_asof_forward" ->
+      """SELECT p_id, e_id, gap_us FROM (
+        |  SELECT p.event_id AS p_id, e.event_id AS e_id,
+        |         epoch_us(CAST(e.ts AS TIMESTAMP))
+        |           - epoch_us(CAST(p.ts AS TIMESTAMP)) AS gap_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY CAST(e.ts AS TIMESTAMP) ASC,
+        |                                     e.event_id ASC) AS rn
+        |  FROM events p JOIN events e
+        |    ON p.user_id = e.user_id
+        |   AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        |  WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |) WHERE rn = 1 AND gap_us <= 1800000000 ORDER BY p_id""".stripMargin,
     "q12_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
