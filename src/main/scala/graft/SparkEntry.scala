@@ -40,7 +40,9 @@ object SparkEntry {
         "m07_tier_report" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m07TierReport(s, d)),
         "m08_delta_sync" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m08DeltaSync(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m08DeltaSync(s, d)),
+        "m09_batch_assembly" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m09BatchAssembly(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -202,6 +204,31 @@ object SparkEntry {
              |SELECT m1, m2, CAST(bit_count(xor(ph1, ph2)) AS INT) AS ham
              |FROM cand WHERE bit_count(xor(ph1, ph2)) <= ${graft.operators.Multimodal.PhashMaxHam}
              |ORDER BY m1, m2""".stripMargin
+        },
+        // m09: window spelling of the keyed prefix count; the balance flag
+        // recomputed from the same aggregates.
+        "m09_batch_assembly" -> {
+          val bs = graft.operators.Multimodal.BatchSize
+          s"""WITH m AS (
+             |  SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS kidx,
+             |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY kind
+             |                                   ORDER BY media_id) AS rank
+             |      FROM m),
+             |a AS (SELECT *, (rank - 1) * 3 + kidx AS pos FROM r),
+             |g AS (
+             |  SELECT CAST(pos // $bs AS INT) AS batch, COUNT(1) AS n_items,
+             |         CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+             |         CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+             |         CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+             |         MIN(media_id) AS first_media
+             |  FROM a GROUP BY 1)
+             |SELECT batch, n_items, n_image, n_audio, n_video, first_media,
+             |       greatest(n_image, n_audio, n_video)
+             |         - least(n_image, n_audio, n_video) <= 1 AS balanced
+             |FROM g ORDER BY batch""".stripMargin
         },
         "m02_frame_explode" ->
           """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,

@@ -392,6 +392,50 @@ object Multimodal {
       .orderBy("m1", "m2")
   }
 
+  /** Training batch size for m09 (a multiple of the 3 modalities, so full
+    * batches carry exactly BatchSize/3 of each kind).
+    */
+  val BatchSize = 12
+
+  /** m09: modality-balanced batch assembly — interleave image/audio/video
+    * items round-robin into fixed-size training batches so every full
+    * batch sees the same modality mix (the batch-composition step a
+    * multimodal training job runs after packing). Per-kind ranks come
+    * from the KEYED range-partitioned prefix count
+    * ([[graft.queries.TextOps.prefixSum]] with `keyCols` — NEVER a
+    * 3-partition `Window.partitionBy(kind)`, which would put a third of
+    * a 100 TB corpus in one task); the interleave position
+    * `(rank−1)·3 + kind_idx` is then a pure per-row expression, and the
+    * batch report is one partial-agg groupBy over O(corpus/BatchSize)
+    * keys. The `balanced` flag proves the round-robin: every batch's
+    * per-kind counts differ by ≤ 1 (the tail batches where a modality
+    * exhausts are exactly the rows where it may drop below).
+    */
+  def m09BatchAssembly(s: SparkSession, d: String): DataFrame = {
+    val media = graft.Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+        "WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"),
+      expr("CAST(doc_id % 3 AS INT)").as("kidx"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.queries.TextOps.prefixSum(
+      media, "media_id", "one", "rank",
+      includeCurrent = true, keyCols = Seq("kind"))
+    ranked
+      .withColumn("pos", (col("rank") - 1) * 3 + col("kidx"))
+      .withColumn("batch", expr(s"cast(pos div $BatchSize as int)"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("kind") === "video", 1L).otherwise(0L)).as("n_video"),
+        min(col("media_id")).as("first_media"))
+      .withColumn("balanced",
+        greatest(col("n_image"), col("n_audio"), col("n_video")) -
+          least(col("n_image"), col("n_audio"), col("n_video")) <= 1)
+      .orderBy("batch")
+  }
+
   def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stride = 4
