@@ -1405,7 +1405,48 @@ object Dedup {
       .orderBy("canon")
   }
 
+  /** p09: the dataset card — the per-source "datasheet" a curation team
+    * publishes with a corpus release: document/language/token counts,
+    * dedup economics (t31's raw vs effective tokens over the SHARED
+    * memoized cluster table), quality distribution (t02's integer score:
+    * mean ×1000, min, max) and the dominant language. One pass of per-row
+    * codegen'd signals + the already-built cluster table + two
+    * partial-agg groupBys (per source, per source×lang — the top-language
+    * election is a partial-agg `max_by`, never a window over a source's
+    * whole corpus). The card is the composition artifact: every number in
+    * it is individually pinned elsewhere (t02/t31/t01), and here they
+    * must agree under one joined plan.
+    */
+  val p09DatasetCard: Q = (s, d) => {
+    val docs = TextOps.qualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"),
+        col("quality"))
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val base = docs.join(clusters, "doc_id")
+    val agg = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("tok")).as("raw_tokens"),
+      sum(when(col("doc_id") === col("cluster"), col("tok")).otherwise(0L))
+        .as("eff_tokens"),
+      sum(col("quality")).as("qsum"),
+      min(col("quality")).as("q_min"),
+      max(col("quality")).as("q_max"))
+    val langTop = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(max_by(col("lang"), struct(col("c"), col("lang"))).as("top_lang"))
+    agg.join(langTop, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        col("raw_tokens"), col("eff_tokens"),
+        expr("(raw_tokens - eff_tokens) * 1000000 div raw_tokens").as("dup_ppm"),
+        expr("qsum * 1000 div n_docs").as("mean_quality_x1000"),
+        col("q_min"), col("q_max"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "p09_dataset_card"  -> p09DatasetCard,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
     "p08_split_leakage" -> p08SplitLeakage,
@@ -1853,6 +1894,39 @@ object Dedup {
          |FROM agg LEFT JOIN br USING (cluster)
          |WHERE sz >= 2
          |ORDER BY cluster""".stripMargin,
+    // p09: the same cluster + quality CTE bodies as t31/t29, joined into
+    // one card; top language = the window spelling of max_by's
+    // (count, lang) struct ordering.
+    "p09_dataset_card" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |qual AS (${TextOps.duckQuality}),
+         |docs AS (SELECT doc_id, source, lang,
+         |                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |         FROM documents),
+         |base AS (SELECT d.doc_id, d.source, d.lang, d.tok, q.quality, c.cluster
+         |         FROM docs d JOIN qual q USING (doc_id)
+         |                     JOIN clusters c USING (doc_id)),
+         |agg AS (
+         |  SELECT source, COUNT(1) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         |         CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+         |         CAST(SUM(CASE WHEN doc_id = cluster THEN tok ELSE 0 END)
+         |              AS BIGINT) AS eff_tokens,
+         |         CAST(SUM(quality) AS BIGINT) AS qsum,
+         |         CAST(MIN(quality) AS BIGINT) AS q_min,
+         |         CAST(MAX(quality) AS BIGINT) AS q_max
+         |  FROM base GROUP BY source),
+         |lt AS (SELECT source, lang AS top_lang FROM (
+         |         SELECT source, lang,
+         |                row_number() OVER (PARTITION BY source
+         |                                   ORDER BY COUNT(1) DESC, lang DESC) AS rn
+         |         FROM base GROUP BY source, lang) WHERE rn = 1)
+         |SELECT a.source, n_docs, n_langs, top_lang, raw_tokens, eff_tokens,
+         |       (raw_tokens - eff_tokens) * 1000000 // raw_tokens AS dup_ppm,
+         |       qsum * 1000 // n_docs AS mean_quality_x1000, q_min, q_max
+         |FROM agg a JOIN lt USING (source)
+         |ORDER BY a.source""".stripMargin,
     "t31_effective_tokens" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
