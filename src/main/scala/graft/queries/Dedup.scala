@@ -1445,8 +1445,35 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** t33: SOFT dedup — the keep-everything-but-downweight alternative to
+    * d06's survivor election: every document gets sampling weight
+    * 1/cluster_size (duplicates share one document's worth of mass), and
+    * the per-source report contrasts nominal count with the Kish
+    * effective sample size (Σw)²/Σw² — the number that actually enters a
+    * training-mixture calculation when dedup is soft. Weights are scaled
+    * integers (1000 div size — deterministic in both engines), ESS is
+    * integer cross-multiplication of exact bigint sums, emitted ×1000.
+    * Shapes: the shared memoized cluster table + one partial-agg size
+    * groupBy + one per-source groupBy — nothing touches the corpus twice.
+    */
+  val t33SoftDedup: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(clusters, "doc_id").join(sizes, "cluster")
+      .withColumn("w", expr("1000L div sz"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("w")).as("wsum"),
+           sum(col("w") * col("w")).as("wsq"))
+      .select(col("source"), col("n_docs"), col("wsum"),
+        expr("wsum * wsum * 1000 div wsq").as("ess_x1000"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "p09_dataset_card"  -> p09DatasetCard,
+    "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
     "p08_split_leakage" -> p08SplitLeakage,
@@ -1894,6 +1921,21 @@ object Dedup {
          |FROM agg LEFT JOIN br USING (cluster)
          |WHERE sz >= 2
          |ORDER BY cluster""".stripMargin,
+    // t33: same cluster CTEs; the ESS is pure integer algebra so the two
+    // engines agree bit-for-bit.
+    "t33_soft_dedup" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, COUNT(1) AS sz FROM clusters GROUP BY cluster),
+         |w AS (SELECT d.doc_id, d.source, CAST(1000 // sz AS BIGINT) AS w
+         |      FROM documents d JOIN clusters USING (doc_id)
+         |                       JOIN sizes USING (cluster))
+         |SELECT source, COUNT(1) AS n_docs,
+         |       CAST(SUM(w) AS BIGINT) AS wsum,
+         |       CAST(SUM(w) AS BIGINT) * CAST(SUM(w) AS BIGINT) * 1000
+         |         // CAST(SUM(w * w) AS BIGINT) AS ess_x1000
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
     // p09: the same cluster + quality CTE bodies as t31/t29, joined into
     // one card; top language = the window spelling of max_by's
     // (count, lang) struct ordering.

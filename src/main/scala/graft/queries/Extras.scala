@@ -1606,8 +1606,28 @@ object Extras {
       .orderBy("c_custkey")
   }
 
+  /** q150: predicate-aggregate surface — `count_if` / `every` / `some` /
+    * `any_value`, the boolean-reduction family q139's FILTER clause and
+    * q142's bit aggregates sit beside. `any_value` is only deterministic
+    * over a single-valued expression per group, so it aggregates a pure
+    * function of the group key — exactly the legal use (the optimizer's
+    * any_value is how Spark rewrites grouped-by-derived columns). All
+    * four are partial-agg friendly boolean/count lattices.
+    */
+  val q150AggPredicates: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q150")
+    s.sql(
+      """SELECT o_orderstatus,
+        |       cast(count_if(o_totalprice > 300000) as bigint) AS n_big,
+        |       every(o_totalprice > 0) AS all_positive,
+        |       some(o_totalprice > 400000) AS any_huge,
+        |       any_value(upper(o_orderstatus)) AS status_up
+        |FROM orders_q150 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q148_relational_division" -> q148RelationalDivision,
+    "q150_agg_predicates"    -> q150AggPredicates,
     "q144_time_weighted_avg" -> q144TimeWeightedAvg,
     "q145_timezone"          -> q145Timezone,
     "q146_na_funcs"          -> q146NaFuncs,
@@ -1689,6 +1709,16 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q150: engine-native spellings (FILTER / bool_and / bool_or); the
+    // any_value leg is deterministic because its argument is single-valued
+    // per group.
+    "q150_agg_predicates" ->
+      """SELECT o_orderstatus,
+        |       COUNT(1) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |       bool_and(o_totalprice > 0) AS all_positive,
+        |       bool_or(o_totalprice > 400000) AS any_huge,
+        |       upper(o_orderstatus) AS status_up
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // q148: the oracle uses the count-distinct spelling (the ground
     // truth); `agrees` is literal TRUE — the Spark side must prove its
     // double-negation leg reaches the same set.
