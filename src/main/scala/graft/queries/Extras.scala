@@ -258,6 +258,45 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** q151: ADVERSARIAL CSV quoting round-trip — q68 proves the happy
+    * path; this plants the strings that actually break CSV pipelines
+    * (embedded delimiters, double quotes, literal backslashes, embedded
+    * newlines, leading/trailing spaces) and proves the writer's
+    * quoting/escaping and the reader's `multiLine` parse restore them
+    * byte-exactly. The oracle recomputes the PLANTED values directly —
+    * if any quoting layer mangles a string, the hash mismatches. Scale
+    * note: `multiLine` CSV files are NOT splittable (a quoted newline
+    * spans record boundaries), which is why this shape is quarantined to
+    * the ingest edge and everything downstream is parquet — the docstring
+    * is the contract, the query pins the semantics.
+    */
+  val q151CsvQuoting: Q = (s, d) => {
+    val out = "target/roundtrip_csv_adv"
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("""concat(c_name, CASE CAST(c_custkey % 5 AS INT)
+               |  WHEN 0 THEN ', Inc.'
+               |  WHEN 1 THEN ' "quoted"'
+               |  WHEN 2 THEN ' back\\slash'
+               |  WHEN 3 THEN concat(' line1', chr(10), 'line2')
+               |  ELSE '  padded  ' END)""".stripMargin).as("tricky"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      // the WRITER defaults ignore*WhiteSpace=true and silently trims
+      // padded fields even under quoteAll — the round trip only holds
+      // with trimming off (caught by this oracle when left default)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    s.read
+      .schema("c_custkey BIGINT, tricky STRING")
+      .option("header", "true").option("multiLine", "true")
+      // default escape is backslash; the writer escaped quotes with it,
+      // so the reader must unescape symmetrically
+      .csv(out)
+      .orderBy("c_custkey")
+  }
+
   /** q90: text-source round-trip — one delimited line per row through the
     * `text` SINK, read back through the `text` SOURCE and re-parsed with
     * split_part. This is the raw-log-line contract (the format of every
@@ -1628,6 +1667,7 @@ object Extras {
   val queries: Map[String, Q] = Map(
     "q148_relational_division" -> q148RelationalDivision,
     "q150_agg_predicates"    -> q150AggPredicates,
+    "q151_csv_quoting"       -> q151CsvQuoting,
     "q144_time_weighted_avg" -> q144TimeWeightedAvg,
     "q145_timezone"          -> q145Timezone,
     "q146_na_funcs"          -> q146NaFuncs,
@@ -1709,6 +1749,17 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q151: the oracle recomputes the PLANTED values — any quoting-layer
+    // mangling on the Spark side shows up as a hash mismatch.
+    "q151_csv_quoting" ->
+      """SELECT c_custkey,
+        |       c_name || CASE CAST(c_custkey % 5 AS INT)
+        |         WHEN 0 THEN ', Inc.'
+        |         WHEN 1 THEN ' "quoted"'
+        |         WHEN 2 THEN ' back\slash'
+        |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
+        |         ELSE '  padded  ' END AS tricky
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // q150: engine-native spellings (FILTER / bool_and / bool_or); the
     // any_value leg is deterministic because its argument is single-valued
     // per group.

@@ -776,6 +776,66 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** n21: IVFPQ recall/effort sweep — n18's knob table for the COMPOSED
+    * n20 index: per nprobe ∈ [[NprobeSweep]], the candidate count plus
+    * recall@10 of (a) the raw ADC ranking and (b) the refined ranking
+    * (ADC shortlist → exact re-rank), both against exact-L2 truth. This
+    * is the table that separates the two loss sources — probe loss (the
+    * true neighbor's list wasn't probed; refinement can't fix it) vs ADC
+    * quantization loss (wrong order within probed lists; refinement fixes
+    * it) — which is exactly what you consult before choosing nprobe and
+    * shortlist size in production. Scored/ADC tables built once and
+    * cached; each config is limit-k over broadcast-bounded sets.
+    */
+  val n21IvfpqRecall: Q = (s, d) => {
+    val prep = prepared(s, d)
+    val qv = prep.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val exact = prep.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .withColumn("d2", expr("na + nrm - 2 * vec_dot(qa, q)"))
+      .select("vec_id", "d2").cache()
+    val truth = exact.orderBy(col("d2").asc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id").as("tid"))
+    val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
+      .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
+    val pcents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("code"), col("sub"),
+              col("sq").as("cq"), col("snrm").as("cnrm"))
+    val qtable = pcents.join(broadcast(qsubs), "sub")
+      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
+      .select("sub", "code", "qd2")
+    val adcAll = pqAssigned(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum("qd2").as("adc"))
+      .join(ivfAssigned(s, d).select("vec_id", "cid"), "vec_id")
+      .cache()
+    val centScores = prep.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(na as double) * cast(cnrm as double))"))
+      .select("pcid", "qcos").cache()
+    val reports = NprobeSweep.map { np =>
+      val probes = centScores.orderBy(col("qcos").desc, col("pcid").asc)
+        .limit(np).select("pcid")
+      val cand = adcAll.join(broadcast(probes), col("cid") === col("pcid"))
+      val adcTop = cand.orderBy(col("adc").asc, col("vec_id").asc).limit(TopK)
+      val adcHits = adcTop.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("adc_hits10"))
+      val short = cand.orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(PqShortlist).select("vec_id")
+      val refTop = exact.join(broadcast(short), "vec_id")
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(TopK)
+      val refHits = refTop.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("refined_hits10"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(adcHits)).crossJoin(broadcast(refHits))
+        .select(lit(np).as("nprobe"), col("n_candidates"),
+                col("adc_hits10"), col("refined_hits10"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** SemDeDup within-cluster cosine threshold (the sf corpus is diffuse —
     * within-cluster pair cosines top out near 0.5 — so 0.30 prunes a real
     * but small set; production corpora use 0.9+ on trained clusters).
@@ -950,6 +1010,7 @@ object Similarity {
     "n13_mutual_knn"     -> n13MutualKnn,
     "n19_rank_fusion"    -> n19RankFusion,
     "n20_ivfpq"          -> n20Ivfpq,
+    "n21_ivfpq_recall"   -> n21IvfpqRecall,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -999,6 +1060,70 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     // n18: per-config CTEs generated from the same sweep list as the
     // Spark side (d22's discipline); cosine doubles IEEE-identical.
+    // n21: n18's per-config CTE generation over the IVFPQ machinery —
+    // exact-L2 truth, ADC top-k and refined top-k per nprobe.
+    "n21_ivfpq_recall" -> {
+      def dot8(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+      val perK = NprobeSweep.map { k =>
+        s"""pb$k AS (SELECT pcid FROM cs ORDER BY qcos DESC, pcid LIMIT $k),
+           |cd$k AS (SELECT * FROM adcall WHERE cid IN (SELECT pcid FROM pb$k)),
+           |at$k AS (SELECT vec_id FROM cd$k ORDER BY adc, vec_id LIMIT $TopK),
+           |sh$k AS (SELECT vec_id FROM cd$k ORDER BY adc, vec_id LIMIT $PqShortlist),
+           |rf$k AS (SELECT e.vec_id FROM exact e JOIN sh$k USING (vec_id)
+           |         ORDER BY e.d2, e.vec_id LIMIT $TopK)""".stripMargin
+      }.mkString(",\n")
+      val legs = NprobeSweep.map { k =>
+        s"""SELECT $k AS nprobe,
+           |       (SELECT COUNT(1) FROM cd$k) AS n_candidates,
+           |       (SELECT COUNT(1) FROM at$k JOIN truth ON vec_id = tid) AS adc_hits10,
+           |       (SELECT COUNT(1) FROM rf$k JOIN truth ON vec_id = tid) AS refined_hits10"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |exact AS (SELECT p.vec_id,
+         |                 na + p.nrm - 2 * ${duckDot("qa", "p.q")} AS d2
+         |          FROM prepn p, qv WHERE p.vec_id <> 0),
+         |truth AS (SELECT vec_id AS tid FROM exact ORDER BY d2, vec_id LIMIT $TopK),
+         |subs AS (
+         |  SELECT vec_id, g.j AS sub,
+         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+         |pcents AS (SELECT vec_id AS cid, sub, sq AS cq
+         |           FROM subs WHERE vec_id < $NumCentroids),
+         |pscored AS (
+         |  SELECT v.vec_id, v.sub, c.cid,
+         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
+         |  FROM subs v JOIN pcents c USING (sub)),
+         |best AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dist2,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist2 ASC, cid ASC) AS rn
+         |    FROM pscored) WHERE rn = 1),
+         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
+         |qtable AS (
+         |  SELECT c.sub, c.cid AS code,
+         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
+         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
+         |  FROM pcents c JOIN qsubs USING (sub)),
+         |adcall AS (
+         |  SELECT b.vec_id, a.cid, CAST(SUM(qd2) AS BIGINT) AS adc
+         |  FROM best b JOIN assigned a ON a.vec_id = b.vec_id
+         |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |  WHERE b.vec_id <> 0
+         |  GROUP BY b.vec_id, a.cid),
+         |cs AS (SELECT c.cid AS pcid,
+         |              CAST(${duckDot("c.cq", "qa")} AS DOUBLE)
+         |                / sqrt(CAST(na AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS qcos
+         |       FROM cents c, qv),
+         |$perK
+         |$legs
+         |ORDER BY nprobe""".stripMargin
+    },
     "n18_nprobe_sweep" -> {
       val perK = NprobeSweep.map { k =>
         s"""pb$k AS (SELECT pcid FROM cs ORDER BY qcos DESC, pcid LIMIT $k),
