@@ -297,6 +297,30 @@ object Extras {
       .orderBy("c_custkey")
   }
 
+  /** q152: Unicode string semantics — length/substr/reverse/instr are
+    * CODEPOINT-based in both engines (not UTF-16 units, not graphemes)
+    * and octet_length counts UTF-8 bytes; pinned over planted strings
+    * mixing Latin-1 accents, CJK, and an astral-plane emoji (where a
+    * UTF-16-unit implementation would be off by one). Case mapping is
+    * pinned on the portable subset only — probed divergences, excluded
+    * deliberately: Spark upper('ß')='SS' vs DuckDB 'STRAẞE'-style 'ẞ',
+    * and Spark lower('İ')='i'+combining-dot vs DuckDB 'i'. All per-row
+    * codegen, no shuffle before the sort.
+    */
+  val q152Unicode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("u", expr(
+        "concat('é-', cast(doc_id % 10 as string), '-日本語-🎉-Ω-', substring(text, 1, 8))"))
+      .select(
+        col("doc_id"),
+        expr("cast(length(u) as int)").as("n_codepoints"),
+        expr("cast(octet_length(encode(u, 'UTF-8')) as int)").as("n_bytes"),
+        expr("substring(u, 4, 7)").as("sub_cp"),
+        expr("reverse(substring(u, 1, 9))").as("rev_cp"),
+        expr("cast(instr(u, '🎉') as int)").as("emoji_at"),
+        expr("upper(substring(u, 1, 3))").as("up_accent"))
+      .orderBy("doc_id")
+
   /** q90: text-source round-trip — one delimited line per row through the
     * `text` SINK, read back through the `text` SOURCE and re-parsed with
     * split_part. This is the raw-log-line contract (the format of every
@@ -1668,6 +1692,7 @@ object Extras {
     "q148_relational_division" -> q148RelationalDivision,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
+    "q152_unicode"           -> q152Unicode,
     "q144_time_weighted_avg" -> q144TimeWeightedAvg,
     "q145_timezone"          -> q145Timezone,
     "q146_na_funcs"          -> q146NaFuncs,
@@ -1749,6 +1774,22 @@ object Extras {
         |       hex(encode(substr(text, 1, 12))) AS hx,
         |       octet_length(from_base64(to_base64(encode(text)))) AS rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q152: same codepoint semantics spelled natively (strpos == instr;
+    // encode() == encode(_, 'UTF-8')).
+    "q152_unicode" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'é-' || CAST(doc_id % 10 AS VARCHAR) || '-日本語-🎉-Ω-'
+        |           || substr(text, 1, 8) AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(u) AS INT) AS n_codepoints,
+        |       CAST(octet_length(encode(u)) AS INT) AS n_bytes,
+        |       substr(u, 4, 7) AS sub_cp,
+        |       reverse(substr(u, 1, 9)) AS rev_cp,
+        |       CAST(strpos(u, '🎉') AS INT) AS emoji_at,
+        |       upper(substr(u, 1, 3)) AS up_accent
+        |FROM u ORDER BY doc_id""".stripMargin,
     // q151: the oracle recomputes the PLANTED values — any quoting-layer
     // mangling on the Spark side shows up as a hash mismatch.
     "q151_csv_quoting" ->
