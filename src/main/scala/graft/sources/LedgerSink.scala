@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{StructType, StringType, LongType, IntegerType, DoubleType, BooleanType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -38,17 +39,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object LedgerSink {
   private val ledgers = new ConcurrentHashMap[String, Vector[Seq[Any]]]()
+  /** Epochs already applied per ledger — the streaming idempotence fence
+    * (micro-batch recovery MAY re-commit an epoch; a second apply must be
+    * a no-op, exactly like a file sink consulting its _spark_metadata
+    * log before adding an epoch's files).
+    */
+  private val epochs = new ConcurrentHashMap[String, Set[Long]]()
 
   def rows(name: String): Vector[Seq[Any]] =
     ledgers.getOrDefault(name, Vector.empty)
 
-  def clear(name: String): Unit = ledgers.remove(name)
+  def clear(name: String): Unit = { ledgers.remove(name); epochs.remove(name) }
 
   private[sources] def append(name: String, rows: Seq[Seq[Any]]): Unit =
     ledgers.merge(name, rows.toVector, (a, b) => a ++ b)
 
   private[sources] def replace(name: String, rows: Seq[Seq[Any]]): Unit =
     ledgers.put(name, rows.toVector)
+
+  /** Append an epoch's rows IF the epoch is new; atomic per ledger. */
+  private[sources] def appendEpoch(name: String, epoch: Long,
+                                   rows: Seq[Seq[Any]]): Boolean = {
+    var applied = false
+    epochs.compute(name, (_, prev) => {
+      val seen = Option(prev).getOrElse(Set.empty[Long])
+      if (seen.contains(epoch)) seen
+      else { applied = true; seen + epoch }
+    })
+    if (applied) append(name, rows)
+    applied
+  }
 }
 
 class LedgerSink extends TableProvider {
@@ -65,7 +85,8 @@ class LedgerTable(writeSchema: StructType, ledger: String)
   override def name(): String = s"ledger($ledger)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LedgerWriteBuilder(info.schema(), ledger)
@@ -77,6 +98,32 @@ class LedgerWriteBuilder(schema: StructType, ledger: String)
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def buildForBatch(): BatchWrite =
     new LedgerBatchWrite(schema, ledger, overwrite)
+  override def buildForStreaming(): StreamingWrite =
+    new LedgerStreamingWrite(schema, ledger)
+}
+
+/** Streaming (micro-batch) write: same task-buffer → driver-commit shape
+  * as the batch path, but per EPOCH, with the idempotence fence — epoch
+  * recovery re-commits must not double-append (exactly-once visibility
+  * across restarts, the contract the native file sink gets from its
+  * _spark_metadata log).
+  */
+class LedgerStreamingWrite(schema: StructType, ledger: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    LedgerStreamingWriterFactory(schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    LedgerSink.appendEpoch(ledger, epochId,
+      messages.toSeq.flatMap(_.asInstanceOf[LedgerRows].rows))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class LedgerStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new LedgerWriter(schema)
 }
 
 /** One task's buffered rows, shipped to the driver at task commit. */
