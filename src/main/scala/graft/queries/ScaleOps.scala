@@ -682,6 +682,53 @@ object ScaleOps {
         |ORDER BY o_orderstatus, bucket""".stripMargin)
   }
 
+  /** q153 grid: planar coordinates on a [0, GeoGrid)² lattice; radius in
+    * the same integer units. Cell size = radius ⇒ any pair within R lies
+    * in the same or an adjacent cell (the 3×3 neighborhood guarantee).
+    */
+  val GeoGrid = 4000L
+  val GeoRadius = 120L
+
+  /** q153: spatial neighbor join — all point pairs within radius R, the
+    * proximity-join shape behind location dedup and geo-blocking. The
+    * scale pattern is GRID BUCKETING (the spatial twin of d01's LSH
+    * bands): with cell size = R, a pair within R must fall in the same
+    * or an adjacent cell, so each point emits its 3×3 neighbor-cell keys
+    * (constant fan-out 9) and candidates come from ONE equi-join on the
+    * cell key — never the all-pairs product — followed by the exact
+    * integer squared-distance filter (no floats, no haversine: the
+    * lattice is planar by construction). Each qualifying pair surfaces
+    * exactly once (the probe side joins through its single home cell;
+    * id1 < id2 dedups the direction). Coordinates derive
+    * deterministically from custkey, so the oracle — the brute-force
+    * 1500² pair join, affordable to DuckDB at sf0.01 — checks
+    * COMPLETENESS of the bucketing against ground truth.
+    */
+  val q153GeoNeighborJoin: Q = (s, d) => {
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      expr(s"(c_custkey * 7919) % $GeoGrid").as("x"),
+      expr(s"(c_custkey * 104729) % $GeoGrid").as("y"))
+    val probe = pts.select(col("id").as("id2"), col("x").as("x2"),
+      col("y").as("y2"),
+      expr(s"concat(x div $GeoRadius, ':', y div $GeoRadius)").as("cell"))
+    val build = pts.select(col("id").as("id1"), col("x").as("x1"),
+        col("y").as("y1"),
+        explode(expr(
+          s"""flatten(transform(sequence(-1, 1), dx ->
+             |  transform(sequence(-1, 1), dy ->
+             |    concat(x div $GeoRadius + dx, ':', y div $GeoRadius + dy))))"""
+            .stripMargin)).as("cell"))
+    build.join(probe, "cell")
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist2",
+        (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2")))
+      .filter(col("dist2") <= GeoRadius * GeoRadius)
+      .select("id1", "id2", "dist2")
+      .orderBy("id1", "id2")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -888,6 +935,7 @@ object ScaleOps {
     "x13_freq_items"       -> x13FreqItems,
     "q147_replica_diff"    -> q147ReplicaDiff,
     "x14_log2_hist_agg"    -> x14Log2HistAgg,
+    "q153_geo_neighbor_join" -> q153GeoNeighborJoin,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -921,6 +969,20 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // q153: ground truth = the brute-force pair join (no bucketing) —
+    // the oracle checks the 3x3-cell candidate generation is COMPLETE.
+    "q153_geo_neighbor_join" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey AS id,
+         |         (c_custkey * 7919) % $GeoGrid AS x,
+         |         (c_custkey * 104729) % $GeoGrid AS y
+         |  FROM customer)
+         |SELECT a.id AS id1, b.id AS id2,
+         |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |      <= ${GeoRadius * GeoRadius}
+         |ORDER BY id1, id2""".stripMargin,
     // x14: relational ground truth for the native sketch — per-bucket
     // exact counts with the same bit-length bucketing as x12.
     "x14_log2_hist_agg" ->
