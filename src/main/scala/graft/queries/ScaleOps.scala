@@ -729,6 +729,44 @@ object ScaleOps {
       .orderBy("id1", "id2")
   }
 
+  /** q154: R-bounded nearest neighbor — for each point, its closest
+    * neighbor within [[GeoRadius]] (the geo-dedup primitive: "is there a
+    * nearly-identical location on file, and which"). Same 3×3-cell
+    * candidate generation as q153 (cell size = R makes the neighborhood
+    * EXHAUSTIVE for the bounded search — a true NN beyond R is out of
+    * contract by definition), then the per-point argmin is a partial-agg
+    * `min_by` over (dist2, id) — map-side combinable, never a per-point
+    * sort. Points with no neighbor within R drop (the practical contract:
+    * they need no dedup decision).
+    */
+  val q154GeoKnn: Q = (s, d) => {
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      expr(s"(c_custkey * 7919) % $GeoGrid").as("x"),
+      expr(s"(c_custkey * 104729) % $GeoGrid").as("y"))
+    val probe = pts.select(col("id").as("id2"), col("x").as("x2"),
+      col("y").as("y2"),
+      expr(s"concat(x div $GeoRadius, ':', y div $GeoRadius)").as("cell"))
+    val build = pts.select(col("id"), col("x"), col("y"),
+        explode(expr(
+          s"""flatten(transform(sequence(-1, 1), dx ->
+             |  transform(sequence(-1, 1), dy ->
+             |    concat(x div $GeoRadius + dx, ':', y div $GeoRadius + dy))))"""
+            .stripMargin)).as("cell"))
+    build.join(probe, "cell")
+      .filter(col("id") =!= col("id2"))
+      .withColumn("dist2",
+        (col("x") - col("x2")) * (col("x") - col("x2")) +
+          (col("y") - col("y2")) * (col("y") - col("y2")))
+      .filter(col("dist2") <= GeoRadius * GeoRadius)
+      .groupBy("id")
+      .agg(min_by(struct(col("id2"), col("dist2")),
+        struct(col("dist2"), col("id2"))).as("nn"))
+      .select(col("id"), col("nn.id2").as("nn_id"),
+        col("nn.dist2").as("nn_dist2"))
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** q93: partitioned write + partition-pruned read — THE 100 TB layout
@@ -936,6 +974,7 @@ object ScaleOps {
     "q147_replica_diff"    -> q147ReplicaDiff,
     "x14_log2_hist_agg"    -> x14Log2HistAgg,
     "q153_geo_neighbor_join" -> q153GeoNeighborJoin,
+    "q154_geo_knn"         -> q154GeoKnn,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -983,6 +1022,24 @@ object ScaleOps {
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |      <= ${GeoRadius * GeoRadius}
          |ORDER BY id1, id2""".stripMargin,
+    // q154: brute-force ground truth, argmin spelled as the ranked window
+    // with min_by's (dist2, id2) tie order.
+    "q154_geo_knn" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey AS id,
+         |         (c_custkey * 7919) % $GeoGrid AS x,
+         |         (c_custkey * 104729) % $GeoGrid AS y
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT a.id, b.id AS id2,
+         |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |  FROM p a JOIN p b ON a.id <> b.id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id
+         |                               ORDER BY dist2 ASC, id2 ASC) AS rn
+         |  FROM pairs WHERE dist2 <= ${GeoRadius * GeoRadius})
+         |SELECT id, id2 AS nn_id, dist2 AS nn_dist2
+         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
     // x14: relational ground truth for the native sketch — per-bucket
     // exact counts with the same bit-length bucketing as x12.
     "x14_log2_hist_agg" ->
