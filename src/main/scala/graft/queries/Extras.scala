@@ -1688,8 +1688,38 @@ object Extras {
         |FROM orders_q150 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** q155: exponentially weighted moving average (EWMA, α = 1/8) per
+    * user — the recursive smoothing y_i = (1−α)·y_{i−1} + α·x_i that no
+    * window frame can express (each value depends on ALL predecessors
+    * with geometric decay). The batch spelling: per-user ordered fold —
+    * `aggregate` over the ts-sorted value array, seeded with the first
+    * observation (y₁ = x₁, the standard convention). Cross-engine
+    * determinism: α = 1/8 and 7/8 are exact binary doubles, inputs are
+    * exact integer cents, and both engines fold left over the SAME
+    * sequence — every intermediate is the identical IEEE double. State
+    * is per-user (bounded by a user's own event count, never the
+    * corpus); the collect is the one legitimate per-key materialization,
+    * same contract as t17's per-doc reconstruction.
+    */
+  val q155Ewma: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sort_array(collect_list(struct(us, event_id, cents)))").as("seq"))
+      .withColumn("vals", expr("transform(seq, x -> x.cents)"))
+      .withColumn("ewma", expr(
+        """aggregate(slice(vals, 2, size(vals) - 1),
+          |          cast(element_at(vals, 1) as double),
+          |          (a, x) -> a * 0.875 + cast(x as double) * 0.125)""".stripMargin))
+      .select(col("user_id"), col("n_events"), col("ewma"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q148_relational_division" -> q148RelationalDivision,
+    "q155_ewma"              -> q155Ewma,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1801,6 +1831,22 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q155: list_reduce seeds its accumulator with the first element —
+    // exactly the y1 = x1 convention — and folds left over the same
+    // ts-sorted sequence with the same exact-binary coefficients.
+    "q155_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, COUNT(1) AS n_events,
+        |         list(cents ORDER BY us, event_id) AS vals
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(list_reduce(list_transform(vals, v -> CAST(v AS DOUBLE)),
+        |                        (a, b) -> a * 0.875 + b * 0.125) AS DOUBLE) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
     // q150: engine-native spellings (FILTER / bool_and / bool_or); the
     // any_value leg is deterministic because its argument is single-valued
     // per group.
