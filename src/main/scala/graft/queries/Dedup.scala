@@ -1471,8 +1471,47 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** BFS round cap for d26 (hops beyond it report −1). */
+  val BfsRounds = 3
+
+  /** d26: hop distance to the cluster survivor — multi-source BFS over
+    * the near-dup pair graph from every cluster's canonical doc: "how
+    * many similarity hops separate this member from the copy we kept".
+    * One hop means directly-measured similarity; more hops mean the
+    * membership rests on transitivity (d05's known failure mode — d13
+    * measures its precision) — so hop count is the per-document TRUST
+    * grade a curation pipeline attaches to dedup decisions. Frontier BFS
+    * in [[BfsRounds]] bounded rounds over the SHARED pair/cluster tables
+    * (d09's unrolled-iteration discipline: each round = one equi-join of
+    * the frontier against edges + one partial-agg min — no driver state,
+    * no lineage blow-up at 3 rounds); members beyond the cap report −1.
+    */
+  val d26BfsHops: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val pairs = pairsMemo.getOrElseUpdate((s, d), buildPairs(s, d))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var dist = clusters.select(col("doc_id").as("node"),
+      when(col("doc_id") === col("cluster"), lit(0))
+        .otherwise(lit(null).cast("int")).as("hops"))
+    for (k <- 1 to BfsRounds) {
+      val frontier = dist.filter(col("hops") === (k - 1))
+        .select(col("node").as("fsrc"))
+      val relaxed = edges.join(frontier, col("src") === col("fsrc"))
+        .select(col("dst").as("node")).distinct()
+        .withColumn("cand", lit(k))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hops"), col("cand")).as("hops"))
+    }
+    dist.join(clusters, col("node") === col("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        coalesce(col("hops"), lit(-1)).as("hops"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p09_dataset_card"  -> p09DatasetCard,
+    "d26_bfs_hops"      -> d26BfsHops,
     "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
@@ -1921,6 +1960,23 @@ object Dedup {
          |FROM agg LEFT JOIN br USING (cluster)
          |WHERE sz >= 2
          |ORDER BY cluster""".stripMargin,
+    // d26: recursive BFS walk bounded at the same round cap; seeds =
+    // survivors, settled distance = MIN hop.
+    "d26_bfs_hops" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |walk(node, hop) AS (
+         |  SELECT node, 0 FROM clusters WHERE node = cluster
+         |  UNION
+         |  SELECT e.dst, w.hop + 1
+         |  FROM walk w JOIN edges e ON e.src = w.node
+         |  WHERE w.hop < $BfsRounds),
+         |dist AS (SELECT node, MIN(hop) AS hops FROM walk GROUP BY node)
+         |SELECT c.node AS doc_id, c.cluster,
+         |       CAST(COALESCE(d.hops, -1) AS INT) AS hops
+         |FROM clusters c LEFT JOIN dist d USING (node)
+         |ORDER BY doc_id""".stripMargin,
     // t33: same cluster CTEs; the ESS is pure integer algebra so the two
     // engines agree bit-for-bit.
     "t33_soft_dedup" ->
