@@ -1717,9 +1717,43 @@ object Extras {
       .select(col("user_id"), col("n_events"), col("ewma"))
       .orderBy("user_id")
 
+  /** q156: top session paths — the clickstream-analysis staple: sessions
+    * by q52's 30-minute-gap rule, each session rendered as its ordered
+    * event-type path with CONSECUTIVE repeats collapsed (view→view→click
+    * reads "view>click" — the navigation shape, not the dwell count),
+    * then the 20 most common paths with session counts. Per-session
+    * state is that session's own events (t17's bounded-materialization
+    * contract); the path census is one partial-agg groupBy on the path
+    * string, and the global top-20 is TakeOrderedAndProject — a per-
+    * partition heap + k-row driver merge, never a global sort.
+    */
+  val q156TopPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .withColumn("new_session",
+        expr("IF(prev_us IS NULL OR unix_micros(ts) - prev_us > 1800000000, 1L, 0L)"))
+      .withColumn("session_no", sum(col("new_session")).over(run))
+    val paths = sess
+      .groupBy("user_id", "session_no")
+      .agg(expr("sort_array(collect_list(struct(unix_micros(ts) AS us, event_id, event_type)))")
+        .as("seq"))
+      .withColumn("path", expr(
+        """array_join(filter(transform(seq, (x, i) ->
+          |  IF(i = 0 OR x.event_type != seq[i - 1].event_type,
+          |     x.event_type, NULL)), x -> x IS NOT NULL), '>')""".stripMargin))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q148_relational_division" -> q148RelationalDivision,
     "q155_ewma"              -> q155Ewma,
+    "q156_top_paths"         -> q156TopPaths,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1831,6 +1865,31 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q156: collapse-consecutive via lag inside each session; ordered
+    // string_agg with a FILTER is the window spelling of the Spark
+    // side's indexed-transform dedup.
+    "q156_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                      THEN 1 ELSE 0 END AS ns FROM s),
+        |s3 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no
+        |       FROM s2),
+        |dd AS (SELECT user_id, session_no, us, event_id, event_type,
+        |              lag(event_type) OVER (PARTITION BY user_id, session_no
+        |                                    ORDER BY us, event_id) AS prev_t
+        |       FROM s3),
+        |p AS (SELECT user_id, session_no,
+        |             string_agg(event_type, '>' ORDER BY us, event_id)
+        |               FILTER (WHERE prev_t IS NULL OR prev_t <> event_type) AS path
+        |      FROM dd GROUP BY 1, 2)
+        |SELECT path, COUNT(1) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
     // q155: list_reduce seeds its accumulator with the first element —
     // exactly the y1 = x1 convention — and folds left over the same
     // ts-sorted sequence with the same exact-binary coefficients.
