@@ -1717,6 +1717,27 @@ object Extras {
       .select(col("user_id"), col("n_events"), col("ewma"))
       .orderBy("user_id")
 
+  /** q157: DAU/MAU stickiness — the engagement ratio every product
+    * dashboard carries: per day, distinct active users ÷ the month's
+    * distinct actives, as integer permille. Two partial-agg
+    * countDistincts (per day, per month — Catalyst expands both to the
+    * two-phase distinct aggregate) joined on month; the month side is a
+    * ≤12-row broadcast. Exact integers end-to-end.
+    */
+  val q157Stickiness: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as date)").as("day"),
+        expr("date_trunc('month', ts)").as("month"))
+    val dau = e.groupBy("day", "month")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy("month")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), "month")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000 div mau").as("stickiness_permille"))
+      .orderBy("day")
+  }
+
   /** q156: top session paths — the clickstream-analysis staple: sessions
     * by q52's 30-minute-gap rule, each session rendered as its ordered
     * event-type path with CONSECUTIVE repeats collapsed (view→view→click
@@ -1754,6 +1775,7 @@ object Extras {
     "q148_relational_division" -> q148RelationalDivision,
     "q155_ewma"              -> q155Ewma,
     "q156_top_paths"         -> q156TopPaths,
+    "q157_stickiness"        -> q157Stickiness,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1865,6 +1887,19 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q157: same two distinct aggregates; month join spelled inline.
+    "q157_stickiness" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         date_trunc('month', ts) AS month
+        |  FROM events),
+        |dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau
+        |        FROM e GROUP BY 1, 2),
+        |mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+        |        FROM e GROUP BY 1)
+        |SELECT day, dau, mau, dau * 1000 // mau AS stickiness_permille
+        |FROM dau JOIN mau USING (month)
+        |ORDER BY day""".stripMargin,
     // q156: collapse-consecutive via lag inside each session; ordered
     // string_agg with a FILTER is the window spelling of the Spark
     // side's indexed-transform dedup.
