@@ -27,7 +27,11 @@ class ParallelismSpec extends SparkSpec {
     "q143_skyline", "n19_rank_fusion",
     // x14's native aggregate must merge identically under any partial
     // layout; q147's digest phase must flag the same dirty buckets.
-    "x14_log2_hist_agg", "q147_replica_diff")
+    "x14_log2_hist_agg", "q147_replica_diff",
+    // m09 rides the keyed prefix count; q156 stitches per-session
+    // collect_lists + a tie-broken top-20; q155's fold must not depend on
+    // collect_list arrival order (sort_array is the device under test).
+    "m09_batch_assembly", "q156_top_paths", "q155_ewma")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so
