@@ -449,6 +449,43 @@ object StreamOps {
       }
   }
 
+  /** Per-user EWMA state for s29: the smoothed value plus the event count
+    * (count lets the spec distinguish the seed from later folds).
+    */
+  final case class EwmaState(user_id: Long, n: Long, ewma: Double)
+
+  /** s29: STREAMING EWMA — q155's recursive smoothing as stateful
+    * streaming: per user, state carries the current y and each
+    * micro-batch folds its (ts-sorted) events in with
+    * y ← 7/8·y + 1/8·x, seeded y₁ = x₁. Emits the post-batch state per
+    * touched key (update-style via Append of snapshots). Because the
+    * fold is associative-free (order matters), the cross-pin with the
+    * batch spelling is the REAL content: StreamingSpec replays the same
+    * events in ts order across batches and asserts the final state
+    * equals q155's array-fold — the batch/streaming parity contract for
+    * order-sensitive state (s14's parity discipline, extended from
+    * filters to recursive state).
+    */
+  def s29StreamingEwma(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[EwmaState] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), EwmaState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          var (n, y) = state.getOption.getOrElse((0L, 0.0))
+          // within-batch event-time order (ties by value — UserEvent has
+          // no id; the spec feeds unique timestamps)
+          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            y = if (n == 0L) e.value else y * 0.875 + e.value * 0.125
+            n += 1
+          }
+          state.update((n, y))
+          Iterator(EwmaState(user, n, y))
+      }
+  }
+
   /** s08: `transformWithState` — Spark 4's successor to s05's
     * flatMapGroupsWithState: NAMED state variables (value/list/map, each
     * its own column family) with per-variable TTL, timers in event or

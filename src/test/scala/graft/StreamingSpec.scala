@@ -357,6 +357,33 @@ class StreamingSpec extends SparkSpec {
                         (8L, 1L, 1.0)), s"got $rows")
   }
 
+  test("s29 streaming EWMA equals the batch ordered fold across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.s29StreamingEwma(mem.toDS())
+      .writeStream.format("memory").queryName("s29_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1 carries TWO events for user 7 (within-batch fold order must
+    // be event time); batch 2 continues user 7's state
+    mem.addData(UserEvent(7L, ts(1), 100.0), UserEvent(7L, ts(2), 200.0),
+                UserEvent(8L, ts(1), 50.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(7L, ts(3), 400.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s29_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    // the batch reference: the same seeded left fold (q155's recurrence)
+    def ewma(vs: Double*): Double = vs.reduceLeft((a, x) => a * 0.875 + x * 0.125)
+    assert(fin(7L) === ((7L, 3L, ewma(100.0, 200.0, 400.0))), s"got ${fin(7L)}")
+    assert(fin(8L) === ((8L, 1L, 50.0)), s"got ${fin(8L)}")
+    // the identical values a batch q155-style array fold produces
+    assert(math.abs(fin(7L)._3 - 148.4375) < 1e-12)
+  }
+
   test("s08 transformWithState equals s05 flatMapGroupsWithState on the same replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
