@@ -1738,6 +1738,42 @@ object Extras {
       .orderBy("day")
   }
 
+  /** q158: peak concurrency — the classic gauge query ("how many
+    * 10-minute activity windows were simultaneously open, and when did
+    * load peak"): every event opens an interval [ts, ts+10min), each
+    * boundary becomes a +1/−1 delta, and the running sum over the GLOBAL
+    * time order is the concurrency curve. The running sum is
+    * [[TextOps.prefixSum]]'s range-partitioned two-pass scan over a
+    * unique (us, delta-class, event_id) boundary key — the one shape
+    * that makes a global-total-order scan survive 100 TB — and the
+    * per-day peak + first-attaining instant is a partial-agg `max_by`.
+    * Ends exit before starts at the same instant (half-open intervals),
+    * encoded in the boundary key's sort.
+    */
+  val q158PeakConcurrency: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+    val bounds = ev.select(col("us"), lit(1L).as("delta"), col("event_id"))
+      .unionByName(ev.select((col("us") + 600000000L).as("us"),
+        lit(-1L).as("delta"), col("event_id")))
+      // unique total-order key: instant, ends (−1) BEFORE starts (+1),
+      // then event id — zero-padded decimal string (lexicographic ==
+      // numeric; a packed bigint would overflow: µs-epoch × flags × ids
+      // exceeds 2⁶³)
+      .withColumn("bkey", expr(
+        "concat(lpad(cast(us as string), 17, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 9, '0'))"))
+    val curve = graft.queries.TextOps
+      .prefixSum(bounds, "bkey", "delta", "conc", includeCurrent = true)
+    curve
+      .withColumn("day", expr("cast(timestamp_micros(us) as date)"))
+      .groupBy("day")
+      .agg(max_by(struct(col("conc"), col("us")),
+        struct(col("conc"), negate(col("us")))).as("peak"))
+      .select(col("day"), col("peak.conc").as("max_concurrent"),
+        col("peak.us").as("at_us"))
+      .orderBy("day")
+  }
+
   /** q156: top session paths — the clickstream-analysis staple: sessions
     * by q52's 30-minute-gap rule, each session rendered as its ordered
     * event-type path with CONSECUTIVE repeats collapsed (view→view→click
@@ -1776,6 +1812,7 @@ object Extras {
     "q155_ewma"              -> q155Ewma,
     "q156_top_paths"         -> q156TopPaths,
     "q157_stickiness"        -> q157Stickiness,
+    "q158_peak_concurrency"  -> q158PeakConcurrency,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1887,6 +1924,24 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q158: running sum spelled as the global window (the oracle may);
+    // ends sort before starts at the same instant via the flag.
+    "q158_peak_concurrency" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) AS us, 1 AS flag, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 600000000, 0, -1, event_id FROM events),
+        |c AS (
+        |  SELECT us, CAST(SUM(delta) OVER (ORDER BY us, flag, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM b),
+        |dly AS (
+        |  SELECT CAST(make_timestamp(us) AS DATE) AS day, conc, us,
+        |         row_number() OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+        |                            ORDER BY conc DESC, us ASC) AS rn
+        |  FROM c)
+        |SELECT day, conc AS max_concurrent, us AS at_us
+        |FROM dly WHERE rn = 1 ORDER BY day""".stripMargin,
     // q157: same two distinct aggregates; month join spelled inline.
     "q157_stickiness" ->
       """WITH e AS (
