@@ -1774,6 +1774,49 @@ object Extras {
       .orderBy("day")
   }
 
+  /** q159: association pairs with lift — market-basket mining over
+    * sessions: for every event-type pair, the number of sessions
+    * containing both, and the lift numerator/denominator comparison
+    * n_ab·N vs n_a·n_b as an exact integer verdict (`positive_assoc`)
+    * plus the scaled lift itself (×1000, integer division). Baskets are
+    * q52's 30-minute sessions; the distinct item set per basket is ≤ 5
+    * types, so the within-basket pair fan-out is a constant ≤ 10 — the
+    * bounded-basket regime where a relational self-join on the basket id
+    * IS the scalable plan (no FP-growth needed until baskets are wide).
+    * Three partial-agg censuses (pair, item, basket) and one broadcast
+    * of the ≤5-row item counts.
+    */
+  val q159EventLift: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baskets = Tables.events(s, d)
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+      .withColumn("new_session",
+        expr("IF(prev_us IS NULL OR unix_micros(ts) - prev_us > 1800000000, 1L, 0L)"))
+      .withColumn("session_no", sum(col("new_session")).over(run))
+      .select(concat_ws(":", col("user_id"), col("session_no")).as("bid"),
+        col("event_type")).distinct()
+    val nBaskets = baskets.select("bid").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = baskets.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), Seq("bid"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(items.select(col("t").as("t1"), col("n_t").as("n_t1"))), "t1")
+      .join(broadcast(items.select(col("t").as("t2"), col("n_t").as("n_t2"))), "t2")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_t1"), col("n_t2"),
+        expr("n_both * n_baskets * 1000 div (n_t1 * n_t2)").as("lift_x1000"),
+        (col("n_both") * col("n_baskets") > col("n_t1") * col("n_t2"))
+          .as("positive_assoc"))
+      .orderBy("t1", "t2")
+  }
+
   /** q156: top session paths — the clickstream-analysis staple: sessions
     * by q52's 30-minute-gap rule, each session rendered as its ordered
     * event-type path with CONSECUTIVE repeats collapsed (view→view→click
@@ -1813,6 +1856,7 @@ object Extras {
     "q156_top_paths"         -> q156TopPaths,
     "q157_stickiness"        -> q157Stickiness,
     "q158_peak_concurrency"  -> q158PeakConcurrency,
+    "q159_event_lift"        -> q159EventLift,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1924,6 +1968,33 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q159: same session rule, same three censuses; lift in exact
+    // integer cross-multiplication.
+    "q159_event_lift" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                      THEN 1 ELSE 0 END AS ns FROM s),
+        |s3 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no
+        |       FROM s2),
+        |b AS (SELECT DISTINCT user_id || ':' || CAST(session_no AS VARCHAR) AS bid,
+        |                      event_type
+        |      FROM s3),
+        |nb AS (SELECT COUNT(DISTINCT bid) AS n_baskets FROM b),
+        |it AS (SELECT event_type AS t, COUNT(1) AS n_t FROM b GROUP BY 1),
+        |pr AS (SELECT a.event_type AS t1, bb.event_type AS t2, COUNT(1) AS n_both
+        |       FROM b a JOIN b bb ON a.bid = bb.bid
+        |                         AND a.event_type < bb.event_type
+        |       GROUP BY 1, 2)
+        |SELECT t1, t2, n_both, i1.n_t AS n_t1, i2.n_t AS n_t2,
+        |       n_both * n_baskets * 1000 // (i1.n_t * i2.n_t) AS lift_x1000,
+        |       n_both * n_baskets > i1.n_t * i2.n_t AS positive_assoc
+        |FROM pr JOIN it i1 ON i1.t = t1 JOIN it i2 ON i2.t = t2, nb
+        |ORDER BY t1, t2""".stripMargin,
     // q158: running sum spelled as the global window (the oracle may);
     // ends sort before starts at the same instant via the flag.
     "q158_peak_concurrency" ->
