@@ -1227,7 +1227,8 @@ object Extras {
       .stat.crosstab("o_orderstatus", "prio")
     val key = ct.columns.head
     val cols = ct.columns.tail.sorted
-    ct.select((col(key).as("status") +: cols.map(c => col(c).as(s"p$c"))): _*)
+    ct.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      col(key).as("status") +: cols.map(c => col(c).as(s"p$c"))): _*)
       .orderBy("status")
   }
 

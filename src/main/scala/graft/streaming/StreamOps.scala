@@ -642,7 +642,7 @@ class TtlDedupProcessor
 
   override def handleExpiredTimer(user: Long, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[StreamOps.KeyedEvent] = {
-    val cutoff = expired.getExpiryTimeInMs
+    val cutoff = expired.getExpiryTimeInMs()
     seen.iterator().filter(_._2 <= cutoff).map(_._1).toSeq
       .foreach(seen.removeKey)
     Iterator.empty
