@@ -1818,6 +1818,67 @@ object Extras {
       .orderBy("t1", "t2")
   }
 
+  /** q160: maximum drawdown — per user over their signed event series
+    * (value, debited for error events): the largest peak-to-trough drop
+    * of the cumulative balance, the risk metric every account/portfolio
+    * monitor computes. Three chained per-user window scans (cumulative
+    * sum → running peak → max gap), each group bounded by that user's own
+    * events; exact integer cents end to end, so the only cross-engine
+    * question is the shared (ts, event_id) order.
+    */
+  val q160MaxDrawdown: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("IF(event_type = 'error', -1, 1) * cast(floor(value * 100) as bigint)")
+          .as("delta"))
+      .withColumn("bal", sum(col("delta")).over(run))
+      .withColumn("peak", max(col("bal")).over(run))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("peak") - col("bal")).as("max_drawdown_cents"),
+        max(col("bal")).as("peak_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q161: gaps and islands — contiguous runs in a sparse id set (here:
+    * orderkeys with status 'F'), the classic sequence-reconciliation op
+    * ("which id ranges are present / missing"). The textbook device is
+    * id − row_number() — constant within an island — but a GLOBAL
+    * row_number is the one shape the plan audit forbids, so the dense
+    * rank comes from [[TextOps.prefixSum]]'s range-partitioned two-pass
+    * count instead; islands are then one partial-agg groupBy on the
+    * (id − rank) anchor. Each island's gap to the next comes from a
+    * second prefixSum rank over the island table plus an equi-join on
+    * rank+1 — islands can themselves be corpus-scale (up to n/2), so a
+    * global `lead` window would be exactly the single-task shape the
+    * plan audit forbids.
+    */
+  val q161GapsIslands: Q = (s, d) => {
+    val ids = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("id")).distinct()
+      .withColumn("one", lit(1L))
+    val ranked = graft.queries.TextOps
+      .prefixSum(ids, "id", "one", "rank", includeCurrent = true)
+    val islands = ranked
+      .groupBy((col("id") - col("rank")).as("anchor"))
+      .agg(min(col("id")).as("run_start"), max(col("id")).as("run_end"),
+           count(lit(1)).as("run_len"))
+    val rankedIsl = graft.queries.TextOps
+      .prefixSum(islands.withColumn("one", lit(1L)), "run_start", "one",
+        "irank", includeCurrent = true)
+    val next = rankedIsl.select((col("irank") - 1).as("irank"),
+      col("run_start").as("next_start"))
+    rankedIsl.join(next, Seq("irank"), "left")
+      .select(col("run_start"), col("run_end"), col("run_len"),
+        (col("next_start") - col("run_end") - 1).as("gap_to_next"))
+      .orderBy("run_start")
+  }
+
   /** q156: top session paths — the clickstream-analysis staple: sessions
     * by q52's 30-minute-gap rule, each session rendered as its ordered
     * event-type path with CONSECUTIVE repeats collapsed (view→view→click
@@ -1858,6 +1919,8 @@ object Extras {
     "q157_stickiness"        -> q157Stickiness,
     "q158_peak_concurrency"  -> q158PeakConcurrency,
     "q159_event_lift"        -> q159EventLift,
+    "q160_max_drawdown"      -> q160MaxDrawdown,
+    "q161_gaps_islands"      -> q161GapsIslands,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -1969,6 +2032,44 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q160: the same three chained per-user scans, window spelling.
+    "q160_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         (CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+        |           * CAST(FLOOR(value * 100) AS BIGINT) AS delta
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, us, event_id,
+        |         CAST(SUM(delta) OVER w AS BIGINT) AS bal
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |p AS (
+        |  SELECT user_id,
+        |         bal,
+        |         CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        |  FROM b)
+        |SELECT user_id, COUNT(1) AS n_events,
+        |       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+        |       CAST(MAX(bal) AS BIGINT) AS peak_cents
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q161: the textbook id - row_number anchor (the oracle may window
+    // globally); gap via lead.
+    "q161_gaps_islands" ->
+      """WITH ids AS (
+        |  SELECT DISTINCT o_orderkey AS id FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |r AS (SELECT id, row_number() OVER (ORDER BY id) AS rank FROM ids),
+        |isl AS (
+        |  SELECT MIN(id) AS run_start, MAX(id) AS run_end,
+        |         COUNT(1) AS run_len
+        |  FROM r GROUP BY id - rank)
+        |SELECT run_start, run_end, run_len,
+        |       lead(run_start) OVER (ORDER BY run_start) - run_end - 1
+        |         AS gap_to_next
+        |FROM isl ORDER BY run_start""".stripMargin,
     // q159: same session rule, same three censuses; lift in exact
     // integer cross-multiplication.
     "q159_event_lift" ->
