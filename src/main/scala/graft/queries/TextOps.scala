@@ -64,23 +64,46 @@ object TextOps {
     * stopword-profile heuristic. One `filter` HOF per language over the
     * token array; argmax with fixed priority; 'und' when no marker hits.
     */
-  val t01LangId: Q = (s, d) => {
-    val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
-      case (df, (lang, ws)) =>
-        df.withColumn(s"c_$lang",
+  /** t01's marker counts + argmax prediction as reusable columns (t34
+    * evaluates the same classifier against the fixture labels).
+    */
+  private def langPredicted(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) {
+      case (acc, (lang, ws)) =>
+        acc.withColumn(s"c_$lang",
           expr(s"size(filter(split(text, ' '), t -> t IN ${inList(ws)}))"))
-    }
-    scored
-      .withColumn("predicted", expr(
-        """CASE
-          |  WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
-          |  WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
-          |  WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
-          |  WHEN c_de > 0 THEN 'de'
-          |  ELSE 'und'
-          |END""".stripMargin))
+    }.withColumn("predicted", expr(
+      """CASE
+        |  WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+        |  WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+        |  WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+        |  WHEN c_de > 0 THEN 'de'
+        |  ELSE 'und'
+        |END""".stripMargin))
+
+  val t01LangId: Q = (s, d) =>
+    langPredicted(Tables.documents(s, d))
       .select("doc_id", "c_en", "c_es", "c_fr", "c_de", "predicted")
       .orderBy("doc_id")
+
+  /** t34: classifier evaluation — t01's language-ID heuristic scored
+    * against the fixture's ground-truth labels as a CONFUSION MATRIX with
+    * per-cell recall share (integer permille): the model-eval report
+    * every filter/classifier in a data pipeline ships with (you don't
+    * deploy a lang-ID gate without its confusion matrix). Two partial-agg
+    * groupBys — (label, predicted) cells and per-label totals — with the
+    * ≤|langs|-row totals broadcast back onto the cells.
+    */
+  val t34LangidEval: Q = (s, d) => {
+    val pred = langPredicted(Tables.documents(s, d))
+      .select(col("lang").as("label"), col("predicted"))
+    val totals = pred.groupBy("label").agg(count(lit(1)).as("n_label"))
+    pred.groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "label")
+      .select(col("label"), col("predicted"), col("n"),
+        expr("n * 1000 div n_label").as("share_permille"),
+        (col("label") === col("predicted")).as("is_diag"))
+      .orderBy("label", "predicted")
   }
 
   /** Stopword list for the quality score. */
@@ -1163,6 +1186,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t32_markup_profile" -> t32MarkupProfile,
+    "t34_langid_eval"    -> t34LangidEval,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
@@ -1600,6 +1624,30 @@ object TextOps {
         |       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t34: same classifier CTE as t01, scored against the fixture label;
+    // share in integer permille.
+    "t34_langid_eval" -> {
+      val counts = langMarkers.map { case (l, ws) =>
+        s"CAST(${duckMarkerCount(ws)} AS INT) AS c_$l"
+      }.mkString(",\n       ")
+      s"""WITH p AS (
+         |  SELECT lang AS label,
+         |    CASE
+         |      WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+         |      WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+         |      WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+         |      WHEN c_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END AS predicted
+         |  FROM (SELECT lang, $counts FROM documents)),
+         |t AS (SELECT label, COUNT(1) AS n_label FROM p GROUP BY 1),
+         |c AS (SELECT label, predicted, COUNT(1) AS n FROM p GROUP BY 1, 2)
+         |SELECT c.label, c.predicted, c.n,
+         |       c.n * 1000 // t.n_label AS share_permille,
+         |       c.label = c.predicted AS is_diag
+         |FROM c JOIN t USING (label)
+         |ORDER BY c.label, c.predicted""".stripMargin
+    },
     "t01_lang_id" -> {
       val counts = langMarkers.map { case (l, ws) =>
         s"CAST(${duckMarkerCount(ws)} AS INT) AS c_$l"
