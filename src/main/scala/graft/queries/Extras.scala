@@ -1879,6 +1879,37 @@ object Extras {
       .orderBy("run_start")
   }
 
+  /** q162: percent-of-parent drilldown — revenue shares down the
+    * region → nation hierarchy (each nation's share of its region, each
+    * region's share of the grand total), the BI drilldown every rollup
+    * report renders. One fact aggregation (customer→nation revenue via
+    * the orders join), then two metadata-scale re-aggregations (nations,
+    * regions) joined back by broadcast — the parent totals are ≤25-row
+    * tables, so shares cost nothing beyond the single fact pass. Integer
+    * cents and permille shares end-to-end.
+    */
+  val q162PctOfParent: Q = (s, d) => {
+    val natRev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("n_nationkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("nat_cents"))
+      .join(broadcast(Tables.nation(s, d)), "n_nationkey")
+    val regRev = natRev.groupBy(col("n_regionkey"))
+      .agg(sum(col("nat_cents")).as("reg_cents"))
+    val total = regRev.agg(sum(col("reg_cents")).as("total_cents"))
+    natRev
+      .join(broadcast(regRev), "n_regionkey")
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("nat_cents"),
+        expr("nat_cents * 1000 div reg_cents").as("share_of_region_permille"),
+        col("reg_cents"),
+        expr("reg_cents * 1000 div total_cents").as("region_share_permille"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** q156: top session paths — the clickstream-analysis staple: sessions
     * by q52's 30-minute-gap rule, each session rendered as its ordered
     * event-type path with CONSECUTIVE repeats collapsed (view→view→click
@@ -1921,6 +1952,7 @@ object Extras {
     "q159_event_lift"        -> q159EventLift,
     "q160_max_drawdown"      -> q160MaxDrawdown,
     "q161_gaps_islands"      -> q161GapsIslands,
+    "q162_pct_of_parent"     -> q162PctOfParent,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2032,6 +2064,26 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q162: same hierarchy math, inline spelling.
+    "q162_pct_of_parent" ->
+      """WITH nr AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS nat_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |n2 AS (SELECT nr.nk, n.n_name, n.n_regionkey, nr.nat_cents
+        |       FROM nr JOIN nation n ON n.n_nationkey = nr.nk),
+        |rr AS (SELECT n_regionkey, CAST(SUM(nat_cents) AS BIGINT) AS reg_cents
+        |       FROM n2 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(reg_cents) AS BIGINT) AS total_cents FROM rr)
+        |SELECT r.r_name, n2.n_name, n2.nat_cents,
+        |       n2.nat_cents * 1000 // rr.reg_cents AS share_of_region_permille,
+        |       rr.reg_cents,
+        |       rr.reg_cents * 1000 // t.total_cents AS region_share_permille
+        |FROM n2 JOIN rr USING (n_regionkey)
+        |        JOIN region r ON r.r_regionkey = n2.n_regionkey, t
+        |ORDER BY r.r_name, n2.n_name""".stripMargin,
     // q160: the same three chained per-user scans, window spelling.
     "q160_max_drawdown" ->
       """WITH e AS (
