@@ -1879,6 +1879,30 @@ object Extras {
       .orderBy("run_start")
   }
 
+  /** q163: NULL ordering semantics — the classic cross-engine trap:
+    * Spark's default is NULLS FIRST on ASC (and last on DESC), DuckDB's
+    * is NULLS LAST — silently different page-1 results for any sorted
+    * report with null keys. The pin: planted nulls ordered under
+    * EXPLICIT placements that go AGAINST both defaults (ASC NULLS LAST,
+    * DESC NULLS FIRST) — and since the driver's compare is row-order-
+    * sensitive, the sort order itself is the assertion. A grouped leg
+    * rides along pinning that NULL forms its own group in both engines.
+    */
+  val q163NullOrdering: Q = (s, d) => {
+    val planted = Tables.events(s, d)
+      .select(col("event_id"),
+        expr("CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END").as("et"),
+        expr("nullif(value, 6.55)").as("v"))
+    val counts = planted.groupBy(col("et").as("cet"))
+      .agg(count(lit(1)).as("n_in_group"),
+           count(col("v")).as("n_nonnull_v"))
+    planted.join(counts, col("et") <=> col("cet"), "left")
+      .select(col("event_id"), col("et"), col("v"),
+        col("n_in_group"), col("n_nonnull_v"))
+      .orderBy(col("et").asc_nulls_last, col("v").desc_nulls_first,
+        col("event_id").asc)
+  }
+
   /** q162: percent-of-parent drilldown — revenue shares down the
     * region → nation hierarchy (each nation's share of its region, each
     * region's share of the grand total), the BI drilldown every rollup
@@ -1953,6 +1977,7 @@ object Extras {
     "q160_max_drawdown"      -> q160MaxDrawdown,
     "q161_gaps_islands"      -> q161GapsIslands,
     "q162_pct_of_parent"     -> q162PctOfParent,
+    "q163_null_ordering"     -> q163NullOrdering,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2064,6 +2089,20 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q163: IS NOT DISTINCT FROM is the null-safe join twin; the explicit
+    // NULLS placements match the Spark side against both engines'
+    // (different) defaults.
+    "q163_null_ordering" ->
+      """WITH planted AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+        |         nullif(value, 6.55) AS v
+        |  FROM events),
+        |c AS (SELECT et, COUNT(1) AS n_in_group, COUNT(v) AS n_nonnull_v
+        |      FROM planted GROUP BY et)
+        |SELECT p.event_id, p.et, p.v, c.n_in_group, c.n_nonnull_v
+        |FROM planted p LEFT JOIN c ON p.et IS NOT DISTINCT FROM c.et
+        |ORDER BY p.et ASC NULLS LAST, p.v DESC NULLS FIRST, p.event_id ASC""".stripMargin,
     // q162: same hierarchy math, inline spelling.
     "q162_pct_of_parent" ->
       """WITH nr AS (
