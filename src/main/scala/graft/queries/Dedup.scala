@@ -541,6 +541,48 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** d27: MinHash-estimated CONTAINMENT — the asymmetric score d08's
+    * Jaccard estimate can't give: "what fraction of A lives inside B",
+    * the quantity that matters when a small doc is embedded in a big one
+    * (near-symmetric Jaccard stays low; containment flags it). Derived
+    * from the signature agreement alone plus the two set sizes:
+    * Ĉ(A→B) = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|), with Ĵ = agree/k substituted as
+    * the exact rational — the whole estimate is one integer
+    * cross-multiplication, no floats. Cost shape: the written signature
+    * table (two joins), one partial-agg distinct-shingle size per doc,
+    * and — verification leg — the exact intersection via bounded
+    * `array_intersect` on the candidate pairs only. The emitted signed
+    * error (estimate − exact) is what you'd monitor before trusting the
+    * estimator at scale.
+    */
+  val d27ContainmentEst: Q = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val sets = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", MinhashShingleK)})").as("sh"))
+      .withColumn("sz", expr("cast(size(sh) as bigint)"))
+    pairsTable(s, d)
+      .join(a, "d1").join(b, "d2")
+      .withColumn("agree", expr(
+        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1L, 0L)").mkString(" + ")))
+      .select("d1", "d2", "agree")
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sha"),
+        col("sz").as("sza")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("shb"),
+        col("sz").as("szb")), "d2")
+      .withColumn("inter", expr("cast(size(array_intersect(sha, shb)) as bigint)"))
+      .select(col("d1"), col("d2"), col("agree"),
+        expr(s"agree * (sza + szb) * 1000 div (($NumHashes + agree) * sza)")
+          .as("est_cont_permille"),
+        expr("inter * 1000 div sza").as("exact_cont_permille"))
+      .withColumn("err_permille",
+        col("est_cont_permille") - col("exact_cont_permille"))
+      .orderBy("d1", "d2")
+  }
+
   /** d09: PageRank over the candidate graph — three unrolled power
     * iterations, each one join + one partial-agg groupBy on the edge table
     * (the iterative-graph shape d05's contraction also uses; no driver
@@ -1512,6 +1554,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "p09_dataset_card"  -> p09DatasetCard,
     "d26_bfs_hops"      -> d26BfsHops,
+    "d27_containment_est" -> d27ContainmentEst,
     "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
@@ -2183,6 +2226,35 @@ object Dedup {
          |LEFT JOIN best ON best.dd = d.doc_id
          |LEFT JOIN exact ON exact.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // d27: d08's signature CTEs + distinct-shingle sets; the estimate is
+    // the same integer cross-multiplication.
+    "d27_containment_est" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |sets AS (SELECT doc_id,
+         |                list_distinct(${TextHash.duckShingles("text", MinhashShingleK)}) AS sh
+         |         FROM documents),
+         |ag AS (
+         |  SELECT d1, d2,
+         |         CAST(len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                              i -> sa.sigs[i + 1] = sb.sigs[i + 1])) AS BIGINT) AS agree
+         |  FROM pairs
+         |  JOIN sigs sa ON sa.doc_id = d1
+         |  JOIN sigs sb ON sb.doc_id = d2),
+         |sized AS (
+         |  SELECT ag.d1, ag.d2, ag.agree,
+         |         CAST(len(s1.sh) AS BIGINT) AS sza,
+         |         CAST(len(s2.sh) AS BIGINT) AS szb,
+         |         CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS inter
+         |  FROM ag JOIN sets s1 ON s1.doc_id = ag.d1
+         |          JOIN sets s2 ON s2.doc_id = ag.d2)
+         |SELECT d1, d2, agree,
+         |       agree * (sza + szb) * 1000 // ((${NumHashes} + agree) * sza)
+         |         AS est_cont_permille,
+         |       inter * 1000 // sza AS exact_cont_permille,
+         |       agree * (sza + szb) * 1000 // ((${NumHashes} + agree) * sza)
+         |         - inter * 1000 // sza AS err_permille
+         |FROM sized ORDER BY d1, d2""".stripMargin,
     "d08_minhash_est" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect)

@@ -1879,6 +1879,30 @@ object Extras {
       .orderBy("run_start")
   }
 
+  /** q164: rolling distinct actives — per day, the distinct users seen
+    * in the trailing 3-day window (the "rolling actives" metric between
+    * q157's DAU and MAU). Distinct-over-sliding-windows is NOT
+    * decomposable (a user active on two days must count once), so the
+    * scalable spelling materializes the (user, day) presence set — one
+    * partial-agg dedup — and EXPLODES each presence row to the ≤3 target
+    * days it supports (constant fan-out, the d01-banding trick applied
+    * to time), leaving one count-distinct per target day. No window
+    * functions at all; every shuffle keys on (day, user).
+    */
+  val q164RollingActives: Q = (s, d) => {
+    val present = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as date)").as("day"))
+      .distinct()
+    val days = present.select(col("day").as("target_day")).distinct()
+    present
+      .withColumn("target_day",
+        explode(expr("sequence(day, date_add(day, 2))")))
+      .join(days, "target_day") // only real days emit rows
+      .groupBy("target_day")
+      .agg(countDistinct(col("user_id")).as("actives_3d"))
+      .orderBy("target_day")
+  }
+
   /** q163: NULL ordering semantics — the classic cross-engine trap:
     * Spark's default is NULLS FIRST on ASC (and last on DESC), DuckDB's
     * is NULLS LAST — silently different page-1 results for any sorted
@@ -1978,6 +2002,7 @@ object Extras {
     "q161_gaps_islands"      -> q161GapsIslands,
     "q162_pct_of_parent"     -> q162PctOfParent,
     "q163_null_ordering"     -> q163NullOrdering,
+    "q164_rolling_actives"   -> q164RollingActives,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2089,6 +2114,14 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q164: the oracle joins each day to its 3-day lookback directly.
+    "q164_rolling_actives" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT DISTINCT day AS target_day FROM p)
+        |SELECT target_day, COUNT(DISTINCT user_id) AS actives_3d
+        |FROM d JOIN p ON p.day BETWEEN target_day - 2 AND target_day
+        |GROUP BY target_day ORDER BY target_day""".stripMargin,
     // q163: IS NOT DISTINCT FROM is the null-safe join twin; the explicit
     // NULLS placements match the Spark side against both engines'
     // (different) defaults.

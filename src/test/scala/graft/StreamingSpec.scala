@@ -235,6 +235,29 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._3 >= 100.0), "late event leaked into a window")
   }
 
+  test("s30 late-drop observability: numRowsDroppedByWatermark counts the discard") {
+    // s02 pins the SEMANTIC drop; this pins the OPERATIONAL counter the
+    // on-call reads — a silent late-data discard must surface in
+    // StreamingQueryProgress, not only as absent rows.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.s02SlidingWindow(mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("s30_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(1), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(60), "click", 2.0)) // watermark -> 50 at batch end
+    q.processAllAvailable()
+    mem.addData((ts(2), "click", 3.0)) // behind the watermark: dropped
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatten.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped >= 1L,
+      s"expected the late row in numRowsDroppedByWatermark, got $dropped")
+  }
+
   test("s02 stream equals q53's batch sliding-window twin on on-time data") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => F}
