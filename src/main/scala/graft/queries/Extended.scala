@@ -212,6 +212,41 @@ object Extended {
         (col("p95a") >= col("p94") && col("p95a") <= col("p96")).as("p95_in_band"))
   }
 
+  /** x15: approx_percentile ACCURACY sweep — x02 pins the sketch at one
+    * accuracy; this sweeps the knob (10 / 100 / 10000) and checks the GK
+    * guarantee AT EACH SETTING: the estimate must land within rank
+    * ±n/accuracy of the true percentile, with the band computed exactly
+    * from the same prefix-sum cumulative histogram (integer
+    * cross-multiplication — `cum·100a ≥ n·(p·a ∓ 100)`; an upper band
+    * past the max rank is open). This is the table you consult when
+    * trading sketch memory for error at 100 TB — and it keeps even the
+    * coarsest setting under the hard oracle via the x01/x02
+    * bounded-property discipline.
+    */
+  val x15AccuracySweep: Q = (s, d) => {
+    val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v")).cache()
+    val g = v.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = TextOps.prefixSum(g, "v", "c", "cum", includeCurrent = true)
+      .cache()
+    val n = v.agg(count(lit(1)).as("n"))
+    val legs = Seq(10, 100, 10000).map { a =>
+      val bands = cum.crossJoin(broadcast(n)).agg(
+        min(when(col("cum") * (100L * a) >= col("n") * (50L * a - 100), col("v"))).as("lo50"),
+        min(when(col("cum") * (100L * a) >= col("n") * (50L * a + 100), col("v"))).as("hi50"),
+        min(when(col("cum") * (100L * a) >= col("n") * (95L * a - 100), col("v"))).as("lo95"),
+        min(when(col("cum") * (100L * a) >= col("n") * (95L * a + 100), col("v"))).as("hi95"))
+      v.agg(expr(s"percentile_approx(v, 0.5, $a)").as("p50a"),
+            expr(s"percentile_approx(v, 0.95, $a)").as("p95a"))
+        .crossJoin(broadcast(bands))
+        .select(lit(a).as("accuracy"),
+          (col("p50a") >= col("lo50") &&
+            col("p50a") <= coalesce(col("hi50"), col("p50a"))).as("p50_in_band"),
+          (col("p95a") >= col("lo95") &&
+            col("p95a") <= coalesce(col("hi95"), col("p95a"))).as("p95_in_band"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy("accuracy")
+  }
+
   /** q44: full outer join — the one join type the core suite lacked.
     * Null-completing both sides; total order pins null rows.
     */
@@ -661,6 +696,7 @@ object Extended {
     "q47_window_nav"      -> q47WindowNav,
     "q43_window_dist"     -> q43WindowDist,
     "x02_approx_quantile" -> x02ApproxQuantile,
+    "x15_accuracy_sweep"  -> x15AccuracySweep,
     "q35_pivot"           -> q35Pivot,
     "q36_unpivot"         -> q36Unpivot,
     "q37_subquery_scalar" -> q37SubqueryScalar,
@@ -780,6 +816,13 @@ object Extended {
     // Spark-side property — but the BAND they test against is recomputed
     // here by exact integer rank and hash-verified, so a Spark-side band
     // bug can't self-certify.
+    // x15: the GK guarantee must hold at every accuracy — literal TRUEs
+    // (x01/x02 bounded-property discipline).
+    "x15_accuracy_sweep" ->
+      """SELECT * FROM (VALUES (10, TRUE, TRUE), (100, TRUE, TRUE),
+        |                      (10000, TRUE, TRUE))
+        |       AS t(accuracy, p50_in_band, p95_in_band)
+        |ORDER BY accuracy""".stripMargin,
     "x02_approx_quantile" ->
       """WITH g AS (SELECT l_extendedprice AS v, COUNT(1) AS c
         |           FROM lineitem GROUP BY v),

@@ -121,7 +121,36 @@ object UdfOps {
         |ORDER BY d.doc_id, f.t""".stripMargin)
   }
 
+  /** u06: SQL UDF with DEFAULT parameters + NAMED-argument invocation
+    * (Spark 4 surface beside u04's positional scalar UDF): a tiered-fee
+    * function where the rate and cap default, called three ways — all
+    * positional, defaulted, and by name out of order. Like u04, the
+    * analyzer INLINES the body, so the three call forms compile to the
+    * same codegen'd arithmetic; the pin is the binding semantics, not
+    * execution. Exact integer cents so both engines agree bit-for-bit.
+    */
+  val u06SqlUdfDefaults: Q = (s, d) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION fee_cents(
+        |  amount DOUBLE,
+        |  rate_bps BIGINT DEFAULT 250,
+        |  cap_cents BIGINT DEFAULT 50000)
+        |RETURNS BIGINT
+        |RETURN least(cap_cents,
+        |             CAST(floor(amount * 100) AS BIGINT) * rate_bps div 10000)""".stripMargin)
+    Tables.orders(s, d).createOrReplaceTempView("orders_u06")
+    s.sql(
+      """SELECT o_orderkey,
+        |       fee_cents(o_totalprice) AS fee_default,
+        |       fee_cents(o_totalprice, 100) AS fee_1pct,
+        |       fee_cents(o_totalprice, cap_cents => 10000) AS fee_capped,
+        |       fee_cents(cap_cents => 10000, amount => o_totalprice,
+        |                 rate_bps => 500) AS fee_named
+        |FROM orders_u06 ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "u06_sql_udf_defaults" -> u06SqlUdfDefaults,
     "u01_udf_fraud_score" -> u01UdfFraudScore,
     "u02_udaf_minhash"    -> u02UdafMinhash,
     "u03_udtf_tokenize"   -> u03UdtfTokenize,
@@ -130,6 +159,19 @@ object UdfOps {
     "x01_approx_distinct" -> x01ApproxDistinct)
 
   val oracles: Map[String, String] = Map(
+    // u06: the oracle spells each binding out literally — if Spark's
+    // default/named binding resolved differently, the values diverge.
+    "u06_sql_udf_defaults" ->
+      """SELECT o_orderkey,
+        |       least(50000, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 250 // 10000)
+        |         AS fee_default,
+        |       least(50000, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 100 // 10000)
+        |         AS fee_1pct,
+        |       least(10000, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 250 // 10000)
+        |         AS fee_capped,
+        |       least(10000, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 500 // 10000)
+        |         AS fee_named
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "u01_udf_fraud_score" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       CAST(floor(l_extendedprice * (1 - l_discount) / 1000) AS BIGINT) AS score
