@@ -1307,7 +1307,8 @@ object Dedup {
     * prefix explode and both verify joins; at 100 TB this is the written
     * prefix-index table.
     */
-  private def prefixIndex(s: SparkSession, d: String, tauPct: Int): DataFrame = {
+  private def prefixIndex(s: SparkSession, d: String, tauPct: Int,
+                          shingleK: Int = PrefixShingleK): DataFrame = {
     // hash at the ROW stage, before any shuffle: one codegen'd md5 per
     // (doc, shingle) row, so the df groupBy, the index join, and the
     // collect_list all carry 8-byte longs instead of 20-byte shingle
@@ -1327,7 +1328,7 @@ object Dedup {
     val tok = Tables.documents(s, d)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", PrefixShingleK)})"))
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", shingleK)})"))
           .as("t"))
       .select(col("doc_id"), expr(TextHash.sparkHash56("t")).as("h"))
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
@@ -1363,6 +1364,51 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"),
               col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
       .orderBy("d1", "d2")
+  }
+
+  /** Shingle sizes d28 sweeps. */
+  val ShingleSweep: Seq[Int] = Seq(2, 3, 4)
+
+  /** d28: shingle-size sensitivity sweep — d22 sweeps the LSH banding
+    * geometry; this sweeps the other dedup design knob, the shingle
+    * width k: per k ∈ {2,3,4}, the EXACT τ-join pair count (via the
+    * complete d15 prefix-filter machinery, now parameterized by k), the
+    * corpus's distinct-shingle vocabulary, and the mean set size — the
+    * table that shows WHY production picks k≈3 (k too small: hot
+    * shingles everywhere, pair count explodes with false kinship; k too
+    * large: sets shrink and near-misses vanish). Each leg pays the same
+    * honest index build as d15; results union to one ≤3-row report. The
+    * oracle recomputes every leg brute-force, so the sweep doubles as a
+    * 3-way completeness check of the prefix filter across k.
+    */
+  val d28ShingleSweep: Q = (s, d) => {
+    val legs = ShingleSweep.map { k =>
+      val idx = prefixIndex(s, d, PrefixTauPct, k).cache()
+      val prefix = idx.select(col("doc_id"),
+        explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
+      val cand = prefix.select(col("doc_id").as("d1"), col("h"))
+        .join(prefix.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val pairs = cand
+        .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"),
+          col("sz").as("na")), Seq("d1"))
+        .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb"),
+          col("sz").as("nb")), Seq("d2"))
+        .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
+        .filter(col("inter") * 100 >=
+          (col("na") + col("nb") - col("inter")) * PrefixTauPct)
+        .agg(count(lit(1)).as("n_pairs"))
+      val stats = idx.agg(
+        sum(col("sz").cast("bigint")).as("sum_sz"),
+        count(lit(1)).as("n_docs"))
+      val vocab = idx.select(explode(col("tarr")).as("h")).distinct()
+        .agg(count(lit(1)).as("vocab"))
+      pairs.crossJoin(broadcast(stats)).crossJoin(broadcast(vocab))
+        .select(lit(k).as("shingle_k"), col("n_pairs"), col("vocab"),
+          expr("sum_sz * 100 div n_docs").as("mean_sz_x100"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy("shingle_k")
   }
 
   /** d16: directed containment threshold (C(A,B) = |A∩B| / |A|). */
@@ -1555,6 +1601,7 @@ object Dedup {
     "p09_dataset_card"  -> p09DatasetCard,
     "d26_bfs_hops"      -> d26BfsHops,
     "d27_containment_est" -> d27ContainmentEst,
+    "d28_shingle_sweep" -> d28ShingleSweep,
     "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
@@ -2226,6 +2273,33 @@ object Dedup {
          |LEFT JOIN best ON best.dd = d.doc_id
          |LEFT JOIN exact ON exact.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // d28: every leg recomputed brute-force (no prefix filter) — the
+    // sweep doubles as a 3-way completeness check across k.
+    "d28_shingle_sweep" -> {
+      val ctes = ShingleSweep.map { k =>
+        s"""tok$k AS (SELECT DISTINCT doc_id,
+           |            unnest(${TextHash.duckShingles("text", k)}) AS t
+           |          FROM documents),
+           |sz$k AS (SELECT doc_id, COUNT(1) AS sz FROM tok$k GROUP BY 1),
+           |int$k AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+           |          FROM tok$k a JOIN tok$k b
+           |            ON a.t = b.t AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2),
+           |pc$k AS (SELECT COUNT(1) AS n
+           |         FROM int$k JOIN sz$k sa ON sa.doc_id = d1
+           |                    JOIN sz$k sb ON sb.doc_id = d2
+           |         WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $PrefixTauPct),
+           |vb$k AS (SELECT COUNT(DISTINCT t) AS v FROM tok$k),
+           |ms$k AS (SELECT CAST(SUM(sz) * 100 // COUNT(1) AS BIGINT) AS m
+           |         FROM sz$k)""".stripMargin
+      }.mkString(",\n")
+      val legs = ShingleSweep.map { k =>
+        s"""SELECT $k AS shingle_k, (SELECT n FROM pc$k) AS n_pairs,
+           |       (SELECT v FROM vb$k) AS vocab,
+           |       (SELECT m FROM ms$k) AS mean_sz_x100""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$legs\nORDER BY shingle_k"
+    },
     // d27: d08's signature CTEs + distinct-shingle sets; the estimate is
     // the same integer cross-multiplication.
     "d27_containment_est" ->

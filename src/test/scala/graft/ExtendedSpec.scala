@@ -7,6 +7,28 @@ package graft
   */
 class ExtendedSpec extends SparkSpec {
 
+  test("Log2Hist buffer serde round-trips and merge adds elementwise") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.Log2Hist(BoundReference(0, LongType, nullable = true))
+    val a = agg.createAggregationBuffer()
+    a(0) = 3L; a(10) = 7L; a(62) = Long.MaxValue / 2
+    val rt = agg.deserialize(agg.serialize(a))
+    assert(rt.toSeq === a.toSeq, "serde must be lossless")
+    val b = agg.createAggregationBuffer()
+    b(0) = 1L; b(63) = 5L
+    val m = agg.merge(a, b)
+    assert(m(0) === 4L && m(10) === 7L && m(63) === 5L)
+    // update ignores nulls and non-positive values; bucket = floor(log2)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    def upd(v: Any): Unit = { row.update(0, v); agg.update(m, row) }
+    upd(null); upd(0L); upd(-5L)
+    assert(m(0) === 4L, "null/non-positive must not count")
+    upd(1L); assert(m(0) === 5L)
+    upd(1024L); assert(m(10) === 8L)
+    upd(Long.MaxValue); assert(m(62) === Long.MaxValue / 2 + 1)
+  }
+
   test("prefixMax equals the global-window reference in all 4 modes") {
     import org.apache.spark.sql.functions._
     // Unique order key (orderkey, linenumber packed) with a non-monotone
