@@ -1903,6 +1903,34 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q166: χ² independence cells — the per-cell contributions
+    * (O−E)²/E of the status × priority contingency table (q128 builds
+    * the table; this scores it — the profiling step that decides whether
+    * two columns are independent enough to model separately). Exactness
+    * discipline: E = r·c/N stays a RATIONAL (numerator emitted, never
+    * divided), the contribution is computed as (O·N − r·c)²/(N·r·c) —
+    * one double division of exact bigint products, IEEE-identical
+    * cross-engine — and cells are emitted individually (summing doubles
+    * would reintroduce order dependence). Three partial-agg censuses
+    * (cells, rows, columns) with the marginal tables broadcast.
+    */
+  val q166Chi2Cells: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+    val cells = o.groupBy("st", "pr").agg(count(lit(1)).as("obs"))
+    val rows = o.groupBy("st").agg(count(lit(1)).as("r"))
+    val cols = o.groupBy("pr").agg(count(lit(1)).as("c"))
+    val n = o.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(rows), "st").join(broadcast(cols), "pr")
+      .crossJoin(broadcast(n))
+      .select(col("st"), col("pr"), col("obs"),
+        (col("r") * col("c")).as("expected_num"), col("n").as("expected_den"),
+        expr("""cast((obs * n - r * c) as double) * cast((obs * n - r * c) as double)
+               |/ (cast(n as double) * cast(r as double) * cast(c as double))"""
+          .stripMargin).as("contrib"))
+      .orderBy("st", "pr")
+  }
+
   /** q163: NULL ordering semantics — the classic cross-engine trap:
     * Spark's default is NULLS FIRST on ASC (and last on DESC), DuckDB's
     * is NULLS LAST — silently different page-1 results for any sorted
@@ -2003,6 +2031,7 @@ object Extras {
     "q162_pct_of_parent"     -> q162PctOfParent,
     "q163_null_ordering"     -> q163NullOrdering,
     "q164_rolling_actives"   -> q164RollingActives,
+    "q166_chi2_cells"        -> q166Chi2Cells,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2114,6 +2143,23 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q166: same censuses; the contribution is the same single double
+    // division of exact integer products.
+    "q166_chi2_cells" ->
+      """WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pr FROM orders),
+        |cl AS (SELECT st, pr, COUNT(1) AS obs FROM o GROUP BY 1, 2),
+        |r AS (SELECT st, COUNT(1) AS r FROM o GROUP BY 1),
+        |c AS (SELECT pr, COUNT(1) AS c FROM o GROUP BY 1),
+        |n AS (SELECT COUNT(1) AS n FROM o)
+        |SELECT cl.st, cl.pr, cl.obs,
+        |       CAST(r.r * c.c AS BIGINT) AS expected_num,
+        |       n.n AS expected_den,
+        |       CAST((cl.obs * n.n - r.r * c.c) AS DOUBLE)
+        |         * CAST((cl.obs * n.n - r.r * c.c) AS DOUBLE)
+        |         / (CAST(n.n AS DOUBLE) * CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))
+        |         AS contrib
+        |FROM cl JOIN r USING (st) JOIN c USING (pr), n
+        |ORDER BY st, pr""".stripMargin,
     // q164: the oracle joins each day to its 3-day lookback directly.
     "q164_rolling_actives" ->
       """WITH p AS (
