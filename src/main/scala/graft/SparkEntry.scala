@@ -42,7 +42,9 @@ object SparkEntry {
         "m08_delta_sync" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m08DeltaSync(s, d)),
         "m09_batch_assembly" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m09BatchAssembly(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m09BatchAssembly(s, d)),
+        "m10_magic_sniff" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m10MagicSniff(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -205,6 +207,15 @@ object SparkEntry {
              |FROM cand WHERE bit_count(xor(ph1, ph2)) <= ${graft.operators.Multimodal.PhashMaxHam}
              |ORDER BY m1, m2""".stripMargin
         },
+        // m10: the ASCII fixture makes magic + byte accounting
+        // SQL-expressible; the round-trip booleans are the pin.
+        "m10_magic_sniff" ->
+          """SELECT doc_id AS media_id,
+            |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            |            WHEN 1 THEN 'audio' ELSE 'video' END AS sniffed_kind,
+            |       TRUE AS matches_label,
+            |       CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+            |FROM documents ORDER BY media_id""".stripMargin,
         // m09: window spelling of the keyed prefix count; the balance flag
         // recomputed from the same aggregates.
         "m09_batch_assembly" -> {

@@ -436,6 +436,40 @@ object Multimodal {
       .orderBy("batch")
   }
 
+  /** m10's magic table: 4-byte ASCII sentinels per modality (real magics
+    * — PNG/RIFF/ftyp — are arbitrary bytes; ASCII keeps the fixture
+    * oracle-able while the PLUMBING — binary prepend, prefix slice,
+    * broadcast dispatch table — is exactly the production shape).
+    */
+  val MagicTable: Seq[(String, String)] =
+    Seq("image" -> "IMG:", "audio" -> "AUD:", "video" -> "VID:")
+
+  /** m10: content-type sniffing from magic bytes — the ingest-edge
+    * dispatch every media lake runs before trusting an extension: each
+    * payload is tagged with its modality's 4-byte magic, then the
+    * sniffer reads ONLY the 4-byte binary prefix and resolves it against
+    * the broadcast magic table (a join, not a CASE — the table is data,
+    * extensible without a plan change). The pin: the sniffed kind must
+    * round-trip to the label for every row, and byte accounting stays
+    * exact. Per-row codegen + one ≤3-row broadcast join; payload bytes
+    * never shuffle.
+    */
+  def m10MagicSniff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val magics = MagicTable.toDF("sniffed_kind", "magic")
+    fixtureFromDocuments(s, d).toDF()
+      .withColumn("tagged", expr(
+        """concat(encode(CASE kind WHEN 'image' THEN 'IMG:'
+          |               WHEN 'audio' THEN 'AUD:' ELSE 'VID:' END, 'UTF-8'),
+          |        payload)""".stripMargin))
+      .withColumn("magic", expr("decode(substring(tagged, 1, 4), 'UTF-8')"))
+      .join(broadcast(magics), "magic")
+      .select(col("media_id"), col("sniffed_kind"),
+        (col("sniffed_kind") === col("kind")).as("matches_label"),
+        expr("cast(octet_length(tagged) - 4 as bigint)").as("body_bytes"))
+      .orderBy("media_id")
+  }
+
   def m02FrameExplode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stride = 4

@@ -1903,6 +1903,38 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q167: bounce-rate report — per session ENTRY type: how many
+    * sessions start with it, how many bounce (single-event sessions),
+    * bounce rate in permille, and the mean session length ×100 — the
+    * web-analytics table behind every landing-page decision. Session
+    * assembly is q52's 30-minute rule; the per-session reduction is one
+    * partial-agg groupBy with the entry event chosen by `min_by` on
+    * (ts, event_id) — never a per-session sort.
+    */
+  val q167BounceRate: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        expr("IF(prev_us IS NULL OR us - prev_us > 1800000000, 1L, 0L)"))
+      .withColumn("session_no", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), struct(col("us"), col("event_id")))
+          .as("entry_type"))
+    sess.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("sum_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000 div n_sessions").as("bounce_permille"),
+        expr("sum_events * 100 div n_sessions").as("mean_len_x100"))
+      .orderBy("entry_type")
+  }
+
   /** q166: χ² independence cells — the per-cell contributions
     * (O−E)²/E of the status × priority contingency table (q128 builds
     * the table; this scores it — the profiling step that decides whether
@@ -2032,6 +2064,7 @@ object Extras {
     "q163_null_ordering"     -> q163NullOrdering,
     "q164_rolling_actives"   -> q164RollingActives,
     "q166_chi2_cells"        -> q166Chi2Cells,
+    "q167_bounce_rate"       -> q167BounceRate,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2143,6 +2176,34 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q167: same session rule; entry = rank-1 row per session.
+    "q167_bounce_rate" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                      THEN 1 ELSE 0 END AS ns FROM s),
+        |s3 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no
+        |       FROM s2),
+        |entry AS (
+        |  SELECT user_id, session_no, event_type AS entry_type FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+        |                                 ORDER BY us, event_id) AS rn
+        |    FROM s3) WHERE rn = 1),
+        |sess AS (
+        |  SELECT user_id, session_no, COUNT(1) AS n_events
+        |  FROM s3 GROUP BY 1, 2)
+        |SELECT entry_type, COUNT(1) AS n_sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounces,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000
+        |            // COUNT(1) AS BIGINT) AS bounce_permille,
+        |       CAST(SUM(n_events) * 100 // COUNT(1) AS BIGINT) AS mean_len_x100
+        |FROM sess JOIN entry USING (user_id, session_no)
+        |GROUP BY entry_type ORDER BY entry_type""".stripMargin,
     // q166: same censuses; the contribution is the same single double
     // division of exact integer products.
     "q166_chi2_cells" ->
