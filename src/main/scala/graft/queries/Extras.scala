@@ -1903,6 +1903,34 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q168: longest active streak per user — consecutive-day runs (q161's
+    * gaps-and-islands, KEYED): the engagement metric behind "7-day
+    * streak" product features. Per-user day ranks come from the KEYED
+    * range-partitioned prefix count (never a per-user row_number window
+    * holding a power user's whole history... which would actually be
+    * bounded here — but the keyed prefixSum costs the same and the
+    * discipline is uniform), the day−rank anchor groups each run, and
+    * the per-user winner is a partial-agg `max_by` with
+    * earliest-streak tie-break (anchors increase in time within a user).
+    */
+  val q168LongestStreak: Q = (s, d) => {
+    val present = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as date)").as("day")).distinct()
+      .withColumn("one", lit(1L))
+      .withColumn("dnum", expr("cast(datediff(day, DATE '2024-01-01') as bigint)"))
+    val ranked = graft.queries.TextOps.prefixSum(
+      present, "dnum", "one", "rank",
+      includeCurrent = true, keyCols = Seq("user_id"))
+    ranked.withColumn("anchor", col("dnum") - col("rank"))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("start_day"), struct(col("len"), negate(col("anchor"))))
+          .as("streak_start"))
+      .orderBy("user_id")
+  }
+
   /** q167: bounce-rate report — per session ENTRY type: how many
     * sessions start with it, how many bounce (single-event sessions),
     * bounce rate in permille, and the mean session length ×100 — the
@@ -2065,6 +2093,7 @@ object Extras {
     "q164_rolling_actives"   -> q164RollingActives,
     "q166_chi2_cells"        -> q166Chi2Cells,
     "q167_bounce_rate"       -> q167BounceRate,
+    "q168_longest_streak"    -> q168LongestStreak,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2176,6 +2205,23 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q168: keyed islands; winner = (len DESC, anchor ASC) — max_by's
+    // (len, -anchor) struct order.
+    "q168_longest_streak" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |             (day - DATE '2024-01-01') AS dnum,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY day) AS rank
+        |      FROM p),
+        |i AS (SELECT user_id, dnum - rank AS anchor, COUNT(1) AS len,
+        |             MIN(day) AS start_day
+        |      FROM r GROUP BY 1, 2),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY len DESC, anchor ASC) AS rn
+        |      FROM i)
+        |SELECT user_id, len AS longest_streak, start_day AS streak_start
+        |FROM k WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // q167: same session rule; entry = rank-1 row per session.
     "q167_bounce_rate" ->
       """WITH s AS (

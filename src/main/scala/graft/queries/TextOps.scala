@@ -380,6 +380,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t36: packing-efficiency report — per t07 bin: documents, tokens,
+    * fill factor (permille of [[PackBudget]]) and the straddle flag (the
+    * bin whose LAST doc's span crosses the budget boundary — the doc a
+    * sequential packer truncates or spills). Padding waste is a direct
+    * training-cost multiplier, so this is the report that justifies (or
+    * indicts) the packing policy. One partial-agg groupBy over t07's
+    * assignment — the prefix-sum pass is the only corpus-scale work.
+    */
+  val t36PackEfficiency: Q = (s, d) => {
+    val packed = {
+      val withTokens = Tables.documents(s, d)
+        .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      prefixSum(withTokens, "doc_id", "n_tokens", "cum_before",
+        includeCurrent = false)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr(s"cum_before div $PackBudget").as("bin"))
+    }
+    packed.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("cum_before") + col("n_tokens")).as("span_end"))
+      .select(col("bin"), col("n_docs"), col("n_tokens"),
+        expr(s"n_tokens * 1000 div $PackBudget").as("fill_permille"),
+        (col("span_end") > (col("bin") + 1) * PackBudget).as("straddles"))
+      .orderBy("bin")
+  }
+
   /** t08: repetition-quality rule (the Gopher-style duplicate-n-gram
     * filter) — per document: bigram count, distinct bigram count, the top
     * single bigram's frequency, and the duplicate-bigram fraction in exact
@@ -1187,6 +1214,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
+    "t36_pack_efficiency" -> t36PackEfficiency,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
@@ -1624,6 +1652,24 @@ object TextOps {
         |       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t36: t07's running-sum assignment spelled as the window; same
+    // integer fill/straddle math.
+    "t36_pack_efficiency" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               AS BIGINT) AS cum_before
+         |      FROM d),
+         |p AS (SELECT doc_id, n_tokens, cum_before,
+         |             cum_before // $PackBudget AS bin FROM c)
+         |SELECT bin, COUNT(1) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_tokens) * 1000 // $PackBudget AS BIGINT) AS fill_permille,
+         |       MAX(cum_before + n_tokens) > (bin + 1) * $PackBudget AS straddles
+         |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
     // t34: same classifier CTE as t01, scored against the fixture label;
     // share in integer permille.
     "t34_langid_eval" -> {
