@@ -1903,6 +1903,30 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q169: pivot∘unpivot round-trip identity — q35/q36 pin each
+    * direction; this pins the CLOSURE property reshaping pipelines rely
+    * on: melting a wide aggregate to long form and re-pivoting restores
+    * it exactly (modulo the declared column order). The melt is q36's
+    * stack-style unpivot, the re-pivot q35's declared-values pivot with a
+    * `first` aggregate (each (key, metric) holds exactly one value — the
+    * identity's precondition, guaranteed by the aggregate input). The
+    * oracle recomputes the ORIGINAL wide table — any loss or duplication
+    * in either reshape mismatches.
+    */
+  val q169PivotRoundtrip: Q = (s, d) => {
+    val wide = Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    val long = wide.selectExpr("o_orderstatus",
+      "stack(3, 'n_orders', n_orders, 'cents', cents, 'n_cust', n_cust) AS (metric, v)")
+    long.groupBy("o_orderstatus")
+      .pivot("metric", Seq("n_orders", "cents", "n_cust"))
+      .agg(first(col("v")))
+      .select(col("o_orderstatus"), col("n_orders"), col("cents"), col("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q168: longest active streak per user — consecutive-day runs (q161's
     * gaps-and-islands, KEYED): the engagement metric behind "7-day
     * streak" product features. Per-user day ranks come from the KEYED
@@ -2094,6 +2118,7 @@ object Extras {
     "q166_chi2_cells"        -> q166Chi2Cells,
     "q167_bounce_rate"       -> q167BounceRate,
     "q168_longest_streak"    -> q168LongestStreak,
+    "q169_pivot_roundtrip"   -> q169PivotRoundtrip,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2205,6 +2230,15 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q169: the oracle is the ORIGINAL wide aggregate — the round trip
+    // must be lossless.
+    "q169_pivot_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(1) AS n_orders,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // q168: keyed islands; winner = (len DESC, anchor ASC) — max_by's
     // (len, -anchor) struct order.
     "q168_longest_streak" ->

@@ -62,6 +62,35 @@ class LedgerSinkSpec extends SparkSpec {
       "duplicate epoch commit double-appended")
   }
 
+  test("s31: the fraud stream writes through the DSv2 ledger sink end-to-end") {
+    // Integration of the two custom connectors: the synthetic DSv2
+    // streaming SOURCE feeds the reference filter pipeline, which lands
+    // in the DSv2 streaming SINK — rows visible only via epoch commits,
+    // and the ledger must equal the batch pipeline over the same
+    // deterministic indices (s14's parity discipline, now through the
+    // custom write path too).
+    LedgerSink.clear("s31")
+    val stream = spark.readStream.format("graft.sources.TransactionSource")
+      .option("rows", 600).option("partitions", 4)
+      .option("rowsPerBatch", 250).load()
+    val q = graft.operators.FraudPipeline(stream)
+      .writeStream.format("graft.sources.LedgerSink")
+      .option("ledger", "s31")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("s31_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batch = graft.operators.FraudPipeline(
+      spark.read.format("graft.sources.TransactionSource")
+        .option("rows", 600).option("partitions", 4).load())
+      .collect().map(_.toSeq).toSet
+    val got = LedgerSink.rows("s31").map(_.toSeq).toSet
+    assert(got === batch.map(_.map(identity)),
+      s"stream-through-ledger (${got.size}) != batch (${batch.size})")
+    assert(got.nonEmpty)
+  }
+
   test("V2 commit protocol: a failed job leaves the ledger untouched") {
     LedgerSink.clear("t2")
     // 8 partitions; one row in the LAST partition raises — most tasks
