@@ -1903,6 +1903,34 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q170: 3σ control chart — daily event-value totals flagged against
+    * the whole series' mean ± 3σ, the ops-monitoring staple (alert when
+    * a day's revenue leaves the control band). The flag is computed in
+    * EXACT algebra — |n·x − S|² · n > 9 · (n·Q − S²) with S = Σx,
+    * Q = Σx² over daily cents — with the squares in DECIMAL(38,0)
+    * (bigint would overflow at (n·x−S)²·n; Spark decimals and DuckDB
+    * HUGEINT are both exact, so the boolean can never straddle). One
+    * daily partial-agg, one 3-value broadcast of the series stats, per-
+    * row flag math.
+    */
+  val q170ControlChart: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("cast(ts as date)").as("day"))
+      .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))")).as("q"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("x"), col("n"), col("s"),
+        expr("""(cast(n as decimal(38,0)) * cast(x as decimal(38,0))
+               |   - cast(s as decimal(38,0)))
+               |* (cast(n as decimal(38,0)) * cast(x as decimal(38,0))
+               |   - cast(s as decimal(38,0))) * cast(n as decimal(38,0))
+               |> 9 * (cast(n as decimal(38,0)) * q
+               |       - cast(s as decimal(38,0)) * cast(s as decimal(38,0)))"""
+          .stripMargin).as("out_of_band"))
+      .orderBy("day")
+  }
+
   /** q169: pivot∘unpivot round-trip identity — q35/q36 pin each
     * direction; this pins the CLOSURE property reshaping pipelines rely
     * on: melting a wide aggregate to long form and re-pivoting restores
@@ -2119,6 +2147,7 @@ object Extras {
     "q167_bounce_rate"       -> q167BounceRate,
     "q168_longest_streak"    -> q168LongestStreak,
     "q169_pivot_roundtrip"   -> q169PivotRoundtrip,
+    "q170_control_chart"     -> q170ControlChart,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2230,6 +2259,23 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q170: HUGEINT keeps DuckDB's squares exact like Spark's
+    // DECIMAL(38,0); identical cross-multiplied inequality.
+    "q170_control_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT COUNT(1) AS n, CAST(SUM(x) AS BIGINT) AS s,
+        |              SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+        |       FROM daily)
+        |SELECT day, x, n, s,
+        |       (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(s AS HUGEINT))
+        |       * (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(s AS HUGEINT))
+        |       * CAST(n AS HUGEINT)
+        |       > 9 * (CAST(n AS HUGEINT) * q
+        |              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS out_of_band
+        |FROM daily, st ORDER BY day""".stripMargin,
     // q169: the oracle is the ORIGINAL wide aggregate — the round trip
     // must be lossless.
     "q169_pivot_roundtrip" ->
