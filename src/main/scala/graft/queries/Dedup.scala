@@ -1080,6 +1080,35 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** d29: survivor-policy agreement — does the dedup's KEEP decision
+    * actually depend on the policy? Per multi-doc cluster, d06's min-id
+    * survivor vs d14's argmax-quality survivor, with the agreement flag
+    * and the quality cost of the naive policy (best quality − kept
+    * quality under min-id) — the report that tells a curation team
+    * whether upgrading the survivor rule is worth a backfill. One join
+    * of two already-memoized elections + the quality lookup; all
+    * partial-agg, O(clusters) output.
+    */
+  val d29PolicyAgreement: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val quality = TextOps.qualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val withQ = clusters.join(quality, "doc_id")
+    val elected = withQ.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("minid_doc"),
+        expr("max_by(doc_id, struct(quality, -doc_id))").as("quality_doc"),
+        max(col("quality")).as("best_quality"))
+    elected.filter(col("cluster_size") > 1)
+      .join(quality.select(col("doc_id").as("minid_doc"),
+        col("quality").as("minid_quality")), "minid_doc")
+      .select(col("cluster"), col("cluster_size"),
+        col("minid_doc"), col("quality_doc"),
+        (col("minid_doc") === col("quality_doc")).as("policies_agree"),
+        (col("best_quality") - col("minid_quality")).as("quality_cost"))
+      .orderBy("cluster")
+  }
+
   /** p05: the curation capstone — the three NEW stages composed into the
     * end-to-end training-data job a curation team actually runs:
     *
@@ -1602,6 +1631,7 @@ object Dedup {
     "d26_bfs_hops"      -> d26BfsHops,
     "d27_containment_est" -> d27ContainmentEst,
     "d28_shingle_sweep" -> d28ShingleSweep,
+    "d29_policy_agreement" -> d29PolicyAgreement,
     "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
@@ -2273,6 +2303,32 @@ object Dedup {
          |LEFT JOIN best ON best.dd = d.doc_id
          |LEFT JOIN exact ON exact.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // d29: both elections re-spelled over the same cluster + quality CTEs.
+    "d29_policy_agreement" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |qual AS (${TextOps.duckQuality}),
+         |wq AS (SELECT c.doc_id, c.cluster, q.quality
+         |       FROM clusters c JOIN qual q USING (doc_id)),
+         |el AS (
+         |  SELECT cluster, COUNT(1) AS cluster_size,
+         |         MIN(doc_id) AS minid_doc,
+         |         CAST(MAX(quality) AS BIGINT) AS best_quality
+         |  FROM wq GROUP BY cluster),
+         |qd AS (
+         |  SELECT cluster, doc_id AS quality_doc FROM (
+         |    SELECT cluster, doc_id,
+         |           row_number() OVER (PARTITION BY cluster
+         |                              ORDER BY quality DESC, doc_id ASC) AS rn
+         |    FROM wq) WHERE rn = 1)
+         |SELECT el.cluster, el.cluster_size, el.minid_doc, qd.quality_doc,
+         |       el.minid_doc = qd.quality_doc AS policies_agree,
+         |       el.best_quality - mq.quality AS quality_cost
+         |FROM el JOIN qd USING (cluster)
+         |        JOIN qual mq ON mq.doc_id = el.minid_doc
+         |WHERE el.cluster_size > 1
+         |ORDER BY el.cluster""".stripMargin,
     // d28: every leg recomputed brute-force (no prefix filter) — the
     // sweep doubles as a 3-way completeness check across k.
     "d28_shingle_sweep" -> {

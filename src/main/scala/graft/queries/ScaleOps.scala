@@ -328,6 +328,41 @@ object ScaleOps {
     perOut.unionByName(allOut).orderBy("grp")
   }
 
+  /** x16: PERSISTED-sketch round trip — the contract behind every
+    * incremental distinct-count rollup: a sketch written today must
+    * estimate identically when read back tomorrow. Each group's HLL
+    * sketch round-trips through its storage encoding (binary → parquet
+    * file on disk → read back) and the re-loaded estimate must EQUAL the
+    * fresh one bit-for-bit (not just within error — serialization is
+    * lossless), plus the x05 5 % accuracy contract against the exact
+    * count. The write/read is a real parquet round trip of the binary
+    * column — the literal shape of a persisted daily-sketch table.
+    */
+  val x16SketchPersist: Q = (s, d) => {
+    val out = "target/sketch_store"
+    // cache BEFORE the write: the sketch binary must be built exactly once
+    // — DataSketches HLL is estimate-stable but not byte-stable under
+    // different partial-merge orders, and the losslessness pin compares
+    // the ONE written sketch against its reload, not two builds
+    val per = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+      .groupBy("grp")
+      .agg(expr(s"hll_sketch_agg(o_custkey, $HllLgK)").as("sk"),
+           countDistinct(col("o_custkey")).as("n_exact"))
+      .cache()
+    per.select("grp", "sk").write.mode("overwrite").parquet(out)
+    val reloaded = per.sparkSession.read.parquet(out)
+      .select(col("grp"), expr("hll_sketch_estimate(sk)").as("est_reloaded"))
+    per.select(col("grp"), col("n_exact"),
+        expr("hll_sketch_estimate(sk)").as("est_fresh"))
+      .join(reloaded, "grp")
+      .select(col("grp"), col("n_exact"),
+        (col("est_fresh") === col("est_reloaded")).as("lossless"),
+        (abs(col("est_reloaded") - col("n_exact")) * 100
+          <= col("n_exact") * 5).as("within_5pct"))
+      .orderBy("grp")
+  }
+
   // ---------------------------------------------------------------- x06
 
   /** x06: frequent-items sketch — `approx_top_k` (Spark 4). The sketch's
@@ -975,6 +1010,7 @@ object ScaleOps {
     "x14_log2_hist_agg"    -> x14Log2HistAgg,
     "q153_geo_neighbor_join" -> q153GeoNeighborJoin,
     "q154_geo_knn"         -> q154GeoKnn,
+    "x16_sketch_persist"   -> x16SketchPersist,
     "x07_kmv_sketch"       -> x07KmvSketch,
     "x08_ams_f2"           -> x08AmsF2,
     "x11_bitmap_distinct"  -> x11BitmapDistinct,
@@ -1008,6 +1044,14 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // x16: exact counts + literal TRUEs (x01/x05 discipline — losslessness
+    // and the accuracy bound are the engine's contracts to prove).
+    "x16_sketch_persist" ->
+      """SELECT o_orderpriority AS grp,
+        |       COUNT(DISTINCT o_custkey) AS n_exact,
+        |       TRUE AS lossless,
+        |       TRUE AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin,
     // q153: ground truth = the brute-force pair join (no bucketing) —
     // the oracle checks the 3x3-cell candidate generation is COMPLETE.
     "q153_geo_neighbor_join" ->
