@@ -1903,6 +1903,29 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q171: ISO week-year boundary — the classic reporting bug (YYYY vs
+    * yyyy): the last days of December belong to ISO week 52/1 of the
+    * WEEK-based year, which differs from the calendar year exactly at
+    * year boundaries. The January fixture shifted back 3 days spans
+    * 2023-12-29…: every row pins `extract(YEAROFWEEK)` (DuckDB
+    * `isoyear`), ISO `weekofyear`, and the definitional arithmetic twin
+    * — the ISO year IS the calendar year of that week's Thursday — with
+    * an agreement flag. Per-row codegen only.
+    */
+  val q171IsoBoundary: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("date_add(cast(ts as date), -3)").as("day"))
+      .select(
+        col("event_id"), col("day"),
+        expr("cast(extract(YEAROFWEEK FROM day) as int)").as("iso_year"),
+        expr("cast(weekofyear(day) as int)").as("iso_week"),
+        expr("cast(year(date_add(day, 3 - weekday(day))) as int)")
+          .as("thursday_year"),
+        expr("extract(YEAROFWEEK FROM day) = year(date_add(day, 3 - weekday(day)))")
+          .as("defs_agree"))
+      .orderBy("event_id")
+
   /** q170: 3σ control chart — daily event-value totals flagged against
     * the whole series' mean ± 3σ, the ops-monitoring staple (alert when
     * a day's revenue leaves the control band). The flag is computed in
@@ -2148,6 +2171,7 @@ object Extras {
     "q168_longest_streak"    -> q168LongestStreak,
     "q169_pivot_roundtrip"   -> q169PivotRoundtrip,
     "q170_control_chart"     -> q170ControlChart,
+    "q171_iso_boundary"      -> q171IsoBoundary,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2259,6 +2283,15 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q171: isoyear == YEAROFWEEK; isodow(1=Mon) mirrors weekday(0=Mon)+1.
+    "q171_iso_boundary" ->
+      """SELECT event_id, day,
+        |       CAST(isoyear(day) AS INT) AS iso_year,
+        |       CAST(weekofyear(day) AS INT) AS iso_week,
+        |       CAST(year(day + CAST(4 - isodow(day) AS INT)) AS INT) AS thursday_year,
+        |       isoyear(day) = year(day + CAST(4 - isodow(day) AS INT)) AS defs_agree
+        |FROM (SELECT event_id, CAST(ts AS DATE) - 3 AS day FROM events)
+        |ORDER BY event_id""".stripMargin,
     // q170: HUGEINT keeps DuckDB's squares exact like Spark's
     // DECIMAL(38,0); identical cross-multiplied inequality.
     "q170_control_chart" ->

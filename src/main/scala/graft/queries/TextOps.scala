@@ -518,6 +518,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t37: benchmark LEAKAGE rate — t10's inverse direction: instead of
+    * flagging corpus docs, score each BENCHMARK document by what fraction
+    * of its shingles already exist in the training corpus ("how much of
+    * this eval is memorizable"), the per-item leakage report an eval team
+    * reads before trusting a score. The corpus's shingle vocabulary is
+    * deduped once (the big side, one partial-agg distinct); each
+    * benchmark doc's shingles probe it with a LEFT join + partial-agg
+    * counts — the benchmark side is tiny, so the probe is
+    * broadcast-friendly in either direction. Integer permille.
+    */
+  val t37BenchmarkLeakage: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", ContamShingleK)})"))
+          .as("shingle"))
+    val corpusVocab = sh.filter(col("doc_id") >= 5)
+      .select("shingle").distinct()
+      .withColumn("in_corpus", lit(1L))
+    sh.filter(col("doc_id") < 5)
+      .join(corpusVocab, Seq("shingle"), "left")
+      .groupBy(col("doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("in_corpus"), lit(0L))).as("n_leaked"))
+      .select(col("bench_id"), col("n_shingles"), col("n_leaked"),
+        expr("n_leaked * 1000 div n_shingles").as("leak_permille"))
+      .orderBy("bench_id")
+  }
+
   /** t11: quality-weighted deterministic sampling — keep each document with
     * probability ∝ its weight (here n_chars/1000, the "sample longer docs
     * more" policy; real pipelines weight by a quality score). The coin is
@@ -1215,6 +1244,7 @@ object TextOps {
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
+    "t37_benchmark_leakage" -> t37BenchmarkLeakage,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
@@ -1652,6 +1682,22 @@ object TextOps {
         |       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t37: same shingle CTEs as t10, probed in the other direction.
+    "t37_benchmark_leakage" -> {
+      val shingles = TextHash.duckShingles("text", ContamShingleK)
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest($shingles) AS shingle
+         |  FROM documents),
+         |cv AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 5),
+         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5)
+         |SELECT bench_id, COUNT(1) AS n_shingles,
+         |       CAST(SUM(CASE WHEN cv.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_leaked,
+         |       CAST(SUM(CASE WHEN cv.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |            * 1000 // COUNT(1) AS BIGINT) AS leak_permille
+         |FROM b LEFT JOIN cv USING (shingle)
+         |GROUP BY bench_id ORDER BY bench_id""".stripMargin
+    },
     // t36: t07's running-sum assignment spelled as the window; same
     // integer fill/straddle math.
     "t36_pack_efficiency" ->
