@@ -980,6 +980,39 @@ object Extras {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** q172: fact join against the SCD2 dimension — q111 BUILDS the
+    * version history; this is its downstream purpose: each click fact
+    * joins to the purchase version VALID AT its timestamp (equi on user
+    * + the validity-interval predicate). Versions per user are disjoint,
+    * so every fact matches at most one row — deterministic by
+    * construction. The plan is an equi-join on user with the interval
+    * test as a post-filter (per-user version lists are bounded by that
+    * user's history — the dimension side is small by SCD2's nature); at
+    * warehouse scale the same query is the RangeBucketJoin rewrite's
+    * target shape (q129 pins that machinery).
+    */
+  val q172Scd2Join: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val dim = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("d_user"), col("event_id").as("version_id"),
+        col("value").as("version_value"), unix_micros(col("ts")).as("us"))
+      .withColumn("valid_to_us",
+        lead(col("us"), 1).over(Window.partitionBy("d_user")
+          .orderBy(col("us").asc, col("version_id").asc)))
+      .withColumnRenamed("us", "valid_from_us")
+    val facts = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("us"))
+    facts.join(dim, col("user_id") === col("d_user") &&
+        col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+      .select(col("click_id"), col("user_id"), col("version_id"),
+        col("version_value"))
+      .orderBy("click_id")
+  }
+
   /** q112: re-aggregation / incremental-view merge — the materialized-view
     * maintenance property every warehouse load relies on: per-(day,
     * priority) PARTIAL aggregates (the state a daily load writes) merged
@@ -2172,6 +2205,7 @@ object Extras {
     "q169_pivot_roundtrip"   -> q169PivotRoundtrip,
     "q170_control_chart"     -> q170ControlChart,
     "q171_iso_boundary"      -> q171IsoBoundary,
+    "q172_scd2_join"         -> q172Scd2Join,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2283,6 +2317,23 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q172: the same interval predicate; disjoint versions make the match
+    // unique.
+    "q172_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT user_id AS d_user, event_id AS version_id,
+        |         value AS version_value, epoch_us(ts) AS valid_from_us,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                  ORDER BY epoch_us(ts), event_id)
+        |           AS valid_to_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT click_id, user_id, version_id, version_value
+        |FROM f JOIN dim ON user_id = d_user
+        |               AND us >= valid_from_us
+        |               AND (valid_to_us IS NULL OR us < valid_to_us)
+        |ORDER BY click_id""".stripMargin,
     // q171: isoyear == YEAROFWEEK; isodow(1=Mon) mirrors weekday(0=Mon)+1.
     "q171_iso_boundary" ->
       """SELECT event_id, day,
