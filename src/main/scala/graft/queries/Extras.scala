@@ -680,6 +680,33 @@ object Extras {
         |ORDER BY m""".stripMargin)
   }
 
+  /** q173: hierarchical rollup (bill-of-materials walk) — the recursive
+    * query q78's month spine doesn't exercise: a DATA-driven hierarchy
+    * (parent = custkey div 10, a deterministic ~5-level tree over
+    * customers) walked root→leaf with MULTIPLICATIVE accumulation along
+    * the path (per-node factor = custkey % 7 + 2 — BOM quantities,
+    * ownership fractions, tax cascades all have this shape; sums don't
+    * compose down a path, products do). Each leaf reports its depth,
+    * top-level ancestor and accumulated multiplier — exact integers
+    * (factors ≤ 8, depth ≤ 5 ⇒ ≤ 32768). Recursion depth = tree height
+    * (log-bounded), each round one equi-join.
+    */
+  val q173BomRollup: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("cust_q173")
+    s.sql(
+      """WITH RECURSIVE walk(node, root, depth, mult) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |         CAST(c_custkey % 7 + 2 AS BIGINT)
+        |  FROM cust_q173 WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.root, w.depth + 1,
+        |         w.mult * CAST(c.c_custkey % 7 + 2 AS BIGINT)
+        |  FROM cust_q173 c JOIN walk w ON c.c_custkey DIV 10 = w.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT node, root, CAST(depth AS INT) AS depth, mult
+        |FROM walk ORDER BY node""".stripMargin)
+  }
+
   /** q79: gap-fill / forward-fill — `last_value(... IGNORE NULLS)` over a
     * per-key ordered frame, the standard telemetry repair for sensor
     * streams (nulls synthesized deterministically from event_type so both
@@ -2206,6 +2233,7 @@ object Extras {
     "q170_control_chart"     -> q170ControlChart,
     "q171_iso_boundary"      -> q171IsoBoundary,
     "q172_scd2_join"         -> q172Scd2Join,
+    "q173_bom_rollup"        -> q173BomRollup,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2317,6 +2345,19 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q173: identical recursion (DuckDB // is Spark's DIV).
+    "q173_bom_rollup" ->
+      """WITH RECURSIVE walk(node, root, depth, mult) AS (
+        |  SELECT c_custkey, c_custkey, 0,
+        |         CAST(c_custkey % 7 + 2 AS BIGINT)
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.root, w.depth + 1,
+        |         w.mult * CAST(c.c_custkey % 7 + 2 AS BIGINT)
+        |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT node, root, CAST(depth AS INT) AS depth, mult
+        |FROM walk ORDER BY node""".stripMargin,
     // q172: the same interval predicate; disjoint versions make the match
     // unique.
     "q172_scd2_join" ->

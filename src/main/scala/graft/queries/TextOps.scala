@@ -547,6 +547,37 @@ object TextOps {
       .orderBy("bench_id")
   }
 
+  /** t38: source-vocabulary overlap — pairwise shingle-vocabulary
+    * Jaccard between SOURCES (d18 measures document overlap; this
+    * measures *stylistic/domain* kinship at the source level — the
+    * input to "which crawls are near-mirrors" merge decisions). Each
+    * source's vocabulary dedups to one (source, shingle) presence set;
+    * the pair census is a self-join on the shingle key whose fan-out is
+    * bounded by |sources|² per shingle — the ENTITY count (metadata-
+    * scale, 20 here), not the corpus, which is why the source-level
+    * matrix stays cheap where the document-level one needs d15's
+    * machinery. Integer permille Jaccard.
+    */
+  val t38SourceVocabOverlap: Q = (s, d) => {
+    val sv = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("source"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", ContamShingleK)})"))
+          .as("sh"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sv.select(col("source").as("s1"), col("sh"))
+      .join(sv.select(col("source").as("s2"), col("sh")), Seq("sh"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+        expr("inter * 1000 div (n1 + n2 - inter)").as("jaccard_permille"))
+      .orderBy("s1", "s2")
+  }
+
   /** t11: quality-weighted deterministic sampling — keep each document with
     * probability ∝ its weight (here n_chars/1000, the "sample longer docs
     * more" policy; real pipelines weight by a quality score). The coin is
@@ -1245,6 +1276,7 @@ object TextOps {
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
     "t37_benchmark_leakage" -> t37BenchmarkLeakage,
+    "t38_source_vocab_overlap" -> t38SourceVocabOverlap,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
     "t27_shingle_novelty" -> t27ShingleNovelty,
@@ -1682,6 +1714,21 @@ object TextOps {
         |       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_chars,
         |       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t38: same presence sets; pair census spelled inline.
+    "t38_source_vocab_overlap" -> {
+      val shingles = TextHash.duckShingles("text", ContamShingleK)
+      s"""WITH sv AS (
+         |  SELECT DISTINCT source, unnest($shingles) AS sh FROM documents),
+         |sz AS (SELECT source, COUNT(1) AS sz FROM sv GROUP BY 1),
+         |pr AS (SELECT a.source AS s1, b.source AS s2, COUNT(1) AS inter
+         |       FROM sv a JOIN sv b ON a.sh = b.sh AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT s1, s2, inter, z1.sz AS n1, z2.sz AS n2,
+         |       inter * 1000 // (z1.sz + z2.sz - inter) AS jaccard_permille
+         |FROM pr JOIN sz z1 ON z1.source = s1
+         |        JOIN sz z2 ON z2.source = s2
+         |ORDER BY s1, s2""".stripMargin
+    },
     // t37: same shingle CTEs as t10, probed in the other direction.
     "t37_benchmark_leakage" -> {
       val shingles = TextHash.duckShingles("text", ContamShingleK)
