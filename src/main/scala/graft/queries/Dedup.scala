@@ -1626,8 +1626,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** p10: the FINAL MIXTURE table — what a training run actually
+    * consumes: per source, the gate-passing document count, raw tokens,
+    * soft-dedup WEIGHTED token mass (w = 1000/cluster_size over the FULL
+    * cluster — duplicates discount mass even when some copies fail the
+    * gate, deliberately: the content is still that duplicated), and the
+    * mixture share in ppm of the total weighted mass. This is the
+    * composition the whole t/d suite exists to feed: t20's gate × the
+    * shared cluster table × t33's weighting × p02-style shares, in one
+    * joined plan with nothing but partial-agg groupBys and one scalar
+    * broadcast.
+    */
+  val p10MixtureTable: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val docs = TextOps.gopherCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("keep"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+    val weighted = docs.filter(col("keep"))
+      .join(clusters, "doc_id").join(sizes, "cluster")
+      .withColumn("wtok", col("tok") * expr("1000L div sz"))
+    val per = weighted.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("raw_tokens"),
+        sum(col("wtok")).as("weighted_tokens_x1000"))
+    val total = per.agg(sum(col("weighted_tokens_x1000")).as("total_w"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_kept"), col("raw_tokens"),
+        col("weighted_tokens_x1000"),
+        expr("weighted_tokens_x1000 * 1000000 div total_w").as("mixture_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "p09_dataset_card"  -> p09DatasetCard,
+    "p10_mixture_table" -> p10MixtureTable,
     "d26_bfs_hops"      -> d26BfsHops,
     "d27_containment_est" -> d27ContainmentEst,
     "d28_shingle_sweep" -> d28ShingleSweep,
@@ -2303,6 +2335,33 @@ object Dedup {
          |LEFT JOIN best ON best.dd = d.doc_id
          |LEFT JOIN exact ON exact.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // p10: gate + clusters + weights + shares, all re-spelled from the
+    // same shared CTE bodies.
+    "p10_mixture_table" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |             FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, COUNT(1) AS sz FROM clusters GROUP BY cluster),
+         |g AS (${TextOps.duckGopherKeep}),
+         |w AS (
+         |  SELECT d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |           * CAST(1000 // sz AS BIGINT) AS wtok
+         |  FROM documents d JOIN g USING (doc_id)
+         |                   JOIN clusters USING (doc_id)
+         |                   JOIN sizes USING (cluster)
+         |  WHERE g.keep),
+         |per AS (
+         |  SELECT source, COUNT(1) AS n_kept,
+         |         CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+         |         CAST(SUM(wtok) AS BIGINT) AS weighted_tokens_x1000
+         |  FROM w GROUP BY source),
+         |t AS (SELECT CAST(SUM(weighted_tokens_x1000) AS BIGINT) AS total_w
+         |      FROM per)
+         |SELECT source, n_kept, raw_tokens, weighted_tokens_x1000,
+         |       weighted_tokens_x1000 * 1000000 // total_w AS mixture_ppm
+         |FROM per, t ORDER BY source""".stripMargin,
     // d29: both elections re-spelled over the same cluster + quality CTEs.
     "d29_policy_agreement" ->
       s"""WITH RECURSIVE $duckReachCtes,
