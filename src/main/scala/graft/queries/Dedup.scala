@@ -1409,6 +1409,12 @@ object Dedup {
     * honest index build as d15; results union to one ≤3-row report. The
     * oracle recomputes every leg brute-force, so the sweep doubles as a
     * 3-way completeness check of the prefix filter across k.
+    *
+    * BENCH NOTE: this is deliberately the suite's most expensive query
+    * (~8 s at sf0.1 — 3× d15): the three index builds share nothing (the
+    * shingle sets differ by construction), so the sweep's price IS three
+    * d15 runs. A production sweep would run once per corpus revision and
+    * write its 3-row table; it is not a per-query cost.
     */
   val d28ShingleSweep: Q = (s, d) => {
     val legs = ShingleSweep.map { k =>
