@@ -680,6 +680,42 @@ object Extras {
         |ORDER BY m""".stripMargin)
   }
 
+  /** q174: DEFAULT window-frame semantics — the trap behind half of all
+    * wrong `last_value` reports: with an ORDER BY and no explicit frame,
+    * the SQL-standard default is RANGE UNBOUNDED PRECEDING → CURRENT ROW
+    * (so `last_value` ≈ the current row's PEER GROUP end, not the
+    * partition end) in BOTH engines. Pinned three ways per row over an
+    * order with genuine ties (peer groups matter): default-frame
+    * last_value, explicit full-frame last_value (the one people meant),
+    * and default-frame first_value (insensitive — always the partition
+    * head). Per-user windows, bounded groups.
+    */
+  val q174FrameDefaults: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("ev_q174")
+    // counts, not last_value-over-ties: the peer group's LAST ROW is
+    // physically nondeterministic, but its SIZE is not — n_range counts
+    // the whole peer group (the default-frame surprise), n_rows counts
+    // to the current row; they genuinely differ on tie days. The
+    // last/first legs run tie-FREE (event_id tiebreak), where the
+    // default frame provably ends at the current row.
+    s.sql(
+      """SELECT event_id, user_id,
+        |       count(1) OVER
+        |         (PARTITION BY user_id ORDER BY cast(ts as date))
+        |         AS n_range_default,
+        |       count(1) OVER
+        |         (PARTITION BY user_id ORDER BY cast(ts as date), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS n_rows,
+        |       last_value(event_id) OVER
+        |         (PARTITION BY user_id ORDER BY cast(ts as date), event_id)
+        |         AS last_default_tiefree,
+        |       first_value(event_id) OVER
+        |         (PARTITION BY user_id ORDER BY cast(ts as date), event_id)
+        |         AS first_default
+        |FROM ev_q174 ORDER BY event_id""".stripMargin)
+  }
+
   /** q173: hierarchical rollup (bill-of-materials walk) — the recursive
     * query q78's month spine doesn't exercise: a DATA-driven hierarchy
     * (parent = custkey div 10, a deterministic ~5-level tree over
@@ -2234,6 +2270,7 @@ object Extras {
     "q171_iso_boundary"      -> q171IsoBoundary,
     "q172_scd2_join"         -> q172Scd2Join,
     "q173_bom_rollup"        -> q173BomRollup,
+    "q174_frame_defaults"    -> q174FrameDefaults,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2345,6 +2382,24 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q174: both engines implement the SQL-standard RANGE default — the
+    // oracle spells the identical windows.
+    "q174_frame_defaults" ->
+      """SELECT event_id, user_id,
+        |       count(1) OVER
+        |         (PARTITION BY user_id ORDER BY CAST(ts AS DATE))
+        |         AS n_range_default,
+        |       count(1) OVER
+        |         (PARTITION BY user_id ORDER BY CAST(ts AS DATE), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS n_rows,
+        |       last_value(event_id) OVER
+        |         (PARTITION BY user_id ORDER BY CAST(ts AS DATE), event_id)
+        |         AS last_default_tiefree,
+        |       first_value(event_id) OVER
+        |         (PARTITION BY user_id ORDER BY CAST(ts AS DATE), event_id)
+        |         AS first_default
+        |FROM events ORDER BY event_id""".stripMargin,
     // q173: identical recursion (DuckDB // is Spark's DIV).
     "q173_bom_rollup" ->
       """WITH RECURSIVE walk(node, root, depth, mult) AS (
