@@ -1446,6 +1446,28 @@ object Dedup {
     legs.reduce(_.unionByName(_)).orderBy("shingle_k")
   }
 
+  /** d31: LSH band-table LOAD profile — the operational health check of
+    * the d01 index: bucket-size distribution of the band table (per
+    * bucket-size-log2 class: how many buckets, how many candidate PAIRS
+    * they generate — pairs grow as size², so one hot bucket dominates
+    * join cost; this is n03's IVF-skew report transplanted to the LSH
+    * index, and the number an operator reads before raising bands/rows).
+    * Two partial-agg groupBys (bucket sizes, then the ≤64-class
+    * histogram) over the shared band constants; pair counts in exact
+    * integers (Σ s·(s−1)/2 per class).
+    */
+  val d31BandLoad: Q = (s, d) => {
+    val sizes = bandTable(s, d).groupBy("band_key")
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .withColumn("size_class", expr("cast(length(bin(sz)) - 1 as int)"))
+      .groupBy("size_class")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_entries"),
+        sum(expr("sz * (sz - 1) div 2")).as("n_pairs"))
+      .orderBy("size_class")
+  }
+
   /** d16: directed containment threshold (C(A,B) = |A∩B| / |A|). */
   val ContainTauPct = 80
 
@@ -1670,6 +1692,7 @@ object Dedup {
     "d27_containment_est" -> d27ContainmentEst,
     "d28_shingle_sweep" -> d28ShingleSweep,
     "d29_policy_agreement" -> d29PolicyAgreement,
+    "d31_band_load" -> d31BandLoad,
     "t33_soft_dedup"    -> t33SoftDedup,
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
@@ -2394,6 +2417,15 @@ object Dedup {
          |        JOIN qual mq ON mq.doc_id = el.minid_doc
          |WHERE el.cluster_size > 1
          |ORDER BY el.cluster""".stripMargin,
+    // d31: same band CTEs; x12's bit-length size classes.
+    "d31_band_load" ->
+      s"""WITH $duckBandCtes,
+         |sizes AS (SELECT band_key, COUNT(1) AS sz FROM bands GROUP BY 1)
+         |SELECT CAST(length(format('{:b}', sz)) - 1 AS INT) AS size_class,
+         |       COUNT(1) AS n_buckets,
+         |       CAST(SUM(sz) AS BIGINT) AS n_entries,
+         |       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+         |FROM sizes GROUP BY 1 ORDER BY size_class""".stripMargin,
     // d28: every leg recomputed brute-force (no prefix filter) — the
     // sweep doubles as a 3-way completeness check across k.
     "d28_shingle_sweep" -> {
