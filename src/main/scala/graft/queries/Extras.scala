@@ -680,6 +680,31 @@ object Extras {
         |ORDER BY m""".stripMargin)
   }
 
+  /** q175: quantile normalization — map every order amount to its
+    * empirical percentile (permille, midrank convention for ties:
+    * (#below + (#equal+1)/2) / n), the rank-based feature transform ML
+    * preprocessing applies to heavy-tailed columns. The scalable shape
+    * is x02's: ONE partial-agg value histogram, the range-partitioned
+    * prefixSum for the strictly-below counts, and an equi-join back on
+    * the value — never a corpus-wide rank window. Exact integers (ties
+    * use the doubled midrank: (2·below + equal + 1)·500 div n keeps the
+    * arithmetic integral). */
+  val q175QuantileNormalize: Q = (s, d) => {
+    val v = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    val hist = v.groupBy("cents").agg(count(lit(1)).as("c"))
+    val cum = graft.queries.TextOps
+      .prefixSum(hist, "cents", "c", "below", includeCurrent = false)
+    val n = v.agg(count(lit(1)).as("n"))
+    v.join(cum, "cents").crossJoin(broadcast(n))
+      .select(col("o_orderkey"), col("cents"),
+        expr("coalesce(below, 0L)").as("n_below"), col("c").as("n_equal"),
+        expr("(2 * coalesce(below, 0L) + c + 1) * 500 div n")
+          .as("pct_permille"))
+      .orderBy("o_orderkey")
+  }
+
   /** q174: DEFAULT window-frame semantics — the trap behind half of all
     * wrong `last_value` reports: with an ORDER BY and no explicit frame,
     * the SQL-standard default is RANGE UNBOUNDED PRECEDING → CURRENT ROW
@@ -2271,6 +2296,7 @@ object Extras {
     "q172_scd2_join"         -> q172Scd2Join,
     "q173_bom_rollup"        -> q173BomRollup,
     "q174_frame_defaults"    -> q174FrameDefaults,
+    "q175_quantile_normalize" -> q175QuantileNormalize,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2382,6 +2408,22 @@ object Extras {
         |         WHEN 3 THEN ' line1' || chr(10) || 'line2'
         |         ELSE '  padded  ' END AS tricky
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q175: the window spelling of the same midrank percentile.
+    "q175_quantile_normalize" ->
+      """WITH v AS (SELECT o_orderkey,
+        |                  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |h AS (SELECT cents, COUNT(1) AS c FROM v GROUP BY 1),
+        |cm AS (SELECT cents, c,
+        |              CAST(COALESCE(SUM(c) OVER (ORDER BY cents
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS below
+        |       FROM h),
+        |n AS (SELECT COUNT(1) AS n FROM v)
+        |SELECT o_orderkey, v.cents, below AS n_below, c AS n_equal,
+        |       (2 * below + c + 1) * 500 // n.n AS pct_permille
+        |FROM v JOIN cm USING (cents), n
+        |ORDER BY o_orderkey""".stripMargin,
     // q174: both engines implement the SQL-standard RANGE default — the
     // oracle spells the identical windows.
     "q174_frame_defaults" ->
