@@ -1334,10 +1334,27 @@ object Dedup {
     * hash collision can only ADD a candidate, which exact verification
     * then rejects — completeness is unaffected). Cached: consumed by the
     * prefix explode and both verify joins; at 100 TB this is the written
-    * prefix-index table.
+    * prefix-index table. Lifecycle: every caller materializes its result
+    * via localCheckpoint and then unpersists the index — no per-k cache
+    * outlives its query (round-6 verdict item 3; asserted via the
+    * CacheManager in DedupSpec).
     */
+  /** The (doc_id, tokens) frame every prefix index starts from — hoisted
+    * out of [[prefixIndexOf]] so d28's three per-k legs tokenize the
+    * corpus ONCE (the shingle sets differ by k; the token arrays do not —
+    * round-6 verdict item 2: three re-reads + re-splits of the corpus was
+    * the suite's single largest avoidable cost at 100 TB).
+    */
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
   private def prefixIndex(s: SparkSession, d: String, tauPct: Int,
-                          shingleK: Int = PrefixShingleK): DataFrame = {
+                          shingleK: Int = PrefixShingleK): DataFrame =
+    prefixIndexOf(tokenizedDocs(s, d), tauPct, shingleK)
+
+  private def prefixIndexOf(docTokens: DataFrame, tauPct: Int,
+                            shingleK: Int): DataFrame = {
     // hash at the ROW stage, before any shuffle: one codegen'd md5 per
     // (doc, shingle) row, so the df groupBy, the index join, and the
     // collect_list all carry 8-byte longs instead of 20-byte shingle
@@ -1354,8 +1371,7 @@ object Dedup {
     // whp-exactness contract d01/d10 already run under, and the
     // string-array spelling remains the drop-in fallback if a corpus
     // ever trips it.
-    val tok = Tables.documents(s, d)
-      .withColumn("tokens", split(col("text"), " "))
+    val tok = docTokens
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", shingleK)})"))
           .as("t"))
@@ -1385,14 +1401,21 @@ object Dedup {
     // re-explode, no per-pair groupBy (the naive verify shipped
     // |cand| × |doc| narrow rows through two sort-merge joins + an agg;
     // this shape was a 5× bench win at sf0.1)
-    cand
+    val pairs = cand
       .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
       .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb"), col("sz").as("nb")), Seq("d2"))
       .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
       .select(col("d1"), col("d2"), col("inter"),
               col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
-      .orderBy("d1", "d2")
+      // Materialize the (small — qualifying pairs only) result WHILE the
+      // index cache is alive, then release the cache: the query owns its
+      // cache lifecycle instead of leaning on the runner's clearCache()
+      // (round-6 verdict item 3 — at 100 TB an orphaned per-k index is
+      // cache churn for every later job sharing the executors).
+      .localCheckpoint()
+    idx.unpersist()
+    pairs.orderBy("d1", "d2")
   }
 
   /** Shingle sizes d28 sweeps. */
@@ -1411,14 +1434,21 @@ object Dedup {
     * 3-way completeness check of the prefix filter across k.
     *
     * BENCH NOTE: this is deliberately the suite's most expensive query
-    * (~8 s at sf0.1 — 3× d15): the three index builds share nothing (the
-    * shingle sets differ by construction), so the sweep's price IS three
-    * d15 runs. A production sweep would run once per corpus revision and
-    * write its 3-row table; it is not a per-query cost.
+    * (3× d15's index+join work): the three SHINGLE indexes share nothing
+    * (the sets differ by construction), so the sweep's price IS three
+    * d15 runs — minus the corpus scan+tokenize, which all legs share
+    * through one cached (doc_id, tokens) frame. A production sweep would
+    * run once per corpus revision and write its 3-row table; it is not a
+    * per-query cost.
     */
   val d28ShingleSweep: Q = (s, d) => {
+    // One tokenization for all three legs: the per-k shingle sets share
+    // nothing, but the underlying token ARRAYS are identical — cache the
+    // split corpus once instead of re-reading + re-parsing it per leg
+    // (round-6 verdict item 2; saves two full corpus scans per sweep).
+    val toks = tokenizedDocs(s, d).cache()
     val legs = ShingleSweep.map { k =>
-      val idx = prefixIndex(s, d, PrefixTauPct, k).cache()
+      val idx = prefixIndexOf(toks, PrefixTauPct, k)
       val prefix = idx.select(col("doc_id"),
         explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
       val cand = prefix.select(col("doc_id").as("d1"), col("h"))
@@ -1439,10 +1469,17 @@ object Dedup {
         count(lit(1)).as("n_docs"))
       val vocab = idx.select(explode(col("tarr")).as("h")).distinct()
         .agg(count(lit(1)).as("vocab"))
-      pairs.crossJoin(broadcast(stats)).crossJoin(broadcast(vocab))
+      // Materialize this leg's 1-row report while ITS index is cached,
+      // then drop the index before the next leg builds: peak cache held
+      // by the sweep is one per-k index, not three (round-6 item 3).
+      val leg = pairs.crossJoin(broadcast(stats)).crossJoin(broadcast(vocab))
         .select(lit(k).as("shingle_k"), col("n_pairs"), col("vocab"),
           expr("sum_sz * 100 div n_docs").as("mean_sz_x100"))
+        .localCheckpoint()
+      idx.unpersist()
+      leg
     }
+    toks.unpersist()
     legs.reduce(_.unionByName(_)).orderBy("shingle_k")
   }
 
@@ -1498,13 +1535,16 @@ object Dedup {
     val cand = prefix.join(full, Seq("h"))
       .filter(col("d1") =!= col("d2"))
       .select("d1", "d2").distinct()
-    cand
+    val pairs = cand
       .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
       .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb")), Seq("d2"))
       .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
       .filter(col("inter") * 100 >= col("na") * ContainTauPct)
       .select(col("d1"), col("d2"), col("inter"), col("na").cast("long").as("na"))
-      .orderBy("d1", "d2")
+      // materialize-then-release, as in d15: the query owns its cache
+      .localCheckpoint()
+    idx.unpersist()
+    pairs.orderBy("d1", "d2")
   }
 
   /** d25: canonical-URL dedup — the CommonCrawl-style first pass that

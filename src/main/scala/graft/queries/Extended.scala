@@ -244,7 +244,14 @@ object Extended {
           (col("p95a") >= col("lo95") &&
             col("p95a") <= coalesce(col("hi95"), col("p95a"))).as("p95_in_band"))
     }
-    legs.reduce(_.unionByName(_)).orderBy("accuracy")
+    // Materialize the 3-row report while the shared value/cum caches are
+    // alive, then release them — the query owns its cache lifecycle
+    // (round-6 advice: x15's cum table pinned executor memory for the
+    // rest of a 300-query run).
+    val out = legs.reduce(_.unionByName(_)).orderBy("accuracy").localCheckpoint()
+    cum.unpersist(); v.unpersist()
+    TextOps.releasePrefixSumCaches()
+    out
   }
 
   /** q44: full outer join — the one join type the core suite lacked.

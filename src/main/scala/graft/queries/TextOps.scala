@@ -278,6 +278,21 @@ object TextOps {
     * verdict item 3 — a hard-coded 32 would under-partition a real
     * cluster).
     */
+  /** The ranged-shard caches [[prefixSum]] creates (one per call). A query
+    * that materializes-then-releases its result (x15's pattern) calls
+    * [[releasePrefixSumCaches]] so the shard table doesn't outlive the
+    * query; Bench/Verify teardown calls it too. Suites and queries run
+    * sequentially (build.sbt forks one test JVM, testForkedParallel off),
+    * so a release can never race a live consumer.
+    */
+  private val prefixSumCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def releasePrefixSumCaches(): Unit = prefixSumCaches.synchronized {
+    prefixSumCaches.foreach(_.unpersist())
+    prefixSumCaches.clear()
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, includeCurrent: Boolean,
                 keyCols: Seq[String] = Nil,
@@ -290,10 +305,13 @@ object TextOps {
     // cache: BOTH passes (local sums + per-partition totals) read the
     // ranged table; without it the upstream plan runs twice. At 100 TB
     // this materialization is the written range-ordered shard table.
-    // Lifetime is one query — the harness clearCache()s after the action.
+    // Lifetime is one query — the harness clearCache()s after the action,
+    // and a query that materializes-then-releases its own result can drop
+    // it earlier via [[releasePrefixSumCaches]].
     val ranged = df.repartitionByRange(parts, (keyCols :+ orderCol).map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .cache()
+    prefixSumCaches.synchronized { prefixSumCaches += ranged }
     val wLocal = Window.partitionBy(("_pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, upper)

@@ -217,7 +217,11 @@ object StreamOps {
     * consumer). Same dual-watermark + time-bound condition as s06: the
     * bound is what lets Spark expire semi-join state, and the semi form
     * additionally drops a left row from state the moment its first match
-    * arrives — strictly LESS state than inner at 100 TB.
+    * arrives — strictly LESS state than inner at 100 TB. The
+    * existence-only member of the interval-join family (s06 inner, s09
+    * left, s12 full): matches emit eagerly on first arrival; unmatched
+    * purchases are silently dropped once the watermark closes their
+    * window (pinned in StreamingSpec's orphan-drop test).
     */
   def s25StreamSemiJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
@@ -354,25 +358,6 @@ object StreamOps {
       """p_user = e_user AND
         |e_ts >= p_ts - INTERVAL 10 MINUTES AND
         |e_ts <= p_ts""".stripMargin), "fullOuter")
-  }
-
-  /** s20: stream-stream LEFT SEMI interval join — the existence-only
-    * member of the join family (s06 inner, s09 left, s12 full): emit each
-    * purchase exactly ONCE if any error from the same user landed in its
-    * trailing 10-minute window, with no error columns and no duplication
-    * when several errors match. Same time-bound state expiry as the outer
-    * variants; semi joins emit eagerly on first match (no watermark wait
-    * for positives) and simply drop unmatched rows once the watermark
-    * closes their window.
-    */
-  def s20StreamStreamSemiJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    val p = purchases.withWatermark("p_ts", "10 minutes")
-    val e = errors.withWatermark("e_ts", "10 minutes")
-    p.join(e, expr(
-      """p_user = e_user AND
-        |e_ts >= p_ts - INTERVAL 10 MINUTES AND
-        |e_ts <= p_ts""".stripMargin), "leftSemi")
   }
 
   /** s10: update-mode keyed aggregation — the third output mode beside

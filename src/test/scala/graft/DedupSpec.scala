@@ -535,4 +535,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === brute)
   }
+
+  test("d15/d16/d28 own their cache lifecycle: no per-k index survives its query") {
+    import graft.queries.Dedup
+    // The prefix-filter family caches per-k index frames internally; each
+    // query must materialize its (small) result and unpersist the index
+    // before returning — a Verify/Bench runner must not be needed to
+    // reclaim the memory (round-6 verdict item 3).
+    val cm = spark.sharedState.cacheManager
+    for ((name, q) <- Seq(
+        "d15" -> Dedup.d15PrefixFilterJoin,
+        "d16" -> Dedup.d16ContainmentJoin,
+        "d28" -> Dedup.d28ShingleSweep)) {
+      spark.catalog.clearCache()
+      // materialize fully (the corpus may legitimately yield zero pairs
+      // at this SF — the lifecycle, not the cardinality, is under test)
+      q(spark, sf).count()
+      assert(cm.isEmpty,
+        s"$name left cached plans behind after its result was materialized")
+    }
+  }
 }

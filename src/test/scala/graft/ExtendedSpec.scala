@@ -218,4 +218,12 @@ class ExtendedSpec extends SparkSpec {
       assert(r.getDouble(2) === mad, s"MAD diverges for ${r.getString(0)}")
     }
   }
+
+  test("x15 owns its cache lifecycle: value/cum caches released at query end") {
+    spark.catalog.clearCache()
+    val rows = graft.queries.Extended.x15AccuracySweep(spark, sf).collect()
+    assert(rows.length === 3)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "x15 left cached plans behind after its 3-row report materialized")
+  }
 }

@@ -598,15 +598,15 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((-1L, 101L)), s"right orphan not null-padded: $rows")
   }
 
-  test("s20 left-semi stream-stream join emits once per matched purchase, drops orphans") {
+  test("s25 left-semi stream-stream join drops orphans once the watermark closes their window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
-    val q = StreamOps.s20StreamStreamSemiJoin(
+    val q = StreamOps.s25StreamSemiJoin(
         pmem.toDF.toDF("p_ts", "p_user", "p_id"),
         emem.toDF.toDF("e_ts", "e_user", "e_id"))
-      .writeStream.format("memory").queryName("s20_out")
+      .writeStream.format("memory").queryName("s25_orphans")
       .outputMode(OutputMode.Append()).start()
     // user 7: TWO errors inside purchase 1's window — must emit ONCE;
     // user 9's purchase has no error; user 8's error has no purchase
@@ -618,7 +618,7 @@ class StreamingSpec extends SparkSpec {
     pmem.addData((ts(60), 7L, 99L))
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("s20_out")
+    val out = spark.table("s25_orphans")
     // semi join: only left columns survive
     assert(out.columns.toSeq === Seq("p_ts", "p_user", "p_id"),
       s"semi join must project only the left side: ${out.columns.toSeq}")
