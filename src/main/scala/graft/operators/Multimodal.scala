@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed by per-partition batch operators.
   *
   * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape, feature output — while the codec itself is a clearly-marked STUB
-  * (`fakeDecode`): the container has no image/audio libraries, so decode is
-  * a deterministic fake over the raw bytes. Swapping in a real codec
-  * changes ONE function and nothing about the plan.
+  * shape, feature output — while decoding goes through the [[Multimodal.MediaCodec]]
+  * seam: the default is a clearly-marked STUB (the container has no
+  * image/audio libraries), and [[Multimodal.DeflateCodec]] proves the same
+  * mapPartitions boundary carries REAL encoded bytes (a genuine
+  * inflate-then-featurize, tested in MultimodalSpec). Swapping in ffmpeg /
+  * javax.imageio changes one object and nothing about the plan.
   *
   * Scale notes:
   *  - Media rows are big (MBs); `repartitionByBytes` targets a bounded
@@ -36,24 +38,92 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       byte_mean: Double, byte_histogram: Array[Long], frames_sampled: Int)
 
-  /** STUB — deterministic fake decode. A real deployment replaces this with
-    * an actual codec (e.g. javax.imageio / ffmpeg bindings); everything
-    * else — schema, partitioning, batch shape — is production-real.
-    * The fake "decodes" raw bytes into a 16-bin byte histogram + mean.
+  /** The swappable codec seam: decode + frame-sampling behind one
+    * serializable interface so a real media library slots in without
+    * touching the plan (schema, partitioning, mapPartitions batch shape
+    * are codec-independent). `init()` runs once per PARTITION — the
+    * amortized setup hook a real codec needs (context allocation, native
+    * lib load); per-row work goes through `decode`/`frames`.
     */
-  def fakeDecode(payload: Array[Byte]): (Double, Array[Long]) = {
+  trait MediaCodec extends Serializable {
+    /** Once-per-partition setup (codec contexts, native libs). */
+    def init(): Unit = ()
+    /** payload → (byte mean, 16-bin byte histogram) of the DECODED content. */
+    def decode(payload: Array[Byte]): (Double, Array[Long])
+    /** payload → number of sampled "frames" at the given stride. */
+    def frames(payload: Array[Byte], stride: Int): Int
+  }
+
+  private[operators] def byteStats(bytes: Array[Byte]): (Double, Array[Long]) = {
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
       hist(b / 16) += 1
       sum += b
       i += 1
     }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
     (mean, hist)
   }
+
+  /** STUB codec (the default) — deterministic fake decode: treats the raw
+    * payload bytes AS the decoded content (no media libraries in this
+    * container). Everything around it — schema, partitioning, batch
+    * shape — is production-real.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = byteStats(payload)
+    def frames(payload: Array[Byte], stride: Int): Int =
+      sampleFrames(payload, stride)
+  }
+
+  /** A REAL codec through the same seam — DEFLATE (java.util.zip, in every
+    * JVM) standing in for a media format: payloads are genuine compressed
+    * streams, `decode` actually INFLATES them and computes stats over the
+    * decompressed content, and frame sampling runs on decoded length. The
+    * features can only match the plaintext's if decompression really ran,
+    * which is what MultimodalSpec's non-stub test proves: the seam carries
+    * real encoded bytes end-to-end, so an ffmpeg/imageio-backed MediaCodec
+    * is a drop-in.
+    */
+  object DeflateCodec extends MediaCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      out.toByteArray
+    }
+    private def inflate(payload: Array[Byte]): Array[Byte] = {
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(payload)
+      val out = new java.io.ByteArrayOutputStream(payload.length * 2 + 64)
+      val buf = new Array[Byte](4096)
+      while (!inflater.finished()) {
+        val n = inflater.inflate(buf)
+        if (n == 0 && inflater.needsInput())
+          throw new java.util.zip.DataFormatException("truncated DEFLATE payload")
+        out.write(buf, 0, n)
+      }
+      inflater.end()
+      out.toByteArray
+    }
+    def decode(payload: Array[Byte]): (Double, Array[Long]) =
+      byteStats(inflate(payload))
+    def frames(payload: Array[Byte], stride: Int): Int =
+      sampleFrames(inflate(payload), stride)
+  }
+
+  /** Deterministic fake decode (the stub codec's body — kept as a named
+    * function because m03/m06's chunk math and several specs call it
+    * directly).
+    */
+  def fakeDecode(payload: Array[Byte]): (Double, Array[Long]) =
+    byteStats(payload)
 
   /** STUB — frame sampling: every `stride`-th 1 KiB chunk counts as one
     * sampled "frame". Real impl: demux + keyframe selection.
@@ -76,14 +146,15 @@ object Multimodal {
     * UDF: per-partition codec setup, then row-at-a-time decode into
     * fixed-width features.
     */
-  def extractFeatures(media: Dataset[Media], frameStride: Int = 4): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[Media], frameStride: Int = 4,
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would initialize the real codec here, once
+      codec.init() // once per partition — amortized codec setup
       rows.map { m =>
-        val (mean, hist) = fakeDecode(m.payload)
+        val (mean, hist) = codec.decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          mean, hist, sampleFrames(m.payload, frameStride))
+          mean, hist, codec.frames(m.payload, frameStride))
       }
     }
   }

@@ -1075,9 +1075,18 @@ object Extras {
     * so every fact matches at most one row — deterministic by
     * construction. The plan is an equi-join on user with the interval
     * test as a post-filter (per-user version lists are bounded by that
-    * user's history — the dimension side is small by SCD2's nature); at
-    * warehouse scale the same query is the RangeBucketJoin rewrite's
-    * target shape (q129 pins that machinery).
+    * user's history — the dimension side is small by SCD2's nature).
+    *
+    * Why the RangeBucketJoin rewrite does NOT apply here, by design: the
+    * rewrite rescues joins whose ONLY cross-side predicates are range
+    * bounds (q129/q130 — Spark would otherwise plan a nested loop). This
+    * join carries a cross-side EQUI key (user = d_user), so Spark already
+    * hash/merge-joins on it and evaluates the interval test over one
+    * user's version list — per-key bounded work with no all-pairs risk.
+    * Bucketing time on top would explode the dimension and re-shuffle on
+    * a derived key the join already has; the rule's eligibility guard
+    * declines exactly this shape, and PlanSpec pins that enabling the
+    * rule leaves q172's equi-join plan untouched.
     */
   val q172Scd2Join: Q = (s, d) => {
     val w = Window.partitionBy("user_id")

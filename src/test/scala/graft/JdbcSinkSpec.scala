@@ -193,4 +193,51 @@ class JdbcSinkSpec extends SparkSpec {
     val sql = UpsertSink.postgresUpsertSql("t")
     assert(sql.contains("(k, v, updated_ts)") && sql.contains("ON CONFLICT (k)"))
   }
+
+  test("LIVE Postgres: reference DDL + append + two-phase ledger (opt-in via GRAFT_PG_URL)") {
+    // The sandbox has no Postgres and no postgresql JDBC driver, so the
+    // Derby integration above is the local maximum (round-6 "what's
+    // missing" item 1). When a real Postgres IS reachable, this runs the
+    // EXACT production spellings — SERIAL DDL, 42P07 idempotence, batched
+    // append, ledger replay — against it:
+    //   GRAFT_PG_URL='jdbc:postgresql://host:5432/db' \
+    //   GRAFT_PG_USER=... GRAFT_PG_PASSWORD=... sbt "testOnly graft.JdbcSinkSpec"
+    // (env vars, not -D flags: tests run in a forked JVM that inherits the
+    // environment but not sbt's system properties). Skips cleanly — as a
+    // canceled, never a passed, test — when the URL or driver is absent.
+    val pgUrl = sys.env.getOrElse("GRAFT_PG_URL",
+      cancel("GRAFT_PG_URL not set — live-Postgres check skipped"))
+    try Class.forName("org.postgresql.Driver")
+    catch { case _: ClassNotFoundException =>
+      cancel("postgresql JDBC driver not on the classpath") }
+    val p = new Properties()
+    sys.env.get("GRAFT_PG_USER").foreach(p.setProperty("user", _))
+    sys.env.get("GRAFT_PG_PASSWORD").foreach(p.setProperty("password", _))
+    val table = "fraud_transactions_it"
+    def drop(t: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(pgUrl, p)
+      try {
+        val st = conn.createStatement()
+        try st.execute(s"DROP TABLE IF EXISTS $t") finally st.close()
+      } finally conn.close()
+    }
+    drop(table); drop(s"${table}_ledger")
+    try {
+      // A10: the real SERIAL DDL, idempotently (second call hits 42P07)
+      FraudSink.ensureTable(pgUrl, p, FraudSink.postgresDdl(table))
+      FraudSink.ensureTable(pgUrl, p, FraudSink.postgresDdl(table))
+      val fraud = FraudPipeline(FraudPipeline.readCsv(spark, fixtureDir()))
+      // ledger path: first append, done-replay no-op
+      val body = FraudSink.appendBatchIdempotent(pgUrl, table, p,
+        FraudSink.postgresDdl(table)) _
+      body(fraud, 1L)
+      val back = spark.read.jdbc(pgUrl, table, p)
+      assert(back.count() === 2)
+      // SERIAL assigned distinct ids starting at 1
+      val ids = back.select("id").collect().map(_.getInt(0)).sorted
+      assert(ids.distinct.length === 2 && ids.head >= 1)
+      body(fraud, 1L) // replay of a done batch must not duplicate
+      assert(spark.read.jdbc(pgUrl, table, p).count() === 2)
+    } finally { drop(table); drop(s"${table}_ledger") }
+  }
 }

@@ -20,6 +20,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.media_id).sorted === inIds)
   }
 
+  test("DeflateCodec: a real (non-stub) codec decodes through the same mapPartitions seam") {
+    import spark.implicits._
+    // Payloads are GENUINE compressed streams; features must describe the
+    // DECODED content. The compressed byte distribution is near-uniform
+    // (deflate output) while the plaintext is ASCII text — the histogram
+    // can only match the plaintext's if inflate actually ran inside the
+    // distributed extract, proving the seam carries real encoded bytes.
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(50)
+    val media = texts.map { case (id, t) =>
+      Multimodal.Media(id, "image", Multimodal.DeflateCodec.encode(t.getBytes("UTF-8")),
+        width = 16, height = 16, duration_ms = 0L, format = "deflate")
+    }.toSeq.toDS()
+    val feats = Multimodal.extractFeatures(media, frameStride = 4,
+      codec = Multimodal.DeflateCodec).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === texts.length)
+    texts.foreach { case (id, t) =>
+      val raw = t.getBytes("UTF-8")
+      val (wantMean, wantHist) = (Multimodal.fakeDecode(raw)._1, Multimodal.fakeDecode(raw)._2)
+      val f = feats(id)
+      assert(f.byte_histogram.toSeq === wantHist.toSeq,
+        s"decoded histogram must describe the PLAINTEXT for doc $id")
+      assert(f.byte_mean === wantMean)
+      assert(f.frames_sampled === Multimodal.sampleFrames(raw, 4),
+        "frame sampling must run on decoded length, not compressed length")
+      // n_bytes stays the PAYLOAD size (storage accounting), and the
+      // compressed stream is genuinely different from the plaintext
+      val enc = Multimodal.DeflateCodec.encode(raw)
+      assert(f.n_bytes === enc.length.toLong)
+      assert(!java.util.Arrays.equals(enc, raw),
+        "the encoded payload must genuinely differ from the plaintext")
+    }
+  }
+
   test("binaryFile source ingests raw media files into the Media pipeline") {
     // The ingest half of the multimodal story: media lands as FILES, and
     // Spark's binaryFile source turns a directory into (path, modTime,

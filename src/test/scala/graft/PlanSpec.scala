@@ -433,6 +433,29 @@ class PlanSpec extends SparkSpec {
       s"without the rule this must be the all-pairs baseline:\n$off")
   }
 
+  test("q172: SCD2 validity join stays an equi-join on user; RangeBucketJoin correctly declines") {
+    // q172 carries an interval predicate, but ALSO a cross-side equi key
+    // (user = d_user): Spark hash/merge-joins on the user key and applies
+    // the validity test as a post-filter over one user's version list —
+    // already partition-pruned to per-key work, which is strictly better
+    // than bucketing time (a bucket explode would multiply the dimension
+    // rows and then re-shuffle on a derived key the join already has).
+    // The rule's eligibility guard encodes exactly this, so enabling it
+    // must change NOTHING about q172's plan.
+    val key = graft.plans.RangeBucketJoin.WidthConf
+    spark.conf.set(key, "3600000000") // 1h in µs — a plausible width
+    try {
+      val p = planOf(graft.queries.Extras.q172Scd2Join(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"q172 must never plan all-pairs — the user equi key is the join key:\n$p")
+      assert(!p.contains("_graft_pbucket") && !p.contains("_graft_ibucket"),
+        s"RangeBucketJoin must decline when a cross-side equi key exists:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("BroadcastHashJoin"),
+        s"expected a hash/merge equi-join on the user key:\n$p")
+    } finally spark.conf.unset(key)
+  }
+
   test("RangeBucketJoin differential: rewrite equals baseline on adversarial data") {
     // The rule claims equivalence — prove it on data built to break it:
     // nulls (never match), negatives (floor toward -inf), values exactly

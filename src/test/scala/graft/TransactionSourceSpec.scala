@@ -123,4 +123,27 @@ class TransactionSourceSpec extends SparkSpec {
     assert(n > 500 && n < 1500, s"unexpected fraud count $n")
     assert(fraud.filter(col("isFraud") === 0 && col("isFlaggedFraud") === 0).count() === 0)
   }
+
+  test("load generator sustains a conservative throughput floor") {
+    // Regression guard for the reader's hot loop (round-5 item 4: a fresh
+    // Seq + boxed closures per row cost ~4x; the fix reuses one
+    // GenericInternalRow + a while-loop fill). The floor is deliberately
+    // ~10x under a healthy local[4] rate so only a real per-row
+    // regression — not a noisy neighbor — can trip it; min-of-3 after a
+    // codegen warm-up pass for the same reason.
+    val n = 2000000L
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      read(n, 4).agg(sum("amount"), sum("newbalanceDest"), sum("isFraud"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm-up: codegen + scheduler init
+    val best = (1 to 3).map(_ => pass()).min
+    val rate = n / best
+    assert(rate > 500000.0,
+      f"load generator at ${rate}%.0f rows/s — below the 500k rows/s floor " +
+        f"(healthy local[4] runs are several millions/s; a per-row " +
+        f"allocation regression is the usual culprit)")
+  }
 }
