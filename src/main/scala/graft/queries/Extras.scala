@@ -1890,9 +1890,12 @@ object Extras {
       // unique total-order key: instant, ends (−1) BEFORE starts (+1),
       // then event id — zero-padded decimal string (lexicographic ==
       // numeric; a packed bigint would overflow: µs-epoch × flags × ids
-      // exceeds 2⁶³)
+      // exceeds 2⁶³). Both pads are 19 digits — the full positive-bigint
+      // width — because Spark's lpad silently TRUNCATES strings longer
+      // than len: a narrower pad would corrupt the total order without
+      // an error the day ids outgrow it (round-6 advice item 1).
       .withColumn("bkey", expr(
-        "concat(lpad(cast(us as string), 17, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 9, '0'))"))
+        "concat(lpad(cast(us as string), 19, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 19, '0'))"))
     val curve = graft.queries.TextOps
       .prefixSum(bounds, "bkey", "delta", "conc", includeCurrent = true)
     curve

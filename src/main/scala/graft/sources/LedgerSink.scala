@@ -57,16 +57,24 @@ object LedgerSink {
   private[sources] def replace(name: String, rows: Seq[Seq[Any]]): Unit =
     ledgers.put(name, rows.toVector)
 
-  /** Append an epoch's rows IF the epoch is new; atomic per ledger. */
+  /** Append an epoch's rows IF the epoch is new; atomic per ledger. The
+    * rows land INSIDE the compute remapping, before the epoch joins the
+    * fence set, so fence and data move together: a concurrent reader can
+    * never observe an epoch fenced with its rows missing, and a failure
+    * mid-apply leaves the epoch unfenced (replay retries — at-least-once
+    * inside the critical section, exactly-once outside it), never fenced-
+    * but-empty (permanent loss on recovery replay — round-6 advice
+    * item 2). Touching `ledgers` from `epochs.compute` is safe: they are
+    * different maps and no code path nests the locks in the other order.
+    */
   private[sources] def appendEpoch(name: String, epoch: Long,
                                    rows: Seq[Seq[Any]]): Boolean = {
     var applied = false
     epochs.compute(name, (_, prev) => {
       val seen = Option(prev).getOrElse(Set.empty[Long])
       if (seen.contains(epoch)) seen
-      else { applied = true; seen + epoch }
+      else { append(name, rows); applied = true; seen + epoch }
     })
-    if (applied) append(name, rows)
     applied
   }
 }

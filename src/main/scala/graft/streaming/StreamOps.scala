@@ -403,7 +403,15 @@ object StreamOps {
                    checkpoint: String): DataFrame =
     spark.read.format("statestore").load(checkpoint)
 
-  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** The keyed-event row the stateful operators share. `event_id` is the
+    * tie-break q155's batch fold orders by — an order-sensitive streaming
+    * fold (s29) must carry it or batch/streaming parity silently breaks
+    * on equal timestamps (round-6 advice item 3). Defaulted so the
+    * order-insensitive consumers (s05/s08 running totals) need not invent
+    * ids.
+    */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+                             value: Double, event_id: Long = 0L)
   final case class Enriched(user_id: Long, ts: java.sql.Timestamp, value: Double,
                             seq_no: Long, running_sum: Double)
 
@@ -460,9 +468,10 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
           var (n, y) = state.getOption.getOrElse((0L, 0.0))
-          // within-batch event-time order (ties by value — UserEvent has
-          // no id; the spec feeds unique timestamps)
-          it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          // within-batch fold order = (event time, event_id) — exactly
+          // q155's sort key, so the parity contract holds even when two
+          // events share a timestamp
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             y = if (n == 0L) e.value else y * 0.875 + e.value * 0.125
             n += 1
           }

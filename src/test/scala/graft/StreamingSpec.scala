@@ -389,11 +389,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("s29_out")
       .outputMode(OutputMode.Append()).start()
     // batch 1 carries TWO events for user 7 (within-batch fold order must
-    // be event time); batch 2 continues user 7's state
-    mem.addData(UserEvent(7L, ts(1), 100.0), UserEvent(7L, ts(2), 200.0),
-                UserEvent(8L, ts(1), 50.0))
+    // be event time); batch 2 continues user 7's state. User 9 plants a
+    // TIMESTAMP TIE, delivered in reverse event_id order: the fold must
+    // order by (ts, event_id) — q155's exact sort key — not arrival, and
+    // never by value (delivery order would seed with the wrong event).
+    mem.addData(UserEvent(7L, ts(1), 100.0, 1L), UserEvent(7L, ts(2), 200.0, 2L),
+                UserEvent(8L, ts(1), 50.0, 3L),
+                UserEvent(9L, ts(5), 100.0, 11L), UserEvent(9L, ts(5), 800.0, 10L))
     q.processAllAvailable()
-    mem.addData(UserEvent(7L, ts(3), 400.0))
+    mem.addData(UserEvent(7L, ts(3), 400.0, 4L))
     q.processAllAvailable()
     q.stop()
     val fin = spark.table("s29_out").collect()
@@ -403,6 +407,9 @@ class StreamingSpec extends SparkSpec {
     def ewma(vs: Double*): Double = vs.reduceLeft((a, x) => a * 0.875 + x * 0.125)
     assert(fin(7L) === ((7L, 3L, ewma(100.0, 200.0, 400.0))), s"got ${fin(7L)}")
     assert(fin(8L) === ((8L, 1L, 50.0)), s"got ${fin(8L)}")
+    // tie broken by event_id: id 10 (value 800) seeds, id 11 (value 100)
+    // folds second — (ts, value) or arrival order would both give 187.5
+    assert(fin(9L) === ((9L, 2L, ewma(800.0, 100.0))), s"got ${fin(9L)}")
     // the identical values a batch q155-style array fold produces
     assert(math.abs(fin(7L)._3 - 148.4375) < 1e-12)
   }
