@@ -280,7 +280,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d15: verify stage is per-pair array_intersect, never a re-explode + agg") {
-    val plan = planOf(graft.queries.Dedup.d15PrefixFilterJoin(spark, sf))
+    // the lazy twin: the public query's localCheckpoint truncates the plan
+    val plan = planOf(
+      graft.queries.Dedup.lazyPlans("d15_prefix_filter_join")(spark, sf))
     assert(plan.contains("array_intersect"),
       s"exact verification must fold over the materialized sets:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
@@ -596,7 +598,16 @@ class PlanSpec extends SparkSpec {
     // broadcast-scalar cross join (query vectors, corpus counts, grand
     // totals), asserted individually by the targeted tests above.
     val windowArgs = "windowspecdefinition\\(([^)]*)\\)".r
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // The materialize-then-release queries (d15/d16/d28/x15) truncate
+    // their public plans at a localCheckpoint; audit their lazy twins so
+    // the heavy sub-plans stay under this gate. The twins must be real:
+    // an override for a key with no queries entry would audit dead code.
+    val lazyTwins = graft.queries.Dedup.lazyPlans ++
+      graft.queries.Extended.lazyPlans
+    assert((lazyTwins.keySet -- SparkEntry.queries.keySet).isEmpty,
+      "lazyPlans carries keys that are not queries")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn0) =>
+      val fn = lazyTwins.getOrElse(name, fn0)
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
