@@ -37,7 +37,7 @@ class LedgerSinkSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     LedgerSink.clear("t3")
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-    val q = mem.toDF.toDF("v").withColumn("s", expr("concat('e', v)"))
+    val q = mem.toDF().toDF("v").withColumn("s", expr("concat('e', v)"))
       .writeStream.format("graft.sources.LedgerSink")
       .option("ledger", "t3")
       .option("checkpointLocation",

@@ -135,7 +135,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.{functions => F}
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "event_type", "value")
     val q = StreamOps.s15ChainedWindowAgg(events)
       .writeStream.format("memory").queryName("s15_out")
       .outputMode(OutputMode.Append()).start()
@@ -177,8 +177,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s16JoinThenWindowAgg(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s16_out")
       .outputMode(OutputMode.Append()).start()
     // same pairing fixture as s06: (purchase@10, error@5) and
@@ -204,7 +204,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "event_type", "value")
     val q = StreamOps.s02SlidingWindow(events)
       .writeStream.format("memory").queryName("s02_out")
       .outputMode(OutputMode.Append()).start()
@@ -242,7 +242,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val q = StreamOps.s02SlidingWindow(mem.toDF.toDF("ts", "event_type", "value"))
+    val q = StreamOps.s02SlidingWindow(mem.toDF().toDF("ts", "event_type", "value"))
       .writeStream.format("memory").queryName("s30_out")
       .outputMode(OutputMode.Append()).start()
     mem.addData((ts(1), "click", 1.0))
@@ -267,7 +267,7 @@ class StreamingSpec extends SparkSpec {
     val data = Seq((ts(1), "click", 1.0), (ts(6), "click", 2.0),
                    (ts(11), "click", 4.0), (ts(14), "view", 8.0))
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val q = StreamOps.s02SlidingWindow(mem.toDF.toDF("ts", "event_type", "value"))
+    val q = StreamOps.s02SlidingWindow(mem.toDF().toDF("ts", "event_type", "value"))
       .writeStream.format("memory").queryName("s02_twin_out")
       .outputMode(OutputMode.Append()).start()
     mem.addData(data: _*)
@@ -295,7 +295,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "value")
     val q = StreamOps.s03SessionWindow(events)
       .writeStream.format("memory").queryName("s03_out")
       .outputMode(OutputMode.Append()).start()
@@ -317,7 +317,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
     val q = StreamOps.s18DynamicGapSession(events)
       .writeStream.format("memory").queryName("s18_out")
       .outputMode(OutputMode.Append()).start()
@@ -340,7 +340,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "event_type", "value")
     val q = StreamOps.s02SlidingWindow(events)
       .writeStream.format("memory").queryName("s19_out")
       .outputMode(OutputMode.Append()).start()
@@ -503,8 +503,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s06StreamStreamJoin(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s06_out")
       .outputMode(OutputMode.Append()).start()
     // user 7: error@5 pairs with purchase@10 (within 10 min), error@30 with
@@ -526,8 +526,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s25StreamSemiJoin(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s25_out")
       .outputMode(OutputMode.Append()).start()
     // user 7: TWO errors (@5, @8) inside purchase@10's window — the semi
@@ -553,8 +553,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s09StreamStreamLeftJoin(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s09_out")
       .outputMode(OutputMode.Append()).start()
     // user 7 purchase@10 matches error@5; user 9 purchase@10 has no error.
@@ -584,8 +584,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s12StreamStreamFullJoin(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s12_out")
       .outputMode(OutputMode.Append()).start()
     // user 7 matches; user 9's purchase and user 8's error are orphans
@@ -611,8 +611,8 @@ class StreamingSpec extends SparkSpec {
     val pmem = MemoryStream[(Timestamp, Long, Long)]
     val emem = MemoryStream[(Timestamp, Long, Long)]
     val q = StreamOps.s25StreamSemiJoin(
-        pmem.toDF.toDF("p_ts", "p_user", "p_id"),
-        emem.toDF.toDF("e_ts", "e_user", "e_id"))
+        pmem.toDF().toDF("p_ts", "p_user", "p_id"),
+        emem.toDF().toDF("e_ts", "e_user", "e_id"))
       .writeStream.format("memory").queryName("s25_orphans")
       .outputMode(OutputMode.Append()).start()
     // user 7: TWO errors inside purchase 1's window — must emit ONCE;
@@ -639,7 +639,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
-    val q = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+    val q = StreamOps.s10UpdateAgg(mem.toDF().toDF("user_id", "value"))
       .writeStream.format("memory").queryName("s10_out")
       .outputMode(OutputMode.Update()).start()
     mem.addData((1L, 10.0), (1L, 20.0), (2L, 5.0))
@@ -661,7 +661,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
-    val q = StreamOps.s28StreamingSketch(mem.toDF.toDF("grp", "v"))
+    val q = StreamOps.s28StreamingSketch(mem.toDF().toDF("grp", "v"))
       .writeStream.format("memory").queryName("s28_out")
       .outputMode(OutputMode.Update()).start()
     mem.addData(("a", 1L), ("a", 2L), ("a", 3L))
@@ -690,7 +690,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
-    val q = StreamOps.s11CompleteTopK(mem.toDF.toDF("user_id", "value"), k = 2)
+    val q = StreamOps.s11CompleteTopK(mem.toDF().toDF("user_id", "value"), k = 2)
       .writeStream.format("memory").queryName("s11_out")
       .outputMode(OutputMode.Complete()).start()
     mem.addData((1L, 1.0), (1L, 1.0), (2L, 2.0))
@@ -713,7 +713,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmp("s10r_ckpt")
     val outDir = tmp("s10r_out")
     val mem = MemoryStream[(Long, Double)]
-    def start() = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+    def start() = StreamOps.s10UpdateAgg(mem.toDF().toDF("user_id", "value"))
       .writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update())
@@ -747,7 +747,7 @@ class StreamingSpec extends SparkSpec {
     val outDir = tmp("s23_out")
     val mem = MemoryStream[(Long, Double)]
     def start() = StreamOps.s23FileSink(
-      mem.toDF.toDF("user_id", "value"), outDir, ckpt)
+      mem.toDF().toDF("user_id", "value"), outDir, ckpt)
     val q1 = start()
     mem.addData((1L, 10.0), (2L, 5.0))
     q1.processAllAvailable()
@@ -793,7 +793,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("s21_ckpt")
     val mem = MemoryStream[(Long, Double)]
-    val q = StreamOps.s10UpdateAgg(mem.toDF.toDF("user_id", "value"))
+    val q = StreamOps.s10UpdateAgg(mem.toDF().toDF("user_id", "value"))
       .writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update())
@@ -818,7 +818,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("key", "tier")
     val mem = MemoryStream[(Long, Double)]
-    val q = StreamOps.s07StreamStaticJoin(mem.toDF.toDF("key", "amount"), dim)
+    val q = StreamOps.s07StreamStaticJoin(mem.toDF().toDF("key", "amount"), dim)
       .writeStream.format("memory").queryName("s07_out")
       .outputMode(OutputMode.Append()).start()
     mem.addData((1L, 10.0), (3L, 30.0)) // key 3 has no dim row -> dropped (inner)
@@ -855,7 +855,7 @@ class StreamingSpec extends SparkSpec {
     val base = Seq("alpha beta gamma", "delta epsilon").toDF("text")
       .select(expr(graft.functions.TextHash.sparkHash56("text")).as("th"))
     val mem = MemoryStream[(Long, String)]
-    val q = StreamOps.s13IngestDedup(mem.toDF.toDF("doc_id", "text"), base)
+    val q = StreamOps.s13IngestDedup(mem.toDF().toDF("doc_id", "text"), base)
       .writeStream.format("memory").queryName("s13_out")
       .outputMode(OutputMode.Append()).start()
     mem.addData((1L, "alpha beta gamma"), (2L, "fresh content"))
@@ -874,7 +874,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
     val q = StreamOps.s26DedupThenWindowAgg(
-        mem.toDF.toDF("ts", "event_id", "event_type"))
+        mem.toDF().toDF("ts", "event_id", "event_type"))
       .writeStream.format("memory").queryName("s26_out")
       .outputMode(OutputMode.Append()).start()
     // at-least-once ingest: id 100 delivered 3x, id 101 2x, all in the
@@ -898,7 +898,7 @@ class StreamingSpec extends SparkSpec {
     val memA = MemoryStream[(Timestamp, Long)]
     val memB = MemoryStream[(Timestamp, Long)]
     val q = StreamOps.s27UnionWatermark(
-        memA.toDF.toDF("ts", "id"), memB.toDF.toDF("ts", "id"))
+        memA.toDF().toDF("ts", "id"), memB.toDF().toDF("ts", "id"))
       .writeStream.format("memory").queryName("s27_out")
       .outputMode(OutputMode.Append()).start()
     memA.addData((ts(1), 1L)); memB.addData((ts(2), 2L))
@@ -923,7 +923,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
-    val events = mem.toDF.toDF("ts", "event_id", "value")
+    val events = mem.toDF().toDF("ts", "event_id", "value")
     val q = StreamOps.s04StreamDedup(events)
       .writeStream.format("memory").queryName("s04_out")
       .outputMode(OutputMode.Append()).start()
@@ -956,7 +956,7 @@ class StreamingSpec extends SparkSpec {
     }
     val ckpt = Files.createTempDirectory("s17_ckpt").toString
     val mem = MemoryStream[(Long, Double, Timestamp)]
-    val updates = mem.toDF.toDF("k", "v", "ts")
+    val updates = mem.toDF().toDF("k", "v", "ts")
     val q = StreamOps.s17UpsertSink(updates, url, props, table, ckpt)
     // batch 1 carries TWO updates for k=1 — compaction keeps the later ts
     mem.addData((1L, 10.0, ts(1)), (2L, 20.0, ts(1)), (1L, 15.0, ts(2)))
