@@ -18,6 +18,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("count(md5(text))").collect()
     catch { case _: Throwable => }
+    // Noise canary: a FIXED CPU-bound workload (identical every round)
+    // timed before and after the sweep. The shared box shows sustained
+    // neighbor-load phases where identical code measures 1.3-2x slower
+    // (round-7: the round-6 d28 spelling re-measured 9.7-14.3 s against
+    // its recorded 7.4 s), so absolute totals are only comparable after
+    // normalizing by this number: canary_sec up = the box, not the code.
+    def canary(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 400000000L, 1, cpus.toInt)
+          .selectExpr("sum(id * 3 + (id & 7))").collect()
+        System.gc()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val canaryPre = canary()
     // Local-iteration filter (the driver never sets this).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // Sorted name order: deterministic run-to-run comparison.
@@ -54,11 +69,12 @@ object Bench {
         }.min
         name -> dt
       }
+    val canaryPost = canary()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_pre":$canaryPre,"canary_post":$canaryPost,"queries":$qs,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -78,7 +94,7 @@ object Bench {
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     def line(n: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary":${fmt(math.min(canaryPre, canaryPost))},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)
