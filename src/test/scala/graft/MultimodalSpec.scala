@@ -54,6 +54,13 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("DeflateCodec refuses a truncated payload loudly") {
+    val enc = Multimodal.DeflateCodec.encode("a real payload, long enough to matter".getBytes("UTF-8"))
+    intercept[java.util.zip.DataFormatException] {
+      Multimodal.DeflateCodec.decode(enc.take(enc.length / 2))
+    }
+  }
+
   test("binaryFile source ingests raw media files into the Media pipeline") {
     // The ingest half of the multimodal story: media lands as FILES, and
     // Spark's binaryFile source turns a directory into (path, modTime,
