@@ -451,6 +451,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s08 transformWithState value state survives a query restart (RocksDB recovery)") {
+    // The Spark-4 state tier's restart contract: the named ValueState
+    // must come back from the checkpointed RocksDB store and continue the
+    // sequence — the third member of the restart battery (s10 built-in
+    // agg, s05 fMGWS custom state).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.UserEvent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = tmp("s08r_ckpt")
+      val outDir = tmp("s08r_out")
+      val mem = MemoryStream[UserEvent]
+      def start() = StreamOps.s08RunningState(mem.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], _: Long) =>
+          batch.toDF().write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      val q1 = start()
+      mem.addData(UserEvent(7L, ts(1), 10.0), UserEvent(7L, ts(2), 5.0))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      mem.addData(UserEvent(7L, ts(3), 2.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir)
+        .select("user_id", "seq_no", "running_sum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((7L, 3L, 17.0)), s"value state lost: $rows")
+      assert(!rows.contains((7L, 1L, 2.0)), s"value state reseeded: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s22 transformWithState TTL dedup: drop within horizon, re-admit after timer eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -738,6 +783,42 @@ class StreamingSpec extends SparkSpec {
       s"state lost across restart: ${rows.toSeq.sorted}")
     // and without a batch-1 reset emission (n=1, 30.0) ever appearing
     assert(!rows.contains((1L, 1L, 30.0)), s"state reset detected: ${rows.toSeq.sorted}")
+  }
+
+  test("s05 custom flatMapGroupsWithState state survives a query restart") {
+    // s10 pins restart recovery for the BUILT-IN agg state; this pins it
+    // for the CUSTOM-state tier, whose (count, sum) tuple must serde
+    // through the checkpointed state store and resume — not reseed — on
+    // the same checkpoint.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.UserEvent
+    val ckpt = tmp("s05r_ckpt")
+    val outDir = tmp("s05r_out")
+    val mem = MemoryStream[UserEvent]
+    def start() = StreamOps.s05RunningState(mem.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], _: Long) =>
+        batch.toDF().write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    val q1 = start()
+    mem.addData(UserEvent(7L, ts(1), 10.0), UserEvent(7L, ts(2), 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    mem.addData(UserEvent(7L, ts(3), 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select("user_id", "seq_no", "running_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the post-restart event continues the sequence at 3 with the
+    // recovered sum; a reseeded state would emit (7, 1, 2.0)
+    assert(rows.contains((7L, 3L, 17.0)), s"custom state lost: $rows")
+    assert(!rows.contains((7L, 1L, 2.0)), s"custom state reseeded: $rows")
   }
 
   test("s23 native file sink: restart resumes the _spark_metadata log, reads stay exact") {
