@@ -1881,6 +1881,16 @@ object Extras {
     * Ends exit before starts at the same instant (half-open intervals),
     * encoded in the boundary key's sort.
     */
+  /** q158's boundary total-order key over columns (us, delta, event_id):
+    * 19-digit zero-pads (full positive-bigint width) so lexicographic
+    * order equals (us, end-before-start, event_id) numeric order for
+    * EVERY representable non-negative id/timestamp — lpad silently
+    * truncates longer inputs, so any narrower pad is a latent ordering
+    * corruption at scale.
+    */
+  val q158BoundaryKeyExpr: String =
+    "concat(lpad(cast(us as string), 19, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 19, '0'))"
+
   val q158PeakConcurrency: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_id"), expr("unix_micros(ts)").as("us"))
@@ -1893,9 +1903,10 @@ object Extras {
       // exceeds 2⁶³). Both pads are 19 digits — the full positive-bigint
       // width — because Spark's lpad silently TRUNCATES strings longer
       // than len: a narrower pad would corrupt the total order without
-      // an error the day ids outgrow it (round-6 advice item 1).
-      .withColumn("bkey", expr(
-        "concat(lpad(cast(us as string), 19, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 19, '0'))"))
+      // an error the day ids outgrow it (round-6 advice item 1; the
+      // expression is a named constant so ExtrasSpec can order-test it
+      // on full-width adversarial values).
+      .withColumn("bkey", expr(Extras.q158BoundaryKeyExpr))
     val curve = graft.queries.TextOps
       .prefixSum(bounds, "bkey", "delta", "conc", includeCurrent = true)
     curve

@@ -51,4 +51,35 @@ class RobustnessSpec extends SparkSpec {
     val plain = spark.read.parquet(dir)
     assert(plain.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("q158 boundary key: lexicographic order is numeric order at full bigint width") {
+    // Spark's lpad silently TRUNCATES inputs longer than len (round-6
+    // advice item 1): with the old 9-digit id pad, ids >= 1e9 corrupted
+    // the total order with no error. Pin the key on adversarial values —
+    // both sides of the old pad boundaries, Long.MaxValue, and
+    // same-instant ties where ends (-1) must sort before starts (+1).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val rows = Seq(
+      // (us, delta, event_id)
+      (0L, 1L, 1L),
+      (0L, -1L, 2L),                          // tie at us=0: end first
+      (99999999999999999L, 1L, 999999999L),   // 17-digit us / 9-digit id
+      (99999999999999999L, 1L, 1000000000L),  // first id the OLD pad broke
+      (100000000000000000L, -1L, 5L),         // 18-digit us (old pad broke)
+      (100000000000000000L, 1L, 5L),
+      (Long.MaxValue, 1L, Long.MaxValue),
+      (Long.MaxValue, 1L, Long.MaxValue - 1))
+    val keyed = rows.toDF("us", "delta", "event_id")
+      .withColumn("bkey", expr(graft.queries.Extras.q158BoundaryKeyExpr))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byKey = keyed.sortBy(_._4).map(t => (t._1, t._2, t._3))
+    val numeric = rows.sortBy { case (us, delta, id) =>
+      (us, if (delta == -1L) 0 else 1, id) }
+    assert(byKey.toSeq === numeric,
+      s"string key order diverges from numeric order:\n${byKey.toSeq}\n$numeric")
+    // and the keys are collision-free across distinct rows
+    assert(keyed.map(_._4).distinct.length === rows.length)
+  }
 }
