@@ -26,10 +26,13 @@ object Bench {
     // normalizing by this number: canary_sec up = the box, not the code.
     def canary(): Double =
       (1 to 3).map { _ =>
+        // GC BEFORE the timed region (the sweep loop's discipline): the
+        // post-sweep canary would otherwise be charged the sweep's
+        // accumulated garbage, reading as phantom box slowdown.
+        System.gc()
         val t0 = System.nanoTime()
         spark.range(0, 400000000L, 1, cpus.toInt)
           .selectExpr("sum(id * 3 + (id & 7))").collect()
-        System.gc()
         (System.nanoTime() - t0) / 1e9
       }.min
     val canaryPre = canary()

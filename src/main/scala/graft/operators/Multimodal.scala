@@ -48,10 +48,12 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     /** Once-per-partition setup (codec contexts, native libs). */
     def init(): Unit = ()
-    /** payload → (byte mean, 16-bin byte histogram) of the DECODED content. */
-    def decode(payload: Array[Byte]): (Double, Array[Long])
-    /** payload → number of sampled "frames" at the given stride. */
-    def frames(payload: Array[Byte], stride: Int): Int
+    /** payload → the DECODED content bytes (pixel/sample buffer). Called
+      * ONCE per row — every feature (stats, frame sampling) derives from
+      * this single decode, so a real codec never pays the decompression
+      * twice per row.
+      */
+    def decode(payload: Array[Byte]): Array[Byte]
   }
 
   private[operators] def byteStats(bytes: Array[Byte]): (Double, Array[Long]) = {
@@ -74,9 +76,7 @@ object Multimodal {
     * shape — is production-real.
     */
   object StubCodec extends MediaCodec {
-    def decode(payload: Array[Byte]): (Double, Array[Long]) = byteStats(payload)
-    def frames(payload: Array[Byte], stride: Int): Int =
-      sampleFrames(payload, stride)
+    def decode(payload: Array[Byte]): Array[Byte] = payload
   }
 
   /** A REAL codec through the same seam — DEFLATE (java.util.zip, in every
@@ -98,24 +98,27 @@ object Multimodal {
       deflater.end()
       out.toByteArray
     }
-    private def inflate(payload: Array[Byte]): Array[Byte] = {
+    def decode(payload: Array[Byte]): Array[Byte] = {
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(payload)
       val out = new java.io.ByteArrayOutputStream(payload.length * 2 + 64)
       val buf = new Array[Byte](4096)
       while (!inflater.finished()) {
         val n = inflater.inflate(buf)
-        if (n == 0 && inflater.needsInput())
-          throw new java.util.zip.DataFormatException("truncated DEFLATE payload")
+        // ANY zero-progress stall must fail loudly, not spin: truncated
+        // input (needsInput) and FDICT preset-dictionary streams
+        // (needsDictionary — inflate returns 0 with finished()==false and
+        // needsInput()==false, an infinite loop if only needsInput is
+        // checked) are both malformed for this format.
+        if (n == 0 && !inflater.finished())
+          throw new java.util.zip.DataFormatException(
+            if (inflater.needsDictionary()) "preset-dictionary DEFLATE stream unsupported"
+            else "truncated DEFLATE payload")
         out.write(buf, 0, n)
       }
       inflater.end()
       out.toByteArray
     }
-    def decode(payload: Array[Byte]): (Double, Array[Long]) =
-      byteStats(inflate(payload))
-    def frames(payload: Array[Byte], stride: Int): Int =
-      sampleFrames(inflate(payload), stride)
   }
 
   /** Deterministic fake decode (the stub codec's body — kept as a named
@@ -152,9 +155,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       codec.init() // once per partition — amortized codec setup
       rows.map { m =>
-        val (mean, hist) = codec.decode(m.payload)
+        val decoded = codec.decode(m.payload) // ONE decode per row
+        val (mean, hist) = byteStats(decoded)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          mean, hist, codec.frames(m.payload, frameStride))
+          mean, hist, sampleFrames(decoded, frameStride))
       }
     }
   }

@@ -247,14 +247,22 @@ object Extended {
     legs.reduce(_.unionByName(_)).orderBy("accuracy")
   }
 
-  private def x15Inputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def x15Inputs(s: SparkSession, d: String,
+      owner: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty): (DataFrame, DataFrame) = {
     val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
     val g = v.groupBy("v").agg(count(lit(1)).as("c"))
-    (v, TextOps.prefixSum(g, "v", "c", "cum", includeCurrent = true))
+    (v, TextOps.prefixSum(g, "v", "c", "cum", includeCurrent = true,
+      owner = owner))
   }
 
   val x15AccuracySweep: Q = (s, d) => {
-    val (v0, cum0) = x15Inputs(s, d)
+    // Private cache owner: prefixSum's internal shard cache registers
+    // HERE, so the release below drops exactly this query's caches — not
+    // the global registry, whose mid-run release would take every other
+    // query's shard cache with it.
+    val mine = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (v0, cum0) = x15Inputs(s, d, mine)
     val v = v0.cache()
     val cum = cum0.cache()
     // Materialize the 3-row report while the shared value/cum caches are
@@ -263,7 +271,7 @@ object Extended {
     // rest of a 300-query run).
     val out = x15Legs(v, cum).localCheckpoint()
     cum.unpersist(); v.unpersist()
-    TextOps.releasePrefixSumCaches()
+    TextOps.release(mine)
     out
   }
 

@@ -1891,6 +1891,18 @@ object Extras {
   val q158BoundaryKeyExpr: String =
     "concat(lpad(cast(us as string), 19, '0'), IF(delta = -1, '0', '1'), lpad(cast(event_id as string), 19, '0'))"
 
+  /** The key's precondition, enforced LOUDLY in the row stage: for a
+    * NEGATIVE us or event_id the zero-pad wraps the minus sign and
+    * lexicographic order silently diverges from numeric order — the same
+    * silent-corruption class as an undersized pad. `assert_true` fails
+    * the job with this message instead; `coalesce(…, true)` keeps the
+    * guard a filter predicate the optimizer cannot fold away.
+    */
+  val q158BoundaryGuardExpr: String =
+    "coalesce(assert_true(us >= 0 AND event_id >= 0, " +
+      "'q158 boundary key requires non-negative us/event_id " +
+      "(lexicographic order = numeric order only there)'), true)"
+
   val q158PeakConcurrency: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_id"), expr("unix_micros(ts)").as("us"))
@@ -1906,6 +1918,7 @@ object Extras {
       // an error the day ids outgrow it (round-6 advice item 1; the
       // expression is a named constant so ExtrasSpec can order-test it
       // on full-width adversarial values).
+      .filter(expr(Extras.q158BoundaryGuardExpr))
       .withColumn("bkey", expr(Extras.q158BoundaryKeyExpr))
     val curve = graft.queries.TextOps
       .prefixSum(bounds, "bkey", "delta", "conc", includeCurrent = true)

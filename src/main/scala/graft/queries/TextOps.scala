@@ -278,25 +278,32 @@ object TextOps {
     * verdict item 3 — a hard-coded 32 would under-partition a real
     * cluster).
     */
-  /** The ranged-shard caches [[prefixSum]] creates (one per call). A query
-    * that materializes-then-releases its result (x15's pattern) calls
-    * [[releasePrefixSumCaches]] so the shard table doesn't outlive the
-    * query; Bench/Verify teardown calls it too. Suites and queries run
-    * sequentially (build.sbt forks one test JVM, testForkedParallel off),
-    * so a release can never race a live consumer.
+  /** The default registry for the ranged-shard caches [[prefixSum]]
+    * creates (one per call); Bench/Verify teardown releases it at the run
+    * boundary. A query that materializes-then-releases its OWN result
+    * (x15's pattern) passes a private `owner` buffer instead and
+    * unpersists exactly the caches it created — releasing the global
+    * registry mid-run would also drop every other query's shard cache
+    * (safe only under strict sequencing, and needlessly wide even then).
     */
   private val prefixSumCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  def releasePrefixSumCaches(): Unit = prefixSumCaches.synchronized {
-    prefixSumCaches.foreach(_.unpersist())
-    prefixSumCaches.clear()
-  }
+  def releasePrefixSumCaches(): Unit = release(prefixSumCaches)
+
+  /** Unpersist and clear every cache registered in `owner`. */
+  def release(owner: scala.collection.mutable.Buffer[DataFrame]): Unit =
+    owner.synchronized {
+      owner.foreach(_.unpersist())
+      owner.clear()
+    }
 
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, includeCurrent: Boolean,
                 keyCols: Seq[String] = Nil,
-                numParts: Int = -1): DataFrame = {
+                numParts: Int = -1,
+                owner: scala.collection.mutable.Buffer[DataFrame] = prefixSumCaches)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts =
       if (numParts > 0) numParts
@@ -311,7 +318,7 @@ object TextOps {
     val ranged = df.repartitionByRange(parts, (keyCols :+ orderCol).map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .cache()
-    prefixSumCaches.synchronized { prefixSumCaches += ranged }
+    owner.synchronized { owner += ranged }
     val wLocal = Window.partitionBy(("_pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, upper)

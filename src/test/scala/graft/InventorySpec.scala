@@ -79,11 +79,24 @@ class InventorySpec extends AnyFunSuite {
     val testDir = new java.io.File(
       if (new java.io.File("src/test/scala/graft").exists()) "src/test/scala/graft"
       else "/root/repo/src/test/scala/graft")
-    val testText = testDir.listFiles().filter(_.getName.endsWith(".scala"))
+    // Recursive: specs live both in graft/ and graft/sources/. Exclude
+    // THIS file — its own comments mention s-keys, which would make the
+    // check self-satisfying (a deleted s25 test would still "pin" s25
+    // via the aliasing test's docstring).
+    def files(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f => if (f.isDirectory) files(f) else Seq(f))
+    val testText = files(testDir)
+      .filter(f => f.getName.endsWith(".scala") && f.getName != "InventorySpec.scala")
       .map(f => scala.io.Source.fromFile(f, "UTF-8").mkString).mkString
-    val unpinned = sKeys.filterNot(k => testText.contains(k))
+    // A key is pinned only by a test NAME carrying it or by an invocation
+    // of its operator (`StreamOps.sNN...`) — a prose mention in another
+    // test's comment does not count.
+    def pinned(k: String): Boolean =
+      ("""test\("[^"]*\b""" + k + """\b""").r.findFirstIn(testText).isDefined ||
+      ("""StreamOps\.""" + k + """[A-Z]""").r.findFirstIn(testText).isDefined
+    val unpinned = sKeys.filterNot(pinned)
     assert(unpinned.isEmpty,
-      s"survey streaming rows with no test mention: ${unpinned.sorted}")
+      s"survey streaming rows with no pinning test: ${unpinned.sorted}")
   }
 
   test("survey keys are unique, modulo the documented upgrade pairs") {

@@ -280,9 +280,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d15: verify stage is per-pair array_intersect, never a re-explode + agg") {
-    // the lazy twin: the public query's localCheckpoint truncates the plan
-    val plan = planOf(
-      graft.queries.Dedup.lazyPlans("d15_prefix_filter_join")(spark, sf))
+    // the lazy twin: the public query's localCheckpoint truncates the plan.
+    // Its .cache() registers the index plan in the CacheManager at call
+    // time; drop it afterwards or a LATER twin compile with the same
+    // (tau, k) index canonically matches and compiles to an
+    // InMemoryTableScan — hiding the very sub-plan being audited.
+    val plan =
+      try planOf(graft.queries.Dedup.lazyPlans("d15_prefix_filter_join")(spark, sf))
+      finally spark.catalog.clearCache()
     assert(plan.contains("array_intersect"),
       s"exact verification must fold over the materialized sets:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
@@ -611,6 +616,12 @@ class PlanSpec extends SparkSpec {
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        finally if (lazyTwins.contains(name))
+          // twins .cache() their indexes at construction; drop the
+          // registrations so a later twin sharing an index plan (d15's
+          // k=3 == d28's k=3 leg) is not silently compiled to an
+          // InMemoryTableScan that hides the audited sub-plan
+          spark.catalog.clearCache()
       val cart =
         if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
       // windowspecdefinition lists partition columns first, then "col ASC/

@@ -82,4 +82,23 @@ class RobustnessSpec extends SparkSpec {
     // and the keys are collision-free across distinct rows
     assert(keyed.map(_._4).distinct.length === rows.length)
   }
+
+  test("q158 boundary guard fails loudly on negative inputs instead of silently misordering") {
+    // Zero-padding wraps a minus sign, so negative us/event_id would
+    // break lexicographic==numeric SILENTLY; the guard turns that into a
+    // job failure (and the intercept proves the optimizer did not fold
+    // the assert away).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val bad = Seq((-1L, 1L, 5L), (10L, -1L, 6L)).toDF("us", "delta", "event_id")
+    val e = intercept[Exception] {
+      bad.filter(expr(graft.queries.Extras.q158BoundaryGuardExpr))
+        .withColumn("bkey", expr(graft.queries.Extras.q158BoundaryKeyExpr))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-negative")),
+      s"expected the guard's message, got: ${messages(e)}")
+  }
 }
