@@ -179,8 +179,15 @@ object Similarity {
   /** IVF assignment pass, shared by n02 (probe) and n03 (list stats):
     * every vector → its max-cosine centroid, ccos retained.
     */
-  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    ivfAssignedFrom(prepared(s, d).select("vec_id", "q", "nrm").cache())
+
+  /** The IVF assignment over a caller-supplied (vec_id, q, nrm) frame —
+    * callers that already hold the prepared corpus cached (n08) pass it
+    * here instead of letting [[ivfAssigned]] build and cache a second
+    * copy of the same quantization scan.
+    */
+  private[queries] def ivfAssignedFrom(v: DataFrame): DataFrame = {
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
     v.crossJoin(broadcast(cents))
@@ -467,11 +474,20 @@ object Similarity {
       .withColumnRenamed("ocid", "cid")
     val in_ = moved.groupBy("fcid").agg(count(lit(1)).as("n_in"))
       .withColumnRenamed("fcid", "cid")
-    before.join(out, Seq("cid"), "left").join(in_, Seq("cid"), "left")
-      .select(col("cid"), col("n_before"),
+    // Report over the FULL centroid domain, not just lists with >= 1
+    // retained member: a list can be empty in `best` (a duplicated seed
+    // loses its own centroid to the lower cid on the ccos tie-break) yet
+    // still RECEIVE in-migrants — keying the report on `before` would
+    // drop that row and the per-list counts would no longer sum to
+    // n_total.
+    cents.select("cid")
+      .join(before, Seq("cid"), "left")
+      .join(out, Seq("cid"), "left").join(in_, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_out"), lit(0L)).as("n_out"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
-        (col("n_before") - coalesce(col("n_out"), lit(0L))
+        (coalesce(col("n_before"), lit(0L)) - coalesce(col("n_out"), lit(0L))
           + coalesce(col("n_in"), lit(0L))).as("n_after"))
       .orderBy("cid")
   }
@@ -676,21 +692,28 @@ object Similarity {
   /** (vec_id, adc_dist2): the ADC estimate for every encoded vector —
     * n07's search core, shared with n10's refine stage.
     */
-  private def adcScores(s: SparkSession, d: String): DataFrame = {
+  /** The query's 8×16 ADC distance table: ||q_j − c||² for every
+    * (subspace, code) — built once and broadcast. One definition shared
+    * by n07/n10 (through [[adcScores]]) and the composed n20/n21, so the
+    * ADC formula cannot drift between the standalone and composed
+    * spellings.
+    */
+  private def pqQueryTable(s: SparkSession, d: String): DataFrame = {
     val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
       .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
     val cents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("code"), col("sub"),
               col("sq").as("cq"), col("snrm").as("cnrm"))
-    // the query's distance table: ||q_j - c||² for all 8×16 (sub, code)
-    val qtable = cents.join(broadcast(qsubs), "sub")
+    cents.join(broadcast(qsubs), "sub")
       .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
       .select("sub", "code", "qd2")
+  }
+
+  private def adcScores(s: SparkSession, d: String): DataFrame =
     pqAssigned(s, d).filter(col("vec_id") =!= 0)
-      .join(broadcast(qtable), Seq("sub", "code"))
+      .join(broadcast(pqQueryTable(s, d)), Seq("sub", "code"))
       .groupBy("vec_id")
       .agg(sum("qd2").as("adc_dist2"))
-  }
 
   val n07PqSearch: Q = (s, d) =>
     adcScores(s, d)
@@ -755,16 +778,8 @@ object Similarity {
     val cand = ivfAssigned(s, d).select("vec_id", "cid")
       .join(broadcast(probed), "cid")
       .filter(col("vec_id") =!= 0)
-    val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
-      .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
-    val pcents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("code"), col("sub"),
-              col("sq").as("cq"), col("snrm").as("cnrm"))
-    val qtable = pcents.join(broadcast(qsubs), "sub")
-      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
-      .select("sub", "code", "qd2")
     val adc = pqAssigned(s, d).join(cand, "vec_id")
-      .join(broadcast(qtable), Seq("sub", "code"))
+      .join(broadcast(pqQueryTable(s, d)), Seq("sub", "code"))
       .groupBy("vec_id", "cid").agg(sum("qd2").as("adc_dist2"))
     val short = adc.orderBy(col("adc_dist2").asc, col("vec_id").asc)
       .limit(PqShortlist)
@@ -796,16 +811,8 @@ object Similarity {
       .select("vec_id", "d2").cache()
     val truth = exact.orderBy(col("d2").asc, col("vec_id").asc).limit(TopK)
       .select(col("vec_id").as("tid"))
-    val qsubs = subVectors(s, d).filter(col("vec_id") === 0)
-      .select(col("sub"), col("sq").as("qs"), col("snrm").as("qnrm"))
-    val pcents = subVectors(s, d).filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("code"), col("sub"),
-              col("sq").as("cq"), col("snrm").as("cnrm"))
-    val qtable = pcents.join(broadcast(qsubs), "sub")
-      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
-      .select("sub", "code", "qd2")
     val adcAll = pqAssigned(s, d).filter(col("vec_id") =!= 0)
-      .join(broadcast(qtable), Seq("sub", "code"))
+      .join(broadcast(pqQueryTable(s, d)), Seq("sub", "code"))
       .groupBy("vec_id").agg(sum("qd2").as("adc"))
       .join(ivfAssigned(s, d).select("vec_id", "cid"), "vec_id")
       .cache()
@@ -901,7 +908,9 @@ object Similarity {
         .filter(col("bkt") === col("qbkt")))
       .orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
       .select(col("vec_id"))
-    val assigned = ivfAssigned(s, d)
+    // reuse THIS query's cached prepared frame — ivfAssigned(s, d) would
+    // rebuild and cache a second copy of the same quantization scan
+    val assigned = ivfAssignedFrom(v.select("vec_id", "q", "nrm"))
     val qc = assigned.filter(col("vec_id") === 0)
       .select(col("q").as("qa"), col("nrm").as("na"), col("cid").as("qcid"))
     val ivf = scored(assigned.filter(col("vec_id") =!= 0).crossJoin(broadcast(qc))
@@ -1036,10 +1045,45 @@ object Similarity {
        |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
        |  FROM prepn v CROSS JOIN cents c),
        |assigned AS (
-       |  SELECT vec_id, q, nrm, cid FROM (
+       |  SELECT vec_id, q, nrm, cid, ccos FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                 ORDER BY ccos DESC, cid ASC) AS rn
        |    FROM scoredc) WHERE rn = 1)""".stripMargin
+
+  private def duckDot8(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Shared PQ codebook oracle CTEs over `prep` (from [[duckPrep]]):
+    * per-(vector, subspace) slices, per-subspace centroids, the scored
+    * assignment (`pbest`, rn + dist2 kept for n06's report), the trained
+    * `codes`, and the query's ADC lookup `qtable`. One definition feeds
+    * the five PQ oracles (n06/n07/n10/n20/n21), so a change to the PQ
+    * geometry or tie-break cannot drift between them.
+    */
+  private val duckPqCodes =
+    s"""subs AS (
+       |  SELECT vec_id, g.j AS sub,
+       |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
+       |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
+       |pcents AS (SELECT vec_id AS cid, sub, sq AS cq
+       |           FROM subs WHERE vec_id < $NumCentroids),
+       |pscored AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |         ${duckDot8("v.sq", "v.sq")} + ${duckDot8("c.cq", "c.cq")}
+       |           - 2 * ${duckDot8("v.sq", "c.cq")} AS dist2
+       |  FROM subs v JOIN pcents c USING (sub)),
+       |pbest AS (
+       |  SELECT vec_id, sub, cid, dist2,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |                            ORDER BY dist2 ASC, cid ASC) AS rn
+       |  FROM pscored),
+       |codes AS (SELECT vec_id, sub, cid AS code FROM pbest WHERE rn = 1),
+       |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
+       |qtable AS (
+       |  SELECT c.sub, c.cid AS code,
+       |         ${duckDot8("qs", "qs")} + ${duckDot8("c.cq", "c.cq")}
+       |           - 2 * ${duckDot8("qs", "c.cq")} AS qd2
+       |  FROM pcents c JOIN qsubs USING (sub))""".stripMargin
 
   /** n16 oracle round k: min-dist to chosen set ch{k-1}, argmax pick (md
     * DESC, id ASC — max_by's tie-break), vector lookback, chosen-set
@@ -1047,7 +1091,7 @@ object Similarity {
     * chains.
     */
   private def duckKcenterRound(k: Int): String = {
-    val prev = if (k == 2) "ch1" else s"ch${k - 1}"
+    val prev = s"ch${k - 1}"
     s"""m$k AS (
        |  SELECT a.vec_id,
        |         MIN(a.nrm + c.nrm - 2 * ${duckDot("a.q", "c.q")}) AS md
@@ -1063,8 +1107,6 @@ object Similarity {
     // n21: n18's per-config CTE generation over the IVFPQ machinery —
     // exact-L2 truth, ADC top-k and refined top-k per nprobe.
     "n21_ivfpq_recall" -> {
-      def dot8(a: String, b: String): String =
-        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
       val perK = NprobeSweep.map { k =>
         s"""pb$k AS (SELECT pcid FROM cs ORDER BY qcos DESC, pcid LIMIT $k),
            |cd$k AS (SELECT * FROM adcall WHERE cid IN (SELECT pcid FROM pb$k)),
@@ -1087,32 +1129,10 @@ object Similarity {
          |                 na + p.nrm - 2 * ${duckDot("qa", "p.q")} AS d2
          |          FROM prepn p, qv WHERE p.vec_id <> 0),
          |truth AS (SELECT vec_id AS tid FROM exact ORDER BY d2, vec_id LIMIT $TopK),
-         |subs AS (
-         |  SELECT vec_id, g.j AS sub,
-         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
-         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
-         |pcents AS (SELECT vec_id AS cid, sub, sq AS cq
-         |           FROM subs WHERE vec_id < $NumCentroids),
-         |pscored AS (
-         |  SELECT v.vec_id, v.sub, c.cid,
-         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
-         |  FROM subs v JOIN pcents c USING (sub)),
-         |best AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT vec_id, sub, cid, dist2,
-         |           row_number() OVER (PARTITION BY vec_id, sub
-         |                              ORDER BY dist2 ASC, cid ASC) AS rn
-         |    FROM pscored) WHERE rn = 1),
-         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
-         |qtable AS (
-         |  SELECT c.sub, c.cid AS code,
-         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
-         |  FROM pcents c JOIN qsubs USING (sub)),
+         |$duckPqCodes,
          |adcall AS (
          |  SELECT b.vec_id, a.cid, CAST(SUM(qd2) AS BIGINT) AS adc
-         |  FROM best b JOIN assigned a ON a.vec_id = b.vec_id
+         |  FROM codes b JOIN assigned a ON a.vec_id = b.vec_id
          |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
          |  WHERE b.vec_id <> 0
          |  GROUP BY b.vec_id, a.cid),
@@ -1180,11 +1200,15 @@ object Similarity {
          |bf AS (SELECT cid, COUNT(1) AS n_before FROM best GROUP BY cid),
          |oo AS (SELECT ocid AS cid, COUNT(1) AS n_out FROM mv GROUP BY ocid),
          |ii AS (SELECT fcid AS cid, COUNT(1) AS n_in FROM mv GROUP BY fcid)
-         |SELECT bf.cid, n_before,
+         |SELECT c.cid,
+         |       COALESCE(n_before, CAST(0 AS BIGINT)) AS n_before,
          |       COALESCE(n_out, CAST(0 AS BIGINT)) AS n_out,
          |       COALESCE(n_in, CAST(0 AS BIGINT)) AS n_in,
-         |       n_before - COALESCE(n_out, 0) + COALESCE(n_in, 0) AS n_after
-         |FROM bf LEFT JOIN oo USING (cid) LEFT JOIN ii USING (cid)
+         |       COALESCE(n_before, 0) - COALESCE(n_out, 0)
+         |         + COALESCE(n_in, 0) AS n_after
+         |FROM (SELECT cid FROM cents) c
+         |LEFT JOIN bf USING (cid) LEFT JOIN oo USING (cid)
+         |LEFT JOIN ii USING (cid)
          |ORDER BY cid""".stripMargin,
     "n16_kcenter_seed" -> {
       val rounds = (2 to KcenterSeeds).map(duckKcenterRound).mkString(",\n")
@@ -1414,18 +1438,7 @@ object Similarity {
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     "n02_ann_ivf" ->
       s"""WITH $duckPrep,
-         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
-         |          FROM prepn WHERE vec_id < $NumCentroids),
-         |scoredc AS (
-         |  SELECT v.vec_id, v.q, v.nrm, c.cid,
-         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
-         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
-         |  FROM prepn v CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, q, nrm, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY ccos DESC, cid ASC) AS rn
-         |    FROM scoredc) WHERE rn = 1),
+         |$duckAssigned,
          |qside AS (SELECT q AS qa, nrm AS na, cid AS qcid
          |          FROM assigned WHERE vec_id = 0),
          |probe AS (
@@ -1442,40 +1455,20 @@ object Similarity {
          |       CAST(na + nrm - 2 * ${duckDot("qa", "q")} AS BIGINT) AS dist2
          |FROM prepn, qv WHERE vec_id <> 0
          |ORDER BY dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
-    "n06_pq_codes" -> {
-      def dot8(a: String, b: String): String =
-        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
-      s"""WITH prep AS (
-         |  SELECT vec_id, ${duckQuant("embedding")} AS q FROM embeddings),
-         |subs AS (
-         |  SELECT vec_id, g.j AS sub,
-         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
-         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
-         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
-         |          FROM subs WHERE vec_id < $NumCentroids),
-         |scored AS (
-         |  SELECT v.vec_id, v.sub, c.cid,
-         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
-         |  FROM subs v JOIN cents c USING (sub)),
-         |best AS (
-         |  SELECT vec_id, sub, cid, dist2,
-         |         row_number() OVER (PARTITION BY vec_id, sub
-         |                            ORDER BY dist2 ASC, cid ASC) AS rn
-         |  FROM scored)
+    "n06_pq_codes" ->
+      s"""WITH $duckPrep,
+         |$duckPqCodes
          |SELECT vec_id, CAST(sub AS INT) AS sub,
          |       CAST(cid AS BIGINT) AS code, CAST(dist2 AS BIGINT) AS dist2
-         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
-    },
+         |FROM pbest WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     // n20: IVF probe + PQ ADC + exact refine, composed from the same CTE
     // bodies as the n02/n07/n10 oracles; the candidate restriction (JOIN
     // probed) lands before the ADC join exactly as the Spark side's
     // semi-join does.
-    "n20_ivfpq" -> {
-      def dot8(a: String, b: String): String =
-        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+    "n20_ivfpq" ->
       s"""WITH $duckPrep,
          |$duckAssigned,
+         |$duckPqCodes,
          |qf AS (SELECT q AS qa, nrm AS qn FROM prepn WHERE vec_id = 0),
          |probed AS (
          |  SELECT cid FROM (
@@ -1486,32 +1479,9 @@ object Similarity {
          |  ORDER BY ccos DESC, cid ASC LIMIT $IvfPqNprobe),
          |cand AS (SELECT a.vec_id, a.cid FROM assigned a JOIN probed USING (cid)
          |         WHERE a.vec_id <> 0),
-         |subs AS (
-         |  SELECT vec_id, g.j AS sub,
-         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
-         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
-         |pcents AS (SELECT vec_id AS cid, sub, sq AS cq
-         |           FROM subs WHERE vec_id < $NumCentroids),
-         |pscored AS (
-         |  SELECT v.vec_id, v.sub, c.cid,
-         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
-         |  FROM subs v JOIN pcents c USING (sub)),
-         |best AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT vec_id, sub, cid, dist2,
-         |           row_number() OVER (PARTITION BY vec_id, sub
-         |                              ORDER BY dist2 ASC, cid ASC) AS rn
-         |    FROM pscored) WHERE rn = 1),
-         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
-         |qtable AS (
-         |  SELECT c.sub, c.cid AS code,
-         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
-         |  FROM pcents c JOIN qsubs USING (sub)),
          |adc AS (
          |  SELECT b.vec_id, cand.cid, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
-         |  FROM best b JOIN cand ON cand.vec_id = b.vec_id
+         |  FROM codes b JOIN cand ON cand.vec_id = b.vec_id
          |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
          |  GROUP BY b.vec_id, cand.cid),
          |short AS (SELECT * FROM adc
@@ -1520,72 +1490,21 @@ object Similarity {
          |       CAST(q0.qn + p.nrm - 2 * ${duckDot("q0.qa", "p.q")} AS BIGINT)
          |         AS exact_d2
          |FROM short s JOIN prepn p USING (vec_id), qf q0
-         |ORDER BY exact_d2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
-    },
-    "n07_pq_search" -> {
-      def dot8(a: String, b: String): String =
-        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
-      s"""WITH prep AS (
-         |  SELECT vec_id, ${duckQuant("embedding")} AS q FROM embeddings),
-         |subs AS (
-         |  SELECT vec_id, g.j AS sub,
-         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
-         |  FROM prep CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
-         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
-         |          FROM subs WHERE vec_id < $NumCentroids),
-         |scored AS (
-         |  SELECT v.vec_id, v.sub, c.cid,
-         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
-         |  FROM subs v JOIN cents c USING (sub)),
-         |best AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT vec_id, sub, cid, dist2,
-         |           row_number() OVER (PARTITION BY vec_id, sub
-         |                              ORDER BY dist2 ASC, cid ASC) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
-         |qtable AS (
-         |  SELECT c.sub, c.cid AS code,
-         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
-         |  FROM cents c JOIN qsubs USING (sub))
+         |ORDER BY exact_d2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n07_pq_search" ->
+      s"""WITH $duckPrep,
+         |$duckPqCodes
          |SELECT b.vec_id, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
-         |FROM best b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |FROM codes b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
          |WHERE b.vec_id <> 0
          |GROUP BY b.vec_id
-         |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
-    },
-    "n10_pq_refine" -> {
-      def dot8(a: String, b: String): String =
-        s"CAST(list_sum(list_transform(generate_series(1, $SubDim), i -> $a[i] * $b[i])) AS BIGINT)"
+         |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n10_pq_refine" ->
       s"""WITH $duckPrep,
-         |subs AS (
-         |  SELECT vec_id, g.j AS sub,
-         |         list_slice(q, g.j * $SubDim + 1, g.j * $SubDim + $SubDim) AS sq
-         |  FROM prepn CROSS JOIN generate_series(0, ${NumSubspaces - 1}) AS g(j)),
-         |cents AS (SELECT vec_id AS cid, sub, sq AS cq
-         |          FROM subs WHERE vec_id < $NumCentroids),
-         |scored AS (
-         |  SELECT v.vec_id, v.sub, c.cid,
-         |         ${dot8("v.sq", "v.sq")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("v.sq", "c.cq")} AS dist2
-         |  FROM subs v JOIN cents c USING (sub)),
-         |best AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT vec_id, sub, cid, dist2,
-         |           row_number() OVER (PARTITION BY vec_id, sub
-         |                              ORDER BY dist2 ASC, cid ASC) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |qsubs AS (SELECT sub, sq AS qs FROM subs WHERE vec_id = 0),
-         |qtable AS (
-         |  SELECT c.sub, c.cid AS code,
-         |         ${dot8("qs", "qs")} + ${dot8("c.cq", "c.cq")}
-         |           - 2 * ${dot8("qs", "c.cq")} AS qd2
-         |  FROM cents c JOIN qsubs USING (sub)),
+         |$duckPqCodes,
          |adc AS (
          |  SELECT b.vec_id, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
-         |  FROM best b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+         |  FROM codes b JOIN qtable t ON b.sub = t.sub AND b.code = t.code
          |  WHERE b.vec_id <> 0
          |  GROUP BY b.vec_id),
          |short AS (SELECT vec_id, adc_dist2 FROM adc
@@ -1594,40 +1513,17 @@ object Similarity {
          |SELECT s.vec_id, s.adc_dist2,
          |       CAST(na + p.nrm - 2 * ${duckDot("qa", "p.q")} AS BIGINT) AS exact_d2
          |FROM short s JOIN prepn p USING (vec_id) CROSS JOIN qv
-         |ORDER BY exact_d2 ASC, s.vec_id ASC LIMIT $TopK""".stripMargin
-    },
+         |ORDER BY exact_d2 ASC, s.vec_id ASC LIMIT $TopK""".stripMargin,
     "n05_centroid_update" ->
       s"""WITH $duckPrep,
-         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
-         |          FROM prepn WHERE vec_id < $NumCentroids),
-         |scoredc AS (
-         |  SELECT v.vec_id, v.q, c.cid,
-         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
-         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
-         |  FROM prepn v CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, q, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY ccos DESC, cid ASC) AS rn
-         |    FROM scoredc) WHERE rn = 1)
+         |$duckAssigned
          |SELECT cid, CAST(g.i AS INT) AS dim,
          |       COUNT(1) AS n_members, CAST(SUM(q[g.i]) AS BIGINT) AS sum_q
          |FROM assigned CROSS JOIN generate_series(1, $Dim) AS g(i)
          |GROUP BY cid, g.i ORDER BY cid, dim""".stripMargin,
     "n03_ivf_stats" ->
       s"""WITH $duckPrep,
-         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
-         |          FROM prepn WHERE vec_id < $NumCentroids),
-         |scoredc AS (
-         |  SELECT v.vec_id, c.cid,
-         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
-         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
-         |  FROM prepn v CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, cid, ccos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY ccos DESC, cid ASC) AS rn
-         |    FROM scoredc) WHERE rn = 1)
+         |$duckAssigned
          |SELECT cid, COUNT(1) AS n_members,
          |       MIN(ccos) AS min_cos, MAX(ccos) AS max_cos
          |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
