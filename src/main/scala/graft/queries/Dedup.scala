@@ -97,11 +97,20 @@ object Dedup {
   /** Band table over an arbitrary documents slice — p04 builds separate
     * base/delta band tables from the same constants.
     */
-  private[graft] def bandTableOf(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandKeys = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col(s"s${b * RowsPerBand + r}").cast("string"))
+  private[graft] def bandTableOf(docs: DataFrame): DataFrame =
+    bandsOfSignatures(minhashSignatures(docs), NumBands, RowsPerBand)
+
+  /** Band explode over an existing 16-slot signature table, parameterized
+    * by geometry — ONE definition of the band-key format for the deployed
+    * d01 index AND d22's alternative-geometry sweep (an inline re-spelling
+    * in the sweep would silently stop matching the deployed keys the day
+    * the format changes).
+    */
+  private[graft] def bandsOfSignatures(sigs: DataFrame, numBands: Int,
+                                       rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"s${b * rowsPerBand + r}").cast("string"))
       concat(lit(s"$b:"), concat_ws(",", parts: _*))
     }
     sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
@@ -394,31 +403,49 @@ object Dedup {
     * Triangle count is orientation-invariant, so the id-ordered DuckDB
     * oracle pins correctness.
     */
-  val d07GraphStats: Q = (s, d) => {
-    val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
-    val deg = pairs.select(col("d1").as("node"))
+  /** Per-node degrees of the candidate-pair graph (d07/d23 share it). */
+  private def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("d1").as("node"))
       .union(pairs.select(col("d2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered edge orientation — src = the lower (deg, id) endpoint,
+    * the O(E^1.5) wedge-join preparation. ONE definition for d07 and d23
+    * so the orientation tie-break can never drift between the two
+    * triangle views. CACHED: the wedge join reads it three times
+    * (e1/e2/e3) — without it each leg re-runs the two degree joins
+    * (round-3 verdict item 4). Dropped by the harness's per-query
+    * clearCache; at 100 TB this is the written oriented-edge table.
+    */
+  private def orientedEdges(pairs: DataFrame, deg: DataFrame): DataFrame = {
     val dg1 = deg.select(col("node").as("d1"), col("deg").as("g1"))
     val dg2 = deg.select(col("node").as("d2"), col("deg").as("g2"))
     val k1 = struct(col("g1").as("g"), col("d1").as("n"))
     val k2 = struct(col("g2").as("g"), col("d2").as("n"))
-    // cache: the wedge join reads `oriented` three times (e1/e2/e3) —
-    // without it each leg re-runs the two degree joins (round-3 verdict
-    // item 4). Dropped by the harness's per-query clearCache; at 100 TB
-    // this is the written oriented-edge table.
-    val oriented = pairs.join(dg1, "d1").join(dg2, "d2")
+    pairs.join(dg1, "d1").join(dg2, "d2")
       .select(
         when(k1 < k2, col("d1")).otherwise(col("d2")).as("src"),
         when(k1 < k2, col("d2")).otherwise(col("d1")).as("dst"),
         when(k1 < k2, k2).otherwise(k1).as("dkey"))
       .cache()
-    val tri = oriented.as("e1")
+  }
+
+  /** The oriented wedge join: one row per triangle — e1/e2 the wedge at
+    * src (dkey-ordered so each triangle matches once), e3 the closing
+    * edge. Callers project the columns they need (`e1.src` etc.).
+    */
+  private def triangleRows(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
       .join(oriented.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+
+  val d07GraphStats: Q = (s, d) => {
+    val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
+    val deg = pairDegrees(pairs)
+    val oriented = orientedEdges(pairs, deg)
+    val tri = triangleRows(oriented).agg(count(lit(1)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
       .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
@@ -492,25 +519,9 @@ object Dedup {
     */
   val d23LocalClustering: Q = (s, d) => {
     val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
-    val deg = pairs.select(col("d1").as("node"))
-      .union(pairs.select(col("d2").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val dg1 = deg.select(col("node").as("d1"), col("deg").as("g1"))
-    val dg2 = deg.select(col("node").as("d2"), col("deg").as("g2"))
-    val k1 = struct(col("g1").as("g"), col("d1").as("n"))
-    val k2 = struct(col("g2").as("g"), col("d2").as("n"))
-    // cache: read three times by the wedge join (d07's discipline)
-    val oriented = pairs.join(dg1, "d1").join(dg2, "d2")
-      .select(
-        when(k1 < k2, col("d1")).otherwise(col("d2")).as("src"),
-        when(k1 < k2, col("d2")).otherwise(col("d1")).as("dst"),
-        when(k1 < k2, k2).otherwise(k1).as("dkey"))
-      .cache()
-    val triPerNode = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
-      .join(oriented.as("e3"),
-        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+    val deg = pairDegrees(pairs)
+    val oriented = orientedEdges(pairs, deg) // d07's shared machinery
+    val triPerNode = triangleRows(oriented)
       .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.filter(col("deg") >= 2)
@@ -839,8 +850,16 @@ object Dedup {
   val d12SortedNeighborhood: Q = (s, d) => {
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+      // TOTAL sort key (nm, id): names alone may tie, and a tied rank is
+      // assigned by upstream partition order — the boundary pair
+      // (r2 − r1 == SnmWindow vs +1) would then flip in/out of the
+      // output between runs and engines. chr(0) separates so the
+      // composite's lexicographic order equals (nm, id) order even when
+      // one name prefixes another; the oracle tie-breaks identically.
+      .withColumn("nmk", concat(col("nm"), lit("\u0000"),
+        expr("lpad(cast(id as string), 19, '0')")))
     val ranked = TextOps.prefixSum(
-        sup.withColumn("one", lit(1L)), "nm", "one", "rank",
+        sup.withColumn("one", lit(1L)), "nmk", "one", "rank",
         includeCurrent = true)
       .select(col("id"), col("nm"), col("rank"))
     val a = ranked
@@ -1210,17 +1229,12 @@ object Dedup {
     * equi self-join + metadata counts; truth is built once and
     * checkpoint-shared.
     */
-  val d22BandingSweep: Q = (s, d) => {
-    val sigs = minhashSignatures(Tables.documents(s, d)).cache()
-    val truth = d03NgramJaccard(s, d).select("d1", "d2").localCheckpoint()
+  /** d22's lazy report over a signature table and a truth pair set (see
+    * [[d15Pairs]] for why the lazy plan is factored out).
+    */
+  private def d22Report(sigs: DataFrame, truth: DataFrame): DataFrame = {
     val reports = BandSweepConfigs.map { case (nb, rpb) =>
-      val bandKeys = (0 until nb).map { b =>
-        val parts = (0 until rpb).map(r => col(s"s${b * rpb + r}").cast("string"))
-        concat(lit(s"$b:"), concat_ws(",", parts: _*))
-      }
-      val bands = sigs.select(col("doc_id"),
-        explode(array(bandKeys: _*)).as("band_key"))
-      val cand = candidatePairsPlan(bands)
+      val cand = candidatePairsPlan(bandsOfSignatures(sigs, nb, rpb))
       val tp = cand.join(truth, Seq("d1", "d2"), "left_semi")
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
@@ -1231,6 +1245,17 @@ object Dedup {
           expr("n_tp * 10000 div greatest(n_truth, 1)").as("recall_bp"))
     }
     reports.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
+  val d22BandingSweep: Q = (s, d) => {
+    val sigs = minhashSignatures(Tables.documents(s, d)).cache()
+    val truth = d03NgramJaccard(s, d).select("d1", "d2").localCheckpoint()
+    // materialize the ≤3-row report, then release the signature cache
+    // (d15/d16/d28's materialize-then-release discipline; d03's internal
+    // inverted-index cache has its own documented harness lifecycle)
+    val out = d22Report(sigs, truth).localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** t29: quality-decile vs duplication-rate curve — the corpus-science
@@ -1452,21 +1477,10 @@ object Dedup {
     * [[d15Pairs]] for why it is factored out).
     */
   private def d28Leg(idx: DataFrame, k: Int): DataFrame = {
-    val prefix = idx.select(col("doc_id"),
-      explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
-    val cand = prefix.select(col("doc_id").as("d1"), col("h"))
-      .join(prefix.select(col("doc_id").as("d2"), col("h")), Seq("h"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    val pairs = cand
-      .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"),
-        col("sz").as("na")), Seq("d1"))
-      .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb"),
-        col("sz").as("nb")), Seq("d2"))
-      .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
-      .filter(col("inter") * 100 >=
-        (col("na") + col("nb") - col("inter")) * PrefixTauPct)
-      .agg(count(lit(1)).as("n_pairs"))
+    // the leg's pair count IS d15's machinery over this k's index — one
+    // definition, so the sweep can never desynchronize from the query it
+    // claims to sweep
+    val pairs = d15Pairs(idx).agg(count(lit(1)).as("n_pairs"))
     val stats = idx.agg(
       sum(col("sz").cast("bigint")).as("sum_sz"),
       count(lit(1)).as("n_docs"))
@@ -1516,7 +1530,10 @@ object Dedup {
       val toks = tokenizedDocs(s, d)
       ShingleSweep.map(k => d28Leg(prefixIndexOf(toks, PrefixTauPct, k), k))
         .reduce(_.unionByName(_)).orderBy("shingle_k")
-    }))
+    }),
+    "d22_banding_sweep" -> ((s, d) => d22Report(
+      minhashSignatures(Tables.documents(s, d)),
+      d03NgramJaccard(s, d).select("d1", "d2"))))
 
   /** d31: LSH band-table LOAD profile — the operational health check of
     * the d01 index: bucket-size distribution of the band table (per
@@ -1712,7 +1729,7 @@ object Dedup {
     */
   val d26BfsHops: Q = (s, d) => {
     val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
-    val pairs = pairsMemo.getOrElseUpdate((s, d), buildPairs(s, d))
+    val pairs = pairsTable(s, d) // shared materialized pair table (see d01)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     var dist = clusters.select(col("doc_id").as("node"),
@@ -2350,7 +2367,8 @@ object Dedup {
     "d12_sorted_neighborhood" ->
       s"""WITH ranked AS (
          |  SELECT s_suppkey AS id, s_name AS nm,
-         |         CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS rank
+         |         CAST(row_number() OVER (ORDER BY s_name, s_suppkey)
+         |              AS BIGINT) AS rank
          |  FROM supplier)
          |SELECT a.id AS id1, b.id AS id2, a.rank AS r1, b.rank AS r2,
          |       CAST(levenshtein(a.nm, b.nm) AS INT) AS lev

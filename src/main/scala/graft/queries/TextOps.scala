@@ -366,10 +366,12 @@ object TextOps {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val upper = if (includeCurrent) 0L else -1L
     def ord = if (descending) col(orderCol).desc else col(orderCol).asc
-    // cache: both passes read the ranged table (same contract as prefixSum).
+    // cache: both passes read the ranged table (same contract as prefixSum,
+    // including registration in the run-boundary release registry).
     val ranged = df.repartitionByRange(parts, ord)
       .withColumn("_pid", spark_partition_id())
       .cache()
+    prefixSumCaches.synchronized { prefixSumCaches += ranged }
     val wLocal = Window.partitionBy(col("_pid")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, upper)
     val local = ranged.withColumn("_loc",
