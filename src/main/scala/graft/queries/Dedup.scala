@@ -847,9 +847,13 @@ object Dedup {
     * exact window filter. Emits levenshtein evidence per candidate pair,
     * ready for a d10-style verify stage.
     */
-  val d12SortedNeighborhood: Q = (s, d) => {
-    val sup = Tables.supplier(s, d)
-      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+  /** The SNM core over any (id, nm) record table — factored so the spec
+    * can pin the tied-name contract on a synthetic fixture (supplier names
+    * in the generated data happen to be unique, which would otherwise
+    * leave the tie-break path untested).
+    */
+  private[graft] def snmCandidates(records: DataFrame): DataFrame = {
+    val sup = records
       // TOTAL sort key (nm, id): names alone may tie, and a tied rank is
       // assigned by upstream partition order — the boundary pair
       // (r2 − r1 == SnmWindow vs +1) would then flip in/out of the
@@ -875,6 +879,10 @@ object Dedup {
               expr("cast(levenshtein(n1, n2) as int)").as("lev"))
       .orderBy("r1", "r2")
   }
+
+  val d12SortedNeighborhood: Q = (s, d) =>
+    snmCandidates(Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm")))
 
   /** d13: LSH index-quality report — precision/recall of d01's MinHash
     * band candidates against the exact-Jaccard truth set (d03's df-capped

@@ -87,6 +87,43 @@ class DedupSpec extends SparkSpec {
       s"distinct docs must not pair: ${pairs.toSeq}")
   }
 
+  test("d12 SNM tie-break: tied and prefix names rank by (nm, id), stable under partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Names with genuine ties ("ann" x3), a prefix relation ("ann" vs
+    // "anna" — where a bare name+id concat without a separator would
+    // mis-order), and ids deliberately out of name order.
+    val recs = Seq(
+      (7L, "ann"), (2L, "ann"), (5L, "ann"),
+      (1L, "anna"), (9L, "bob"), (3L, "bob"), (8L, "zed"))
+    def run(parts: Int) = Dedup.snmCandidates(
+        recs.toDF("id", "nm").repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // Brute-force reference: rank = position in the total (nm, id) order,
+    // candidates = every pair within SnmWindow positions.
+    val ordered = recs.sortBy { case (id, nm) => (nm, id) }
+    val want = for {
+      i <- ordered.indices; j <- ordered.indices
+      if j > i && j - i <= Dedup.SnmWindow
+    } yield (ordered(i)._1, ordered(j)._1, (i + 1).toLong, (j + 1).toLong,
+      levenshteinRef(ordered(i)._2, ordered(j)._2))
+    val one = run(1)
+    assert(one === want, s"got $one")
+    assert(run(7) === one, "result must not depend on input partitioning")
+  }
+
+  /** Plain DP Levenshtein for the d12 reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("d01 MinHash LSH finds planted near-dup, skips distinct docs") {
     val dir = docsDir(Seq(base, nearDup, distinct1, distinct2))
     val pairs = Dedup.d01MinhashLsh(spark, dir).collect()
