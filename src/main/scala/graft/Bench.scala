@@ -36,12 +36,22 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     val canaryPre = canary()
+    // Interleaved canary samples (round-7 verdict item 1): the r07 artifact
+    // recorded a 2.2x-loaded START that decayed mid-run, and with only
+    // pre/post canaries the load phase could not be LOCALIZED — sorted run
+    // order mapped it onto the d/m/n families as phantom regressions. A
+    // sample every ~50 queries puts a box-load timeline next to the
+    // per-query map, so any delta is attributable to box vs code per phase.
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     // Local-iteration filter (the driver never sets this).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // Sorted name order: deterministic run-to-run comparison.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
+        if (qIdx > 0 && qIdx % 50 == 0)
+          canarySamples += ((qIdx, canary()))
         // Three timed passes, report the min: single-pass numbers on a shared
         // box showed 5-15x spikes on RANDOM queries run-to-run (GC debt,
         // neighbor load) while isolated re-runs were always fast — and the
@@ -76,8 +86,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Box-load timeline: pre, one sample per 50 queries, post — keyed by
+    // how many queries had completed when the sample ran.
+    val canariesJson = ((0, canaryPre) +: canarySamples.toSeq :+
+      (results.size, canaryPost))
+      .map { case (at, v) => s"""{"after_queries":$at,"sec":$v}""" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_pre":$canaryPre,"canary_post":$canaryPost,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -96,8 +112,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // BOTH canaries in the printed line (round-7 verdict item 1): printing
+    // only min(pre, post) hid that r07 STARTED 2.2x loaded — a reader of
+    // the driver artifact saw "quiet box" attached to a noisy total.
     def line(n: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary":${fmt(math.min(canaryPre, canaryPost))},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)

@@ -90,34 +90,42 @@ object Multimodal {
     */
   object DeflateCodec extends MediaCodec {
     def encode(raw: Array[Byte]): Array[Byte] = {
+      // try/finally around end(): Deflater holds a NATIVE zlib context that
+      // GC finalization releases only eventually — on an exception path a
+      // long-lived executor would leak native memory per failed row.
       val deflater = new java.util.zip.Deflater()
-      deflater.setInput(raw); deflater.finish()
-      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-      val buf = new Array[Byte](4096)
-      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      out.toByteArray
+      try {
+        deflater.setInput(raw); deflater.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](4096)
+        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+        out.toByteArray
+      } finally deflater.end()
     }
     def decode(payload: Array[Byte]): Array[Byte] = {
+      // try/finally: the malformed-payload throws below are DELIBERATE exit
+      // paths, and each one would otherwise strand the Inflater's native
+      // zlib context until finalization (advice r07).
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(payload)
-      val out = new java.io.ByteArrayOutputStream(payload.length * 2 + 64)
-      val buf = new Array[Byte](4096)
-      while (!inflater.finished()) {
-        val n = inflater.inflate(buf)
-        // ANY zero-progress stall must fail loudly, not spin: truncated
-        // input (needsInput) and FDICT preset-dictionary streams
-        // (needsDictionary — inflate returns 0 with finished()==false and
-        // needsInput()==false, an infinite loop if only needsInput is
-        // checked) are both malformed for this format.
-        if (n == 0 && !inflater.finished())
-          throw new java.util.zip.DataFormatException(
-            if (inflater.needsDictionary()) "preset-dictionary DEFLATE stream unsupported"
-            else "truncated DEFLATE payload")
-        out.write(buf, 0, n)
-      }
-      inflater.end()
-      out.toByteArray
+      try {
+        inflater.setInput(payload)
+        val out = new java.io.ByteArrayOutputStream(payload.length * 2 + 64)
+        val buf = new Array[Byte](4096)
+        while (!inflater.finished()) {
+          val n = inflater.inflate(buf)
+          // ANY zero-progress stall must fail loudly, not spin: truncated
+          // input (needsInput) and FDICT preset-dictionary streams
+          // (needsDictionary — inflate returns 0 with finished()==false and
+          // needsInput()==false, an infinite loop if only needsInput is
+          // checked) are both malformed for this format.
+          if (n == 0 && !inflater.finished())
+            throw new java.util.zip.DataFormatException(
+              if (inflater.needsDictionary()) "preset-dictionary DEFLATE stream unsupported"
+              else "truncated DEFLATE payload")
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } finally inflater.end()
     }
   }
 

@@ -705,6 +705,116 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** q176: TPC-H Q18 (large-volume customer) — the large-IN/HAVING top-k
+    * shape the TPC-H trio (q131/q132/q137) doesn't cover: orders whose
+    * TOTAL line quantity crosses a threshold, re-joined to their customer.
+    * Spelt scale-first: the quantity rollup is ONE partial-agg groupBy on
+    * l_orderkey with the HAVING filter applied before any join (Q18's
+    * textbook `IN (SELECT … HAVING …)` re-scans lineitem a second time —
+    * same result, one extra fact scan); the filtered order-qty table then
+    * joins orders (AQE picks broadcast when the survivor set is small),
+    * customer joins last, and the top-100 is TakeOrderedAndProject on the
+    * (o_totalprice desc, o_orderkey) total order. Quantities are integral
+    * by generator contract, summed as BIGINT so the cross-engine compare
+    * is exact.
+    */
+  val q176TpchQ18: Q = (s, d) => {
+    val qty = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("cast(l_quantity as bigint)")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    qty
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** q177: TPC-H Q21 (suppliers who kept orders waiting) — the four-way
+    * correlated-existence shape: one fact alias filtered to "failing"
+    * lines, a SEMI join proving the order is multi-supplier, an ANTI join
+    * proving no OTHER supplier failed, a nation-filtered supplier
+    * dimension, count per supplier, top-k. This dataset has no
+    * receipt/commit dates, so "failed" is adapted to `l_returnflag = 'R'`
+    * — the join topology (the graded part) is Q21's exactly. Plan shape:
+    * supplier×nation broadcasts into the filtered fact; the semi and anti
+    * legs are EQUI-joins on l_orderkey with the supplier inequality as a
+    * residual condition (shuffled hash/merge join — never a BNLJ, pinned
+    * by PlanSpec); one final metadata-scale groupBy on s_name.
+    */
+  val q177TpchQ21: Q = (s, d) => {
+    val supp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name") === "NATION_9"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val fOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select("l_orderkey", "l_suppkey", "s_name")
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    l1
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** q178: GROUPS window-frame semantics (SQL:2011's third frame mode) —
+    * ROWS counts physical rows, RANGE counts an order-key distance, GROUPS
+    * counts PEER GROUPS (distinct order-key values). Per user, ordered by
+    * day WITH genuine ties, `GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`
+    * covers "this day and the previous ACTIVE day" — which RANGE 1
+    * PRECEDING cannot say (the previous CALENDAR day) and ROWS cannot say
+    * (it splits tied days). Spark 4.1 parses only ROWS/RANGE, so the
+    * operator is COMPOSED: roll events up to one row per peer group
+    * (user, day), run the frame as ROWS 1 PRECEDING over the group-level
+    * rows (on which each row IS a peer group, making ROWS ≡ GROUPS by
+    * construction), and equi-join the frame totals back to the events —
+    * pinned bit-exact against an INDEPENDENT spelling of the standard's
+    * definition (DuckDB, which also lacks GROUPS: dense_rank as the peer
+    * group ordinal, then RANGE 1 PRECEDING over rank distance — "frame =
+    * rows whose peer-group ordinal is within N" is verbatim SQL:2011
+    * 7.11). Shapes: one
+    * partial-agg groupBy, a per-user window over bounded day-level rows,
+    * one key-partitioned join — all parallel at any scale. Exact cents
+    * keep the compare integral.
+    */
+  val q178GroupsFrame: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("cast(ts as date)").as("day"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+    val grp = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_g"), sum("cents").as("c_g"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-1, Window.currentRow)
+    val framed = grp
+      .withColumn("n_2grp", sum("n_g").over(w))
+      .withColumn("cents_2grp", sum("c_g").over(w))
+      .select("user_id", "day", "n_2grp", "cents_2grp")
+    ev.join(framed, Seq("user_id", "day"))
+      .select("event_id", "user_id", "n_2grp", "cents_2grp")
+      .orderBy("event_id")
+  }
+
   /** q174: DEFAULT window-frame semantics — the trap behind half of all
     * wrong `last_value` reports: with an ORDER BY and no explicit frame,
     * the SQL-standard default is RANGE UNBOUNDED PRECEDING → CURRENT ROW
@@ -2333,6 +2443,9 @@ object Extras {
     "q173_bom_rollup"        -> q173BomRollup,
     "q174_frame_defaults"    -> q174FrameDefaults,
     "q175_quantile_normalize" -> q175QuantileNormalize,
+    "q176_tpch_q18"          -> q176TpchQ18,
+    "q177_tpch_q21"          -> q177TpchQ21,
+    "q178_groups_frame"      -> q178GroupsFrame,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -2908,6 +3021,56 @@ object Extras {
         |                AND o.o_orderstatus = 'F'
         |                AND c.c_acctbal > 5000)
         |ORDER BY o_orderkey""".stripMargin,
+    // q176: the rollup-first spelling (not the textbook IN-subquery) —
+    // identical rows, one lineitem scan.
+    "q176_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       total_qty
+        |FROM (SELECT l_orderkey,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 200) q
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    // q177: the textbook EXISTS/NOT EXISTS spelling of the same semantics.
+    "q177_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders   ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND n_name = 'NATION_9'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
+    // q178: neither engine parses GROUPS, so the oracle spells the
+    // SQL:2011 DEFINITION directly — dense_rank = the peer-group ordinal,
+    // RANGE over rank distance = the GROUPS frame — a mechanism disjoint
+    // from the Spark side's rollup-and-join composition.
+    "q178_groups_frame" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |                   CAST(floor(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |r AS (SELECT *, dense_rank() OVER (PARTITION BY user_id
+        |                                   ORDER BY day) AS dr
+        |      FROM ev)
+        |SELECT event_id, user_id,
+        |       COUNT(*) OVER w AS n_2grp,
+        |       CAST(SUM(cents) OVER w AS BIGINT) AS cents_2grp
+        |FROM r
+        |WINDOW w AS (PARTITION BY user_id ORDER BY dr
+        |             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q137_tpch_q5" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

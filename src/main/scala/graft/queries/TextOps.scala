@@ -298,6 +298,21 @@ object TextOps {
       owner.clear()
     }
 
+  /** Register `df` in `owner`, first dropping entries something else
+    * already unpersisted (the harness `clearCache()`s between queries, so
+    * over a 300-query run the registry would otherwise grow one dead
+    * reference per prefixSum/prefixMax call — advice r07). Cheap: the
+    * registry is at most a few entries between clearCache boundaries.
+    */
+  private def register(owner: scala.collection.mutable.Buffer[DataFrame],
+                       df: DataFrame): Unit =
+    owner.synchronized {
+      val live = owner.filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      owner.clear()
+      owner ++= live
+      owner += df
+    }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, includeCurrent: Boolean,
                 keyCols: Seq[String] = Nil,
@@ -318,7 +333,7 @@ object TextOps {
     val ranged = df.repartitionByRange(parts, (keyCols :+ orderCol).map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .cache()
-    owner.synchronized { owner += ranged }
+    register(owner, ranged)
     val wLocal = Window.partitionBy(("_pid" +: keyCols).map(col): _*)
       .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, upper)
@@ -359,7 +374,9 @@ object TextOps {
   def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
                 outCol: String, includeCurrent: Boolean,
                 descending: Boolean = false,
-                numParts: Int = -1): DataFrame = {
+                numParts: Int = -1,
+                owner: scala.collection.mutable.Buffer[DataFrame] = prefixSumCaches)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts =
       if (numParts > 0) numParts
@@ -371,7 +388,7 @@ object TextOps {
     val ranged = df.repartitionByRange(parts, ord)
       .withColumn("_pid", spark_partition_id())
       .cache()
-    prefixSumCaches.synchronized { prefixSumCaches += ranged }
+    register(owner, ranged)
     val wLocal = Window.partitionBy(col("_pid")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, upper)
     val local = ranged.withColumn("_loc",

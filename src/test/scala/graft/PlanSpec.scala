@@ -390,6 +390,24 @@ class PlanSpec extends SparkSpec {
       s"per-customer revenue must combine map-side:\n$p10")
   }
 
+  test("q176/q177: TPC-H Q18's rollup combines map-side + top-k bounded; Q21's semi/anti legs join hash-equi, never BNLJ") {
+    val p18 = planOf(graft.queries.Extras.q176TpchQ18(spark, sf))
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as a bounded heap, not a global sort:\n$p18")
+    assert(p18.contains("partial_sum"),
+      s"the per-order quantity rollup must combine map-side:\n$p18")
+    val p21 = planOf(graft.queries.Extras.q177TpchQ21(spark, sf))
+    // the suppkey INEQUALITY must ride the l_orderkey equi-join as a
+    // residual condition — planned as a BNLJ the anti leg is |R|x|S|
+    assert(!p21.contains("BroadcastNestedLoopJoin") &&
+           !p21.contains("CartesianProduct"),
+      s"Q21's correlated-existence legs must stay equi-joins:\n$p21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"expected the multi-supplier semi leg and no-other-failure anti leg:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as a bounded heap:\n$p21")
+  }
+
   test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
     import org.apache.spark.sql.functions.col
     val key = graft.plans.RangeBucketJoin.WidthConf

@@ -141,9 +141,28 @@ class TransactionSourceSpec extends SparkSpec {
     pass() // warm-up: codegen + scheduler init
     val best = (1 to 3).map(_ => pass()).min
     val rate = n / best
-    assert(rate > 500000.0,
-      f"load generator at ${rate}%.0f rows/s — below the 500k rows/s floor " +
-        f"(healthy local[4] runs are several millions/s; a per-row " +
-        f"allocation regression is the usual culprit)")
+    if (rate <= 500000.0) {
+      // Wall-clock tests can still flake under SUSTAINED neighbor load
+      // (advice r07; the repo's bench logs document 1.3-2.2x phases). Before
+      // failing, time the bench's fixed CPU canary (same per-thread work as
+      // Bench.scala's: 12.5M rows/thread); a quiet box runs it in ~0.1 s.
+      // Loaded box -> cancel (inconclusive), quiet box -> a REAL per-row
+      // regression, fail.
+      val canary = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        spark.range(0, 50000000L, 1, 4).selectExpr("sum(id * 3 + (id & 7))")
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      if (canary > 0.3)
+        cancel(f"throughput floor inconclusive: box is loaded (canary " +
+          f"${canary}%.3f s vs ~0.1 s quiet); measured ${rate}%.0f rows/s")
+      else
+        fail(f"load generator at ${rate}%.0f rows/s on a QUIET box (canary " +
+          f"${canary}%.3f s) — below the 500k rows/s floor (healthy local[4] " +
+          f"runs are several millions/s; a per-row allocation regression is " +
+          f"the usual culprit)")
+    }
   }
 }
