@@ -488,6 +488,66 @@ object ScaleOps {
         col("est_jaccard_bp"), col("exact_jaccard_bp"))
   }
 
+  // ---------------------------------------------------------------- x17
+
+  /** x17: theta-sketch A-NOT-B — the set-DIFFERENCE estimator completing
+    * x09's family (x07 cardinality, x09 intersection/Jaccard, x17
+    * difference): which positive-balance customers never placed a
+    * finalized order, and vice versa, answered from two k-min sketches
+    * without re-touching the data. The estimator: θ = min of the two
+    * sketch thetas (2^56 for an under-filled sketch, which holds its
+    * WHOLE set); below θ each sketch holds EVERY hash of its set, so
+    * membership tests are exact there and m = |{h ∈ ska : h ≤ θ,
+    * h ∉ skb}| is a uniform θ-fraction sample of A∖B → est = m·2^56 div
+    * θ (m ≤ k = 64 keeps the product under 2^63 — no overflow). Both
+    * directions reported with exact counts and basis-point error; a
+    * zero-sized exact difference (fixture drift could make one side a
+    * subset) degrades to an est-agrees-with-empty check instead of a
+    * division by zero. Deterministic md5 hashing — the whole derivation
+    * is oracle-exact (x07's discipline).
+    *
+    * Plan: two two-phase hash DISTINCTs → bounded 64-row heaps; the
+    * anti-joins and theta joins touch ≤ 2k rows — everything after the
+    * sketches is metadata-scale, the coordinator-side profile shape.
+    */
+  val x17ThetaAnotB: Q = (s, d) => {
+    val two56 = 72057594037927936L // 2^56
+    def kmin(h: DataFrame): DataFrame = h.orderBy("h").limit(KmvK)
+    val ha = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      .select(expr(TextHash.sparkHash56("cast(c_custkey as string)")).as("h"))
+      .distinct()
+    val hb = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select(expr(TextHash.sparkHash56("cast(o_custkey as string)")).as("h"))
+      .distinct()
+    val (ska, skb) = (kmin(ha), kmin(hb))
+    val th = ska.agg(count(lit(1)).as("na_sk"), max(col("h")).as("ka"))
+      .crossJoin(skb.agg(count(lit(1)).as("nb_sk"), max(col("h")).as("kb")))
+      .select(expr(
+        s"least(IF(na_sk < $KmvK, ${two56}L, ka), IF(nb_sk < $KmvK, ${two56}L, kb))")
+        .as("theta"))
+    def mNot(x: DataFrame, y: DataFrame, name: String): DataFrame =
+      x.join(y, Seq("h"), "left_anti").crossJoin(broadcast(th))
+        .where(col("h") <= col("theta"))
+        .agg(count(lit(1)).as(name))
+    def est(m: String, out: String): Column =
+      expr(s"IF(theta >= ${two56}L, $m, $m * ${two56}L div theta)").as(out)
+    def errBp(e: String, x: String, out: String): Column =
+      expr(s"IF($x = 0, IF($e = 0, 0L, 10000L), abs($e - $x) * 10000 div $x)")
+        .as(out)
+    val exact = ha.join(hb, Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("exact_ab"))
+      .crossJoin(hb.join(ha, Seq("h"), "left_anti")
+        .agg(count(lit(1)).as("exact_ba")))
+    mNot(ska, skb, "m_ab").crossJoin(mNot(skb, ska, "m_ba"))
+      .crossJoin(broadcast(th)).crossJoin(broadcast(exact))
+      .select(est("m_ab", "est_ab"), col("exact_ab"),
+        est("m_ba", "est_ba"), col("exact_ba"))
+      .select(col("est_ab"), col("exact_ab"),
+        errBp("est_ab", "exact_ab", "err_ab_bp"),
+        col("est_ba"), col("exact_ba"),
+        errBp("est_ba", "exact_ba", "err_ba_bp"))
+  }
+
   // ---------------------------------------------------------------- x08
 
   /** Number of AMS estimators (averaged; a shard-median layer would sit on
@@ -1018,6 +1078,7 @@ object ScaleOps {
     "q129_range_join_auto" -> q129RangeJoinAuto,
     "q130_interval_join_auto" -> q130IntervalJoinAuto,
     "x09_kmv_setops"       -> x09KmvSetOps,
+    "x17_theta_anotb"      -> x17ThetaAnotB,
     "q99_rendezvous_shard" -> q99RendezvousShard,
     "q98_star_join"        -> q98StarJoin,
     "q96_file_provenance"  -> q96FileProvenance,
@@ -1151,6 +1212,45 @@ object ScaleOps {
         |       COUNT(DISTINCT o_custkey) AS n_merged,
         |       COUNT(DISTINCT o_custkey) AS n_exact
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // x17: the identical sketch derivation — DuckDB's anti-joins and the
+    // same min-theta/2^56 integer algebra; `//` by a zero exact side is
+    // unreachable via the CASE guard.
+    "x17_theta_anotb" -> {
+      val ha = TextHash.duckHash56("CAST(c_custkey AS VARCHAR)")
+      val hb = TextHash.duckHash56("CAST(o_custkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $ha AS h FROM customer WHERE c_acctbal > 0),
+         |hb AS (SELECT DISTINCT $hb AS h FROM orders WHERE o_orderstatus = 'F'),
+         |ska AS (SELECT h FROM ha ORDER BY h LIMIT $KmvK),
+         |skb AS (SELECT h FROM hb ORDER BY h LIMIT $KmvK),
+         |th AS (SELECT least(
+         |         CASE WHEN (SELECT COUNT(1) FROM ska) < $KmvK
+         |              THEN 72057594037927936 ELSE (SELECT MAX(h) FROM ska) END,
+         |         CASE WHEN (SELECT COUNT(1) FROM skb) < $KmvK
+         |              THEN 72057594037927936 ELSE (SELECT MAX(h) FROM skb) END)
+         |         AS theta),
+         |mab AS (SELECT COUNT(1) AS m_ab FROM ska, th
+         |        WHERE h <= theta AND h NOT IN (SELECT h FROM skb)),
+         |mba AS (SELECT COUNT(1) AS m_ba FROM skb, th
+         |        WHERE h <= theta AND h NOT IN (SELECT h FROM ska)),
+         |ex AS (SELECT
+         |         (SELECT COUNT(1) FROM ha
+         |          WHERE h NOT IN (SELECT h FROM hb)) AS exact_ab,
+         |         (SELECT COUNT(1) FROM hb
+         |          WHERE h NOT IN (SELECT h FROM ha)) AS exact_ba),
+         |es AS (SELECT
+         |         CASE WHEN theta >= 72057594037927936 THEN m_ab
+         |              ELSE m_ab * 72057594037927936 // theta END AS est_ab,
+         |         CASE WHEN theta >= 72057594037927936 THEN m_ba
+         |              ELSE m_ba * 72057594037927936 // theta END AS est_ba
+         |       FROM mab, mba, th)
+         |SELECT est_ab, exact_ab,
+         |       CASE WHEN exact_ab = 0 THEN (CASE WHEN est_ab = 0 THEN 0 ELSE 10000 END)
+         |            ELSE abs(est_ab - exact_ab) * 10000 // exact_ab END AS err_ab_bp,
+         |       est_ba, exact_ba,
+         |       CASE WHEN exact_ba = 0 THEN (CASE WHEN est_ba = 0 THEN 0 ELSE 10000 END)
+         |            ELSE abs(est_ba - exact_ba) * 10000 // exact_ba END AS err_ba_bp
+         |FROM es, ex""".stripMargin
+    },
     "x09_kmv_setops" -> {
       val ha = TextHash.duckHash56("CAST(o_custkey AS VARCHAR)")
       val hb = TextHash.duckHash56("CAST(c_custkey AS VARCHAR)")

@@ -1315,7 +1315,78 @@ object TextOps {
       .withColumn("keep", col("structured_permille") <= 500)
       .orderBy("doc_id")
 
+  /** Number of BPE merge rounds t39 learns. Each round is one vocab-scale
+    * aggregation (vocabulary rows, not corpus rows — the standard BPE
+    * trainer input), so the cost of raising this is R small jobs; 4 keeps
+    * the DuckDB oracle's unrolled CTE chain readable while exercising the
+    * full mechanism (later rounds merge MERGED symbols, not just chars).
+    */
+  val BpeRounds = 4
+
+  /** One BPE learning round over the (word, count, seq) vocabulary:
+    * count adjacent-symbol pairs weighted by word frequency, pick the
+    * top pair by (count desc, pair asc), and apply the merge to every
+    * word's symbol sequence. `seq` is the space-delimited symbol string
+    * (" h e l l o "); a merge replaces " a b " with " ab ". The best
+    * pair is a ONE-ROW DataFrame crossJoin-broadcast into the rewrite —
+    * no driver collect anywhere, the whole R-round train is one lazy
+    * plan. Merge application is leftmost non-overlapping on the
+    * delimited string (Java and DuckDB `replace` share the scan), so
+    * back-to-back occurrences sharing a delimiter space take an extra
+    * round to collapse — a deterministic, both-engines-identical variant
+    * of simultaneous BPE application.
+    */
+  private def bpeRound(vocab: DataFrame): DataFrame = {
+    val best = vocab
+      .select(col("n"), explode(expr("shingles(split(trim(seq), ' '), 2)")).as("pair"))
+      .filter(col("pair").contains(" ")) // single-symbol words shingle to themselves
+      .groupBy("pair").agg(sum("n").as("c"))
+      .orderBy(col("c").desc, col("pair").asc)
+      .limit(1)
+      .select(col("pair").as("bp"))
+    vocab.crossJoin(broadcast(best))
+      .withColumn("seq",
+        expr("replace(seq, concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' '))"))
+      .drop("bp")
+  }
+
+  /** t39: deterministic BPE-style tokenizer — the one LLM-pipeline step
+    * t03 only approximates (its regex COUNTS token-ish runs; nothing
+    * applied a real merge-table encoding). Textbook byte-pair encoding,
+    * learned from the corpus itself: build the word-frequency vocabulary
+    * (the standard trainer input — vocab-scale, not corpus-scale), then
+    * [[BpeRounds]] rounds of (count adjacent symbol pairs → take the
+    * most frequent → merge it everywhere), then score every document by
+    * joining its words to the trained vocabulary (broadcast — t18's
+    * model-table discipline) and summing encoded symbol counts. Output
+    * per doc: whitespace tokens, BPE tokens, chars, and integer
+    * chars-per-BPE-token. Invariants a tokenizer must satisfy (pinned in
+    * a spec): ws_tokens ≤ bpe_tokens ≤ n_chars per document. Scale: the
+    * corpus is touched twice (vocab build, final scoring join); the R
+    * training rounds run on vocabulary rows only, and the model
+    * broadcast is corpus-size-independent. Oracled against DuckDB
+    * running the identical algorithm as an unrolled CTE chain.
+    */
+  val t39BpeTokenizer: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab0 = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("seq", expr("concat(' ', regexp_replace(w, '(.)', '$1 '))"))
+    val trained = (1 to BpeRounds).foldLeft(vocab0)((v, _) => bpeRound(v))
+      .withColumn("n_sym", expr("cast(size(split(trim(seq), ' ')) as bigint)"))
+      .select("w", "n_sym")
+    words.join(broadcast(trained), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"),
+           sum("n_sym").as("bpe_tokens"),
+           sum(length(col("w")).cast("bigint")).as("n_chars"))
+      .withColumn("chars_x100_per_bpe", expr("(n_chars * 100) div bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t39_bpe_tokenizer"  -> t39BpeTokenizer,
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
@@ -1384,6 +1455,44 @@ object TextOps {
     // Spark's slice(start, length) here), then the same (?m) regex counts
     // via len(regexp_extract_all). The corpus is nonempty per doc, so the
     // line count is always >= 1.
+    // t39: the identical BPE train+encode, unrolled — pN picks round N's
+    // best pair (count desc, pair asc), vN applies the merge; both
+    // engines' `replace` share the leftmost non-overlapping scan, so the
+    // symbol sequences agree byte-for-byte after every round.
+    "t39_bpe_tokenizer" -> {
+      val rounds = (1 to BpeRounds).map { i =>
+        val prev = s"v${i - 1}"
+        s"""p$i AS (
+           |  SELECT pair FROM (
+           |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+           |                     i -> s[i] || ' ' || s[i + 1])) AS pair
+           |    FROM (SELECT n, string_split(trim(seq), ' ') AS s FROM $prev))
+           |  GROUP BY pair ORDER BY SUM(n) DESC, pair ASC LIMIT 1),
+           |v$i AS (
+           |  SELECT w, n,
+           |         replace(seq, ' ' || (SELECT pair FROM p$i) || ' ',
+           |                 ' ' || replace((SELECT pair FROM p$i), ' ', '') || ' ') AS seq
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |v0 AS (
+         |  SELECT w, COUNT(*) AS n,
+         |         ' ' || regexp_replace(w, '(.)', '${"\\"}1 ', 'g') AS seq
+         |  FROM words GROUP BY w),
+         |$rounds
+         |SELECT doc_id,
+         |       COUNT(*) AS ws_tokens,
+         |       CAST(SUM(len(string_split(trim(seq), ' '))) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+         |       (CAST(SUM(length(w)) AS BIGINT) * 100)
+         |         // CAST(SUM(len(string_split(trim(seq), ' '))) AS BIGINT)
+         |         AS chars_x100_per_bpe
+         |FROM words JOIN v$BpeRounds USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "t32_markup_profile" ->
       s"""WITH r AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

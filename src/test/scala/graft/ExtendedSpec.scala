@@ -90,6 +90,52 @@ class ExtendedSpec extends SparkSpec {
     assert(r.getLong(4) === vAt((total * 99 + 99) / 100))
   }
 
+  test("t39 BPE train+encode matches an in-memory reference; tokenizer bounds hold") {
+    // Reference: the same algorithm run serially in memory — word-frequency
+    // vocab, BpeRounds rounds of (weighted pair count -> argmax by
+    // (count desc, pair asc) -> java String.replace, whose leftmost
+    // non-overlapping scan is the semantics both engines' replace share).
+    // Validates the distributed spelling end-to-end: the lazy one-plan
+    // train (1-row best-pair crossJoin per round) must produce the exact
+    // per-doc token counts the serial trainer does.
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val vocab = scala.collection.mutable.HashMap[String, (Long, String)]()
+    docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).foreach { case (w, ws) =>
+        vocab(w) = (ws.length.toLong, " " + w.map(c => s"$c ").mkString)
+      }
+    for (_ <- 1 to graft.queries.TextOps.BpeRounds) {
+      val pc = scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+      vocab.values.foreach { case (n, seq) =>
+        val syms = seq.trim.split(" ")
+        (0 until syms.length - 1).foreach(i => pc(syms(i) + " " + syms(i + 1)) += n)
+      }
+      val bp = pc.toSeq.minBy { case (p, c) => (-c, p) }._1
+      vocab.keysIterator.toSeq.foreach { w =>
+        val (n, seq) = vocab(w)
+        vocab(w) = (n, seq.replace(" " + bp + " ", " " + bp.replace(" ", "") + " "))
+      }
+    }
+    val nSym = vocab.map { case (w, (_, seq)) => w -> seq.trim.split(" ").length.toLong }
+    val expect = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      id -> ((ws.length.toLong, ws.map(nSym).sum, ws.map(_.length.toLong).sum))
+    }.toMap
+    val got = graft.queries.TextOps.t39BpeTokenizer(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (id, ws, bpe, nc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((ws, bpe, nc) === expect(id), s"doc $id diverges from the reference")
+      // the invariants any tokenizer must satisfy (t03-consistency)
+      assert(ws <= bpe && bpe <= nc, s"tokenizer bounds violated for doc $id")
+      assert(r.getLong(4) === nc * 100 / bpe)
+    }
+    // the learned merges actually fired: the corpus compresses vs chars
+    assert(got.map(_.getLong(2)).sum < got.map(_.getLong(3)).sum,
+      "BPE encoding should need fewer symbols than characters")
+  }
+
   test("q121 precondition (integral weights) + buffered weighted-median reference") {
     import org.apache.spark.sql.functions._
     val rows = graft.Tables.lineitem(spark, sf)
