@@ -552,6 +552,51 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** d30: cluster CHAINING audit — the operational check a dedup pipeline
+    * runs before trusting d05's transitive closure: connected components
+    * merge A~B and B~C into one cluster even when A and C share nothing
+    * (the "hub document" failure — boilerplate glues unrelated docs into
+    * a mega-cluster, and the d06 survivor policy then deletes real
+    * content). Per non-singleton cluster: size, the clique pair count it
+    * WOULD have if every member pair were a candidate, the ACTUAL
+    * candidate-pair count, and the min/mean MinHash-estimated similarity
+    * over its edges (d08's estimator) — `chained` flags clusters held
+    * together transitively (pairs < clique), `weak_link` flags an edge
+    * below 50%. Shapes: the shared cluster table + d01 pair table + d08's
+    * signature joins — every input is an already-built/written table at
+    * 100 TB; the audit itself is two partial-agg groupBys over the pair
+    * set (near-dup-scale, far smaller than the corpus).
+    */
+  val d30ClusterAudit: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val scored = pairsTable(s, d)
+      .join(a, "d1").join(b, "d2")
+      .withColumn("agree16", expr(
+        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
+      .select(col("d1"), col("d2"),
+        expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
+    // every pair's endpoints share a cluster by construction (clusters ARE
+    // the pair graph's components), so labeling by d1 is exact
+    val perCluster = scored
+      .join(clusters.toDF("d1", "cluster"), "d1")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("est_pct").as("min_est_pct"),
+        expr("sum(est_pct) * 100 div count(1)").as("mean_est_pct_x100"))
+    clusters.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .join(perCluster, "cluster")
+      .select(col("cluster"), col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("clique_pairs"),
+        col("n_pairs"), col("min_est_pct"), col("mean_est_pct_x100"),
+        expr("n_pairs < n_docs * (n_docs - 1) div 2").as("chained"),
+        expr("min_est_pct < 50").as("weak_link"))
+      .orderBy("cluster")
+  }
+
   /** d27: MinHash-estimated CONTAINMENT — the asymmetric score d08's
     * Jaccard estimate can't give: "what fraction of A lives inside B",
     * the quantity that matters when a small doc is embedded in a big one
@@ -1513,6 +1558,15 @@ object Dedup {
     // four caches release at query end — nothing outlives the query
     // (round-6 item 3); peak held DURING it is the three per-k indexes,
     // the same working set the one-job plan needs anyway.
+    //
+    // KNOWN-BENIGN WARNING: the one-job overlap means two legs' tasks can
+    // race to compute the same not-yet-cached `toks` (or index) partition;
+    // the loser logs "BlockManager: Block rdd_N already exists on this
+    // machine" and discards its copy. Cost = one wasted partition compute
+    // per race, bounded by the cache's partition count; correctness is
+    // unaffected (block stores are putIfAbsent). Serializing the legs to
+    // silence it is exactly the 1.3x-slower spelling rejected above —
+    // the warning is the receipt for the overlap we are buying.
     val out = idxs.zip(ShingleSweep)
       .map { case (idx, k) => d28Leg(idx, k) }
       .reduce(_.unionByName(_))
@@ -1828,7 +1882,8 @@ object Dedup {
     "d02_simhash"       -> d02Simhash,
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d05_dedup_clusters" -> d05DedupClusters,
-    "d06_dedup_survivors" -> d06DedupSurvivors)
+    "d06_dedup_survivors" -> d06DedupSurvivors,
+    "d30_cluster_audit" -> d30ClusterAudit)
 
   // ------------------------------------------------------------- oracles
 
@@ -2587,6 +2642,34 @@ object Dedup {
          |       agree * (sza + szb) * 1000 // ((${NumHashes} + agree) * sza)
          |         - inter * 1000 // sza AS err_permille
          |FROM sized ORDER BY d1, d2""".stripMargin,
+    // d30: clusters + pairs + the d08 estimator, rolled up per cluster.
+    "d30_cluster_audit" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |scored AS (
+         |  SELECT d1, d2,
+         |         CAST((len(list_filter(generate_series(0, ${NumHashes - 1}),
+         |                               i -> sa.sigs[i + 1] = sb.sigs[i + 1])) * 100)
+         |              // $NumHashes AS BIGINT) AS est_pct
+         |  FROM pairs
+         |  JOIN sigs sa ON sa.doc_id = d1
+         |  JOIN sigs sb ON sb.doc_id = d2),
+         |cs AS (SELECT cluster, COUNT(1) AS n_docs FROM clusters
+         |       GROUP BY cluster HAVING COUNT(1) >= 2),
+         |ps AS (SELECT c.cluster, COUNT(1) AS n_pairs,
+         |              MIN(est_pct) AS min_est_pct,
+         |              CAST(SUM(est_pct) AS BIGINT) * 100 // COUNT(1) AS mean_est_pct_x100
+         |       FROM scored s JOIN clusters c ON c.doc_id = s.d1
+         |       GROUP BY c.cluster)
+         |SELECT cluster, n_docs,
+         |       n_docs * (n_docs - 1) // 2 AS clique_pairs,
+         |       n_pairs, min_est_pct, mean_est_pct_x100,
+         |       n_pairs < n_docs * (n_docs - 1) // 2 AS chained,
+         |       min_est_pct < 50 AS weak_link
+         |FROM cs JOIN ps USING (cluster)
+         |ORDER BY cluster""".stripMargin,
     "d08_minhash_est" ->
       s"""WITH $duckBandCtes,
          |pairs AS ($duckPairSelect)

@@ -2170,6 +2170,36 @@ object Extras {
       .orderBy("target_day")
   }
 
+  /** q165: arbitrary GROUPING SETS — the one grouping surface q66's
+    * rollup and the cube pin don't reach: an explicit set list
+    * ((status), (priority), ()) that is NEITHER a rollup prefix chain NOR
+    * a full cube — the "independent dimension totals" report (each
+    * dimension totaled on its own, plus the grand total, WITHOUT the
+    * cross cells a cube would add). Plan shape is why this beats the
+    * UNION ALL spelling an analyst would write: Spark compiles grouping
+    * sets to ONE Expand (each input row duplicated once per set — 3×
+    * here, metadata-bounded) feeding ONE partial-agg pass, so the fact
+    * table is scanned once instead of once per set. grouping() flags
+    * disambiguate subtotal NULLs from genuine NULL keys (q66's
+    * discipline); floor-cents keeps the compare exact; explicit NULLS
+    * FIRST because the engines' ASC defaults differ.
+    */
+  val q165GroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q165")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(1) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders_q165
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)
+  }
+
   /** q171: ISO week-year boundary — the classic reporting bug (YYYY vs
     * yyyy): the last days of December belong to ISO week 52/1 of the
     * WEEK-based year, which differs from the calendar year exactly at
@@ -2433,6 +2463,7 @@ object Extras {
     "q162_pct_of_parent"     -> q162PctOfParent,
     "q163_null_ordering"     -> q163NullOrdering,
     "q164_rolling_actives"   -> q164RollingActives,
+    "q165_grouping_sets"     -> q165GroupingSets,
     "q166_chi2_cells"        -> q166Chi2Cells,
     "q167_bounce_rate"       -> q167BounceRate,
     "q168_longest_streak"    -> q168LongestStreak,
@@ -3021,6 +3052,17 @@ object Extras {
         |                AND o.o_orderstatus = 'F'
         |                AND c.c_acctbal > 5000)
         |ORDER BY o_orderkey""".stripMargin,
+    "q165_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       COUNT(1) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     // q176: the rollup-first spelling (not the textbook IN-subquery) —
     // identical rows, one lineitem scan.
     "q176_tpch_q18" ->

@@ -1315,6 +1315,51 @@ object TextOps {
       .withColumn("keep", col("structured_permille") <= 500)
       .orderBy("doc_id")
 
+  /** t35: Zipf rank-frequency fit — the power-law diagnostic run on a
+    * pretraining corpus before trusting its token statistics: natural text
+    * follows freq ∝ rank^s with s ≈ −1; a corpus of templated/generated
+    * text bends the curve (|slope| shrinks), and dedup/boilerplate bugs
+    * show up here before they show up downstream. Spelled exactly: vocab
+    * (one partial-agg groupBy), the COUNT-CLASS histogram (t25/x02's
+    * trick — one row per distinct frequency, metadata-scale), competition
+    * rank per class via the range-partitioned [[prefixSum]] over
+    * descending count (never a corpus-wide rank window), then a weighted
+    * least-squares slope over (log2 rank, log2 freq) class points — log2
+    * as bit-length (both engines agree on `bin`/format('{:b}') for
+    * positive bigints, the x12 identity) and the closed-form slope as one
+    * integer cross-multiplication, permille. Both engines truncate
+    * integer division toward zero, so the negative slope is bit-exact.
+    * (At an extreme vocab the n·Σxy product approaches 2^63 — the
+    * production spelling divides the sums by gcd or fits in 128-bit; the
+    * SHAPE — two metadata-scale aggs — is unchanged.)
+    */
+  val t35ZipfFit: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val hist = vocab.groupBy("cnt").agg(count(lit(1)).as("ntok"))
+      .withColumn("negcnt", -col("cnt"))
+    val ranked = prefixSum(hist, "negcnt", "ntok", "n_higher",
+        includeCurrent = false)
+      .withColumn("rank", coalesce(col("n_higher"), lit(0L)) + lit(1L))
+      .select(col("cnt"), col("ntok"),
+        expr("cast(length(bin(rank)) - 1 as bigint)").as("x"),
+        expr("cast(length(bin(cnt)) - 1 as bigint)").as("y"))
+    ranked.agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("ntok")).as("n"),
+        sum(col("ntok") * col("cnt")).as("total_tokens"),
+        sum(col("ntok") * col("x")).as("sx"),
+        sum(col("ntok") * col("y")).as("sy"),
+        sum(col("ntok") * col("x") * col("x")).as("sxx"),
+        sum(col("ntok") * col("x") * col("y")).as("sxy"))
+      .select(col("n").as("vocab_size"), col("total_tokens"), col("n_classes"),
+        expr("IF(n * sxx - sx * sx = 0, 0L, " +
+          "(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx))")
+          .as("slope_permille"))
+  }
+
   /** Number of BPE merge rounds t39 learns. Each round is one vocab-scale
     * aggregation (vocabulary rows, not corpus rows — the standard BPE
     * trainer input), so the cost of raising this is R small jobs; 4 keeps
@@ -1386,6 +1431,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
@@ -1455,6 +1501,39 @@ object TextOps {
     // Spark's slice(start, length) here), then the same (?m) regex counts
     // via len(regexp_extract_all). The corpus is nonempty per doc, so the
     // line count is always >= 1.
+    // t35: the oracle may use the plain rank window (DuckDB single-node);
+    // the Spark side's prefixSum must equal it under any partitioning.
+    "t35_zipf_fit" ->
+      """WITH vocab AS (
+        |  SELECT tok, COUNT(1) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |hist AS (SELECT cnt, COUNT(1) AS ntok FROM vocab GROUP BY cnt),
+        |ranked AS (
+        |  SELECT cnt, ntok,
+        |         CAST(COALESCE(SUM(ntok) OVER (ORDER BY cnt DESC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              + 1 AS BIGINT) AS rank
+        |  FROM hist),
+        |pts AS (
+        |  SELECT ntok, cnt,
+        |         CAST(length(format('{:b}', rank)) - 1 AS BIGINT) AS x,
+        |         CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS y
+        |  FROM ranked),
+        |sums AS (
+        |  SELECT COUNT(1) AS n_classes,
+        |         CAST(SUM(ntok) AS BIGINT) AS n,
+        |         CAST(SUM(ntok * cnt) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(ntok * x) AS BIGINT) AS sx,
+        |         CAST(SUM(ntok * y) AS BIGINT) AS sy,
+        |         CAST(SUM(ntok * x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(ntok * x * y) AS BIGINT) AS sxy
+        |  FROM pts)
+        |SELECT n AS vocab_size, total_tokens, n_classes,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |            ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) END
+        |         AS slope_permille
+        |FROM sums""".stripMargin,
     // t39: the identical BPE train+encode, unrolled — pN picks round N's
     // best pair (count desc, pair asc), vN applies the merge; both
     // engines' `replace` share the leftmost non-overlapping scan, so the

@@ -258,6 +258,68 @@ object StreamOps {
       .join(broadcast(baseHashes), Seq("th"), "left_anti")
   }
 
+  /** s32: streaming MAINTENANCE of the dedup indexes — the WRITE side of
+    * the incremental-dedup story (s13/p04 READ a written base index; this
+    * job is what keeps that index current as documents arrive). Each
+    * micro-batch computes its slice of BOTH index tables with the
+    * single-sourced batch machinery — the hash56 content table (q32/p04's
+    * key) and [[graft.queries.Dedup.bandTableOf]]'s (doc_id, band_key)
+    * table (an inline re-spelling would silently drift from the deployed
+    * d01 keys) — key-compacted within the batch (s17's discipline: one
+    * row per key, deterministic min-doc_id survivor).
+    *
+    * Idempotence model: partition-overwrite instead of s17's by-key JDBC
+    * upsert — every batch writes its own `batch_id=N` partition with
+    * dynamic partition overwrite, so a REPLAYED batch overwrites its own
+    * increment rather than appending a duplicate. This is the LSM shape a
+    * 100 TB index actually uses: per-batch sorted runs + compaction on
+    * read ([[s32HashIndex]]/[[s32BandIndex]] fold runs by key; a
+    * production deployment folds old runs into the base periodically —
+    * the same fold, run offline).
+    */
+  def s32UpsertIndexBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val hashes = batch
+        .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+        .groupBy("th").agg(min("doc_id").as("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+      hashes.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/hash56")
+      val bands = graft.queries.Dedup.bandTableOf(batch)
+        .distinct()
+        .withColumn("batch_id", lit(batchId))
+      bands.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/bands")
+    }
+
+  def s32IndexMaintain(docs: DataFrame, dir: String,
+                       checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s32UpsertIndexBatch(dir) _)
+      .start()
+
+  /** Compacted read of the s32-maintained hash index: fold the per-batch
+    * runs by key with the same min-survivor policy. Equals the batch-built
+    * index over any replay — pinned in StreamingSpec.
+    */
+  def s32HashIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/hash56")
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+  }
+
+  /** Compacted read of the s32-maintained band index (distinct folds a
+    * replayed doc's identical band rows across runs).
+    */
+  def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands").select("doc_id", "band_key").distinct()
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

@@ -950,6 +950,53 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(2L, 4L), s"base dups must drop, new docs must pass: $ids")
   }
 
+  test("s32 streaming index maintenance equals the batch-built index; batch replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, min}
+    val dir = tmp("s32_idx")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = docs.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.s32IndexMaintain(
+      mem.toDF().toDF("doc_id", "text"), dir, tmp("s32_ckpt"))
+    mem.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // the compacted stream-maintained indexes == the batch-built ones over
+    // the same corpus (the write side of p04/s13's read contract)
+    val batchHash = graft.Tables.documents(spark, sf)
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    val gotHash = StreamOps.s32HashIndex(spark, dir)
+    assert(gotHash.exceptAll(batchHash).isEmpty && batchHash.exceptAll(gotHash).isEmpty,
+      "streamed hash index must equal the batch build")
+    val batchBands = graft.queries.Dedup.bandTable(spark, sf).distinct()
+    val gotBands = StreamOps.s32BandIndex(spark, dir)
+    assert(gotBands.exceptAll(batchBands).isEmpty && batchBands.exceptAll(gotBands).isEmpty,
+      "streamed band index must equal the batch build")
+    // replay idempotence: re-running a batch (foreachBatch redelivery after
+    // a failure) overwrites its own batch_id partition, never duplicates
+    val (nHash, nBands) = (gotHash.count(), gotBands.count())
+    val replay = half2.toSeq.toDF("doc_id", "text")
+    StreamOps.s32UpsertIndexBatch(dir)(replay, 1L)
+    // the overwrite replaced files under batch_id=1 — drop any cached
+    // listing before re-reading
+    spark.catalog.refreshByPath(s"$dir/hash56")
+    spark.catalog.refreshByPath(s"$dir/bands")
+    assert(StreamOps.s32HashIndex(spark, dir).count() === nHash,
+      "a replayed batch must not grow the hash index")
+    assert(StreamOps.s32BandIndex(spark, dir).count() === nBands,
+      "a replayed batch must not grow the band index")
+    // and the raw (uncompacted) run files also did not double up
+    val rawBands = spark.read.parquet(s"$dir/bands")
+    assert(rawBands.count() === rawBands.select("doc_id", "band_key").distinct().count(),
+      "partition overwrite must replace the run, not append to it")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
