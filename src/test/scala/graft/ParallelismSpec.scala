@@ -31,7 +31,13 @@ class ParallelismSpec extends SparkSpec {
     // m09 rides the keyed prefix count; q156 stitches per-session
     // collect_lists + a tie-broken top-20; q155's fold must not depend on
     // collect_list arrival order (sort_array is the device under test).
-    "m09_batch_assembly", "q156_top_paths", "q155_ewma")
+    "m09_batch_assembly", "q156_top_paths", "q155_ewma",
+    // round-8 additions: t35 rides the descending-count prefixSum (rank
+    // classes must not shift with range partition count); t39's per-round
+    // best-pair argmax is a TakeOrdered over partial pair counts (ties
+    // broken by (count desc, pair asc), never by partition arrival); d30
+    // rolls up the partition-built cluster/pair tables.
+    "t35_zipf_fit", "t39_bpe_tokenizer", "d30_cluster_audit")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so
