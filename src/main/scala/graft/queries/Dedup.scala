@@ -567,18 +567,15 @@ object Dedup {
     * 100 TB; the audit itself is two partial-agg groupBys over the pair
     * set (near-dup-scale, far smaller than the corpus).
     */
-  val d30ClusterAudit: Q = (s, d) => {
-    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
-    val sigs = minhashSignatures(Tables.documents(s, d))
-    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
-    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
-    val scored = pairsTable(s, d)
-      .join(a, "d1").join(b, "d2")
-      .withColumn("agree16", expr(
-        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
-      .select(col("d1"), col("d2"),
-        expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
-    // every pair's endpoints share a cluster by construction (clusters ARE
+  /** The audit core over an arbitrary (doc_id, cluster) table and a
+    * (d1, d2, est_pct) scored-edge table — factored (d12's
+    * planted-fixture discipline) because the fixture corpus happens to
+    * produce only clean cliques, so DedupSpec plants a chained path and a
+    * weak edge to prove the flags actually fire.
+    */
+  private[graft] def d30AuditOf(clusters: DataFrame,
+                                scored: DataFrame): DataFrame = {
+    // every edge's endpoints share a cluster by construction (clusters ARE
     // the pair graph's components), so labeling by d1 is exact
     val perCluster = scored
       .join(clusters.toDF("d1", "cluster"), "d1")
@@ -595,6 +592,20 @@ object Dedup {
         expr("n_pairs < n_docs * (n_docs - 1) div 2").as("chained"),
         expr("min_est_pct < 50").as("weak_link"))
       .orderBy("cluster")
+  }
+
+  val d30ClusterAudit: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
+    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
+    val scored = pairsTable(s, d)
+      .join(a, "d1").join(b, "d2")
+      .withColumn("agree16", expr(
+        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
+      .select(col("d1"), col("d2"),
+        expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
+    d30AuditOf(clusters, scored)
   }
 
   /** d27: MinHash-estimated CONTAINMENT — the asymmetric score d08's
