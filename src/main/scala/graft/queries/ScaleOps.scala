@@ -510,15 +510,15 @@ object ScaleOps {
     * anti-joins and theta joins touch ≤ 2k rows — everything after the
     * sketches is metadata-scale, the coordinator-side profile shape.
     */
-  val x17ThetaAnotB: Q = (s, d) => {
+  /** The a-not-b derivation over two arbitrary distinct-hash tables —
+    * factored so ExtendedSpec can drive the UNDER-FILLED and MIXED sketch
+    * regimes (the sf corpus keeps both sides over-full, so the θ = 2^56
+    * branches would otherwise never execute) against an in-memory
+    * reference of the same algebra.
+    */
+  private[graft] def x17Of(ha: DataFrame, hb: DataFrame): DataFrame = {
     val two56 = 72057594037927936L // 2^56
     def kmin(h: DataFrame): DataFrame = h.orderBy("h").limit(KmvK)
-    val ha = Tables.customer(s, d).where(col("c_acctbal") > 0)
-      .select(expr(TextHash.sparkHash56("cast(c_custkey as string)")).as("h"))
-      .distinct()
-    val hb = Tables.orders(s, d).where(col("o_orderstatus") === "F")
-      .select(expr(TextHash.sparkHash56("cast(o_custkey as string)")).as("h"))
-      .distinct()
     val (ska, skb) = (kmin(ha), kmin(hb))
     val th = ska.agg(count(lit(1)).as("na_sk"), max(col("h")).as("ka"))
       .crossJoin(skb.agg(count(lit(1)).as("nb_sk"), max(col("h")).as("kb")))
@@ -547,6 +547,15 @@ object ScaleOps {
         col("est_ba"), col("exact_ba"),
         errBp("est_ba", "exact_ba", "err_ba_bp"))
   }
+
+  val x17ThetaAnotB: Q = (s, d) =>
+    x17Of(
+      Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .select(expr(TextHash.sparkHash56("cast(c_custkey as string)")).as("h"))
+        .distinct(),
+      Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(expr(TextHash.sparkHash56("cast(o_custkey as string)")).as("h"))
+        .distinct())
 
   // ---------------------------------------------------------------- x08
 

@@ -90,6 +90,53 @@ class ExtendedSpec extends SparkSpec {
     assert(r.getLong(4) === vAt((total * 99 + 99) / 100))
   }
 
+  test("x17 under-filled / subset / mixed sketch regimes match an in-memory reference") {
+    import spark.implicits._
+    val k = graft.queries.ScaleOps.KmvK
+    val two56 = 72057594037927936L
+    def run(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val r = graft.queries.ScaleOps.x17Of(a.toDF("h"), b.toDF("h"))
+        .collect().head
+      (0 until 6).map(r.getLong)
+    }
+    // the same algebra, serially: sketch = k smallest, theta = min of the
+    // per-sketch thetas (2^56 when under-filled), membership below theta
+    // is exact, est scales by the theta fraction
+    def ref(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val (da, db) = (a.distinct.sorted, b.distinct.sorted)
+      val (ska, skb) = (da.take(k), db.take(k))
+      def th(sk: Seq[Long]) = if (sk.size < k) two56 else sk.max
+      val theta = math.min(th(ska), th(skb))
+      def m(x: Seq[Long], y: Seq[Long]) =
+        x.count(h => h <= theta && !y.contains(h)).toLong
+      def est(mv: Long) = if (theta >= two56) mv else mv * two56 / theta
+      def exact(x: Seq[Long], y: Seq[Long]) = x.count(!y.contains(_)).toLong
+      def err(e: Long, x: Long) =
+        if (x == 0) { if (e == 0) 0L else 10000L }
+        else math.abs(e - x) * 10000 / x
+      val (eab, xab) = (est(m(ska, skb)), exact(da, db))
+      val (eba, xba) = (est(m(skb, ska)), exact(db, da))
+      Seq(eab, xab, err(eab, xab), eba, xba, err(eba, xba))
+    }
+    // BOTH under-filled (10 and 9 elements < k=64): theta = 2^56, the
+    // sketches hold everything, so the "estimate" must be EXACT
+    val a1 = (1L to 10L).map(_ * 1000003L)
+    val b1 = (6L to 14L).map(_ * 1000003L)
+    val r1 = run(a1, b1)
+    assert(r1 === ref(a1, b1))
+    assert(r1(0) === r1(1) && r1(2) === 0L, "under-filled regime must be exact")
+    // SUBSET direction: A \ B empty — the guarded error must report 0, not
+    // divide by zero
+    val r2 = run(a1, a1 ++ Seq(999999999999L))
+    assert(r2 === ref(a1, a1 ++ Seq(999999999999L)))
+    assert(r2(0) === 0L && r2(1) === 0L && r2(2) === 0L)
+    // MIXED regime: A over-full (200 > k), B under-filled — theta comes
+    // from A's kth min; B's membership stays exact below it
+    val a3 = (1L to 200L).map(i => i * 360287970189639L + 17L)
+    val b3 = a3.take(5) ++ Seq(123L, 456L)
+    assert(run(a3, b3) === ref(a3, b3))
+  }
+
   test("t39 BPE train+encode matches an in-memory reference; tokenizer bounds hold") {
     // Reference: the same algorithm run serially in memory — word-frequency
     // vocab, BpeRounds rounds of (weighted pair count -> argmax by
