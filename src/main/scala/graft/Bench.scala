@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The fixed CPU-bound canary workload, min-of-3 with a GC before each
+    * timed pass — ONE definition (12.5M rows/thread of the same sum
+    * expression) shared by the bench's box-load timeline and
+    * TransactionSourceSpec's loaded-box gate, so the two can never drift
+    * apart. Quiet-box reference: ~0.09-0.12 s at any thread count.
+    */
+  def cpuCanary(spark: SparkSession, threads: Int): Double =
+    (1 to 3).map { _ =>
+      // GC BEFORE the timed region: the caller's accumulated garbage must
+      // not read as phantom box slowdown.
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0, threads * 12500000L, 1, threads)
+        .selectExpr("sum(id * 3 + (id & 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,17 +40,7 @@ object Bench {
     // (round-7: the round-6 d28 spelling re-measured 9.7-14.3 s against
     // its recorded 7.4 s), so absolute totals are only comparable after
     // normalizing by this number: canary_sec up = the box, not the code.
-    def canary(): Double =
-      (1 to 3).map { _ =>
-        // GC BEFORE the timed region (the sweep loop's discipline): the
-        // post-sweep canary would otherwise be charged the sweep's
-        // accumulated garbage, reading as phantom box slowdown.
-        System.gc()
-        val t0 = System.nanoTime()
-        spark.range(0, 400000000L, 1, cpus.toInt)
-          .selectExpr("sum(id * 3 + (id & 7))").collect()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+    def canary(): Double = cpuCanary(spark, cpus.toInt)
     val canaryPre = canary()
     // Interleaved canary samples (round-7 verdict item 1): the r07 artifact
     // recorded a 2.2x-loaded START that decayed mid-run, and with only

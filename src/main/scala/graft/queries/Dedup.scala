@@ -539,7 +539,14 @@ object Dedup {
     * signature table (at 100 TB: the written signature table d01 already
     * built) + a per-row integer fold — no new shuffle structure.
     */
-  val d08MinhashEst: Q = (s, d) => {
+  /** The d08 estimator as a table — ONE definition of "MinHash-estimated
+    * similarity per candidate pair" (signature joins + slot-agreement
+    * fold + the est_pct formula), shared by d08's report and d30's
+    * cluster audit: an inline re-spelling in the audit would silently
+    * drift from the estimator it claims to audit (the bandsOfSignatures
+    * discipline).
+    */
+  private[graft] def d08ScoredPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
     val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
     val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
@@ -549,8 +556,10 @@ object Dedup {
         (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
       .select(col("d1"), col("d2"), col("agree16").cast("int").as("agree16"),
         expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
-      .orderBy("d1", "d2")
   }
+
+  val d08MinhashEst: Q = (s, d) =>
+    d08ScoredPairs(s, d).orderBy("d1", "d2")
 
   /** d30: cluster CHAINING audit — the operational check a dedup pipeline
     * runs before trusting d05's transitive closure: connected components
@@ -583,30 +592,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         min("est_pct").as("min_est_pct"),
         expr("sum(est_pct) * 100 div count(1)").as("mean_est_pct_x100"))
+    // LEFT join: on the production path every multi-doc cluster has >= 1
+    // edge (clusters ARE the pair graph's components), but the helper is
+    // documented for ARBITRARY cluster tables (LPA labels, externally
+    // built) — an inner join would silently DROP a zero-edge cluster,
+    // which is the most-chained case the audit exists to surface. Such a
+    // cluster reports n_pairs = 0, NULL similarities, chained = true.
     clusters.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .join(perCluster, "cluster")
+      .join(perCluster, Seq("cluster"), "left")
       .select(col("cluster"), col("n_docs"),
         expr("n_docs * (n_docs - 1) div 2").as("clique_pairs"),
-        col("n_pairs"), col("min_est_pct"), col("mean_est_pct_x100"),
-        expr("n_pairs < n_docs * (n_docs - 1) div 2").as("chained"),
-        expr("min_est_pct < 50").as("weak_link"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("min_est_pct"), col("mean_est_pct_x100"),
+        expr("coalesce(n_pairs, 0L) < n_docs * (n_docs - 1) div 2").as("chained"),
+        expr("coalesce(min_est_pct < 50, false)").as("weak_link"))
       .orderBy("cluster")
   }
 
-  val d30ClusterAudit: Q = (s, d) => {
-    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
-    val sigs = minhashSignatures(Tables.documents(s, d))
-    val a = sigs.toDF("d1" +: (0 until NumHashes).map(i => s"a$i"): _*)
-    val b = sigs.toDF("d2" +: (0 until NumHashes).map(i => s"b$i"): _*)
-    val scored = pairsTable(s, d)
-      .join(a, "d1").join(b, "d2")
-      .withColumn("agree16", expr(
-        (0 until NumHashes).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")))
-      .select(col("d1"), col("d2"),
-        expr(s"(cast(agree16 as bigint) * 100) div $NumHashes").as("est_pct"))
-    d30AuditOf(clusters, scored)
-  }
+  val d30ClusterAudit: Q = (s, d) =>
+    d30AuditOf(
+      clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d)),
+      d08ScoredPairs(s, d).select("d1", "d2", "est_pct"))
 
   /** d27: MinHash-estimated CONTAINMENT — the asymmetric score d08's
     * Jaccard estimate can't give: "what fraction of A lives inside B",
@@ -2676,10 +2683,10 @@ object Dedup {
          |       GROUP BY c.cluster)
          |SELECT cluster, n_docs,
          |       n_docs * (n_docs - 1) // 2 AS clique_pairs,
-         |       n_pairs, min_est_pct, mean_est_pct_x100,
-         |       n_pairs < n_docs * (n_docs - 1) // 2 AS chained,
-         |       min_est_pct < 50 AS weak_link
-         |FROM cs JOIN ps USING (cluster)
+         |       COALESCE(n_pairs, 0) AS n_pairs, min_est_pct, mean_est_pct_x100,
+         |       COALESCE(n_pairs, 0) < n_docs * (n_docs - 1) // 2 AS chained,
+         |       COALESCE(min_est_pct < 50, FALSE) AS weak_link
+         |FROM cs LEFT JOIN ps USING (cluster)
          |ORDER BY cluster""".stripMargin,
     "d08_minhash_est" ->
       s"""WITH $duckBandCtes,

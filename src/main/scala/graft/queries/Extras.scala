@@ -719,9 +719,14 @@ object Extras {
     * is exact.
     */
   val q176TpchQ18: Q = (s, d) => {
+    // floor-then-cast, not a bare cast: Spark's double->bigint cast
+    // TRUNCATES while DuckDB's ROUNDS, so a non-integral quantity would
+    // land on different sides of the HAVING cut per engine; floor() makes
+    // the spelling contract-free (quantities are integral today, but the
+    // oracle should not depend on that).
     val qty = Tables.lineitem(s, d)
       .groupBy("l_orderkey")
-      .agg(sum(expr("cast(l_quantity as bigint)")).as("total_qty"))
+      .agg(sum(expr("cast(floor(l_quantity) as bigint)")).as("total_qty"))
       .filter(col("total_qty") > 200)
     qty
       .join(Tables.orders(s, d)
@@ -3069,9 +3074,9 @@ object Extras {
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |       total_qty
         |FROM (SELECT l_orderkey,
-        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
         |      FROM lineitem GROUP BY l_orderkey
-        |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 200) q
+        |      HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 200) q
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC

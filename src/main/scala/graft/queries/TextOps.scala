@@ -1389,9 +1389,17 @@ object TextOps {
       .orderBy(col("c").desc, col("pair").asc)
       .limit(1)
       .select(col("pair").as("bp"))
-    vocab.crossJoin(broadcast(best))
-      .withColumn("seq",
-        expr("replace(seq, concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' '))"))
+    // LEFT join on true, not crossJoin: when a round finds NO pair (the
+    // whole vocabulary already collapsed to single symbols), `best` is
+    // empty — a crossJoin would annihilate the vocab and every later
+    // stage would silently emit nothing. With the left join bp is NULL,
+    // replace() null-propagates, and coalesce makes the round a no-op —
+    // the same degrade the oracle spells with COALESCE around its scalar
+    // subquery.
+    vocab.join(broadcast(best), lit(true), "left")
+      .withColumn("seq", coalesce(
+        expr("replace(seq, concat(' ', bp, ' '), concat(' ', replace(bp, ' ', ''), ' '))"),
+        col("seq")))
       .drop("bp")
   }
 
@@ -1549,8 +1557,10 @@ object TextOps {
            |  GROUP BY pair ORDER BY SUM(n) DESC, pair ASC LIMIT 1),
            |v$i AS (
            |  SELECT w, n,
-           |         replace(seq, ' ' || (SELECT pair FROM p$i) || ' ',
-           |                 ' ' || replace((SELECT pair FROM p$i), ' ', '') || ' ') AS seq
+           |         COALESCE(
+           |           replace(seq, ' ' || (SELECT pair FROM p$i) || ' ',
+           |                   ' ' || replace((SELECT pair FROM p$i), ' ', '') || ' '),
+           |           seq) AS seq
            |  FROM $prev)""".stripMargin
       }.mkString(",\n")
       s"""WITH words AS (

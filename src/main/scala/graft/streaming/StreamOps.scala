@@ -277,23 +277,32 @@ object StreamOps {
     * production deployment folds old runs into the base periodically —
     * the same fold, run offline).
     */
-  def s32UpsertIndexBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty) {
-      import org.apache.spark.sql.functions._
-      val hashes = batch
-        .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
-        .groupBy("th").agg(min("doc_id").as("doc_id"))
-        .withColumn("batch_id", lit(batchId))
-      hashes.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(s"$dir/hash56")
-      val bands = graft.queries.Dedup.bandTableOf(batch)
-        .distinct()
-        .withColumn("batch_id", lit(batchId))
-      bands.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(s"$dir/bands")
-    }
+  def s32UpsertIndexBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    // persist across the probe + two writes: foreachBatch hands over an
+    // UN-persisted frame, and the isEmpty probe, the hash write and the
+    // band write (a full minhash explode/16-min-agg pipeline) would each
+    // re-read the source otherwise — 3x the per-trigger input cost
+    // (buildPairs' cache discipline, applied at the sink).
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        val hashes = cached
+          .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+          .groupBy("th").agg(min("doc_id").as("doc_id"))
+          .withColumn("batch_id", lit(batchId))
+        hashes.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/hash56")
+        val bands = graft.queries.Dedup.bandTableOf(cached)
+          .distinct()
+          .withColumn("batch_id", lit(batchId))
+        bands.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/bands")
+      }
+    } finally cached.unpersist()
+  }
 
   def s32IndexMaintain(docs: DataFrame, dir: String,
                        checkpoint: String): StreamingQuery =

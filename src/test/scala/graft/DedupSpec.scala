@@ -92,18 +92,24 @@ class DedupSpec extends SparkSpec {
     // cluster 100: a 3-doc PATH (1-2, 2-3, no 1-3) -> 2 pairs < 3 clique
     // pairs => chained, with one edge at 31% => weak_link too.
     // cluster 200: a clean 2-doc clique at 93% => neither flag.
+    // cluster 300: two docs, ZERO scored edges (an arbitrary external
+    // cluster table) — must surface as maximally chained, never drop.
     val clusters = Seq((1L, 100L), (2L, 100L), (3L, 100L),
-                       (10L, 200L), (11L, 200L), (99L, 99L)) // 99: singleton
+                       (10L, 200L), (11L, 200L),
+                       (20L, 300L), (21L, 300L), (99L, 99L)) // 99: singleton
       .toDF("doc_id", "cluster")
     val scored = Seq((1L, 2L, 81L), (2L, 3L, 31L), (10L, 11L, 93L))
       .toDF("d1", "d2", "est_pct")
     val rows = Dedup.d30AuditOf(clusters, scored)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
-        r.getBoolean(7)))
+        r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getBoolean(6), r.getBoolean(7)))
     assert(rows.toSeq === Seq(
       (100L, 3L, 3L, 2L, 31L, 5600L, true, true),
-      (200L, 2L, 1L, 1L, 93L, 9300L, false, false)),
+      (200L, 2L, 1L, 1L, 93L, 9300L, false, false),
+      (300L, 2L, 1L, 0L, -1L, -1L, true, false)),
       s"audit rows: ${rows.mkString(", ")}")
   }
 

@@ -143,18 +143,12 @@ class TransactionSourceSpec extends SparkSpec {
     val rate = n / best
     if (rate <= 500000.0) {
       // Wall-clock tests can still flake under SUSTAINED neighbor load
-      // (advice r07; the repo's bench logs document 1.3-2.2x phases). Before
-      // failing, time the bench's fixed CPU canary (same per-thread work as
-      // Bench.scala's: 12.5M rows/thread); a quiet box runs it in ~0.1 s.
-      // Loaded box -> cancel (inconclusive), quiet box -> a REAL per-row
-      // regression, fail.
-      val canary = (1 to 3).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        spark.range(0, 50000000L, 1, 4).selectExpr("sum(id * 3 + (id & 7))")
-          .collect()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      // (advice r07; the repo's bench logs document 1.3-2.2x phases).
+      // Before failing, time THE bench's fixed CPU canary (shared
+      // Bench.cpuCanary — one definition, no drift); a quiet box runs it
+      // in ~0.1 s. Loaded box -> cancel (inconclusive), quiet box -> a
+      // REAL per-row regression, fail.
+      val canary = Bench.cpuCanary(spark, 4)
       if (canary > 0.3)
         cancel(f"throughput floor inconclusive: box is loaded (canary " +
           f"${canary}%.3f s vs ~0.1 s quiet); measured ${rate}%.0f rows/s")
