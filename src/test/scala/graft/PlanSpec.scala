@@ -408,6 +408,27 @@ class PlanSpec extends SparkSpec {
       s"top-100 must plan as a bounded heap:\n$p21")
   }
 
+  test("q165: grouping sets plan ONE Expand over ONE scan, not a per-set union") {
+    val plan = planOf(graft.queries.Extras.q165GroupingSets(spark, sf))
+    assert(plan.contains("Expand"),
+      s"grouping sets must compile to the Expand operator:\n$plan")
+    val nScans = "FileScan|Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1,
+      s"the fact table must be scanned once (got $nScans scans) — a " +
+        s"per-set UNION ALL spelling would scan per set:\n$plan")
+  }
+
+  test("t39: BPE scoring joins broadcast the trained model; no ScalaUDF in the plan") {
+    val plan = planOf(graft.queries.TextOps.t39BpeTokenizer(spark, sf))
+    assert(!plan.contains("ScalaUDF"),
+      s"the whole train+encode must stay relational/codegen:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the trained vocabulary is model-scale and must broadcast into " +
+        s"the corpus scoring join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"per-round best-pair attach must be a broadcast, not a cartesian:\n$plan")
+  }
+
   test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
     import org.apache.spark.sql.functions.col
     val key = graft.plans.RangeBucketJoin.WidthConf
