@@ -501,6 +501,52 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** p11: cluster-safe train/val/test split — the remedial WRITE side of
+    * p08's diagnostic: p08 measures how much eval data a naive
+    * doc-hash split leaks from train (exact + near); THIS operator is
+    * the assignment policy that drives that number to zero by
+    * construction — key the 80/10/10 hash split on the d05 CLUSTER id
+    * (the transitive closure of near-dup pairs), so every member of a
+    * near-dup family lands in the same split, with the naive doc-keyed
+    * policy computed in the same pass as the control. Output per
+    * (policy, split): docs, distinct clusters, ws tokens, plus the
+    * policy's leaky-cluster count (clusters straddling ≥ 2 splits) —
+    * by_cluster MUST report 0 and by_doc reports the damage, the
+    * leakage-guard contract an eval-integrity review signs off on.
+    * Shapes: the shared memoized cluster table (a written parquet table
+    * at 100 TB) joined once on doc_id; one `stack` melt so both policies
+    * ride ONE scan; the straddle check and the split rollup are
+    * partial-agg groupBys keyed by (policy, cluster)/(policy, split);
+    * assignment hashes are md5-derived (q39's engine-stable discipline) —
+    * no RNG, replayable on any cluster size.
+    */
+  val p11ClusterSafeSplit: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("toks"))
+      .join(clusters, "doc_id")
+      .withColumn("pd", expr(s"${TextHash.sparkHash56("cast(doc_id as string)")} % 100"))
+      .withColumn("pc", expr(s"${TextHash.sparkHash56("cast(cluster as string)")} % 100"))
+    def lbl(p: String) =
+      s"CASE WHEN $p < 80 THEN 'train' WHEN $p < 90 THEN 'val' ELSE 'test' END"
+    val m = base.selectExpr(
+      s"stack(2, 'by_doc', ${lbl("pd")}, 'by_cluster', ${lbl("pc")}) as (policy, split)",
+      "doc_id", "cluster", "toks")
+    val leaky = m.groupBy("policy", "cluster")
+      .agg(countDistinct(col("split")).as("ns"))
+      .groupBy("policy")
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_clusters"))
+    m.groupBy("policy", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("cluster")).as("n_clusters"),
+           sum("toks").as("n_tokens"))
+      .join(broadcast(leaky), "policy")
+      .select("policy", "split", "n_docs", "n_clusters", "n_tokens",
+        "leaky_clusters")
+      .orderBy("policy", "split")
+  }
+
   /** d23: per-node LOCAL clustering coefficient over the candidate-pair
     * graph — d07's global triangle count localized: for each node, its
     * degree, incident-triangle count, and coefficient 2·T/(deg·(deg−1)) in
@@ -1873,6 +1919,7 @@ object Dedup {
     "d25_url_canonical" -> d25UrlCanonical,
     "d23_local_clustering" -> d23LocalClustering,
     "p08_split_leakage" -> p08SplitLeakage,
+    "p11_cluster_safe_split" -> p11ClusterSafeSplit,
     "d21_blocking_quality" -> d21BlockingQuality,
     "d22_banding_sweep" -> d22BandingSweep,
     "t29_quality_dup_curve" -> t29QualityDupCurve,
@@ -2205,6 +2252,45 @@ object Dedup {
       s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // p11: same reach/clusters CTEs as d05/p03; both policies' assignment
+    // hashes are md5 of the DECIMAL string of the key (Spark bigint→string
+    // and DuckDB bigint→varchar agree), so splits match bit-for-bit.
+    "p11_cluster_safe_split" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |base AS (
+         |  SELECT d.doc_id, c.cluster,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+         |         ${TextHash.duckHash56("CAST(d.doc_id AS VARCHAR)")} % 100 AS pd,
+         |         ${TextHash.duckHash56("CAST(c.cluster AS VARCHAR)")} % 100 AS pc
+         |  FROM documents d JOIN clusters c USING (doc_id)),
+         |m AS (
+         |  SELECT 'by_doc' AS policy,
+         |         CASE WHEN pd < 80 THEN 'train' WHEN pd < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         doc_id, cluster, toks FROM base
+         |  UNION ALL
+         |  SELECT 'by_cluster',
+         |         CASE WHEN pc < 80 THEN 'train' WHEN pc < 90 THEN 'val'
+         |              ELSE 'test' END,
+         |         doc_id, cluster, toks FROM base),
+         |leaky AS (
+         |  SELECT policy,
+         |         CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS leaky_clusters
+         |  FROM (SELECT policy, cluster, COUNT(DISTINCT split) AS ns
+         |        FROM m GROUP BY 1, 2)
+         |  GROUP BY policy)
+         |SELECT policy, split,
+         |       CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |       leaky_clusters
+         |FROM m JOIN leaky USING (policy)
+         |GROUP BY policy, split, leaky_clusters
+         |ORDER BY policy, split""".stripMargin,
     "p03_dedup_cascade" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (

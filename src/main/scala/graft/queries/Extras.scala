@@ -820,6 +820,77 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** Morton (z-order) bit interleave of two 16-bit normalized coordinates
+    * as ONE pure-integer expression — term-for-term identical text on both
+    * engines (divOp = `div` on Spark, `//` on DuckDB), so the curve value
+    * is bit-exact cross-engine: z = Σᵢ bitᵢ(xs)·4ⁱ + bitᵢ(ys)·2·4ⁱ. The
+    * 16-level unroll stays inside whole-stage codegen (plain div/%/·/+ on
+    * bigints — no UDF, no loop).
+    *
+    * Relation to [[graft.queries.ScaleOps]]' q86 `zInterleave`: q86 pins
+    * the SHIFT dialect (`shiftright`/`&` vs `>>`/`&` — per-engine
+    * spellings, arithmetic-shift semantics on any input sign); this is
+    * the div/% dialect whose TEXT is engine-identical, correct for the
+    * provably non-negative normalized coordinates it is applied to (on
+    * negatives div/% truncation and arithmetic shifts genuinely differ —
+    * why the two generators are not collapsed into one).
+    */
+  private[graft] def mortonTerms(xs: String, ys: String, divOp: String): String =
+    (0 until 16).map { i =>
+      val p = 1L << i
+      s"(($xs $divOp $p) % 2) * ${1L << (2 * i)} + (($ys $divOp $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q179: layout COMPARISON audit — the decision table behind a
+    * `OPTIMIZE ZORDER BY` call, answering "how much does the curve buy
+    * over the sort layout we already have?" (q86 emits the z-order
+    * envelope VIEW itself; this query quantifies the choice AGAINST the
+    * single-key-sort status quo). A table laid out by one sort key prunes
+    * scans on that key only — its per-file min/max zone maps on every
+    * OTHER key span the full range; interleaving the bits of two keys
+    * onto one space-filling curve bounds the per-file extent of BOTH.
+    * Measured on (l_partkey, l_suppkey): normalize each key to 16 bits
+    * via its (min,max) stats row, compute the Morton value, model files
+    * as 64 equal-width curve cells (`z div 2²⁶` — the static-grid model;
+    * the production write is `repartitionByRange($"z")`, equi-depth over
+    * the same curve, with identical extents logic), and report per layout
+    * (zorder vs xsort) the average per-bucket zone-map extent of each
+    * dimension in basis points of the full range. Expected shape — and
+    * what the spec pins: xsort gives near-zero x-extents but ~full-range
+    * y-extents (y-predicates prune nothing); zorder bounds BOTH at the
+    * 8×8 grid-cell width (1250 bp). Shapes: one stats broadcast, per-row
+    * codegen curve math, a `stack` melt so the fact is scanned ONCE for
+    * both layouts, one partial-agg groupBy over ≤128 (layout, bucket)
+    * keys, a metadata-scale rollup. All integer.
+    */
+  val q179LayoutCompare: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("bigint").as("x"),
+              col("l_suppkey").cast("bigint").as("y"))
+    val stats = li.agg(min("x").as("xmin"), max("x").as("xmax"),
+                       min("y").as("ymin"), max("y").as("ymax"))
+    val z = li.crossJoin(broadcast(stats))
+      .select(
+        expr("(x - xmin) * 65535 div greatest(xmax - xmin, 1)").as("xs"),
+        expr("(y - ymin) * 65535 div greatest(ymax - ymin, 1)").as("ys"))
+      .withColumn("z", expr(mortonTerms("xs", "ys", "div")))
+    val melted = z.selectExpr(
+      s"stack(2, 'zorder', z div ${1L << 26}, 'xsort', xs div 1024) as (layout, bucket)",
+      "xs", "ys")
+    melted.groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n"),
+           min("xs").as("x0"), max("xs").as("x1"),
+           min("ys").as("y0"), max("ys").as("y1"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_rows"),
+           sum(expr("x1 - x0 + 1")).as("xspan"),
+           sum(expr("y1 - y0 + 1")).as("yspan"))
+      .select(col("layout"), col("n_buckets"), col("n_rows"),
+        expr("xspan * 10000 div (n_buckets * 65536)").as("avg_x_extent_bp"),
+        expr("yspan * 10000 div (n_buckets * 65536)").as("avg_y_extent_bp"))
+      .orderBy("layout")
+  }
+
   /** q174: DEFAULT window-frame semantics — the trap behind half of all
     * wrong `last_value` reports: with an ORDER BY and no explicit frame,
     * the SQL-standard default is RANGE UNBOUNDED PRECEDING → CURRENT ROW
@@ -2482,6 +2553,7 @@ object Extras {
     "q176_tpch_q18"          -> q176TpchQ18,
     "q177_tpch_q21"          -> q177TpchQ21,
     "q178_groups_frame"      -> q178GroupsFrame,
+    "q179_layout_compare"     -> q179LayoutCompare,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -3118,6 +3190,33 @@ object Extras {
         |WINDOW w AS (PARTITION BY user_id ORDER BY dr
         |             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // q179: the Morton curve is the SAME generated 16-level integer
+    // expression text on both engines (mortonTerms, `//` dialect); the
+    // melt is a UNION ALL where Spark uses a one-scan `stack`.
+    "q179_layout_compare" ->
+      s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+         |                   CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+         |st AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+         |              MIN(y) AS ymin, MAX(y) AS ymax FROM li),
+         |norm AS (SELECT (x - xmin) * 65535 // greatest(xmax - xmin, 1) AS xs,
+         |                (y - ymin) * 65535 // greatest(ymax - ymin, 1) AS ys
+         |         FROM li, st),
+         |z AS (SELECT xs, ys, ${mortonTerms("xs", "ys", "//")} AS z FROM norm),
+         |b AS (SELECT 'zorder' AS layout, z // ${1L << 26} AS bucket, xs, ys FROM z
+         |      UNION ALL
+         |      SELECT 'xsort', xs // 1024, xs, ys FROM z),
+         |per AS (SELECT layout, bucket, COUNT(1) AS n,
+         |               MIN(xs) AS x0, MAX(xs) AS x1,
+         |               MIN(ys) AS y0, MAX(ys) AS y1
+         |        FROM b GROUP BY layout, bucket)
+         |SELECT layout,
+         |       CAST(COUNT(1) AS BIGINT) AS n_buckets,
+         |       CAST(SUM(n) AS BIGINT) AS n_rows,
+         |       CAST(CAST(SUM(x1 - x0 + 1) AS BIGINT) * 10000
+         |            // (COUNT(1) * 65536) AS BIGINT) AS avg_x_extent_bp,
+         |       CAST(CAST(SUM(y1 - y0 + 1) AS BIGINT) * 10000
+         |            // (COUNT(1) * 65536) AS BIGINT) AS avg_y_extent_bp
+         |FROM per GROUP BY layout ORDER BY layout""".stripMargin,
     "q137_tpch_q5" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

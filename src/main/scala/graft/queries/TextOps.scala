@@ -1438,9 +1438,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t40: bigram language-model scoring — the REAL-model upgrade of t26
+    * (whose unigram table ranks tokens in isolation): a Laplace-smoothed
+    * bigram LM trained on the corpus itself scores every transition
+    * w1→w2 by its conditional surprisal, the signal CCNet (Wenzek et
+    * al. 2020) uses to rank crawl text by fluency — repetitive/templated
+    * text scores low (its transitions are all high-probability),
+    * word-salad scores high even when every individual token is common
+    * (exactly what t26 cannot see). Integer spelling: surprisal of a
+    * transition = floor(log2(f1 + V)) − floor(log2(f2 + 1)) bits, the
+    * bit-length identity t35/x12 pin (`bin` on both engines), applied to
+    * the Laplace estimate P(w2|w1) = (f2+1)/(f1+V) with V = vocab size
+    * (f1 = corpus unigram count of w1 — the standard textbook
+    * denominator; it counts w1's document-final occurrences too, a
+    * deterministic modeling choice both engines share). Shape: one
+    * tokenization feeds the unigram table AND the bigram rows (shingles
+    * k=2, the d01 machinery); f2 joins on the bigram hash, f1 on the
+    * prefix-token hash — both shuffles key on uniform 56-bit hashes,
+    * never token text; V is a one-row broadcast; the per-doc rollup is a
+    * partial agg. Single-token docs have no transition and drop out on
+    * both engines (the shingle self-degenerate carries no space).
+    */
+  val t40BigramLm: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+    val tok = docs
+      .select(explode(col("tokens")).as("t"))
+      .select(expr(TextHash.sparkHash56("t")).as("h1"))
+    val c1 = tok.groupBy("h1").agg(count(lit(1)).as("f1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val bg = docs
+      .select(col("doc_id"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 2))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .select(col("doc_id"),
+        expr(TextHash.sparkHash56("bg")).as("hb"),
+        expr(TextHash.sparkHash56("split(bg, ' ')[0]")).as("h1"))
+    val c2 = bg.groupBy("hb").agg(count(lit(1)).as("f2"))
+    bg.join(c2, "hb")
+      .join(c1, "h1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("cast((length(bin(f1 + v)) - 1) - (length(bin(f2 + 1)) - 1) as bigint)")
+          .as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+           sum("bits").as("bits_sum"))
+      .withColumn("mean_centibits", expr("(bits_sum * 100) div n_transitions"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
+    "t40_bigram_lm"      -> t40BigramLm,
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
@@ -1509,6 +1560,32 @@ object TextOps {
     // Spark's slice(start, length) here), then the same (?m) regex counts
     // via len(regexp_extract_all). The corpus is nonempty per doc, so the
     // line count is always >= 1.
+    // t40: identical Laplace-smoothed bigram surprisal — log2 via the
+    // same bin/format('{:b}') bit-length identity as t35; the prefix
+    // token of a bigram is element 1 (DuckDB arrays are 1-indexed).
+    "t40_bigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT ${TextHash.duckHash56("t")} AS h1
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |c1 AS (SELECT h1, COUNT(1) AS f1 FROM tok GROUP BY h1),
+         |v AS (SELECT CAST(COUNT(1) AS BIGINT) AS v FROM c1),
+         |bg AS (
+         |  SELECT doc_id,
+         |         ${TextHash.duckHash56("bg")} AS hb,
+         |         ${TextHash.duckHash56("string_split(bg, ' ')[1]")} AS h1
+         |  FROM (SELECT doc_id, unnest(${TextHash.duckShingles("text", 2)}) AS bg
+         |        FROM documents)
+         |  WHERE contains(bg, ' ')),
+         |c2 AS (SELECT hb, COUNT(1) AS f2 FROM bg GROUP BY hb)
+         |SELECT doc_id,
+         |       CAST(COUNT(1) AS BIGINT) AS n_transitions,
+         |       CAST(SUM((length(format('{:b}', f1 + v)) - 1)
+         |              - (length(format('{:b}', f2 + 1)) - 1)) AS BIGINT) AS bits_sum,
+         |       CAST(CAST(SUM((length(format('{:b}', f1 + v)) - 1)
+         |              - (length(format('{:b}', f2 + 1)) - 1)) AS BIGINT)
+         |            * 100 // COUNT(1) AS BIGINT) AS mean_centibits
+         |FROM bg JOIN c2 USING (hb) JOIN c1 USING (h1), v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t35: the oracle may use the plain rank window (DuckDB single-node);
     // the Spark side's prefixSum must equal it under any partitioning.
     "t35_zipf_fit" ->

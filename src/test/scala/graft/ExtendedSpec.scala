@@ -183,6 +183,72 @@ class ExtendedSpec extends SparkSpec {
       "BPE encoding should need fewer symbols than characters")
   }
 
+  test("t40 bigram LM matches an in-memory reference") {
+    // Reference: the same Laplace-smoothed floor-log2 surprisal computed
+    // serially over STRING keys (the query counts by 56-bit hash — a
+    // collision would diverge here, so this doubles as a collision
+    // canary at this scale). Docs with < 2 tokens have no transition and
+    // must be absent on both sides.
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val uni = scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+    docs.foreach(_._2.foreach(t => uni(t) += 1))
+    val v = uni.size.toLong
+    val bi = scala.collection.mutable.HashMap[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (_, ts) =>
+      (0 until ts.length - 1).foreach(i => bi((ts(i), ts(i + 1))) += 1)
+    }
+    def lg(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = docs.filter(_._2.length >= 2).map { case (id, ts) =>
+      val bits = (0 until ts.length - 1).map { i =>
+        lg(uni(ts(i)) + v) - lg(bi((ts(i), ts(i + 1))) + 1)
+      }
+      id -> ((ts.length - 1).toLong, bits.sum)
+    }.toMap
+    val got = graft.queries.TextOps.t40BigramLm(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) === expect(id), s"doc $id diverges")
+      assert(r.getLong(3) === r.getLong(2) * 100 / r.getLong(1))
+    }
+  }
+
+  test("q179 Morton expression equals a bitwise reference; layouts contrast as theory says") {
+    def ref(xs: Long, ys: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((xs >> i) & 1L) << (2 * i)
+        z |= ((ys >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pairs = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
+      (43690L, 21845L), (12345L, 54321L), (32768L, 1L))
+    val vals = pairs.map { case (a, b) =>
+      s"(cast($a as bigint), cast($b as bigint))" }.mkString(", ")
+    val got = spark.sql(
+      s"SELECT ${graft.queries.Extras.mortonTerms("x", "y", "div")} AS z " +
+        s"FROM VALUES $vals AS t(x, y)").collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map((ref _).tupled),
+      "the generated div/% spelling must equal true bit interleaving")
+    // Layout geometry: an x-sorted layout prunes x only (its buckets span
+    // ~the full y range); the 64-cell z-order grid is 8×8, so BOTH
+    // per-bucket extents are cell-bounded at 8192/65536 = 1250 bp.
+    val m = graft.queries.Extras.q179LayoutCompare(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (xb, xr, xx, xy) = m("xsort")
+    val (zb, zr, zx, zy) = m("zorder")
+    assert(xr === zr, "both layouts must account for every fact row")
+    assert(xb <= 64 && zb <= 64)
+    assert(xx < 500, s"x-sorted buckets must have tiny x extents, got $xx bp")
+    assert(xy > 8000, s"x-sorted buckets should span ~the full y range, got $xy bp")
+    assert(zx <= 1250 && zy <= 1250,
+      s"z-order extents are cell-bounded at 1250 bp, got ($zx, $zy)")
+    assert(zy < xy / 2, "the curve must beat single-key sort on the second dimension")
+  }
+
   test("q121 precondition (integral weights) + buffered weighted-median reference") {
     import org.apache.spark.sql.functions._
     val rows = graft.Tables.lineitem(spark, sf)

@@ -429,6 +429,18 @@ class PlanSpec extends SparkSpec {
       s"per-round best-pair attach must be a broadcast, not a cartesian:\n$plan")
   }
 
+  test("q179: stack melt keeps the fact at two scans (stats + data); morton math stays codegen") {
+    val plan = planOf(graft.queries.Extras.q179LayoutCompare(spark, sf))
+    val nScans = "FileScan|Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 2,
+      s"expected exactly stats scan + ONE melted data scan (a per-layout " +
+        s"UNION ALL spelling would make it three):\n$plan")
+    assert(plan.contains("Generate"), s"stack melt missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"the 16-level interleave must stay a codegen integer expression:\n$plan")
+    assert(plan.contains("partial_"), s"bucket stats must partial-agg:\n$plan")
+  }
+
   test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
     import org.apache.spark.sql.functions.col
     val key = graft.plans.RangeBucketJoin.WidthConf
