@@ -1488,10 +1488,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t41: cross-source domain cross-entropy matrix — t40's bigram LM
+    * trained PER SOURCE and evaluated on every source (diagonal = the
+    * in-domain entropy baseline): cell (train, eval) is the mean
+    * conditional surprisal of eval-source transitions under the
+    * train-source Laplace model — the domain-similarity table mixture
+    * design reads (which sources substitute for which; which eval set a
+    * candidate crawl actually resembles — the importance-resampling /
+    * DoReMi-style selection signal). Zero-count handling is where the
+    * cross-source case differs from t40: an unseen bigram scores
+    * floor-log2(f1+V) (Laplace mass 1/(f1+V)), an unseen CONTEXT scores
+    * floor-log2(V) (1/V) — both via coalesce-to-0 under the same
+    * bit-length identity; f2 ≤ f1 always (a bigram occurrence IS a
+    * prefix occurrence), so surprisal stays non-negative and the
+    * truncating division cross-engine-exact. Shapes: per-source model
+    * tables are (source × vocab)-scale partial-agg groupBys (written
+    * per-source tables at 100 TB); the eval side collapses to DISTINCT
+    * (eval_source, bigram) rows with counts BEFORE fanning out ×
+    * │sources│ via a broadcast of the source dim (t38's entity-scale
+    * discipline — corpus rows never multiply); model joins are LEFT
+    * equi-joins on (train_source, 56-bit hash); the rollup is a
+    * │sources│²-row partial agg.
+    */
+  val t41DomainXent: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+    val tok = docs
+      .select(col("source").as("tsrc"), explode(col("tokens")).as("t"))
+      .select(col("tsrc"), expr(TextHash.sparkHash56("t")).as("h1"))
+    val uni = tok.groupBy("tsrc", "h1").agg(count(lit(1)).as("f1"))
+    val vv = uni.groupBy("tsrc").agg(count(lit(1)).as("v"))
+    val bgAll = docs
+      .select(col("source"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 2))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .select(col("source"),
+        expr(TextHash.sparkHash56("bg")).as("hb"),
+        expr(TextHash.sparkHash56("split(bg, ' ')[0]")).as("h1"))
+    val big = bgAll.select(col("source").as("tsrc"), col("hb"))
+      .groupBy("tsrc", "hb").agg(count(lit(1)).as("f2"))
+    val ev = bgAll.select(col("source").as("esrc"), col("hb"), col("h1"))
+      .groupBy("esrc", "hb", "h1").agg(count(lit(1)).as("n"))
+    val srcs = docs.select(col("source").as("tsrc")).distinct()
+    ev.crossJoin(broadcast(srcs))
+      .join(big, Seq("tsrc", "hb"), "left")
+      .join(uni, Seq("tsrc", "h1"), "left")
+      .join(broadcast(vv), "tsrc")
+      .select(col("tsrc"), col("esrc"), col("n"),
+        expr("cast((length(bin(coalesce(f1, 0) + v)) - 1) " +
+          "- (length(bin(coalesce(f2, 0) + 1)) - 1) as bigint)").as("bits"))
+      .groupBy("tsrc", "esrc")
+      .agg(sum("n").as("n_transitions"),
+           sum(expr("n * bits")).as("bits_sum"))
+      .withColumn("mean_centibits", expr("(bits_sum * 100) div n_transitions"))
+      .select(col("tsrc").as("train_source"), col("esrc").as("eval_source"),
+        col("n_transitions"), col("bits_sum"), col("mean_centibits"))
+      .orderBy("train_source", "eval_source")
+  }
+
   val queries: Map[String, Q] = Map(
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
     "t40_bigram_lm"      -> t40BigramLm,
+    "t41_domain_xent"    -> t41DomainXent,
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
@@ -1560,6 +1619,43 @@ object TextOps {
     // Spark's slice(start, length) here), then the same (?m) regex counts
     // via len(regexp_extract_all). The corpus is nonempty per doc, so the
     // line count is always >= 1.
+    // t41: per-source models + the ev × sources grid; unseen bigram /
+    // context degrade through COALESCE 0 under the same bit-length
+    // identity, exactly as the Spark side spells it.
+    "t41_domain_xent" ->
+      s"""WITH tok AS (
+         |  SELECT source AS tsrc, ${TextHash.duckHash56("t")} AS h1
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |uni AS (SELECT tsrc, h1, COUNT(1) AS f1 FROM tok GROUP BY 1, 2),
+         |vv AS (SELECT tsrc, CAST(COUNT(1) AS BIGINT) AS v FROM uni GROUP BY 1),
+         |bgall AS (
+         |  SELECT source,
+         |         ${TextHash.duckHash56("bg")} AS hb,
+         |         ${TextHash.duckHash56("string_split(bg, ' ')[1]")} AS h1
+         |  FROM (SELECT source, unnest(${TextHash.duckShingles("text", 2)}) AS bg
+         |        FROM documents)
+         |  WHERE contains(bg, ' ')),
+         |big AS (SELECT source AS tsrc, hb, COUNT(1) AS f2
+         |        FROM bgall GROUP BY 1, 2),
+         |ev AS (SELECT source AS esrc, hb, h1, COUNT(1) AS n
+         |       FROM bgall GROUP BY 1, 2, 3),
+         |srcs AS (SELECT DISTINCT source AS tsrc FROM documents),
+         |grid AS (
+         |  SELECT s.tsrc, e.esrc, e.n,
+         |         (length(format('{:b}', COALESCE(u.f1, 0) + vv.v)) - 1)
+         |       - (length(format('{:b}', COALESCE(b.f2, 0) + 1)) - 1) AS bits
+         |  FROM ev e
+         |  CROSS JOIN srcs s
+         |  LEFT JOIN big b ON b.tsrc = s.tsrc AND b.hb = e.hb
+         |  LEFT JOIN uni u ON u.tsrc = s.tsrc AND u.h1 = e.h1
+         |  JOIN vv ON vv.tsrc = s.tsrc)
+         |SELECT tsrc AS train_source, esrc AS eval_source,
+         |       CAST(SUM(n) AS BIGINT) AS n_transitions,
+         |       CAST(SUM(n * bits) AS BIGINT) AS bits_sum,
+         |       CAST(CAST(SUM(n * bits) AS BIGINT) * 100
+         |            // CAST(SUM(n) AS BIGINT) AS BIGINT) AS mean_centibits
+         |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t40: identical Laplace-smoothed bigram surprisal — log2 via the
     // same bin/format('{:b}') bit-length identity as t35; the prefix
     // token of a bigram is element 1 (DuckDB arrays are 1-indexed).

@@ -214,6 +214,26 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("t41 domain matrix: in-domain entropy strictly dominates every cross-domain cell") {
+    // The property that makes the matrix a usable domain-similarity
+    // signal: for every eval source the diagonal (model trained on the
+    // same source) must score STRICTLY below every off-diagonal cell —
+    // if it didn't on a corpus with genuinely distinct sources, the
+    // smoothing or the count plumbing is broken. Surprisal must also be
+    // non-negative by the f2 ≤ f1 argument in the scaladoc.
+    val rows = graft.queries.TextOps.t41DomainXent(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val srcs = rows.map(_._2).distinct
+    assert(rows.length === srcs.length * srcs.length, "full matrix expected")
+    assert(rows.forall(_._3 >= 0L), "surprisal must be non-negative")
+    srcs.foreach { e =>
+      val diag = rows.collectFirst { case (t, ev, m) if t == e && ev == e => m }.get
+      val minOff = rows.collect { case (t, ev, m) if ev == e && t != e => m }.min
+      assert(diag < minOff,
+        s"eval $e: in-domain $diag must beat best cross-domain $minOff")
+    }
+  }
+
   test("q179 Morton expression equals a bitwise reference; layouts contrast as theory says") {
     def ref(xs: Long, ys: Long): Long = {
       var z = 0L

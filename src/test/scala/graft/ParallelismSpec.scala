@@ -37,7 +37,13 @@ class ParallelismSpec extends SparkSpec {
     // best-pair argmax is a TakeOrdered over partial pair counts (ties
     // broken by (count desc, pair asc), never by partition arrival); d30
     // rolls up the partition-built cluster/pair tables.
-    "t35_zipf_fit", "t39_bpe_tokenizer", "d30_cluster_audit")
+    "t35_zipf_fit", "t39_bpe_tokenizer", "d30_cluster_audit",
+    // late round-8 additions: t40's per-doc sums ride two hash joins whose
+    // build layout must not leak into results; q179's bucket envelopes
+    // fold per-partition min/max partials; p11 re-derives the cluster
+    // table (cleared per run) and its straddle counts must not depend on
+    // how the melt is partitioned.
+    "t40_bigram_lm", "q179_layout_compare", "p11_cluster_safe_split")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so
