@@ -441,6 +441,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"bucket stats must partial-agg:\n$plan")
   }
 
+  test("t40/t41: LM count joins stay hash equi-joins on the 56-bit keys; dims broadcast") {
+    for ((name, df) <- Seq(
+        "t40" -> graft.queries.TextOps.t40BigramLm(spark, sf),
+        "t41" -> graft.queries.TextOps.t41DomainXent(spark, sf))) {
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF"),
+        s"$name: the whole scoring path must stay relational/codegen:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: only broadcast fan-outs are acceptable:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"$name: the count tables must build with map-side partials:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+             plan.contains("BroadcastHashJoin"),
+        s"$name: model-count joins must be hash/merge equi-joins:\n$plan")
+    }
+    // t41's ×|sources| grid must ride a broadcast of the source dim (the
+    // eval side is pre-collapsed, so this BNLJ multiplies DISTINCT bigram
+    // rows, never corpus rows).
+    val t41Plan = planOf(graft.queries.TextOps.t41DomainXent(spark, sf))
+    assert(t41Plan.contains("BroadcastNestedLoopJoin"),
+      s"t41: the source-dim fan-out must be a broadcast:\n$t41Plan")
+  }
+
   test("q129: RangeBucketJoin rewrites the pure range join to a bucketed equi-join; off = BNLJ") {
     import org.apache.spark.sql.functions.col
     val key = graft.plans.RangeBucketJoin.WidthConf
