@@ -841,6 +841,61 @@ object Extras {
       s"(($xs $divOp $p) % 2) * ${1L << (2 * i)} + (($ys $divOp $p) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** One Hilbert-curve transform level: from state (hx, hy, hd) emit the
+    * (new hd, new hx, new hy) expression texts — the standard xy2d
+    * recursion (extract the level bit pair, add the quadrant's curve
+    * offset s²·(3rx XOR ry), rotate/reflect the frame) spelled in
+    * pure CASE/div/% integer arithmetic identical on both engines:
+    * 3rx XOR ry collapses to `IF rx=0 THEN ry ELSE 3−ry` (no XOR
+    * operator needed), and every reflection is masked `% s` so state
+    * stays in [0, s) — non-negative, which is what keeps div/% truncation
+    * equivalent to the reference algorithm's bit operations (values are
+    * congruent mod 2s at every level, the only bits later levels read).
+    * Validated in ExtendedSpec by enumerating the full 4-level curve
+    * (bijective 0..255 + every consecutive pair of curve positions is a
+    * Manhattan-adjacent cell — the defining locality property z-order
+    * lacks and the reason this operator exists).
+    */
+  private[graft] def hilbertLevel(s: Long, divOp: String): (String, String, String) = {
+    val rx = s"((hx $divOp $s) % 2)"
+    val ry = s"((hy $divOp $s) % 2)"
+    (s"hd + ${s * s} * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)",
+     s"CASE WHEN $ry = 1 THEN hx % $s WHEN $rx = 1 THEN ${s - 1} - (hy % $s) ELSE hy % $s END",
+     s"CASE WHEN $ry = 1 THEN hy % $s WHEN $rx = 1 THEN ${s - 1} - (hx % $s) ELSE hx % $s END")
+  }
+
+  /** Apply the `levels`-deep Hilbert transform to columns xs, ys, adding
+    * `hd` ∈ [0, 4^levels). One narrow Project per level (state feeds
+    * forward, so the 16-level chain is a pipeline of cheap per-row
+    * projections — no shuffle, no UDF; each level's CASEs reference the
+    * previous level's three columns only).
+    */
+  private[graft] def hilbertD(df: DataFrame, levels: Int): DataFrame = {
+    val start = df.withColumn("hx", col("xs")).withColumn("hy", col("ys"))
+      .withColumn("hd", lit(0L))
+    val done = (0 until levels).foldLeft(start) { (cur, i) =>
+      val (de, nxe, nye) = hilbertLevel(1L << (levels - 1 - i), "div")
+      // hd must read the PRE-rotation hx/hy: compute all three from the
+      // same input row, then swap in (select, not chained withColumn).
+      cur.select(cur.columns.filterNot(Seq("hx", "hy", "hd").contains).toIndexedSeq.map(col) :+
+        expr(de).as("hd_n") :+ expr(nxe).as("hx_n") :+ expr(nye).as("hy_n"): _*)
+        .withColumnRenamed("hd_n", "hd").withColumnRenamed("hx_n", "hx")
+        .withColumnRenamed("hy_n", "hy")
+    }
+    done.drop("hx", "hy")
+  }
+
+  /** The matching DuckDB spelling: a generated chain of `levels` CTEs
+    * (h1..hN over h0), each one SELECT computing the same three
+    * expressions — all reads in a SELECT see the previous CTE's row, the
+    * exact semantics of the Spark per-level projection. */
+  private[graft] def duckHilbertCtes(levels: Int): String =
+    (1 to levels).map { i =>
+      val (de, nxe, nye) = hilbertLevel(1L << (levels - i), "//")
+      s"""h$i AS (SELECT xs, ys, $nxe AS hx, $nye AS hy, $de AS hd
+         |        FROM h${i - 1})""".stripMargin
+    }.mkString(",\n")
+
   /** q179: layout COMPARISON audit — the decision table behind a
     * `OPTIMIZE ZORDER BY` call, answering "how much does the curve buy
     * over the sort layout we already have?" (q86 emits the z-order
@@ -863,20 +918,25 @@ object Extras {
     * both layouts, one partial-agg groupBy over ≤128 (layout, bucket)
     * keys, a metadata-scale rollup. All integer.
     */
-  val q179LayoutCompare: Q = (s, d) => {
+  /** (l_partkey, l_suppkey) normalized to 16-bit [0, 65535] coordinates
+    * via one broadcast (min, max) stats row — the shared front of the
+    * q179/q180 layout audits. */
+  private def normalizedXY(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey").cast("bigint").as("x"),
               col("l_suppkey").cast("bigint").as("y"))
     val stats = li.agg(min("x").as("xmin"), max("x").as("xmax"),
                        min("y").as("ymin"), max("y").as("ymax"))
-    val z = li.crossJoin(broadcast(stats))
+    li.crossJoin(broadcast(stats))
       .select(
         expr("(x - xmin) * 65535 div greatest(xmax - xmin, 1)").as("xs"),
         expr("(y - ymin) * 65535 div greatest(ymax - ymin, 1)").as("ys"))
-      .withColumn("z", expr(mortonTerms("xs", "ys", "div")))
-    val melted = z.selectExpr(
-      s"stack(2, 'zorder', z div ${1L << 26}, 'xsort', xs div 1024) as (layout, bucket)",
-      "xs", "ys")
+  }
+
+  /** Shared back half of q179/q180: per-(layout, bucket) zone-map
+    * envelopes (partial-agg min/max) rolled up to per-layout average
+    * extents in basis points of the full 65536 range. */
+  private def layoutEnvelopes(melted: DataFrame): DataFrame =
     melted.groupBy("layout", "bucket")
       .agg(count(lit(1)).as("n"),
            min("xs").as("x0"), max("xs").as("x1"),
@@ -889,6 +949,52 @@ object Extras {
         expr("xspan * 10000 div (n_buckets * 65536)").as("avg_x_extent_bp"),
         expr("yspan * 10000 div (n_buckets * 65536)").as("avg_y_extent_bp"))
       .orderBy("layout")
+
+  val q179LayoutCompare: Q = (s, d) => {
+    val z = normalizedXY(s, d)
+      .withColumn("z", expr(mortonTerms("xs", "ys", "div")))
+    layoutEnvelopes(z.selectExpr(
+      s"stack(2, 'zorder', z div ${1L << 26}, 'xsort', xs div 1024) as (layout, bucket)",
+      "xs", "ys"))
+  }
+
+  /** Number of equal-width curve segments ("files") q180 models. MUST not
+    * be a power of 4: at 4^k segments both curves' segments align to the
+    * identical 2^k × 2^k grid cells and the comparison degenerates to
+    * equality (measured: at 256 the extent tables are bit-identical; at
+    * 48 the boundary-crossing segments expose each curve's jump
+    * structure — the thing being measured). */
+  val HilbertSegments = 48
+
+  /** q180: Hilbert vs z-order curve LOCALITY audit — the "which curve"
+    * half of the layout decision (q179 answers curve-vs-sort): both
+    * curves put nearby points on nearby linear addresses, but z-order
+    * takes diagonal JUMPS between quadrants at every recursion level
+    * while the Hilbert curve is jump-free — consecutive curve positions
+    * are always Manhattan-adjacent cells (the property ExtendedSpec
+    * proves by exhaustive enumeration). A file whose curve segment
+    * crosses a z-jump inherits a bounding box spanning the jump; the
+    * Hilbert segment stays a compact blob — so Hilbert zone maps prune
+    * strictly better, the reason newer table formats cluster by Hilbert
+    * where older ones used Morton. Measured exactly like q179 but with
+    * [[HilbertSegments]] equal-width segments per curve (off-grid by
+    * design, see the constant's scaladoc) over the same normalized
+    * coordinates; the spec pins hilbert's summed extents strictly below
+    * zorder's. Shapes: q179's discipline — one stats broadcast, the
+    * 16-level transform is a pipeline of narrow per-row projections
+    * (state feeds forward; no shuffle, no UDF, no driver work), `stack`
+    * melt = ONE fact scan for both curves, ≤ 2·48-key partial-agg
+    * envelope build, metadata-scale rollup. Production write =
+    * `repartitionByRange` on hd.
+    */
+  val q180HilbertCurve: Q = (s, d) => {
+    val z = hilbertD(
+      normalizedXY(s, d).withColumn("z", expr(mortonTerms("xs", "ys", "div"))),
+      16)
+    layoutEnvelopes(z.selectExpr(
+      s"stack(2, 'hilbert', hd * $HilbertSegments div ${1L << 32}, " +
+        s"'zorder', z * $HilbertSegments div ${1L << 32}) as (layout, bucket)",
+      "xs", "ys"))
   }
 
   /** q174: DEFAULT window-frame semantics — the trap behind half of all
@@ -2554,6 +2660,7 @@ object Extras {
     "q177_tpch_q21"          -> q177TpchQ21,
     "q178_groups_frame"      -> q178GroupsFrame,
     "q179_layout_compare"     -> q179LayoutCompare,
+    "q180_hilbert_curve"     -> q180HilbertCurve,
     "q150_agg_predicates"    -> q150AggPredicates,
     "q151_csv_quoting"       -> q151CsvQuoting,
     "q152_unicode"           -> q152Unicode,
@@ -3205,6 +3312,40 @@ object Extras {
          |b AS (SELECT 'zorder' AS layout, z // ${1L << 26} AS bucket, xs, ys FROM z
          |      UNION ALL
          |      SELECT 'xsort', xs // 1024, xs, ys FROM z),
+         |per AS (SELECT layout, bucket, COUNT(1) AS n,
+         |               MIN(xs) AS x0, MAX(xs) AS x1,
+         |               MIN(ys) AS y0, MAX(ys) AS y1
+         |        FROM b GROUP BY layout, bucket)
+         |SELECT layout,
+         |       CAST(COUNT(1) AS BIGINT) AS n_buckets,
+         |       CAST(SUM(n) AS BIGINT) AS n_rows,
+         |       CAST(CAST(SUM(x1 - x0 + 1) AS BIGINT) * 10000
+         |            // (COUNT(1) * 65536) AS BIGINT) AS avg_x_extent_bp,
+         |       CAST(CAST(SUM(y1 - y0 + 1) AS BIGINT) * 10000
+         |            // (COUNT(1) * 65536) AS BIGINT) AS avg_y_extent_bp
+         |FROM per GROUP BY layout ORDER BY layout""".stripMargin,
+    // q180: the Hilbert chain is the same generated per-level expression
+    // text (hilbertLevel, `//` dialect) as a 16-CTE pipeline; morton via
+    // mortonTerms; melt = UNION ALL where Spark uses a one-scan stack.
+    "q180_hilbert_curve" ->
+      s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+         |                   CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+         |st AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+         |              MIN(y) AS ymin, MAX(y) AS ymax FROM li),
+         |norm AS (SELECT (x - xmin) * 65535 // greatest(xmax - xmin, 1) AS xs,
+         |                (y - ymin) * 65535 // greatest(ymax - ymin, 1) AS ys
+         |         FROM li, st),
+         |h0 AS (SELECT xs, ys, xs AS hx, ys AS hy, CAST(0 AS BIGINT) AS hd
+         |       FROM norm),
+         |${duckHilbertCtes(16)},
+         |zz AS (SELECT xs, ys, hd, ${mortonTerms("xs", "ys", "//")} AS z
+         |       FROM h16),
+         |b AS (SELECT 'hilbert' AS layout,
+         |             hd * $HilbertSegments // ${1L << 32} AS bucket, xs, ys
+         |      FROM zz
+         |      UNION ALL
+         |      SELECT 'zorder', z * $HilbertSegments // ${1L << 32}, xs, ys
+         |      FROM zz),
          |per AS (SELECT layout, bucket, COUNT(1) AS n,
          |               MIN(xs) AS x0, MAX(xs) AS x1,
          |               MIN(ys) AS y0, MAX(ys) AS y1

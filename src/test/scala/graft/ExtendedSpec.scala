@@ -269,6 +269,39 @@ class ExtendedSpec extends SparkSpec {
     assert(zy < xy / 2, "the curve must beat single-key sort on the second dimension")
   }
 
+  test("q180 Hilbert transform: exhaustively bijective + jump-free; hilbert beats zorder") {
+    // The 4-level instantiation of the SAME generator enumerated over the
+    // full 16×16 grid: the two properties below CHARACTERIZE a Hilbert
+    // curve and are exactly what q180 monetizes — (1) bijectivity onto
+    // 0..255 (it is a total ordering of the cells), (2) consecutive curve
+    // positions are Manhattan-adjacent cells (no jumps — z-order fails
+    // this at every quadrant boundary).
+    val grid = spark.range(256)
+      .selectExpr("cast(id div 16 as bigint) as xs", "cast(id % 16 as bigint) as ys")
+    val got = graft.queries.Extras.hilbertD(grid, 4)
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
+    assert(got.keySet === (0L until 256L).toSet, "must be bijective onto 0..255")
+    (0L until 255L).foreach { dd =>
+      val ((x1, y1), (x2, y2)) = (got(dd), got(dd + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jump between d=$dd and ${dd + 1}: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // The 16-level audit on real data: the jump-free curve must yield
+    // strictly tighter summed zone-map extents than Morton under the
+    // off-grid segment count (see HilbertSegments scaladoc).
+    val m = graft.queries.Extras.q180HilbertCurve(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (hb, hr, hx, hy) = m("hilbert")
+    val (zb, zr, zx, zy) = m("zorder")
+    assert(hr === zr, "both curves must account for every fact row")
+    assert(hb <= graft.queries.Extras.HilbertSegments.toLong &&
+           zb <= graft.queries.Extras.HilbertSegments.toLong)
+    assert(hx >= 0 && hy >= 0 && zx >= 0 && zy >= 0)
+    assert(hx + hy < zx + zy,
+      s"hilbert total extent ($hx+$hy) must beat zorder ($zx+$zy)")
+  }
+
   test("q121 precondition (integral weights) + buffered weighted-median reference") {
     import org.apache.spark.sql.functions._
     val rows = graft.Tables.lineitem(spark, sf)

@@ -43,7 +43,8 @@ class ParallelismSpec extends SparkSpec {
     // fold per-partition min/max partials; p11 re-derives the cluster
     // table (cleared per run) and its straddle counts must not depend on
     // how the melt is partitioned.
-    "t40_bigram_lm", "q179_layout_compare", "p11_cluster_safe_split")
+    "t40_bigram_lm", "q179_layout_compare", "p11_cluster_safe_split",
+    "t41_domain_xent", "q180_hilbert_curve")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so

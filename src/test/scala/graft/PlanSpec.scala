@@ -441,6 +441,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"bucket stats must partial-agg:\n$plan")
   }
 
+  test("q180: 16-level Hilbert pipeline stays scan+project codegen — two scans, no UDF") {
+    val plan = planOf(graft.queries.Extras.q180HilbertCurve(spark, sf))
+    val nScans = "FileScan|Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 2, s"expected stats scan + ONE melted data scan:\n$plan")
+    assert(plan.contains("Generate"), s"stack melt missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"the Hilbert state machine must stay relational CASE/div/% projections:\n$plan")
+    assert(plan.contains("partial_"), s"envelope build must partial-agg:\n$plan")
+  }
+
   test("t40/t41: LM count joins stay hash equi-joins on the 56-bit keys; dims broadcast") {
     for ((name, df) <- Seq(
         "t40" -> graft.queries.TextOps.t40BigramLm(spark, sf),
