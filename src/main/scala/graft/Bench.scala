@@ -111,6 +111,14 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json)
+    // Round-8 verdict item 2: the per-round BENCH_full archive must come
+    // from the SAME run as the driver's captured tail (r08's archive was
+    // one query stale). An UNFILTERED full-map run refreshes the tracked
+    // repo-root copy in place — so the driver's own bench run IS the
+    // archive, and a later `cp` of an earlier local run can't drift.
+    if (only.isEmpty && sfDir.endsWith("sf0.1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full_latest.json"), json)
     val budget = 1700
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma-decimal
     // locale (de_DE) would print "value":45,953 — invalid JSON.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{CdcChunks, CharStats, Hash56, PyRound, Shingles, VecDot}
+import graft.functions.{CdcChunks, CharStats, Hash56, HilbertIndex, PyRound, Shingles, VecDot}
 
 /** Engine extension point, registered via the PUBLIC
   * `SparkSessionExtensions` API (builder.withExtensions or
@@ -24,6 +24,10 @@ import graft.functions.{CdcChunks, CharStats, Hash56, PyRound, Shingles, VecDot}
   *  - `log2_hist(v)` — native TypedImperativeAggregate building the
   *    power-of-two histogram sketch with a genuine partial phase (see
   *    Log2Hist; pinned by x14 + PlanSpec).
+  *  - `hilbert_index(x, y, levels)` — codegen'd Hilbert curve position
+  *    (see HilbertIndex for why the per-level Project-pipeline spelling
+  *    was the q180 bottleneck: 32 fused projections put the whole-stage
+  *    method beyond HotSpot's JIT ceiling).
   *
   * one planner strategy:
   *  - [[graft.plans.TopKPerKeyStrategy]] — plans the custom
@@ -101,6 +105,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw new IllegalArgumentException(
             s"log2_hist(<bigint>) expected, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y, Literal(levels: Int, IntegerType)) =>
+          HilbertIndex(Cast(x, org.apache.spark.sql.types.LongType),
+            Cast(y, org.apache.spark.sql.types.LongType), levels)
+        case other =>
+          throw new IllegalArgumentException(
+            s"hilbert_index(x, y, <int literal levels>) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -845,7 +845,9 @@ object Extras {
     * (new hd, new hx, new hy) expression texts — the standard xy2d
     * recursion (extract the level bit pair, add the quadrant's curve
     * offset s²·(3rx XOR ry), rotate/reflect the frame) spelled in
-    * pure CASE/div/% integer arithmetic identical on both engines:
+    * pure CASE/div/% integer arithmetic — since round 9 the DuckDB-oracle
+    * dialect only (the Spark side runs [[hilbertD]]'s value-equal
+    * shift/mask spelling for codegen size):
     * 3rx XOR ry collapses to `IF rx=0 THEN ry ELSE 3−ry` (no XOR
     * operator needed), and every reflection is masked `% s` so state
     * stays in [0, s) — non-negative, which is what keeps div/% truncation
@@ -865,35 +867,66 @@ object Extras {
   }
 
   /** Apply the `levels`-deep Hilbert transform to columns xs, ys, adding
-    * `hd` ∈ [0, 4^levels). One narrow Project per level (state feeds
-    * forward, so the 16-level chain is a pipeline of cheap per-row
-    * projections — no shuffle, no UDF; each level's CASEs reference the
-    * previous level's three columns only).
+    * `hd` ∈ [0, 4^levels). Two narrow Projects per level (rx/ry extracted
+    * once, then the rotate/offset step — state feeds forward, so the
+    * chain is a pipeline of cheap per-row projections; no shuffle, no
+    * UDF). This is the RELATIONAL REFERENCE implementation: ExtendedSpec
+    * enumerates its 4-level instantiation (bijective + jump-free) and
+    * pins it cell-for-cell against [[graft.functions.HilbertIndex]] —
+    * the codegen expression q180's hot path actually runs, because this
+    * spelling's 32 fused projections put the enclosing whole-stage
+    * method beyond HotSpot's 8 KB JIT ceiling (see HilbertIndex's
+    * scaladoc for the measurements). The shift/mask arithmetic here is
+    * provably equal to [[hilbertLevel]]'s div/% text (the DuckDB-oracle
+    * dialect) on the non-negative power-of-two-bounded state
+    * (`v div 2^k % 2` = `(v >> k) & 1`, `v % 2^k` = `v & (2^k − 1)`).
     */
   private[graft] def hilbertD(df: DataFrame, levels: Int): DataFrame = {
     val start = df.withColumn("hx", col("xs")).withColumn("hy", col("ys"))
       .withColumn("hd", lit(0L))
     val done = (0 until levels).foldLeft(start) { (cur, i) =>
-      val (de, nxe, nye) = hilbertLevel(1L << (levels - 1 - i), "div")
-      // hd must read the PRE-rotation hx/hy: compute all three from the
-      // same input row, then swap in (select, not chained withColumn).
-      cur.select(cur.columns.filterNot(Seq("hx", "hy", "hd").contains).toIndexedSeq.map(col) :+
-        expr(de).as("hd_n") :+ expr(nxe).as("hx_n") :+ expr(nye).as("hy_n"): _*)
-        .withColumnRenamed("hd_n", "hd").withColumnRenamed("hx_n", "hx")
-        .withColumnRenamed("hy_n", "hy")
+      val k = levels - 1 - i
+      val s = 1L << k
+      val m = s - 1 // hx % s == hx & m on the non-negative state
+      val keep = cur.columns.filterNot(Seq("hx", "hy", "hd", "rx", "ry").contains)
+        .toIndexedSeq.map(col)
+      // Stage 1: extract this level's bit pair once.
+      val bits = cur.select(keep ++ Seq(col("hx"), col("hy"), col("hd"),
+        expr(s"shiftright(hx, $k) & 1").as("rx"),
+        expr(s"shiftright(hy, $k) & 1").as("ry")): _*)
+      // Stage 2: hd must read the PRE-rotation hx/hy — compute all three
+      // from the same input row, then swap in (select, not withColumn).
+      bits.select(keep ++ Seq(
+        expr(s"hd + ${s * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END)").as("hd"),
+        expr(s"CASE WHEN ry = 1 THEN hx & $m WHEN rx = 1 THEN $m - (hy & $m) ELSE hy & $m END").as("hx"),
+        expr(s"CASE WHEN ry = 1 THEN hy & $m WHEN rx = 1 THEN $m - (hx & $m) ELSE hx & $m END").as("hy")): _*)
     }
     done.drop("hx", "hy")
   }
 
+  /** Bitwise Morton spelling for the Spark side of q180 — same values as
+    * [[mortonTerms]] (`(v div 2^i) % 2` = `(v >> i) & 1` on non-negative
+    * inputs; ExtendedSpec pins the div spelling against a bitwise
+    * reference), roughly half the codegen ops of the div/% text. */
+  private[graft] def mortonShiftTerms(xs: String, ys: String): String =
+    (0 until 16).map { i =>
+      s"(shiftright($xs, $i) & 1) * ${1L << (2 * i)} + " +
+        s"(shiftright($ys, $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
   /** The matching DuckDB spelling: a generated chain of `levels` CTEs
-    * (h1..hN over h0), each one SELECT computing the same three
-    * expressions — all reads in a SELECT see the previous CTE's row, the
-    * exact semantics of the Spark per-level projection. */
+    * (h1..hN over h0), each computing the three level expressions in an
+    * inner subquery under FRESH aliases (hx_n/hy_n/hd_n) and renaming in
+    * the wrapping SELECT — mirroring the Spark side's explicit two-stage
+    * pattern. The inner aliases are distinct from every read column, so
+    * correctness is structural and independent of any engine's
+    * column-vs-lateral-alias resolution precedence. */
   private[graft] def duckHilbertCtes(levels: Int): String =
     (1 to levels).map { i =>
       val (de, nxe, nye) = hilbertLevel(1L << (levels - i), "//")
-      s"""h$i AS (SELECT xs, ys, $nxe AS hx, $nye AS hy, $de AS hd
-         |        FROM h${i - 1})""".stripMargin
+      s"""h$i AS (SELECT xs, ys, hx_n AS hx, hy_n AS hy, hd_n AS hd FROM
+         |  (SELECT xs, ys, $nxe AS hx_n, $nye AS hy_n, $de AS hd_n
+         |   FROM h${i - 1}))""".stripMargin
     }.mkString(",\n")
 
   /** q179: layout COMPARISON audit — the decision table behind a
@@ -981,16 +1014,19 @@ object Extras {
     * design, see the constant's scaladoc) over the same normalized
     * coordinates; the spec pins hilbert's summed extents strictly below
     * zorder's. Shapes: q179's discipline — one stats broadcast, the
-    * 16-level transform is a pipeline of narrow per-row projections
-    * (state feeds forward; no shuffle, no UDF, no driver work), `stack`
+    * 16-level transform is the [[graft.functions.HilbertIndex]] codegen
+    * expression (one static-call loop; the per-level Project-pipeline
+    * spelling is kept as [[hilbertD]], the test reference — fused into
+    * one whole-stage method it blew HotSpot's 8 KB JIT ceiling and ran
+    * interpreted at ~12 µs/row, see HilbertIndex's scaladoc), `stack`
     * melt = ONE fact scan for both curves, ≤ 2·48-key partial-agg
     * envelope build, metadata-scale rollup. Production write =
     * `repartitionByRange` on hd.
     */
   val q180HilbertCurve: Q = (s, d) => {
-    val z = hilbertD(
-      normalizedXY(s, d).withColumn("z", expr(mortonTerms("xs", "ys", "div"))),
-      16)
+    val z = normalizedXY(s, d)
+      .withColumn("z", expr(mortonShiftTerms("xs", "ys")))
+      .withColumn("hd", expr("hilbert_index(xs, ys, 16)"))
     layoutEnvelopes(z.selectExpr(
       s"stack(2, 'hilbert', hd * $HilbertSegments div ${1L << 32}, " +
         s"'zorder', z * $HilbertSegments div ${1L << 32}) as (layout, bucket)",
@@ -3324,9 +3360,11 @@ object Extras {
          |       CAST(CAST(SUM(y1 - y0 + 1) AS BIGINT) * 10000
          |            // (COUNT(1) * 65536) AS BIGINT) AS avg_y_extent_bp
          |FROM per GROUP BY layout ORDER BY layout""".stripMargin,
-    // q180: the Hilbert chain is the same generated per-level expression
-    // text (hilbertLevel, `//` dialect) as a 16-CTE pipeline; morton via
-    // mortonTerms; melt = UNION ALL where Spark uses a one-scan stack.
+    // q180: the Hilbert chain is the div/% per-level expression text
+    // (hilbertLevel, `//` dialect) as a 16-CTE pipeline — value-equal to
+    // the Spark side's shift/mask spelling on the non-negative state (see
+    // hilbertD's scaladoc); morton via mortonTerms; melt = UNION ALL
+    // where Spark uses a one-scan stack.
     "q180_hilbert_curve" ->
       s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS x,
          |                   CAST(l_suppkey AS BIGINT) AS y FROM lineitem),

@@ -576,6 +576,131 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** n22 graph-build + beam-search knobs. BuildProbes: each vector joins
+    * candidates from its top-P IVF cells when the kNN graph is built —
+    * the single-cell (P=1) graph is 16 DISCONNECTED cluster-subgraphs a
+    * walk can never leave (measured: recall@10 flat at 0 through every
+    * hop); P=2 adds the cross-cell bridges that make the graph navigable
+    * (the same reason NN-descent iterates beyond an initial blocking and
+    * HNSW links across its layers). BeamWidth/BeamHops: frontier size
+    * and hop budget; BeamSeeds: how many max-degree entry points seed
+    * the walk (the multi-entry hedge against residual disconnection).
+    */
+  val BuildProbes = 2
+  val BeamWidth = 16
+  val BeamHops = 6
+  val BeamSeeds = 8
+
+  /** n22: GRAPH-based ANN — deterministic bounded beam search over a
+    * symmetrized kNN graph, completing the index-family taxonomy (LSH
+    * n01, IVF n02, PQ n06, graph n22 — the family production serving
+    * defaults to: HNSW/NSG are exactly "greedy beam walk over a proximity
+    * graph", Malkov & Yashunin 2016, arXiv:1603.09320). Build: n13's
+    * IVF-blocked directed-kNN machinery widened to [[BuildProbes]] cells
+    * per vector (see the knob scaladoc — single-cell blocking yields a
+    * disconnected, unnavigable graph) and symmetrized (HNSW's
+    * bidirectional links), degree ≤ 2·[[KnnJoinK]]. Walk: seed the beam
+    * with the [[BeamSeeds]] highest-degree nodes (the hub-entry heuristic
+    * — HNSW's top layer plays this role), then for [[BeamHops]] hops
+    * expand the current top-[[BeamWidth]] frontier's neighbors, score
+    * them against the query, and re-select the beam from everything
+    * scored so far. Per-hop report row: cumulative scored count (the
+    * COST — how much corpus the walk touched), best cosine, and
+    * recall@10 vs the exact truth — the convergence curve a graph-index
+    * deployment reads before trusting the walk (this fixture: recall
+    * 1→10/10 across the hops while scoring <half the corpus;
+    * SimilaritySpec pins monotonicity and the cost ceiling).
+    *
+    * Scale shapes: the adjacency build is Σ_cell (P·n_cell)² directed
+    * pairs — IVF-bounded, never corpus² — and the stored graph is
+    * |V|·k edges; each hop is a beam-row (≤ [[BeamWidth]]) equi-join
+    * against the adjacency plus a point-lookup scoring join — per-query
+    * work is O(seeds + hops·beam·degree) scored candidates, the
+    * serving-path property that makes graph ANN the high-recall default
+    * (the scored fraction shrinks with corpus size; the hop budget
+    * doesn't grow with it). The eval scores via one cached full pass
+    * (exact truth needs it anyway for the recall denominator); a serving
+    * deployment scores candidates on demand. The walk itself is the
+    * SEQUENTIAL part (hop h needs hop h-1 — inherent to the algorithm);
+    * at 100 TB you run MANY queries' walks as independent rows, not one
+    * walk distributed.
+    */
+  val n22GraphAnn: Q = (s, d) => {
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    val cents = v.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+              col("nrm").as("cnrm"))
+    // Build-side multi-probe assignment: top-BuildProbes cells per vector
+    // on the TopKPerKey bounded heap (same tie-break as ivfAssigned's
+    // argmax — rank 1 is identical).
+    val cellScores = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
+      .select("vec_id", "q", "nrm", "cid", "ccos")
+    val cells = graft.plans.TopKPerKey(cellScores, Seq("vec_id"),
+        Seq(("ccos", false), ("cid", true)), BuildProbes)
+      .select("vec_id", "q", "nrm", "cid")
+    val a = cells.select(col("vec_id").as("src"), col("q").as("qa"),
+                         col("nrm").as("na"), col("cid"))
+    val b = cells.select(col("vec_id").as("dst"), col("q"),
+                         col("nrm"), col("cid"))
+    // distinct: a pair sharing BOTH probe cells must surface once before
+    // the per-source heap (cos is deterministic, so the triple dedupes).
+    val directed = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        expr(s"cast(${dot("qa", "q")} as double) / " +
+          "sqrt(cast(na as double) * cast(nrm as double))").as("cos"))
+      .distinct()
+    val topk = graft.plans.TopKPerKey(directed, Seq("src"),
+        Seq(("cos", false), ("dst", true)), KnnJoinK)
+      .select("src", "dst")
+    val adj = topk.unionByName(
+        topk.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    // One cached scoring pass doubles as the exact-truth denominator.
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val allsc = v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cos")
+      .cache()
+    val truth = allsc.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id").as("tid"))
+    val seeds = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("src") =!= 0)
+      .orderBy(col("deg").desc, col("src").asc).limit(BeamSeeds)
+      .select(col("src").as("vec_id"))
+    def hopReport(hop: Int, scored: DataFrame): DataFrame = {
+      val top = scored.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
+      val hits = top.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("hits10"))
+      scored.agg(count(lit(1)).as("n_scored"), max("cos").as("best_cos"))
+        .crossJoin(broadcast(hits))
+        .select(lit(hop).as("hop"), lit(BeamWidth).as("beam_width"),
+                col("n_scored"), col("best_cos"), col("hits10"),
+                expr(s"hits10 * 10000 div $TopK").as("recall_bp"))
+    }
+    var scored = seeds.join(allsc, "vec_id").select("vec_id", "cos")
+      .localCheckpoint()
+    val reports = scala.collection.mutable.Buffer(hopReport(0, scored))
+    for (h <- 1 to BeamHops) {
+      val beam = scored.orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(BeamWidth).select(col("vec_id").as("src"))
+      val fresh = beam.join(adj, "src")
+        .select(col("dst").as("vec_id")).distinct()
+        .filter(col("vec_id") =!= 0)
+        .join(scored, Seq("vec_id"), "left_anti")
+      scored = scored
+        .unionByName(fresh.join(allsc, "vec_id").select("vec_id", "cos"))
+        .localCheckpoint()
+      reports += hopReport(h, scored)
+    }
+    reports.reduce(_.unionByName(_)).orderBy("hop")
+  }
+
   /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
     * reciprocal-rank-fusion formulation) and the integer scale that keeps
     * the fused score exact on both engines (1e6 div (k + rank)).
@@ -1020,6 +1145,7 @@ object Similarity {
     "n19_rank_fusion"    -> n19RankFusion,
     "n20_ivfpq"          -> n20Ivfpq,
     "n21_ivfpq_recall"   -> n21IvfpqRecall,
+    "n22_graph_ann"      -> n22GraphAnn,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1220,6 +1346,86 @@ object Similarity {
          |SELECT 1 AS seed_rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM ch1
          |$legs
          |ORDER BY seed_rank""".stripMargin
+    },
+    // n22: the walk's sequential hops unrolled as generated CTE rounds
+    // (the n16/d09/hilbert oracle discipline); the build CTEs spell the
+    // multi-probe kNN graph sequentially (row_number rn <= P / rn <= k =
+    // the TopKPerKey heaps' tie-breaks), scoring is the shared exact
+    // table, and every per-hop leg reads only its own round's set. The
+    // chain CTEs are AS MATERIALIZED: DuckDB default-INLINES CTEs, and
+    // with s_k referenced ~3x per round plus 4 legs the inlined scan
+    // count grows exponentially in the hop count (measured: the default
+    // plan exhausts the process fd limit re-opening the parquet).
+    "n22_graph_ann" -> {
+      val rounds = (1 to BeamHops).map { k =>
+        s"""b${k - 1} AS MATERIALIZED (SELECT vec_id FROM s${k - 1}
+           |              ORDER BY cos DESC, vec_id LIMIT $BeamWidth),
+           |nb$k AS MATERIALIZED (SELECT DISTINCT dst AS vec_id
+           |         FROM adj JOIN b${k - 1} ON adj.src = b${k - 1}.vec_id
+           |         WHERE dst <> 0
+           |           AND dst NOT IN (SELECT vec_id FROM s${k - 1})),
+           |s$k AS MATERIALIZED (SELECT * FROM s${k - 1}
+           |        UNION ALL
+           |        SELECT a.vec_id, a.cos FROM allsc a JOIN nb$k USING (vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val legs = (0 to BeamHops).map { k =>
+        s"""SELECT $k AS hop, $BeamWidth AS beam_width,
+           |       (SELECT COUNT(1) FROM s$k) AS n_scored,
+           |       (SELECT MAX(cos) FROM s$k) AS best_cos,
+           |       (SELECT COUNT(1) FROM
+           |          (SELECT vec_id FROM s$k ORDER BY cos DESC, vec_id LIMIT $TopK) tk
+           |          JOIN truth ON tk.vec_id = tid) AS hits10,
+           |       (SELECT COUNT(1) FROM
+           |          (SELECT vec_id FROM s$k ORDER BY cos DESC, vec_id LIMIT $TopK) tk
+           |          JOIN truth ON tk.vec_id = tid) * 10000 // $TopK AS recall_bp"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+         |          FROM prepn WHERE vec_id < $NumCentroids),
+         |scoredc AS (
+         |  SELECT v.vec_id, v.q, v.nrm, c.cid,
+         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+         |  FROM prepn v CROSS JOIN cents c),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, q, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM scoredc) t WHERE rn <= $BuildProbes),
+         |directed AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |         CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+         |           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |topk AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |                                 ORDER BY cos DESC, dst ASC) AS rn
+         |    FROM directed) WHERE rn <= $KnnJoinK),
+         |adj AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM
+         |    (SELECT src, dst FROM topk
+         |     UNION ALL SELECT dst, src FROM topk) u),
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |allsc AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |         CAST(${duckDot("qa", "p.q")} AS DOUBLE)
+         |           / sqrt(CAST(na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
+         |  FROM prepn p, qv WHERE p.vec_id <> 0),
+         |truth AS MATERIALIZED (SELECT vec_id AS tid FROM allsc
+         |          ORDER BY cos DESC, vec_id LIMIT $TopK),
+         |s0 AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cos FROM allsc a
+         |  JOIN (SELECT src AS vec_id FROM
+         |          (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src) dt
+         |        WHERE src <> 0
+         |        ORDER BY dg DESC, src ASC LIMIT $BeamSeeds) sd USING (vec_id)),
+         |$rounds
+         |$legs
+         |ORDER BY hop""".stripMargin
     },
     "n13_mutual_knn" ->
       s"""WITH $duckPrep,

@@ -224,6 +224,8 @@ class ExtendedSpec extends SparkSpec {
     val rows = graft.queries.TextOps.t41DomainXent(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
     val srcs = rows.map(_._2).distinct
+    assert(srcs.length >= 2,
+      s"degenerate fixture: need >= 2 sources for off-diagonal cells, got $srcs")
     assert(rows.length === srcs.length * srcs.length, "full matrix expected")
     assert(rows.forall(_._3 >= 0L), "surprisal must be non-negative")
     srcs.foreach { e =>
@@ -281,6 +283,26 @@ class ExtendedSpec extends SparkSpec {
     val got = graft.queries.Extras.hilbertD(grid, 4)
       .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
     assert(got.keySet === (0L until 256L).toSet, "must be bijective onto 0..255")
+    // The hilbert_index codegen expression (q180's actual hot path) must
+    // agree with the relational reference chain cell-for-cell — at the
+    // enumerable 4 levels and at q180's production 16 levels (where the
+    // grid coordinates land in distinct top-level quadrant paths).
+    // Compared driver-side: a `filter(hd_e <> hd)` would push the
+    // predicate through all 32 reference projections, and each level's
+    // alias substitution multiplies the predicate tree ~4x — 4^16 nodes.
+    for ((lv, g) <- Seq(
+        4 -> grid,
+        16 -> grid.selectExpr("xs * 4099 % 65536 as xs", "ys * 4099 % 65536 as ys"))) {
+      val rows = graft.queries.Extras.hilbertD(g, lv)
+        .withColumn("hd_e",
+          org.apache.spark.sql.functions.expr(s"hilbert_index(xs, ys, $lv)"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(3) === r.getLong(2),
+          s"hilbert_index($lv) diverges from the hilbertD reference at " +
+            s"(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
     (0L until 255L).foreach { dd =>
       val ((x1, y1), (x2, y2)) = (got(dd), got(dd + 1))
       assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,

@@ -163,4 +163,30 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.length).toMap
     bySrc.values.foreach(n => assert(n <= Similarity.KnnJoinK))
   }
+
+  test("n22 graph ANN: monotone convergence, cost ceiling, full recall by the hop budget") {
+    val rows = Similarity.n22GraphAnn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 to Similarity.BeamHops).toSeq)
+    // the cumulative scored set, best cosine, and recall can only grow
+    rows.sliding(2).foreach { case Array((_, n0, b0, h0), (_, n1, b1, h1)) =>
+      assert(n1 >= n0, "n_scored must be cumulative")
+      assert(b1 >= b0, "best cosine can only improve")
+      assert(h1 >= h0, "recall over a growing scored set can only improve")
+    }
+    // cost ceiling: seeds + hops * beam * max-degree (degree <= 2k after
+    // symmetrization) — the bounded-walk property that makes graph ANN a
+    // serving-path index
+    val ceiling = Similarity.BeamSeeds + Similarity.BeamHops *
+      Similarity.BeamWidth * 2 * Similarity.KnnJoinK
+    rows.foreach { case (_, n, _, _) => assert(n <= ceiling, s"$n > $ceiling") }
+    // high recall within the hop budget: >= 8/10 here (sf0.001; the
+    // sf0.01 oracle fixture reaches 10/10 by hop 4) and strictly above
+    // the entry hop — the approximate-but-navigable property the
+    // hop/beam knobs were sized for
+    assert(rows.last._4 >= 8L,
+      s"expected recall >= 8/10 at hop ${Similarity.BeamHops}, got ${rows.last._4}")
+    assert(rows.last._4 > rows.head._4, "the walk must improve on its seeds")
+  }
 }
