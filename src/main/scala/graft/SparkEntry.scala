@@ -174,26 +174,34 @@ object SparkEntry {
              |FROM hashed JOIN df USING (h)
              |GROUP BY media_id ORDER BY media_id""".stripMargin
         },
-        // m06: same strided byte sampling over the ASCII fixture (ord ==
-        // Spark's ascii on the byte slice); every constant interpolated
-        // from the shared Multimodal parameters.
+        // m06: the oracle recomputes the aHash from the cell FORMULA the
+        // PPM pixels encode (base-bit XOR nested jitter → grey target t);
+        // the Spark side recovers the same t per cell only if PpmCodec
+        // really parses the variable header and channel-averages +
+        // downscales the raster — the hash match IS the decode proof.
+        // Every constant interpolated from the shared Multimodal
+        // parameters.
         "m06_phash_neardup" -> {
           val nb = graft.operators.Multimodal.PhashBits
           val bandBits = nb / graft.operators.Multimodal.PhashBands
-          s"""WITH px AS (
-             |  SELECT doc_id AS media_id, i,
-             |         ascii(substr(text,
-             |           1 + ((i - 1) * greatest(1, length(text) // $nb))
-             |               % greatest(1, length(text)), 1)) AS px
+          val grp = graft.operators.Multimodal.PpmJitterGroup
+          s"""WITH cells AS (
+             |  SELECT doc_id AS media_id, c,
+             |         48 + 48 * CASE WHEN c < doc_id % $grp
+             |                        THEN 1 - ((((doc_id // $grp) * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE ((((doc_id // $grp) * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
              |  FROM documents,
-             |       (SELECT unnest(generate_series(1, $nb)) AS i) ii),
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc),
              |ph AS (
              |  SELECT media_id,
-             |         CAST(SUM(CASE WHEN px * $nb > tot
-             |                  THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+             |         CAST(SUM(CASE WHEN t * $nb > tot
+             |                  THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)
              |              AS BIGINT) AS ph
-             |  FROM (SELECT media_id, i, px,
-             |               SUM(px) OVER (PARTITION BY media_id) AS tot FROM px) t
+             |  FROM (SELECT media_id, c, t,
+             |               SUM(t) OVER (PARTITION BY media_id) AS tot FROM cells) t
              |  GROUP BY 1),
              |bands AS (
              |  SELECT media_id, ph, b, (ph >> (b * $bandBits)) & ${(1 << bandBits) - 1} AS bk

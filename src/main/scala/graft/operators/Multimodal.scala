@@ -129,6 +129,79 @@ object Multimodal {
     }
   }
 
+  /** A REAL IMAGE codec through the same seam — binary PPM (P6), the
+    * simplest format real tools emit (netpbm/ImageMagick): a textual
+    * header (magic, optional `#` comment lines, width, height, maxval,
+    * arbitrary whitespace — all parsed per the spec, not a fixed offset)
+    * followed by raw RGB triplets. `decode` returns the GREYSCALE pixel
+    * buffer (one byte per pixel, (r+g+b)/3) — m06's aHash runs on these
+    * real decoded pixels. Malformed input (wrong magic, truncated pixel
+    * data, oversized maxval) fails loudly. The fixture varies the header
+    * (comment lines on odd ids) so a fixed-offset "parser" cannot pass
+    * MultimodalSpec's golden tests or the oracle.
+    */
+  object PpmCodec extends MediaCodec {
+    /** Build a P6 payload: real header + raw RGB (the encode side real
+      * tools would produce; `comment` exercises the header grammar). */
+    def encode(w: Int, h: Int, rgb: Array[Byte],
+               comment: Option[String] = None): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+      val header = new StringBuilder("P6\n")
+      comment.foreach(c => header.append('#').append(c).append('\n'))
+      header.append(w).append(' ').append(h).append("\n255\n")
+      val hb = header.toString.getBytes("US-ASCII")
+      val out = new Array[Byte](hb.length + rgb.length)
+      System.arraycopy(hb, 0, out, 0, hb.length)
+      System.arraycopy(rgb, 0, out, hb.length, rgb.length)
+      out
+    }
+    def decode(payload: Array[Byte]): Array[Byte] = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed PPM: $msg")
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && pos < payload.length) {
+          val b = payload(pos)
+          if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+          else if (b == '#') while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWsAndComments()
+        val start = pos
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        if (pos == start) fail(s"expected integer at byte $pos")
+        v
+      }
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("magic is not P6")
+      pos = 2
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+      // exactly ONE whitespace byte separates the header from the raster
+      if (pos >= payload.length || !" \n\r\t".contains(payload(pos).toChar))
+        fail("missing raster separator")
+      pos += 1
+      if (payload.length - pos < w * h * 3)
+        fail(s"truncated raster: ${payload.length - pos} < ${w * h * 3}")
+      val grey = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        val base = pos + i * 3
+        grey(i) = (((payload(base) & 0xff) + (payload(base + 1) & 0xff) +
+          (payload(base + 2) & 0xff)) / 3).toByte
+        i += 1
+      }
+      grey
+    }
+  }
+
   /** Deterministic fake decode (the stub codec's body — kept as a named
     * function because m03/m06's chunk math and several specs call it
     * directly).
@@ -415,8 +488,8 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** m06 perceptual-hash parameters: [[PhashBits]] sampled "pixels" fold
-    * into a [[PhashBits]]-bit aHash; [[PhashBands]] bands of
+  /** m06 perceptual-hash parameters: [[PhashBits]] downscaled grey cells
+    * fold into a [[PhashBits]]-bit aHash; [[PhashBands]] bands of
     * [[PhashBits]]/[[PhashBands]] bits make band blocking COMPLETE for
     * Hamming distance ≤ [[PhashMaxHam]] by pigeonhole (3 differing bits
     * can dirty at most 3 of 4 bands). */
@@ -424,40 +497,118 @@ object Multimodal {
   val PhashBands = 4
   val PhashMaxHam = 3
 
+  /** m06 image geometry: 16×8 RGB pixels downscaled 2×2 → an 8×4 = 32-cell
+    * grey grid (one aHash bit per cell). [[PpmJitterGroup]] consecutive
+    * doc_ids share one base image; member j re-encodes it with cells
+    * 0..j-1 inverted — NESTED jitter sets, so two members' Hamming
+    * distance is exactly |j1−j2| and the ham ≤ [[PhashMaxHam]] verdict
+    * has planted positives AND negatives inside every group.
+    */
+  val PpmW = 16
+  val PpmH = 8
+  val PpmJitterGroup = 8
+
+  /** The base-image bit for (group, cell) — the same integer-hash family
+    * as Similarity's Rademacher planes; spelled identically in the DuckDB
+    * oracle. */
+  private[graft] def ppmBaseBit(g: Long, c: Int): Long =
+    ((g * 2654435761L + c * 40503L + 12345L) >> 5) & 1L
+
+  /** Deterministic PPM fixture: one 16×8 P6 image per document. Cell
+    * (base-bit XOR jitter) picks a grey TARGET t ∈ {48, 96}; the cell's
+    * 2×2 pixels carry per-channel structure (r=t+2, g=t, b=t−2) and a
+    * zero-sum per-pixel delta (−1,0,+1,0), so the decoder must really
+    * average channels and really downscale to recover t exactly. Odd ids
+    * get a `#`-comment header line (variable header length — a
+    * fixed-offset "parser" cannot decode both parities).
+    */
+  def ppmFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = id / PpmJitterGroup
+        val j = (id % PpmJitterGroup).toInt
+        val rgb = new Array[Byte](PpmW * PpmH * 3)
+        var y = 0
+        while (y < PpmH) {
+          var x = 0
+          while (x < PpmW) {
+            val c = (y / 2) * (PpmW / 2) + (x / 2)
+            val bit = ppmBaseBit(g, c) ^ (if (c < j) 1L else 0L)
+            val t = 48 + 48 * bit.toInt
+            val dp = ((y % 2) * 2 + (x % 2)) match {
+              case 0 => -1; case 1 => 0; case 2 => 1; case _ => 0
+            }
+            val base = (y * PpmW + x) * 3
+            rgb(base) = (t + 2 + dp).toByte
+            rgb(base + 1) = (t + dp).toByte
+            rgb(base + 2) = (t - 2 + dp).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val comment = if (id % 2 == 1) Some(s" re-encode pass for media $id") else None
+        Media(id, "image", PpmCodec.encode(PpmW, PpmH, rgb, comment),
+          width = PpmW, height = PpmH, duration_ms = 0L, format = "ppm")
+      }
+  }
+
+  /** aHash over a decoded grey buffer: 2×2-block downscale to the 32-cell
+    * grid, then threshold each cell against the global mean (cell·32 >
+    * Σcells — the integer spelling shared with the oracle). */
+  def ppmAHash(grey: Array[Byte], w: Int, h: Int): Long = {
+    val cw = w / 2
+    val cells = new Array[Long](cw * (h / 2))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cells((y / 2) * cw + (x / 2)) += (grey(y * w + x) & 0xff).toLong
+        x += 1
+      }
+      y += 1
+    }
+    var tot = 0L
+    cells.foreach(tot += _)          // cells hold 4x the mean; ratios are unchanged
+    var ph = 0L
+    var c = 0
+    while (c < cells.length) {
+      if (cells(c) * cells.length > tot) ph |= 1L << c
+      c += 1
+    }
+    ph
+  }
+
   /** m06: perceptual near-dup via average-hash blocking — m03/m04 find
     * media sharing EXACT byte runs; this finds media that LOOK alike after
-    * re-encoding jitter, the other half of media dedup. Real pipeline:
-    * decode → downscale to an 8×8 grey grid → threshold each cell against
-    * the mean → 64-bit aHash → pair media within small Hamming distance.
-    * Here the decode/downscale is the documented stub (strided byte
-    * sampling of the payload — deterministic, codec-free); everything
-    * downstream — the bit fold, the banded blocking join, the popcount
-    * verify — is the production shape.
+    * re-encoding jitter, the other half of media dedup. The pipeline is
+    * end-to-end REAL since round 9: genuine P6 PPM payloads (variable
+    * headers incl. comment lines) are decoded by [[PpmCodec]] — an actual
+    * spec-grammar parser, not a fixed offset — channel-averaged to grey,
+    * 2×2-downscaled to the 32-cell grid, mean-thresholded into the aHash
+    * ([[ppmAHash]]), then banded, equi-joined and popcount-verified. The
+    * fixture's nested re-encode jitter (see [[ppmFixture]]) plants
+    * positives and negatives at exact Hamming distances, and the DuckDB
+    * oracle recomputes the hash from the cell FORMULA the pixels encode —
+    * so the hash match proves the parser located and reduced the raster
+    * correctly (MultimodalSpec additionally golden-tests the parser and
+    * its malformed-input failures).
     *
-    * Scale shape: the hash is built in one pass (bounded [[PhashBits]]-row
-    * fan-out per media, keyed window + partial-agg fold); media pairs come
-    * from an EQUI-join on (band, 8-bit band value) — never all-pairs — and
-    * the exact `bit_count(xor)` re-check runs only on band-collision
+    * Scale shape: decode + hash is ONE mapPartitions pass (per-partition
+    * codec init — the batched-UDF shape); media pairs come from an
+    * EQUI-join on (band, 8-bit band value) — never all-pairs — and the
+    * exact `bit_count(xor)` re-check runs only on band-collision
     * candidates, the generate-then-verify discipline of d10/d15. Only
-    * hashes shuffle; payload bytes never leave the first stage.
+    * 64-bit hashes shuffle; payload bytes never leave the first stage.
     */
   def m06PhashNearDup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val px = fixtureFromDocuments(s, d).toDF()
-      .select(col("media_id"), col("payload"),
-        length(col("payload")).as("len"))
-      .select(col("media_id"), col("payload"), col("len"),
-        explode(expr(s"sequence(1, $PhashBits)")).as("i"))
-      .withColumn("step", greatest(lit(1), expr(s"len div $PhashBits")))
-      .withColumn("pos", expr("1 + ((i - 1) * step) % greatest(1, len)"))
-      .withColumn("px", expr("ascii(cast(substring(payload, pos, 1) as string))"))
-      .select("media_id", "i", "px")
-    val w = Window.partitionBy("media_id")
-    val ph = px
-      .withColumn("tot", sum(col("px")).over(w))
-      .groupBy("media_id")
-      .agg(sum(when(col("px") * PhashBits > col("tot"),
-        expr("shiftleft(cast(1 as bigint), i - 1)")).otherwise(lit(0L))).as("ph"))
+    import s.implicits._
+    val ph = ppmFixture(s, d).mapPartitions { rows =>
+      PpmCodec.init() // once per partition — amortized codec setup
+      rows.map { m =>
+        (m.media_id, ppmAHash(PpmCodec.decode(m.payload), PpmW, PpmH))
+      }
+    }.toDF("media_id", "ph")
     val bands = ph.select(col("media_id"), col("ph"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("b"))
       .withColumn("bk",

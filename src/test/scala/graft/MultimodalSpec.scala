@@ -184,24 +184,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("m06 band blocking is complete: equals brute-force Hamming pairs") {
-    // The pigeonhole claim made executable: 4 bands of 8 bits MUST
-    // recover every pair at Hamming distance <= 3, so the banded
-    // equi-join result equals the all-pairs reference computed here with
-    // plain Scala (charAt == byte on the ASCII corpus, asserted above).
+  /** The pure-math aHash m06's pixels ENCODE — independent of the codec,
+    * the fixture builder, and the Spark pipeline (see ppmFixture: cell
+    * grey target t = 48 + 48·(baseBit XOR nested-jitter)). */
+  private def formulaHash(id: Long): Long = {
     val nb = Multimodal.PhashBits
-    def phash(text: String): Long = {
-      val len = math.max(1, text.length)
-      val step = math.max(1, len / nb)
-      val px = (1 to nb).map(i => text.charAt(((i - 1) * step) % len).toInt)
-      val tot = px.sum
-      px.zipWithIndex.foldLeft(0L) { case (acc, (p, idx)) =>
-        if (p.toLong * nb > tot) acc | (1L << idx) else acc
-      }
+    val g = id / Multimodal.PpmJitterGroup
+    val j = (id % Multimodal.PpmJitterGroup).toInt
+    val ts = (0 until nb).map { c =>
+      val bit = Multimodal.ppmBaseBit(g, c) ^ (if (c < j) 1L else 0L)
+      48L + 48L * bit
     }
+    val tot = ts.sum
+    ts.zipWithIndex.foldLeft(0L) { case (acc, (t, c)) =>
+      if (t * nb > tot) acc | (1L << c) else acc
+    }
+  }
+
+  test("m06 band blocking is complete: equals brute-force Hamming pairs over formula hashes") {
+    // Two claims at once: (1) encode → REAL PPM parse → grey → downscale
+    // → threshold recovers exactly the formula hash for every document
+    // (the decode-is-real proof), and (2) 4 bands of 8 bits MUST recover
+    // every pair at Hamming distance <= 3 (pigeonhole), so the banded
+    // equi-join equals the all-pairs reference computed in plain Scala.
     val hs = graft.Tables.documents(spark, sf)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), phash(r.getString(1))))
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, formulaHash(id)))
     val want = (for {
       (a, ha) <- hs; (b, hb) <- hs if a < b
       ham = java.lang.Long.bitCount(ha ^ hb) if ham <= Multimodal.PhashMaxHam
@@ -210,6 +218,61 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.length === got.toSet.size, "duplicate pairs in m06 output")
     assert(got.toSet === want)
+  }
+
+  test("m06 nested jitter: same-group Hamming is exactly |j1 - j2|; re-encode pair survives") {
+    // The planted-jitter contract: group members invert NESTED cell
+    // prefixes, so ham(j1, j2) = |Δj| — members 1 apart are near-dups,
+    // members PhashMaxHam+1 apart are planted NEGATIVES.
+    val grp = Multimodal.PpmJitterGroup
+    val pairs = Multimodal.m06PhashNearDup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val ids = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullGroup = ids.groupBy(_ / grp)
+      .collectFirst { case (_, ms) if ms.size == grp => ms.toSeq.sorted }
+    assert(fullGroup.nonEmpty, "fixture must contain at least one full jitter group")
+    val ms = fullGroup.get
+    for (a <- ms; b <- ms if a < b) {
+      val dj = (b % grp - a % grp).toInt
+      if (dj <= Multimodal.PhashMaxHam)
+        assert(pairs.get((a, b)).contains(dj),
+          s"pair ($a,$b) dj=$dj must surface with ham=dj, got ${pairs.get((a, b))}")
+      else
+        assert(!pairs.contains((a, b)),
+          s"pair ($a,$b) dj=$dj is a planted negative and must be filtered")
+    }
+  }
+
+  test("PpmCodec: spec-grammar parse (comments, whitespace) + loud malformed failures") {
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (40 + i * 3).toByte)
+    // golden: hand-built header with a comment line and mixed whitespace
+    val exotic = ("P6\n# a comment line\n  2\t2\n255\n").getBytes("US-ASCII") ++ rgb
+    val grey = Multimodal.PpmCodec.decode(exotic)
+    assert(grey.toSeq === Seq.tabulate(4) { p =>
+      (((40 + p * 9) + (43 + p * 9) + (46 + p * 9)) / 3).toByte
+    }, "grey must be the exact per-pixel channel mean")
+    // encode → decode round-trips through the same grammar
+    assert(Multimodal.PpmCodec.decode(
+      Multimodal.PpmCodec.encode(2, 2, rgb, Some(" made by a real tool"))).toSeq
+      === grey.toSeq)
+    def mustFail(payload: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.PpmCodec.decode(payload))
+      assert(e.getMessage.contains("malformed PPM"), s"$what: ${e.getMessage}")
+    }
+    mustFail("P5\n2 2\n255\n".getBytes("US-ASCII") ++ rgb, "wrong magic")
+    mustFail("P6\n2 2\n255\n".getBytes("US-ASCII") ++ rgb.take(5), "truncated raster")
+    mustFail("P6\n2 2\n99999\n".getBytes("US-ASCII") ++ rgb, "oversized maxval")
+    mustFail("P6\n2 0\n255\n".getBytes("US-ASCII"), "zero dimension")
+  }
+
+  test("m06 fixture headers vary: odd ids carry a comment line (no fixed-offset parser)") {
+    val headerLen = Multimodal.ppmFixture(spark, sf).collect()
+      .map(m => (m.media_id % 2, m.payload.length))
+    val evenLens = headerLen.filter(_._1 == 0L).map(_._2).toSet
+    val oddLens = headerLen.filter(_._1 == 1L).map(_._2).toSet
+    assert(evenLens.size == 1 && oddLens.size >= 1 && evenLens != oddLens,
+      s"odd-id comment headers must change payload length: even=$evenLens odd=$oddLens")
   }
 
   test("m05 manifest: covers every byte, content-addressed, edit-sensitive") {
