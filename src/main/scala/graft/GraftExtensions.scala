@@ -107,6 +107,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"log2_hist(<bigint>) expected, got $other")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sorted_inter_size"),
+      new ExpressionInfo(classOf[graft.functions.SortedInterSize].getName,
+        "sorted_inter_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.SortedInterSize(a, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"sorted_inter_size(a, b) expected, got $other")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
       (args: Seq[Expression]) => args match {

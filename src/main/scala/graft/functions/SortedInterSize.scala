@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Static helper so generated code calls one small JIT-friendly method. */
+object SortedInterSizeUtil {
+  /** |A ∩ B| of two ASCENDING-sorted bigint arrays by linear merge —
+    * O(|A|+|B|) primitive long comparisons, zero allocation.
+    */
+  def inter(a: ArrayData, b: ArrayData): Long = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** `sorted_inter_size(a, b)` — exact intersection size of two
+  * ascending-sorted `array<bigint>` columns.
+  *
+  * Why a custom Expression (the VecDot precedent): the set-similarity
+  * verify step evaluates |A ∩ B| once per CANDIDATE PAIR, and at small
+  * shingle k the candidate set approaches all-pairs (measured at sf0.1,
+  * k=2: 9.1 M pairs — d28's entire cost). Spark's `array_intersect`
+  * builds a hash set per evaluation (generic, allocating, and it
+  * materializes the intersection ARRAY when only its size is needed);
+  * on sorted inputs the size is one linear merge of primitive longs.
+  * Callers must guarantee the sort order (the dedup indexes carry an
+  * `h`-sorted twin of the df-ordered prefix array precisely for this) —
+  * on unsorted input the result is meaningless, which is why this is an
+  * internal engine function rather than a general-purpose one.
+  */
+case class SortedInterSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterSizeUtil.inter(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedInterSizeUtil.inter($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterSize =
+    copy(left = newLeft, right = newRight)
+}

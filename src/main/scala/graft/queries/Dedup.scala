@@ -1495,7 +1495,7 @@ object Dedup {
                           shingleK: Int = PrefixShingleK): DataFrame =
     prefixIndexOf(tokenizedDocs(s, d), tauPct, shingleK)
 
-  private def prefixIndexOf(docTokens: DataFrame, tauPct: Int,
+  private[graft] def prefixIndexOf(docTokens: DataFrame, tauPct: Int,
                             shingleK: Int): DataFrame = {
     // hash at the ROW stage, before any shuffle: one codegen'd md5 per
     // (doc, shingle) row, so the df groupBy, the index join, and the
@@ -1523,36 +1523,76 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
       .withColumn("tarr", expr("transform(toks, x -> x.h)"))
+      // the h-SORTED twin: tarr's (df, h) order drives the prefix slice,
+      // but the verify step only needs the h-set — kept ascending-sorted
+      // so sorted_inter_size can merge-count it (see SortedInterSize)
+      .withColumn("varr", expr("array_sort(transform(toks, x -> x.h))"))
       .withColumn("sz", size(col("toks")))
       .withColumn("plen", expr(s"sz - ((sz * $tauPct + 99) div 100) + 1"))
-      .select("doc_id", "tarr", "sz", "plen")
+      .select("doc_id", "tarr", "varr", "sz", "plen")
       .cache()
   }
 
   /** d15's full lazy plan over a prefix index — factored out so PlanSpec
     * can audit the physical plan, which the public query's materializing
     * localCheckpoint truncates to a bare RDD scan.
+    *
+    * Candidate generation applies the two standard EXACT prefix-join
+    * prunes (PPJoin, Xiao et al. 2008) on top of the basic prefix filter
+    * — both lossless for Jaccard ≥ τ, so the brute-force oracle still
+    * proves completeness, and both essential at small shingle k where
+    * hot shingles make the bare prefix filter toothless (measured at
+    * sf0.1, k=2: 9.1 M candidate pairs → the d28 sweep's entire cost):
+    *  - LENGTH filter: J(A,B) ≤ min/max, so |A|,|B| with
+    *    100·min < τ·max can never qualify.
+    *  - POSITIONAL filter: for a pair generated by prefix token h at
+    *    0-based sorted positions (pa, pb), if h is the pair's FIRST
+    *    common token then inter ≤ 1 + min(na−pa−1, nb−pb−1); a true
+    *    J ≥ τ pair always passes at its first common token (where the
+    *    bound is valid and ≥ the requirement), so keeping any-surviving
+    *    occurrence before the distinct is exact — later occurrences may
+    *    be over-pruned, which only removes duplicates.
+    *    J ≥ τ ⟺ inter·(100+τ) ≥ τ·(na+nb) gives the integer spelling.
     */
   private def d15Pairs(idx: DataFrame): DataFrame = {
     val prefix = idx
-      .select(col("doc_id"),
-        explode(expr("slice(tarr, 1, cast(plen as int))")).as("h"))
-    val cand = prefix.select(col("doc_id").as("d1"), col("h"))
-      .join(prefix.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(tarr, 1, cast(plen as int))")).as(Seq("p", "h")))
+    val cand = prefix
+      .select(col("doc_id").as("d1"), col("sz").as("sa"), col("p").as("pa"), col("h"))
+      .join(prefix
+        .select(col("doc_id").as("d2"), col("sz").as("sb"), col("p").as("pb"), col("h")),
+        Seq("h"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // exact verification: per-candidate array intersection over the
-    // materialized sorted sets — one codegen'd pass per pair, NO
-    // re-explode, no per-pair groupBy (the naive verify shipped
-    // |cand| × |doc| narrow rows through two sort-merge joins + an agg;
-    // this shape was a 5× bench win at sf0.1)
+      .filter(least(col("sa"), col("sb")) * 100 >=
+        greatest(col("sa"), col("sb")) * PrefixTauPct)
+      .filter((lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1)) *
+        (100 + PrefixTauPct) >= (col("sa") + col("sb")) * PrefixTauPct)
+      .select("d1", "d2")
+    // exact verification: merge-count over the h-sorted twins — one
+    // codegen'd primitive pass per candidate (sorted_inter_size), no
+    // per-pair hash set, no materialized intersection array; at k=2 the
+    // candidate set is ~all-pairs and this verify IS the leg's cost. Two
+    // structural choices keep the pair stream SHUFFLE-FREE end to end
+    // (measured at sf0.1 k=2 against the dedupe-then-verify spelling,
+    // which pushed 9.1 M distinct pairs through an exchange):
+    //  - verify every surviving OCCURRENCE in the pipeline and dedupe
+    //    only the τ-qualifying survivors (a metadata-scale distinct);
+    //    re-verifying a pair once per shared prefix token buys back the
+    //    pair-scale exchange — inter/na/nb are functions of (d1, d2), so
+    //    the post-verify distinct returns exactly the per-pair rows;
+    //  - the fetch joins broadcast the doc-count-scale index side (AQE
+    //    under-sizes the cached array column and picked sort-merge).
+    // At 100 TB the index side shards by doc bucket instead of
+    // broadcasting; the occurrence stream still never shuffles.
     cand
-      .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
-      .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb"), col("sz").as("nb")), Seq("d2"))
-      .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
+      .join(broadcast(idx.select(col("doc_id").as("d1"), col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
+      .join(broadcast(idx.select(col("doc_id").as("d2"), col("varr").as("vb"), col("sz").as("nb"))), Seq("d2"))
+      .withColumn("inter", expr("sorted_inter_size(va, vb)"))
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
       .select(col("d1"), col("d2"), col("inter"),
               col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .distinct()
   }
 
   val d15PrefixFilterJoin: Q = (s, d) => {
@@ -1593,7 +1633,7 @@ object Dedup {
   /** One sweep leg's lazy 1-row report over a per-k prefix index (see
     * [[d15Pairs]] for why it is factored out).
     */
-  private def d28Leg(idx: DataFrame, k: Int): DataFrame = {
+  private[graft] def d28Leg(idx: DataFrame, k: Int): DataFrame = {
     // the leg's pair count IS d15's machinery over this k's index — one
     // definition, so the sweep can never desynchronize from the query it
     // claims to sweep
@@ -1712,13 +1752,17 @@ object Dedup {
       .select(col("doc_id").as("d2"), explode(col("tarr")).as("h"))
     val cand = prefix.join(full, Seq("h"))
       .filter(col("d1") =!= col("d2"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2")
+    // d15Pairs's discipline: verify occurrences in the pipeline
+    // (broadcast index fetch + merge-count), dedupe only the qualifying
+    // survivors — the candidate stream never shuffles
     cand
-      .join(idx.select(col("doc_id").as("d1"), col("tarr").as("ta"), col("sz").as("na")), Seq("d1"))
-      .join(idx.select(col("doc_id").as("d2"), col("tarr").as("tb")), Seq("d2"))
-      .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
+      .join(broadcast(idx.select(col("doc_id").as("d1"), col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
+      .join(broadcast(idx.select(col("doc_id").as("d2"), col("varr").as("vb"))), Seq("d2"))
+      .withColumn("inter", expr("sorted_inter_size(va, vb)"))
       .filter(col("inter") * 100 >= col("na") * ContainTauPct)
       .select(col("d1"), col("d2"), col("inter"), col("na").cast("long").as("na"))
+      .distinct()
   }
 
   val d16ContainmentJoin: Q = (s, d) => {

@@ -618,4 +618,23 @@ class DedupSpec extends SparkSpec {
         s"$name left cached plans behind after its result was materialized")
     }
   }
+
+  test("sorted_inter_size == size(array_intersect) on sorted distinct arrays") {
+    // the verify expression's contract, pinned against Spark's built-in
+    // on a deterministic sweep of overlap structures (empty, disjoint,
+    // subset, interleaved, identical)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (i, a, b)
+    } ++ Seq((200, Seq.empty[Long], Seq(1L, 2L)), (201, Seq(5L), Seq(5L)))
+    val mismatches = cases.toDF("i", "a", "b")
+      .withColumn("got", expr("sorted_inter_size(a, b)"))
+      .withColumn("want", expr("cast(size(array_intersect(a, b)) as bigint)"))
+      .filter(col("got") =!= col("want")).count()
+    assert(mismatches === 0L)
+  }
 }

@@ -279,7 +279,7 @@ class PlanSpec extends SparkSpec {
       s"per-character explode found — the codegen'd expression was bypassed:\n$plan")
   }
 
-  test("d15: verify stage is per-pair array_intersect, never a re-explode + agg") {
+  test("d15: verify stage is per-pair merge-count over broadcast index fetches, never a re-explode + agg") {
     // the lazy twin: the public query's localCheckpoint truncates the plan.
     // Its .cache() registers the index plan in the CacheManager at call
     // time; drop it afterwards or a LATER twin compile with the same
@@ -288,8 +288,12 @@ class PlanSpec extends SparkSpec {
     val plan =
       try planOf(graft.queries.Dedup.lazyPlans("d15_prefix_filter_join")(spark, sf))
       finally spark.catalog.clearCache()
-    assert(plan.contains("array_intersect"),
-      s"exact verification must fold over the materialized sets:\n$plan")
+    assert(plan.contains("sorted_inter_size"),
+      s"exact verification must merge-count the h-sorted twins (the codegen " +
+        s"expression), not hash-set array_intersect:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the index fetch must broadcast the doc-count-scale side so the " +
+        s"occurrence stream never shuffles:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"),
       s"prefix-filter candidates degenerated to all-pairs:\n$plan")
@@ -397,13 +401,19 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("partial_sum"),
       s"the per-order quantity rollup must combine map-side:\n$p18")
     val p21 = planOf(graft.queries.Extras.q177TpchQ21(spark, sf))
-    // the suppkey INEQUALITY must ride the l_orderkey equi-join as a
-    // residual condition — planned as a BNLJ the anti leg is |R|x|S|
+    // rollup-first (r8 verdict item 6): all three correlated-existence
+    // facts come out of ONE per-order aggregate over ONE fact scan — the
+    // EXISTS/NOT-EXISTS spelling (the DuckDB oracle) reads lineitem 3x
+    // and shuffles it twice more for the semi/anti legs
+    val liScans = "Scan parquet[^\\n]*lineitem|FileScan[^\\n]*lineitem".r
+      .findAllIn(p21).length
+    assert(liScans == 1,
+      s"Q21 must roll the semi/anti/failing facts out of ONE lineitem scan, found $liScans:\n$p21")
     assert(!p21.contains("BroadcastNestedLoopJoin") &&
            !p21.contains("CartesianProduct"),
-      s"Q21's correlated-existence legs must stay equi-joins:\n$p21")
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
-      s"expected the multi-supplier semi leg and no-other-failure anti leg:\n$p21")
+      s"Q21's joins must stay equi-joins:\n$p21")
+    assert(p21.contains("partial_"),
+      s"the per-order rollup must combine map-side:\n$p21")
     assert(p21.contains("TakeOrderedAndProject"),
       s"top-100 must plan as a bounded heap:\n$p21")
   }
