@@ -1893,6 +1893,92 @@ object Extras {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** q181: TPC-H Q7 (volume shipping between two nations) — the
+    * bidirectional-pair join: revenue shipped supplier-nation →
+    * customer-nation for the pair (NATION_1, NATION_2) in EITHER
+    * direction, by ship year. The benchmark lesson is WHERE the pair
+    * predicate runs: both dimension legs pre-filter to the two nations
+    * BEFORE touching the fact (each kills ~23/25 of its side — the
+    * row-reducing join q137's scaladoc argues for), and the
+    * either-direction condition is then a residual check on two
+    * broadcast-joined name columns, never an OR-of-ANDs the planner
+    * would have to push through a fact-fact join. One data-scale
+    * shuffle: the final (nation, nation, year) groupBy. Floor-cents
+    * revenue (q131's discipline).
+    */
+  val q181TpchQ7: Q = (s, d) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val supp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("rev_c")) / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q182: TPC-H Q8 (national market share) — the ratio-of-conditional-
+    * aggregates shape: of all PROMO-part revenue delivered into EUROPE
+    * customers per order year, what fraction came from NATION_3
+    * suppliers. Every dimension (part-type filter, region-filtered
+    * customer nations, supplier→nation names) broadcasts; the fact side
+    * is reduced by the part semi-broadcast FIRST (the most selective
+    * leg), and the share is computed as one conditional + one total
+    * integer-cents sum in a single partial-agg groupBy — never two
+    * scans or a self-join of the yearly totals. The final divide is one
+    * double op on exact integers (IEEE-identical cross-engine).
+    */
+  val q182TpchQ8: Q = (s, d) => {
+    val promoParts = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val suppNation = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val euroCust = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", col("rev_c"))
+          .otherwise(0L)).as("nation_c"),
+        sum(col("rev_c")).as("total_c"))
+      .select(col("o_year"),
+        (col("nation_c").cast("double") / col("total_c").cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** q138: keyset-free pagination — ORDER BY … LIMIT n OFFSET m (Spark
     * 3.4+'s OFFSET), page 3 of the order book at 20 rows/page. The plan
     * matters more than the surface: a global sort feeding
@@ -2701,6 +2787,8 @@ object Extras {
     "q175_quantile_normalize" -> q175QuantileNormalize,
     "q176_tpch_q18"          -> q176TpchQ18,
     "q177_tpch_q21"          -> q177TpchQ21,
+    "q181_tpch_q7"           -> q181TpchQ7,
+    "q182_tpch_q8"           -> q182TpchQ8,
     "q178_groups_frame"      -> q178GroupsFrame,
     "q179_layout_compare"     -> q179LayoutCompare,
     "q180_hilbert_curve"     -> q180HilbertCurve,
@@ -3423,6 +3511,45 @@ object Extras {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20 OFFSET 40""".stripMargin,
+    // q181: the textbook Q7 n1/n2 double-nation spelling.
+    "q181_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier  ON s_suppkey = l_suppkey
+        |JOIN orders    ON o_orderkey = l_orderkey
+        |JOIN customer  ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // q182: the textbook Q8 CASE-ratio spelling over the same join graph.
+    "q182_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                     ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |                AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part      ON p_partkey = l_partkey
+        |JOIN orders    ON o_orderkey = l_orderkey
+        |JOIN customer  ON c_custkey = o_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region    ON n1.n_regionkey = r_regionkey
+        |JOIN supplier  ON s_suppkey = l_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q136: the dynamic statement, spelled statically with the binding
     // inlined — EXECUTE IMMEDIATE must change nothing but the plumbing.
     "q136_execute_immediate" ->

@@ -418,6 +418,24 @@ class PlanSpec extends SparkSpec {
       s"top-100 must plan as a bounded heap:\n$p21")
   }
 
+  test("q181/q182: dimension legs broadcast; ONE fact scan; no cartesian pair explosion") {
+    for ((name, df) <- Seq(
+        "q181" -> graft.queries.Extras.q181TpchQ7(spark, sf),
+        "q182" -> graft.queries.Extras.q182TpchQ8(spark, sf))) {
+      val plan = planOf(df)
+      val liScans = "Scan parquet[^\\n]*lineitem|FileScan[^\\n]*lineitem".r
+        .findAllIn(plan).length
+      assert(liScans == 1, s"$name must scan the fact once, found $liScans:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: nation-filtered dims must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the pair/ratio predicates must stay residual on equi-joins:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"$name: revenue must combine map-side:\n$plan")
+    }
+  }
+
   test("q165: grouping sets plan ONE Expand over ONE scan, not a per-set union") {
     val plan = planOf(graft.queries.Extras.q165GroupingSets(spark, sf))
     assert(plan.contains("Expand"),
