@@ -1546,11 +1546,59 @@ object TextOps {
       .orderBy("train_source", "eval_source")
   }
 
+  /** t42: perplexity-bucket quality filtering (CCNet, Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3) — the curation step production web pipelines
+    * run after language ID: score every document by LM fit (here t40's
+    * Laplace-smoothed bigram surprisal — the machinery is SHARED, so the
+    * filter can never drift from the scorer), split each source into
+    * perplexity TERCILES (head = most fluent, middle, tail), and keep
+    * head+middle — CCNet's exact policy. The report is the decision
+    * table: per (source, bucket) doc/token counts and the surprisal
+    * range, i.e. what a mixture designer reads before choosing per-source
+    * thresholds.
+    *
+    * Scale shapes: per-doc scores come from t40 (two corpus-scale
+    * shuffles on uniform 56-bit hashes); the tercile rank is the KEYED
+    * range-partitioned prefix count ([[prefixSum]] with keyCols=source —
+    * NEVER a 20-partition `Window.partitionBy(source)`, which would put
+    * 5% of a 100 TB corpus in one task), over a composite
+    * (centibits, doc_id) order key so the rank is total and
+    * deterministic; the bucket is then a pure per-row expression
+    * (⌊(rank−1)·3/n⌋ — the engine-spelled NTILE, identical text in the
+    * oracle), and the report is one metadata-scale groupBy.
+    */
+  val t42PerplexityFilter: Q = (s, d) => {
+    val scored = t40BigramLm(s, d)
+      .join(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens")),
+        "doc_id")
+      // composite order key: centibits-major, doc_id-minor (centibits fit
+      // comfortably under 2^23; doc ids under 2^40 — one bigint carries a
+      // total deterministic order)
+      .withColumn("ok", expr("mean_centibits * 1099511627776 + doc_id"))
+      .withColumn("one", lit(1L))
+    val ranked = prefixSum(scored, "ok", "one", "rank",
+      includeCurrent = true, keyCols = Seq("source"))
+    val n = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    ranked
+      .join(broadcast(n), "source")
+      .withColumn("bucket", expr("cast(((rank - 1) * 3) div n_src as int)"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("n_tokens"),
+           min("mean_centibits").as("min_centibits"),
+           max("mean_centibits").as("max_centibits"))
+      .withColumn("kept", col("bucket") <= 1)
+      .orderBy("source", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
     "t40_bigram_lm"      -> t40BigramLm,
     "t41_domain_xent"    -> t41DomainXent,
+    "t42_perplexity_filter" -> t42PerplexityFilter,
     "t32_markup_profile" -> t32MarkupProfile,
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
@@ -1656,6 +1704,56 @@ object TextOps {
          |       CAST(CAST(SUM(n * bits) AS BIGINT) * 100
          |            // CAST(SUM(n) AS BIGINT) AS BIGINT) AS mean_centibits
          |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t42: t40's oracle CTEs verbatim for the per-doc score, then the
+    // plain window-rank spelling of the keyed prefix count (the
+    // m09/t35 precedent: DuckDB is single-node, Spark's prefixSum must
+    // equal row_number under any partitioning) and the SAME ntile
+    // formula text.
+    "t42_perplexity_filter" ->
+      s"""WITH tok AS (
+         |  SELECT ${TextHash.duckHash56("t")} AS h1
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+         |c1 AS (SELECT h1, COUNT(1) AS f1 FROM tok GROUP BY h1),
+         |v AS (SELECT CAST(COUNT(1) AS BIGINT) AS v FROM c1),
+         |bg AS (
+         |  SELECT doc_id,
+         |         ${TextHash.duckHash56("bg")} AS hb,
+         |         ${TextHash.duckHash56("string_split(bg, ' ')[1]")} AS h1
+         |  FROM (SELECT doc_id, unnest(${TextHash.duckShingles("text", 2)}) AS bg
+         |        FROM documents)
+         |  WHERE contains(bg, ' ')),
+         |c2 AS (SELECT hb, COUNT(1) AS f2 FROM bg GROUP BY hb),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |         CAST(CAST(SUM((length(format('{:b}', f1 + v)) - 1)
+         |                - (length(format('{:b}', f2 + 1)) - 1)) AS BIGINT)
+         |              * 100 // COUNT(1) AS BIGINT) AS mean_centibits
+         |  FROM bg JOIN c2 USING (hb) JOIN c1 USING (h1), v
+         |  GROUP BY doc_id),
+         |scored AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |         p.mean_centibits,
+         |         p.mean_centibits * 1099511627776 + d.doc_id AS ok
+         |  FROM documents d JOIN perdoc p USING (doc_id)),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY source ORDER BY ok) AS rank,
+         |         COUNT(1) OVER (PARTITION BY source) AS n_src
+         |  FROM scored),
+         |bucketed AS (
+         |  SELECT source, n_tokens, mean_centibits,
+         |         CAST(((rank - 1) * 3) // n_src AS INT) AS bucket
+         |  FROM ranked)
+         |SELECT source, bucket,
+         |       COUNT(1) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(mean_centibits) AS min_centibits,
+         |       MAX(mean_centibits) AS max_centibits,
+         |       bucket <= 1 AS kept
+         |FROM bucketed
+         |GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
     // t40: identical Laplace-smoothed bigram surprisal — log2 via the
     // same bin/format('{:b}') bit-length identity as t35; the prefix
     // token of a bigram is element 1 (DuckDB arrays are 1-indexed).
