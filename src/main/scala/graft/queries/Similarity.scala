@@ -625,7 +625,15 @@ object Similarity {
     * at 100 TB you run MANY queries' walks as independent rows, not one
     * walk distributed.
     */
-  val n22GraphAnn: Q = (s, d) => {
+  /** Shared n22/n23 machinery: the multi-probe symmetrized kNN graph,
+    * the cached full scoring pass (doubles as the truth denominator),
+    * the exact top-k, and the cached quantization scan (n23 routes its
+    * layered entry through the same centroid rows).
+    */
+  private case class GraphAnnParts(v: DataFrame, adj: DataFrame,
+                                   allsc: DataFrame, truth: DataFrame)
+
+  private def graphAnnParts(s: SparkSession, d: String): GraphAnnParts = {
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
@@ -669,13 +677,24 @@ object Similarity {
       .cache()
     val truth = allsc.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
       .select(col("vec_id").as("tid"))
-    val seeds = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    GraphAnnParts(v, adj, allsc, truth)
+  }
+
+  /** The hub entry: the [[BeamSeeds]] highest-degree graph nodes. */
+  private def hubSeeds(parts: GraphAnnParts): DataFrame =
+    parts.adj.groupBy("src").agg(count(lit(1)).as("deg"))
       .filter(col("src") =!= 0)
       .orderBy(col("deg").desc, col("src").asc).limit(BeamSeeds)
       .select(col("src").as("vec_id"))
+
+  /** The bounded beam walk from `seeds`, one report row per hop
+    * (0..[[BeamHops]]): cumulative scored count, best cosine, recall@10
+    * vs the exact truth.
+    */
+  private def beamWalk(parts: GraphAnnParts, seeds: DataFrame): DataFrame = {
     def hopReport(hop: Int, scored: DataFrame): DataFrame = {
       val top = scored.orderBy(col("cos").desc, col("vec_id").asc).limit(TopK)
-      val hits = top.join(broadcast(truth), col("vec_id") === col("tid"))
+      val hits = top.join(broadcast(parts.truth), col("vec_id") === col("tid"))
         .agg(count(lit(1)).as("hits10"))
       scored.agg(count(lit(1)).as("n_scored"), max("cos").as("best_cos"))
         .crossJoin(broadcast(hits))
@@ -683,22 +702,66 @@ object Similarity {
                 col("n_scored"), col("best_cos"), col("hits10"),
                 expr(s"hits10 * 10000 div $TopK").as("recall_bp"))
     }
-    var scored = seeds.join(allsc, "vec_id").select("vec_id", "cos")
+    var scored = seeds.join(parts.allsc, "vec_id").select("vec_id", "cos")
       .localCheckpoint()
     val reports = scala.collection.mutable.Buffer(hopReport(0, scored))
     for (h <- 1 to BeamHops) {
       val beam = scored.orderBy(col("cos").desc, col("vec_id").asc)
         .limit(BeamWidth).select(col("vec_id").as("src"))
-      val fresh = beam.join(adj, "src")
+      val fresh = beam.join(parts.adj, "src")
         .select(col("dst").as("vec_id")).distinct()
         .filter(col("vec_id") =!= 0)
         .join(scored, Seq("vec_id"), "left_anti")
       scored = scored
-        .unionByName(fresh.join(allsc, "vec_id").select("vec_id", "cos"))
+        .unionByName(fresh.join(parts.allsc, "vec_id").select("vec_id", "cos"))
         .localCheckpoint()
       reports += hopReport(h, scored)
     }
-    reports.reduce(_.unionByName(_)).orderBy("hop")
+    reports.reduce(_.unionByName(_))
+  }
+
+  val n22GraphAnn: Q = (s, d) => {
+    val parts = graphAnnParts(s, d)
+    beamWalk(parts, hubSeeds(parts)).orderBy("hop")
+  }
+
+  /** n23: LAYERED entry — the hierarchy that puts the H in HNSW, as a
+    * side-by-side design comparison with n22's flat hub entry. HNSW
+    * descends a tiny top layer to pick where the base-layer walk starts;
+    * here the top layer is the [[NumCentroids]]-row centroid set (the
+    * same rows the IVF family routes through): score the query against
+    * all 16 (one broadcast — the layer IS metadata), enter the base
+    * graph at the [[BeamSeeds]] best centroids, and run the identical
+    * bounded walk. Both entry modes share every part (graph, scoring
+    * pass, truth — [[graphAnnParts]]), so the report isolates exactly
+    * ONE variable: where the walk starts. The honest fixture reading:
+    * on a 16-centroid layer over a diffuse corpus both modes reach full
+    * recall within the budget and layered scores slightly FEWER
+    * candidates — the routing layer's real value is structural and
+    * grows with scale: picking layered seeds costs one
+    * O(|centroids|) broadcast lookup, while hub entry pays a
+    * graph-wide degree aggregation (an extra |V|·k-edge shuffle a
+    * serving path cannot amortize per query). SimilaritySpec pins both
+    * curves' monotonicity, equal final recall, and layered's
+    * no-worse scored cost.
+    */
+  val n23LayeredAnn: Q = (s, d) => {
+    val parts = graphAnnParts(s, d)
+    // layered entry: greedy top-layer routing — best BeamSeeds centroids
+    // by query cosine (centroids are corpus rows, so allsc already
+    // carries their scores; the query's own row, cid 0, is excluded)
+    val layered = parts.allsc
+      .filter(col("vec_id") < NumCentroids && col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(BeamSeeds)
+      .select("vec_id")
+    val hub = beamWalk(parts, hubSeeds(parts))
+      .withColumn("entry_mode", lit("hub"))
+    val lay = beamWalk(parts, layered)
+      .withColumn("entry_mode", lit("layered"))
+    hub.unionByName(lay)
+      .select("entry_mode", "hop", "beam_width", "n_scored", "best_cos",
+              "hits10", "recall_bp")
+      .orderBy("entry_mode", "hop")
   }
 
   /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
@@ -1146,6 +1209,7 @@ object Similarity {
     "n20_ivfpq"          -> n20Ivfpq,
     "n21_ivfpq_recall"   -> n21IvfpqRecall,
     "n22_graph_ann"      -> n22GraphAnn,
+    "n23_layered_ann"    -> n23LayeredAnn,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1225,6 +1289,93 @@ object Similarity {
        |p$k AS (SELECT vec_id, md FROM m$k ORDER BY md DESC, vec_id LIMIT 1),
        |c$k AS (SELECT n.vec_id, n.q, n.nrm FROM prepn n JOIN p$k USING (vec_id)),
        |ch$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM c$k)""".stripMargin
+  }
+
+  /** n22/n23 oracle scaffolding — the shared graph/scoring/truth CTEs
+    * (over [[duckPrep]]'s prepn) and the per-entry-mode walk chain, all
+    * parameterized by a CTE-name suffix so n23 can instantiate two walks
+    * in one statement.
+    */
+  private val duckGraphAnnBase: String =
+    s"""cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
+       |          FROM prepn WHERE vec_id < $NumCentroids),
+       |scoredc AS (
+       |  SELECT v.vec_id, v.q, v.nrm, c.cid,
+       |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
+       |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
+       |  FROM prepn v CROSS JOIN cents c),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, q, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scoredc) t WHERE rn <= $BuildProbes),
+       |directed AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |         CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+       |           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       |  FROM cells a JOIN cells b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |topk AS (
+       |  SELECT src, dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |                                 ORDER BY cos DESC, dst ASC) AS rn
+       |    FROM directed) WHERE rn <= $KnnJoinK),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM topk
+       |     UNION ALL SELECT dst, src FROM topk) u),
+       |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+       |allsc AS MATERIALIZED (
+       |  SELECT p.vec_id,
+       |         CAST(${duckDot("qa", "p.q")} AS DOUBLE)
+       |           / sqrt(CAST(na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
+       |  FROM prepn p, qv WHERE p.vec_id <> 0),
+       |truth AS MATERIALIZED (SELECT vec_id AS tid FROM allsc
+       |          ORDER BY cos DESC, vec_id LIMIT $TopK)""".stripMargin
+
+  private def duckHubSeed(sfx: String): String =
+    s"""s0$sfx AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cos FROM allsc a
+       |  JOIN (SELECT src AS vec_id FROM
+       |          (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src) dt
+       |        WHERE src <> 0
+       |        ORDER BY dg DESC, src ASC LIMIT $BeamSeeds) sd USING (vec_id))"""
+      .stripMargin
+
+  private def duckLayeredSeed(sfx: String): String =
+    s"""s0$sfx AS MATERIALIZED (
+       |  SELECT vec_id, cos FROM allsc
+       |  WHERE vec_id < $NumCentroids AND vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT $BeamSeeds)""".stripMargin
+
+  private def duckWalkRounds(sfx: String): String =
+    (1 to BeamHops).map { k =>
+      s"""b${k - 1}$sfx AS MATERIALIZED (SELECT vec_id FROM s${k - 1}$sfx
+         |              ORDER BY cos DESC, vec_id LIMIT $BeamWidth),
+         |nb$k$sfx AS MATERIALIZED (SELECT DISTINCT dst AS vec_id
+         |         FROM adj JOIN b${k - 1}$sfx ON adj.src = b${k - 1}$sfx.vec_id
+         |         WHERE dst <> 0
+         |           AND dst NOT IN (SELECT vec_id FROM s${k - 1}$sfx)),
+         |s$k$sfx AS MATERIALIZED (SELECT * FROM s${k - 1}$sfx
+         |        UNION ALL
+         |        SELECT a.vec_id, a.cos FROM allsc a JOIN nb$k$sfx USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private def duckWalkLegs(sfx: String, mode: Option[String]): String = {
+    val modeCol = mode.map(m => s"'$m' AS entry_mode, ").getOrElse("")
+    (0 to BeamHops).map { k =>
+      s"""SELECT $modeCol$k AS hop, $BeamWidth AS beam_width,
+         |       (SELECT COUNT(1) FROM s$k$sfx) AS n_scored,
+         |       (SELECT MAX(cos) FROM s$k$sfx) AS best_cos,
+         |       (SELECT COUNT(1) FROM
+         |          (SELECT vec_id FROM s$k$sfx ORDER BY cos DESC, vec_id LIMIT $TopK) tk
+         |          JOIN truth ON tk.vec_id = tid) AS hits10,
+         |       (SELECT COUNT(1) FROM
+         |          (SELECT vec_id FROM s$k$sfx ORDER BY cos DESC, vec_id LIMIT $TopK) tk
+         |          JOIN truth ON tk.vec_id = tid) * 10000 // $TopK AS recall_bp"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
   }
 
   val oracles: Map[String, String] = Map(
@@ -1347,86 +1498,36 @@ object Similarity {
          |$legs
          |ORDER BY seed_rank""".stripMargin
     },
-    // n22: the walk's sequential hops unrolled as generated CTE rounds
-    // (the n16/d09/hilbert oracle discipline); the build CTEs spell the
-    // multi-probe kNN graph sequentially (row_number rn <= P / rn <= k =
-    // the TopKPerKey heaps' tie-breaks), scoring is the shared exact
-    // table, and every per-hop leg reads only its own round's set. The
-    // chain CTEs are AS MATERIALIZED: DuckDB default-INLINES CTEs, and
-    // with s_k referenced ~3x per round plus 4 legs the inlined scan
-    // count grows exponentially in the hop count (measured: the default
-    // plan exhausts the process fd limit re-opening the parquet).
-    "n22_graph_ann" -> {
-      val rounds = (1 to BeamHops).map { k =>
-        s"""b${k - 1} AS MATERIALIZED (SELECT vec_id FROM s${k - 1}
-           |              ORDER BY cos DESC, vec_id LIMIT $BeamWidth),
-           |nb$k AS MATERIALIZED (SELECT DISTINCT dst AS vec_id
-           |         FROM adj JOIN b${k - 1} ON adj.src = b${k - 1}.vec_id
-           |         WHERE dst <> 0
-           |           AND dst NOT IN (SELECT vec_id FROM s${k - 1})),
-           |s$k AS MATERIALIZED (SELECT * FROM s${k - 1}
-           |        UNION ALL
-           |        SELECT a.vec_id, a.cos FROM allsc a JOIN nb$k USING (vec_id))"""
-          .stripMargin
-      }.mkString(",\n")
-      val legs = (0 to BeamHops).map { k =>
-        s"""SELECT $k AS hop, $BeamWidth AS beam_width,
-           |       (SELECT COUNT(1) FROM s$k) AS n_scored,
-           |       (SELECT MAX(cos) FROM s$k) AS best_cos,
-           |       (SELECT COUNT(1) FROM
-           |          (SELECT vec_id FROM s$k ORDER BY cos DESC, vec_id LIMIT $TopK) tk
-           |          JOIN truth ON tk.vec_id = tid) AS hits10,
-           |       (SELECT COUNT(1) FROM
-           |          (SELECT vec_id FROM s$k ORDER BY cos DESC, vec_id LIMIT $TopK) tk
-           |          JOIN truth ON tk.vec_id = tid) * 10000 // $TopK AS recall_bp"""
-          .stripMargin
-      }.mkString("\nUNION ALL\n")
+    // n22/n23: the walk's sequential hops unrolled as generated CTE
+    // rounds (the n16/d09/hilbert oracle discipline, shared scaffolding
+    // in duckWalk*); the build CTEs spell the multi-probe kNN graph
+    // sequentially (row_number rn <= P / rn <= k = the TopKPerKey heaps'
+    // tie-breaks), scoring is the shared exact table, and every per-hop
+    // leg reads only its own round's set. The chain CTEs are AS
+    // MATERIALIZED: DuckDB default-INLINES CTEs, and with s_k referenced
+    // ~3x per round plus 4 legs the inlined scan count grows
+    // exponentially in the hop count (measured: the default plan
+    // exhausts the process fd limit re-opening the parquet).
+    "n22_graph_ann" ->
       s"""WITH $duckPrep,
-         |cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
-         |          FROM prepn WHERE vec_id < $NumCentroids),
-         |scoredc AS (
-         |  SELECT v.vec_id, v.q, v.nrm, c.cid,
-         |         CAST(${duckDot("v.q", "c.cq")} AS DOUBLE)
-         |           / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS ccos
-         |  FROM prepn v CROSS JOIN cents c),
-         |cells AS MATERIALIZED (
-         |  SELECT vec_id, q, nrm, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY ccos DESC, cid ASC) AS rn
-         |    FROM scoredc) t WHERE rn <= $BuildProbes),
-         |directed AS (
-         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-         |         CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
-         |           / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
-         |  FROM cells a JOIN cells b
-         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-         |topk AS (
-         |  SELECT src, dst FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY src
-         |                                 ORDER BY cos DESC, dst ASC) AS rn
-         |    FROM directed) WHERE rn <= $KnnJoinK),
-         |adj AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM
-         |    (SELECT src, dst FROM topk
-         |     UNION ALL SELECT dst, src FROM topk) u),
-         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
-         |allsc AS MATERIALIZED (
-         |  SELECT p.vec_id,
-         |         CAST(${duckDot("qa", "p.q")} AS DOUBLE)
-         |           / sqrt(CAST(na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
-         |  FROM prepn p, qv WHERE p.vec_id <> 0),
-         |truth AS MATERIALIZED (SELECT vec_id AS tid FROM allsc
-         |          ORDER BY cos DESC, vec_id LIMIT $TopK),
-         |s0 AS MATERIALIZED (
-         |  SELECT a.vec_id, a.cos FROM allsc a
-         |  JOIN (SELECT src AS vec_id FROM
-         |          (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src) dt
-         |        WHERE src <> 0
-         |        ORDER BY dg DESC, src ASC LIMIT $BeamSeeds) sd USING (vec_id)),
-         |$rounds
-         |$legs
-         |ORDER BY hop""".stripMargin
-    },
+         |$duckGraphAnnBase,
+         |${duckHubSeed("")},
+         |${duckWalkRounds("")}
+         |${duckWalkLegs("", None)}
+         |ORDER BY hop""".stripMargin,
+    // n23: the same scaffolding instantiated twice (CTE suffix per entry
+    // mode) over ONE shared graph/scoring/truth base.
+    "n23_layered_ann" ->
+      s"""WITH $duckPrep,
+         |$duckGraphAnnBase,
+         |${duckHubSeed("h")},
+         |${duckLayeredSeed("l")},
+         |${duckWalkRounds("h")},
+         |${duckWalkRounds("l")}
+         |${duckWalkLegs("h", Some("hub"))}
+         |UNION ALL
+         |${duckWalkLegs("l", Some("layered"))}
+         |ORDER BY entry_mode, hop""".stripMargin,
     "n13_mutual_knn" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

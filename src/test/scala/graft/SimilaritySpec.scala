@@ -189,4 +189,25 @@ class SimilaritySpec extends SparkSpec {
       s"expected recall >= 8/10 at hop ${Similarity.BeamHops}, got ${rows.last._4}")
     assert(rows.last._4 > rows.head._4, "the walk must improve on its seeds")
   }
+
+  test("n23 layered vs hub entry: both monotone, equal final recall, layered no costlier") {
+    val byMode = Similarity.n23LayeredAnn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byMode.keySet === Set("hub", "layered"))
+    for ((mode, rows) <- byMode) {
+      assert(rows.map(_._2).toSeq === (0 to Similarity.BeamHops).toSeq, mode)
+      rows.sliding(2).foreach { case Array((_, _, n0, h0), (_, _, n1, h1)) =>
+        assert(n1 >= n0 && h1 >= h0, s"$mode must be cumulative/monotone")
+      }
+    }
+    // the routing layer must never HURT: converged recall at least
+    // hub's (sf0.001: layered 9 vs hub 8; sf0.01: 10 vs 10) at no more
+    // scored candidates — the "pay for a top layer" trade
+    assert(byMode("layered").last._4 >= byMode("hub").last._4,
+      s"layered entry converged below hub entry: " +
+        s"${byMode("layered").last._4} < ${byMode("hub").last._4}")
+    assert(byMode("layered").last._3 <= byMode("hub").last._3,
+      "layered entry must not score more of the corpus than hub entry")
+  }
 }
