@@ -785,6 +785,64 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.contains((1L, 1L, 30.0)), s"state reset detected: ${rows.toSeq.sorted}")
   }
 
+  test("s33 RocksDB state store provider: stateful agg + restart recovery, changelog checkpointing on") {
+    // s10 proves restart recovery on the DEFAULT (HDFS-backed in-memory)
+    // state store; at 100 TB of keyed state that store is the scale
+    // ceiling — executors hold every key's state on-heap. This pins the
+    // SAME recovery contract under RocksDBStateStoreProvider (state
+    // spills to local disk, bounded memory) with changelog checkpointing
+    // (upload per-batch deltas, not full snapshots — the production
+    // setting for large state), so switching the provider is proven to
+    // change nothing but the storage engine.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val overrides = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ckpt = tmp("s33_ckpt")
+      val outDir = tmp("s33_out")
+      val mem = MemoryStream[(Long, Double)]
+      def start() = StreamOps.s10UpdateAgg(mem.toDF().toDF("user_id", "value"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      val q1 = start()
+      mem.addData((1L, 10.0), (2L, 5.0))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      mem.addData((1L, 30.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((1L, 2L, 40.0)),
+        s"RocksDB state lost across restart: ${rows.toSeq.sorted}")
+      assert(!rows.contains((1L, 1L, 30.0)),
+        s"RocksDB state reset detected: ${rows.toSeq.sorted}")
+      // the checkpoint really ran on RocksDB: the per-operator state dir
+      // carries RocksDB SST/changelog artifacts, not the HDFS-store's
+      // flat .delta files only
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(stateDir).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"no RocksDB snapshot/changelog artifacts under $stateDir: $files")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("s05 custom flatMapGroupsWithState state survives a query restart") {
     // s10 pins restart recovery for the BUILT-IN agg state; this pins it
     // for the CUSTOM-state tier, whose (count, sum) tuple must serde
