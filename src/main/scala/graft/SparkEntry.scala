@@ -44,7 +44,9 @@ object SparkEntry {
         "m09_batch_assembly" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m09BatchAssembly(s, d)),
         "m10_magic_sniff" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m10MagicSniff(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m10MagicSniff(s, d)),
+        "m11_wav_features" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m11WavFeatures(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -214,6 +216,29 @@ object SparkEntry {
              |SELECT m1, m2, CAST(bit_count(xor(ph1, ph2)) AS INT) AS ham
              |FROM cand WHERE bit_count(xor(ph1, ph2)) <= ${graft.operators.Multimodal.PhashMaxHam}
              |ORDER BY m1, m2""".stripMargin
+        },
+        // m11: features recomputed from the sample FORMULA the WAV
+        // fixture encodes (m06's oracle discipline for audio) — equality
+        // proves WavCodec's chunk walk recovered every little-endian
+        // 16-bit sample exactly.
+        "m11_wav_features" -> {
+          val n = graft.operators.Multimodal.WavSamples
+          s"""WITH samp AS (
+             |  SELECT doc_id AS media_id, i,
+             |         ((doc_id * 7919 + i * (3 + doc_id % 17)) % 2001) - 1000 AS s
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${n - 1})) AS i) ii),
+             |lagd AS (
+             |  SELECT media_id, s,
+             |         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS sp
+             |  FROM samp)
+             |SELECT media_id,
+             |       CAST($n AS BIGINT) AS n_samples,
+             |       CAST(MAX(abs(s)) AS BIGINT) AS peak,
+             |       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+             |       CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |FROM lagd GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m10: the ASCII fixture makes magic + byte accounting
         // SQL-expressible; the round-trip booleans are the pin.

@@ -202,6 +202,74 @@ object Multimodal {
     }
   }
 
+  /** A REAL AUDIO codec through the same seam — RIFF/WAVE with 16-bit
+    * mono PCM, parsed by an actual CHUNK WALK (RIFF magic, WAVE form
+    * type, iterate [id, size, payload] chunks skipping unknown ones —
+    * odd-id fixtures plant a LIST junk chunk before `data`, so a
+    * fixed-offset reader cannot decode both parities), `fmt ` validation
+    * (PCM, mono, 16-bit), and the `data` chunk's byte-exact extraction.
+    * `decode` returns the raw PCM payload; [[pcm16]] turns it into
+    * samples (little-endian, the WAV spec's byte order).
+    */
+  object WavCodec extends MediaCodec {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def encode(samples: Array[Int], junkChunk: Boolean): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xffff))
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val junk = if (junkChunk)
+        "LIST".getBytes("US-ASCII") ++ le32(6) ++ "INFOju".getBytes("US-ASCII")
+      else Array.emptyByteArray
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junk ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def decode(payload: Array[Byte]): Array[Byte] = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed WAV: $msg")
+      def rd32(p: Int): Int =
+        (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8) |
+          ((payload(p + 2) & 0xff) << 16) | ((payload(p + 3) & 0xff) << 24)
+      def rd16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+      def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+      if (payload.length < 12 || tag(0) != "RIFF") fail("missing RIFF magic")
+      if (tag(8) != "WAVE") fail("form type is not WAVE")
+      var pos = 12
+      var fmtSeen = false
+      while (pos + 8 <= payload.length) {
+        val id = tag(pos); val size = rd32(pos + 4)
+        if (size < 0 || pos + 8 + size > payload.length)
+          fail(s"chunk '$id' overruns the payload")
+        if (id == "fmt ") {
+          if (rd16(pos + 8) != 1) fail("not PCM")
+          if (rd16(pos + 10) != 1) fail("not mono")
+          if (rd16(pos + 22) != 16) fail("not 16-bit")
+          fmtSeen = true
+        } else if (id == "data") {
+          if (!fmtSeen) fail("data chunk before fmt")
+          return java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+        }
+        pos += 8 + size
+      }
+      fail("no data chunk"); null
+    }
+  }
+
+  /** 16-bit little-endian PCM → signed sample values. */
+  def pcm16(data: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](data.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic fake decode (the stub codec's body — kept as a named
     * function because m03/m06's chunk math and several specs call it
     * directly).
@@ -624,6 +692,68 @@ object Multimodal {
       .where(col("ham") <= PhashMaxHam)
       .select(col("m1"), col("m2"), col("ham"))
       .orderBy("m1", "m2")
+  }
+
+  /** m11 waveform length per clip. */
+  val WavSamples = 64
+
+  /** Deterministic WAV fixture: one 64-sample mono PCM16 clip per
+    * document, samples from the integer pseudo-sawtooth
+    * `((doc·7919 + i·(3 + doc%17)) % 2001) − 1000` — SQL-expressible, so
+    * the oracle recomputes the FEATURES from the formula while the Spark
+    * side must recover the same samples through the real RIFF chunk walk
+    * (odd ids plant a LIST junk chunk before `data` — variable layout,
+    * no fixed-offset shortcut).
+    */
+  def wavFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val step = 3 + (id % 17).toInt
+        val samples = Array.tabulate(WavSamples) { i =>
+          ((id * 7919L + i.toLong * step) % 2001L).toInt - 1000
+        }
+        Media(id, "audio", WavCodec.encode(samples, junkChunk = id % 2 == 1),
+          width = 0, height = 0,
+          duration_ms = WavSamples * 1000L / 8000L, format = "wav")
+      }
+  }
+
+  /** m11: audio feature extraction over REAL encoded waveforms — the
+    * audio twin of m06's real-image claim: genuine RIFF/WAVE payloads
+    * (variable chunk layout) decoded by [[WavCodec]]'s spec chunk walk,
+    * then the standard first-pass audio features — peak amplitude,
+    * energy (Σs², the RMS numerator kept integer-exact), and
+    * zero-crossing count (the classic voiced/unvoiced + pitch-proxy
+    * signal) — computed from the recovered samples. The DuckDB oracle
+    * recomputes every feature from the sample FORMULA the fixture
+    * encodes, so feature equality proves the parse recovered each
+    * 16-bit little-endian sample exactly (MultimodalSpec additionally
+    * golden-tests the chunk walk and its malformed-input failures).
+    * Scale shape: one mapPartitions pass (per-partition codec init),
+    * fixed-width integer features out, payload bytes never shuffle.
+    */
+  def m11WavFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavFixture(s, d).mapPartitions { rows =>
+      WavCodec.init()
+      rows.map { m =>
+        val ss = pcm16(WavCodec.decode(m.payload))
+        var sumSq = 0L
+        var peak = 0L
+        var zc = 0L
+        var i = 0
+        while (i < ss.length) {
+          val v = ss(i).toLong
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v * ss(i - 1).toLong < 0) zc += 1
+          i += 1
+        }
+        (m.media_id, ss.length.toLong, peak, sumSq, zc)
+      }
+    }.toDF("media_id", "n_samples", "peak", "sum_sq", "zero_crossings")
+      .orderBy("media_id")
   }
 
   /** Training batch size for m09 (a multiple of the 3 modalities, so full

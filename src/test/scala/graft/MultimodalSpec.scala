@@ -266,6 +266,50 @@ class MultimodalSpec extends SparkSpec {
     mustFail("P6\n2 0\n255\n".getBytes("US-ASCII"), "zero dimension")
   }
 
+  test("WavCodec: chunk walk recovers PCM exactly, skips junk chunks, fails loudly on malformed") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 7, -7, 0)
+    for (junk <- Seq(false, true)) {
+      val pcm = Multimodal.pcm16(
+        Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(samples, junk)))
+      assert(pcm.toSeq === samples.toSeq,
+        s"junk=$junk: little-endian 16-bit round-trip must be exact")
+    }
+    // the junk chunk really changes the layout (no fixed-offset shortcut)
+    assert(Multimodal.WavCodec.encode(samples, junkChunk = true).length >
+           Multimodal.WavCodec.encode(samples, junkChunk = false).length)
+    def mustFail(payload: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.WavCodec.decode(payload))
+      assert(e.getMessage.contains("malformed WAV"), s"$what: ${e.getMessage}")
+    }
+    val good = Multimodal.WavCodec.encode(samples, junkChunk = false)
+    mustFail("JUNK".getBytes("US-ASCII") ++ good.drop(4), "wrong magic")
+    mustFail(good.take(20), "truncated chunk")
+    val notWave = good.clone(); notWave(8) = 'X'.toByte
+    mustFail(notWave, "wrong form type")
+  }
+
+  test("m11 fixture layout varies by parity; features match a plain-Scala recompute") {
+    val clips = Multimodal.wavFixture(spark, sf).collect()
+    val evenLens = clips.filter(_.media_id % 2 == 0).map(_.payload.length).toSet
+    val oddLens = clips.filter(_.media_id % 2 == 1).map(_.payload.length).toSet
+    assert(evenLens.size == 1 && oddLens.size == 1 && evenLens != oddLens,
+      s"junk chunk must change odd-id payload length: $evenLens vs $oddLens")
+    // independent feature recompute from the formula, bypassing the codec
+    val got = Multimodal.m11WavFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    clips.take(25).foreach { m =>
+      val step = 3 + (m.media_id % 17).toInt
+      val ss = Array.tabulate(Multimodal.WavSamples) { i =>
+        ((m.media_id * 7919L + i.toLong * step) % 2001L).toInt - 1000
+      }
+      val peak = ss.map(v => math.abs(v.toLong)).max
+      val sumSq = ss.map(v => v.toLong * v).sum
+      val zc = (1 until ss.length).count(i => ss(i).toLong * ss(i - 1) < 0).toLong
+      assert(got(m.media_id) === ((peak, sumSq, zc)),
+        s"feature mismatch for media ${m.media_id}")
+    }
+  }
+
   test("m06 fixture headers vary: odd ids carry a comment line (no fixed-offset parser)") {
     val headerLen = Multimodal.ppmFixture(spark, sf).collect()
       .map(m => (m.media_id % 2, m.payload.length))
