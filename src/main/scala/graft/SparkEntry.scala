@@ -46,7 +46,9 @@ object SparkEntry {
         "m10_magic_sniff" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m10MagicSniff(s, d)),
         "m11_wav_features" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m11WavFeatures(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m11WavFeatures(s, d)),
+        "m12_clip_temporal_dedup" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m12ClipTemporalDedup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -239,6 +241,47 @@ object SparkEntry {
              |       CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM lagd GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m12: per-frame hashes recomputed from the cell formula each
+        // frame's pixels encode (frame f = jitter prefix f//2 on base
+        // pattern g=doc_id); equality proves the P6 STREAM walk found
+        // every frame boundary and parsed every variable header exactly.
+        "m12_clip_temporal_dedup" -> {
+          val nb = graft.operators.Multimodal.PhashBits
+          val nf = graft.operators.Multimodal.ClipFrames
+          s"""WITH cells AS (
+             |  SELECT doc_id AS media_id, f, c,
+             |         48 + 48 * CASE WHEN c < f // 2
+             |                        THEN 1 - (((doc_id * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE (((doc_id * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nf - 1})) AS f) ff,
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc),
+             |ph AS (
+             |  SELECT media_id, f,
+             |         CAST(SUM(CASE WHEN t * $nb > tot
+             |                  THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)
+             |              AS BIGINT) AS ph
+             |  FROM (SELECT media_id, f, c, t,
+             |               SUM(t) OVER (PARTITION BY media_id, f) AS tot
+             |        FROM cells) z
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT media_id, ph,
+             |         lag(ph) OVER (PARTITION BY media_id ORDER BY f) AS php
+             |  FROM ph)
+             |SELECT media_id,
+             |       CAST($nf AS BIGINT) AS n_frames,
+             |       CAST(1 + SUM(CASE WHEN php IS NOT NULL
+             |                         AND bit_count(xor(ph, php)) > 0
+             |                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_frames,
+             |       CAST(SUM(CASE WHEN php IS NOT NULL
+             |                THEN bit_count(xor(ph, php)) ELSE 0 END) AS BIGINT)
+             |         AS motion_ham
+             |FROM pairs GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m10: the ASCII fixture makes magic + byte accounting
         // SQL-expressible; the round-trip booleans are the pin.

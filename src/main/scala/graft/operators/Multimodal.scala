@@ -155,7 +155,13 @@ object Multimodal {
       System.arraycopy(rgb, 0, out, hb.length, rgb.length)
       out
     }
-    def decode(payload: Array[Byte]): Array[Byte] = {
+    def decode(payload: Array[Byte]): Array[Byte] = decodeWithLength(payload)._1
+
+    /** Parse ONE P6 image at the start of `payload`, returning the grey
+      * raster AND the exact number of bytes the image occupied — the
+      * primitive [[decodePpmStream]] iterates to walk a frame stream.
+      */
+    def decodeWithLength(payload: Array[Byte]): (Array[Byte], Int) = {
       var pos = 0
       def fail(msg: String) =
         throw new IllegalArgumentException(s"malformed PPM: $msg")
@@ -198,7 +204,7 @@ object Multimodal {
           (payload(base + 2) & 0xff)) / 3).toByte
         i += 1
       }
-      grey
+      (grey, pos + w * h * 3)
     }
   }
 
@@ -590,35 +596,79 @@ object Multimodal {
     * get a `#`-comment header line (variable header length — a
     * fixed-offset "parser" cannot decode both parities).
     */
+  /** The RGB raster for (base-pattern group g, jitter prefix j) — shared
+    * by the m06 still-image fixture and m12's frame builder. */
+  private[graft] def ppmRgb(g: Long, j: Int): Array[Byte] = {
+    val rgb = new Array[Byte](PpmW * PpmH * 3)
+    var y = 0
+    while (y < PpmH) {
+      var x = 0
+      while (x < PpmW) {
+        val c = (y / 2) * (PpmW / 2) + (x / 2)
+        val bit = ppmBaseBit(g, c) ^ (if (c < j) 1L else 0L)
+        val t = 48 + 48 * bit.toInt
+        val dp = ((y % 2) * 2 + (x % 2)) match {
+          case 0 => -1; case 1 => 0; case 2 => 1; case _ => 0
+        }
+        val base = (y * PpmW + x) * 3
+        rgb(base) = (t + 2 + dp).toByte
+        rgb(base + 1) = (t + dp).toByte
+        rgb(base + 2) = (t - 2 + dp).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
   def ppmFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .map { id =>
-        val g = id / PpmJitterGroup
-        val j = (id % PpmJitterGroup).toInt
-        val rgb = new Array[Byte](PpmW * PpmH * 3)
-        var y = 0
-        while (y < PpmH) {
-          var x = 0
-          while (x < PpmW) {
-            val c = (y / 2) * (PpmW / 2) + (x / 2)
-            val bit = ppmBaseBit(g, c) ^ (if (c < j) 1L else 0L)
-            val t = 48 + 48 * bit.toInt
-            val dp = ((y % 2) * 2 + (x % 2)) match {
-              case 0 => -1; case 1 => 0; case 2 => 1; case _ => 0
-            }
-            val base = (y * PpmW + x) * 3
-            rgb(base) = (t + 2 + dp).toByte
-            rgb(base + 1) = (t + dp).toByte
-            rgb(base + 2) = (t - 2 + dp).toByte
-            x += 1
-          }
-          y += 1
-        }
+        val rgb = ppmRgb(id / PpmJitterGroup, (id % PpmJitterGroup).toInt)
         val comment = if (id % 2 == 1) Some(s" re-encode pass for media $id") else None
         Media(id, "image", PpmCodec.encode(PpmW, PpmH, rgb, comment),
           width = PpmW, height = PpmH, duration_ms = 0L, format = "ppm")
       }
+  }
+
+  /** m12's clip fixture: one P6 stream of [[ClipFrames]] frames per
+    * document — frame f is the doc's base pattern with jitter prefix
+    * ⌊f/2⌋ (consecutive frames alternate identical/one-cell-changed),
+    * and every frame carries its own header (odd frames a comment line,
+    * so the stream walk must re-parse variable headers mid-payload).
+    */
+  def clipFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until ClipFrames).map { f =>
+          PpmCodec.encode(PpmW, PpmH, ppmRgb(id, f / 2),
+            if (f % 2 == 1) Some(s" frame $f of clip $id") else None)
+        }
+        Media(id, "video", frames.reduce(_ ++ _),
+          width = PpmW, height = PpmH,
+          duration_ms = ClipFrames * 40L, format = "ppm-stream")
+      }
+  }
+
+  /** See [[decodePpmStream]]'s scaladoc block above for the m12 story. */
+  def m12ClipTemporalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    clipFixture(s, d).mapPartitions { rows =>
+      PpmCodec.init()
+      rows.map { m =>
+        val hashes = decodePpmStream(m.payload)
+          .map(g => ppmAHash(g, PpmW, PpmH))
+        val consec = hashes.sliding(2).map {
+          case Seq(a, b) => java.lang.Long.bitCount(a ^ b).toLong
+          case _ => 0L
+        }.toSeq
+        val kept = 1L + consec.count(_ > 0)
+        (m.media_id, hashes.length.toLong, kept, consec.sum)
+      }
+    }.toDF("media_id", "n_frames", "kept_frames", "motion_ham")
+      .orderBy("media_id")
   }
 
   /** aHash over a decoded grey buffer: 2×2-block downscale to the 32-cell
@@ -692,6 +742,44 @@ object Multimodal {
       .where(col("ham") <= PhashMaxHam)
       .select(col("m1"), col("m2"), col("ham"))
       .orderBy("m1", "m2")
+  }
+
+  /** m12 frames per clip. */
+  val ClipFrames = 6
+
+  /** m12: VIDEO over the same seam — clips are P6 STREAMS (concatenated
+    * header+raster frames, the netpbm stream format ffmpeg/mpv accept),
+    * so the video decoder is the REAL image parser run in sequence:
+    * [[decodePpmStream]] walks the payload frame by frame through
+    * [[PpmCodec]]'s grammar (every frame re-parses its own variable
+    * header) and returns one grey raster per frame. m12 then runs the
+    * production first pass over frames — per-frame aHash
+    * ([[ppmAHash]], m06's machinery) and TEMPORAL dedup: a frame is
+    * KEPT iff its hash differs from the previous kept... no — from the
+    * immediately previous frame (the consecutive-duplicate drop every
+    * video pipeline runs before paying per-frame inference). Report per
+    * clip: frame count, kept count, and the summed consecutive Hamming
+    * distance (the motion proxy). The fixture builds frame f from m06's
+    * cell formula with jitter prefix ⌊f/2⌋ — consecutive frames
+    * alternate identical/changed, so kept = 3 of 6 by construction and
+    * the oracle recomputes everything from the formula (equality proves
+    * the stream walk found every frame boundary exactly).
+    * Scale shape: one mapPartitions pass per clip (frames never become
+    * rows unless a pipeline asks — m02 is the explode shape), fixed
+    * integer features out.
+    */
+  def decodePpmStream(payload: Array[Byte]): Seq[Array[Byte]] = {
+    // frame-by-frame: parse one P6 at the cursor, advance by its exact
+    // encoded length (header + raster), repeat until the payload ends
+    val frames = scala.collection.mutable.Buffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      val rest = java.util.Arrays.copyOfRange(payload, pos, payload.length)
+      val (grey, consumed) = PpmCodec.decodeWithLength(rest)
+      frames += grey
+      pos += consumed
+    }
+    frames.toSeq
   }
 
   /** m11 waveform length per clip. */

@@ -310,6 +310,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m12 P6 stream walk: exact frame boundaries across variable headers; temporal dedup by construction") {
+    // golden: a hand-built 3-frame stream with different header styles
+    // per frame must come back as exactly 3 rasters, each correct
+    val rgbA = Array.fill(2 * 2 * 3)(60.toByte)
+    val rgbB = Array.fill(2 * 2 * 3)(90.toByte)
+    val stream = Multimodal.PpmCodec.encode(2, 2, rgbA, None) ++
+      Multimodal.PpmCodec.encode(2, 2, rgbB, Some(" middle frame ")) ++
+      Multimodal.PpmCodec.encode(2, 2, rgbA, None)
+    val frames = Multimodal.decodePpmStream(stream)
+    assert(frames.length === 3)
+    assert(frames(0).toSeq === Seq.fill(4)(60.toByte))
+    assert(frames(1).toSeq === Seq.fill(4)(90.toByte))
+    assert(frames(2).toSeq === Seq.fill(4)(60.toByte))
+    // a truncated final frame fails loudly, not silently short
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpmStream(stream.dropRight(3)))
+    // the fixture's planted structure: frames alternate identical/changed
+    // (jitter prefix f/2), so every clip keeps exactly ceil(F/2) frames
+    val rows = Multimodal.m12ClipTemporalDedup(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nf, kept) =>
+      assert(nf === Multimodal.ClipFrames.toLong)
+      assert(kept === (Multimodal.ClipFrames + 1) / 2,
+        s"expected ${(Multimodal.ClipFrames + 1) / 2} kept of $nf, got $kept")
+    }
+  }
+
   test("m06 fixture headers vary: odd ids carry a comment line (no fixed-offset parser)") {
     val headerLen = Multimodal.ppmFixture(spark, sf).collect()
       .map(m => (m.media_id % 2, m.payload.length))
