@@ -648,17 +648,26 @@ object Similarity {
     val cells = graft.plans.TopKPerKey(cellScores, Seq("vec_id"),
         Seq(("ccos", false), ("cid", true)), BuildProbes)
       .select("vec_id", "q", "nrm", "cid")
-    val a = cells.select(col("vec_id").as("src"), col("q").as("qa"),
-                         col("nrm").as("na"), col("cid"))
-    val b = cells.select(col("vec_id").as("dst"), col("q"),
-                         col("nrm"), col("cid"))
-    // distinct: a pair sharing BOTH probe cells must surface once before
-    // the per-source heap (cos is deterministic, so the triple dedupes).
-    val directed = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
+    // Pair generation shuffles NARROW id rows only (d15's discipline):
+    // the cid self-join and the shared-both-cells dedupe never carry the
+    // 64-element vectors; each distinct pair then scores ONCE via two
+    // broadcast fetches from the doc-count-scale vector table (measured
+    // at sf0.1: the array-carrying spelling shuffled ~6M rows of vector
+    // payloads through the cid join + distinct and was the bench's
+    // costliest stage).
+    val ids = cells.select("vec_id", "cid")
+    val pairs = ids.select(col("vec_id").as("src"), col("cid"))
+      .join(ids.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val directed = pairs
+      .join(broadcast(v.select(col("vec_id").as("src"), col("q").as("qa"),
+        col("nrm").as("na"))), Seq("src"))
+      .join(broadcast(v.select(col("vec_id").as("dst"), col("q"),
+        col("nrm"))), Seq("dst"))
       .select(col("src"), col("dst"),
         expr(s"cast(${dot("qa", "q")} as double) / " +
           "sqrt(cast(na as double) * cast(nrm as double))").as("cos"))
-      .distinct()
     val topk = graft.plans.TopKPerKey(directed, Seq("src"),
         Seq(("cos", false), ("dst", true)), KnnJoinK)
       .select("src", "dst")

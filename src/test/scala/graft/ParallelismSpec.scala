@@ -44,7 +44,15 @@ class ParallelismSpec extends SparkSpec {
     // table (cleared per run) and its straddle counts must not depend on
     // how the melt is partitioned.
     "t40_bigram_lm", "q179_layout_compare", "p11_cluster_safe_split",
-    "t41_domain_xent", "q180_hilbert_curve")
+    "t41_domain_xent", "q180_hilbert_curve",
+    // round-9 additions: n22/n23's beam walks rank via tie-broken limits
+    // over partition-built unions and their graph build rides TopKPerKey
+    // heaps; t42 rides the keyed prefixSum tercile rank; d28's pair
+    // counts now verify per-OCCURRENCE before a distinct (the dedupe
+    // must not depend on which occurrence survives where); d15's
+    // PPJoin prunes are per-occurrence too.
+    "n22_graph_ann", "n23_layered_ann", "t42_perplexity_filter",
+    "d28_shingle_sweep", "d15_prefix_filter_join")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup suite memoizes its pair/cluster index tables — clear so
