@@ -771,13 +771,20 @@ object Extras {
     val fOrders = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     val isR = col("l_returnflag") === "R"
-    val perOrder = Tables.lineitem(s, d)
+    // two-level rollup: collapsing to (order, supplier) grain FIRST keeps
+    // every aggregate plain (a single groupBy with two countDistincts
+    // plans an Expand that doubles the fact before the partial phase —
+    // measured 2x at sf0.1); both levels partial-agg map-side
+    val perSupp = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(isR, 1L).otherwise(0L)).as("r_lines"))
+    val perOrder = perSupp
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-           countDistinct(when(isR, col("l_suppkey"))).as("n_r_supp"),
-           max(when(isR, col("l_suppkey"))).as("r_supp"),
-           sum(when(isR, 1L).otherwise(0L)).as("n_r_lines"))
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("r_lines") > 0, 1L).otherwise(0L)).as("n_r_supp"),
+           max(when(col("r_lines") > 0, col("l_suppkey"))).as("r_supp"),
+           sum(col("r_lines")).as("n_r_lines"))
       .filter(col("n_r_supp") === 1 && col("n_supp") >= 2)
     perOrder
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
