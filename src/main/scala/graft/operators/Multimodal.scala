@@ -755,9 +755,9 @@ object Multimodal {
     * header) and returns one grey raster per frame. m12 then runs the
     * production first pass over frames — per-frame aHash
     * ([[ppmAHash]], m06's machinery) and TEMPORAL dedup: a frame is
-    * KEPT iff its hash differs from the previous kept... no — from the
-    * immediately previous frame (the consecutive-duplicate drop every
-    * video pipeline runs before paying per-frame inference). Report per
+    * KEPT iff its hash differs from the immediately previous frame's
+    * (the consecutive-duplicate drop every video pipeline runs before
+    * paying per-frame inference). Report per
     * clip: frame count, kept count, and the summed consecutive Hamming
     * distance (the motion proxy). The fixture builds frame f from m06's
     * cell formula with jitter prefix ⌊f/2⌋ — consecutive frames
