@@ -259,7 +259,8 @@ object Multimodal {
           if (!fmtSeen) fail("data chunk before fmt")
           return java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
         }
-        pos += 8 + size
+        // RIFF word-aligns chunks: an odd-sized chunk carries one pad byte
+        pos += 8 + size + (size & 1)
       }
       fail("no data chunk"); null
     }

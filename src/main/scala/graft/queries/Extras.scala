@@ -1986,6 +1986,68 @@ object Extras {
       .orderBy("o_year")
   }
 
+  /** q183: TPC-H Q19 (discounted revenue over three brand/size/quantity
+    * bands) — the benchmark's OR-of-ANDs pushdown test: each disjunct
+    * constrains BOTH sides of the part⋈lineitem join, and the trap
+    * spelling runs one join per disjunct and unions (three fact scans).
+    * Here the disjunction is a single residual filter over ONE equi-join
+    * — the optimizer derives the part-only disjunction
+    * (brand₁∧size₁ ∨ …) and pushes it into the dimension scan, the dim
+    * broadcasts, and the fact is scanned once. Floor-cents revenue.
+    */
+  val q183TpchQ19: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#5" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("rev_c")) / 100.0).as("revenue"))
+  }
+
+  /** q184: TPC-H Q22 (global sales opportunity) — the two-subquery
+    * topology: a scalar AVERAGE threshold over a filtered slice of the
+    * same dimension, then an ANTI join against the fact ("well-funded
+    * customers with no RECENT orders" — the benchmark's 7-year dormancy
+    * window; this fixture's customers all order eventually, so the anti
+    * leg is the date-filtered NOT EXISTS Q22's text describes), grouped
+    * by country code (adapted to `c_nationkey % 5` — this schema carries
+    * no phone column). The
+    * average is integer-cents (Σ div n): a double AVG's sum order is
+    * partition-dependent, and a threshold COMPARISON against it would
+    * let the last ulp decide membership — the exact-arithmetic
+    * discipline every boundary predicate in this engine follows. Scale
+    * shapes: the threshold is a 1-row broadcast; the anti join is a
+    * hash equi-join on custkey (fact-side shuffle, no BNLJ); one
+    * metadata-scale groupBy.
+    */
+  val q184TpchQ22: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .filter((col("c_nationkey") % 5).isin(1, 3))
+      .select(col("c_custkey"),
+        (col("c_nationkey") % 5).as("cntrycode"),
+        expr("cast(floor(c_acctbal * 100) as bigint)").as("bal_c"))
+    val avgC = cust.filter(col("bal_c") > 0)
+      .agg(expr("sum(bal_c) div count(1)").as("avg_c"))
+    cust.crossJoin(broadcast(avgC))
+      .filter(col("bal_c") > col("avg_c"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy("cntrycode")
+  }
+
   /** q138: keyset-free pagination — ORDER BY … LIMIT n OFFSET m (Spark
     * 3.4+'s OFFSET), page 3 of the order book at 20 rows/page. The plan
     * matters more than the surface: a global sort feeding
@@ -2796,6 +2858,8 @@ object Extras {
     "q177_tpch_q21"          -> q177TpchQ21,
     "q181_tpch_q7"           -> q181TpchQ7,
     "q182_tpch_q8"           -> q182TpchQ8,
+    "q183_tpch_q19"          -> q183TpchQ19,
+    "q184_tpch_q22"          -> q184TpchQ22,
     "q178_groups_frame"      -> q178GroupsFrame,
     "q179_layout_compare"     -> q179LayoutCompare,
     "q180_hilbert_curve"     -> q180HilbertCurve,
@@ -3536,6 +3600,36 @@ object Extras {
         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q183: the textbook single-join OR-of-ANDs spelling.
+    "q183_tpch_q19" ->
+      """SELECT COUNT(1) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q184: the textbook Q22 scalar-subquery + NOT EXISTS spelling,
+    // integer-cents average (see the Spark scaladoc).
+    "q184_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey % 5 IN (1, 3)),
+        |thr AS (SELECT CAST(SUM(bal_c) // COUNT(1) AS BIGINT) AS avg_c
+        |        FROM cust WHERE bal_c > 0)
+        |SELECT cntrycode, COUNT(1) AS numcust,
+        |       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+        |FROM cust, thr
+        |WHERE bal_c > avg_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     // q182: the textbook Q8 CASE-ratio spelling over the same join graph.
     "q182_tpch_q8" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

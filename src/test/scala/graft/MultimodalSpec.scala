@@ -281,6 +281,16 @@ class MultimodalSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](Multimodal.WavCodec.decode(payload))
       assert(e.getMessage.contains("malformed WAV"), s"$what: ${e.getMessage}")
     }
+    // RIFF word alignment: an ODD-size skipped chunk carries a pad byte
+    // the walk must step over to land on the next chunk boundary
+    val g2 = Multimodal.WavCodec.encode(samples, junkChunk = false)
+    val (head, rest) = g2.splitAt(12 + 8 + 16) // RIFF hdr + fmt chunk
+    val oddJunk = "LIST".getBytes("US-ASCII") ++
+      Array(5.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      "INFOx".getBytes("US-ASCII") ++ Array(0.toByte) // 5 bytes + 1 pad
+    val withOdd = head ++ oddJunk ++ rest
+    assert(Multimodal.pcm16(Multimodal.WavCodec.decode(withOdd)).toSeq
+      === samples.toSeq, "odd-size chunk padding must be skipped")
     val good = Multimodal.WavCodec.encode(samples, junkChunk = false)
     mustFail("JUNK".getBytes("US-ASCII") ++ good.drop(4), "wrong magic")
     mustFail(good.take(20), "truncated chunk")

@@ -436,6 +436,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q183/q184: Q19's disjunction rides ONE join; Q22's anti leg stays hash-equi") {
+    val p19 = planOf(graft.queries.Extras.q183TpchQ19(spark, sf))
+    val li19 = "Scan parquet[^\\n]*lineitem|FileScan[^\\n]*lineitem".r
+      .findAllIn(p19).length
+    assert(li19 == 1,
+      s"Q19's three bands must share ONE fact scan (not a per-disjunct union):\n$p19")
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct"),
+      s"part must broadcast into the single equi-join:\n$p19")
+    val p22 = planOf(graft.queries.Extras.q184TpchQ22(spark, sf))
+    // the 1-row threshold attach is a broadcast nested-loop by design;
+    // the ANTI leg itself must be a hash/merge equi-join on custkey
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*LeftAnti".r
+      .findFirstIn(p22).isDefined,
+      s"Q22's dormancy check must plan as a hash/merge anti join:\n$p22")
+    assert(!p22.contains("CartesianProduct"),
+      s"no unbroadcast cartesian anywhere in Q22:\n$p22")
+    assert(p22.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+           p22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the recency cutoff must reach the orders scan:\n$p22")
+  }
+
   test("q165: grouping sets plan ONE Expand over ONE scan, not a per-set union") {
     val plan = planOf(graft.queries.Extras.q165GroupingSets(spark, sf))
     assert(plan.contains("Expand"),
