@@ -225,6 +225,40 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q185: TPC-H Q1 (pricing summary report) — q12's group-by upgraded to
+    * the benchmark's full eight-aggregate form: quantity/base-price sums,
+    * the COMPOUND decimal products disc_price = price·(1−disc) and
+    * charge = price·(1−disc)·(1+tax) (exact decimal multiplication —
+    * the sums are exact rationals on both engines, so the final double
+    * casts are bit-identical), three averages via the q12-proven
+    * re-round-to-(18,2) device (AVG's division result needs one shared
+    * rounding point), and the row count, under Q1's shipdate cutoff.
+    * Plan: one scan, pushed date filter, ONE partial-agg pass (all eight
+    * aggregates combine map-side — the reason Q1 is the benchmark's
+    * scan-throughput yardstick).
+    */
+  val q185TpchQ1: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // SUMS cast straight to double: the decimal sums are EXACT (2/4/6
+        // dp), so nearest-double conversion is engine-independent — a
+        // re-round to (18,2) first would put half-cent ties under each
+        // engine's decimal tie-break (measured: one cent apart at sf0.01)
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          dec(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) *
+          dec(lit(1) - col("l_discount")) *
+          dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+        decD(avg(dec(col("l_quantity")))).as("avg_qty"),
+        decD(avg(dec(col("l_extendedprice")))).as("avg_price"),
+        decD(avg(dec(col("l_discount")))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** q13: distinct aggregation (expand + two-phase agg under the hood). */
   val q13AggDistinct: Q = (s, d) =>
     Tables.orders(s, d)
@@ -462,6 +496,7 @@ object Relational {
     "q11_join_asof"         -> q11JoinAsof,
     "q149_asof_forward"     -> q149AsofForward,
     "q12_agg_group"         -> q12AggGroup,
+    "q185_tpch_q1"          -> q185TpchQ1,
     "q13_agg_distinct"      -> q13AggDistinct,
     "q14_rollup"            -> q14Rollup,
     "q15_cube"              -> q15Cube,
@@ -568,6 +603,25 @@ object Relational {
     "q13_agg_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(1) AS n_orders
         |FROM orders""".stripMargin,
+    // q185: q12's decimal discipline over Q1's full aggregate set — the
+    // compound products stay exact decimals until the final double cast.
+    "q185_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l_discount AS DECIMAL(18,2))
+        |                * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |       CAST(CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_qty,
+        |       CAST(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price,
+        |       CAST(CAST(AVG(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_disc,
+        |       COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
