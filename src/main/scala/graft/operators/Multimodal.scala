@@ -248,9 +248,12 @@ object Multimodal {
       var fmtSeen = false
       while (pos + 8 <= payload.length) {
         val id = tag(pos); val size = rd32(pos + 4)
-        if (size < 0 || pos + 8 + size > payload.length)
+        // subtraction form: `pos + 8 + size` wraps for size near 2^31 and
+        // would sneak a giant declared size past an addition-form check
+        if (size < 0 || size > payload.length - pos - 8)
           fail(s"chunk '$id' overruns the payload")
         if (id == "fmt ") {
+          if (size < 16) fail(s"fmt chunk too small ($size)")
           if (rd16(pos + 8) != 1) fail("not PCM")
           if (rd16(pos + 10) != 1) fail("not mono")
           if (rd16(pos + 22) != 16) fail("not 16-bit")

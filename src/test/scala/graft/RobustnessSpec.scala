@@ -9,6 +9,50 @@ import java.nio.file.{Files, Paths}
   */
 class RobustnessSpec extends SparkSpec {
 
+  test("media codecs under fuzz: decode returns or fails LOUDLY — never crashes or hangs") {
+    // The codecs run inside long-lived executor tasks over untrusted
+    // bytes; the contract is a typed IllegalArgumentException (the
+    // malformed-input exit every caller handles), never an index error,
+    // NPE, or infinite loop. Seeded fuzz: random payloads plus
+    // byte-mutations of VALID payloads (the nastier corpus — mostly
+    // well-formed with one lie).
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(20260815)
+    val validPpm = Multimodal.PpmCodec.encode(4, 3,
+      Array.tabulate(36)(i => (40 + i).toByte), Some(" c "))
+    val validWav = Multimodal.WavCodec.encode(Array(5, -5, 700, -700), junkChunk = true)
+    def fuzzOne(decode: Array[Byte] => Any, payload: Array[Byte]): Unit =
+      try { decode(payload); () } catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable =>
+          fail(s"codec leaked ${e.getClass.getName} on ${payload.length}B input: $e")
+      }
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      fuzzOne(Multimodal.PpmCodec.decode, junk)
+      fuzzOne(Multimodal.WavCodec.decode, junk)
+      fuzzOne(Multimodal.decodePpmStream, junk)
+      def mutate(v: Array[Byte]): Array[Byte] = {
+        val m = java.util.Arrays.copyOf(v, rnd.nextInt(v.length + 20))
+        if (m.nonEmpty) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        m
+      }
+      fuzzOne(Multimodal.PpmCodec.decode, mutate(validPpm))
+      fuzzOne(Multimodal.WavCodec.decode, mutate(validWav))
+      fuzzOne(Multimodal.decodePpmStream, mutate(validPpm ++ validPpm))
+    }
+    // directed case random fuzz is unlikely to hit: a declared chunk size
+    // near 2^31 whose addition-form bound check would overflow int and
+    // pass — the walk must reject it, not index past the array
+    val overflowWav = validWav.clone()
+    val listPos = 12 + 8 + 16 // the junk LIST chunk's header
+    overflowWav(listPos + 4) = 0xF8.toByte
+    overflowWav(listPos + 5) = 0xFF.toByte
+    overflowWav(listPos + 6) = 0xFF.toByte
+    overflowWav(listPos + 7) = 0x7F.toByte // size = 0x7FFFFFF8
+    fuzzOne(Multimodal.WavCodec.decode, overflowWav)
+  }
+
   test("corrupt parquet file: loud failure by default, skipped under ignoreCorruptFiles") {
     import spark.implicits._
     val dir = Files.createTempDirectory("robust_corrupt").toString
