@@ -116,9 +116,20 @@ object Bench {
     // one query stale). An UNFILTERED full-map run refreshes the tracked
     // repo-root copy in place — so the driver's own bench run IS the
     // archive, and a later `cp` of an earlier local run can't drift.
-    if (only.isEmpty && sfDir.endsWith("sf0.1"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_full_latest.json"), json)
+    // The target resolves against SPARK_GRAFT_REPO_ROOT when set, else the
+    // CWD — and only OVERWRITES an existing tracked file, so a launch from
+    // some other directory can't silently scatter archives (r09 advice).
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+      val archive = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+        .map(r => java.nio.file.Paths.get(r, "BENCH_full_latest.json"))
+        .getOrElse(java.nio.file.Paths.get("BENCH_full_latest.json"))
+      if (java.nio.file.Files.exists(archive))
+        java.nio.file.Files.writeString(archive, json)
+      else
+        System.err.println(
+          s"[bench] archive target $archive missing — not at the repo root? " +
+            "full map kept only in target/bench.json")
+    }
     val budget = 1700
     // Locale.ROOT: f"%.3f" uses the JVM default locale, and a comma-decimal
     // locale (de_DE) would print "value":45,953 — invalid JSON.

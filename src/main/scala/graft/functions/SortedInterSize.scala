@@ -1,14 +1,18 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Static helper so generated code calls one small JIT-friendly method. */
 object SortedInterSizeUtil {
   /** |A ∩ B| of two ASCENDING-sorted bigint arrays by linear merge —
-    * O(|A|+|B|) primitive long comparisons, zero allocation.
+    * O(|A|+|B|) primitive long comparisons, zero allocation. Null
+    * ELEMENTS fail loudly: ArrayData.getLong on a null slot returns
+    * whatever bytes sit there (silently wrong counts), and a null inside
+    * a sorted shingle-hash set is always an upstream bug (r09 advice).
     */
   def inter(a: ArrayData, b: ArrayData): Long = {
     val la = a.numElements()
@@ -17,6 +21,9 @@ object SortedInterSizeUtil {
     var j = 0
     var n = 0L
     while (i < la && j < lb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_inter_size: null array element")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }
@@ -47,6 +54,23 @@ case class SortedInterSize(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_inter_size"
+
+  /** Analysis-time gate (r09 advice): called on anything but
+    * array<bigint>, ArrayData.getLong reads the wrong slot width and
+    * returns garbage counts instead of an error. Element NULLABILITY is
+    * accepted statically (Spark marks `transform`/`collect_list` outputs
+    * containsNull conservatively even when no null can occur); actual
+    * null elements fail loudly at eval in [[SortedInterSizeUtil.inter]].
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_inter_size requires (array<bigint>, array<bigint>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedInterSizeUtil.inter(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

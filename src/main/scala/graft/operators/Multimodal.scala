@@ -157,12 +157,21 @@ object Multimodal {
     }
     def decode(payload: Array[Byte]): Array[Byte] = decodeWithLength(payload)._1
 
-    /** Parse ONE P6 image at the start of `payload`, returning the grey
-      * raster AND the exact number of bytes the image occupied — the
-      * primitive [[decodePpmStream]] iterates to walk a frame stream.
+    /** Parse ONE P6 image starting at byte `from` of `payload`, returning
+      * the grey raster AND the absolute END offset of the image (header +
+      * raster) — the primitive [[decodePpmStream]] iterates to walk a
+      * frame stream WITHOUT copying the payload tail per frame (the walk
+      * advances a cursor; the r09-advice quadratic-copy fix).
+      *
+      * All size math is overflow-safe on UNTRUSTED executor input (the
+      * r09-advice medium finding): header integers accumulate in Long and
+      * fail past Int.MaxValue, and the raster-fit guard compares
+      * `3L * w * h` in Long — a crafted 'P6 1073741824 2 255' header used
+      * to wrap `w * h * 3` negative, bypass the guard, and surface as
+      * NegativeArraySizeException instead of the codec's typed failure.
       */
-    def decodeWithLength(payload: Array[Byte]): (Array[Byte], Int) = {
-      var pos = 0
+    def decodeWithLength(payload: Array[Byte], from: Int = 0): (Array[Byte], Int) = {
+      var pos = from
       def fail(msg: String) =
         throw new IllegalArgumentException(s"malformed PPM: $msg")
       def skipWsAndComments(): Unit = {
@@ -177,16 +186,19 @@ object Multimodal {
       def readInt(): Int = {
         skipWsAndComments()
         val start = pos
-        var v = 0
+        var v = 0L
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
-          v = v * 10 + (payload(pos) - '0'); pos += 1
+          v = v * 10 + (payload(pos) - '0')
+          if (v > Int.MaxValue) fail(s"header integer overflows at byte $pos")
+          pos += 1
         }
         if (pos == start) fail(s"expected integer at byte $pos")
-        v
+        v.toInt
       }
-      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      if (from < 0 || payload.length - from < 2 ||
+          payload(from) != 'P' || payload(from + 1) != '6')
         fail("magic is not P6")
-      pos = 2
+      pos = from + 2
       val w = readInt(); val h = readInt(); val maxval = readInt()
       if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
       if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
@@ -194,8 +206,10 @@ object Multimodal {
       if (pos >= payload.length || !" \n\r\t".contains(payload(pos).toChar))
         fail("missing raster separator")
       pos += 1
-      if (payload.length - pos < w * h * 3)
-        fail(s"truncated raster: ${payload.length - pos} < ${w * h * 3}")
+      // Long math: any w*h the payload can't physically hold fails HERE
+      // with the typed error, never downstream as a negative/huge alloc.
+      if (3L * w * h > payload.length.toLong - pos)
+        fail(s"truncated raster: ${payload.length - pos} < ${3L * w * h}")
       val grey = new Array[Byte](w * h)
       var i = 0
       while (i < w * h) {
@@ -774,14 +788,16 @@ object Multimodal {
     */
   def decodePpmStream(payload: Array[Byte]): Seq[Array[Byte]] = {
     // frame-by-frame: parse one P6 at the cursor, advance by its exact
-    // encoded length (header + raster), repeat until the payload ends
+    // encoded length (header + raster), repeat until the payload ends.
+    // The cursor goes INTO decodeWithLength (its `from` offset) — the old
+    // copy-the-tail-per-frame spelling was O(frames × payload bytes) in
+    // copying, quadratic on long clips (r09 advice).
     val frames = scala.collection.mutable.Buffer.empty[Array[Byte]]
     var pos = 0
     while (pos < payload.length) {
-      val rest = java.util.Arrays.copyOfRange(payload, pos, payload.length)
-      val (grey, consumed) = PpmCodec.decodeWithLength(rest)
+      val (grey, end) = PpmCodec.decodeWithLength(payload, pos)
       frames += grey
-      pos += consumed
+      pos = end
     }
     frames.toSeq
   }
@@ -909,17 +925,26 @@ object Multimodal {
     * round-trip to the label for every row, and byte accounting stays
     * exact. Per-row codegen + one ≤3-row broadcast join; payload bytes
     * never shuffle.
+    *
+    * The dispatch stays in the BINARY domain end to end: the prefix is
+    * joined as bytes against the encoded magic table, never
+    * charset-decoded — Spark 4's `decode(..., 'UTF-8')` throws
+    * MALFORMED_CHARACTER_CODING on invalid sequences, so a string-domain
+    * sniff would let ONE junk payload fail the whole ingest scan (found
+    * by the r10 fuzz battery; real magics are arbitrary bytes anyway).
     */
   def m10MagicSniff(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val magics = MagicTable.toDF("sniffed_kind", "magic")
+      .withColumn("magic_bin", expr("encode(magic, 'UTF-8')"))
+      .select("sniffed_kind", "magic_bin")
     fixtureFromDocuments(s, d).toDF()
       .withColumn("tagged", expr(
         """concat(encode(CASE kind WHEN 'image' THEN 'IMG:'
           |               WHEN 'audio' THEN 'AUD:' ELSE 'VID:' END, 'UTF-8'),
           |        payload)""".stripMargin))
-      .withColumn("magic", expr("decode(substring(tagged, 1, 4), 'UTF-8')"))
-      .join(broadcast(magics), "magic")
+      .withColumn("magic_bin", expr("substring(tagged, 1, 4)"))
+      .join(broadcast(magics), "magic_bin")
       .select(col("media_id"), col("sniffed_kind"),
         (col("sniffed_kind") === col("kind")).as("matches_label"),
         expr("cast(octet_length(tagged) - 4 as bigint)").as("body_bytes"))

@@ -51,6 +51,86 @@ class RobustnessSpec extends SparkSpec {
     overflowWav(listPos + 6) = 0xFF.toByte
     overflowWav(listPos + 7) = 0x7F.toByte // size = 0x7FFFFFF8
     fuzzOne(Multimodal.WavCodec.decode, overflowWav)
+    // the PPM twins (r09 advice medium): dimensions whose w*h*3 wraps Int
+    // negative would bypass an int-math raster guard and surface as
+    // NegativeArraySizeException / a multi-GB alloc; header digits past
+    // Int.MaxValue used to wrap silently inside readInt
+    fuzzOne(Multimodal.PpmCodec.decode,
+      "P6 1073741824 2 255\nxx".getBytes("US-ASCII"))
+    fuzzOne(Multimodal.PpmCodec.decode,
+      "P6 715827883 3 255\nxx".getBytes("US-ASCII")) // w*h*3 == 2^31+3 wraps
+    fuzzOne(Multimodal.PpmCodec.decode,
+      "P6 99999999999999999999 1 255\nxx".getBytes("US-ASCII"))
+    fuzzOne(Multimodal.decodePpmStream,
+      validPpm ++ "P6 1073741824 2 255\nxx".getBytes("US-ASCII"))
+  }
+
+  test("pcm16 and DeflateCodec under fuzz: total or typed failure, never a crash or hang") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(20260816)
+    // pcm16 is TOTAL: any byte array decodes (odd tail byte ignored) —
+    // it sits after WavCodec's validated data chunk, so its only contract
+    // is no crash and exact length accounting
+    for (_ <- 1 to 100) {
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val out = Multimodal.pcm16(junk)
+      assert(out.length === junk.length / 2)
+      assert(out.forall(v => v >= Short.MinValue && v <= Short.MaxValue))
+    }
+    // DeflateCodec's typed malformed-input exits are the zip layer's
+    // DataFormatException/ZipException (documented on the codec); the pin
+    // is the same as the PPM/WAV one — no index error, NPE, or hang, and
+    // every zero-progress stall (truncation, FDICT) surfaces typed.
+    def fuzzInflate(payload: Array[Byte]): Unit =
+      try { Multimodal.DeflateCodec.decode(payload); () } catch {
+        case _: java.util.zip.DataFormatException => ()
+        case _: java.util.zip.ZipException => ()
+        case e: Throwable =>
+          fail(s"DeflateCodec leaked ${e.getClass.getName} on ${payload.length}B: $e")
+      }
+    val valid = Multimodal.DeflateCodec.encode(
+      Array.tabulate(500)(i => (i % 251).toByte))
+    for (_ <- 1 to 200) {
+      fuzzInflate(Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte))
+      // truncations of a VALID stream — every prefix length must exit typed
+      fuzzInflate(java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length)))
+      // single-byte mutations of a valid stream
+      val m = valid.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      fuzzInflate(m)
+    }
+  }
+
+  test("m10 magic dispatch under fuzz: unknown/short/non-UTF8 prefixes drop out, never crash") {
+    // The sniff path (binary prefix slice + broadcast-join dispatch) runs
+    // over UNTRUSTED payload bytes at the ingest edge: a payload shorter
+    // than the magic, an arbitrary-bytes prefix, or an invalid UTF-8
+    // sequence must simply not match any magic row (inner join drops it)
+    // — not throw. This fuzz found the original string-domain spelling
+    // (`decode(prefix, 'UTF-8')`) throws MALFORMED_CHARACTER_CODING on
+    // Spark 4, which is why m10 dispatches in the binary domain; the
+    // test pins that binary spelling against the same corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260817)
+    val rows = (1 to 60).map { i =>
+      val len = rnd.nextInt(10) // includes 0..3, shorter than the magic
+      (i.toLong, Array.fill(len)(rnd.nextInt(256).toByte))
+    } :+ (990L, "IMG:payload".getBytes("US-ASCII")) :+
+      (991L, Array[Byte]('A', 'U', 'D', ':', 0xC3.toByte)) // valid magic, junk body
+    val magics = graft.operators.Multimodal.MagicTable.toDF("sniffed_kind", "magic")
+      .withColumn("magic_bin", expr("encode(magic, 'UTF-8')"))
+      .select("sniffed_kind", "magic_bin")
+    val sniffed = rows.toDF("media_id", "payload")
+      .withColumn("magic_bin", expr("substring(payload, 1, 4)"))
+      .join(broadcast(magics), "magic_bin")
+      .select("media_id", "sniffed_kind")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the two planted magics resolve; the 60 fuzz rows either resolve to a
+    // real modality (a 1-in-4B accident) or drop — and nothing throws
+    assert(sniffed(990L) === "image")
+    assert(sniffed(991L) === "audio")
+    assert(sniffed.values.toSet.subsetOf(Set("image", "audio", "video")))
   }
 
   test("corrupt parquet file: loud failure by default, skipped under ignoreCorruptFiles") {
