@@ -150,6 +150,7 @@ object Bench {
     // the run boundary is where they are released — round-5 verdict
     // item 5).
     graft.queries.Dedup.clearClusterMemo()
+    graft.queries.Similarity.clearGraphAnnMemo()
     graft.queries.TextOps.releasePrefixSumCaches()
     spark.stop()
     // Print LAST, after Spark's shutdown chatter, so the JSON is the final

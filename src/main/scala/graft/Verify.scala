@@ -49,6 +49,7 @@ object Verify {
     // Run-boundary teardown for the memoized pair/cluster index tables
     // (see Bench — the memo deliberately survives clearCache within a run).
     graft.queries.Dedup.clearClusterMemo()
+    graft.queries.Similarity.clearGraphAnnMemo()
     graft.queries.TextOps.releasePrefixSumCaches()
     spark.stop()
   }
