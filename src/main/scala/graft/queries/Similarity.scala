@@ -805,6 +805,143 @@ object Similarity {
       .orderBy("entry_mode", "hop")
   }
 
+  /** Held-out query count for n24's batched walk. */
+  val BatchQueries = 8
+
+  /** n24: BATCHED multi-query beam search — the production SERVING shape
+    * n22's own scaladoc names (one walk is inherently sequential; at
+    * 100 TB you advance MANY queries' walks as independent rows): beam
+    * state is (query_id, vec_id, cos) rows for a SET of [[BatchQueries]]
+    * held-out query vectors, and each hop is ONE equi-join of the whole
+    * batch's beam against the shared adjacency — all walks advance
+    * together, so the hop budget's sequential barrier is paid once per
+    * hop for the batch, not once per query. Per-query mechanics are
+    * n22's exactly: same graph (read from the n22/n23 memo — the
+    * written-index contract), same hub entry (each query walks from the
+    * top-degree nodes, excluding itself), same beam/hop knobs, per-query
+    * exact truth and per-(query, hop) convergence rows. The per-query
+    * self-exclusion replaces n22's global vec-0 exclusion; for query 0
+    * the two walks are IDENTICAL — SimilaritySpec pins n24's query-0
+    * rows equal to n22's report.
+    *
+    * Scale shapes: the batch's scoring pass is one broadcast of the
+    * 8-row query set against the corpus (the denominator exact truth
+    * needs anyway); per-hop work is TopKPerKey bounded heaps keyed by
+    * query_id (never a per-query window over the corpus), one
+    * beam×adjacency equi-join, and one score fetch — all row counts
+    * bounded by batch × beam × degree, independent of corpus size.
+    */
+  val n24BatchedBeam: Q = (s, d) => {
+    val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
+    val v = prepared(s, d).select("vec_id", "q", "nrm")
+    val qset = v.filter(col("vec_id") % KnnJoinStride === 0 &&
+        col("vec_id") < BatchQueries * KnnJoinStride)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+              col("nrm").as("na"))
+    // One scored pass for the whole batch: score lookup AND truth
+    // denominator (n22's discipline — a serving path scores on demand).
+    val scall = v.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("query_id", "vec_id", "cos")
+      .localCheckpoint()
+    val truthQ = graft.plans.TopKPerKey(scall, Seq("query_id"),
+        Seq(("cos", false), ("vec_id", true)), TopK)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    // Per-query hub seeds: global top (BeamSeeds+1) hubs by degree — one
+    // id may be a query and drop out, so +1 keeps every query at exactly
+    // BeamSeeds entry points; per-query selection is a bounded heap over
+    // a 9-row broadcast, and query 0's seed set equals n22's.
+    val hubs = parts.adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc).limit(BeamSeeds + 1)
+    val seeds = graft.plans.TopKPerKey(
+        broadcast(hubs).crossJoin(broadcast(qset.select("query_id")))
+          .filter(col("src") =!= col("query_id")),
+        Seq("query_id"), Seq(("deg", false), ("src", true)), BeamSeeds)
+      .select(col("query_id"), col("src").as("vec_id"))
+    def hopReport(hop: Int, scored: DataFrame): DataFrame = {
+      val top = graft.plans.TopKPerKey(scored, Seq("query_id"),
+          Seq(("cos", false), ("vec_id", true)), TopK)
+        .select("query_id", "vec_id")
+      val hits = top.join(truthQ, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h10"))
+      scored.groupBy("query_id")
+        .agg(count(lit(1)).as("n_scored"), max("cos").as("best_cos"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("hits10", coalesce(col("h10"), lit(0L)))
+        .select(col("query_id"), lit(hop).as("hop"), col("n_scored"),
+          col("best_cos"), col("hits10"),
+          expr(s"hits10 * 10000 div $TopK").as("recall_bp"))
+    }
+    var scored = seeds.join(scall, Seq("query_id", "vec_id"))
+      .select("query_id", "vec_id", "cos")
+      .localCheckpoint()
+    val reports = scala.collection.mutable.Buffer(hopReport(0, scored))
+    for (h <- 1 to BeamHops) {
+      val beam = graft.plans.TopKPerKey(scored, Seq("query_id"),
+          Seq(("cos", false), ("vec_id", true)), BeamWidth)
+        .select(col("query_id"), col("vec_id").as("src"))
+      // THE batched hop: one equi-join advances every query's frontier
+      val fresh = beam.join(parts.adj, "src")
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(scored, Seq("query_id", "vec_id"), "left_anti")
+      scored = scored.unionByName(
+          fresh.join(scall, Seq("query_id", "vec_id"))
+            .select("query_id", "vec_id", "cos"))
+        .localCheckpoint()
+      reports += hopReport(h, scored)
+    }
+    reports.reduce(_.unionByName(_)).orderBy("query_id", "hop")
+  }
+
+  /** n25: PERSISTED ANN-index round trip — the missing production shape
+    * the r09 verdict named: every other n-query builds its index
+    * in-query, but a vector-serving path reads a WRITTEN index. The
+    * build half writes the IVF assignment partitioned by list id (the
+    * physical layout that lets a probe read only its lists' files —
+    * partition pruning at 100 TB) plus the centroid table; the serve
+    * half then answers n14's nprobe search FROM the written tables
+    * alone — no in-query assignment, no recomputation. The oracle is
+    * n14's oracle VERBATIM (served == in-query-build is the pin, x16's
+    * losslessness discipline), and SimilaritySpec pins the round trip
+    * equal to n14 row-for-row in-session.
+    */
+  val n25IndexPersist: Q = (s, d) => {
+    val out = "target/ann_index_store"
+    // BUILD + WRITE: assignment partitioned by cid, centroids beside it.
+    ivfAssigned(s, d).select("vec_id", "q", "nrm", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/assigned")
+    prepared(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"),
+              col("nrm").as("cnrm"))
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    // READ + SERVE: n14's two-stage probe over the persisted tables only.
+    // Partition-column round trip: parquet infers the cid dirs as INT —
+    // cast back to the written BIGINT so served schema == built schema.
+    val assigned = s.read.parquet(s"$out/assigned")
+      .withColumn("cid", col("cid").cast("long"))
+    val cents = s.read.parquet(s"$out/centroids")
+    val qv = assigned.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val probes = cents.crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(na as double) * cast(cnrm as double))"))
+      .orderBy(col("qcos").desc, col("pcid").asc).limit(NProbe)
+      .select("pcid")
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dot", expr(dot("qa", "q")))
+      .withColumn("cos", expr(
+        "cast(dot as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cid", "dot", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
     * reciprocal-rank-fusion formulation) and the integer scale that keeps
     * the fused score exact on both engines (1e6 div (k + rank)).
@@ -1251,6 +1388,8 @@ object Similarity {
     "n21_ivfpq_recall"   -> n21IvfpqRecall,
     "n22_graph_ann"      -> n22GraphAnn,
     "n23_layered_ann"    -> n23LayeredAnn,
+    "n24_batched_beam"   -> n24BatchedBeam,
+    "n25_index_persist"  -> n25IndexPersist,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1337,7 +1476,12 @@ object Similarity {
     * parameterized by a CTE-name suffix so n23 can instantiate two walks
     * in one statement.
     */
-  private val duckGraphAnnBase: String =
+  /** The query-independent graph-build CTEs (multi-probe cells → directed
+    * kNN → symmetrized adjacency) — shared by the n22/n23 single-query
+    * scaffolding AND n24's batched walk, which scores against its own
+    * query SET instead of vec 0.
+    */
+  private val duckGraphBuild: String =
     s"""cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm
        |          FROM prepn WHERE vec_id < $NumCentroids),
        |scoredc AS (
@@ -1364,7 +1508,10 @@ object Similarity {
        |adj AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM
        |    (SELECT src, dst FROM topk
-       |     UNION ALL SELECT dst, src FROM topk) u),
+       |     UNION ALL SELECT dst, src FROM topk) u)""".stripMargin
+
+  private val duckGraphAnnBase: String =
+    s"""$duckGraphBuild,
        |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
        |allsc AS MATERIALIZED (
        |  SELECT p.vec_id,
@@ -1556,6 +1703,96 @@ object Similarity {
          |${duckWalkRounds("")}
          |${duckWalkLegs("", None)}
          |ORDER BY hop""".stripMargin,
+    // n24: the n22 walk chain keyed by query_id — every round CTE carries
+    // the batch dimension, seeds/beams/top-k are per-query row_numbers
+    // (the TopKPerKey heaps' tie-breaks), scoring reads the batch-scored
+    // table; same MATERIALIZED discipline as n22's chain.
+    "n24_batched_beam" -> {
+      val rounds = (1 to BeamHops).map { k =>
+        s"""qb${k - 1} AS MATERIALIZED (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+           |    FROM qs${k - 1}) WHERE rn <= $BeamWidth),
+           |qnb$k AS MATERIALIZED (
+           |  SELECT DISTINCT b.query_id, a.dst AS vec_id
+           |  FROM adj a JOIN qb${k - 1} b ON a.src = b.vec_id
+           |  WHERE a.dst <> b.query_id
+           |    AND NOT EXISTS (SELECT 1 FROM qs${k - 1} p
+           |                    WHERE p.query_id = b.query_id
+           |                      AND p.vec_id = a.dst)),
+           |qs$k AS MATERIALIZED (
+           |  SELECT * FROM qs${k - 1}
+           |  UNION ALL
+           |  SELECT nb.query_id, nb.vec_id, sc.cos
+           |  FROM qnb$k nb JOIN scall sc USING (query_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      val legs = (0 to BeamHops).map { k =>
+        s"""SELECT a.query_id, CAST($k AS INT) AS hop, a.n_scored, a.best_cos,
+           |       CAST(COALESCE(h.h10, 0) AS BIGINT) AS hits10,
+           |       CAST(COALESCE(h.h10, 0) * 10000 // $TopK AS BIGINT) AS recall_bp
+           |FROM (SELECT query_id, COUNT(1) AS n_scored, MAX(cos) AS best_cos
+           |      FROM qs$k GROUP BY query_id) a
+           |LEFT JOIN (
+           |  SELECT tk.query_id, COUNT(1) AS h10
+           |  FROM (SELECT query_id, vec_id FROM (
+           |          SELECT query_id, vec_id, row_number() OVER (
+           |            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+           |          FROM qs$k) WHERE rn <= $TopK) tk
+           |  JOIN btruth t ON tk.query_id = t.query_id AND tk.vec_id = t.tid
+           |  GROUP BY tk.query_id) h USING (query_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |$duckGraphBuild,
+         |qset AS (SELECT vec_id AS query_id, q AS qa, nrm AS na FROM prepn
+         |         WHERE vec_id % $KnnJoinStride = 0
+         |           AND vec_id < ${BatchQueries * KnnJoinStride}),
+         |scall AS MATERIALIZED (
+         |  SELECT qs.query_id, p.vec_id,
+         |         CAST(${duckDot("qs.qa", "p.q")} AS DOUBLE)
+         |           / sqrt(CAST(qs.na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
+         |  FROM prepn p JOIN qset qs ON p.vec_id <> qs.query_id),
+         |btruth AS MATERIALIZED (
+         |  SELECT query_id, vec_id AS tid FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scall) WHERE rn <= $TopK),
+         |hubs AS (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src
+         |         ORDER BY dg DESC, src ASC LIMIT ${BeamSeeds + 1}),
+         |seeds AS (
+         |  SELECT query_id, src AS vec_id FROM (
+         |    SELECT q.query_id, h.src, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY h.dg DESC, h.src ASC) AS rn
+         |    FROM hubs h JOIN qset q ON h.src <> q.query_id)
+         |  WHERE rn <= $BeamSeeds),
+         |qs0 AS MATERIALIZED (
+         |  SELECT sd.query_id, sd.vec_id, sc.cos
+         |  FROM seeds sd JOIN scall sc USING (query_id, vec_id)),
+         |$rounds
+         |$legs
+         |ORDER BY query_id, hop""".stripMargin
+    },
+    // n25: the persisted round trip serves n14's search from the written
+    // tables — served == built IS the pin, so the oracle is n14's text.
+    "n25_index_persist" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid AS pcid FROM (
+         |    SELECT c.cid,
+         |           CAST(${duckDot("qa", "c.cq")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS qcos
+         |    FROM cents c CROSS JOIN qv)
+         |  ORDER BY qcos DESC, cid ASC LIMIT $NProbe),
+         |sel AS (
+         |  SELECT a.vec_id, a.cid, ${duckDot("qa", "a.q")} AS dot,
+         |         CAST(${duckDot("qa", "a.q")} AS DOUBLE)
+         |           / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |  FROM assigned a JOIN probes ON a.cid = pcid CROSS JOIN qv
+         |  WHERE a.vec_id <> 0)
+         |SELECT vec_id, cid, dot, cos FROM sel
+         |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     // n23: the same scaffolding instantiated twice (CTE suffix per entry
     // mode) over ONE shared graph/scoring/truth base.
     "n23_layered_ann" ->

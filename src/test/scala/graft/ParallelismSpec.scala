@@ -52,12 +52,17 @@ class ParallelismSpec extends SparkSpec {
     // must not depend on which occurrence survives where); d15's
     // PPJoin prunes are per-occurrence too.
     "n22_graph_ann", "n23_layered_ann", "t42_perplexity_filter",
-    "d28_shingle_sweep", "d15_prefix_filter_join")
+    "d28_shingle_sweep", "d15_prefix_filter_join",
+    // round-10 additions: n24's batched walk unions partition-built hop
+    // states and ranks them on keyed heaps; n25 round-trips the index
+    // through a parquet write whose file layout varies with parallelism.
+    "n24_batched_beam", "n25_index_persist")
 
   private def runClean(name: String): Seq[Seq[String]] = {
-    // the dedup suite memoizes its pair/cluster index tables — clear so
+    // the dedup + graph-ANN suites memoize their index tables — clear so
     // each run genuinely recomputes under the active parallelism
     graft.queries.Dedup.clearClusterMemo()
+    graft.queries.Similarity.clearGraphAnnMemo()
     spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq

@@ -457,6 +457,29 @@ class PlanSpec extends SparkSpec {
       s"the recency cutoff must reach the orders scan:\n$p22")
   }
 
+  test("n24/n25: batched beam ranks on bounded heaps; persisted index serves from written files") {
+    // n24's final report: every per-query ranking (seeds, beams, top-k,
+    // truth) must ride the two-phase TopKPerKey heap, never a per-query
+    // window over the corpus, and nothing may plan a cartesian
+    val p24 = planOf(graft.queries.Similarity.n24BatchedBeam(spark, sf))
+    assert(!p24.contains("CartesianProduct"),
+      s"batched walk must stay equi-joined:\n$p24")
+    // hop state is localCheckpointed (lineage truncated), so the heap
+    // shows in the LAST hop's report aggregation
+    assert(p24.contains("TopKPerKeyPartial") || p24.contains("TopKPerKeyFinal"),
+      s"per-query rankings must use the bounded heap:\n$p24")
+    // n25: the serve half reads ONLY the written index tables — the plan
+    // must scan ann_index_store parquet, broadcast the 2-row probe list,
+    // and never re-derive the assignment from the embeddings table
+    val p25 = planOf(graft.queries.Similarity.n25IndexPersist(spark, sf))
+    assert(p25.contains("ann_index_store"),
+      s"served search must read the persisted index:\n$p25")
+    assert(!p25.contains("embeddings.parquet"),
+      s"served search must not fall back to the source embeddings:\n$p25")
+    assert(p25.contains("BroadcastHashJoin"),
+      s"the probed-list restriction must broadcast:\n$p25")
+  }
+
   test("q165: grouping sets plan ONE Expand over ONE scan, not a per-set union") {
     val plan = planOf(graft.queries.Extras.q165GroupingSets(spark, sf))
     assert(plan.contains("Expand"),

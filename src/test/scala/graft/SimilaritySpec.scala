@@ -210,4 +210,42 @@ class SimilaritySpec extends SparkSpec {
     assert(byMode("layered").last._3 <= byMode("hub").last._3,
       "layered entry must not score more of the corpus than hub entry")
   }
+
+  test("n24 batched beam: query 0's walk equals n22's single-query walk; all walks monotone") {
+    // query 0's per-hop rows must be IDENTICAL to n22's report — the
+    // batched spelling changes how many walks advance per join, never
+    // what one walk computes (self-exclusion == n22's vec-0 exclusion
+    // for query 0, seed sets provably equal)
+    val batched = Similarity.n24BatchedBeam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    val q0 = batched.filter(_._1 == 0L).sortBy(_._2)
+      .map { case (_, hop, n, b, h, rbp) => (hop, n, b, h, rbp) }
+    val single = Similarity.n22GraphAnn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1)
+    assert(q0.toSeq === single.toSeq,
+      "batched walk diverged from the single-query walk for query 0")
+    // every query's walk is monotone and hop-complete
+    val byQ = batched.groupBy(_._1)
+    assert(byQ.keySet === (0 until Similarity.BatchQueries)
+      .map(_.toLong * Similarity.KnnJoinStride).toSet)
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0 to Similarity.BeamHops).toSeq)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5,
+          s"query $q walk must be cumulative/monotone")
+      }
+    }
+  }
+
+  test("n25 persisted index serves exactly what the in-query build serves (== n14)") {
+    val served = Similarity.n25IndexPersist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val built = Similarity.n14IvfNprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.toSeq === built.toSeq,
+      "the written-index round trip must be lossless (x16's discipline)")
+  }
 }
