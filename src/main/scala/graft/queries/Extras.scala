@@ -2048,6 +2048,138 @@ object Extras {
       .orderBy("cntrycode")
   }
 
+  /** q186: TPC-H Q6 (forecast revenue change) — the benchmark's PURE
+    * scan-filter-aggregate: no join at all, so the whole query is the
+    * scan path's yardstick — every predicate must reach the parquet
+    * reader (PlanSpec pins PushedFilters on shipdate/discount/quantity)
+    * and the aggregate is ONE partial-agg pass. The classic Q6 trap is
+    * the discount band on a float column: both engines compare the same
+    * parquet doubles against the same literals, so the band is exact;
+    * revenue = Σ extendedprice·discount in floor-cents (q131).
+    */
+  val q186TpchQ6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(expr("cast(floor(l_extendedprice * l_discount * 100) as bigint)"))
+          / 100.0).as("revenue"))
+
+  /** q187: TPC-H Q4 (order priority checking) — the EXISTS semi-join +
+    * priority census: orders of one quarter that have at least one
+    * problem line, counted by priority. The benchmark's lateness witness
+    * (commitdate < receiptdate) has no counterpart in this lineitem
+    * (no receipt/commit dates), so the witness is adapted to
+    * returnflag = 'R' — the join topology (date-sliced orders SEMI-joined
+    * to a filtered fact, then a 5-key census) is Q4's exactly. The semi
+    * join deduplicates BY CONSTRUCTION (an order with 4 returned lines
+    * counts once — the trap is an inner join + distinct, which shuffles
+    * the fan-out before deduplicating); one metadata-scale groupBy.
+    */
+  val q187TpchQ4: Q = (s, d) => {
+    val flagged = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+      .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q188: TPC-H Q9 (product type profit) — the benchmark's widest join
+    * tree: a LIKE-filtered part slice drives profit per (nation, order
+    * year) through lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders. This
+    * schema has no partsupp, so cost is adapted to
+    * p_retailprice·l_quantity (the same per-line "revenue minus supply
+    * cost" algebra; documented adaptation like q177's returnflag). Scale
+    * shapes: the LIKE slice and supplier→nation both broadcast, orders
+    * joins equi on the fact key (the only data-scale join), profit stays
+    * exact integer cents until the final divide.
+    */
+  val q188TpchQ9: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+      .filter(col("p_name").like("%bolt%"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("cost_c",
+        expr("cast(floor(p_retailprice * l_quantity * 100) as bigint)"))
+      .groupBy("nation", "o_year")
+      .agg((sum(col("rev_c") - col("cost_c")) / 100.0).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** q189: TPC-H Q12 (shipping modes and order priority) — the two-bucket
+    * CASE census over late lines: per ship mode, how many lines belong to
+    * critical-priority orders vs the rest. Adaptations (documented):
+    * this lineitem carries no l_shipmode (derived deterministically from
+    * l_linenumber % 3) and no receipt/commit dates (late =
+    * shipped ≥ 60 days after the order date — a residual timestamp
+    * comparison on the SAME equi-join Q12 runs). One fact-side equi-join
+    * on orderkey, the census is one partial-agg groupBy over 3 keys.
+    */
+  val q189TpchQ12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"),
+        expr("CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'MAIL' " +
+          "WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END").as("l_shipmode"))
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_shipmode")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_shipmode")
+
+  /** q190: TPC-H Q14 (promo effect) — the conditional-revenue-share shape
+    * (q182's algebra) by ship month: what fraction of each 1997 month's
+    * revenue came from PROMO parts. ONE conditional + one total
+    * integer-cents sum in a single partial-agg groupBy (never a
+    * promo-only scan joined back to a totals scan); the part dimension
+    * broadcasts; the share is (100·promo)/total with both operands exact
+    * bigints and the two double ops in identical order cross-engine.
+    */
+  val q190TpchQ14: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(month(col("l_shipdate")).as("ship_month"), col("l_partkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("rev_c"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+          .as("promo_c"),
+        sum(col("rev_c")).as("total_c"))
+      .select(col("ship_month"),
+        (lit(100.0) * col("promo_c").cast("double")
+          / col("total_c").cast("double")).as("promo_share"))
+      .orderBy("ship_month")
+
   /** q138: keyset-free pagination — ORDER BY … LIMIT n OFFSET m (Spark
     * 3.4+'s OFFSET), page 3 of the order book at 20 rows/page. The plan
     * matters more than the surface: a global sort feeding
@@ -2860,6 +2992,11 @@ object Extras {
     "q182_tpch_q8"           -> q182TpchQ8,
     "q183_tpch_q19"          -> q183TpchQ19,
     "q184_tpch_q22"          -> q184TpchQ22,
+    "q186_tpch_q6"           -> q186TpchQ6,
+    "q187_tpch_q4"           -> q187TpchQ4,
+    "q188_tpch_q9"           -> q188TpchQ9,
+    "q189_tpch_q12"          -> q189TpchQ12,
+    "q190_tpch_q14"          -> q190TpchQ14,
     "q178_groups_frame"      -> q178GroupsFrame,
     "q179_layout_compare"     -> q179LayoutCompare,
     "q180_hilbert_curve"     -> q180HilbertCurve,
@@ -3612,6 +3749,69 @@ object Extras {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q186: the textbook Q6 scan-filter-agg, floor-cents revenue.
+    "q186_tpch_q6" ->
+      """SELECT COUNT(1) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // q187: the textbook Q4 EXISTS spelling (witness adapted to
+    // returnflag='R' — see the Spark scaladoc).
+    "q187_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(1) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q188: the textbook Q9 join tree (cost adapted to
+    // p_retailprice*l_quantity — no partsupp in this schema).
+    "q188_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |                - CAST(floor(p_retailprice * l_quantity * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    // q189: the textbook Q12 two-bucket census (shipmode derived from
+    // l_linenumber, lateness from shipdate vs orderdate — see scaladoc).
+    "q189_tpch_q12" ->
+      """SELECT CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'MAIL'
+        |            WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END AS l_shipmode,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q190: the textbook Q14 promo-share spelling — the conditional and
+    // total sums in one pass, (100*promo)/total in identical op order.
+    "q190_tpch_q14" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+        |       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+        |                    AS DOUBLE)
+        |         / CAST(SUM(rc) AS DOUBLE) AS promo_share
+        |FROM (SELECT l_shipdate, p_type,
+        |             CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                  AS BIGINT) AS rc
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q184: the textbook Q22 scalar-subquery + NOT EXISTS spelling,
     // integer-cents average (see the Spark scaladoc).
     "q184_tpch_q22" ->

@@ -457,6 +457,43 @@ class PlanSpec extends SparkSpec {
       s"the recency cutoff must reach the orders scan:\n$p22")
   }
 
+  test("q186-q190: Q6 pushes all predicates to the scan; Q4 semi-joins; Q9/Q12/Q14 one fact scan") {
+    // Q6 — the pure scan query: every predicate must reach the reader and
+    // the plan must be scan → filter → ONE two-phase aggregate, no join
+    val p6 = planOf(graft.queries.Extras.q186TpchQ6(spark, sf))
+    // the PushedFilters list prints truncated — the scan's DataFilters
+    // carry all three columns and the pushdown prefix is visible
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6's predicates must reach the parquet scan:\n$p6")
+    assert("Filter [^\\n]*l_discount[^\\n]*0.05".r.findFirstIn(p6).isDefined &&
+           "Filter [^\\n]*l_quantity[^\\n]*24".r.findFirstIn(p6).isDefined,
+      s"Q6's discount band and quantity cap must filter before the agg:\n$p6")
+    assert(!p6.contains("Join"), s"Q6 must plan no join:\n$p6")
+    assert(p6.contains("partial_count") || p6.contains("partial_sum"),
+      s"Q6's aggregate must combine map-side:\n$p6")
+    // Q4 — the existence test must plan as a SEMI join (inner + distinct
+    // would shuffle the multi-line fan-out before deduplicating)
+    val p4 = planOf(graft.queries.Extras.q187TpchQ4(spark, sf))
+    assert("LeftSemi".r.findFirstIn(p4).isDefined,
+      s"Q4's EXISTS must plan as a semi join:\n$p4")
+    // Q9/Q12/Q14 — one fact scan each, dims broadcast where present
+    for ((name, df) <- Seq(
+        "q188" -> graft.queries.Extras.q188TpchQ9(spark, sf),
+        "q189" -> graft.queries.Extras.q189TpchQ12(spark, sf),
+        "q190" -> graft.queries.Extras.q190TpchQ14(spark, sf))) {
+      val plan = planOf(df)
+      val liScans = "Scan parquet[^\\n]*lineitem|FileScan[^\\n]*lineitem".r
+        .findAllIn(plan).length
+      assert(liScans == 1, s"$name must scan the fact once, found $liScans:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian:\n$plan")
+    }
+    for ((name, df) <- Seq(
+        "q188" -> graft.queries.Extras.q188TpchQ9(spark, sf),
+        "q190" -> graft.queries.Extras.q190TpchQ14(spark, sf)))
+      assert(planOf(df).contains("BroadcastHashJoin"),
+        s"$name: the part/supplier dims must broadcast")
+  }
+
   test("n24/n25: batched beam ranks on bounded heaps; persisted index serves from written files") {
     // n24's final report: every per-query ranking (seeds, beams, top-k,
     // truth) must ride the two-phase TopKPerKey heap, never a per-query
