@@ -58,15 +58,78 @@ object SparkEntry {
       Similarity.oracles ++ UdfOps.oracles ++ Extended.oracles ++
       Extras.oracles ++ ScaleOps.oracles ++
       Map("m01_multimodal_features" ->
-        // Mirrors Multimodal.fixtureFromDocuments + the stub decode's
-        // byte/chunk math (text is the payload; frames = ceil(ceil(b/1024)/4)).
-        """SELECT doc_id AS media_id,
-          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
-          |            WHEN doc_id % 3 = 1 THEN 'audio'
-          |            ELSE 'video' END AS kind,
-          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |       CAST(((octet_length(encode(text)) + 1023) // 1024 + 3) // 4 AS INT) AS frames_sampled
-          |FROM documents ORDER BY media_id""".stripMargin,
+        // m01: every feature recomputed from the content FORMULAS the
+        // real fixtures encode (m06/m11/m12's oracle discipline), incl.
+        // the exact per-parity ENCODED lengths — equality proves all
+        // three real decoders (P6, RIFF/WAVE, P6-stream) ran. Constants
+        // interpolated from the shared Multimodal parameters.
+        {
+          import graft.operators.Multimodal._
+          val nb = PhashBits            // 32 grid cells
+          val frameBytes = 12 + 3 * PpmW * PpmH // P6 header (no comment) + raster
+          s"""WITH icells AS (
+             |  SELECT doc_id AS media_id, c,
+             |         48 + 48 * CASE WHEN c < doc_id % $PpmJitterGroup
+             |                        THEN 1 - ((((doc_id // $PpmJitterGroup) * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE ((((doc_id // $PpmJitterGroup) * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
+             |  WHERE doc_id % 3 = 0),
+             |img AS (
+             |  SELECT media_id, 'image' AS kind,
+             |         CAST($frameBytes + CASE WHEN media_id % 2 = 1
+             |                  THEN 28 + length(CAST(media_id AS VARCHAR))
+             |                  ELSE 0 END AS BIGINT) AS enc_bytes,
+             |         CAST(${PpmW * PpmH} AS BIGINT) AS dec_bytes,
+             |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
+             |         CAST(1 AS BIGINT) AS units
+             |  FROM icells GROUP BY media_id),
+             |asamp AS (
+             |  SELECT doc_id AS media_id,
+             |         ((doc_id * 7919 + i * (3 + doc_id % 17)) % 2001) - 1000 AS s
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${WavSamples - 1})) AS i) ii
+             |  WHERE doc_id % 3 = 1),
+             |aud AS (
+             |  SELECT media_id, 'audio' AS kind,
+             |         CAST(${44 + 2 * WavSamples} + CASE WHEN media_id % 2 = 1
+             |                  THEN 14 ELSE 0 END AS BIGINT) AS enc_bytes,
+             |         CAST(${2 * WavSamples} AS BIGINT) AS dec_bytes,
+             |         CAST(SUM((CASE WHEN s < 0 THEN s + 65536 ELSE s END) % 256
+             |                + (CASE WHEN s < 0 THEN s + 65536 ELSE s END) // 256)
+             |              AS BIGINT) AS content_sum,
+             |         CAST($WavSamples AS BIGINT) AS units
+             |  FROM asamp GROUP BY media_id),
+             |vcells AS (
+             |  SELECT doc_id AS media_id, f, c,
+             |         48 + 48 * CASE WHEN c < f // 2
+             |                        THEN 1 - (((doc_id * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE (((doc_id * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${ClipFrames - 1})) AS f) ff,
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
+             |  WHERE doc_id % 3 = 2),
+             |vid AS (
+             |  SELECT media_id, 'video' AS kind,
+             |         CAST(${frameBytes * (ClipFrames - ClipFrames / 2)}
+             |              + ${ClipFrames / 2} * (${frameBytes + 19}
+             |                  + length(CAST(media_id AS VARCHAR)))
+             |              AS BIGINT) AS enc_bytes,
+             |         CAST(${ClipFrames * PpmW * PpmH} AS BIGINT) AS dec_bytes,
+             |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
+             |         CAST($ClipFrames AS BIGINT) AS units
+             |  FROM vcells GROUP BY media_id)
+             |SELECT * FROM img
+             |UNION ALL SELECT * FROM aud
+             |UNION ALL SELECT * FROM vid
+             |ORDER BY media_id""".stripMargin
+        },
         // Mirrors m02's chunking math: every 4th 1 KiB chunk of the payload
         // (generate_series as a per-row list function — lateral FROM-clause
         // generate_series with column bounds is not supported in DuckDB).
@@ -318,11 +381,27 @@ object SparkEntry {
              |FROM g ORDER BY batch""".stripMargin
         },
         "m02_frame_explode" ->
-          """SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
-            |       CAST(least(1024, n_bytes - chunk_idx * 1024) AS INT) AS chunk_bytes
-            |FROM (
-            |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-            |         unnest(generate_series(0, (octet_length(encode(text)) + 1023) // 1024 - 1, 4)) AS chunk_idx
-            |  FROM documents)
-            |ORDER BY media_id, chunk_idx""".stripMargin)
+          // m02: per-frame checksums recomputed from the cell formula
+          // each decoded frame's pixels encode (m12's discipline) —
+          // equality proves the fan-out carries REAL decoded frames.
+          {
+            import graft.operators.Multimodal._
+            s"""WITH vcells AS (
+               |  SELECT doc_id AS media_id, f, c,
+               |         48 + 48 * CASE WHEN c < f // 2
+               |                        THEN 1 - (((doc_id * 2654435761
+               |                                    + c * 40503 + 12345) >> 5) & 1)
+               |                        ELSE (((doc_id * 2654435761
+               |                                + c * 40503 + 12345) >> 5) & 1)
+               |                   END AS t
+               |  FROM documents,
+               |       (SELECT unnest(generate_series(0, ${ClipFrames - 1})) AS f) ff,
+               |       (SELECT unnest(generate_series(0, ${PhashBits - 1})) AS c) cc
+               |  WHERE doc_id % 3 = 2)
+               |SELECT media_id, CAST(f AS INT) AS frame_idx,
+               |       CAST(${PpmW * PpmH} AS INT) AS frame_bytes,
+               |       CAST(SUM(4 * t) AS BIGINT) AS frame_sum
+               |FROM vcells GROUP BY media_id, f
+               |ORDER BY media_id, frame_idx""".stripMargin
+          })
 }
