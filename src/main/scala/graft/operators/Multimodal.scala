@@ -484,12 +484,22 @@ object Multimodal {
     * `substr` slices the same bytes Spark's binary `substring` does — no
     * BLOB substring exists in DuckDB.
     */
+  /** The fixed-grid chunk table of a (media_id, payload) frame —
+    * (media_id, position, chunk md5, chunk bytes). ONE definition feeds
+    * m03/m05/m07/m08 AND the s34 streaming maintainer (s32's
+    * single-sourced-machinery discipline: an inline re-spelling in the
+    * stream job would silently drift from the deployed chunk keys).
+    */
+  def chunkTableOf(media: DataFrame): DataFrame = media
+    .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
+    .select(col("media_id"), col("p"),
+            md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
+            expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+
   def m03ChunkDedup(s: SparkSession, d: String): DataFrame = {
-    val chunks = fixtureFromDocuments(s, d).toDF()
-      .select(col("media_id"), col("payload"))
-      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
-      .select(col("media_id"),
-              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"))
+    val chunks = chunkTableOf(fixtureFromDocuments(s, d).toDF()
+        .select(col("media_id"), col("payload")))
+      .select("media_id", "h")
       .distinct() // a chunk repeated WITHIN one file counts once
     val a = chunks.toDF("m1", "h")
     val b = chunks.toDF("m2", "h")
@@ -513,12 +523,9 @@ object Multimodal {
     * rollup is a map-side-combinable groupBy on media_id.
     */
   def m07TierReport(s: SparkSession, d: String): DataFrame = {
-    val slots = fixtureFromDocuments(s, d).toDF()
-      .select(col("media_id"), col("payload"))
-      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
-      .select(col("media_id"),
-              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
-              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+    val slots = chunkTableOf(fixtureFromDocuments(s, d).toDF()
+        .select(col("media_id"), col("payload")))
+      .select("media_id", "h", "nb")
     val pop = slots.select(col("media_id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("dm"))
     slots.join(pop, "h")
@@ -553,11 +560,8 @@ object Multimodal {
     val mod = base.filter(col("media_id") % 5 === 0)
       .withColumn("payload", concat(col("payload"),
         expr("cast(concat(' updated rev ', cast(media_id as string)) as binary)")))
-    def chunks(df: DataFrame): DataFrame = df
-      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
-      .select(col("media_id"),
-              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
-              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+    def chunks(df: DataFrame): DataFrame =
+      chunkTableOf(df).select("media_id", "h", "nb")
     val store = chunks(base).select(col("h").as("bh")).distinct()
     chunks(mod).join(store, col("h") === col("bh"), "left")
       .groupBy("media_id")
@@ -585,12 +589,8 @@ object Multimodal {
     * m03's footprint.
     */
   def m05Manifest(s: SparkSession, d: String): DataFrame =
-    fixtureFromDocuments(s, d).toDF()
-      .select(col("media_id"), col("payload"))
-      .withColumn("p", explode(expr(s"sequence(1, length(payload), $DedupChunkBytes)")))
-      .select(col("media_id"), col("p"),
-              md5(expr(s"substring(payload, p, $DedupChunkBytes)")).as("h"),
-              expr(s"least(length(payload) - p + 1, $DedupChunkBytes)").as("nb"))
+    chunkTableOf(fixtureFromDocuments(s, d).toDF()
+        .select(col("media_id"), col("payload")))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_chunks"),
            sum(col("nb").cast("long")).as("n_bytes"),

@@ -329,6 +329,59 @@ object StreamOps {
                    dir: String): DataFrame =
     spark.read.parquet(s"$dir/bands").select("doc_id", "band_key").distinct()
 
+  /** s34: streaming maintenance of the content-addressed media CHUNK
+    * store — s32's sibling for the m03/m05/m07/m08 chunk tables (those
+    * queries PROBE a chunk store; this job is what keeps it current as
+    * media arrives). Each micro-batch chunks its payloads with the
+    * single-sourced [[graft.operators.Multimodal.chunkTableOf]] machinery
+    * (an inline re-spelling would drift from the deployed chunk grid) and
+    * key-compacts to one row per content hash: (h, owner = min media_id,
+    * nb) — the CAS invariant that a chunk is stored once under its hash
+    * with a deterministic first owner.
+    *
+    * Idempotence model: s32's exactly — every batch writes its own
+    * `batch_id=N` partition with dynamic partition overwrite, so a
+    * replayed batch overwrites its increment instead of appending; the
+    * compacted read ([[s34ChunkStore]]) folds the per-batch runs by hash
+    * (the LSM shape; a production store folds runs into the base
+    * offline). StreamingSpec pins stream-built == batch-built over the
+    * same replay, plus replay idempotence.
+    */
+  def s34UpsertChunkBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        graft.operators.Multimodal.chunkTableOf(cached)
+          // same-hash rows carry identical content, hence identical nb;
+          // min keeps the compaction associative for the read-side fold
+          .groupBy("h")
+          .agg(min("media_id").as("owner"), min("nb").as("nb"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/chunks")
+      }
+    } finally cached.unpersist()
+  }
+
+  def s34ChunkMaintain(media: DataFrame, dir: String,
+                       checkpoint: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s34UpsertChunkBatch(dir) _)
+      .start()
+
+  /** Compacted read of the s34-maintained chunk store: fold the per-batch
+    * runs by content hash with the same min-owner policy.
+    */
+  def s34ChunkStore(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/chunks")
+      .groupBy("h").agg(min("owner").as("owner"), min("nb").as("nb"))
+  }
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

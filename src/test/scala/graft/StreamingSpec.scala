@@ -1055,6 +1055,45 @@ class StreamingSpec extends SparkSpec {
       "partition overwrite must replace the run, not append to it")
   }
 
+  test("s34 streaming chunk-store maintenance equals the batch-built store; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.min
+    val dir = tmp("s34_store")
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (half1, half2) = media.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.s34ChunkMaintain(
+      mem.toDF().toDF("media_id", "payload"), dir, tmp("s34_ckpt"))
+    mem.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // compacted stream-maintained store == the batch-built CAS table over
+    // the same corpus (the write side of m03/m05/m07/m08's probe contract)
+    val batchStore = graft.operators.Multimodal.chunkTableOf(
+        graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+          .toDF().select("media_id", "payload"))
+      .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
+    val got = StreamOps.s34ChunkStore(spark, dir)
+    assert(got.exceptAll(batchStore).isEmpty && batchStore.exceptAll(got).isEmpty,
+      "streamed chunk store must equal the batch build")
+    // replay idempotence: a redelivered batch overwrites its own
+    // batch_id partition, never duplicates runs
+    val n = got.count()
+    val replay = half2.toSeq.toDF("media_id", "payload")
+    StreamOps.s34UpsertChunkBatch(dir)(replay, 1L)
+    spark.catalog.refreshByPath(s"$dir/chunks")
+    assert(StreamOps.s34ChunkStore(spark, dir).count() === n,
+      "a replayed batch must not grow the chunk store")
+    val raw = spark.read.parquet(s"$dir/chunks")
+    assert(raw.count() === raw.select("h", "batch_id").distinct().count(),
+      "partition overwrite must replace the run, not append to it")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
