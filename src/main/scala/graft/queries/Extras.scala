@@ -2180,6 +2180,88 @@ object Extras {
           / col("total_c").cast("double")).as("promo_share"))
       .orderBy("ship_month")
 
+  /** q191: TPC-H Q13 (customer order-count distribution) — the
+    * double-aggregation composite: orders per customer INCLUDING
+    * zero-order customers (the LEFT join whose null-preservation is the
+    * query's point), then the histogram of those counts. The benchmark's
+    * comment-pattern exclusion has no comment column here — adapted to
+    * excluding '5-LOW'-priority orders (same shape: a filter that must
+    * ride the JOIN CONDITION, not the WHERE clause, or zero-order
+    * customers vanish). Scale: one data-scale left join + per-customer
+    * count, then a metadata-scale histogram groupBy.
+    */
+  val q191TpchQ13: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q192: TPC-H Q15 (top supplier) — the view + scalar-max composite:
+    * per-supplier revenue over one quarter, returning the supplier(s)
+    * whose revenue EQUALS the maximum. The equality comparison is why
+    * revenue stays exact integer cents end-to-end (a double sum's
+    * partition-dependent rounding could split a true tie); the max is a
+    * 1-row broadcast, the supplier dimension broadcasts, and the only
+    * data-scale work is the fact groupBy.
+    */
+  val q192TpchQ15: Q = (s, d) => {
+    // Q15's revenue is a VIEW consumed twice (rows + scalar max) —
+    // materialize the supplier-scale table once (localCheckpoint) so the
+    // fact is scanned exactly once, not once per consumer (PlanSpec pins
+    // zero lineitem scans downstream of the view).
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(expr(
+        "cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("rev_c"))
+      .localCheckpoint()
+    val top = revenue.agg(max("rev_c").as("max_c"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_c") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q193: TPC-H Q17 (small-quantity-order revenue) — the correlated
+    * scalar-average composite: revenue lost by not filling orders below
+    * 20% of a part's average order quantity (part slice adapted to
+    * brand + SMALL type — no container column). The correlated
+    * `l_quantity < 0.2·avg(...)` subquery is decorrelated into a
+    * per-part aggregate join, and the 20%-of-average comparison is
+    * spelled as the EXACT integer cross-multiplication
+    * 5·qty·n < Σqty (a double avg would put boundary rows on the last
+    * ulp). Scale: the part slice broadcasts twice (filter + threshold
+    * probe); the per-part quantity aggregate is one partial-agg groupBy
+    * over the sliced fact.
+    */
+  val q193TpchQ17: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    val sliced = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("cast(l_quantity as bigint)").as("qty"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("price_c"))
+    val perPart = sliced.groupBy(col("l_partkey").as("agg_pk"))
+      .agg(sum("qty").as("qty_sum"), count(lit(1)).as("qty_n"))
+    sliced.join(broadcast(perPart), col("l_partkey") === col("agg_pk"))
+      .filter(col("qty") * 5 * col("qty_n") < col("qty_sum"))
+      .agg((sum(col("price_c")) / 700.0).as("avg_yearly"))
+  }
+
   /** q138: keyset-free pagination — ORDER BY … LIMIT n OFFSET m (Spark
     * 3.4+'s OFFSET), page 3 of the order book at 20 rows/page. The plan
     * matters more than the surface: a global sort feeding
@@ -2997,6 +3079,9 @@ object Extras {
     "q188_tpch_q9"           -> q188TpchQ9,
     "q189_tpch_q12"          -> q189TpchQ12,
     "q190_tpch_q14"          -> q190TpchQ14,
+    "q191_tpch_q13"          -> q191TpchQ13,
+    "q192_tpch_q15"          -> q192TpchQ15,
+    "q193_tpch_q17"          -> q193TpchQ17,
     "q178_groups_frame"      -> q178GroupsFrame,
     "q179_layout_compare"     -> q179LayoutCompare,
     "q180_hilbert_curve"     -> q180HilbertCurve,
@@ -3812,6 +3897,44 @@ object Extras {
         |      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |        AND l_shipdate <  TIMESTAMP '1998-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q191: the textbook Q13 nested-aggregation spelling; the priority
+    // exclusion rides the JOIN condition (see the Spark scaladoc).
+    "q191_tpch_q13" ->
+      """SELECT c_count, COUNT(1) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q192: the textbook Q15 view + scalar-max spelling, integer cents.
+    "q192_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                       AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE rev_c = (SELECT MAX(rev_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q193: the textbook Q17 correlated-average spelling, with the 20%
+    // threshold as the exact integer cross-multiplication.
+    "q193_tpch_q17" ->
+      """WITH sliced AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'),
+        |pp AS (SELECT l_partkey AS agg_pk, CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |              COUNT(1) AS qty_n
+        |       FROM sliced GROUP BY l_partkey)
+        |SELECT CAST(SUM(price_c) AS BIGINT) / 700.0 AS avg_yearly
+        |FROM sliced JOIN pp ON l_partkey = agg_pk
+        |WHERE qty * 5 * qty_n < qty_sum""".stripMargin,
     // q184: the textbook Q22 scalar-subquery + NOT EXISTS spelling,
     // integer-cents average (see the Spark scaladoc).
     "q184_tpch_q22" ->

@@ -494,6 +494,31 @@ class PlanSpec extends SparkSpec {
         s"$name: the part/supplier dims must broadcast")
   }
 
+  test("q191-q193: Q13 keeps the outer join; Q15 exact-cents max; Q17 broadcasts both probes") {
+    // Q13 — the exclusion filter rides the JOIN condition: the join must
+    // stay OUTER (a WHERE-clause spelling lets Catalyst reduce it to
+    // inner and zero-order customers vanish)
+    val p13 = planOf(graft.queries.Extras.q191TpchQ13(spark, sf))
+    assert("LeftOuter".r.findFirstIn(p13).isDefined,
+      s"Q13's customer join must remain left outer:\n$p13")
+    // Q15 — the revenue VIEW is materialized once (localCheckpoint), so
+    // neither consumer (rows, scalar max) re-scans the fact
+    val p15 = planOf(graft.queries.Extras.q192TpchQ15(spark, sf))
+    val li15 = "Scan parquet[^\\n]*lineitem|FileScan[^\\n]*lineitem".r
+      .findAllIn(p15).length
+    assert(li15 == 0,
+      s"Q15's consumers must read the materialized view, found $li15 fact scans:\n$p15")
+    assert(!p15.contains("CartesianProduct"), s"Q15: no cartesian:\n$p15")
+    // Q17 — part slice and per-part threshold both broadcast; the fact
+    // is scanned for the slice and the aggregate from ONE cached slice
+    // lineage (two scans of lineitem are acceptable only if the plan
+    // shows the slice join, not a cartesian)
+    val p17 = planOf(graft.queries.Extras.q193TpchQ17(spark, sf))
+    assert(p17.contains("BroadcastHashJoin"),
+      s"Q17's part slice and threshold probe must broadcast:\n$p17")
+    assert(!p17.contains("CartesianProduct"), s"Q17: no cartesian:\n$p17")
+  }
+
   test("n24/n25: batched beam ranks on bounded heaps; persisted index serves from written files") {
     // n24's final report: every per-query ranking (seeds, beams, top-k,
     // truth) must ride the two-phase TopKPerKey heap, never a per-query
