@@ -833,6 +833,16 @@ object Similarity {
     */
   val n24BatchedBeam: Q = (s, d) => {
     val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
+    batchedBeamWalk(s, d, parts.adj)
+  }
+
+  /** The batched walk over a caller-supplied adjacency — n24 passes the
+    * memoized in-session graph, n26 the PERSISTED one read back from
+    * parquet; identical machinery, so serve-from-disk can never drift
+    * from serve-from-build.
+    */
+  private def batchedBeamWalk(s: SparkSession, d: String,
+                              adjacency: DataFrame): DataFrame = {
     val v = prepared(s, d).select("vec_id", "q", "nrm")
     val qset = v.filter(col("vec_id") % KnnJoinStride === 0 &&
         col("vec_id") < BatchQueries * KnnJoinStride)
@@ -854,7 +864,7 @@ object Similarity {
     // id may be a query and drop out, so +1 keeps every query at exactly
     // BeamSeeds entry points; per-query selection is a bounded heap over
     // a 9-row broadcast, and query 0's seed set equals n22's.
-    val hubs = parts.adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val hubs = adjacency.groupBy("src").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("src").asc).limit(BeamSeeds + 1)
     val seeds = graft.plans.TopKPerKey(
         broadcast(hubs).crossJoin(broadcast(qset.select("query_id")))
@@ -884,7 +894,7 @@ object Similarity {
           Seq(("cos", false), ("vec_id", true)), BeamWidth)
         .select(col("query_id"), col("vec_id").as("src"))
       // THE batched hop: one equi-join advances every query's frontier
-      val fresh = beam.join(parts.adj, "src")
+      val fresh = beam.join(adjacency, "src")
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
         .filter(col("vec_id") =!= col("query_id"))
         .join(scored, Seq("query_id", "vec_id"), "left_anti")
@@ -940,6 +950,25 @@ object Similarity {
       .select("vec_id", "cid", "dot", "cos")
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopK)
+  }
+
+  /** n26: batched serving from the PERSISTED graph — the full production
+    * deployment n24 and n25 each prove half of: an offline build job
+    * writes the graph index (n22's adjacency → parquet), a serving job
+    * reads the WRITTEN edge table and advances a whole query batch over
+    * it (n24's machinery, parameterized by adjacency — identical code
+    * path, so serve-from-disk can never drift from serve-from-build).
+    * The oracle is n24's verbatim: a lossless round trip means the
+    * persisted-graph report IS the in-session report (x16's discipline);
+    * SimilaritySpec additionally pins row-for-row equality in-session.
+    * At 100 TB the edge table is bucketed by src so each hop's
+    * beam-to-adjacency equi-join prunes to the beam's buckets.
+    */
+  val n26GraphServe: Q = (s, d) => {
+    val out = "target/ann_graph_store"
+    val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
+    parts.adj.write.mode("overwrite").parquet(s"$out/adjacency")
+    batchedBeamWalk(s, d, s.read.parquet(s"$out/adjacency"))
   }
 
   /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
@@ -1390,6 +1419,7 @@ object Similarity {
     "n23_layered_ann"    -> n23LayeredAnn,
     "n24_batched_beam"   -> n24BatchedBeam,
     "n25_index_persist"  -> n25IndexPersist,
+    "n26_graph_serve"    -> n26GraphServe,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1566,6 +1596,76 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** The n24/n26 oracle: the n22 walk chain keyed by query_id over
+    * the shared graph CTEs — one definition for both keys (n26 serves
+    * from the persisted copy of the SAME graph).
+    */
+  private val duckBatchedBeam: String = {
+      val rounds = (1 to BeamHops).map { k =>
+        s"""qb${k - 1} AS MATERIALIZED (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+           |    FROM qs${k - 1}) WHERE rn <= $BeamWidth),
+           |qnb$k AS MATERIALIZED (
+           |  SELECT DISTINCT b.query_id, a.dst AS vec_id
+           |  FROM adj a JOIN qb${k - 1} b ON a.src = b.vec_id
+           |  WHERE a.dst <> b.query_id
+           |    AND NOT EXISTS (SELECT 1 FROM qs${k - 1} p
+           |                    WHERE p.query_id = b.query_id
+           |                      AND p.vec_id = a.dst)),
+           |qs$k AS MATERIALIZED (
+           |  SELECT * FROM qs${k - 1}
+           |  UNION ALL
+           |  SELECT nb.query_id, nb.vec_id, sc.cos
+           |  FROM qnb$k nb JOIN scall sc USING (query_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      val legs = (0 to BeamHops).map { k =>
+        s"""SELECT a.query_id, CAST($k AS INT) AS hop, a.n_scored, a.best_cos,
+           |       CAST(COALESCE(h.h10, 0) AS BIGINT) AS hits10,
+           |       CAST(COALESCE(h.h10, 0) * 10000 // $TopK AS BIGINT) AS recall_bp
+           |FROM (SELECT query_id, COUNT(1) AS n_scored, MAX(cos) AS best_cos
+           |      FROM qs$k GROUP BY query_id) a
+           |LEFT JOIN (
+           |  SELECT tk.query_id, COUNT(1) AS h10
+           |  FROM (SELECT query_id, vec_id FROM (
+           |          SELECT query_id, vec_id, row_number() OVER (
+           |            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+           |          FROM qs$k) WHERE rn <= $TopK) tk
+           |  JOIN btruth t ON tk.query_id = t.query_id AND tk.vec_id = t.tid
+           |  GROUP BY tk.query_id) h USING (query_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |$duckGraphBuild,
+         |qset AS (SELECT vec_id AS query_id, q AS qa, nrm AS na FROM prepn
+         |         WHERE vec_id % $KnnJoinStride = 0
+         |           AND vec_id < ${BatchQueries * KnnJoinStride}),
+         |scall AS MATERIALIZED (
+         |  SELECT qs.query_id, p.vec_id,
+         |         CAST(${duckDot("qs.qa", "p.q")} AS DOUBLE)
+         |           / sqrt(CAST(qs.na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
+         |  FROM prepn p JOIN qset qs ON p.vec_id <> qs.query_id),
+         |btruth AS MATERIALIZED (
+         |  SELECT query_id, vec_id AS tid FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scall) WHERE rn <= $TopK),
+         |hubs AS (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src
+         |         ORDER BY dg DESC, src ASC LIMIT ${BeamSeeds + 1}),
+         |seeds AS (
+         |  SELECT query_id, src AS vec_id FROM (
+         |    SELECT q.query_id, h.src, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY h.dg DESC, h.src ASC) AS rn
+         |    FROM hubs h JOIN qset q ON h.src <> q.query_id)
+         |  WHERE rn <= $BeamSeeds),
+         |qs0 AS MATERIALIZED (
+         |  SELECT sd.query_id, sd.vec_id, sc.cos
+         |  FROM seeds sd JOIN scall sc USING (query_id, vec_id)),
+         |$rounds
+         |$legs
+         |ORDER BY query_id, hop""".stripMargin
+      }
+
   val oracles: Map[String, String] = Map(
     // n18: per-config CTEs generated from the same sweep list as the
     // Spark side (d22's discipline); cosine doubles IEEE-identical.
@@ -1707,71 +1807,11 @@ object Similarity {
     // the batch dimension, seeds/beams/top-k are per-query row_numbers
     // (the TopKPerKey heaps' tie-breaks), scoring reads the batch-scored
     // table; same MATERIALIZED discipline as n22's chain.
-    "n24_batched_beam" -> {
-      val rounds = (1 to BeamHops).map { k =>
-        s"""qb${k - 1} AS MATERIALIZED (
-           |  SELECT query_id, vec_id FROM (
-           |    SELECT query_id, vec_id, row_number() OVER (
-           |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
-           |    FROM qs${k - 1}) WHERE rn <= $BeamWidth),
-           |qnb$k AS MATERIALIZED (
-           |  SELECT DISTINCT b.query_id, a.dst AS vec_id
-           |  FROM adj a JOIN qb${k - 1} b ON a.src = b.vec_id
-           |  WHERE a.dst <> b.query_id
-           |    AND NOT EXISTS (SELECT 1 FROM qs${k - 1} p
-           |                    WHERE p.query_id = b.query_id
-           |                      AND p.vec_id = a.dst)),
-           |qs$k AS MATERIALIZED (
-           |  SELECT * FROM qs${k - 1}
-           |  UNION ALL
-           |  SELECT nb.query_id, nb.vec_id, sc.cos
-           |  FROM qnb$k nb JOIN scall sc USING (query_id, vec_id))""".stripMargin
-      }.mkString(",\n")
-      val legs = (0 to BeamHops).map { k =>
-        s"""SELECT a.query_id, CAST($k AS INT) AS hop, a.n_scored, a.best_cos,
-           |       CAST(COALESCE(h.h10, 0) AS BIGINT) AS hits10,
-           |       CAST(COALESCE(h.h10, 0) * 10000 // $TopK AS BIGINT) AS recall_bp
-           |FROM (SELECT query_id, COUNT(1) AS n_scored, MAX(cos) AS best_cos
-           |      FROM qs$k GROUP BY query_id) a
-           |LEFT JOIN (
-           |  SELECT tk.query_id, COUNT(1) AS h10
-           |  FROM (SELECT query_id, vec_id FROM (
-           |          SELECT query_id, vec_id, row_number() OVER (
-           |            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
-           |          FROM qs$k) WHERE rn <= $TopK) tk
-           |  JOIN btruth t ON tk.query_id = t.query_id AND tk.vec_id = t.tid
-           |  GROUP BY tk.query_id) h USING (query_id)""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $duckPrep,
-         |$duckGraphBuild,
-         |qset AS (SELECT vec_id AS query_id, q AS qa, nrm AS na FROM prepn
-         |         WHERE vec_id % $KnnJoinStride = 0
-         |           AND vec_id < ${BatchQueries * KnnJoinStride}),
-         |scall AS MATERIALIZED (
-         |  SELECT qs.query_id, p.vec_id,
-         |         CAST(${duckDot("qs.qa", "p.q")} AS DOUBLE)
-         |           / sqrt(CAST(qs.na AS DOUBLE) * CAST(p.nrm AS DOUBLE)) AS cos
-         |  FROM prepn p JOIN qset qs ON p.vec_id <> qs.query_id),
-         |btruth AS MATERIALIZED (
-         |  SELECT query_id, vec_id AS tid FROM (
-         |    SELECT query_id, vec_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
-         |    FROM scall) WHERE rn <= $TopK),
-         |hubs AS (SELECT src, COUNT(1) AS dg FROM adj GROUP BY src
-         |         ORDER BY dg DESC, src ASC LIMIT ${BeamSeeds + 1}),
-         |seeds AS (
-         |  SELECT query_id, src AS vec_id FROM (
-         |    SELECT q.query_id, h.src, row_number() OVER (
-         |      PARTITION BY q.query_id ORDER BY h.dg DESC, h.src ASC) AS rn
-         |    FROM hubs h JOIN qset q ON h.src <> q.query_id)
-         |  WHERE rn <= $BeamSeeds),
-         |qs0 AS MATERIALIZED (
-         |  SELECT sd.query_id, sd.vec_id, sc.cos
-         |  FROM seeds sd JOIN scall sc USING (query_id, vec_id)),
-         |$rounds
-         |$legs
-         |ORDER BY query_id, hop""".stripMargin
-    },
+    "n24_batched_beam" -> duckBatchedBeam,
+    // n26: serve-from-persisted-graph == serve-from-build IS the pin, so
+    // the oracle is n24's text verbatim (n25/x16's losslessness
+    // discipline applied to the graph index).
+    "n26_graph_serve" -> duckBatchedBeam,
     // n25: the persisted round trip serves n14's search from the written
     // tables — served == built IS the pin, so the oracle is n14's text.
     "n25_index_persist" ->

@@ -240,6 +240,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("n26 persisted-graph serving equals n24's in-session batched walk row-for-row") {
+    val served = Similarity.n26GraphServe(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    val built = Similarity.n24BatchedBeam(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    assert(served.toSeq === built.toSeq,
+      "the graph-index round trip must be lossless")
+  }
+
   test("n25 persisted index serves exactly what the in-query build serves (== n14)") {
     val served = Similarity.n25IndexPersist(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
