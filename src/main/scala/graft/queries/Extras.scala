@@ -2253,7 +2253,11 @@ object Extras {
     val sliced = Tables.lineitem(s, d)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"),
-        expr("cast(l_quantity as bigint)").as("qty"),
+        // floor BEFORE the cast: a bare double→bigint cast truncates in
+        // Spark but ROUNDS in DuckDB — identical only because the fixture
+        // quantities happen to be integral; floor makes it identical by
+        // construction
+        expr("cast(floor(l_quantity) as bigint)").as("qty"),
         expr("cast(floor(l_extendedprice * 100) as bigint)").as("price_c"))
     val perPart = sliced.groupBy(col("l_partkey").as("agg_pk"))
       .agg(sum("qty").as("qty_sum"), count(lit(1)).as("qty_n"))
@@ -3925,7 +3929,7 @@ object Extras {
     // threshold as the exact integer cross-multiplication.
     "q193_tpch_q17" ->
       """WITH sliced AS (
-        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
         |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
         |  FROM lineitem JOIN part ON p_partkey = l_partkey
         |  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'),
