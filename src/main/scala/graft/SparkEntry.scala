@@ -48,7 +48,9 @@ object SparkEntry {
         "m11_wav_features" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m11WavFeatures(s, d)),
         "m12_clip_temporal_dedup" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m12ClipTemporalDedup(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m12ClipTemporalDedup(s, d)),
+        "m13_resize_real" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m13ResizeReal(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -345,6 +347,41 @@ object SparkEntry {
              |                THEN bit_count(xor(ph, php)) ELSE 0 END) AS BIGINT)
              |         AS motion_ham
              |FROM pairs GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m13: the resized image's checksum and mean-threshold hash
+        // recomputed from the cell formula the ORIGINAL pixels encode —
+        // equality holds only if the per-channel 2x2 box filter really
+        // averaged the right blocks (resized grey == cell target t).
+        "m13_resize_real" -> {
+          import graft.operators.Multimodal._
+          val nb = PhashBits
+          val grp = PpmJitterGroup
+          val w1 = PpmW / 2
+          val h1 = PpmH / 2
+          val encBytes = 3 + w1.toString.length + 1 + h1.toString.length +
+            5 + w1 * h1 * 3
+          s"""WITH cells AS (
+             |  SELECT doc_id AS media_id, c,
+             |         48 + 48 * CASE WHEN c < doc_id % $grp
+             |                        THEN 1 - ((((doc_id // $grp) * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE ((((doc_id // $grp) * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc),
+             |tots AS (
+             |  SELECT media_id, c, t, SUM(t) OVER (PARTITION BY media_id) AS tot
+             |  FROM cells)
+             |SELECT media_id,
+             |       CAST($PpmW AS INT) AS w0, CAST($PpmH AS INT) AS h0,
+             |       CAST($w1 AS INT) AS w1, CAST($h1 AS INT) AS h1,
+             |       CAST($encBytes AS BIGINT) AS enc_bytes,
+             |       CAST(SUM(t) AS BIGINT) AS content_sum,
+             |       CAST(SUM(CASE WHEN t * $nb > tot
+             |                THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)
+             |            AS BIGINT) AS rhash
+             |FROM tots GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m10: the ASCII fixture makes magic + byte accounting
         // SQL-expressible; the round-trip booleans are the pin.

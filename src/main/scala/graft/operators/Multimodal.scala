@@ -171,6 +171,33 @@ object Multimodal {
       * NegativeArraySizeException instead of the codec's typed failure.
       */
     def decodeWithLength(payload: Array[Byte], from: Int = 0): (Array[Byte], Int) = {
+      val (w, h, pos) = parseP6(payload, from)
+      val grey = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        val base = pos + i * 3
+        grey(i) = (((payload(base) & 0xff) + (payload(base + 1) & 0xff) +
+          (payload(base + 2) & 0xff)) / 3).toByte
+        i += 1
+      }
+      (grey, pos + w * h * 3)
+    }
+
+    /** Parse ONE P6 and return (w, h, raw RGB raster copy) — the
+      * RGB-domain sibling of `decode` (which reduces to grey); m13's
+      * real resize filters per channel, so it needs the channels.
+      */
+    def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, pos) = parseP6(payload, 0)
+      (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + w * h * 3))
+    }
+
+    /** The shared P6 header grammar: magic, comments, dimensions, maxval,
+      * single raster separator, Long-math raster-fit guard — returns
+      * (w, h, raster offset). One definition feeds the grey decode, the
+      * RGB decode and (via decodeWithLength) the stream walk.
+      */
+    private def parseP6(payload: Array[Byte], from: Int): (Int, Int, Int) = {
       var pos = from
       def fail(msg: String) =
         throw new IllegalArgumentException(s"malformed PPM: $msg")
@@ -210,15 +237,7 @@ object Multimodal {
       // with the typed error, never downstream as a negative/huge alloc.
       if (3L * w * h > payload.length.toLong - pos)
         fail(s"truncated raster: ${payload.length - pos} < ${3L * w * h}")
-      val grey = new Array[Byte](w * h)
-      var i = 0
-      while (i < w * h) {
-        val base = pos + i * 3
-        grey(i) = (((payload(base) & 0xff) + (payload(base + 1) & 0xff) +
-          (payload(base + 2) & 0xff)) / 3).toByte
-        i += 1
-      }
-      (grey, pos + w * h * 3)
+      (w, h, pos)
     }
   }
 
@@ -836,6 +855,78 @@ object Multimodal {
       .where(col("ham") <= PhashMaxHam)
       .select(col("m1"), col("m2"), col("ham"))
       .orderBy("m1", "m2")
+  }
+
+  /** REAL 2× box-filter downscale of an RGB raster: each output pixel is
+    * the per-channel integer mean of its 2×2 source block (the standard
+    * box filter; plain truncating /4 — the fixture's zero-sum deltas make
+    * it exact, and any rounding policy would be applied identically
+    * everywhere). This retires `resizeMeta`'s metadata-only stub for the
+    * image path: m13 decodes, REALLY resamples pixels, and re-encodes.
+    */
+  def resizeHalf(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, s"resizeHalf needs even dims, got ${w}x$h")
+    val ow = w / 2
+    val out = new Array[Byte](ow * (h / 2) * 3)
+    var y = 0
+    while (y < h / 2) {
+      var x = 0
+      while (x < ow) {
+        var ch = 0
+        while (ch < 3) {
+          val tl = ((2 * y) * w + 2 * x) * 3 + ch
+          val s = (rgb(tl) & 0xff) + (rgb(tl + 3) & 0xff) +
+            (rgb(tl + 3 * w) & 0xff) + (rgb(tl + 3 * w + 3) & 0xff)
+          out((y * ow + x) * 3 + ch) = (s / 4).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** m13: REAL image resize — the brief's "resize" leg upgraded from the
+    * metadata stub to actual pixel resampling: every fixture image is
+    * parsed ([[PpmCodec.decodeRgb]] — the RGB-domain decode), 2×
+    * box-downscaled per channel ([[resizeHalf]]), and RE-ENCODED as a
+    * normalized P6 (comment headers do not survive a re-encode — the
+    * emitted size is exactly the canonical header + the halved raster).
+    * Features prove the resample: the resized image's content checksum
+    * and its 32-bit mean-threshold hash, which the DuckDB oracle
+    * recomputes from the CELL FORMULA the original pixels encode —
+    * equality holds only if the per-channel box filter really averaged
+    * the right 2×2 blocks (the fixture's per-pixel deltas are zero-sum
+    * per block and its per-channel structure is ±2, so resized grey ==
+    * the cell target t exactly). Because the fixture's aHash grid IS the
+    * 2×2 block grid, the resized hash also equals m06's original-image
+    * aHash — the scale-invariance pin MultimodalSpec asserts.
+    *
+    * Scale shape: one mapPartitions pass (batched-decode seam), payloads
+    * never shuffle, fixed-width features out.
+    */
+  def m13ResizeReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ppmFixture(s, d).mapPartitions { rows =>
+      PpmCodec.init()
+      rows.map { m =>
+        val (w, h, rgb) = PpmCodec.decodeRgb(m.payload)
+        val resized = PpmCodec.encode(w / 2, h / 2, resizeHalf(w, h, rgb))
+        val grey = PpmCodec.decode(resized)
+        var tot = 0L
+        grey.foreach(b => tot += b & 0xff)
+        var hash = 0L
+        var c = 0
+        while (c < grey.length) {
+          if ((grey(c) & 0xff).toLong * grey.length > tot) hash |= 1L << c
+          c += 1
+        }
+        (m.media_id, w, h, w / 2, h / 2, resized.length.toLong, tot, hash)
+      }
+    }.toDF("media_id", "w0", "h0", "w1", "h1", "enc_bytes",
+           "content_sum", "rhash")
+      .orderBy("media_id")
   }
 
   /** m12 frames per clip. */

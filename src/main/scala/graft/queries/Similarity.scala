@@ -182,14 +182,28 @@ object Similarity {
   private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
     ivfAssignedFrom(prepared(s, d).select("vec_id", "q", "nrm").cache())
 
-  /** The IVF assignment over a caller-supplied (vec_id, q, nrm) frame —
-    * callers that already hold the prepared corpus cached (n08) pass it
-    * here instead of letting [[ivfAssigned]] build and cache a second
-    * copy of the same quantization scan.
+  /** Quantize + self-norm a raw (vec_id, embedding) frame — the public
+    * seam s35's streaming maintainer shares with every batch query (an
+    * inline re-spelling of the quantization would drift from the
+    * deployed index keys — s32's single-sourced-machinery discipline).
     */
-  private[queries] def ivfAssignedFrom(v: DataFrame): DataFrame = {
-    val cents = v.filter(col("vec_id") < NumCentroids)
+  private[graft] def prepareVectors(df: DataFrame): DataFrame =
+    df.withColumn("q", expr(quant("embedding")))
+      .withColumn("nrm", expr(dot("q", "q")))
+
+  /** The corpus's centroid table (cid, cq, cnrm) — the FIXED codebook a
+    * streaming assignment job broadcasts per batch.
+    */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    prepared(s, d).filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+
+  /** Assign a prepared (vec_id, q, nrm) frame to a caller-supplied FIXED
+    * centroid table — the core of [[ivfAssignedFrom]], factored so s35's
+    * per-batch assignment uses the byte-identical argmax (formula, ties,
+    * partial-agg shape) as the batch index build.
+    */
+  private[graft] def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(
         s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
@@ -205,7 +219,18 @@ object Similarity {
         struct(col("ccos"), negate(col("cid")))).as("best"))
       .select(col("vec_id"), col("best.q").as("q"), col("best.nrm").as("nrm"),
               col("best.cid").as("cid"), col("best.ccos").as("ccos"))
-  }
+
+  /** The IVF assignment over a caller-supplied (vec_id, q, nrm) frame —
+    * callers that already hold the prepared corpus cached (n08) pass it
+    * here instead of letting [[ivfAssigned]] build and cache a second
+    * copy of the same quantization scan. Centroids are the frame's own
+    * seed rows; [[assignToCentroids]] is the fixed-codebook core.
+    */
+  private[queries] def ivfAssignedFrom(v: DataFrame): DataFrame =
+    assignToCentroids(v,
+      v.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+                col("nrm").as("cnrm")))
 
   val n02AnnIvf: Q = (s, d) => {
     val assigned = ivfAssigned(s, d)

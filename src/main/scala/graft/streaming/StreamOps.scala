@@ -382,6 +382,53 @@ object StreamOps {
       .groupBy("h").agg(min("owner").as("owner"), min("nb").as("nb"))
   }
 
+  /** s35: streaming maintenance of the IVF ASSIGNMENT table — the
+    * vector-ingest side of the n-family index (n25 persists it, n02/n12/
+    * n14 probe it; this job keeps it current as embeddings arrive): each
+    * micro-batch of raw (vec_id, embedding) rows is quantized and
+    * assigned to the FIXED broadcast codebook via the single-sourced
+    * batch machinery ([[graft.queries.Similarity.prepareVectors]] +
+    * `assignToCentroids` — the byte-identical argmax formula, tie-break
+    * and partial-agg shape as the batch index build, so the streamed
+    * assignment can never drift). Idempotence is s32/s34's model:
+    * per-batch `batch_id=N` partitions + dynamic partition overwrite,
+    * compaction on read. StreamingSpec pins stream-built == batch
+    * `ivfAssigned` over the same replay + replay idempotence.
+    */
+  def s35UpsertIvfBatch(cents: DataFrame, dir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        graft.queries.Similarity
+          .assignToCentroids(
+            graft.queries.Similarity.prepareVectors(cached), cents)
+          .select("vec_id", "cid", "ccos")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/assigned")
+      }
+    } finally cached.unpersist()
+  }
+
+  def s35IvfMaintain(vectors: DataFrame, cents: DataFrame, dir: String,
+                     checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s35UpsertIvfBatch(cents, dir) _)
+      .start()
+
+  /** Compacted read of the s35-maintained assignment: each vector's row
+    * is a pure function of (vector, codebook), so identical rows from a
+    * replayed batch fold under distinct.
+    */
+  def s35Assignment(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assigned")
+      .select("vec_id", "cid", "ccos").distinct()
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

@@ -109,6 +109,29 @@ class MultimodalSpec extends SparkSpec {
     assert(h1.sum === payload.length)
   }
 
+  test("m13 real resize: 2x box filter is scale-invariant on the cell grid (resized hash == original aHash)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.m13ResizeReal(spark, sf)
+      .select("media_id", "rhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val originals = Multimodal.ppmFixture(spark, sf)
+      .collect().map { m =>
+        m.media_id -> Multimodal.ppmAHash(
+          Multimodal.PpmCodec.decode(m.payload), Multimodal.PpmW, Multimodal.PpmH)
+      }.toMap
+    assert(rows === originals,
+      "the resized mean-threshold hash must equal the original image's aHash " +
+        "(the fixture's hash grid IS the 2x2 block grid)")
+    // and the resample is a REAL pixel op: a hand-built 4x2 gradient
+    // halves to the exact per-channel block means
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 4).toByte)
+    val half = Multimodal.resizeHalf(4, 2, rgb)
+    // block (0,0) ch0: pixels 0,1,4,5 of row-major 4-wide → bytes 0,3,12,15...
+    val expect0 = ((rgb(0) & 0xff) + (rgb(3) & 0xff) + (rgb(12) & 0xff) + (rgb(15) & 0xff)) / 4
+    assert((half(0) & 0xff) === expect0)
+    assert(half.length === 2 * 1 * 3)
+  }
+
   test("resizeMeta bounds dimensions without touching payload") {
     val media = Multimodal.fixtureFromDocuments(spark, sf)
     val resized = Multimodal.resizeMeta(media, 64).collect()

@@ -1094,6 +1094,47 @@ class StreamingSpec extends SparkSpec {
       "partition overwrite must replace the run, not append to it")
   }
 
+  test("s35 streaming IVF assignment equals the batch-built index; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("s35_idx")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    // the FIXED codebook the maintainer broadcasts per batch
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.s35IvfMaintain(
+      mem.toDF().toDF("vec_id", "embedding"), cents, dir, tmp("s35_ckpt"))
+    mem.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // stream-maintained assignment == the batch index build over the same
+    // corpus (the ingest side of n02/n12/n14/n25's probe contract)
+    val batchBuilt = graft.queries.Similarity.assignToCentroids(
+        graft.queries.Similarity.prepareVectors(
+          graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")),
+        cents)
+      .select("vec_id", "cid", "ccos")
+    val got = StreamOps.s35Assignment(spark, dir)
+    assert(got.exceptAll(batchBuilt).isEmpty && batchBuilt.exceptAll(got).isEmpty,
+      "streamed IVF assignment must equal the batch build")
+    // replay idempotence: the redelivered batch overwrites its partition
+    val n = got.count()
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    spark.catalog.refreshByPath(s"$dir/assigned")
+    assert(StreamOps.s35Assignment(spark, dir).count() === n,
+      "a replayed batch must not grow the assignment table")
+    val raw = spark.read.parquet(s"$dir/assigned")
+    assert(raw.count() === raw.select("vec_id").distinct().count(),
+      "partition overwrite must replace the run, not append to it")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
