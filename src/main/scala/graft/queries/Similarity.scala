@@ -569,6 +569,84 @@ object Similarity {
       .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
   }
 
+  /** Lloyd iterations n27 unrolls. */
+  val KmeansRounds = 2
+
+  /** n27: k-means TRAINING loop — the full Lloyd iteration the index
+    * family's pieces compose into (n16 seeds it, n05 is one M-step,
+    * n02's assignment is one E-step; THIS is assign→update→assign run
+    * [[KmeansRounds]] rounds with the convergence report an index
+    * trainer actually reads): per round, total within-cluster L2²
+    * inertia (must be non-increasing — the Lloyd monotonicity
+    * SimilaritySpec pins) and the number of vectors that changed
+    * cluster vs the previous round (the practical stop signal).
+    * Everything stays EXACT integer algebra cross-engine: assignment is
+    * argmin of bigint dist² (ties to the lower cid), the centroid
+    * update is the per-dimension floored mean (Σ div n — a double mean
+    * would drift the round-2 boundary), and inertia is a bigint sum.
+    * Empty clusters keep their previous centroid (deterministic, the
+    * standard production choice).
+    *
+    * Scale shapes per round: centroids broadcast (16 rows); assignment
+    * is one map-side scoring pass + partial-agg min_by argmin; the
+    * update is ONE partial-agg (cid, dim) groupBy whose shuffle carries
+    * k·Dim partial rows per partition (n05's shape); the moved count is
+    * an equi-join of two vec_id-keyed assignment tables. R rounds = R
+    * linear scans of the cached corpus — the textbook Lloyd cost.
+    */
+  val n27KmeansIter: Q = (s, d) => {
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    def withNorm(c: DataFrame): DataFrame =
+      c.withColumn("cnrm", expr("vec_dot(cq, cq)"))
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(withNorm(cents)))
+        .withColumn("d2", expr(s"nrm + cnrm - 2 * ${dot("q", "cq")}"))
+        .groupBy("vec_id")
+        // q rides inside the argmin struct (constant per vec_id) so the
+        // update step can re-aggregate coordinates without a re-join
+        .agg(max_by(struct(col("q"), col("cid"), col("d2")),
+          struct(negate(col("d2")), negate(col("cid")))).as("best"))
+        .select(col("vec_id"), col("best.q").as("q"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg(expr("sum(val) div count(1)").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("ncq"))
+      prev.select(col("cid"), col("cq").as("ocq"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncq"), col("ocq")).as("cq"))
+    }
+    var cents = v.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+      .localCheckpoint()
+    var prevAssign: DataFrame = null
+    val reports = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to KmeansRounds) {
+      val a = assign(cents).localCheckpoint()
+      val moved =
+        if (prevAssign == null)
+          a.agg(count(lit(1)).as("x")).select(lit(0L).as("n_moved"))
+        else
+          a.select(col("vec_id"), col("cid"))
+            .join(prevAssign.select(col("vec_id"), col("cid").as("pcid")),
+              "vec_id")
+            .agg(sum(when(col("cid") =!= col("pcid"), 1L).otherwise(0L))
+              .as("n_moved"))
+      reports += a
+        .agg(count(lit(1)).as("n_assigned"), sum("d2").as("inertia"))
+        .crossJoin(broadcast(moved))
+        .select(lit(r).as("round"), col("n_assigned"), col("inertia"),
+          col("n_moved"))
+      cents = update(a, cents).localCheckpoint()
+      prevAssign = a
+    }
+    reports.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   /** n13: mutual-kNN graph — edges (a, b) where EACH is in the other's
     * top-k (the symmetric graph behind graph-based clustering and
     * diversity-aware curation; one-directional kNN edges connect dense
@@ -1445,6 +1523,7 @@ object Similarity {
     "n24_batched_beam"   -> n24BatchedBeam,
     "n25_index_persist"  -> n25IndexPersist,
     "n26_graph_serve"    -> n26GraphServe,
+    "n27_kmeans_iter"    -> n27KmeansIter,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1691,7 +1770,49 @@ object Similarity {
          |ORDER BY query_id, hop""".stripMargin
       }
 
+  /** n27 oracle round r: centroid norms, argmin assignment (d2 asc, cid
+    * asc — the max_by tie-break), then the floored-mean update and the
+    * empty-cluster coalesce — the n16/d09 unrolled-iteration discipline.
+    */
+  private def duckKmeansRound(r: Int): String =
+    s"""cn$r AS (SELECT cid, cq, ${duckDot("cq", "cq")} AS cnrm FROM c$r),
+       |a$r AS MATERIALIZED (
+       |  SELECT vec_id, q, cid, d2 FROM (
+       |    SELECT z.*, row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM (SELECT p.vec_id, p.q, c.cid,
+       |                 p.nrm + c.cnrm - 2 * ${duckDot("p.q", "c.cq")} AS d2
+       |          FROM prepn p CROSS JOIN cn$r c) z) WHERE rn = 1),
+       |u$r AS (
+       |  SELECT cid, list(m ORDER BY pos) AS ncq FROM (
+       |    SELECT cid, g.i AS pos,
+       |           CAST(SUM(q[g.i]) // COUNT(1) AS BIGINT) AS m
+       |    FROM a$r CROSS JOIN generate_series(1, $Dim) AS g(i)
+       |    GROUP BY cid, g.i) GROUP BY cid),
+       |c${r + 1} AS (SELECT c$r.cid, COALESCE(u$r.ncq, c$r.cq) AS cq
+       |       FROM c$r LEFT JOIN u$r USING (cid))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "n27_kmeans_iter" -> {
+      val rounds = (1 to KmeansRounds).map(duckKmeansRound).mkString(",\n")
+      val legs = (1 to KmeansRounds).map { r =>
+        val moved =
+          if (r == 1) "CAST(0 AS BIGINT)"
+          else s"""(SELECT CAST(SUM(CASE WHEN a$r.cid <> a${r - 1}.cid
+                   |              THEN 1 ELSE 0 END) AS BIGINT)
+                   |FROM a$r JOIN a${r - 1} USING (vec_id))""".stripMargin
+        s"""SELECT CAST($r AS INT) AS round,
+           |       (SELECT COUNT(1) FROM a$r) AS n_assigned,
+           |       (SELECT CAST(SUM(d2) AS BIGINT) FROM a$r) AS inertia,
+           |       $moved AS n_moved""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |c1 AS (SELECT vec_id AS cid, q AS cq FROM prepn
+         |       WHERE vec_id < $NumCentroids),
+         |$rounds
+         |$legs
+         |ORDER BY round""".stripMargin
+    },
     // n18: per-config CTEs generated from the same sweep list as the
     // Spark side (d22's discipline); cosine doubles IEEE-identical.
     // n21: n18's per-config CTE generation over the IVFPQ machinery —

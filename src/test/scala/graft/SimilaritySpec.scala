@@ -249,6 +249,26 @@ class SimilaritySpec extends SparkSpec {
       "the graph-index round trip must be lossless")
   }
 
+  test("n27 Lloyd iterations: inertia non-increasing, full assignment every round") {
+    val rows = Similarity.n27KmeansIter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to Similarity.KmeansRounds).toSeq)
+    val n = rows.head._2
+    rows.foreach { case (_, na, inertia, moved) =>
+      assert(na === n, "every round must assign the whole corpus")
+      assert(inertia >= 0L && moved >= 0L)
+    }
+    // Lloyd monotonicity: each round's inertia can only improve (the
+    // update step minimizes within-cluster SSE for the fixed assignment;
+    // the floored-mean centroid stays within the exact mean's cell here)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3,
+        s"inertia rose between rounds: ${a._3} -> ${b._3}")
+    }
+    assert(rows.head._4 === 0L, "round 1 has no previous assignment")
+  }
+
   test("n25 persisted index serves exactly what the in-query build serves (== n14)") {
     val served = Similarity.n25IndexPersist(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
