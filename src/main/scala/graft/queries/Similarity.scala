@@ -582,7 +582,9 @@ object Similarity {
     * cluster vs the previous round (the practical stop signal).
     * Everything stays EXACT integer algebra cross-engine: assignment is
     * argmin of bigint dist² (ties to the lower cid), the centroid
-    * update is the per-dimension floored mean (Σ div n — a double mean
+    * update is the per-dimension TRUNCATED integer mean (Σ div n; Spark's
+    * `div` and DuckDB's `//` both truncate toward zero — verified on
+    * negative sums, which this corpus produces — while a double mean
     * would drift the round-2 boundary), and inertia is a bigint sum.
     * Empty clusters keep their previous centroid (deterministic, the
     * standard production choice).
