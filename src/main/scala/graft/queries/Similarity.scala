@@ -1773,7 +1773,7 @@ object Similarity {
       }
 
   /** n27 oracle round r: centroid norms, argmin assignment (d2 asc, cid
-    * asc — the max_by tie-break), then the floored-mean update and the
+    * asc — the max_by tie-break), then the truncated-mean update and the
     * empty-cluster coalesce — the n16/d09 unrolled-iteration discipline.
     */
   private def duckKmeansRound(r: Int): String =
