@@ -14,23 +14,40 @@ object SortedInterSizeUtil {
     * whatever bytes sit there (silently wrong counts), and a null inside
     * a sorted shingle-hash set is always an upstream bug (r09 advice).
     */
+  private def read(arr: ArrayData, k: Int): Long = {
+    if (arr.isNullAt(k))
+      throw new IllegalArgumentException("sorted_inter_size: null array element")
+    arr.getLong(k)
+  }
+
   def inter(a: ArrayData, b: ArrayData): Long = {
     val la = a.numElements()
     val lb = b.numElements()
+    if (la == 0 || lb == 0) return 0L
+    // heads are CACHED and refreshed only on advance: each element pays
+    // exactly one null-check + one getLong (the per-iteration re-read of
+    // both slots was measurable on d28's ~9M-pair verify path)
     var i = 0
     var j = 0
     var n = 0L
-    while (i < la && j < lb) {
-      if (a.isNullAt(i) || b.isNullAt(j))
-        throw new IllegalArgumentException(
-          "sorted_inter_size: null array element")
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    var x = read(a, 0)
+    var y = read(b, 0)
+    while (true) {
+      if (x == y) {
+        n += 1; i += 1; j += 1
+        if (i >= la || j >= lb) return n
+        x = read(a, i); y = read(b, j)
+      } else if (x < y) {
+        i += 1
+        if (i >= la) return n
+        x = read(a, i)
+      } else {
+        j += 1
+        if (j >= lb) return n
+        y = read(b, j)
+      }
     }
-    n
+    n // unreachable
   }
 }
 
