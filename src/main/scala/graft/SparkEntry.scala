@@ -132,9 +132,6 @@ object SparkEntry {
              |UNION ALL SELECT * FROM vid
              |ORDER BY media_id""".stripMargin
         },
-        // Mirrors m02's chunking math: every 4th 1 KiB chunk of the payload
-        // (generate_series as a per-row list function — lateral FROM-clause
-        // generate_series with column bounds is not supported in DuckDB).
         "m03_chunk_dedup" ->
           // VARCHAR substr == binary slice here: the fixture corpus is pure
           // ASCII (see Multimodal.m03ChunkDedup oracle note). The chunk

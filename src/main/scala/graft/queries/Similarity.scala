@@ -89,11 +89,13 @@ object Similarity {
        |         i -> $planesDuck[j + 1][i] * $q[i])) AS BIGINT) >= 0
        |       THEN (1 << j) ELSE 0 END)) AS INT)""".stripMargin
 
-  /** Common prep: doc side with quantized vector + self-norm. */
+  /** Common prep: doc side with quantized vector + self-norm. Delegates to
+    * [[prepareVectors]] — the ONE spelling of the quantize+self-norm
+    * pipeline (s35's deployed index keys derive from it; an inline
+    * re-spelling here could drift from them).
+    */
   private def prepared(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("q", expr(quant("embedding")))
-      .withColumn("nrm", expr(dot("q", "q")))
+    prepareVectors(Tables.embeddings(s, d))
 
   /** q33: brute-force cosine top-k for the query vector (vec_id = 0).
     * The one-row query side is crossJoin(broadcast(...)) — the corpus is
@@ -1024,8 +1026,19 @@ object Similarity {
     * losslessness discipline), and SimilaritySpec pins the round trip
     * equal to n14 row-for-row in-session.
     */
+  /** Per-run root for the persisted-index stores (n25/n26/s36): a FIXED
+    * relative path collides when two sessions share one cwd (advice r10 —
+    * PlanSpec's planOf(n25) triggers the write while SimilaritySpec or
+    * Verify reads the same store), so the root is keyed by the session's
+    * applicationId; a conf override (`graft.ann.store.dir`) points a
+    * deployment at its lake path instead.
+    */
+  private[graft] def annStoreRoot(s: SparkSession): String =
+    s.conf.getOption("graft.ann.store.dir")
+      .getOrElse(s"target/ann_store_${s.sparkContext.applicationId}")
+
   val n25IndexPersist: Q = (s, d) => {
-    val out = "target/ann_index_store"
+    val out = s"${annStoreRoot(s)}/ann_index_store"
     // BUILD + WRITE: assignment partitioned by cid, centroids beside it.
     ivfAssigned(s, d).select("vec_id", "q", "nrm", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$out/assigned")
@@ -1070,7 +1083,7 @@ object Similarity {
     * beam-to-adjacency equi-join prunes to the beam's buckets.
     */
   val n26GraphServe: Q = (s, d) => {
-    val out = "target/ann_graph_store"
+    val out = s"${annStoreRoot(s)}/ann_graph_store"
     val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
     parts.adj.write.mode("overwrite").parquet(s"$out/adjacency")
     batchedBeamWalk(s, d, s.read.parquet(s"$out/adjacency"))

@@ -1081,6 +1081,19 @@ class StreamingSpec extends SparkSpec {
     val got = StreamOps.s34ChunkStore(spark, dir)
     assert(got.exceptAll(batchStore).isEmpty && batchStore.exceptAll(got).isEmpty,
       "streamed chunk store must equal the batch build")
+    // the compaction's min("nb") fold is sound only because equal content
+    // hash implies equal chunk length (the md5 runs over the exact —
+    // possibly short-tail — bytes); assert the invariant on the raw chunk
+    // rows so a future chunker that pads tails fails HERE, not by
+    // silently min-folding mismatched lengths (advice r10)
+    val nbPerHash = graft.operators.Multimodal.chunkTableOf(
+        graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+          .toDF().select("media_id", "payload"))
+      .select("h", "nb").distinct()
+      .groupBy("h").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+    assert(nbPerHash.isEmpty,
+      "equal chunk hash must imply equal chunk length (min-fold invariant)")
     // replay idempotence: a redelivered batch overwrites its own
     // batch_id partition, never duplicates runs
     val n = got.count()
