@@ -519,6 +519,37 @@ class PlanSpec extends SparkSpec {
     assert(!p17.contains("CartesianProduct"), s"Q17: no cartesian:\n$p17")
   }
 
+  test("q194–q197: derived-partsupp TPC-H queries broadcast dims; fact scans stay minimal") {
+    def lineitemScans(p: String): Int =
+      "lineitem\\.parquet".r.findAllIn(p).length
+    // Q2: the offers view is localCheckpointed — downstream consumers (min
+    // aggregate + equality probe) read the checkpoint, so the final plan
+    // carries ZERO lineitem scans; all dims broadcast, nothing cartesian
+    val p2 = planOf(graft.queries.Extras.q194TpchQ2(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), s"Q2 dims must broadcast:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"Q2: no cartesian:\n$p2")
+    assert(lineitemScans(p2) == 0,
+      s"Q2's derivation is materialized once — the served plan must not rescan lineitem:\n$p2")
+    // Q11: same shape (vals localCheckpointed, scalar total broadcast)
+    val p11 = planOf(graft.queries.Extras.q195TpchQ11(spark, sf))
+    assert(!p11.contains("CartesianProduct"), s"Q11: no cartesian:\n$p11")
+    assert(lineitemScans(p11) == 0,
+      s"Q11's per-part values are materialized once:\n$p11")
+    // Q16: one derivation scan; slice + exclusion broadcast (the NOT IN
+    // leg must plan as a broadcast anti-join, not a nested loop)
+    val p16 = planOf(graft.queries.Extras.q196TpchQ16(spark, sf))
+    assert(p16.contains("BroadcastHashJoin"), s"Q16 dims must broadcast:\n$p16")
+    assert(lineitemScans(p16) == 1,
+      s"Q16 must derive partsupp from ONE lineitem scan:\n$p16")
+    // Q20: two fact scans by construction (shipped-qty aggregate + the
+    // partsupp derivation — a lake's written partsupp removes the second)
+    val p20 = planOf(graft.queries.Extras.q197TpchQ20(spark, sf))
+    assert(p20.contains("BroadcastHashJoin"), s"Q20 dims must broadcast:\n$p20")
+    assert(!p20.contains("CartesianProduct"), s"Q20: no cartesian:\n$p20")
+    assert(lineitemScans(p20) <= 2,
+      s"Q20 carries at most the two documented fact scans:\n$p20")
+  }
+
   test("n24/n25: batched beam ranks on bounded heaps; persisted index serves from written files") {
     // n24's final report: every per-query ranking (seeds, beams, top-k,
     // truth) must ride the two-phase TopKPerKey heap, never a per-query
