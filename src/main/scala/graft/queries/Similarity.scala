@@ -947,24 +947,51 @@ object Similarity {
     * memoized in-session graph, n26 the PERSISTED one read back from
     * parquet; identical machinery, so serve-from-disk can never drift
     * from serve-from-build.
+    *
+    * `onDemand = false` (n24/n26): ONE materialized scoring pass serves
+    * both as the score lookup and the exact-truth denominator.
+    * `onDemand = true` (n28): the SERVING contract — the walk scores ONLY
+    * the nodes it visits, each hop a broadcast of the bounded
+    * (query_id, vec_id) pair set into the vector table (a point fetch: at
+    * 100 TB the vector table is bucketed by vec_id, so the broadcast
+    * semi-probe prunes to the visited buckets — the corpus is never
+    * crossed with the query set). The full pass survives ONLY inside the
+    * truth computation, which is this EVAL's recall denominator, not part
+    * of the serving path — a production deployment runs the walk without
+    * it. Both modes compute the identical IEEE doubles, so the reports
+    * are row-for-row equal (SimilaritySpec pins n28 == n24).
     */
   private def batchedBeamWalk(s: SparkSession, d: String,
-                              adjacency: DataFrame): DataFrame = {
+                              adjacency: DataFrame,
+                              onDemand: Boolean = false): DataFrame = {
     val v = prepared(s, d).select("vec_id", "q", "nrm")
     val qset = v.filter(col("vec_id") % KnnJoinStride === 0 &&
         col("vec_id") < BatchQueries * KnnJoinStride)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),
               col("nrm").as("na"))
-    // One scored pass for the whole batch: score lookup AND truth
-    // denominator (n22's discipline — a serving path scores on demand).
-    val scall = v.crossJoin(broadcast(qset))
+    // The full batch×corpus scoring expression: in lookup mode it is
+    // materialized once (score table + truth); in on-demand mode it feeds
+    // ONLY the truth computation below.
+    def fullPass: DataFrame = v.crossJoin(broadcast(qset))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(
         s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
       .select("query_id", "vec_id", "cos")
-      .localCheckpoint()
-    val truthQ = graft.plans.TopKPerKey(scall, Seq("query_id"),
-        Seq(("cos", false), ("vec_id", true)), TopK)
+    val scall: DataFrame = if (onDemand) null else fullPass.localCheckpoint()
+    /** (query_id, vec_id) pairs → (query_id, vec_id, cos): the lookup
+      * join in full-pass mode, the broadcast point fetch on demand.
+      */
+    def score(pairs: DataFrame): DataFrame =
+      if (onDemand)
+        v.join(broadcast(pairs), Seq("vec_id"))
+          .join(broadcast(qset), Seq("query_id"))
+          .withColumn("cos", expr(
+            s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
+          .select("query_id", "vec_id", "cos")
+      else pairs.join(scall, Seq("query_id", "vec_id"))
+        .select("query_id", "vec_id", "cos")
+    val truthQ = graft.plans.TopKPerKey(if (onDemand) fullPass else scall,
+        Seq("query_id"), Seq(("cos", false), ("vec_id", true)), TopK)
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint()
     // Per-query hub seeds: global top (BeamSeeds+1) hubs by degree — one
@@ -992,9 +1019,7 @@ object Similarity {
           col("best_cos"), col("hits10"),
           expr(s"hits10 * 10000 div $TopK").as("recall_bp"))
     }
-    var scored = seeds.join(scall, Seq("query_id", "vec_id"))
-      .select("query_id", "vec_id", "cos")
-      .localCheckpoint()
+    var scored = score(seeds).localCheckpoint()
     val reports = scala.collection.mutable.Buffer(hopReport(0, scored))
     for (h <- 1 to BeamHops) {
       val beam = graft.plans.TopKPerKey(scored, Seq("query_id"),
@@ -1005,10 +1030,7 @@ object Similarity {
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
         .filter(col("vec_id") =!= col("query_id"))
         .join(scored, Seq("query_id", "vec_id"), "left_anti")
-      scored = scored.unionByName(
-          fresh.join(scall, Seq("query_id", "vec_id"))
-            .select("query_id", "vec_id", "cos"))
-        .localCheckpoint()
+      scored = scored.unionByName(score(fresh)).localCheckpoint()
       reports += hopReport(h, scored)
     }
     reports.reduce(_.unionByName(_)).orderBy("query_id", "hop")
@@ -1087,6 +1109,23 @@ object Similarity {
     val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
     parts.adj.write.mode("overwrite").parquet(s"$out/adjacency")
     batchedBeamWalk(s, d, s.read.parquet(s"$out/adjacency"))
+  }
+
+  /** n28: the batched walk under the SERVING scoring contract — the same
+    * walk as n24 (same graph, hub seeds, beam/hop budget, tie-breaks) but
+    * scoring ONLY the visited nodes: each hop broadcasts the bounded
+    * (query, node) pair set into the vector table as a point fetch
+    * instead of consuming a precomputed batch×corpus score table. n24's
+    * full pass is the honest recall-TRUTH denominator (its scaladoc says
+    * so); n28 is the spelling a deployment actually runs — here the full
+    * pass survives only inside the eval-only truth computation, and the
+    * walk's scoring cost is Σ-visited, not |corpus|·batch. Both modes
+    * compute the identical IEEE doubles, so the report is n24's
+    * row-for-row (SimilaritySpec pin; oracle = n24's text verbatim).
+    */
+  val n28OndemandBeam: Q = (s, d) => {
+    val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
+    batchedBeamWalk(s, d, parts.adj, onDemand = true)
   }
 
   /** RRF rank-fusion constant (the standard k=60 from Cormack et al.'s
@@ -1539,6 +1578,7 @@ object Similarity {
     "n25_index_persist"  -> n25IndexPersist,
     "n26_graph_serve"    -> n26GraphServe,
     "n27_kmeans_iter"    -> n27KmeansIter,
+    "n28_ondemand_beam"  -> n28OndemandBeam,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1973,6 +2013,9 @@ object Similarity {
     // the oracle is n24's text verbatim (n25/x16's losslessness
     // discipline applied to the graph index).
     "n26_graph_serve" -> duckBatchedBeam,
+    // n28: on-demand scoring == lookup scoring IS the pin (identical IEEE
+    // doubles from both paths), so the oracle is again n24's verbatim.
+    "n28_ondemand_beam" -> duckBatchedBeam,
     // n25: the persisted round trip serves n14's search from the written
     // tables — served == built IS the pin, so the oracle is n14's text.
     "n25_index_persist" ->

@@ -249,6 +249,19 @@ class SimilaritySpec extends SparkSpec {
       "the graph-index round trip must be lossless")
   }
 
+  test("n28 on-demand scoring equals n24's lookup-table walk row-for-row") {
+    // the serving contract (score only visited nodes, per-hop broadcast
+    // point fetch) must compute the identical IEEE doubles as the
+    // materialized batch×corpus score table — bit-equal report or the
+    // two paths have drifted
+    val onDemand = Similarity.n28OndemandBeam(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    val lookup = Similarity.n24BatchedBeam(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    assert(onDemand.toSeq === lookup.toSeq,
+      "on-demand visited-node scoring must equal the full-pass lookup")
+  }
+
   test("n27 Lloyd iterations: inertia non-increasing, full assignment every round") {
     val rows = Similarity.n27KmeansIter(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
