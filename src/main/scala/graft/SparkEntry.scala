@@ -50,7 +50,85 @@ object SparkEntry {
         "m12_clip_temporal_dedup" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m12ClipTemporalDedup(s, d)),
         "m13_resize_real" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m13ResizeReal(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m13ResizeReal(s, d)),
+        "m14_compressed_features" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m14CompressedFeatures(s, d)))
+
+  /** The m01/m14 feature oracle: every feature recomputed from the
+    * content FORMULAS the real fixtures encode, including the exact
+    * per-parity format-encoded length — emitted under `encCol` because
+    * the two consumers name it differently (m01: the at-rest length IS
+    * the encoded length → enc_bytes; m14: at rest it's deflate-wrapped,
+    * so the formula length is the post-inflate raw_bytes). ONE builder so
+    * the two oracles can never drift.
+    */
+  private def multimodalFeaturesOracle(encCol: String): String = {
+    import graft.operators.Multimodal._
+    val nb = PhashBits            // 32 grid cells
+    val frameBytes = 12 + 3 * PpmW * PpmH // P6 header (no comment) + raster
+    s"""WITH icells AS (
+       |  SELECT doc_id AS media_id, c,
+       |         48 + 48 * CASE WHEN c < doc_id % $PpmJitterGroup
+       |                        THEN 1 - ((((doc_id // $PpmJitterGroup) * 2654435761
+       |                                    + c * 40503 + 12345) >> 5) & 1)
+       |                        ELSE ((((doc_id // $PpmJitterGroup) * 2654435761
+       |                                + c * 40503 + 12345) >> 5) & 1)
+       |                   END AS t
+       |  FROM documents,
+       |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
+       |  WHERE doc_id % 3 = 0),
+       |img AS (
+       |  SELECT media_id, 'image' AS kind,
+       |         CAST($frameBytes + CASE WHEN media_id % 2 = 1
+       |                  THEN 28 + length(CAST(media_id AS VARCHAR))
+       |                  ELSE 0 END AS BIGINT) AS $encCol,
+       |         CAST(${PpmW * PpmH} AS BIGINT) AS dec_bytes,
+       |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
+       |         CAST(1 AS BIGINT) AS units
+       |  FROM icells GROUP BY media_id),
+       |asamp AS (
+       |  SELECT doc_id AS media_id,
+       |         ((doc_id * 7919 + i * (3 + doc_id % 17)) % 2001) - 1000 AS s
+       |  FROM documents,
+       |       (SELECT unnest(generate_series(0, ${WavSamples - 1})) AS i) ii
+       |  WHERE doc_id % 3 = 1),
+       |aud AS (
+       |  SELECT media_id, 'audio' AS kind,
+       |         CAST(${44 + 2 * WavSamples} + CASE WHEN media_id % 2 = 1
+       |                  THEN 14 ELSE 0 END AS BIGINT) AS $encCol,
+       |         CAST(${2 * WavSamples} AS BIGINT) AS dec_bytes,
+       |         CAST(SUM((CASE WHEN s < 0 THEN s + 65536 ELSE s END) % 256
+       |                + (CASE WHEN s < 0 THEN s + 65536 ELSE s END) // 256)
+       |              AS BIGINT) AS content_sum,
+       |         CAST($WavSamples AS BIGINT) AS units
+       |  FROM asamp GROUP BY media_id),
+       |vcells AS (
+       |  SELECT doc_id AS media_id, f, c,
+       |         48 + 48 * CASE WHEN c < f // 2
+       |                        THEN 1 - (((doc_id * 2654435761
+       |                                    + c * 40503 + 12345) >> 5) & 1)
+       |                        ELSE (((doc_id * 2654435761
+       |                                + c * 40503 + 12345) >> 5) & 1)
+       |                   END AS t
+       |  FROM documents,
+       |       (SELECT unnest(generate_series(0, ${ClipFrames - 1})) AS f) ff,
+       |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
+       |  WHERE doc_id % 3 = 2),
+       |vid AS (
+       |  SELECT media_id, 'video' AS kind,
+       |         CAST(${frameBytes * (ClipFrames - ClipFrames / 2)}
+       |              + ${ClipFrames / 2} * (${frameBytes + 19}
+       |                  + length(CAST(media_id AS VARCHAR)))
+       |              AS BIGINT) AS $encCol,
+       |         CAST(${ClipFrames * PpmW * PpmH} AS BIGINT) AS dec_bytes,
+       |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
+       |         CAST($ClipFrames AS BIGINT) AS units
+       |  FROM vcells GROUP BY media_id)
+       |SELECT * FROM img
+       |UNION ALL SELECT * FROM aud
+       |UNION ALL SELECT * FROM vid
+       |ORDER BY media_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -59,79 +137,20 @@ object SparkEntry {
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ UdfOps.oracles ++ Extended.oracles ++
       Extras.oracles ++ ScaleOps.oracles ++
-      Map("m01_multimodal_features" ->
+      Map(
         // m01: every feature recomputed from the content FORMULAS the
         // real fixtures encode (m06/m11/m12's oracle discipline), incl.
         // the exact per-parity ENCODED lengths — equality proves all
         // three real decoders (P6, RIFF/WAVE, P6-stream) ran. Constants
         // interpolated from the shared Multimodal parameters.
-        {
-          import graft.operators.Multimodal._
-          val nb = PhashBits            // 32 grid cells
-          val frameBytes = 12 + 3 * PpmW * PpmH // P6 header (no comment) + raster
-          s"""WITH icells AS (
-             |  SELECT doc_id AS media_id, c,
-             |         48 + 48 * CASE WHEN c < doc_id % $PpmJitterGroup
-             |                        THEN 1 - ((((doc_id // $PpmJitterGroup) * 2654435761
-             |                                    + c * 40503 + 12345) >> 5) & 1)
-             |                        ELSE ((((doc_id // $PpmJitterGroup) * 2654435761
-             |                                + c * 40503 + 12345) >> 5) & 1)
-             |                   END AS t
-             |  FROM documents,
-             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
-             |  WHERE doc_id % 3 = 0),
-             |img AS (
-             |  SELECT media_id, 'image' AS kind,
-             |         CAST($frameBytes + CASE WHEN media_id % 2 = 1
-             |                  THEN 28 + length(CAST(media_id AS VARCHAR))
-             |                  ELSE 0 END AS BIGINT) AS enc_bytes,
-             |         CAST(${PpmW * PpmH} AS BIGINT) AS dec_bytes,
-             |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
-             |         CAST(1 AS BIGINT) AS units
-             |  FROM icells GROUP BY media_id),
-             |asamp AS (
-             |  SELECT doc_id AS media_id,
-             |         ((doc_id * 7919 + i * (3 + doc_id % 17)) % 2001) - 1000 AS s
-             |  FROM documents,
-             |       (SELECT unnest(generate_series(0, ${WavSamples - 1})) AS i) ii
-             |  WHERE doc_id % 3 = 1),
-             |aud AS (
-             |  SELECT media_id, 'audio' AS kind,
-             |         CAST(${44 + 2 * WavSamples} + CASE WHEN media_id % 2 = 1
-             |                  THEN 14 ELSE 0 END AS BIGINT) AS enc_bytes,
-             |         CAST(${2 * WavSamples} AS BIGINT) AS dec_bytes,
-             |         CAST(SUM((CASE WHEN s < 0 THEN s + 65536 ELSE s END) % 256
-             |                + (CASE WHEN s < 0 THEN s + 65536 ELSE s END) // 256)
-             |              AS BIGINT) AS content_sum,
-             |         CAST($WavSamples AS BIGINT) AS units
-             |  FROM asamp GROUP BY media_id),
-             |vcells AS (
-             |  SELECT doc_id AS media_id, f, c,
-             |         48 + 48 * CASE WHEN c < f // 2
-             |                        THEN 1 - (((doc_id * 2654435761
-             |                                    + c * 40503 + 12345) >> 5) & 1)
-             |                        ELSE (((doc_id * 2654435761
-             |                                + c * 40503 + 12345) >> 5) & 1)
-             |                   END AS t
-             |  FROM documents,
-             |       (SELECT unnest(generate_series(0, ${ClipFrames - 1})) AS f) ff,
-             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc
-             |  WHERE doc_id % 3 = 2),
-             |vid AS (
-             |  SELECT media_id, 'video' AS kind,
-             |         CAST(${frameBytes * (ClipFrames - ClipFrames / 2)}
-             |              + ${ClipFrames / 2} * (${frameBytes + 19}
-             |                  + length(CAST(media_id AS VARCHAR)))
-             |              AS BIGINT) AS enc_bytes,
-             |         CAST(${ClipFrames * PpmW * PpmH} AS BIGINT) AS dec_bytes,
-             |         CAST(SUM(4 * t) AS BIGINT) AS content_sum,
-             |         CAST($ClipFrames AS BIGINT) AS units
-             |  FROM vcells GROUP BY media_id)
-             |SELECT * FROM img
-             |UNION ALL SELECT * FROM aud
-             |UNION ALL SELECT * FROM vid
-             |ORDER BY media_id""".stripMargin
-        },
+        "m01_multimodal_features" -> multimodalFeaturesOracle("enc_bytes"),
+        // m14: the compressed-at-rest corpus reports the POST-INFLATE
+        // (format-encoded) length as raw_bytes — the very per-parity
+        // formula m01 pins as enc_bytes — so the oracle is m01's with
+        // that one column renamed; the hash match proves inflate+parse
+        // both ran (the deflate length itself is not SQL-recomputable;
+        // MultimodalSpec pins the at-rest stream genuinely round-trips).
+        "m14_compressed_features" -> multimodalFeaturesOracle("raw_bytes"),
         "m03_chunk_dedup" ->
           // VARCHAR substr == binary slice here: the fixture corpus is pure
           // ASCII (see Multimodal.m03ChunkDedup oracle note). The chunk

@@ -451,28 +451,82 @@ object Multimodal {
     import s.implicits._
     realFixture(s, d).mapPartitions { rows =>
       PpmCodec.init(); WavCodec.init()
-      def unsignedSum(bs: Array[Byte]): Long = {
-        var t = 0L; var i = 0
-        while (i < bs.length) { t += bs(i) & 0xff; i += 1 }
-        t
-      }
       rows.map { m =>
-        val (decBytes, contentSum, units) = m.kind match {
-          case "image" =>
-            val grey = PpmCodec.decode(m.payload)
-            (grey.length.toLong, unsignedSum(grey), 1L)
-          case "audio" =>
-            val pcm = WavCodec.decode(m.payload)
-            (pcm.length.toLong, unsignedSum(pcm), pcm.length / 2L)
-          case _ =>
-            val frames = decodePpmStream(m.payload)
-            (frames.map(_.length.toLong).sum,
-              frames.map(unsignedSum).sum, frames.length.toLong)
-        }
+        val (decBytes, contentSum, units) = kindFeatures(m.kind, m.payload)
         (m.media_id, m.kind, m.payload.length.toLong, decBytes,
           contentSum, units)
       }
     }.toDF("media_id", "kind", "enc_bytes", "dec_bytes", "content_sum", "units")
+      .orderBy("media_id")
+  }
+
+  /** Σ unsigned content bytes — the modality-uniform decoded checksum. */
+  private def unsignedSum(bs: Array[Byte]): Long = {
+    var t = 0L; var i = 0
+    while (i < bs.length) { t += bs(i) & 0xff; i += 1 }
+    t
+  }
+
+  /** The kind-dispatched decode shared by m01 (plain-at-rest) and m14
+    * (compressed-at-rest): format-encoded bytes → (decoded size, decoded
+    * checksum, unit count) through the REAL codecs.
+    */
+  private def kindFeatures(kind: String,
+                           encoded: Array[Byte]): (Long, Long, Long) =
+    kind match {
+      case "image" =>
+        val grey = PpmCodec.decode(encoded)
+        (grey.length.toLong, unsignedSum(grey), 1L)
+      case "audio" =>
+        val pcm = WavCodec.decode(encoded)
+        (pcm.length.toLong, unsignedSum(pcm), pcm.length / 2L)
+      case _ =>
+        val frames = decodePpmStream(encoded)
+        (frames.map(_.length.toLong).sum,
+          frames.map(unsignedSum).sum, frames.length.toLong)
+    }
+
+  /** The COMPRESSED-AT-REST corpus: [[realFixture]] with every payload
+    * deflate-wrapped — how a real media lake actually stores bytes
+    * (objects land zlib/gzip-framed; the format parser sees them only
+    * after an inflate). The wrap is a per-row map on the generator side;
+    * nothing downstream may assume payload bytes are parseable without
+    * the decompress step.
+    */
+  def compressedFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    realFixture(spark, sfDir).map(m =>
+      m.copy(payload = DeflateCodec.encode(m.payload),
+        format = m.format + "+deflate"))
+  }
+
+  /** m14: feature extraction over the compressed-at-rest corpus — m01's
+    * pass with the real decompress step in front: every payload is
+    * INFLATED ([[DeflateCodec]], genuine zlib) and only then
+    * kind-dispatched through the same three decoders. The report's
+    * `raw_bytes` is the post-inflate (format-encoded) length — exactly
+    * the per-parity length m01 reports as `enc_bytes` — so the DuckDB
+    * oracle is m01's formula oracle with that one column renamed: the
+    * hash match proves the inflate recovered every byte AND the parse
+    * still ran (content_sum is unreachable without both). The
+    * deflate-compressed length itself is not SQL-recomputable (it depends
+    * on zlib's encoder); MultimodalSpec pins the at-rest bytes are a
+    * genuine round-tripping deflate stream instead.
+    *
+    * Scale shape: m01's exactly — one mapPartitions pass, per-partition
+    * codec init, the decompress-decode chain runs once per row inside the
+    * partition, payload bytes never shuffle.
+    */
+  def m14CompressedFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    compressedFixture(s, d).mapPartitions { rows =>
+      PpmCodec.init(); WavCodec.init()
+      rows.map { m =>
+        val raw = DeflateCodec.decode(m.payload)
+        val (decBytes, contentSum, units) = kindFeatures(m.kind, raw)
+        (m.media_id, m.kind, raw.length.toLong, decBytes, contentSum, units)
+      }
+    }.toDF("media_id", "kind", "raw_bytes", "dec_bytes", "content_sum", "units")
       .orderBy("media_id")
   }
 

@@ -20,6 +20,25 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.media_id).sorted === inIds)
   }
 
+  test("m14 corpus is genuinely deflate-compressed at rest and round-trips byte-exactly") {
+    // the oracle can only pin the POST-inflate accounting (the deflate
+    // length depends on zlib's encoder) — this is the complementary pin:
+    // at-rest bytes are a real compressed stream, not the plaintext, and
+    // inflating them recovers the format-encoded bytes exactly
+    val plain = Multimodal.realFixture(spark, sf).collect()
+      .map(m => m.media_id -> m.payload).toMap
+    val atRest = Multimodal.compressedFixture(spark, sf).collect()
+    assert(atRest.length === plain.size)
+    atRest.foreach { m =>
+      assert(!java.util.Arrays.equals(m.payload, plain(m.media_id)),
+        s"media ${m.media_id}: at-rest bytes must differ from the encoded bytes")
+      assert(java.util.Arrays.equals(
+          Multimodal.DeflateCodec.decode(m.payload), plain(m.media_id)),
+        s"media ${m.media_id}: inflate must recover the exact encoded bytes")
+      assert(m.format.endsWith("+deflate"))
+    }
+  }
+
   test("DeflateCodec: a real (non-stub) codec decodes through the same mapPartitions seam") {
     import spark.implicits._
     // Payloads are GENUINE compressed streams; features must describe the
