@@ -757,21 +757,59 @@ object Similarity {
     */
   def clearGraphAnnMemo(): Unit = graphAnnMemo.clear()
 
+  /** Build-side multi-probe cell assignment: top-[[BuildProbes]] cells per
+    * vector on the TopKPerKey bounded heap (same formula and tie-break as
+    * ivfAssigned's argmax — rank 1 is identical). The seam the s36
+    * streaming graph maintainer shares with the batch build (s32/s35's
+    * single-sourced-machinery discipline: a re-spelling would drift the
+    * deployed blocking keys).
+    */
+  private[graft] def topCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val cellScores = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
+      .select("vec_id", "q", "nrm", "cid", "ccos")
+    graft.plans.TopKPerKey(cellScores, Seq("vec_id"),
+      Seq(("ccos", false), ("cid", true)), BuildProbes)
+  }
+
+  /** Exact directed scoring of candidate (src, dst) pairs — two broadcast
+    * point fetches from the vector table, ONE spelling of the graph's
+    * edge weight (batch build + the s36 maintainer share it, so
+    * maintained edge weights can never drift from built ones).
+    */
+  private[graft] def scoreDirectedPairs(pairs: DataFrame,
+                                        v: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(v.select(col("vec_id").as("src"), col("q").as("qa"),
+        col("nrm").as("na"))), Seq("src"))
+      .join(broadcast(v.select(col("vec_id").as("dst"), col("q"),
+        col("nrm"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        expr(s"cast(${dot("qa", "q")} as double) / " +
+          "sqrt(cast(na as double) * cast(nrm as double))").as("cos"))
+
+  /** Per-src bounded-heap top-[[KnnJoinK]] ranking of scored directed
+    * edges — the build's exact edge selection, shared with s36's
+    * merge-and-rerank fold.
+    */
+  private[graft] def topKEdges(scored: DataFrame): DataFrame =
+    graft.plans.TopKPerKey(scored, Seq("src"),
+      Seq(("cos", false), ("dst", true)), KnnJoinK)
+
+  /** Symmetrized adjacency of a directed top-k edge set. */
+  private[graft] def symmetrize(topk: DataFrame): DataFrame = {
+    val e = topk.select("src", "dst")
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   private def buildGraphAnnParts(s: SparkSession, d: String): GraphAnnParts = {
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
               col("nrm").as("cnrm"))
-    // Build-side multi-probe assignment: top-BuildProbes cells per vector
-    // on the TopKPerKey bounded heap (same tie-break as ivfAssigned's
-    // argmax — rank 1 is identical).
-    val cellScores = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(
-        s"cast(${dot("q", "cq")} as double) / sqrt(cast(nrm as double) * cast(cnrm as double))"))
-      .select("vec_id", "q", "nrm", "cid", "ccos")
-    val cells = graft.plans.TopKPerKey(cellScores, Seq("vec_id"),
-        Seq(("ccos", false), ("cid", true)), BuildProbes)
-      .select("vec_id", "q", "nrm", "cid")
+    val cells = topCells(v, cents).select("vec_id", "q", "nrm", "cid")
     // Pair generation shuffles NARROW id rows only (d15's discipline):
     // the cid self-join and the shared-both-cells dedupe never carry the
     // 64-element vectors; each distinct pair then scores ONCE via two
@@ -784,23 +822,11 @@ object Similarity {
       .join(ids.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val directed = pairs
-      .join(broadcast(v.select(col("vec_id").as("src"), col("q").as("qa"),
-        col("nrm").as("na"))), Seq("src"))
-      .join(broadcast(v.select(col("vec_id").as("dst"), col("q"),
-        col("nrm"))), Seq("dst"))
-      .select(col("src"), col("dst"),
-        expr(s"cast(${dot("qa", "q")} as double) / " +
-          "sqrt(cast(na as double) * cast(nrm as double))").as("cos"))
-    val topk = graft.plans.TopKPerKey(directed, Seq("src"),
-        Seq(("cos", false), ("dst", true)), KnnJoinK)
-      .select("src", "dst")
+    val directed = scoreDirectedPairs(pairs, v)
+    val topk = topKEdges(directed).select("src", "dst")
     // localCheckpoint, not cache: the memo must survive the harness's
     // per-query clearCache() (Dedup.scala's cluster-memo discipline)
-    val adj = topk.unionByName(
-        topk.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val adj = symmetrize(topk).localCheckpoint()
     // One materialized scoring pass doubles as the exact-truth denominator.
     val qv = v.filter(col("vec_id") === 0)
       .select(col("q").as("qa"), col("nrm").as("na"))
@@ -861,6 +887,20 @@ object Similarity {
     }
     reports.reduce(_.unionByName(_))
   }
+
+  /** The built (memoized) adjacency — the s36 StreamingSpec equality pin
+    * compares the incrementally-maintained store against this full
+    * rebuild.
+    */
+  private[graft] def builtAdjacency(s: SparkSession, d: String): DataFrame =
+    graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d)).adj
+
+  /** The batched walk over an arbitrary adjacency — the s36 serving pin
+    * runs it against the maintained edge table.
+    */
+  private[graft] def batchedWalkOver(s: SparkSession, d: String,
+                                     adjacency: DataFrame): DataFrame =
+    batchedBeamWalk(s, d, adjacency)
 
   val n22GraphAnn: Q = (s, d) => {
     // n22 is the index BUILD (the CREATE TABLE AS step): always recompute

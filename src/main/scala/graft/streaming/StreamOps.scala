@@ -429,6 +429,141 @@ object StreamOps {
     spark.read.parquet(s"$dir/assigned")
       .select("vec_id", "cid", "ccos").distinct()
 
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** s36: incremental MAINTENANCE of the persisted graph-ANN index — the
+    * one index family that (until this job) could only be rebuilt
+    * corpus-wide (n25/n26 write it; s32/s34/s35 maintain the dedup index,
+    * chunk store and IVF assignment). Each micro-batch of raw
+    * (vec_id, embedding) rows is folded into a three-table store:
+    *
+    *  - `vectors/`  (vec_id, q, nrm)  — the quantized corpus (the index
+    *    stores its vectors; scoring fetches come from here),
+    *  - `cells/`    (vec_id, cid)     — top-[[graft.queries.Similarity.BuildProbes]]
+    *    IVF blocking cells vs the FIXED broadcast codebook (s35's model),
+    *  - `edges/`    (src, dst, cos)   — each affected src's COMPLETE
+    *    directed top-k list, re-ranked per batch.
+    *
+    * The delta fold is EXACT, not approximate: new candidate pairs are
+    * IVF-blocked against the full cell store (both directions, so an old
+    * src gains its new neighbors and every new src meets the whole
+    * history); each affected src's stored top-k list is merged with its
+    * new scored candidates and re-ranked on the bounded heap. Because
+    * edge scores are static, top-k(stored-top-k ∪ new candidates) ==
+    * top-k(all candidates ever) — by induction the maintained directed
+    * edges are IDENTICAL to a full rebuild over the same corpus (d19's
+    * "indistinguishable" bar, pinned row-for-row in StreamingSpec, plus
+    * the n26 batched walk served from the maintained table equals the
+    * rebuilt walk). All three moving parts are the batch build's own
+    * seams (`topCells`/`scoreDirectedPairs`/`topKEdges` — never
+    * re-spelled), so maintained keys/weights/rankings cannot drift.
+    *
+    * Idempotence: s32/s34/s35's model — every table writes per-batch
+    * `batch_id=N` partitions with dynamic partition overwrite; vectors/
+    * cells compact under distinct (pure key functions), edges compact by
+    * LATEST batch per src (a replayed batch re-merges against its own
+    * prior output, and top-k(top-k(S) ∪ Δ) == top-k(S ∪ Δ) makes the
+    * rewrite a fixpoint). Scale shapes: per-batch work is
+    * batch-cells × store-cells blocking (never all-pairs), narrow id
+    * shuffles, broadcast point fetches for scoring; at 100 TB the edge
+    * store buckets by src so the latest-per-src compaction and the
+    * serving walk's hop joins both prune.
+    */
+  def s36UpsertGraphBatch(cents: DataFrame, dir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        val prep = Sim.prepareVectors(cached).select("vec_id", "q", "nrm")
+          .localCheckpoint()
+        prep.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/vectors")
+        val cellsNew = Sim.topCells(prep,
+            cents.select(col("cid"), col("cq"), col("cnrm")))
+          .select("vec_id", "cid").localCheckpoint()
+        cellsNew.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/cells")
+        // read the stores back AFTER the batch's own rows landed: the
+        // candidate generation below must see new-new pairs too
+        spark.catalog.refreshByPath(s"$dir/vectors")
+        spark.catalog.refreshByPath(s"$dir/cells")
+        val allCells = s36Cells(spark, dir)
+        val allVecs = s36Vectors(spark, dir)
+        // IVF-blocked candidate pairs touching this batch, BOTH directions
+        // (narrow id rows only — the build's d15 discipline)
+        val fwd = allCells.select(col("vec_id").as("src"), col("cid"))
+          .join(cellsNew.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
+          .select("src", "dst")
+        val pairs = fwd
+          .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        val newScored = Sim.scoreDirectedPairs(pairs, allVecs)
+        // merge each affected src's stored list with its new candidates
+        // and re-rank: static scores make this exactly the full top-k
+        val affectedOld = s36DirectedEdges(spark, dir)
+          .join(newScored.select("src").distinct(), Seq("src"), "left_semi")
+        Sim.topKEdges(affectedOld.unionByName(newScored).distinct())
+          .select("src", "dst", "cos")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/edges")
+      }
+    } finally cached.unpersist()
+  }
+
+  def s36GraphMaintain(vectors: DataFrame, cents: DataFrame, dir: String,
+                       checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s36UpsertGraphBatch(cents, dir) _)
+      .start()
+
+  /** Compacted reads of the s36 store. Vectors/cells rows are pure
+    * functions of (vector, codebook) so replayed batches fold under
+    * dedup; edges compact by LATEST batch per src — a later batch that
+    * touches a src rewrites its complete list.
+    */
+  def s36Vectors(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vectors")
+      .select("vec_id", "q", "nrm").dropDuplicates("vec_id")
+
+  def s36Cells(spark: org.apache.spark.sql.SparkSession,
+               dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells").select("vec_id", "cid").distinct()
+
+  def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!pathExists(spark, s"$dir/edges"))
+      // first batch: nothing stored yet — empty frame with the edge schema
+      spark.range(0).select(col("id").as("src"), col("id").as("dst"),
+        lit(0.0).as("cos"))
+    else {
+      val e = spark.read.parquet(s"$dir/edges")
+      val latest = e.groupBy("src").agg(max("batch_id").as("mb"))
+        .withColumnRenamed("src", "lsrc")
+      e.join(latest, e("src") === col("lsrc") && e("batch_id") === col("mb"))
+        .select("src", "dst", "cos")
+    }
+  }
+
+  /** The serving view: symmetrized adjacency of the maintained directed
+    * edges — the table the n26 batched walk reads.
+    */
+  def s36Adjacency(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    graft.queries.Similarity.symmetrize(s36DirectedEdges(spark, dir))
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

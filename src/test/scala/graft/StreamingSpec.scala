@@ -1148,6 +1148,54 @@ class StreamingSpec extends SparkSpec {
       "partition overwrite must replace the run, not append to it")
   }
 
+  test("s36 incrementally-maintained graph index equals the full rebuild; serving and replay hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("s36_graph")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    // the FIXED broadcast codebook (s35's model — the blocking cells a
+    // vector lands in must not depend on arrival order)
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.s36GraphMaintain(
+      mem.toDF().toDF("vec_id", "embedding"), cents, dir, tmp("s36_ckpt"))
+    mem.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // d19's bar: the incrementally-folded index must be INDISTINGUISHABLE
+    // from a corpus-wide rebuild — static edge scores make the per-batch
+    // merge-and-rerank exactly the full top-k, so equality is row-for-row
+    val maintained = StreamOps.s36Adjacency(spark, dir).localCheckpoint()
+    val rebuilt = graft.queries.Similarity.builtAdjacency(spark, sf)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "maintained adjacency must equal the full rebuild")
+    // the serving pin: the n24/n26 batched walk over the MAINTAINED edge
+    // table reports exactly what the rebuilt graph reports
+    val servedRows = graft.queries.Similarity
+      .batchedWalkOver(spark, sf, maintained).collect()
+      .map(_.toSeq.map(String.valueOf))
+    val builtRows = graft.queries.Similarity.n24BatchedBeam(spark, sf)
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(servedRows.toSeq === builtRows.toSeq,
+      "serving from the maintained index must equal serving from the build")
+    // replay idempotence: re-delivering batch 1 re-merges against its own
+    // prior output — top-k(top-k(S) ∪ Δ) == top-k(S ∪ Δ) is a fixpoint
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    spark.catalog.refreshByPath(s"$dir/edges")
+    val replayed = StreamOps.s36Adjacency(spark, dir)
+    assert(replayed.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(replayed).isEmpty,
+      "a replayed batch must leave the maintained index unchanged")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
