@@ -1111,9 +1111,13 @@ object Similarity {
     // READ + SERVE: n14's two-stage probe over the persisted tables only.
     // Partition-column round trip: parquet infers the cid dirs as INT —
     // cast back to the written BIGINT so served schema == built schema.
-    val assigned = s.read.parquet(s"$out/assigned")
+    val assigned = graft.sources.ReadGuard.requireColumns(
+        s.read.parquet(s"$out/assigned"), s"$out/assigned",
+        "vec_id", "q", "nrm", "cid")
       .withColumn("cid", col("cid").cast("long"))
-    val cents = s.read.parquet(s"$out/centroids")
+    val cents = graft.sources.ReadGuard.requireColumns(
+      s.read.parquet(s"$out/centroids"), s"$out/centroids",
+      "pcid", "cq", "cnrm")
     val qv = assigned.filter(col("vec_id") === 0)
       .select(col("q").as("qa"), col("nrm").as("na"))
     val probes = cents.crossJoin(broadcast(qv))
@@ -1148,7 +1152,8 @@ object Similarity {
     val out = s"${annStoreRoot(s)}/ann_graph_store"
     val parts = graphAnnMemo.getOrElseUpdate((s, d), buildGraphAnnParts(s, d))
     parts.adj.write.mode("overwrite").parquet(s"$out/adjacency")
-    batchedBeamWalk(s, d, s.read.parquet(s"$out/adjacency"))
+    batchedBeamWalk(s, d, graft.sources.ReadGuard.requireColumns(
+      s.read.parquet(s"$out/adjacency"), s"$out/adjacency", "src", "dst"))
   }
 
   /** n28: the batched walk under the SERVING scoring contract — the same

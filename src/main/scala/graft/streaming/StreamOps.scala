@@ -318,7 +318,8 @@ object StreamOps {
   def s32HashIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/hash56")
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id")
       .groupBy("th").agg(min("doc_id").as("doc_id"))
   }
 
@@ -327,7 +328,9 @@ object StreamOps {
     */
   def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bands").select("doc_id", "band_key").distinct()
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/bands"), s"$dir/bands", "doc_id", "band_key")
+      .select("doc_id", "band_key").distinct()
 
   /** s34: streaming maintenance of the content-addressed media CHUNK
     * store — s32's sibling for the m03/m05/m07/m08 chunk tables (those
@@ -378,7 +381,8 @@ object StreamOps {
   def s34ChunkStore(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/chunks")
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/chunks"), s"$dir/chunks", "h", "owner", "nb")
       .groupBy("h").agg(min("owner").as("owner"), min("nb").as("nb"))
   }
 
@@ -426,7 +430,9 @@ object StreamOps {
     */
   def s35Assignment(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame =
-    spark.read.parquet(s"$dir/assigned")
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
+        "vec_id", "cid", "ccos")
       .select("vec_id", "cid", "ccos").distinct()
 
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
@@ -534,12 +540,16 @@ object StreamOps {
     */
   def s36Vectors(spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame =
-    spark.read.parquet(s"$dir/vectors")
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
+        "vec_id", "q", "nrm")
       .select("vec_id", "q", "nrm").dropDuplicates("vec_id")
 
   def s36Cells(spark: org.apache.spark.sql.SparkSession,
                dir: String): DataFrame =
-    spark.read.parquet(s"$dir/cells").select("vec_id", "cid").distinct()
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid")
+      .select("vec_id", "cid").distinct()
 
   def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
@@ -549,7 +559,9 @@ object StreamOps {
       spark.range(0).select(col("id").as("src"), col("id").as("dst"),
         lit(0.0).as("cos"))
     else {
-      val e = spark.read.parquet(s"$dir/edges")
+      val e = graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/edges"), s"$dir/edges",
+        "src", "dst", "cos", "batch_id")
       val latest = e.groupBy("src").agg(max("batch_id").as("mb"))
         .withColumnRenamed("src", "lsrc")
       e.join(latest, e("src") === col("lsrc") && e("batch_id") === col("mb"))

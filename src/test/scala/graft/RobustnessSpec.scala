@@ -155,6 +155,50 @@ class RobustnessSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
 
+  test("persisted-index read-back: schema drift and truncated files fail LOUDLY, never serve wrong neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.streaming.StreamOps
+    // (a) drifted s35 assignment table — a migration renamed cid: the
+    // guard must refuse at the READ, naming the table and the column
+    // (the alternative is an AnalysisException deep in the probe join, or
+    // a silently-wrong probe through a surviving same-named column)
+    val d35 = Files.createTempDirectory("bad_s35").toString
+    Seq((1L, 2L, 0.5)).toDF("vec_id", "centroid_id", "ccos")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$d35/assigned")
+    val e35 = intercept[IllegalStateException](StreamOps.s35Assignment(spark, d35))
+    assert(e35.getMessage.contains("cid") && e35.getMessage.contains("assigned"),
+      s"drift error must name table and column: ${e35.getMessage}")
+    // (b) drifted s36 edge store — the score column dropped: serving a
+    // graph without edge weights would walk arbitrary neighbors
+    val d36 = Files.createTempDirectory("bad_s36").toString
+    Seq((1L, 2L)).toDF("src", "dst").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$d36/edges")
+    val e36 = intercept[IllegalStateException](StreamOps.s36DirectedEdges(spark, d36))
+    assert(e36.getMessage.contains("cos"),
+      s"drift error must name the missing column: ${e36.getMessage}")
+    // (c) truncated chunk-store file — the parquet footer read must fail
+    // the compacted read loudly (same default as the scan-path pin above)
+    val d34 = Files.createTempDirectory("bad_s34").toString
+    Files.createDirectories(Paths.get(s"$d34/chunks"))
+    Files.write(Paths.get(s"$d34/chunks/part-00000.parquet"),
+      "truncated mid-write".getBytes)
+    val e34 = intercept[Exception] {
+      StreamOps.s34ChunkStore(spark, d34).count()
+    }
+    assert(e34 != null)
+    // (d) the n25/n26 store reads run the same guard — pin its error
+    // shape once directly on n26's adjacency column set
+    val eg = intercept[IllegalStateException] {
+      graft.sources.ReadGuard.requireColumns(
+        Seq((1L, 2L)).toDF("src", "destination"), "ann_graph_store/adjacency",
+        "src", "dst")
+    }
+    assert(eg.getMessage.contains("dst") &&
+      eg.getMessage.contains("ann_graph_store/adjacency"))
+  }
+
   test("parquet schema drift: mergeSchema unions columns; default keeps one file's view") {
     import spark.implicits._
     val dir = Files.createTempDirectory("robust_drift").toString
