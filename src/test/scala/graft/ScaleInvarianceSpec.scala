@@ -1,0 +1,130 @@
+package graft
+
+/** Scale-factor invariance audit for the TUNED-CONSTANT reports (round-10
+  * verdict item 4): d22's banding geometries, n18/n21's nprobe curves,
+  * d13/d21's precision/recall and p08's leakage rates are oracle-pinned at
+  * sf0.01 — the scale the constants were chosen at. This suite re-runs the
+  * same reports at sf0.1 (10× corpus) and asserts the QUALITATIVE
+  * contracts each tuning table promises, so a corpus growth can't
+  * silently invert a tuning decision:
+  *
+  *  - recall is monotone in bands / nprobe (the S-curve direction),
+  *  - candidate counts grow with the knob and stay far sub-quadratic
+  *    (the entire point of blocking),
+  *  - refinement never scores below raw ADC,
+  *  - blocking keeps high reduction WITHOUT collapsing completeness,
+  *  - near-dup leakage dominates exact leakage (exact twins share every
+  *    band by construction).
+  *
+  * Only relations and generous floors are pinned — never the sf0.1 point
+  * values (those belong to the oracle at sf0.01); the floors carry ≥ 2×
+  * slack against the measured sf0.1 numbers recorded per test.
+  */
+class ScaleInvarianceSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  private def docCount: Long = Tables.documents(spark, sf01).count()
+
+  test("d22 banding sweep at sf0.1: S-curve direction holds, candidates stay sub-quadratic") {
+    // measured at sf0.1: (2,8)→240 cand / 541bp prec / 121bp rec,
+    // (4,4)→256/507/121, (8,2)→1133/114/121
+    val rows = graft.queries.Dedup.d22BandingSweep(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 8))
+    // more bands → more candidates, no less recall, no more precision
+    rows.sliding(2).foreach { case Array((b1, c1, p1, r1), (b2, c2, p2, r2)) =>
+      assert(c2 >= c1, s"candidates must not shrink with bands ($b1→$b2)")
+      assert(r2 >= r1, s"recall must not shrink with bands ($b1→$b2)")
+      assert(p2 <= p1, s"precision must not grow with bands ($b1→$b2)")
+    }
+    // sub-quadratic: even the loosest geometry probes ≪ the pair space
+    val pairSpace = docCount * (docCount - 1) / 2
+    rows.foreach { case (b, c, _, _) =>
+      assert(c * 100 <= pairSpace,
+        s"bands=$b candidates $c must stay ≪ pair space $pairSpace")
+    }
+    rows.foreach { case (b, _, _, r) =>
+      assert(r > 0, s"bands=$b must retain some truth at 10× corpus")
+    }
+  }
+
+  test("n18 nprobe sweep at sf0.1: recall monotone, candidates grow ~linearly, full recall reached") {
+    // measured at sf0.1: candidates 118/245/352/472, hits10 = 10 at every np
+    val rows = graft.queries.Similarity.n18NprobeSweep(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array((n1, c1, h1), (n2, c2, h2)) =>
+      assert(c2 > c1, s"candidates must grow with nprobe ($n1→$n2)")
+      assert(h2 >= h1, s"recall must not shrink with nprobe ($n1→$n2)")
+    }
+    // probing k lists costs ~k× one list, never blows past it (uniform-ish
+    // list sizes survive the 10× corpus; 2× slack on the measured ratio)
+    val c1 = rows.head._2
+    assert(rows.last._2 <= c1 * rows.last._1 * 2,
+      "candidate growth must stay ~linear in nprobe")
+    assert(rows.last._3 == graft.queries.Similarity.TopK,
+      "the widest probe must reach full recall@10 at 10× corpus")
+  }
+
+  test("n21 IVF-PQ sweep at sf0.1: refinement never scores below raw ADC; candidates track nprobe") {
+    // measured at sf0.1: adc_hits 2 flat, refined 7/6/6/6 — refined recall
+    // is NOT monotone in nprobe (a wider candidate set can reshuffle the
+    // ADC shortlist), so only the guaranteed relations are pinned
+    val rows = graft.queries.Similarity.n21IvfpqRecall(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rows.sliding(2).foreach { case Array((n1, c1, _, _), (n2, c2, _, _)) =>
+      assert(c2 > c1, s"candidates must grow with nprobe ($n1→$n2)")
+    }
+    rows.foreach { case (np, _, adc, refined) =>
+      assert(refined >= adc,
+        s"nprobe=$np: exact refinement ($refined) must never score below raw ADC ($adc)")
+      assert(refined > 0, s"nprobe=$np: the shortlist must retain some truth")
+    }
+  }
+
+  test("d13 LSH quality at sf0.1: deployed 4x4 geometry keeps real precision on a 10x corpus") {
+    // measured at sf0.1: 256 candidates, 13 tp, 507bp precision, 121bp recall
+    val Array((cand, truth, tp, prec, rec)) =
+      graft.queries.Dedup.d13LshQuality(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(tp > 0 && truth > 0)
+    assert(prec >= 200, s"precision $prec bp collapsed at 10× corpus")
+    assert(rec > 0, s"recall must stay nonzero at 10× corpus")
+    val pairSpace = docCount * (docCount - 1) / 2
+    assert(cand * 100 <= pairSpace, s"candidates $cand must stay ≪ pair space")
+  }
+
+  test("d21 blocking quality at sf0.1: high reduction without collapsing completeness") {
+    // measured at sf0.1: reduction 9941bp, completeness 1777bp
+    val Array((cand, truth, found, comp, red)) =
+      graft.queries.Dedup.d21BlockingQuality(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(red >= 9500, s"reduction ratio $red bp must stay high at 10× corpus")
+    assert(comp >= 500, s"pairs completeness $comp bp must not collapse")
+    assert(found > 0 && found <= cand && found <= truth)
+  }
+
+  test("p08 split leakage at sf0.1: near-dup leakage dominates exact; rates stay plausible") {
+    // measured at sf0.1: test 3 exact / 44 near (59/878 bp),
+    //                    val  0 exact / 37 near (0/756 bp)
+    val rows = graft.queries.Dedup.p08SplitLeakage(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).sorted.toSeq === Seq("test", "val"))
+    rows.foreach { case (split, nDocs, exact, near, exactBp, nearBp) =>
+      assert(nDocs > 0)
+      // exact twins share every band, so exact leaks are near leaks too
+      assert(near >= exact,
+        s"$split: near-dup leakage ($near) must dominate exact ($exact)")
+      assert(nearBp < 5000,
+        s"$split: leakage rate $nearBp bp implausibly high — diagnostic inverted?")
+    }
+    // the naive doc-hash split must keep FINDING leakage on a 10× corpus —
+    // a zero here means the diagnostic went blind, not that leakage vanished
+    assert(rows.map(_._4).sum > 0, "the diagnostic must surface near-dup leakage")
+  }
+}
