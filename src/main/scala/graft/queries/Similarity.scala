@@ -1004,7 +1004,15 @@ object Similarity {
   private def batchedBeamWalk(s: SparkSession, d: String,
                               adjacency: DataFrame,
                               onDemand: Boolean = false): DataFrame = {
-    val v = prepared(s, d).select("vec_id", "q", "nrm")
+    // On-demand mode fetches from the vector table PER HOP — that table is
+    // the index's own written store (n25/s36 persist it), so materialize
+    // the quantization once instead of re-deriving it from the raw
+    // embeddings on every hop. At this fixture's scale the win is small
+    // (the hop-count job overhead dominates); at 100 TB it is the
+    // difference between reading a bucketed store and re-quantizing the
+    // corpus seven times.
+    val v0 = prepared(s, d).select("vec_id", "q", "nrm")
+    val v = if (onDemand) v0.localCheckpoint() else v0
     val qset = v.filter(col("vec_id") % KnnJoinStride === 0 &&
         col("vec_id") < BatchQueries * KnnJoinStride)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),

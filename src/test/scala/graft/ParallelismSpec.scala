@@ -56,7 +56,15 @@ class ParallelismSpec extends SparkSpec {
     // round-10 additions: n24's batched walk unions partition-built hop
     // states and ranks them on keyed heaps; n25 round-trips the index
     // through a parquet write whose file layout varies with parallelism.
-    "n24_batched_beam", "n25_index_persist")
+    "n24_batched_beam", "n25_index_persist",
+    // round-11 additions: n28's per-hop on-demand point fetches must not
+    // depend on how the broadcast pair sets partition; q194/q196 fold the
+    // derived partsupp's distinct under varying parallelism, q194's
+    // min-equality join must return whole tie groups regardless of layout,
+    // and q196's distinct-count census must not depend on build layout.
+    // (q195 is vacuous here: NATION_9 has no suppliers at sf0.001 — the
+    // oracle gate covers it at sf0.01.)
+    "n28_ondemand_beam", "q194_tpch_q2", "q196_tpch_q16")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup + graph-ANN suites memoize their index tables — clear so
