@@ -1256,15 +1256,21 @@ object Similarity {
     * snrm + cnrm − 2·a·b, so the 16-way centroid join below does ONE dot
     * per pair instead of three (identical integer values either way).
     */
-  private def subVectors(s: SparkSession, d: String): DataFrame = {
-    val subStructs = (0 until NumSubspaces)
-      .map(j => s"struct($j AS sub, slice(q, ${j * SubDim + 1}, $SubDim) AS sq)")
+  /** The 8-way sub-slice generator over a quantized-vector column — ONE
+    * spelling shared by [[subVectors]] and n29's served-query slicing (the
+    * subspace boundaries ARE the index layout; a re-spelling would probe
+    * the wrong slices).
+    */
+  private def subSliceExpr(c: String): String =
+    (0 until NumSubspaces)
+      .map(j => s"struct($j AS sub, slice($c, ${j * SubDim + 1}, $SubDim) AS sq)")
       .mkString("array(", ", ", ")")
+
+  private def subVectors(s: SparkSession, d: String): DataFrame =
     prepared(s, d).select("vec_id", "q")
-      .select(col("vec_id"), explode(expr(subStructs)).as("s"))
+      .select(col("vec_id"), explode(expr(subSliceExpr("q"))).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
       .withColumn("snrm", expr("vec_dot(sq, sq)"))
-  }
 
   /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07. */
   private def pqAssigned(s: SparkSession, d: String): DataFrame = {
@@ -1389,6 +1395,80 @@ object Similarity {
     val short = adc.orderBy(col("adc_dist2").asc, col("vec_id").asc)
       .limit(PqShortlist)
     v.filter(col("vec_id") =!= 0).join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qfull))
+      .withColumn("exact_d2", expr("qn + nrm - 2 * vec_dot(qa, q)"))
+      .select("vec_id", "cid", "adc_dist2", "exact_d2")
+      .orderBy(col("exact_d2").asc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
+  /** n29: PERSISTED PQ-index round trip — n25's write-then-serve
+    * discipline for the third index family (n25 = IVF, n26/s36 = graph,
+    * n29 = PQ): the build half writes the FULL composed-index deployment —
+    * IVF assignment partitioned by list id, centroid table, the 8-byte PQ
+    * code table, and the sub-codebook — and the serve half answers n20's
+    * composed IVF+PQ+refine search from the WRITTEN tables alone: route
+    * via the stored centroids, restrict to the probed lists' partitions
+    * (pruned read), ADC-score candidates through the stored codes against
+    * a query distance table built from the stored sub-codebook (the
+    * query's slices come from [[subSliceExpr]] — the index layout's one
+    * spelling), and exact-refine the shortlist from the stored vectors.
+    * The oracle is n20's text verbatim (served == built IS the pin, x16's
+    * losslessness discipline) and SimilaritySpec pins row-for-row
+    * equality in-session. At 100 TB the codes table is the only
+    * corpus-scale read after pruning — 8 bytes a row, PQ's entire point.
+    */
+  val n29PqPersist: Q = (s, d) => {
+    val out = s"${annStoreRoot(s)}/pq_index_store"
+    // BUILD + WRITE: the four index tables
+    ivfAssigned(s, d).select("vec_id", "q", "nrm", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$out/assigned")
+    prepared(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"),
+              col("nrm").as("cnrm"))
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    pqAssigned(s, d).select("vec_id", "sub", "code")
+      .write.mode("overwrite").parquet(s"$out/codes")
+    subVectors(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"),
+              col("snrm").as("cnrm"))
+      .write.mode("overwrite").parquet(s"$out/subcodebook")
+    // READ + SERVE: n20's composed search from the written tables only
+    import graft.sources.ReadGuard.requireColumns
+    val assigned = requireColumns(s.read.parquet(s"$out/assigned"),
+        s"$out/assigned", "vec_id", "q", "nrm", "cid")
+      .withColumn("cid", col("cid").cast("long"))
+    val cents = requireColumns(s.read.parquet(s"$out/centroids"),
+      s"$out/centroids", "pcid", "cq", "cnrm")
+    val codes = requireColumns(s.read.parquet(s"$out/codes"),
+      s"$out/codes", "vec_id", "sub", "code")
+    val cbook = requireColumns(s.read.parquet(s"$out/subcodebook"),
+      s"$out/subcodebook", "code", "sub", "cq", "cnrm")
+    val qfull = assigned.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("qn"))
+    val probed = cents.crossJoin(broadcast(qfull))
+      .withColumn("ccos", expr(
+        s"cast(${dot("qa", "cq")} as double) / sqrt(cast(qn as double) * cast(cnrm as double))"))
+      .orderBy(col("ccos").desc, col("pcid").asc).limit(IvfPqNprobe)
+      .select("pcid")
+    val cand = assigned.filter(col("vec_id") =!= 0).select("vec_id", "cid")
+      .join(broadcast(probed), col("cid") === col("pcid"))
+      .select("vec_id", "cid")
+    // the query's sub-slices from the STORED query vector — the serve-time
+    // work a deployment does when the query arrives
+    val qsubs = qfull.select(explode(expr(subSliceExpr("qa"))).as("st"))
+      .select(col("st.sub").as("sub"), col("st.sq").as("qs"))
+      .withColumn("qnrm", expr("vec_dot(qs, qs)"))
+    val qtable = cbook.join(broadcast(qsubs), "sub")
+      .withColumn("qd2", expr("qnrm + cnrm - 2 * vec_dot(qs, cq)"))
+      .select("sub", "code", "qd2")
+    val adc = codes.join(cand, "vec_id")
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("vec_id", "cid").agg(sum("qd2").as("adc_dist2"))
+    val short = adc.orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      .limit(PqShortlist)
+    assigned.filter(col("vec_id") =!= 0).select("vec_id", "q", "nrm")
+      .join(broadcast(short), "vec_id")
       .crossJoin(broadcast(qfull))
       .withColumn("exact_d2", expr("qn + nrm - 2 * vec_dot(qa, q)"))
       .select("vec_id", "cid", "adc_dist2", "exact_d2")
@@ -1632,6 +1712,7 @@ object Similarity {
     "n26_graph_serve"    -> n26GraphServe,
     "n27_kmeans_iter"    -> n27KmeansIter,
     "n28_ondemand_beam"  -> n28OndemandBeam,
+    "n29_pq_persist"     -> n29PqPersist,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
     "n15_filtered_knn"   -> n15FilteredKnn,
     "n05_centroid_update" -> n05CentroidUpdate,
@@ -1899,6 +1980,37 @@ object Similarity {
        |    GROUP BY cid, g.i) GROUP BY cid),
        |c${r + 1} AS (SELECT c$r.cid, COALESCE(u$r.ncq, c$r.cq) AS cq
        |       FROM c$r LEFT JOIN u$r USING (cid))""".stripMargin
+
+  /** The composed IVF+PQ+refine oracle — ONE text shared by n20 (in-query
+    * build) and n29 (served from the persisted tables): a lossless round
+    * trip means the served search IS the built search.
+    */
+  private lazy val duckIvfPq: String =
+    s"""WITH $duckPrep,
+       |$duckAssigned,
+       |$duckPqCodes,
+       |qf AS (SELECT q AS qa, nrm AS qn FROM prepn WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT cid FROM (
+       |    SELECT c.vec_id AS cid,
+       |           CAST(${duckDot("q0.qa", "c.q")} AS DOUBLE)
+       |             / sqrt(CAST(q0.qn AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS ccos
+       |    FROM prepn c, qf q0 WHERE c.vec_id < $NumCentroids)
+       |  ORDER BY ccos DESC, cid ASC LIMIT $IvfPqNprobe),
+       |cand AS (SELECT a.vec_id, a.cid FROM assigned a JOIN probed USING (cid)
+       |         WHERE a.vec_id <> 0),
+       |adc AS (
+       |  SELECT b.vec_id, cand.cid, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
+       |  FROM codes b JOIN cand ON cand.vec_id = b.vec_id
+       |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
+       |  GROUP BY b.vec_id, cand.cid),
+       |short AS (SELECT * FROM adc
+       |          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $PqShortlist)
+       |SELECT s.vec_id, s.cid, s.adc_dist2,
+       |       CAST(q0.qn + p.nrm - 2 * ${duckDot("q0.qa", "p.q")} AS BIGINT)
+       |         AS exact_d2
+       |FROM short s JOIN prepn p USING (vec_id), qf q0
+       |ORDER BY exact_d2 ASC, vec_id ASC LIMIT $TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "n27_kmeans_iter" -> {
@@ -2347,32 +2459,11 @@ object Similarity {
     // bodies as the n02/n07/n10 oracles; the candidate restriction (JOIN
     // probed) lands before the ADC join exactly as the Spark side's
     // semi-join does.
-    "n20_ivfpq" ->
-      s"""WITH $duckPrep,
-         |$duckAssigned,
-         |$duckPqCodes,
-         |qf AS (SELECT q AS qa, nrm AS qn FROM prepn WHERE vec_id = 0),
-         |probed AS (
-         |  SELECT cid FROM (
-         |    SELECT c.vec_id AS cid,
-         |           CAST(${duckDot("q0.qa", "c.q")} AS DOUBLE)
-         |             / sqrt(CAST(q0.qn AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS ccos
-         |    FROM prepn c, qf q0 WHERE c.vec_id < $NumCentroids)
-         |  ORDER BY ccos DESC, cid ASC LIMIT $IvfPqNprobe),
-         |cand AS (SELECT a.vec_id, a.cid FROM assigned a JOIN probed USING (cid)
-         |         WHERE a.vec_id <> 0),
-         |adc AS (
-         |  SELECT b.vec_id, cand.cid, CAST(SUM(qd2) AS BIGINT) AS adc_dist2
-         |  FROM codes b JOIN cand ON cand.vec_id = b.vec_id
-         |              JOIN qtable t ON b.sub = t.sub AND b.code = t.code
-         |  GROUP BY b.vec_id, cand.cid),
-         |short AS (SELECT * FROM adc
-         |          ORDER BY adc_dist2 ASC, vec_id ASC LIMIT $PqShortlist)
-         |SELECT s.vec_id, s.cid, s.adc_dist2,
-         |       CAST(q0.qn + p.nrm - 2 * ${duckDot("q0.qa", "p.q")} AS BIGINT)
-         |         AS exact_d2
-         |FROM short s JOIN prepn p USING (vec_id), qf q0
-         |ORDER BY exact_d2 ASC, vec_id ASC LIMIT $TopK""".stripMargin,
+    "n20_ivfpq" -> duckIvfPq,
+    // n29: the persisted PQ round trip serves n20's composed search from
+    // the written tables — served == built IS the pin, so the oracle is
+    // n20's text verbatim (n25/n26/x16's losslessness discipline).
+    "n29_pq_persist" -> duckIvfPq,
     "n07_pq_search" ->
       s"""WITH $duckPrep,
          |$duckPqCodes

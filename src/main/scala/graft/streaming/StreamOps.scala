@@ -576,6 +576,41 @@ object StreamOps {
                    dir: String): DataFrame =
     graft.queries.Similarity.symmetrize(s36DirectedEdges(spark, dir))
 
+  /** s37: COMPACTION of the s36 edge store — the LSM fold the per-batch
+    * partition-overwrite model defers: every s36 batch adds a `batch_id=N`
+    * run and the read side folds them by latest-per-src, so after K
+    * batches a serve pays a K-run merge and the store carries K× the
+    * small files (the 100 TB small-files problem). This job materializes
+    * the folded view ONCE (localCheckpoint — the store cannot be
+    * overwritten while a lazy plan still reads it) and rewrites the store
+    * as a SINGLE base run stamped with the highest folded batch_id, so
+    * the latest-wins invariant keeps holding: a future batch N+1 still
+    * overrides the base for the srcs it touches, and the incremental fold
+    * on top of a compacted store remains exactly the full rebuild
+    * (StreamingSpec pins upsert→upsert→compact→upsert == rebuild).
+    *
+    * Coordination contract (the LSM norm, stated not hidden): compaction
+    * runs at a batch boundary — a replay of a batch OLDER than the base
+    * stamp would resurrect a folded run, so the maintainer's checkpoint
+    * must be past the folded ids (foreachBatch replays only the last
+    * uncommitted batch, so any quiet point qualifies).
+    */
+  def s37CompactEdgeStore(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!pathExists(spark, s"$dir/edges")) return
+    // partition-column round trip: the batch_id dirs read back as INT —
+    // cast so the base stamp stays the written BIGINT domain
+    val maxBatch = spark.read.parquet(s"$dir/edges")
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    val base = s36DirectedEdges(spark, dir)
+      .withColumn("batch_id", lit(maxBatch))
+      .localCheckpoint()
+    base.write.mode("overwrite")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    spark.catalog.refreshByPath(s"$dir/edges")
+  }
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

@@ -249,6 +249,15 @@ class SimilaritySpec extends SparkSpec {
       "the graph-index round trip must be lossless")
   }
 
+  test("n29 persisted PQ index serves exactly what the in-query build serves (== n20)") {
+    val served = Similarity.n29PqPersist(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    val built = Similarity.n20Ivfpq(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf))
+    assert(served.toSeq === built.toSeq,
+      "the PQ-index round trip must be lossless")
+  }
+
   test("n28 on-demand scoring equals n24's lookup-table walk row-for-row") {
     // the serving contract (score only visited nodes, per-hop broadcast
     // point fetch) must compute the identical IEEE doubles as the

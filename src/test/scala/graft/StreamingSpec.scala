@@ -1196,6 +1196,41 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must leave the maintained index unchanged")
   }
 
+  test("s37 edge-store compaction folds runs to one; incremental fold on top still equals rebuild") {
+    import spark.implicits._
+    val dir = tmp("s37_graph")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val parts3 = vecs.groupBy(_._1 % 3)
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    def upsert(part: Long, batchId: Long): Unit = {
+      graft.streaming.StreamOps.s36UpsertGraphBatch(cents, dir)(
+        parts3(part).toSeq.toDF("vec_id", "embedding"), batchId)
+      spark.catalog.refreshByPath(s"$dir/edges")
+    }
+    upsert(0L, 0L); upsert(1L, 1L)
+    val before = StreamOps.s36Adjacency(spark, dir).localCheckpoint()
+    StreamOps.s37CompactEdgeStore(spark, dir)
+    // compaction changes the LAYOUT, never the served view
+    val after = StreamOps.s36Adjacency(spark, dir)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction must not change the served adjacency")
+    // one base run: every row carries the single compacted batch stamp
+    val stamps = spark.read.parquet(s"$dir/edges")
+      .select("batch_id").distinct().count()
+    assert(stamps === 1, s"compaction must fold the runs to ONE base (got $stamps)")
+    // the incremental fold ON TOP of the compacted base is still exactly
+    // the corpus-wide rebuild — the latest-wins invariant survived
+    upsert(2L, 2L)
+    val maintained = StreamOps.s36Adjacency(spark, dir)
+    val rebuilt = graft.queries.Similarity.builtAdjacency(spark, sf)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "post-compaction increments must still equal the full rebuild")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
