@@ -573,6 +573,19 @@ class PlanSpec extends SparkSpec {
       s"the probed-list restriction must broadcast:\n$p25")
   }
 
+  test("n29: persisted PQ serve reads only the written index tables") {
+    // same contract as n25's: the serve half must scan the pq_index_store
+    // parquet, broadcast the probe/shortlist restrictions, and never fall
+    // back to re-deriving anything from the source embeddings
+    val p29 = planOf(graft.queries.Similarity.n29PqPersist(spark, sf))
+    assert(p29.contains("pq_index_store"),
+      s"served PQ search must read the persisted index:\n$p29")
+    assert(!p29.contains("embeddings.parquet"),
+      s"served PQ search must not fall back to the source embeddings:\n$p29")
+    assert(p29.contains("BroadcastHashJoin"),
+      s"the probed-list and shortlist restrictions must broadcast:\n$p29")
+  }
+
   test("q165: grouping sets plan ONE Expand over ONE scan, not a per-set union") {
     val plan = planOf(graft.queries.Extras.q165GroupingSets(spark, sf))
     assert(plan.contains("Expand"),
