@@ -600,9 +600,12 @@ object StreamOps {
     import org.apache.spark.sql.functions._
     if (!pathExists(spark, s"$dir/edges")) return
     // partition-column round trip: the batch_id dirs read back as INT —
-    // cast so the base stamp stays the written BIGINT domain
-    val maxBatch = spark.read.parquet(s"$dir/edges")
-      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    // cast so the base stamp stays the written BIGINT domain. An existing
+    // but EMPTY store (all runs pruned) has no max — nothing to fold.
+    val maxRow = spark.read.parquet(s"$dir/edges")
+      .agg(max(col("batch_id").cast("long"))).head()
+    if (maxRow.isNullAt(0)) return
+    val maxBatch = maxRow.getLong(0)
     val base = s36DirectedEdges(spark, dir)
       .withColumn("batch_id", lit(maxBatch))
       .localCheckpoint()
