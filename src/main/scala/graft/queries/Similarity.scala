@@ -1025,20 +1025,24 @@ object Similarity {
       .withColumn("cos", expr(
         s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
       .select("query_id", "vec_id", "cos")
-    val scall: DataFrame = if (onDemand) null else fullPass.localCheckpoint()
+    // None in on-demand mode — the score table must not exist there, or a
+    // future edit could silently re-route the serving path through it
+    val scall: Option[DataFrame] =
+      if (onDemand) None else Some(fullPass.localCheckpoint())
     /** (query_id, vec_id) pairs → (query_id, vec_id, cos): the lookup
       * join in full-pass mode, the broadcast point fetch on demand.
       */
-    def score(pairs: DataFrame): DataFrame =
-      if (onDemand)
+    def score(pairs: DataFrame): DataFrame = scall match {
+      case Some(table) => pairs.join(table, Seq("query_id", "vec_id"))
+        .select("query_id", "vec_id", "cos")
+      case None =>
         v.join(broadcast(pairs), Seq("vec_id"))
           .join(broadcast(qset), Seq("query_id"))
           .withColumn("cos", expr(
             s"cast(${dot("qa", "q")} as double) / sqrt(cast(na as double) * cast(nrm as double))"))
           .select("query_id", "vec_id", "cos")
-      else pairs.join(scall, Seq("query_id", "vec_id"))
-        .select("query_id", "vec_id", "cos")
-    val truthQ = graft.plans.TopKPerKey(if (onDemand) fullPass else scall,
+    }
+    val truthQ = graft.plans.TopKPerKey(scall.getOrElse(fullPass),
         Seq("query_id"), Seq(("cos", false), ("vec_id", true)), TopK)
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint()

@@ -475,7 +475,9 @@ object StreamOps {
     * prior output, and top-k(top-k(S) ∪ Δ) == top-k(S ∪ Δ) makes the
     * rewrite a fixpoint). Scale shapes: per-batch work is
     * batch-cells × store-cells blocking (never all-pairs), narrow id
-    * shuffles, broadcast point fetches for scoring; at 100 TB the edge
+    * shuffles, and pair scoring via the build's broadcast-fetch seam — at
+    * 100 TB that fetch becomes an equi-join against the vectors store
+    * bucketed by vec_id (same plan shape, pruned probe), and the edge
     * store buckets by src so the latest-per-src compaction and the
     * serving walk's hop joins both prune.
     */
