@@ -1276,9 +1276,14 @@ object Similarity {
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
       .withColumn("snrm", expr("vec_dot(sq, sq)"))
 
-  /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07. */
-  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
-    val vs = subVectors(s, d)
+  /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07.
+    * Factored over a caller-supplied sub-vector frame so n29's build can
+    * derive codes AND sub-codebook from ONE cached sub-slicing pass.
+    */
+  private def pqAssigned(s: SparkSession, d: String): DataFrame =
+    pqAssignedFrom(subVectors(s, d))
+
+  private def pqAssignedFrom(vs: DataFrame): DataFrame = {
     val cents = vs.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("sub"),
               col("sq").as("cq"), col("snrm").as("cnrm"))
@@ -1431,12 +1436,15 @@ object Similarity {
       .select(col("vec_id").as("pcid"), col("q").as("cq"),
               col("nrm").as("cnrm"))
       .write.mode("overwrite").parquet(s"$out/centroids")
-    pqAssigned(s, d).select("vec_id", "sub", "code")
+    // ONE sub-slicing pass feeds both the code table and the sub-codebook
+    val vs = subVectors(s, d).cache()
+    pqAssignedFrom(vs).select("vec_id", "sub", "code")
       .write.mode("overwrite").parquet(s"$out/codes")
-    subVectors(s, d).filter(col("vec_id") < NumCentroids)
+    vs.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("code"), col("sub"), col("sq").as("cq"),
               col("snrm").as("cnrm"))
       .write.mode("overwrite").parquet(s"$out/subcodebook")
+    vs.unpersist()
     // READ + SERVE: n20's composed search from the written tables only
     import graft.sources.ReadGuard.requireColumns
     val assigned = requireColumns(s.read.parquet(s"$out/assigned"),

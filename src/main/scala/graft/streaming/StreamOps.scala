@@ -578,18 +578,19 @@ object StreamOps {
                    dir: String): DataFrame =
     graft.queries.Similarity.symmetrize(s36DirectedEdges(spark, dir))
 
-  /** s37: COMPACTION of the s36 edge store — the LSM fold the per-batch
-    * partition-overwrite model defers: every s36 batch adds a `batch_id=N`
-    * run and the read side folds them by latest-per-src, so after K
-    * batches a serve pays a K-run merge and the store carries K× the
-    * small files (the 100 TB small-files problem). This job materializes
-    * the folded view ONCE (localCheckpoint — the store cannot be
-    * overwritten while a lazy plan still reads it) and rewrites the store
-    * as a SINGLE base run stamped with the highest folded batch_id, so
-    * the latest-wins invariant keeps holding: a future batch N+1 still
-    * overrides the base for the srcs it touches, and the incremental fold
-    * on top of a compacted store remains exactly the full rebuild
-    * (StreamingSpec pins upsert→upsert→compact→upsert == rebuild).
+  /** s37: COMPACTION of the s36 graph-index store — the LSM fold the
+    * per-batch partition-overwrite model defers: every s36 batch adds a
+    * `batch_id=N` run to each of the three tables, so after K batches a
+    * serve pays a K-run merge (latest-per-src on edges, dedup on
+    * vectors/cells) and the store carries K× the small files (the 100 TB
+    * small-files problem). This job materializes each table's folded view
+    * ONCE (localCheckpoint — a store cannot be overwritten while a lazy
+    * plan still reads it) and rewrites it as a SINGLE base run stamped
+    * with the highest folded batch_id, so the latest-wins invariant keeps
+    * holding: a future batch N+1 still overrides the base for the srcs it
+    * touches, and the incremental fold on top of a compacted store
+    * remains exactly the full rebuild (StreamingSpec pins
+    * upsert→upsert→compact→upsert == rebuild).
     *
     * Coordination contract (the LSM norm, stated not hidden): compaction
     * runs at a batch boundary — a replay of a batch OLDER than the base
@@ -608,12 +609,16 @@ object StreamOps {
       .agg(max(col("batch_id").cast("long"))).head()
     if (maxRow.isNullAt(0)) return
     val maxBatch = maxRow.getLong(0)
-    val base = s36DirectedEdges(spark, dir)
-      .withColumn("batch_id", lit(maxBatch))
-      .localCheckpoint()
-    base.write.mode("overwrite")
-      .partitionBy("batch_id").parquet(s"$dir/edges")
-    spark.catalog.refreshByPath(s"$dir/edges")
+    // Fold all THREE tables: the folded view is materialized before each
+    // overwrite (a store cannot be rewritten while a lazy plan reads it).
+    def rewrite(folded: DataFrame, path: String): Unit = {
+      val base = folded.withColumn("batch_id", lit(maxBatch)).localCheckpoint()
+      base.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      spark.catalog.refreshByPath(path)
+    }
+    rewrite(s36DirectedEdges(spark, dir), s"$dir/edges")
+    rewrite(s36Vectors(spark, dir), s"$dir/vectors")
+    rewrite(s36Cells(spark, dir), s"$dir/cells")
   }
 
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the

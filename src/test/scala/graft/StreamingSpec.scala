@@ -1196,7 +1196,7 @@ class StreamingSpec extends SparkSpec {
       "a replayed batch must leave the maintained index unchanged")
   }
 
-  test("s37 edge-store compaction folds runs to one; incremental fold on top still equals rebuild") {
+  test("s37 graph-index-store compaction folds every table's runs to one; increments on top still equal rebuild") {
     import spark.implicits._
     val dir = tmp("s37_graph")
     val vecs = graft.Tables.embeddings(spark, sf)
@@ -1217,10 +1217,13 @@ class StreamingSpec extends SparkSpec {
     val after = StreamOps.s36Adjacency(spark, dir)
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
       "compaction must not change the served adjacency")
-    // one base run: every row carries the single compacted batch stamp
-    val stamps = spark.read.parquet(s"$dir/edges")
-      .select("batch_id").distinct().count()
-    assert(stamps === 1, s"compaction must fold the runs to ONE base (got $stamps)")
+    // one base run per table: every row carries the compacted batch stamp
+    Seq("edges", "vectors", "cells").foreach { t =>
+      val stamps = spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count()
+      assert(stamps === 1,
+        s"compaction must fold $t's runs to ONE base (got $stamps)")
+    }
     // the incremental fold ON TOP of the compacted base is still exactly
     // the corpus-wide rebuild — the latest-wins invariant survived
     upsert(2L, 2L)
