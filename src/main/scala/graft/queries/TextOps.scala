@@ -1593,7 +1593,70 @@ object TextOps {
       .orderBy("source", "bucket")
   }
 
+  /** Corpus-budget denominator for t43: sample down to 1/2 of the raw
+    * token total (numerator/denominator kept integer so the budget is
+    * engine-exact).
+    */
+  val MixBudgetNum = 1
+  val MixBudgetDen = 2
+
+  /** t43: temperature-scaled mixture SAMPLING — the UniMax/multilingual
+    * α-sampling shape (Conneau et al. 2020's p_s ∝ (tokens_s)^α with
+    * α = 1/2): small sources are up-weighted relative to their raw share
+    * so a giant web crawl cannot drown them, and the per-source rate is
+    * then APPLIED as a deterministic hash gate — every doc kept iff
+    * md5(doc_id) % 1e6 < rate_ppm — so the sample is replayable on any
+    * cluster and needs no RNG (q39/p11's assignment discipline). p02/p10
+    * REPORT mixtures; t43 is the operator that enacts one: per source,
+    * the α-weight (⌊√tokens⌋ — IEEE sqrt is correctly-rounded by spec, so
+    * floor(sqrt) on the same sub-2^53 bigint is identical on both
+    * engines), the token target (budget · w_s / Σw, capped at the
+    * source's own supply), the gate rate, and the ACHIEVED docs/tokens —
+    * target vs achieved is exactly the acceptance report a mix planner
+    * signs off on (hash gating is binomial, so achieved tracks the rate
+    * within sampling noise; the oracle pins the numbers bit-for-bit).
+    *
+    * Scale shapes: one corpus scan for per-source totals (partial-agg
+    * groupBy over ≤ |sources| keys), a ≤ |sources|-row rate table
+    * broadcast back, the gate a pure per-row codegen predicate, and the
+    * achieved rollup a second partial-agg pass — no shuffle keyed on
+    * anything skewed, corpus touched twice.
+    */
+  val t43TemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+    val per = docs.groupBy("source")
+      .agg(sum("tok").as("t_s"), count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(t_s as double))) as bigint)"))
+    val tot = per.agg(sum("w").as("w_tot"), sum("t_s").as("t_tot"))
+    val rates = per.crossJoin(broadcast(tot))
+      // left-to-right integer algebra, identical text in the oracle:
+      // target = min(own supply, budget·w/Σw); rate in ppm of the source
+      .withColumn("target_tok", expr(
+        s"least(t_s, t_tot * $MixBudgetNum div $MixBudgetDen * w div w_tot)"))
+      .withColumn("rate_ppm",
+        expr("least(1000000L, target_tok * 1000000 div t_s)"))
+      .select("source", "t_s", "n_docs", "w", "target_tok", "rate_ppm")
+      .localCheckpoint()
+    val kept = docs
+      .join(broadcast(rates.select("source", "rate_ppm")), "source")
+      .filter(expr(
+        s"${TextHash.sparkHash56("cast(doc_id as string)")} % 1000000") <
+        col("rate_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("tok").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("t_s").as("raw_tokens"), col("n_docs"),
+        col("w").as("weight"), col("target_tok").as("target_tokens"),
+        col("rate_ppm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t43_temperature_mix" -> t43TemperatureMix,
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
     "t40_bigram_lm"      -> t40BigramLm,
@@ -1663,6 +1726,44 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t43: the identical left-to-right integer algebra (// == div for
+    // these all-positive operands), the identical floor(sqrt(double))
+    // weight (IEEE sqrt is correctly rounded, inputs < 2^53 — same bits
+    // on both engines), and the same md5 hash gate.
+    "t43_temperature_mix" -> {
+      val gate = s"${TextHash.duckHash56("CAST(doc_id AS VARCHAR)")} % 1000000"
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, CAST(SUM(tok) AS BIGINT) AS t_s,
+         |         COUNT(1) AS n_docs,
+         |         CAST(floor(sqrt(CAST(SUM(tok) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot,
+         |               CAST(SUM(t_s) AS BIGINT) AS t_tot FROM per),
+         |rates AS (
+         |  SELECT source, t_s, n_docs, w,
+         |         least(t_s, t_tot * $MixBudgetNum // $MixBudgetDen
+         |                    * w // w_tot) AS target_tok,
+         |         least(1000000,
+         |               least(t_s, t_tot * $MixBudgetNum // $MixBudgetDen
+         |                          * w // w_tot) * 1000000 // t_s) AS rate_ppm
+         |  FROM per, tot),
+         |kept AS (
+         |  SELECT d.source, COUNT(1) AS kept_docs,
+         |         CAST(SUM(tok) AS BIGINT) AS kept_tokens
+         |  FROM docs d JOIN rates r ON d.source = r.source
+         |  WHERE $gate < rate_ppm
+         |  GROUP BY d.source)
+         |SELECT source, t_s AS raw_tokens, n_docs, w AS weight,
+         |       target_tok AS target_tokens, rate_ppm,
+         |       COALESCE(kept_docs, CAST(0 AS BIGINT)) AS kept_docs,
+         |       COALESCE(kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+         |FROM rates LEFT JOIN kept USING (source)
+         |ORDER BY source""".stripMargin
+    },
     // t32: same deterministic rendering (list_slice is index-inclusive =
     // Spark's slice(start, length) here), then the same (?m) regex counts
     // via len(regexp_extract_all). The corpus is nonempty per doc, so the
