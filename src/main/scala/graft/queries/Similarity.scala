@@ -1270,11 +1270,16 @@ object Similarity {
       .map(j => s"struct($j AS sub, slice($c, ${j * SubDim + 1}, $SubDim) AS sq)")
       .mkString("array(", ", ", ")")
 
-  private def subVectors(s: SparkSession, d: String): DataFrame =
-    prepared(s, d).select("vec_id", "q")
-      .select(col("vec_id"), explode(expr(subSliceExpr("q"))).as("s"))
+  /** Sub-slice a prepared (vec_id, q) frame — the seam s38's streaming
+    * PQ maintainer shares with the batch encoders.
+    */
+  private[graft] def subVectorsOf(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(expr(subSliceExpr("q"))).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sq").as("sq"))
       .withColumn("snrm", expr("vec_dot(sq, sq)"))
+
+  private def subVectors(s: SparkSession, d: String): DataFrame =
+    subVectorsOf(prepared(s, d).select("vec_id", "q"))
 
   /** (vec_id, sub, code, dist2): PQ assignment, shared by n06 and n07.
     * Factored over a caller-supplied sub-vector frame so n29's build can
@@ -1283,10 +1288,19 @@ object Similarity {
   private def pqAssigned(s: SparkSession, d: String): DataFrame =
     pqAssignedFrom(subVectors(s, d))
 
-  private def pqAssignedFrom(vs: DataFrame): DataFrame = {
-    val cents = vs.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("sub"),
-              col("sq").as("cq"), col("snrm").as("cnrm"))
+  private def pqAssignedFrom(vs: DataFrame): DataFrame =
+    pqAssignToCodebook(vs,
+      vs.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("sub"),
+                col("sq").as("cq"), col("snrm").as("cnrm")))
+
+  /** PQ sub-code assignment vs a caller-supplied FIXED sub-codebook — the
+    * byte-identical argmin (formula, tie-break, partial-agg shape) shared
+    * by the batch encoders and s38's streaming maintainer (s35's
+    * fixed-codebook model applied to the PQ family).
+    */
+  private[graft] def pqAssignToCodebook(vs: DataFrame,
+                                        cents: DataFrame): DataFrame =
     vs.join(broadcast(cents), "sub")
       .withColumn("dist2", expr("snrm + cnrm - 2 * vec_dot(sq, cq)"))
       .groupBy("vec_id", "sub")
@@ -1295,7 +1309,14 @@ object Similarity {
         struct(negate(col("dist2")).as("nd"), negate(col("cid")).as("nc"))).as("best"))
       .select(col("vec_id"), col("sub"),
         col("best.cid").as("code"), col("best.dist2").as("dist2"))
-  }
+
+  /** The corpus's fixed PQ sub-codebook (cid, sub, cq, cnrm) — what s38's
+    * streaming maintainer broadcasts per batch.
+    */
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    subVectors(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("sub"),
+              col("sq").as("cq"), col("snrm").as("cnrm"))
 
   val n06PqCodes: Q = (s, d) =>
     pqAssigned(s, d).orderBy("vec_id", "sub")

@@ -621,6 +621,58 @@ object StreamOps {
     rewrite(s36Cells(spark, dir), s"$dir/cells")
   }
 
+  /** s38: streaming MAINTENANCE of the PQ code table — the last index
+    * artifact without an ingest path (s35 = IVF assignment, s36 = graph
+    * adjacency; n29 persists the codes, n06/n07/n10/n20/n21 probe them):
+    * each micro-batch of raw (vec_id, embedding) rows is quantized,
+    * sub-sliced and assigned to the FIXED broadcast sub-codebook through
+    * the single-sourced batch machinery
+    * ([[graft.queries.Similarity.prepareVectors]] → `subVectorsOf` →
+    * `pqAssignToCodebook` — the byte-identical argmin formula, tie-break
+    * and partial-agg shape as the batch encoder, so streamed codes can
+    * never drift from built ones). Idempotence is s32/s34/s35's model:
+    * per-batch `batch_id=N` partitions + dynamic partition overwrite,
+    * distinct compaction on read (each row is a pure function of
+    * (vector, codebook)). StreamingSpec pins stream-built == batch
+    * pqAssigned over the same replay + replay idempotence.
+    */
+  def s38UpsertPqBatch(cbook: DataFrame, dir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        Sim.pqAssignToCodebook(
+            Sim.subVectorsOf(
+              Sim.prepareVectors(cached).select("vec_id", "q")), cbook)
+          .select("vec_id", "sub", "code", "dist2")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/codes")
+      }
+    } finally cached.unpersist()
+  }
+
+  def s38PqMaintain(vectors: DataFrame, cbook: DataFrame, dir: String,
+                    checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s38UpsertPqBatch(cbook, dir) _)
+      .start()
+
+  /** Compacted read of the s38-maintained code table: rows are pure
+    * functions of (vector, codebook), so replayed batches fold under
+    * distinct.
+    */
+  def s38Codes(spark: org.apache.spark.sql.SparkSession,
+               dir: String): DataFrame =
+    graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/codes"), s"$dir/codes",
+        "vec_id", "sub", "code", "dist2")
+      .select("vec_id", "sub", "code", "dist2").distinct()
+
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s
     * micro-batch read (deterministic rows, admission-controlled index

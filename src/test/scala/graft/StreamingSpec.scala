@@ -1234,6 +1234,43 @@ class StreamingSpec extends SparkSpec {
       "post-compaction increments must still equal the full rebuild")
   }
 
+  test("s38 streaming PQ code table equals the batch encoder; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("s38_pq")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    // the FIXED sub-codebook the maintainer broadcasts per batch
+    val cbook = graft.queries.Similarity.pqCodebook(spark, sf)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.s38PqMaintain(
+      mem.toDF().toDF("vec_id", "embedding"), cbook, dir, tmp("s38_ckpt"))
+    mem.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // stream-maintained codes == the batch encoder over the same corpus
+    // (the ingest side of n06/n07/n10/n20/n21/n29's probe contract)
+    val batchBuilt = SparkEntry.queries("n06_pq_codes")(spark, sf)
+    val got = StreamOps.s38Codes(spark, dir)
+    assert(got.exceptAll(batchBuilt).isEmpty && batchBuilt.exceptAll(got).isEmpty,
+      "streamed PQ codes must equal the batch encoder")
+    // replay idempotence: the redelivered batch overwrites its partition
+    val n = got.count()
+    StreamOps.s38UpsertPqBatch(cbook, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    spark.catalog.refreshByPath(s"$dir/codes")
+    assert(StreamOps.s38Codes(spark, dir).count() === n,
+      "a replayed batch must not grow the code table")
+    val raw = spark.read.parquet(s"$dir/codes")
+    assert(raw.count() === raw.select("vec_id", "sub", "batch_id").distinct().count(),
+      "partition overwrite must replace the run, not append to it")
+  }
+
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
