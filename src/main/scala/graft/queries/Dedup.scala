@@ -345,9 +345,12 @@ object Dedup {
     */
   def clearClusterMemo(): Unit = { clusterMemo.clear(); pairsMemo.clear() }
 
-  private def buildClusterTable(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val pairs = pairsTable(s, d)
+  /** Min-label cluster table over an arbitrary (doc_id) corpus and
+    * (d1, d2) pair graph — buildClusterTable's core, factored so d32's
+    * retraction fold (and its spec fixtures) run the byte-identical
+    * labeling over reduced corpora.
+    */
+  private[graft] def clusterTableOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val stars = connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     // Non-root nodes carry their star edge; singletons + roots label
@@ -358,8 +361,12 @@ object Dedup {
     docs.join(nonRoot, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      .localCheckpoint()
   }
+
+  private def buildClusterTable(s: SparkSession, d: String): DataFrame =
+    clusterTableOf(Tables.documents(s, d).select(col("doc_id")),
+        pairsTable(s, d))
+      .localCheckpoint()
 
   /** d05: dedup clustering — connected components over d01's candidate
     * pairs, labeled by the component's minimum doc_id (the canonical
@@ -902,6 +909,68 @@ object Dedup {
       .join(mergeCc.select(col("src").as("lb"), col("dst").as("lm")),
         Seq("lb"), "left")
       .select(col("doc_id"), coalesce(col("lm"), col("lb")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** The d32 retraction predicate — deterministic so both engines agree. */
+  private[graft] def d32Retracted(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = c % 7 === 3
+
+  /** The retraction fold over arbitrary (docs, pairs, base clusters) — the
+    * d32 core, factored so DedupSpec can pin the SPLIT and the survivor
+    * re-election on directed synthetic graphs (a chain glued through the
+    * retracted doc, a cluster whose min label retracts) independent of
+    * what the corpus happens to contain.
+    */
+  private[graft] def retractionFold(docs: DataFrame, pairs: DataFrame,
+      baseClusters: DataFrame,
+      retracted: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    // clusters that LOSE a member are the only ones whose labels can move
+    val affectedClusters = baseClusters.filter(retracted(col("doc_id")))
+      .select("cluster").distinct()
+    val affDocs = baseClusters
+      .join(affectedClusters, Seq("cluster"), "left_semi")
+      .filter(!retracted(col("doc_id")))
+      .select("doc_id")
+    // the reduced corpus's pair graph IS the full pair graph minus
+    // retracted endpoints (banding is per-doc, so no pair appears or
+    // disappears for any other reason); restricting further to affected
+    // clusters bounds the re-labeling CC at the TOUCHED clusters' edges —
+    // never the corpus (pairs cannot cross clusters, so one-sided
+    // membership implies both)
+    val livePairs = pairs
+      .filter(!retracted(col("d1")) && !retracted(col("d2")))
+      .join(affDocs.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+    val relabeled = clusterTableOf(affDocs, livePairs)
+    // untouched clusters keep their full-corpus labels verbatim
+    baseClusters
+      .join(affectedClusters, Seq("cluster"), "left_anti")
+      .select("doc_id", "cluster")
+      .unionByName(relabeled)
+  }
+
+  /** d32: CLUSTER RETRACTION — the d-family twin of the s39 store deletes
+    * (r11 verdict item 3): remove a set of documents (GDPR takedown,
+    * licence revocation — here the deterministic doc_id % 7 == 3 slice)
+    * from an already-clustered corpus WITHOUT a full recompute. Removing
+    * a doc can (a) re-elect a survivor when the cluster's min-id member
+    * retracts (d06/d14's policy must move to the next live doc) and (b)
+    * SPLIT a cluster the retracted doc glued together (exactly the doc
+    * class d30's chaining audit names), so labels cannot be patched —
+    * the affected components must be re-derived. The fold recomputes
+    * connected components ONLY over the affected clusters' live pair
+    * edges (cost bounded by the touched clusters' sizes via a semi-join
+    * through the written pair table) and carries every untouched
+    * cluster's labels over verbatim; the oracle is d05's full-graph
+    * reach SQL over the retained corpus — the incremental path must be
+    * indistinguishable from the rebuild (d19's bar, extended from edge
+    * ADDITIONS to member REMOVALS).
+    */
+  val d32ClusterRetraction: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val base = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    retractionFold(docs, pairsTable(s, d), base, d32Retracted)
       .orderBy("doc_id")
   }
 
@@ -1971,6 +2040,7 @@ object Dedup {
     "d24_community_refinement" -> d24CommunityRefinement,
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
+    "d32_cluster_retraction" -> d32ClusterRetraction,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -2004,10 +2074,13 @@ object Dedup {
        |    x -> ($aLitDuck[i + 1] * x + $bLitDuck[i + 1]) % ${P})))""".stripMargin
   }
 
-  /** sigs + bands CTE bodies, shared by the d01 and d05 oracles. */
-  private def duckBandCtes: String =
+  /** sigs + bands CTE bodies over an arbitrary source relation — the d32
+    * oracle feeds a retained-docs CTE; everything else uses the
+    * parameterless wrapper below.
+    */
+  private def duckBandCtesFor(src: String): String =
     s"""sigs AS (
-       |  SELECT doc_id, $duckSig AS sigs FROM documents),
+       |  SELECT doc_id, $duckSig AS sigs FROM $src),
        |bands AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(0, ${NumBands - 1}), b ->
        |    concat(CAST(b AS VARCHAR), ':',
@@ -2015,23 +2088,31 @@ object Dedup {
        |                                          v -> CAST(v AS VARCHAR)), ',')))) AS band_key
        |  FROM sigs)""".stripMargin
 
+  /** sigs + bands CTE bodies, shared by the d01 and d05 oracles. */
+  private def duckBandCtes: String = duckBandCtesFor("documents")
+
   private def duckPairSelect: String =
     s"""SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
 
-  /** Full transitive-closure CTE chain (d05/d06 oracles); requires the
-    * enclosing WITH to be RECURSIVE.
+  /** Full transitive-closure CTE chain over an arbitrary source relation;
+    * requires the enclosing WITH to be RECURSIVE.
     */
-  private def duckReachCtes: String =
-    s"""$duckBandCtes,
+  private def duckReachCtesFor(src: String): String =
+    s"""${duckBandCtesFor(src)},
        |pairs AS ($duckPairSelect),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
        |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
        |reach AS (
-       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  SELECT doc_id AS node, doc_id AS lbl FROM $src
        |  UNION
        |  SELECT e.dst AS node, r.lbl AS lbl
        |  FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
+  /** Full transitive-closure CTE chain (d05/d06 oracles); requires the
+    * enclosing WITH to be RECURSIVE.
+    */
+  private def duckReachCtes: String = duckReachCtesFor("documents")
 
   /** Three unrolled PageRank iterations as CTEs (the d09 oracle), generated
     * from the same constants as the Spark loop.
@@ -2294,6 +2375,15 @@ object Dedup {
     // d05's full-graph reach.
     "d19_incremental_cc" ->
       s"""WITH RECURSIVE $duckReachCtes
+         |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d32: the retraction equivalence oracle — the affected-cluster
+    // recompute must be indistinguishable from d05's full rebuild over
+    // the RETAINED corpus (same reach CTEs, sourced from the kept docs).
+    "d32_cluster_retraction" ->
+      s"""WITH RECURSIVE kept AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         |${duckReachCtesFor("kept")}
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // p11: same reach/clusters CTEs as d05/p03; both policies' assignment

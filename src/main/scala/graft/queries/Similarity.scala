@@ -804,26 +804,33 @@ object Similarity {
       .distinct()
   }
 
+  /** The full directed-kNN build over an arbitrary prepared vector set
+    * against a FIXED codebook — the batch chain the graph index is made
+    * of (cells → blocked pairs → exact scores → bounded top-k), factored
+    * so s36's delete pin can rebuild over the post-delete corpus with the
+    * ORIGINAL centroids (deletes never retrain the codebook).
+    * Pair generation shuffles NARROW id rows only (d15's discipline):
+    * the cid self-join and the dedupe never carry the 64-element vectors;
+    * each distinct pair then scores ONCE via two broadcast fetches from
+    * the doc-count-scale vector table (measured at sf0.1: the
+    * array-carrying spelling shuffled ~6M rows of vector payloads through
+    * the cid join + distinct and was the bench's costliest stage).
+    */
+  private[graft] def directedTopKOf(v: DataFrame, cents: DataFrame): DataFrame = {
+    val ids = topCells(v, cents).select("vec_id", "cid")
+    val pairs = ids.select(col("vec_id").as("src"), col("cid"))
+      .join(ids.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    topKEdges(scoreDirectedPairs(pairs, v))
+  }
+
   private def buildGraphAnnParts(s: SparkSession, d: String): GraphAnnParts = {
     val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
     val cents = v.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
               col("nrm").as("cnrm"))
-    val cells = topCells(v, cents).select("vec_id", "q", "nrm", "cid")
-    // Pair generation shuffles NARROW id rows only (d15's discipline):
-    // the cid self-join and the shared-both-cells dedupe never carry the
-    // 64-element vectors; each distinct pair then scores ONCE via two
-    // broadcast fetches from the doc-count-scale vector table (measured
-    // at sf0.1: the array-carrying spelling shuffled ~6M rows of vector
-    // payloads through the cid join + distinct and was the bench's
-    // costliest stage).
-    val ids = cells.select("vec_id", "cid")
-    val pairs = ids.select(col("vec_id").as("src"), col("cid"))
-      .join(ids.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val directed = scoreDirectedPairs(pairs, v)
-    val topk = topKEdges(directed).select("src", "dst")
+    val topk = directedTopKOf(v, cents).select("src", "dst")
     // localCheckpoint, not cache: the memo must survive the harness's
     // per-query clearCache() (Dedup.scala's cluster-memo discipline)
     val adj = symmetrize(topk).localCheckpoint()

@@ -287,9 +287,18 @@ object StreamOps {
     val cached = batch.persist()
     try {
       if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        requireFreshBatch(spark, dir, batchId, Seq("hash56", "bands"))
+        requireNotDeleted(spark, dir, cached.select("doc_id"), "doc_id")
+        // ALL (th, doc_id) rows, not the per-batch min survivor: exact
+        // deletability needs the non-collapsed run — electing min at
+        // write time would lose the runner-up a later delete of the
+        // survivor must promote. The serving view ([[s32HashIndex]])
+        // still folds to one min-doc_id row per hash; the run is one row
+        // per ingested doc either way (the band table's own asymptotics).
         val hashes = cached
           .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
-          .groupBy("th").agg(min("doc_id").as("doc_id"))
+          .select("th", "doc_id").distinct()
           .withColumn("batch_id", lit(batchId))
         hashes.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -300,6 +309,8 @@ object StreamOps {
         bands.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/bands")
+        spark.catalog.refreshByPath(s"$dir/hash56")
+        spark.catalog.refreshByPath(s"$dir/bands")
       }
     } finally cached.unpersist()
   }
@@ -311,26 +322,40 @@ object StreamOps {
       .foreachBatch(s32UpsertIndexBatch(dir) _)
       .start()
 
-  /** Compacted read of the s32-maintained hash index: fold the per-batch
-    * runs by key with the same min-survivor policy. Equals the batch-built
-    * index over any replay — pinned in StreamingSpec.
+  /** The stored (th, doc_id) relation post-tombstones — the deletable
+    * base [[s32HashIndex]] folds and [[s32CompactStore]] rewrites.
+    */
+  private[graft] def s32HashRows(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame =
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id")
+        .select("th", "doc_id").distinct(),
+      spark, dir, "doc_id")
+
+  /** Compacted read of the s32-maintained hash index: tombstone-filter,
+    * then fold the per-batch runs by key with the min-survivor policy —
+    * deleting an elected survivor re-elects the next doc automatically.
+    * Equals the batch-built index over the live corpus — pinned in
+    * StreamingSpec for both the insert-only and the post-delete store.
     */
   def s32HashIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id")
-      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    s32HashRows(spark, dir).groupBy("th").agg(min("doc_id").as("doc_id"))
   }
 
   /** Compacted read of the s32-maintained band index (distinct folds a
-    * replayed doc's identical band rows across runs).
+    * replayed doc's identical band rows across runs; tombstoned docs'
+    * band rows are filtered out).
     */
   def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame =
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/bands"), s"$dir/bands", "doc_id", "band_key")
-      .select("doc_id", "band_key").distinct()
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/bands"), s"$dir/bands", "doc_id", "band_key")
+        .select("doc_id", "band_key").distinct(),
+      spark, dir, "doc_id")
 
   /** s34: streaming maintenance of the content-addressed media CHUNK
     * store — s32's sibling for the m03/m05/m07/m08 chunk tables (those
@@ -355,15 +380,23 @@ object StreamOps {
     val cached = batch.persist()
     try {
       if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        requireFreshBatch(spark, dir, batchId, Seq("chunks"))
+        requireNotDeleted(spark, dir, cached.select("media_id"), "media_id")
+        // ALL (h, media_id, nb) reference rows, not the per-batch min
+        // owner: exact deletability needs every referrer — deleting the
+        // elected owner must promote the next media id, and a chunk whose
+        // referrers are ALL deleted must vanish (GC), neither of which a
+        // collapsed run can answer. The serving view ([[s34ChunkStore]])
+        // still folds to one min-owner row per hash; the run is one row
+        // per (chunk, referrer) — the CAS reference table's own size.
         graft.operators.Multimodal.chunkTableOf(cached)
-          // same-hash rows carry identical content, hence identical nb;
-          // min keeps the compaction associative for the read-side fold
-          .groupBy("h")
-          .agg(min("media_id").as("owner"), min("nb").as("nb"))
+          .select("h", "media_id", "nb").distinct()
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/chunks")
+        spark.catalog.refreshByPath(s"$dir/chunks")
       }
     } finally cached.unpersist()
   }
@@ -375,15 +408,29 @@ object StreamOps {
       .foreachBatch(s34UpsertChunkBatch(dir) _)
       .start()
 
-  /** Compacted read of the s34-maintained chunk store: fold the per-batch
-    * runs by content hash with the same min-owner policy.
+  /** The stored (h, media_id, nb) reference relation post-tombstones —
+    * the deletable base [[s34ChunkStore]] folds and [[s34CompactStore]]
+    * rewrites.
+    */
+  private[graft] def s34ChunkRows(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame =
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/chunks"), s"$dir/chunks",
+          "h", "media_id", "nb")
+        .select("h", "media_id", "nb").distinct(),
+      spark, dir, "media_id")
+
+  /** Compacted read of the s34-maintained chunk store: tombstone-filter
+    * the reference rows, then fold by content hash with the min-owner
+    * policy — deleting an owner re-elects the next referrer, and a chunk
+    * with no live referrer disappears (the CAS garbage-collection rule).
     */
   def s34ChunkStore(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/chunks"), s"$dir/chunks", "h", "owner", "nb")
-      .groupBy("h").agg(min("owner").as("owner"), min("nb").as("nb"))
+    s34ChunkRows(spark, dir)
+      .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
   }
 
   /** s35: streaming maintenance of the IVF ASSIGNMENT table — the
@@ -405,6 +452,9 @@ object StreamOps {
     val cached = batch.persist()
     try {
       if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        requireFreshBatch(spark, dir, batchId, Seq("assigned"))
+        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         graft.queries.Similarity
           .assignToCentroids(
             graft.queries.Similarity.prepareVectors(cached), cents)
@@ -413,6 +463,7 @@ object StreamOps {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/assigned")
+        spark.catalog.refreshByPath(s"$dir/assigned")
       }
     } finally cached.unpersist()
   }
@@ -430,16 +481,260 @@ object StreamOps {
     */
   def s35Assignment(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame =
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
-        "vec_id", "cid", "ccos")
-      .select("vec_id", "cid", "ccos").distinct()
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
+          "vec_id", "cid", "ccos")
+        .select("vec_id", "cid", "ccos").distinct(),
+      spark, dir, "vec_id")
 
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
                          path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  // ===== maintained-store lifecycle plumbing (s39 deletes, s40 compaction,
+  // ===== s41 replay fencing) — shared by the s32/s34/s35/s36/s38 stores.
+
+  /** Highest `batch_id=N` partition present under a store table — read
+    * from the PARTITION DIRECTORY names (one filesystem listing, no data
+    * scan), which is exactly the granularity the per-batch overwrite
+    * model writes at. Used by the replay fence and the compaction stamp,
+    * so both see every table's runs (r11 advice: the edge table alone
+    * understates the base when a batch wrote vectors/cells but no edges).
+    */
+  private def maxBatchIn(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+      .reduceOption(_ max _)
+  }
+
+  private def stampFile(dir: String) = s"$dir/_compaction_stamp"
+
+  /** The folded-through batch id recorded by [[compactStore]] — the LSM
+    * coordination contract made MACHINE-READABLE (r11 verdict item 6: the
+    * contract used to live in a scaladoc, and a replay from a checkpoint
+    * older than the compaction would silently resurrect folded runs).
+    */
+  private[graft] def readCompactionStamp(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stampFile(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeCompactionStamp(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, stamp: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stampFile(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(stamp.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** s41: the replay fence every upsert/delete fold runs before writing.
+    * Three checks: (1) the batch must be STRICTLY past the compaction
+    * stamp — a replayed batch at or before the stamp would overwrite the
+    * folded base partition with one increment (the resurrection failure
+    * mode the s37 scaladoc used to only DESCRIBE); (2) batch ids must be
+    * one monotone sequence across upserts and deletes — `batchId >= max
+    * seen` admits exactly the redelivery foreachBatch can produce (the
+    * LAST uncommitted batch, identical payload) and refuses an
+    * out-of-order id that would silently clobber an unrelated run sharing
+    * its partition; (3) the EQUALITY case must be the same KIND of fold —
+    * an upsert reusing a delete's id (or vice versa) is not a redelivery,
+    * and in the graph store both kinds write the edges table, so the
+    * "replay" would replace the other fold's partition wholesale. All
+    * three checks are filesystem-cheap (partition dir names + one tiny
+    * stamp file): no data scan per batch.
+    */
+  private[graft] def requireFreshBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long, tables: Seq[String],
+      isDelete: Boolean = false): Unit = {
+    readCompactionStamp(spark, dir).foreach { st =>
+      require(batchId > st,
+        s"store $dir is compacted through batch $st; replaying batch " +
+          s"$batchId would resurrect a folded run — restart the maintainer " +
+          "from a checkpoint past the compaction boundary")
+    }
+    (tables :+ "deleted")
+      .flatMap(t => maxBatchIn(spark, s"$dir/$t"))
+      .reduceOption(_ max _)
+      .foreach { m =>
+        require(batchId >= m,
+          s"store $dir already holds batch $m; batch ids must form one " +
+            s"monotone sequence across upserts and deletes (got $batchId — " +
+            "foreachBatch redelivers only the LAST batch)")
+        if (batchId == m) {
+          val hadTombstone =
+            pathExists(spark, s"${deletedPath(dir)}/batch_id=$batchId")
+          require(hadTombstone == isDelete,
+            s"store $dir: batch $batchId was originally " +
+              s"${if (hadTombstone) "a delete" else "an upsert"} — a " +
+              s"${if (isDelete) "delete" else "an upsert"} may not reuse " +
+              "its id (only an identical redelivery may repeat a batch id)")
+        }
+      }
+  }
+
+  /** s39: the tombstone table every store shares — per-batch `batch_id=N`
+    * runs of deleted ids under `dir/deleted` (the same dynamic-partition-
+    * overwrite idempotence model as the data runs), folded to a distinct
+    * id set on read. Deletes are FINAL: the upsert guard refuses a batch
+    * that re-ingests a tombstoned id (re-admission would need either
+    * batch-ordered tombstones or a rebuild — the documented contract).
+    */
+  private def deletedPath(dir: String) = s"$dir/deleted"
+
+  /** Distinct tombstoned ids of a store (empty when nothing was deleted). */
+  private[graft] def deletedIds(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame =
+    if (!pathExists(spark, deletedPath(dir)))
+      spark.range(0).select(col("id"))
+    else
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(deletedPath(dir)), deletedPath(dir), "id")
+        .select("id").distinct()
+
+  /** Serve-side tombstone filter: anti-join `idCol` against the deleted
+    * set when one exists (a no-op listing check otherwise). The deleted
+    * set is delete-traffic-sized, so the anti-join broadcasts.
+    */
+  private def antiDeleted(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String): DataFrame =
+    if (!pathExists(spark, deletedPath(dir))) df
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(
+        deletedIds(spark, dir).withColumnRenamed("id", idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Upsert-side guard: deletes are final — loud-fail a batch that
+    * re-ingests a tombstoned id instead of letting the serve-side
+    * anti-join silently swallow the new rows.
+    */
+  private def requireNotDeleted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String): Unit =
+    if (pathExists(spark, deletedPath(dir))) {
+      val hit = ids.select(col(idCol).as("id"))
+        .join(deletedIds(spark, dir), Seq("id"), "left_semi").take(1)
+      require(hit.isEmpty,
+        s"store $dir: batch re-ingests deleted id ${hit.headOption.map(_.get(0)).orNull} — " +
+          "deletes are final (rebuild the store to re-admit an id)")
+    }
+
+  /** The shared simple-delete fold (s32/s34/s35/s38 — stores whose rows
+    * are keyed by one id column): fence the batch, then write its
+    * tombstone run. The serve-side reads do the rest (anti-join); the
+    * s36 graph store additionally re-ranks affected srcs — see
+    * [[s36DeleteBatch]].
+    */
+  private def tombstoneBatch(dir: String, tables: Seq[String])(
+      deletes: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col(deletes.columns.head).as("id")).distinct()
+    if (!ids.isEmpty) {
+      requireFreshBatch(spark, dir, batchId, tables, isDelete = true)
+      ids.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(deletedPath(dir))
+      spark.catalog.refreshByPath(deletedPath(dir))
+    }
+  }
+
+  def s32DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit =
+    tombstoneBatch(dir, Seq("hash56", "bands"))(deletes, batchId)
+
+  def s34DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit =
+    tombstoneBatch(dir, Seq("chunks"))(deletes, batchId)
+
+  def s35DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit =
+    tombstoneBatch(dir, Seq("assigned"))(deletes, batchId)
+
+  def s38DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit =
+    tombstoneBatch(dir, Seq("codes"))(deletes, batchId)
+
+  /** s40: the generalized store compaction — s37's fold-materialize-
+    * rewrite-restamp shape factored into ONE seam (r11 verdict item 2)
+    * and applied to every maintained store: each table's SERVED view
+    * (tombstone-filtered, key-folded) is materialized (localCheckpoint —
+    * a store cannot be overwritten while a lazy plan still reads it) and
+    * rewritten as a single base run stamped with the highest batch_id
+    * present across ALL the store's tables including the tombstones (r11
+    * advice: a batch can write one table and not another, so any single
+    * table understates the base). The tombstone table folds to one
+    * distinct-id run — kept, not dropped, because the append guard's
+    * "deletes are final" contract outlives the physical removal of the
+    * deleted rows. Finally the stamp file records the folded-through id,
+    * which [[requireFreshBatch]] enforces against stale replays.
+    *
+    * A table whose folded view is EMPTY (every row tombstoned) keeps its
+    * raw runs instead of being rewritten: a zero-row partitioned write
+    * leaves no parquet footer to read schema from, and the serve-side
+    * anti-join already yields the correct empty view.
+    */
+  private[graft] def compactStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[(String, () => DataFrame)]): Unit = {
+    import org.apache.spark.sql.functions._
+    val all = tables.map(_._1) :+ "deleted"
+    all.flatMap(t => maxBatchIn(spark, s"$dir/$t"))
+      .reduceOption(_ max _)
+      .foreach { maxBatch =>
+        val withDeleted = tables ++
+          (if (pathExists(spark, deletedPath(dir)))
+             Seq("deleted" -> (() => deletedIds(spark, dir)))
+           else Nil)
+        withDeleted.foreach { case (t, folded) =>
+          if (pathExists(spark, s"$dir/$t")) {
+            val base = folded().withColumn("batch_id", lit(maxBatch))
+              .localCheckpoint()
+            if (!base.isEmpty) {
+              base.write.mode("overwrite").partitionBy("batch_id")
+                .parquet(s"$dir/$t")
+              spark.catalog.refreshByPath(s"$dir/$t")
+            }
+          }
+        }
+        writeCompactionStamp(spark, dir, maxBatch)
+      }
+  }
+
+  /** s40 per-store entry points: fold every run (and the tombstones) to
+    * one base, serving view unchanged — StreamingSpec pins
+    * upsert→delete→compact→upsert == rebuild per store.
+    */
+  def s32CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "hash56" -> (() => s32HashRows(spark, dir)),
+      "bands"  -> (() => s32BandIndex(spark, dir))))
+
+  def s34CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "chunks" -> (() => s34ChunkRows(spark, dir))))
+
+  def s35CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "assigned" -> (() => s35Assignment(spark, dir))))
+
+  def s38CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "codes" -> (() => s38Codes(spark, dir))))
 
   /** s36: incremental MAINTENANCE of the persisted graph-ANN index — the
     * one index family that (until this job) could only be rebuilt
@@ -489,8 +784,29 @@ object StreamOps {
     try {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
+        requireFreshBatch(spark, dir, batchId, Seq("vectors", "cells", "edges"))
+        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         val prep = Sim.prepareVectors(cached).select("vec_id", "q", "nrm")
           .localCheckpoint()
+        // Append-only fence (r11 advice item 1): the delta fold is exact
+        // for NEW vec_ids only — re-ingesting an existing id with a
+        // different embedding would leave the vectors dedup picking an
+        // arbitrary row, the cell union keeping both cell sets, and other
+        // srcs' stored lists carrying stale cos edges. Loud-fail instead
+        // of silently diverging from the rebuild; the batch's OWN prior
+        // run is exempt (foreachBatch redelivery rewrites it wholesale).
+        if (pathExists(spark, s"$dir/vectors")) {
+          val prior = spark.read.parquet(s"$dir/vectors")
+            .filter(col("batch_id").cast("long") =!= batchId)
+            .select("vec_id")
+          val dup = prep.select("vec_id")
+            .join(prior, Seq("vec_id"), "left_semi").take(1)
+          require(dup.isEmpty,
+            s"s36 store $dir is append-only: batch $batchId re-ingests " +
+              s"existing vec_id ${dup.headOption.map(_.get(0)).orNull} — " +
+              "stored embeddings are immutable (rebuild the store, or " +
+              "ingest the new embedding under a fresh id)")
+        }
         prep.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/vectors")
@@ -524,6 +840,7 @@ object StreamOps {
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/edges")
+        spark.catalog.refreshByPath(s"$dir/edges")
       }
     } finally cached.unpersist()
   }
@@ -542,19 +859,28 @@ object StreamOps {
     */
   def s36Vectors(spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame =
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
-        "vec_id", "q", "nrm")
-      .select("vec_id", "q", "nrm").dropDuplicates("vec_id")
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
+          "vec_id", "q", "nrm")
+        .select("vec_id", "q", "nrm").dropDuplicates("vec_id"),
+      spark, dir, "vec_id")
 
   def s36Cells(spark: org.apache.spark.sql.SparkSession,
                dir: String): DataFrame =
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid")
-      .select("vec_id", "cid").distinct()
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid")
+        .select("vec_id", "cid").distinct(),
+      spark, dir, "vec_id")
 
-  def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
+  /** Latest-per-src fold of the raw edge runs, WITHOUT the tombstone
+    * filters — the physical merge [[s36DirectedEdges]] serves from and
+    * [[s36DeleteBatch]] inspects to find srcs whose stored lists contain
+    * a freshly-deleted dst.
+    */
+  private def s36LatestEdges(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     if (!pathExists(spark, s"$dir/edges"))
       // first batch: nothing stored yet — empty frame with the edge schema
@@ -568,6 +894,106 @@ object StreamOps {
         .withColumnRenamed("src", "lsrc")
       e.join(latest, e("src") === col("lsrc") && e("batch_id") === col("mb"))
         .select("src", "dst", "cos")
+    }
+  }
+
+  /** The served directed edges: latest list per src, minus tombstoned
+    * endpoints on BOTH sides — a deleted vector's own list vanishes
+    * (src filter), and the dst filter is the safety net for a src whose
+    * post-delete re-rank produced no replacement row (its old list can
+    * only be SHORTENED by the filter, exactly what the rebuild gives,
+    * because [[s36DeleteBatch]] re-ranked every src that had live
+    * candidates left).
+    */
+  def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    antiDeleted(
+      antiDeleted(s36LatestEdges(spark, dir), spark, dir, "src")
+        .withColumnRenamed("dst", "vec_id"),
+      spark, dir, "vec_id")
+      .withColumnRenamed("vec_id", "dst")
+      .select("src", "dst", "cos")
+  }
+
+  /** s39's graph-store member: DELETE a batch of vec_ids from the s36
+    * store — the lifecycle verb the insert-only fold couldn't express
+    * (r11 verdict item 1). Removal breaks the static-score closure that
+    * made inserts exact (a deleted dst must be REPLACED in other srcs'
+    * bounded lists by the next-best candidate, which the stored top-k no
+    * longer knows), so the fold is two-phase:
+    *
+    *  1. tombstone the ids (the shared `deleted` run — their own vectors/
+    *     cells/edge rows disappear from every served view via the
+    *     anti-joins), then
+    *  2. re-rank exactly the srcs whose stored lists contain a deleted
+    *     dst: regenerate THEIR candidates from the post-delete cell store
+    *     (the build's own IVF blocking — never corpus-wide) and rewrite
+    *     their complete lists as this batch's edge run (latest-per-src
+    *     makes the rewrite authoritative).
+    *
+    * Exactness: an affected src's regenerated candidate set IS the
+    * rebuild's candidate set over the live corpus (cells are pure
+    * per-vector functions of the fixed codebook, so blocking is delete-
+    * stable), scores are static, and unaffected srcs' lists are rebuild-
+    * identical because removing a candidate outside a bounded top-k
+    * never changes the top-k. StreamingSpec pins delete-then-maintain ==
+    * full rebuild over the live corpus, row-for-row, plus the served
+    * walk. Cost: |affected srcs| × blocking fan-in — bounded by delete
+    * traffic, never the corpus.
+    *
+    * Replay idempotence: the tombstone run overwrites its own partition;
+    * on a redelivered batch the affected set is empty (the first pass's
+    * re-ranked lists no longer contain deleted dsts), so the fold is a
+    * fixpoint.
+    */
+  def s36DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col(deletes.columns.head).as("id")).distinct()
+      .localCheckpoint()
+    if (!ids.isEmpty) {
+      requireFreshBatch(spark, dir, batchId, Seq("vectors", "cells", "edges"),
+        isDelete = true)
+      ids.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(deletedPath(dir))
+      spark.catalog.refreshByPath(deletedPath(dir))
+      // srcs (themselves live) whose CURRENT stored list names ANY
+      // tombstoned dst — computed against the full tombstone set, so a
+      // replayed delete finds nothing left to re-rank
+      val del = deletedIds(spark, dir)
+      val affected = s36LatestEdges(spark, dir)
+        .join(broadcast(del.withColumnRenamed("id", "dst")),
+          Seq("dst"), "left_semi")
+        .join(broadcast(del.withColumnRenamed("id", "src")),
+          Seq("src"), "left_anti")
+        .select("src").distinct()
+      // regenerate exactly those srcs' candidates from the POST-delete
+      // cell store (both stores now serve tombstone-filtered views) and
+      // re-rank on the build's own seams
+      val cells = s36Cells(spark, dir)
+      val srcCells = cells
+        .join(affected.withColumnRenamed("src", "vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("src"), col("cid"))
+      val pairs = srcCells
+        .join(cells.select(col("vec_id").as("dst"), col("cid")), Seq("cid"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val reranked = Sim.topKEdges(
+          Sim.scoreDirectedPairs(pairs, s36Vectors(spark, dir)))
+        .select("src", "dst", "cos")
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint()
+      if (!reranked.isEmpty) {
+        reranked.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/edges")
+        spark.catalog.refreshByPath(s"$dir/edges")
+      }
     }
   }
 
@@ -592,34 +1018,22 @@ object StreamOps {
     * remains exactly the full rebuild (StreamingSpec pins
     * upsert→upsert→compact→upsert == rebuild).
     *
-    * Coordination contract (the LSM norm, stated not hidden): compaction
-    * runs at a batch boundary — a replay of a batch OLDER than the base
-    * stamp would resurrect a folded run, so the maintainer's checkpoint
-    * must be past the folded ids (foreachBatch replays only the last
-    * uncommitted batch, so any quiet point qualifies).
+    * Coordination contract (the LSM norm): compaction runs at a batch
+    * boundary — a replay of a batch OLDER than the base stamp would
+    * resurrect a folded run. Since r12 the contract is ENFORCED, not just
+    * stated: [[compactStore]] records the folded-through id in the
+    * store's `_compaction_stamp` file and [[requireFreshBatch]] makes a
+    * stale replay fail loudly instead of corrupting the base
+    * (RobustnessSpec plants exactly that replay). The fold itself is the
+    * generalized [[compactStore]] seam, shared with the s32/s34/s35/s38
+    * stores (s40).
     */
   def s37CompactEdgeStore(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Unit = {
-    import org.apache.spark.sql.functions._
-    if (!pathExists(spark, s"$dir/edges")) return
-    // partition-column round trip: the batch_id dirs read back as INT —
-    // cast so the base stamp stays the written BIGINT domain. An existing
-    // but EMPTY store (all runs pruned) has no max — nothing to fold.
-    val maxRow = spark.read.parquet(s"$dir/edges")
-      .agg(max(col("batch_id").cast("long"))).head()
-    if (maxRow.isNullAt(0)) return
-    val maxBatch = maxRow.getLong(0)
-    // Fold all THREE tables: the folded view is materialized before each
-    // overwrite (a store cannot be rewritten while a lazy plan reads it).
-    def rewrite(folded: DataFrame, path: String): Unit = {
-      val base = folded.withColumn("batch_id", lit(maxBatch)).localCheckpoint()
-      base.write.mode("overwrite").partitionBy("batch_id").parquet(path)
-      spark.catalog.refreshByPath(path)
-    }
-    rewrite(s36DirectedEdges(spark, dir), s"$dir/edges")
-    rewrite(s36Vectors(spark, dir), s"$dir/vectors")
-    rewrite(s36Cells(spark, dir), s"$dir/cells")
-  }
+                          dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "edges"   -> (() => s36DirectedEdges(spark, dir)),
+      "vectors" -> (() => s36Vectors(spark, dir)),
+      "cells"   -> (() => s36Cells(spark, dir))))
 
   /** s38: streaming MAINTENANCE of the PQ code table — the last index
     * artifact without an ingest path (s35 = IVF assignment, s36 = graph
@@ -643,6 +1057,9 @@ object StreamOps {
     val cached = batch.persist()
     try {
       if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        requireFreshBatch(spark, dir, batchId, Seq("codes"))
+        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         Sim.pqAssignToCodebook(
             Sim.subVectorsOf(
               Sim.prepareVectors(cached).select("vec_id", "q")), cbook)
@@ -651,6 +1068,7 @@ object StreamOps {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$dir/codes")
+        spark.catalog.refreshByPath(s"$dir/codes")
       }
     } finally cached.unpersist()
   }
@@ -668,10 +1086,12 @@ object StreamOps {
     */
   def s38Codes(spark: org.apache.spark.sql.SparkSession,
                dir: String): DataFrame =
-    graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/codes"), s"$dir/codes",
-        "vec_id", "sub", "code", "dist2")
-      .select("vec_id", "sub", "code", "dist2").distinct()
+    antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/codes"), s"$dir/codes",
+          "vec_id", "sub", "code", "dist2")
+        .select("vec_id", "sub", "code", "dist2").distinct(),
+      spark, dir, "vec_id")
 
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s

@@ -268,6 +268,33 @@ class DedupSpec extends SparkSpec {
     assert(estPct == agree * 100L / 16)
   }
 
+  test("d32 retraction fold: glue-doc retraction SPLITS the cluster, min retraction re-elects the survivor, untouched clusters carry over") {
+    import spark.implicits._
+    // three directed shapes in one graph:
+    //  {1,2,3} chained through 2      → retracting 2 must split 1 | 3
+    //  {5,6} whose min label retracts → 6 must re-elect itself
+    //  {10,11,12,13}: 12 hangs off 11 → retracting 11 keeps {10,13}
+    //    (edge 10-13 survives) but orphans 12 — a PARTIAL split
+    //  {7} untouched singleton        → label carried over verbatim
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 10L, 11L, 12L, 13L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 13L)).toDF("d1", "d2")
+    val base = graft.queries.Dedup.clusterTableOf(docs, pairs).localCheckpoint()
+    assert(base.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    val got = graft.queries.Dedup
+      .retractionFold(docs, pairs, base, c => c.isin(2L, 5L, 11L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 3L -> 3L, 6L -> 6L, 7L -> 7L,
+      10L -> 10L, 12L -> 12L, 13L -> 10L))
+    // retracting nothing is the identity on the base table
+    val idem = graft.queries.Dedup
+      .retractionFold(docs, pairs, base, _ => org.apache.spark.sql.functions.lit(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(idem === base.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
   test("connectedComponents: chain contracts to one star on the min node") {
     import spark.implicits._
     // path 0-1-2-...-15 (diameter 15): plain min-propagation needs 15

@@ -1102,8 +1102,12 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.refreshByPath(s"$dir/chunks")
     assert(StreamOps.s34ChunkStore(spark, dir).count() === n,
       "a replayed batch must not grow the chunk store")
+    // the run keeps one row per (chunk, referrer) since r12 — the
+    // deletable reference relation — so the no-append key is
+    // (h, media_id, batch_id)
     val raw = spark.read.parquet(s"$dir/chunks")
-    assert(raw.count() === raw.select("h", "batch_id").distinct().count(),
+    assert(raw.count() ===
+        raw.select("h", "media_id", "batch_id").distinct().count(),
       "partition overwrite must replace the run, not append to it")
   }
 
@@ -1269,6 +1273,345 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.read.parquet(s"$dir/codes")
     assert(raw.count() === raw.select("vec_id", "sub", "batch_id").distinct().count(),
       "partition overwrite must replace the run, not append to it")
+  }
+
+  test("s39/s40 s32 store lifecycle: delete equals rebuild with survivor re-election; compaction folds; post-compact increments hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, min}
+    val dir = tmp("s39_s32")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s32UpsertIndexBatch(dir)(half1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(dir)(half2.toSeq.toDF("doc_id", "text"), 1L)
+    // plant an exact twin of a doc the delete rule will remove: the hash
+    // index must RE-ELECT the twin as that content's survivor (the case
+    // a min-collapsed run could never answer)
+    val victim = docs.find(_._1 % 7 == 3).get
+    val twinId = docs.map(_._1).max + 1000L
+    StreamOps.s32UpsertIndexBatch(dir)(
+      Seq((twinId, victim._2)).toDF("doc_id", "text"), 2L)
+    val dels = docs.map(_._1).filter(_ % 7 == 3)
+    assert(dels.nonEmpty)
+    StreamOps.s32DeleteBatch(dir)(dels.toSeq.toDF("doc_id"), 3L)
+    // d19's bar: post-delete store == batch rebuild over the LIVE corpus
+    val live = docs.filter(_._1 % 7 != 3) :+ ((twinId, victim._2))
+    val liveDf = live.toSeq.toDF("doc_id", "text").localCheckpoint()
+    def wantHash = liveDf
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    def checkRebuild(): Unit = {
+      val gotHash = StreamOps.s32HashIndex(spark, dir)
+      assert(gotHash.exceptAll(wantHash).isEmpty &&
+          wantHash.exceptAll(gotHash).isEmpty,
+        "post-delete hash index must equal the rebuild on the live corpus")
+      val wantBands = graft.queries.Dedup.bandTableOf(liveDf).distinct()
+      val gotBands = StreamOps.s32BandIndex(spark, dir)
+      assert(gotBands.exceptAll(wantBands).isEmpty &&
+          wantBands.exceptAll(gotBands).isEmpty,
+        "post-delete band index must equal the rebuild on the live corpus")
+    }
+    checkRebuild()
+    // the re-election pin: the victim's content hash now serves the
+    // minimum LIVE holder of that content (the planted twin, unless the
+    // corpus already carried a live exact dup with a smaller id)
+    val vth = Seq(victim._2).toDF("text")
+      .select(expr(graft.functions.TextHash.sparkHash56("text")).as("th"))
+      .head().getLong(0)
+    val expectedSurvivor = live.filter(_._2 == victim._2).map(_._1).min
+    assert(StreamOps.s32HashIndex(spark, dir)
+        .filter(col("th") === vth).head().getLong(1) === expectedSurvivor,
+      "deleting the elected survivor must promote the next live holder")
+    // delete replay is a fixpoint
+    StreamOps.s32DeleteBatch(dir)(dels.toSeq.toDF("doc_id"), 3L)
+    checkRebuild()
+    // s40: compaction folds every table (incl. tombstones) to ONE base run
+    // and leaves the served view untouched
+    StreamOps.s32CompactStore(spark, dir)
+    Seq("hash56", "bands", "deleted").foreach { t =>
+      val stamps = spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count()
+      assert(stamps === 1, s"compaction must fold $t to ONE run (got $stamps)")
+    }
+    assert(StreamOps.readCompactionStamp(spark, dir) === Some(3L))
+    checkRebuild()
+    // increments on top of the compacted base still equal the rebuild
+    val fresh = (1 to 3).map(i => (twinId + i, s"fresh post compact text $i"))
+    StreamOps.s32UpsertIndexBatch(dir)(fresh.toDF("doc_id", "text"), 4L)
+    val live2 = liveDf.unionByName(fresh.toDF("doc_id", "text"))
+    val want2 = live2
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    val got2 = StreamOps.s32HashIndex(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "post-compaction increments must still equal the rebuild")
+    // deletes are FINAL (and survive compaction): re-ingesting loud-fails
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.s32UpsertIndexBatch(dir)(
+        Seq((dels.head, "resurrected")).toDF("doc_id", "text"), 5L)
+    }
+    assert(ex.getMessage.contains("deleted"))
+    // s41: a replay from BEFORE the compaction stamp fails loudly instead
+    // of resurrecting a folded run
+    val stale = intercept[IllegalArgumentException] {
+      StreamOps.s32UpsertIndexBatch(dir)(
+        Seq((twinId + 9, "stale replay")).toDF("doc_id", "text"), 2L)
+    }
+    assert(stale.getMessage.contains("compacted"))
+  }
+
+  test("s39/s40 s34 chunk-store lifecycle: delete re-elects owners and GCs orphan chunks; compaction folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val dir = tmp("s39_s34")
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (half1, half2) = media.partition(_._1 % 2 == 0)
+    StreamOps.s34UpsertChunkBatch(dir)(half1.toSeq.toDF("media_id", "payload"), 0L)
+    StreamOps.s34UpsertChunkBatch(dir)(half2.toSeq.toDF("media_id", "payload"), 1L)
+    val dels = media.map(_._1).filter(_ % 7 == 3)
+    assert(dels.nonEmpty)
+    StreamOps.s34DeleteBatch(dir)(dels.toSeq.toDF("media_id"), 2L)
+    val liveDf = media.filter(_._1 % 7 != 3).toSeq
+      .toDF("media_id", "payload").localCheckpoint()
+    def want = graft.operators.Multimodal.chunkTableOf(liveDf)
+      .select("h", "media_id", "nb").distinct()
+      .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
+    def checkRebuild(): Unit = {
+      val got = StreamOps.s34ChunkStore(spark, dir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "post-delete chunk store must equal the rebuild on the live media")
+    }
+    checkRebuild()
+    // the GC pin: a chunk whose every referrer is deleted must vanish
+    val before = graft.operators.Multimodal.chunkTableOf(
+        media.toSeq.toDF("media_id", "payload"))
+      .select("h", "media_id", "nb").distinct()
+      .groupBy("h").agg(min("media_id").as("owner"))
+    val gone = before.join(want, Seq("h"), "left_anti").count()
+    assert(gone > 0, "fixture must exercise orphan-chunk GC")
+    // delete replay is a fixpoint; compaction folds; stamp recorded
+    StreamOps.s34DeleteBatch(dir)(dels.toSeq.toDF("media_id"), 2L)
+    StreamOps.s34CompactStore(spark, dir)
+    Seq("chunks", "deleted").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    checkRebuild()
+    intercept[IllegalArgumentException] {
+      StreamOps.s34UpsertChunkBatch(dir)(
+        Seq((dels.head, media.head._2)).toDF("media_id", "payload"), 4L)
+    }
+  }
+
+  test("s39/s40 s35 assignment lifecycle: delete equals rebuild; compaction folds; increments hold") {
+    import spark.implicits._
+    val dir = tmp("s39_s35")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    val dels = vecs.map(_._1).filter(_ % 5 == 1)
+    assert(dels.nonEmpty)
+    StreamOps.s35DeleteBatch(dir)(dels.toSeq.toDF("vec_id"), 2L)
+    val liveDf = vecs.filter(_._1 % 5 != 1).toSeq
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val want = graft.queries.Similarity.assignToCentroids(
+        graft.queries.Similarity.prepareVectors(liveDf), cents)
+      .select("vec_id", "cid", "ccos")
+    def checkRebuild(): Unit = {
+      val got = StreamOps.s35Assignment(spark, dir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "post-delete assignment must equal the rebuild on the live vectors")
+    }
+    checkRebuild()
+    StreamOps.s35DeleteBatch(dir)(dels.toSeq.toDF("vec_id"), 2L)
+    StreamOps.s35CompactStore(spark, dir)
+    Seq("assigned", "deleted").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    checkRebuild()
+    intercept[IllegalArgumentException] {
+      StreamOps.s35UpsertIvfBatch(cents, dir)(
+        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
+    }
+  }
+
+  test("s39/s40 s38 PQ-code lifecycle: delete equals rebuild; compaction folds") {
+    import spark.implicits._
+    val dir = tmp("s39_s38")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cbook = graft.queries.Similarity.pqCodebook(spark, sf)
+      .localCheckpoint()
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    StreamOps.s38UpsertPqBatch(cbook, dir)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s38UpsertPqBatch(cbook, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    val dels = vecs.map(_._1).filter(_ % 5 == 1)
+    StreamOps.s38DeleteBatch(dir)(dels.toSeq.toDF("vec_id"), 2L)
+    val liveDf = vecs.filter(_._1 % 5 != 1).toSeq
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val Sim = graft.queries.Similarity
+    val want = Sim.pqAssignToCodebook(
+        Sim.subVectorsOf(Sim.prepareVectors(liveDf).select("vec_id", "q")),
+        cbook)
+      .select("vec_id", "sub", "code", "dist2")
+    def checkRebuild(): Unit = {
+      val got = StreamOps.s38Codes(spark, dir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "post-delete code table must equal the rebuild on the live vectors")
+    }
+    checkRebuild()
+    StreamOps.s38CompactStore(spark, dir)
+    Seq("codes", "deleted").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    checkRebuild()
+    intercept[IllegalArgumentException] {
+      StreamOps.s38UpsertPqBatch(cbook, dir)(
+        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
+    }
+  }
+
+  test("s39 s36 graph-store delete: tombstone + bounded re-rank equals the full rebuild; serving, replay, compaction and increments hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Sim = graft.queries.Similarity
+    val dir = tmp("s39_s36")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    val dels = vecs.map(_._1).filter(_ % 5 == 1)
+    assert(dels.nonEmpty)
+    // the fixture must exercise the HARD path: live srcs whose stored
+    // top-k lists name a soon-deleted dst (list refill, not just filters)
+    val hitLists = StreamOps.s36DirectedEdges(spark, dir)
+      .filter(col("dst").isin(dels: _*) && !col("src").isin(dels: _*))
+      .count()
+    assert(hitLists > 0, "fixture must exercise the re-rank path")
+    StreamOps.s36DeleteBatch(dir)(dels.toSeq.toDF("vec_id"), 2L)
+    // rebuild over the LIVE corpus with the ORIGINAL codebook (deletes
+    // never retrain; a deleted seed keeps its cell — the fixed-codebook
+    // contract)
+    def livePrep(rows: Seq[(Long, Array[Float])]) =
+      Sim.prepareVectors(rows.toDF("vec_id", "embedding"))
+        .select("vec_id", "q", "nrm")
+    val liveRows = vecs.filter(_._1 % 5 != 1).toSeq
+    val rebuilt = Sim.symmetrize(
+      Sim.directedTopKOf(livePrep(liveRows), cents)).localCheckpoint()
+    val maintained = StreamOps.s36Adjacency(spark, dir).localCheckpoint()
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+      "post-delete adjacency must equal the rebuild on the live corpus")
+    // serving: the batched walk over the post-delete store == the walk
+    // over the rebuilt reduced graph
+    val served = Sim.batchedWalkOver(spark, sf, maintained).collect()
+      .map(_.toSeq.map(String.valueOf))
+    val rebuiltWalk = Sim.batchedWalkOver(spark, sf, rebuilt).collect()
+      .map(_.toSeq.map(String.valueOf))
+    assert(served.toSeq === rebuiltWalk.toSeq,
+      "serving from the post-delete store must equal the rebuilt graph")
+    // delete replay is a fixpoint (the re-ranked lists no longer name a
+    // deleted dst, so the affected set is empty on redelivery)
+    StreamOps.s36DeleteBatch(dir)(dels.toSeq.toDF("vec_id"), 2L)
+    val replayed = StreamOps.s36Adjacency(spark, dir)
+    assert(replayed.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(replayed).isEmpty,
+      "a replayed delete must leave the store unchanged")
+    // compaction after deletes: layout folds, served view intact
+    StreamOps.s37CompactEdgeStore(spark, dir)
+    Seq("edges", "vectors", "cells", "deleted").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    val compacted = StreamOps.s36Adjacency(spark, dir)
+    assert(compacted.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(compacted).isEmpty,
+      "compaction must not change the served adjacency")
+    // increments on top of the post-delete, compacted store: fresh ids ==
+    // rebuild over live + fresh
+    val extra = vecs.filter(_._1 % 5 == 1).take(5)
+      .map { case (id, e) => (id + 100000L, e) }.toSeq
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      extra.toDF("vec_id", "embedding"), 3L)
+    val rebuilt2 = Sim.symmetrize(
+      Sim.directedTopKOf(livePrep(liveRows ++ extra), cents))
+    val maintained2 = StreamOps.s36Adjacency(spark, dir)
+    assert(maintained2.exceptAll(rebuilt2).isEmpty &&
+        rebuilt2.exceptAll(maintained2).isEmpty,
+      "post-delete increments must still equal the rebuild")
+    // deletes are final; live embeddings are immutable — both loud-fail
+    val exDel = intercept[IllegalArgumentException] {
+      StreamOps.s36UpsertGraphBatch(cents, dir)(
+        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
+    }
+    assert(exDel.getMessage.contains("deleted"))
+    val exDup = intercept[IllegalArgumentException] {
+      StreamOps.s36UpsertGraphBatch(cents, dir)(
+        Seq((liveRows.head._1, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
+    }
+    assert(exDup.getMessage.contains("append-only"))
+  }
+
+  test("s41 replay fence: batch ids are one monotone sequence; cross-kind reuse and stale replays refuse loudly") {
+    import spark.implicits._
+    val dir = tmp("s41_fence")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    def part(m: Long) = vecs.filter(_._1 % 4 == m).toSeq
+      .toDF("vec_id", "embedding")
+    def up(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamOps.s35UpsertIvfBatch(cents, dir)(df, id)
+    up(part(0), 0L); up(part(1), 1L)
+    // out-of-order id: refused (would clobber batch 0's partition)
+    val mono = intercept[IllegalArgumentException] { up(part(2), 0L) }
+    assert(mono.getMessage.contains("monotone"))
+    // replay of the LAST batch: allowed (foreachBatch redelivery)
+    up(part(1), 1L)
+    // a delete may not reuse an upsert's id (same-id equality must be the
+    // same KIND of fold); deleted ids come from the never-upserted part(3)
+    // class so the final increment below stays admissible
+    val delIds = vecs.map(_._1).filter(_ % 4 == 3).take(3).toSeq
+    val kind = intercept[IllegalArgumentException] {
+      StreamOps.s35DeleteBatch(dir)(delIds.toDF("vec_id"), 1L)
+    }
+    assert(kind.getMessage.contains("may not reuse"))
+    StreamOps.s35DeleteBatch(dir)(delIds.toDF("vec_id"), 2L)
+    // ...and an upsert may not reuse a delete's id
+    val kind2 = intercept[IllegalArgumentException] { up(part(2), 2L) }
+    assert(kind2.getMessage.contains("may not reuse"))
+    // delete replay at its own id: allowed
+    StreamOps.s35DeleteBatch(dir)(delIds.toDF("vec_id"), 2L)
+    // stale replay after compaction: refused with the stamp named
+    StreamOps.s35CompactStore(spark, dir)
+    val stale = intercept[IllegalArgumentException] { up(part(2), 2L) }
+    assert(stale.getMessage.contains("compacted through batch 2"))
+    up(part(2), 3L) // fresh id past the stamp proceeds
   }
 
   test("s26 dedup→window chain counts each redelivered event_id exactly once") {
