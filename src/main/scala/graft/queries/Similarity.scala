@@ -571,6 +571,54 @@ object Similarity {
       .orderBy(col("query_id").asc, col("cos").desc, col("vec_id").asc)
   }
 
+  /** Pseudo-ingest slices of the n30 drift report. */
+  val IvfMonitorBatches = 4
+
+  /** n30: CODEBOOK-DRIFT report — the staleness monitor the streaming
+    * assignment jobs were missing (r11 verdict item 5): s35/s36/s38
+    * assign against a FIXED broadcast codebook forever, and after corpus
+    * drift the lists skew and recall decays silently (n03/n17 profile the
+    * BUILD side only). Per ingest slice (deterministic vec_id %
+    * [[IvfMonitorBatches]] pseudo-batches — the oracle-able stand-in for
+    * batch_id), the report an operator trends before scheduling an n27
+    * retrain: vectors assigned, the summed and mean best-centroid integer
+    * dot (the quality signal — INTEGER dot, not an L2 double mean, so the
+    * trend is engine-exact), the largest inverted-list size with its skew
+    * in basis points of the uniform share, and the slice's mean-dot drift
+    * vs the whole-corpus build baseline in bp. The streaming twin (s42)
+    * reads the same numbers per REAL batch from the maintained s35 store;
+    * the retrain handoff it feeds is pinned in StreamingSpec
+    * (n27-retrained centroids → stream-maintained == batch re-assignment).
+    *
+    * Scale shapes: one assignment pass (the shared [[ivfAssigned]], a
+    * broadcast of 16 centroids + partial-agg argmax), one broadcast join
+    * back to the centroid table for the exact dot, then two partial-agg
+    * groupBys over ≤ batches×centroids keys and a one-row baseline
+    * broadcast — nothing shuffles wider than the assignment itself.
+    */
+  val n30CodebookDrift: Q = (s, d) => {
+    val cd = ivfAssigned(s, d)
+      .join(broadcast(ivfCentroids(s, d).select(col("cid"), col("cq"))),
+        Seq("cid"))
+      .select(col("vec_id"),
+        (col("vec_id") % IvfMonitorBatches).cast("int").as("batch"),
+        col("cid"), expr(dot("q", "cq")).as("cdot"))
+      .cache()
+    val per = cd.groupBy("batch")
+      .agg(count(lit(1)).as("n_vecs"), sum("cdot").as("sum_cdot"))
+    val skew = cd.groupBy("batch", "cid").agg(count(lit(1)).as("sz"))
+      .groupBy("batch").agg(max("sz").as("max_list"))
+    val base = cd.agg(expr("sum(cdot) div count(1)").as("base_mean"))
+    per.join(skew, Seq("batch"))
+      .crossJoin(broadcast(base))
+      .select(col("batch"), col("n_vecs"), col("sum_cdot"),
+        expr("sum_cdot div n_vecs").as("mean_cdot"),
+        col("max_list"),
+        expr(s"max_list * $NumCentroids * 10000 div n_vecs").as("skew_bp"),
+        expr("(sum_cdot div n_vecs) * 10000 div base_mean").as("drift_bp"))
+      .orderBy("batch")
+  }
+
   /** Lloyd iterations n27 unrolls. */
   val KmeansRounds = 2
 
@@ -598,8 +646,13 @@ object Similarity {
     * an equi-join of two vec_id-keyed assignment tables. R rounds = R
     * linear scans of the cached corpus — the textbook Lloyd cost.
     */
-  val n27KmeansIter: Q = (s, d) => {
-    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+  /** The unrolled Lloyd loop over a prepared (vec_id, q, nrm) corpus —
+    * n27's body, factored to also return the RETRAINED centroids so the
+    * staleness-monitor handoff (n30/s42) can pin retrain → re-assign ==
+    * fresh build (n27∘n02 composition) without re-spelling a single step.
+    * Returns (final centroids (cid, cq), per-round convergence report).
+    */
+  private[graft] def kmeansLoop(v: DataFrame): (DataFrame, DataFrame) = {
     def withNorm(c: DataFrame): DataFrame =
       c.withColumn("cnrm", expr("vec_dot(cq, cq)"))
     def assign(cents: DataFrame): DataFrame =
@@ -648,7 +701,28 @@ object Similarity {
       cents = update(a, cents).localCheckpoint()
       prevAssign = a
     }
-    reports.reduce(_.unionByName(_)).orderBy("round")
+    (cents, reports.reduce(_.unionByName(_)))
+  }
+
+  val n27KmeansIter: Q = (s, d) => {
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    kmeansLoop(v)._2.orderBy("round")
+  }
+
+  /** The n27-retrained codebook in [[ivfCentroids]]' (cid, cq, cnrm)
+    * schema — what the retrain handoff hands BACK to the s35/s36/s38
+    * maintainers once the n30/s42 drift trend crosses the operator's
+    * threshold. StreamingSpec pins that a maintainer running on these
+    * centroids equals the batch re-assignment with them.
+    */
+  private[graft] def retrainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val v = prepared(s, d).select("vec_id", "q", "nrm").cache()
+    val cents = kmeansLoop(v)._1
+      .withColumn("cnrm", expr(dot("cq", "cq")))
+      .select("cid", "cq", "cnrm")
+      .localCheckpoint()
+    v.unpersist()
+    cents
   }
 
   /** n13: mutual-kNN graph — edges (a, b) where EACH is in the other's
@@ -1751,6 +1825,7 @@ object Similarity {
     "n25_index_persist"  -> n25IndexPersist,
     "n26_graph_serve"    -> n26GraphServe,
     "n27_kmeans_iter"    -> n27KmeansIter,
+    "n30_codebook_drift" -> n30CodebookDrift,
     "n28_ondemand_beam"  -> n28OndemandBeam,
     "n29_pq_persist"     -> n29PqPersist,
     "n14_ivf_nprobe"     -> n14IvfNprobe,
@@ -2470,6 +2545,34 @@ object Similarity {
          |  WHERE a.vec_id <> 0)
          |SELECT vec_id, cid, dot, cos FROM sel
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    // n30: the window-argmax assignment CTE (n02's oracle spelling), the
+    // exact integer best-centroid dot re-derived from the centroid table,
+    // then the same two metadata-scale aggregations; all divisions are
+    // truncating on both engines (operands can be negative — div and //
+    // agree toward zero).
+    "n30_codebook_drift" ->
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |cd AS (
+         |  SELECT a.vec_id, CAST(a.vec_id % $IvfMonitorBatches AS INT) AS batch,
+         |         a.cid, ${duckDot("a.q", "c.cq")} AS cdot
+         |  FROM assigned a JOIN cents c ON c.cid = a.cid),
+         |per AS (
+         |  SELECT batch, COUNT(1) AS n_vecs, CAST(SUM(cdot) AS BIGINT) AS sum_cdot
+         |  FROM cd GROUP BY batch),
+         |skew AS (
+         |  SELECT batch, MAX(sz) AS max_list FROM (
+         |    SELECT batch, cid, COUNT(1) AS sz FROM cd GROUP BY batch, cid)
+         |  GROUP BY batch),
+         |base AS (
+         |  SELECT CAST(SUM(cdot) AS BIGINT) // COUNT(1) AS base_mean FROM cd)
+         |SELECT batch, n_vecs, sum_cdot,
+         |       sum_cdot // n_vecs AS mean_cdot,
+         |       max_list,
+         |       max_list * $NumCentroids * 10000 // n_vecs AS skew_bp,
+         |       (sum_cdot // n_vecs) * 10000 // base_mean AS drift_bp
+         |FROM per JOIN skew USING (batch), base
+         |ORDER BY batch""".stripMargin,
     "n02_ann_ivf" ->
       s"""WITH $duckPrep,
          |$duckAssigned,

@@ -1655,7 +1655,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t44: MAIN-CONTENT extraction (boilerplate removal) — the clean-text
+    * step the crawl→clean chain was missing (t32 PROFILES markup density;
+    * nothing extracted): the line/block rule of CCNet/trafilatura-lite,
+    * keep a line iff it has enough words AND is not link-dominated. The
+    * corpus is single-line, so documents are first re-rendered as
+    * [[LineTokens]]-token lines with boilerplate planted deterministically
+    * by (doc_id + line) % 7 — a 3-link nav bar at 4, a sub-3-word cookie
+    * stub at 5 (t32/t15's fixture-decoration discipline) — and the
+    * extractor then reads ONLY the rendered lines: word count =
+    * non-empty tokens, link count = a `](`-markdown-anchor regex, keep
+    * iff words ≥ 3 and 1000·links < 500·words (integer cross-multiply, no
+    * division). Emits per doc the kept/dropped line counts, kept word
+    * count and the md5 of the kept text — the hash match proves the two
+    * engines extracted the SAME lines, not just the same counts. The
+    * oracle re-renders and re-extracts with DuckDB's own list/regex
+    * kernels (t32's discipline: an independent spelling of the rule, not
+    * a re-export of the planting shortcut). Everything is per-row
+    * array/string work — embarrassingly parallel, zero shuffle before
+    * the final total-order sort, flat at 100 TB.
+    */
+  val t44ContentExtract: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_lines",
+        expr(s"cast((size(toks) + $LineTokens - 1) div $LineTokens as int)"))
+      .withColumn("lines", expr(
+        s"""transform(sequence(0, (size(toks) + $LineTokens - 1) div $LineTokens - 1),
+           |  i -> CASE cast((doc_id + i) % 7 as int)
+           |    WHEN 4 THEN '[home](/home) [about](/about) [contact](/contact)'
+           |    WHEN 5 THEN array_join(slice(toks, cast(i * $LineTokens + 1 as int), 2), ' ')
+           |    ELSE array_join(slice(toks, cast(i * $LineTokens + 1 as int), $LineTokens), ' ')
+           |  END)""".stripMargin))
+      .withColumn("kept", expr(
+        """filter(lines, l ->
+          |  size(filter(split(l, ' '), x -> x <> '')) >= 3 AND
+          |  1000 * regexp_count(l, '\\]\\(') <
+          |    500 * size(filter(split(l, ' '), x -> x <> '')))""".stripMargin))
+      .select(col("doc_id"), col("n_lines"),
+        expr("cast(size(kept) as int)").as("n_kept"),
+        expr("cast(n_lines - size(kept) as int)").as("n_dropped"),
+        expr("aggregate(kept, cast(0 as bigint), (a, l) -> " +
+          "a + size(filter(split(l, ' '), x -> x <> '')))").as("kept_tokens"),
+        md5(expr("array_join(kept, chr(10))")).as("kept_hash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "t44_content_extract" -> t44ContentExtract,
     "t43_temperature_mix" -> t43TemperatureMix,
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
@@ -1726,6 +1772,36 @@ object TextOps {
        |FROM ($duckGopherInner)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t44: independent DuckDB spelling of the SAME render + extraction
+    // rule (list/regex kernels, non-empty-word counts, integer
+    // cross-multiplied link density) — the kept_hash match proves both
+    // engines kept the identical lines.
+    "t44_content_extract" ->
+      s"""WITH r AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |md AS (
+         |  SELECT doc_id,
+         |         CAST((len(tk) + $LineTokens - 1) // $LineTokens AS INT) AS n_lines,
+         |         list_transform(generate_series(0, (len(tk) + $LineTokens - 1) // $LineTokens - 1),
+         |           i -> CASE CAST((doc_id + i) % 7 AS INT)
+         |                  WHEN 4 THEN '[home](/home) [about](/about) [contact](/contact)'
+         |                  WHEN 5 THEN array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + 2), ' ')
+         |                  ELSE array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + $LineTokens), ' ')
+         |                END) AS lines
+         |  FROM r),
+         |ext AS (
+         |  SELECT doc_id, n_lines,
+         |         list_filter(lines, l ->
+         |           len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3 AND
+         |           1000 * len(regexp_extract_all(l, '[]][(]')) <
+         |             500 * len(list_filter(string_split(l, ' '), x -> x <> ''))) AS kept
+         |  FROM md)
+         |SELECT doc_id, n_lines,
+         |       CAST(len(kept) AS INT) AS n_kept,
+         |       CAST(n_lines - len(kept) AS INT) AS n_dropped,
+         |       CAST(coalesce(list_sum(list_transform(kept,
+         |         l -> len(list_filter(string_split(l, ' '), x -> x <> '')))), 0) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_hash
+         |FROM ext ORDER BY doc_id""".stripMargin,
     // t43: the identical left-to-right integer algebra (// == div for
     // these all-positive operands), the identical floor(sqrt(double))
     // weight (IEEE sqrt is correctly rounded, inputs < 2^53 — same bits

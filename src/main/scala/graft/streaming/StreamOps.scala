@@ -1035,6 +1035,50 @@ object StreamOps {
       "vectors" -> (() => s36Vectors(spark, dir)),
       "cells"   -> (() => s36Cells(spark, dir))))
 
+  /** s42: codebook-staleness monitor over the MAINTAINED s35 store — the
+    * operational twin of the oracle-checked n30 drift report: s35/s36/s38
+    * assign against a FIXED broadcast codebook forever, so after corpus
+    * drift the inverted lists skew and recall decays with no error
+    * anywhere; this reads the per-batch runs BACK (batch_id is the real
+    * ingest slice — n30 uses a deterministic pseudo-slice so DuckDB can
+    * oracle the machinery) and trends, per batch: vectors assigned, mean
+    * best-centroid cosine, the largest list with its skew in bp of the
+    * uniform share, and the batch mean's ratio to the BUILD baseline the
+    * caller passes (one row, the batch build's own avg ccos). Tombstoned
+    * vectors are excluded — a GDPR-deleted vector must not keep dragging
+    * the trend. When the trend crosses the operator's threshold, the
+    * handoff is n27's retrain: StreamingSpec pins that a maintainer
+    * running on [[graft.queries.Similarity.retrainedCentroids]] equals
+    * the batch re-assignment with them (n27∘n02 through the streaming
+    * seam). Cost: two partial-agg groupBys over the assignment store —
+    * metadata-scale outputs, nothing corpus-wide but the store scan.
+    */
+  def s42AssignmentQuality(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val live = antiDeleted(
+      graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
+          "vec_id", "cid", "ccos", "batch_id")
+        .select(col("vec_id"), col("cid"), col("ccos"),
+          col("batch_id").cast("long").as("batch_id"))
+        .distinct(),
+      spark, dir, "vec_id")
+    val per = live.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_vecs"), avg("ccos").as("mean_ccos"))
+    val skew = live.groupBy("batch_id", "cid").agg(count(lit(1)).as("sz"))
+      .groupBy("batch_id").agg(max("sz").as("max_list"))
+    per.join(skew, Seq("batch_id"))
+      .crossJoin(broadcast(
+        baseline.select(col(baseline.columns.head).as("base_ccos"))))
+      .select(col("batch_id"), col("n_vecs"), col("mean_ccos"),
+        col("max_list"),
+        expr(s"max_list * ${graft.queries.Similarity.NumCentroids} * 10000 div n_vecs")
+          .as("skew_bp"),
+        (col("mean_ccos") / col("base_ccos")).as("drift_ratio"))
+      .orderBy("batch_id")
+  }
+
   /** s38: streaming MAINTENANCE of the PQ code table — the last index
     * artifact without an ingest path (s35 = IVF assignment, s36 = graph
     * adjacency; n29 persists the codes, n06/n07/n10/n20/n21 probe them):

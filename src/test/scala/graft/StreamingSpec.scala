@@ -1575,6 +1575,58 @@ class StreamingSpec extends SparkSpec {
     assert(exDup.getMessage.contains("append-only"))
   }
 
+  test("s42 codebook-staleness monitor: a drifted batch trends below the build baseline; retrained-codebook handoff equals the batch re-assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.avg
+    val Sim = graft.queries.Similarity
+    val dir = tmp("s42_idx")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    // batch 0: healthy ingest; batch 1: DRIFTED ingest (negated embeddings
+    // — deterministic, maximally out-of-distribution for the codebook)
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      half2.map { case (id, e) => (id, e.map(-_)) }.toSeq
+        .toDF("vec_id", "embedding"), 1L)
+    val baseline = Sim.assignToCentroids(
+        Sim.prepareVectors(vecs.toSeq.toDF("vec_id", "embedding")), cents)
+      .agg(avg("ccos").as("base_ccos"))
+    val rep = StreamOps.s42AssignmentQuality(spark, dir, baseline)
+      .collect().map(r => (r.getLong(0),
+        r.getDouble(2), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rep.map(_._1).toSeq === Seq(0L, 1L))
+    val Array((_, healthyCcos, healthySkew, healthyRatio),
+              (_, driftCcos, _, driftRatio)) = rep
+    assert(driftCcos < healthyCcos,
+      "the drifted batch's mean assignment quality must trend BELOW healthy")
+    // measured: healthy ≈ 0.996 of baseline, negated ≈ 0.88 — best-of-16
+    // still finds a positive centroid for a negated vector, so the signal
+    // is a clear RATIO GAP, not a sign flip; pin the gap with slack
+    assert(driftRatio < healthyRatio - 0.05,
+      s"drift ratio $driftRatio must separate from healthy $healthyRatio")
+    assert(healthySkew >= 10000,
+      "max list is never below the uniform share")
+    // the retrain HANDOFF: n27's retrained codebook slots into the SAME
+    // maintainer, and the maintained store equals the batch re-assignment
+    // with the retrained centroids (n27∘n02 through the streaming seam)
+    val rc = Sim.retrainedCentroids(spark, sf)
+    val dir2 = tmp("s42_retrained")
+    StreamOps.s35UpsertIvfBatch(rc, dir2)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s35UpsertIvfBatch(rc, dir2)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    val want = Sim.assignToCentroids(
+        Sim.prepareVectors(vecs.toSeq.toDF("vec_id", "embedding")), rc)
+      .select("vec_id", "cid", "ccos")
+    val got = StreamOps.s35Assignment(spark, dir2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "maintained-on-retrained must equal the batch re-assignment")
+  }
+
   test("s41 replay fence: batch ids are one monotone sequence; cross-kind reuse and stale replays refuse loudly") {
     import spark.implicits._
     val dir = tmp("s41_fence")
