@@ -92,6 +92,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Canary-normalized total (round-11 verdict item 7): the SAME code
+    // measured 139.7 s on a quiet box and 168.3 s on a loaded one, and
+    // adjudicating the phantom regressions cost a judge re-bench two
+    // rounds running. Normalize by the run's mean canary relative to the
+    // recorded quiet-box reference so cross-box totals compare directly:
+    // value_canary_norm = total / (mean_canary / CANARY_REF). The
+    // reference is the documented quiet-box midpoint of the fixed
+    // workload (~0.09-0.12 s at any thread count — see cpuCanary).
+    val CanaryRef = 0.105
+    val allCanaries = (canaryPre +: canarySamples.toSeq.map(_._2)) :+ canaryPost
+    val canaryMean = allCanaries.sum / allCanaries.size
+    val totalNorm = if (canaryMean > 0) total * CanaryRef / canaryMean else total
     // Box-load timeline: pre, one sample per 50 queries, post — keyed by
     // how many queries had completed when the sample ran.
     val canariesJson = ((0, canaryPre) +: canarySamples.toSeq :+
@@ -99,7 +111,7 @@ object Bench {
       .map { case (at, v) => s"""{"after_queries":$at,"sec":$v}""" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_canary_norm":$totalNorm,"canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -141,7 +153,7 @@ object Bench {
     // only min(pre, post) hid that r07 STARTED 2.2x loaded — a reader of
     // the driver artifact saw "quiet box" attached to a noisy total.
     def line(n: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_canary_norm":${fmt(totalNorm)},"sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)

@@ -1186,11 +1186,37 @@ object Similarity {
     * PlanSpec's planOf(n25) triggers the write while SimilaritySpec or
     * Verify reads the same store), so the root is keyed by the session's
     * applicationId; a conf override (`graft.ann.store.dir`) points a
-    * deployment at its lake path instead.
+    * deployment at its lake path instead. The default root is registered
+    * for deletion when the application ends (advice r11: repeated
+    * Verify/Bench/test sessions accumulated unbounded per-run stores
+    * under target/) — deletion on OUR OWN stop rather than a startup
+    * sweep of siblings, because two live sessions share this cwd and a
+    * sweep would yank a concurrent run's store out from under it. A
+    * hard-killed JVM still leaks its one root; the conf override is
+    * never touched.
     */
+  private val annStoreCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteLocalDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteLocalDir))
+    f.delete(): Unit
+  }
+
   private[graft] def annStoreRoot(s: SparkSession): String =
-    s.conf.getOption("graft.ann.store.dir")
-      .getOrElse(s"target/ann_store_${s.sparkContext.applicationId}")
+    s.conf.getOption("graft.ann.store.dir").getOrElse {
+      val appId = s.sparkContext.applicationId
+      val root = s"target/ann_store_$appId"
+      if (annStoreCleanupRegistered.add(appId)) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            // plain java.io: the Hadoop FS may already be shut down here
+            deleteLocalDir(new java.io.File(root))
+        })
+      }
+      root
+    }
 
   val n25IndexPersist: Q = (s, d) => {
     val out = s"${annStoreRoot(s)}/ann_index_store"

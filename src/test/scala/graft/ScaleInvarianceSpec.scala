@@ -108,6 +108,51 @@ class ScaleInvarianceSpec extends SparkSpec {
     assert(found > 0 && found <= cand && found <= truth)
   }
 
+  test("n28 on-demand serving walk at sf0.1: identical report to n24's full-score walk (by construction — assert it at 10x)") {
+    // both walks visit the same nodes in the same order and compute the
+    // same IEEE doubles; only the SCORING ACCESS PATH differs (per-hop
+    // broadcast point fetch vs the precomputed batch×corpus table), so
+    // the reports must be row-for-row equal at any scale
+    val full = graft.queries.Similarity.n24BatchedBeam(spark, sf01)
+      .collect().map(_.toSeq.map(String.valueOf))
+    val ondemand = graft.queries.Similarity.n28OndemandBeam(spark, sf01)
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(ondemand.toSeq === full.toSeq,
+      "the serving-contract walk must equal the full-score walk at sf0.1")
+  }
+
+  test("n29 persisted PQ index at sf0.1: served from the written tables equals the in-session build") {
+    val built = graft.queries.Similarity.n20Ivfpq(spark, sf01)
+      .collect().map(_.toSeq.map(String.valueOf))
+    val served = graft.queries.Similarity.n29PqPersist(spark, sf01)
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(served.toSeq === built.toSeq,
+      "the persisted round trip must be lossless at sf0.1")
+  }
+
+  test("t43 temperature mix at sf0.1: achieved tracks target within binomial tolerance; gate algebra stays sane") {
+    // measured at sf0.1: 5 sources, rate 437k-646k ppm, achieved/target
+    // within ~2% per source — pin a generous 15% band (hash gating is
+    // binomial over thousands of docs; a broken gate misses by far more)
+    val rows = graft.queries.TextOps.t43TemperatureMix(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.length >= 2, "the mixture needs several sources to mean anything")
+    rows.foreach { case (src, raw, target, ppm, keptDocs, keptToks) =>
+      assert(ppm >= 0 && ppm <= 1000000, s"$src: rate $ppm out of range")
+      assert(keptToks <= raw, s"$src: kept tokens must not exceed supply")
+      assert(target <= raw, s"$src: target is capped at the source's supply")
+      if (ppm == 1000000)
+        assert(keptToks === raw, s"$src: a fully-open gate keeps everything")
+      else {
+        assert(keptDocs > 0, s"$src: a nonzero rate must keep some docs at 10x")
+        val dev = math.abs(keptToks - target).toDouble / target
+        assert(dev <= 0.15,
+          s"$src: achieved $keptToks vs target $target deviates ${dev * 100}%")
+      }
+    }
+  }
+
   test("p08 split leakage at sf0.1: near-dup leakage dominates exact; rates stay plausible") {
     // measured at sf0.1: test 3 exact / 44 near (59/878 bp),
     //                    val  0 exact / 37 near (0/756 bp)
