@@ -1035,6 +1035,190 @@ object StreamOps {
       "vectors" -> (() => s36Vectors(spark, dir)),
       "cells"   -> (() => s36Cells(spark, dir))))
 
+  /** s43: streaming maintenance of the persisted dedup CLUSTER store —
+    * the fourth derived artifact brought to full lifecycle parity (the
+    * ANN families got build→persist→maintain→compact across r10–r12; the
+    * cluster table was still an in-JVM memo + two query-shaped
+    * incrementals, d19 for edge additions and d32 for retractions). The
+    * store composes s32's maintained hash/band index with a `labels/`
+    * table of per-batch (doc_id, cluster) runs, served latest-per-doc
+    * with tombstone filtering ([[s43Clusters]]).
+    *
+    * INSERT fold (d19's min-label merge algebra, made replay-safe):
+    *  1. the s32 fold lands the batch's hash/band runs (fence + deleted
+    *     guard included); the label fold then reads the batch's band run
+    *     BACK from the store — the fold clusters on exactly the keys the
+    *     index serves, never a re-derivation;
+    *  2. candidate pairs touching the batch: batch bands ⋈ the FULL band
+    *     index (both directions — an old doc meets the new ones and every
+    *     new doc meets the whole history), narrow id rows only;
+    *  3. pairs CONTRACT through current labels (new docs label
+    *     themselves), one CC runs on the contracted label graph — bounded
+    *     by the batch's pair fan-in, never the corpus — and every live
+    *     doc whose label merged, plus the batch docs, is rewritten with
+    *     the merged min label.
+    *  Replay safety: on a redelivered batch the contraction is the
+    *  identity on already-merged labels, so the affected set (= the
+    *  merged components ∪ batch docs) and every written value reproduce
+    *  exactly — the fold is a fixpoint (s36's discipline).
+    *
+    * DELETE fold (d32's affected-recompute, store-shaped):
+    *  1. tombstone the ids (the shared s32 delete — hash/band/label reads
+    *     all anti-join it);
+    *  2. seeds = PARTNERS: live docs band-adjacent to any tombstoned doc
+    *     — a pure function of (band store, tombstones), hence
+    *     replay-stable;
+    *  3. affected = the partners' current components (one label closure
+    *     step); their post-delete components re-derive by CC over the
+    *     affected docs' live band pairs — cost bounded by the touched
+    *     clusters, never the corpus — and ALL affected docs rewrite.
+    *  Replay safety: every post-component whose labels changed contains a
+    *  partner (a split can only happen through a deleted doc, whose live
+    *  neighbours ARE partners), so a replay recomputes the same values;
+    *  rows that drop out of the replayed run were label-preserving, so
+    *  latest-per-doc falls back to an equal older row — the SERVED view
+    *  is a fixpoint even where the run contents differ.
+    *
+    * StreamingSpec pins an interleaved upsert→delete→compact→upsert
+    * lifecycle against the d05 rebuild (clusterTableOf over the live
+    * corpus's own pair plan) at every step, plus replay fixpoints.
+    */
+  def s43UpsertClusterBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    s32UpsertIndexBatch(dir)(batch, batchId)
+    val spark = batch.sparkSession
+    if (pathExists(spark, s"$dir/bands")) {
+      val batchBands = spark.read.parquet(s"$dir/bands")
+        .filter(col("batch_id").cast("long") === batchId)
+        .select("doc_id", "band_key")
+        .localCheckpoint()
+      if (!batchBands.isEmpty) {
+        val storeBands = s32BandIndex(spark, dir)
+        val fwd = storeBands.select(col("doc_id").as("d1"), col("band_key"))
+          .join(batchBands.select(col("doc_id").as("d2"), col("band_key")),
+            Seq("band_key"))
+          .filter(col("d1") =!= col("d2"))
+          .select("d1", "d2")
+        val touching = fwd
+          .unionByName(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
+          .distinct().localCheckpoint()
+        val live = s43Clusters(spark, dir)
+        // contract doc pairs to label edges; batch docs default to self
+        def lblOf(side: String) = live
+          .select(col("doc_id").as(side), col("cluster").as(s"l$side"))
+        val contracted = touching
+          .join(lblOf("d1"), Seq("d1"), "left")
+          .join(lblOf("d2"), Seq("d2"), "left")
+          .select(coalesce(col("ld1"), col("d1")).as("d1"),
+                  coalesce(col("ld2"), col("d2")).as("d2"))
+        val labelNodes = contracted.select(col("d1").as("doc_id"))
+          .unionByName(contracted.select(col("d2").as("doc_id"))).distinct()
+        val mergeMap = graft.queries.Dedup
+          .clusterTableOf(labelNodes, contracted)
+          .select(col("doc_id").as("old_lbl"), col("cluster").as("new_lbl"))
+          .localCheckpoint()
+        val batchCur = batchBands.select("doc_id").distinct()
+          .join(live.withColumnRenamed("cluster", "cur"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cur"), col("doc_id")).as("cluster"))
+        val affected = live
+          .join(mergeMap.select(col("old_lbl").as("cluster")),
+            Seq("cluster"), "left_semi")
+          .select("doc_id", "cluster")
+          .unionByName(batchCur).distinct()
+        affected
+          .join(mergeMap, affected("cluster") === mergeMap("old_lbl"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_lbl"), col("cluster")).as("cluster"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/labels")
+        spark.catalog.refreshByPath(s"$dir/labels")
+      }
+    }
+  }
+
+  def s43DeleteClusterBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    s32DeleteBatch(dir)(deletes, batchId)
+    val spark = deletes.sparkSession
+    if (pathExists(spark, s"$dir/labels") && pathExists(spark, deletedPath(dir))) {
+      val del = deletedIds(spark, dir)
+      // partner seeds: live docs sharing a band with ANY tombstoned doc
+      // (the deleted side reads the RAW band runs — its rows are already
+      // invisible to the serving index)
+      val delBandKeys = spark.read.parquet(s"$dir/bands")
+        .select("doc_id", "band_key")
+        .join(broadcast(del.withColumnRenamed("id", "doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select("band_key").distinct()
+      val liveBands = s32BandIndex(spark, dir)
+      val partners = liveBands
+        .join(delBandKeys, Seq("band_key"), "left_semi")
+        .select("doc_id").distinct()
+      val live = s43Clusters(spark, dir)
+      // affected = the partners' whole current components
+      val partnerLabels = live.join(partners, Seq("doc_id"), "left_semi")
+        .select("cluster").distinct()
+      val affected = live.join(partnerLabels, Seq("cluster"), "left_semi")
+        .select("doc_id").localCheckpoint()
+      if (!affected.isEmpty) {
+        // re-derive the post-delete components from the affected docs'
+        // live band pairs (pairs cannot leave a component, so the edge
+        // set is complete for every affected component)
+        val affBands = liveBands.join(affected, Seq("doc_id"), "left_semi")
+        val a = affBands.select(col("doc_id").as("d1"), col("band_key"))
+        val b = affBands.select(col("doc_id").as("d2"), col("band_key"))
+        val pairs = a.join(b, Seq("band_key"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        graft.queries.Dedup.clusterTableOf(affected, pairs)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/labels")
+        spark.catalog.refreshByPath(s"$dir/labels")
+      }
+    }
+  }
+
+  def s43ClusterMaintain(docs: DataFrame, dir: String,
+                         checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s43UpsertClusterBatch(dir) _)
+      .start()
+
+  /** The served cluster table: latest label per doc, tombstone-filtered. */
+  def s43Clusters(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!pathExists(spark, s"$dir/labels"))
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
+    else {
+      val l = graft.sources.ReadGuard.requireColumns(
+        spark.read.parquet(s"$dir/labels"), s"$dir/labels",
+        "doc_id", "cluster", "batch_id")
+      val latest = l.groupBy("doc_id").agg(max("batch_id").as("mb"))
+        .withColumnRenamed("doc_id", "ldoc")
+      antiDeleted(
+        l.join(latest, l("doc_id") === col("ldoc") && l("batch_id") === col("mb"))
+          .select("doc_id", "cluster"),
+        spark, dir, "doc_id")
+    }
+  }
+
+  /** s40 applied to the cluster store: hash/band/label runs (and the
+    * tombstones) fold to one base each; the served cluster table is the
+    * labels fold, so the latest-wins invariant carries over unchanged.
+    */
+  def s43CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "hash56" -> (() => s32HashRows(spark, dir)),
+      "bands"  -> (() => s32BandIndex(spark, dir)),
+      "labels" -> (() => s43Clusters(spark, dir))))
+
   /** s42: codebook-staleness monitor over the MAINTAINED s35 store — the
     * operational twin of the oracle-checked n30 drift report: s35/s36/s38
     * assign against a FIXED broadcast codebook forever, so after corpus

@@ -1575,6 +1575,74 @@ class StreamingSpec extends SparkSpec {
     assert(exDup.getMessage.contains("append-only"))
   }
 
+  test("s43 maintained cluster store: interleaved upserts and deletes equal the d05 rebuild at every step; replays, compaction and increments hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dd = graft.queries.Dedup
+    val dir = tmp("s43_clusters")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val thirds = docs.groupBy(_._1 % 3)
+    def rebuildOn(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+      val df = rows.toDF("doc_id", "text")
+      val bands = Dd.bandTableOf(df).localCheckpoint()
+      Dd.clusterTableOf(df.select("doc_id"), Dd.candidatePairsPlan(bands))
+    }
+    def check(liveRows: Seq[(Long, String)], msg: String): Unit = {
+      val want = rebuildOn(liveRows)
+      val got = StreamOps.s43Clusters(spark, dir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, msg)
+    }
+    StreamOps.s43UpsertClusterBatch(dir)(
+      thirds(0L).toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s43UpsertClusterBatch(dir)(
+      thirds(1L).toSeq.toDF("doc_id", "text"), 1L)
+    val after01 = (thirds(0L) ++ thirds(1L)).toSeq
+    check(after01, "two increments must equal the d05 rebuild")
+    // upsert replay is a fixpoint (the contraction is the identity on
+    // already-merged labels)
+    StreamOps.s43UpsertClusterBatch(dir)(
+      thirds(1L).toSeq.toDF("doc_id", "text"), 1L)
+    check(after01, "a replayed upsert must leave the served clusters unchanged")
+    // plant an exact twin of a doc the delete will remove, so the delete
+    // provably exercises RE-ELECTION (the twin's cluster must move off
+    // the deleted min) — not just row filtering
+    val victim = after01.find(_._1 % 7 == 3).get
+    val twinId = docs.map(_._1).max + 500L
+    StreamOps.s43UpsertClusterBatch(dir)(
+      Seq((twinId, victim._2)).toDF("doc_id", "text"), 2L)
+    val withTwin = after01 :+ ((twinId, victim._2))
+    check(withTwin, "the planted twin must join its content's cluster")
+    val twinBefore = StreamOps.s43Clusters(spark, dir)
+      .filter(col("doc_id") === twinId).head().getLong(1)
+    assert(twinBefore === victim._1, "the twin clusters to the victim's id")
+    // delete: tombstones + affected-component recompute
+    val dels = after01.map(_._1).filter(_ % 7 == 3)
+    StreamOps.s43DeleteClusterBatch(dir)(dels.toSeq.toDF("doc_id"), 3L)
+    val live2 = withTwin.filterNot(d => dels.contains(d._1))
+    check(live2, "delete must equal the d05 rebuild on the live corpus")
+    val twinAfter = StreamOps.s43Clusters(spark, dir)
+      .filter(col("doc_id") === twinId).head().getLong(1)
+    assert(twinAfter !== victim._1,
+      "deleting the cluster min must re-elect the twin's label")
+    // delete replay: run contents may shrink but the SERVED view is a
+    // fixpoint (dropped rows are label-preserving)
+    StreamOps.s43DeleteClusterBatch(dir)(dels.toSeq.toDF("doc_id"), 3L)
+    check(live2, "a replayed delete must serve the same view")
+    // compaction folds every table; the served view is untouched
+    StreamOps.s43CompactStore(spark, dir)
+    Seq("hash56", "bands", "labels", "deleted").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    check(live2, "compaction must not change the served clusters")
+    // increments on top of the compacted, post-delete store
+    StreamOps.s43UpsertClusterBatch(dir)(
+      thirds(2L).toSeq.toDF("doc_id", "text"), 4L)
+    check(live2 ++ thirds(2L), "post-compaction increments must equal the rebuild")
+  }
+
   test("s42 codebook-staleness monitor: a drifted batch trends below the build baseline; retrained-codebook handoff equals the batch re-assignment") {
     import spark.implicits._
     import org.apache.spark.sql.functions.avg
