@@ -856,6 +856,29 @@ class PlanSpec extends SparkSpec {
       s"expected a partial ObjectHashAggregate for log2_hist:\n$plan")
   }
 
+  test("t44: extraction is pure per-row work — the final sort's range exchange is the only shuffle") {
+    val plan = planOf(graft.queries.TextOps.t44ContentExtract(spark, sf))
+    assert(!plan.contains("hashpartitioning"),
+      s"a per-row line extraction must not shuffle on any key:\n$plan")
+    assert(plan.contains("Scan parquet"), "must read the corpus directly")
+  }
+
+  test("n30: centroid dot rides a broadcast join; the corpus baseline is a one-row broadcast cross join") {
+    val plan = planOf(graft.queries.Similarity.n30CodebookDrift(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 16-row centroid table must broadcast into the exact-dot join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row baseline must ride a broadcast, never a shuffle:\n$plan")
+  }
+
+  test("d32: retraction re-labels through semi/anti joins — untouched clusters are never re-clustered") {
+    val plan = planOf(graft.queries.Dedup.d32ClusterRetraction(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"affected-cluster membership must prune via semi joins:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"untouched clusters must carry over via an anti join, not recompute:\n$plan")
+  }
+
   test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
     // The manual .explain sweep, automated: every declared query's physical
     // plan is scanned for the two shapes that are NEVER acceptable at
