@@ -1675,7 +1675,10 @@ object TextOps {
     * array/string work — embarrassingly parallel, zero shuffle before
     * the final total-order sort, flat at 100 TB.
     */
-  val t44ContentExtract: Q = (s, d) =>
+  /** (doc_id, n_lines, kept) — t44's render + extraction, factored so the
+    * p12 capstone consumes the extracted lines through the same rule.
+    */
+  private def t44Kept(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_lines",
@@ -1692,6 +1695,10 @@ object TextOps {
           |  size(filter(split(l, ' '), x -> x <> '')) >= 3 AND
           |  1000 * regexp_count(l, '\\]\\(') <
           |    500 * size(filter(split(l, ' '), x -> x <> '')))""".stripMargin))
+      .select("doc_id", "n_lines", "kept")
+
+  val t44ContentExtract: Q = (s, d) =>
+    t44Kept(s, d)
       .select(col("doc_id"), col("n_lines"),
         expr("cast(size(kept) as int)").as("n_kept"),
         expr("cast(n_lines - size(kept) as int)").as("n_dropped"),
@@ -1700,8 +1707,49 @@ object TextOps {
         md5(expr("array_join(kept, chr(10))")).as("kept_hash"))
       .orderBy("doc_id")
 
+  /** Minimum extracted words for p12's keep verdict — near the corpus
+    * median so the gate genuinely discriminates (sf0.01: median ≈ 43).
+    */
+  val P12MinTokens = 40
+
+  /** p12: the crawl→clean CAPSTONE — t44's extraction composed INTO the
+    * curation path, in the production order: render → extract main
+    * content (t44's rule) → language-ID the EXTRACTED text (t01's marker
+    * argmax — boilerplate is removed BEFORE langid, exactly why
+    * extraction precedes classification in a real pipeline) → integer
+    * quality stats over the clean text (non-space chars, mean word length
+    * ×100) → a keep verdict (enough extracted words AND a recognized
+    * language). Single-sourced: the extraction is [[t44Kept]] verbatim
+    * and the classifier is [[langPredicted]] verbatim (the kept text just
+    * renames to its `text` input) — a re-spelling of either would drift
+    * from the deployed operators. Shape: per-row array/string work end to
+    * end, zero shuffle before the total-order sort (t44's scale story
+    * survives the composition).
+    */
+  val p12CleanChain: Q = (s, d) =>
+    langPredicted(
+      t44Kept(s, d)
+        .withColumn("n_kept", expr("cast(size(kept) as int)"))
+        .withColumn("kept_tokens", expr(
+          "aggregate(kept, cast(0 as bigint), (a, l) -> " +
+            "a + size(filter(split(l, ' '), x -> x <> '')))"))
+        .withColumn("text", expr("array_join(kept, ' ')"))
+        .withColumn("nonspace_chars",
+          expr("cast(length(replace(text, ' ', '')) as bigint)")))
+      .select(col("doc_id"), col("n_lines"),
+        expr("cast((n_lines - n_kept) * 1000 div n_lines as int)")
+          .as("drop_permille"),
+        col("kept_tokens"),
+        expr("CASE WHEN kept_tokens = 0 THEN cast(0 as bigint) " +
+          "ELSE nonspace_chars * 100 div kept_tokens END")
+          .as("mean_tok_len_x100"),
+        col("predicted"),
+        expr(s"kept_tokens >= $P12MinTokens AND predicted <> 'und'").as("keep"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "t44_content_extract" -> t44ContentExtract,
+    "p12_clean_chain"    -> p12CleanChain,
     "t43_temperature_mix" -> t43TemperatureMix,
     "t35_zipf_fit"       -> t35ZipfFit,
     "t39_bpe_tokenizer"  -> t39BpeTokenizer,
@@ -1748,8 +1796,46 @@ object TextOps {
     "t07_seq_packing"   -> t07SeqPacking,
     "t08_repetition"    -> t08Repetition)
 
+  private def duckMarkerCountOf(column: String, ws: Seq[String]): String =
+    s"len(list_filter(string_split($column, ' '), t -> t IN ${inList(ws)}))"
+
   private def duckMarkerCount(ws: Seq[String]): String =
-    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
+    duckMarkerCountOf("text", ws)
+
+  /** The t01 argmax CASE over c_en/c_es/c_fr/c_de columns — ONE spelling
+    * for the t01/t34/p12 oracles.
+    */
+  private val duckLangCase: String =
+    """CASE
+      |      WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+      |      WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+      |      WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+      |      WHEN c_de > 0 THEN 'de'
+      |      ELSE 'und'
+      |    END""".stripMargin
+
+  /** t44's render + extraction as DuckDB CTEs (r, md, ext) — shared by
+    * the t44 and p12 oracles.
+    */
+  private def duckT44Ctes: String =
+    s"""r AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |md AS (
+       |  SELECT doc_id,
+       |         CAST((len(tk) + $LineTokens - 1) // $LineTokens AS INT) AS n_lines,
+       |         list_transform(generate_series(0, (len(tk) + $LineTokens - 1) // $LineTokens - 1),
+       |           i -> CASE CAST((doc_id + i) % 7 AS INT)
+       |                  WHEN 4 THEN '[home](/home) [about](/about) [contact](/contact)'
+       |                  WHEN 5 THEN array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + 2), ' ')
+       |                  ELSE array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + $LineTokens), ' ')
+       |                END) AS lines
+       |  FROM r),
+       |ext AS (
+       |  SELECT doc_id, n_lines,
+       |         list_filter(lines, l ->
+       |           len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3 AND
+       |           1000 * len(regexp_extract_all(l, '[]][(]')) <
+       |             500 * len(list_filter(string_split(l, ' '), x -> x <> ''))) AS kept
+       |  FROM md)""".stripMargin
 
   /** The DuckDB spelling of gopherCols' rule inputs (t20's oracle and
     * p05's gate both build on it). */
@@ -1777,24 +1863,7 @@ object TextOps {
     // cross-multiplied link density) — the kept_hash match proves both
     // engines kept the identical lines.
     "t44_content_extract" ->
-      s"""WITH r AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |md AS (
-         |  SELECT doc_id,
-         |         CAST((len(tk) + $LineTokens - 1) // $LineTokens AS INT) AS n_lines,
-         |         list_transform(generate_series(0, (len(tk) + $LineTokens - 1) // $LineTokens - 1),
-         |           i -> CASE CAST((doc_id + i) % 7 AS INT)
-         |                  WHEN 4 THEN '[home](/home) [about](/about) [contact](/contact)'
-         |                  WHEN 5 THEN array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + 2), ' ')
-         |                  ELSE array_to_string(list_slice(tk, i * $LineTokens + 1, i * $LineTokens + $LineTokens), ' ')
-         |                END) AS lines
-         |  FROM r),
-         |ext AS (
-         |  SELECT doc_id, n_lines,
-         |         list_filter(lines, l ->
-         |           len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3 AND
-         |           1000 * len(regexp_extract_all(l, '[]][(]')) <
-         |             500 * len(list_filter(string_split(l, ' '), x -> x <> ''))) AS kept
-         |  FROM md)
+      s"""WITH $duckT44Ctes
          |SELECT doc_id, n_lines,
          |       CAST(len(kept) AS INT) AS n_kept,
          |       CAST(n_lines - len(kept) AS INT) AS n_dropped,
@@ -1802,6 +1871,37 @@ object TextOps {
          |         l -> len(list_filter(string_split(l, ' '), x -> x <> '')))), 0) AS BIGINT) AS kept_tokens,
          |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_hash
          |FROM ext ORDER BY doc_id""".stripMargin,
+    // p12: t44's shared extraction CTEs, then the clean-text stats and the
+    // t01 marker argmax over the EXTRACTED text — the composed chain's
+    // oracle is the composition of the two operators' oracles.
+    "p12_clean_chain" ->
+      s"""WITH $duckT44Ctes,
+         |k AS (
+         |  SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept,
+         |         coalesce(array_to_string(kept, ' '), '') AS ktext,
+         |         CAST(coalesce(list_sum(list_transform(kept,
+         |           l -> len(list_filter(string_split(l, ' '), x -> x <> '')))), 0) AS BIGINT) AS kept_tokens
+         |  FROM ext),
+         |m AS (
+         |  SELECT doc_id, n_lines, n_kept, kept_tokens,
+         |         CAST(length(replace(ktext, ' ', '')) AS BIGINT) AS nonspace_chars,
+         |         ${langMarkers.map { case (l, ws) =>
+                      s"CAST(${duckMarkerCountOf("ktext", ws)} AS INT) AS c_$l"
+                    }.mkString(",\n         ")}
+         |  FROM k),
+         |p AS (
+         |  SELECT doc_id, n_lines,
+         |         CAST((n_lines - n_kept) * 1000 // n_lines AS INT) AS drop_permille,
+         |         kept_tokens,
+         |         CAST(CASE WHEN kept_tokens = 0 THEN 0
+         |                   ELSE nonspace_chars * 100 // kept_tokens END AS BIGINT)
+         |           AS mean_tok_len_x100,
+         |         $duckLangCase AS predicted
+         |  FROM m)
+         |SELECT doc_id, n_lines, drop_permille, kept_tokens, mean_tok_len_x100,
+         |       predicted,
+         |       (kept_tokens >= $P12MinTokens AND predicted <> 'und') AS keep
+         |FROM p ORDER BY doc_id""".stripMargin,
     // t43: the identical left-to-right integer algebra (// == div for
     // these all-positive operands), the identical floor(sqrt(double))
     // weight (IEEE sqrt is correctly rounded, inputs < 2^53 — same bits
@@ -2461,13 +2561,7 @@ object TextOps {
       }.mkString(",\n       ")
       s"""WITH p AS (
          |  SELECT lang AS label,
-         |    CASE
-         |      WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
-         |      WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
-         |      WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
-         |      WHEN c_de > 0 THEN 'de'
-         |      ELSE 'und'
-         |    END AS predicted
+         |    $duckLangCase AS predicted
          |  FROM (SELECT lang, $counts FROM documents)),
          |t AS (SELECT label, COUNT(1) AS n_label FROM p GROUP BY 1),
          |c AS (SELECT label, predicted, COUNT(1) AS n FROM p GROUP BY 1, 2)
@@ -2482,13 +2576,7 @@ object TextOps {
         s"CAST(${duckMarkerCount(ws)} AS INT) AS c_$l"
       }.mkString(",\n       ")
       s"""SELECT doc_id, c_en, c_es, c_fr, c_de,
-         |  CASE
-         |    WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
-         |    WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
-         |    WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
-         |    WHEN c_de > 0 THEN 'de'
-         |    ELSE 'und'
-         |  END AS predicted
+         |  $duckLangCase AS predicted
          |FROM (SELECT doc_id, $counts FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
