@@ -52,7 +52,9 @@ object SparkEntry {
         "m13_resize_real" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m13ResizeReal(s, d)),
         "m14_compressed_features" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m14CompressedFeatures(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m14CompressedFeatures(s, d)),
+        "m15_gc_report" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m15GcReport(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -183,6 +185,45 @@ object SparkEntry {
              |       CAST(SUM(CASE WHEN dm < 2 THEN nb ELSE 0 END) AS BIGINT) AS cold_bytes
              |FROM c JOIN df USING (h)
              |GROUP BY media_id ORDER BY media_id""".stripMargin,
+        // m15: same fixed grid + ASCII-substr equivalence + shared chunk
+        // size as m03/m07; freed = chunks with zero live referrers,
+        // attributed to the minimum deleted referrer; the retention slice
+        // (media_id % 7 = 3) is interpolated nowhere — both sides spell
+        // the same literal predicate.
+        "m15_gc_report" ->
+          s"""WITH slots AS (
+             |  SELECT doc_id AS media_id,
+             |         md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+             |         least(length(text) - s + 1, ${graft.operators.Multimodal.DedupChunkBytes}) AS nb
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(1, length(text), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+             |        FROM documents)),
+             |refs AS (SELECT DISTINCT media_id, h, nb FROM slots),
+             |st AS (
+             |  SELECT h,
+             |         CAST(SUM(CASE WHEN media_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS live_refs,
+             |         MIN(CASE WHEN media_id % 7 = 3 THEN media_id END) AS min_del,
+             |         MIN(nb) AS nb1
+             |  FROM refs GROUP BY h),
+             |pm AS (
+             |  SELECT media_id, COUNT(1) AS n_slots, CAST(SUM(nb) AS BIGINT) AS slot_bytes
+             |  FROM slots WHERE media_id % 7 = 3 GROUP BY media_id),
+             |fr AS (
+             |  SELECT min_del AS media_id, COUNT(1) AS n_freed_chunks,
+             |         CAST(SUM(nb1) AS BIGINT) AS freed_bytes
+             |  FROM st WHERE live_refs = 0 AND min_del IS NOT NULL GROUP BY min_del),
+             |sh AS (
+             |  SELECT r.media_id, COUNT(1) AS n_shared_live,
+             |         CAST(SUM(r.nb) AS BIGINT) AS shared_live_bytes
+             |  FROM refs r JOIN st ON st.h = r.h AND st.live_refs > 0
+             |  WHERE r.media_id % 7 = 3 GROUP BY r.media_id)
+             |SELECT media_id, n_slots, slot_bytes,
+             |       coalesce(n_freed_chunks, 0) AS n_freed_chunks,
+             |       coalesce(freed_bytes, 0) AS freed_bytes,
+             |       coalesce(n_shared_live, 0) AS n_shared_live,
+             |       coalesce(shared_live_bytes, 0) AS shared_live_bytes
+             |FROM pm LEFT JOIN fr USING (media_id) LEFT JOIN sh USING (media_id)
+             |ORDER BY media_id""".stripMargin,
         // m08: same fixed grid + ASCII-substr equivalence + shared chunk
         // size; the planted suffix is spelled identically on both sides.
         "m08_delta_sync" ->

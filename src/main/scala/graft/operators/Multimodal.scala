@@ -610,6 +610,60 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m15: GC-PLANNING report for the content-addressed chunk store — the
+    * capacity answer an operator needs BEFORE executing a retention
+    * delete (the s34/s39 delete fold executes it; this query plans it):
+    * for the deterministic takedown slice (media_id % 7 == 3 — the d32
+    * discipline), per deleted media: its slot count and raw bytes, the
+    * chunks (and bytes) the store PHYSICALLY reclaims — chunks whose
+    * every referrer is deleted, attributed to their minimum deleted
+    * referrer so the per-media numbers add up without double counting —
+    * and the chunks its survivors keep alive (shared bytes that do NOT
+    * come back, the dedup tax in reverse). This is the planning twin of
+    * s39's chunk-store GC pin ("a chunk with no live referrer
+    * disappears"), as an oracle-checked batch report.
+    *
+    * Scale shapes: m03's footprint — only chunk hashes shuffle, payload
+    * bytes never; per-hash referrer stats and the per-media rollups are
+    * map-side-combinable partial-agg groupBys; the shared-live probe is
+    * one semi-join on the uniform md5 key.
+    */
+  def m15GcReport(s: SparkSession, d: String): DataFrame = {
+    val deleted = (c: org.apache.spark.sql.Column) => c % 7 === 3
+    val slots = chunkTableOf(fixtureFromDocuments(s, d).toDF()
+        .select(col("media_id"), col("payload")))
+      .select("media_id", "h", "nb")
+    val refs = slots.distinct()
+    val stats = refs.groupBy("h").agg(
+      sum(when(!deleted(col("media_id")), 1L).otherwise(0L)).as("live_refs"),
+      min(when(deleted(col("media_id")), col("media_id"))).as("min_del"),
+      // equal hash implies equal content implies equal length (the s34
+      // compaction invariant, spec-asserted) — min is just associativity
+      min("nb").as("nb1"))
+    val perSlots = slots.filter(deleted(col("media_id")))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_slots"), sum("nb").cast("long").as("slot_bytes"))
+    val freed = stats
+      .filter(col("live_refs") === 0 && col("min_del").isNotNull)
+      .groupBy(col("min_del").as("media_id"))
+      .agg(count(lit(1)).as("n_freed_chunks"),
+           sum("nb1").cast("long").as("freed_bytes"))
+    val shared = refs.filter(deleted(col("media_id")))
+      .join(stats.filter(col("live_refs") > 0).select("h"), Seq("h"), "left_semi")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_shared_live"),
+           sum("nb").cast("long").as("shared_live_bytes"))
+    perSlots
+      .join(freed, Seq("media_id"), "left")
+      .join(shared, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_slots"), col("slot_bytes"),
+        coalesce(col("n_freed_chunks"), lit(0L)).as("n_freed_chunks"),
+        coalesce(col("freed_bytes"), lit(0L)).as("freed_bytes"),
+        coalesce(col("n_shared_live"), lit(0L)).as("n_shared_live"),
+        coalesce(col("shared_live_bytes"), lit(0L)).as("shared_live_bytes"))
+      .orderBy("media_id")
+  }
+
   /** m08: delta-sync (re-crawl) report — the rsync/CAS economics of a
     * re-ingested media batch against the existing chunk store: every 5th
     * media file arrives MODIFIED (a deterministic byte suffix — the t15

@@ -295,6 +295,32 @@ class DedupSpec extends SparkSpec {
     assert(idem === base.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
 
+  test("d32 retraction fuzz: on seeded random graphs and slices, the fold equals the rebuild on the live subgraph") {
+    import spark.implicits._
+    val Dd = graft.queries.Dedup
+    val rnd = new scala.util.Random(12)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val docsSeq = (1L to n.toLong)
+      val pairsSeq = Seq.fill(n * 2) {
+        val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n); (a, b)
+      }.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val mod = 2 + rnd.nextInt(4)
+      val rem = rnd.nextInt(mod)
+      val docs = docsSeq.toDF("doc_id")
+      val pairs = pairsSeq.toDF("d1", "d2")
+      val base = Dd.clusterTableOf(docs, pairs).localCheckpoint()
+      val got = Dd.retractionFold(docs, pairs, base, c => c % mod === rem)
+      val want = Dd.clusterTableOf(
+        docsSeq.filter(_ % mod != rem).toDF("doc_id"),
+        pairsSeq.filter(p => p._1 % mod != rem && p._2 % mod != rem)
+          .toDF("d1", "d2"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (n=$n, mod=$mod, rem=$rem): fold must equal the live rebuild")
+    }
+  }
+
   test("connectedComponents: chain contracts to one star on the min node") {
     import spark.implicits._
     // path 0-1-2-...-15 (diameter 15): plain min-propagation needs 15
