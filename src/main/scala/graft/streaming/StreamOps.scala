@@ -1219,6 +1219,89 @@ object StreamOps {
       "bands"  -> (() => s32BandIndex(spark, dir)),
       "labels" -> (() => s43Clusters(spark, dir))))
 
+  /** s44: store FSCK — the consistency audit an operator runs against the
+    * maintained s36 graph store after an incident (a partial write, a
+    * manually-pruned run, a bad backfill) and periodically as a canary:
+    * every row is one invariant of the SERVED views with its violation
+    * count. The invariants are exactly what the fold discipline
+    * guarantees, so a nonzero count means either store corruption or a
+    * code regression — both worth a page:
+    *
+    *  - `edges_src_not_in_vectors` / `edges_dst_not_in_vectors`: every
+    *    served edge endpoint must be a served vector (the fold only
+    *    scores ingested vectors; deletes tombstone edges and vectors
+    *    together);
+    *  - `cells_vec_not_in_vectors` / `vectors_without_cells`: vectors and
+    *    their blocking cells are written by the same batch — neither side
+    *    may exist alone;
+    *  - `tombstones_still_served`: a deleted id visible in the served
+    *    vector view means the anti-join contract broke;
+    *  - `runs_below_compaction_stamp`: a data run older than the stamp
+    *    means a stale replay got past the s41 fence (or a restore mixed
+    *    store generations).
+    *
+    * [[s44RequireHealthy]] is the loud-fail wrapper (ReadGuard's
+    * discipline, lifted from schema to referential integrity).
+    * RobustnessSpec plants a bogus edge run and a stale run and asserts
+    * the audit names them. Cost: anti/semi-joins on narrow id columns of
+    * the served views + one filesystem listing — no payload ever moves.
+    */
+  def s44GraphStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vecs = s36Vectors(spark, dir).select("vec_id").localCheckpoint()
+    val edges = s36DirectedEdges(spark, dir).localCheckpoint()
+    val cells = s36Cells(spark, dir).select("vec_id").distinct()
+    def check(name: String, bad: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("check"), col("n_bad"))
+    val staleRuns = {
+      val stamp = readCompactionStamp(spark, dir)
+      val below = stamp.map { st =>
+        Seq("vectors", "cells", "edges", "deleted").map { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(p)) 0
+          else fs.listStatus(p).count { s =>
+            val n = s.getPath.getName
+            n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < st
+          }
+        }.sum
+      }.getOrElse(0)
+      spark.range(1).select(lit("runs_below_compaction_stamp").as("check"),
+        lit(below.toLong).as("n_bad"))
+    }
+    Seq(
+      check("edges_src_not_in_vectors",
+        edges.select(col("src").as("vec_id")).distinct()
+          .join(vecs, Seq("vec_id"), "left_anti")),
+      check("edges_dst_not_in_vectors",
+        edges.select(col("dst").as("vec_id")).distinct()
+          .join(vecs, Seq("vec_id"), "left_anti")),
+      check("cells_vec_not_in_vectors",
+        cells.join(vecs, Seq("vec_id"), "left_anti")),
+      check("vectors_without_cells",
+        vecs.join(cells, Seq("vec_id"), "left_anti")),
+      check("tombstones_still_served",
+        vecs.join(deletedIds(spark, dir).withColumnRenamed("id", "vec_id"),
+          Seq("vec_id"), "left_semi")),
+      staleRuns)
+      .reduce(_.unionByName(_))
+      .orderBy("check")
+  }
+
+  /** Loud-fail wrapper over [[s44GraphStoreAudit]], naming every violated
+    * invariant — run it before trusting a restored or hand-touched store.
+    */
+  def s44RequireHealthy(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val bad = s44GraphStoreAudit(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("n_bad") > 0)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    require(bad.isEmpty,
+      s"graph store $dir failed fsck: ${bad.mkString(", ")}")
+  }
+
   /** s42: codebook-staleness monitor over the MAINTAINED s35 store — the
     * operational twin of the oracle-checked n30 drift report: s35/s36/s38
     * assign against a FIXED broadcast codebook forever, so after corpus

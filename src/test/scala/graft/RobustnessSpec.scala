@@ -133,6 +133,54 @@ class RobustnessSpec extends SparkSpec {
     assert(sniffed.values.toSet.subsetOf(Set("image", "audio", "video")))
   }
 
+  test("s44 graph-store fsck: healthy store audits clean; planted referential breaks and stale runs are named and loud-fail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val StreamOps = graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory("s44_fsck").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val (half1, half2) = vecs.partition(_._1 % 2 == 0)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      half1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      half2.toSeq.toDF("vec_id", "embedding"), 1L)
+    StreamOps.s36DeleteBatch(dir)(
+      vecs.map(_._1).filter(_ % 5 == 1).toSeq.toDF("vec_id"), 2L)
+    // a correctly-maintained store (including after deletes) is clean
+    StreamOps.s44RequireHealthy(spark, dir)
+    assert(StreamOps.s44GraphStoreAudit(spark, dir)
+      .filter(col("n_bad") > 0).isEmpty)
+    // plant corruption 1: an edge run naming vec_ids that were never
+    // ingested, at a fresh batch id so latest-per-src serves it
+    Seq((999999L, 999998L, 0.5)).toDF("src", "dst", "cos")
+      .withColumn("batch_id", lit(3L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    spark.catalog.refreshByPath(s"$dir/edges")
+    val audit = StreamOps.s44GraphStoreAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit("edges_src_not_in_vectors") === 1L)
+    assert(audit("edges_dst_not_in_vectors") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.s44RequireHealthy(spark, dir)
+    }
+    assert(ex.getMessage.contains("edges_src_not_in_vectors"))
+    // plant corruption 2: compact, then hand-restore a run from BELOW the
+    // stamp (the mixed-generation restore the s41 fence cannot see)
+    StreamOps.s37CompactEdgeStore(spark, dir)
+    Seq((1L, 2L)).toDF("vec_id", "cid").withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$dir/cells")
+    spark.catalog.refreshByPath(s"$dir/cells")
+    val audit2 = StreamOps.s44GraphStoreAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(audit2("runs_below_compaction_stamp") >= 1L,
+      s"stale restored run must be flagged: $audit2")
+  }
+
   test("corrupt parquet file: loud failure by default, skipped under ignoreCorruptFiles") {
     import spark.implicits._
     val dir = Files.createTempDirectory("robust_corrupt").toString
