@@ -21,6 +21,15 @@ import graft.operators.FraudPipeline
   * All transforms are (streaming DataFrame => DataFrame) so tests replay
   * them deterministically with `Trigger.AvailableNow` and assert
   * stream-equals-batch.
+  *
+  * s32–s44 are the MAINTAINED-STORE family: five persisted index stores
+  * (dedup hash/band, media chunks, IVF assignment, graph ANN, PQ codes —
+  * plus the s43 cluster store composed on top) with the full lifecycle —
+  * per-batch partition-overwrite upserts, tombstone deletes (s39),
+  * generalized compaction (s40), a replay fence enforcing the
+  * coordination contract (s41), a staleness monitor + retrain handoff
+  * (s42), and a referential fsck (s44). Every store pins
+  * maintained == full rebuild over the live corpus in StreamingSpec.
   */
 object StreamOps {
 
@@ -265,17 +274,19 @@ object StreamOps {
     * single-sourced batch machinery — the hash56 content table (q32/p04's
     * key) and [[graft.queries.Dedup.bandTableOf]]'s (doc_id, band_key)
     * table (an inline re-spelling would silently drift from the deployed
-    * d01 keys) — key-compacted within the batch (s17's discipline: one
-    * row per key, deterministic min-doc_id survivor).
+    * d01 keys). Since r12 the runs keep every distinct row instead of the
+    * per-batch min survivor: exact DELETABILITY (s39) needs the
+    * non-collapsed relation — the min-survivor election moved to the
+    * SERVING fold ([[s32HashIndex]]), where a tombstoned survivor
+    * re-elects automatically.
     *
     * Idempotence model: partition-overwrite instead of s17's by-key JDBC
     * upsert — every batch writes its own `batch_id=N` partition with
     * dynamic partition overwrite, so a REPLAYED batch overwrites its own
     * increment rather than appending a duplicate. This is the LSM shape a
     * 100 TB index actually uses: per-batch sorted runs + compaction on
-    * read ([[s32HashIndex]]/[[s32BandIndex]] fold runs by key; a
-    * production deployment folds old runs into the base periodically —
-    * the same fold, run offline).
+    * read ([[s32HashIndex]]/[[s32BandIndex]] fold runs by key;
+    * [[s32CompactStore]] is the same fold run offline).
     */
   def s32UpsertIndexBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
@@ -362,18 +373,21 @@ object StreamOps {
     * queries PROBE a chunk store; this job is what keeps it current as
     * media arrives). Each micro-batch chunks its payloads with the
     * single-sourced [[graft.operators.Multimodal.chunkTableOf]] machinery
-    * (an inline re-spelling would drift from the deployed chunk grid) and
-    * key-compacts to one row per content hash: (h, owner = min media_id,
-    * nb) — the CAS invariant that a chunk is stored once under its hash
-    * with a deterministic first owner.
+    * (an inline re-spelling would drift from the deployed chunk grid).
+    * Since r12 the runs keep every distinct (h, media_id, nb) REFERENCE
+    * row instead of collapsing to a min owner: exact deletability (s39)
+    * needs every referrer — deleting an owner must promote the next
+    * media id and an orphaned chunk must GC — so the CAS invariant
+    * (one stored copy per hash, deterministic first owner) moved to the
+    * SERVING fold ([[s34ChunkStore]]).
     *
     * Idempotence model: s32's exactly — every batch writes its own
     * `batch_id=N` partition with dynamic partition overwrite, so a
     * replayed batch overwrites its increment instead of appending; the
     * compacted read ([[s34ChunkStore]]) folds the per-batch runs by hash
-    * (the LSM shape; a production store folds runs into the base
-    * offline). StreamingSpec pins stream-built == batch-built over the
-    * same replay, plus replay idempotence.
+    * (the LSM shape; [[s34CompactStore]] is the same fold run offline).
+    * StreamingSpec pins stream-built == batch-built over the same
+    * replay, plus replay idempotence.
     */
   def s34UpsertChunkBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
@@ -1295,6 +1309,8 @@ object StreamOps {
     */
   def s44RequireHealthy(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
+    // collect is metadata-bounded BY CONSTRUCTION: the audit emits one
+    // row per invariant (six), never per data row
     val bad = s44GraphStoreAudit(spark, dir)
       .filter(org.apache.spark.sql.functions.col("n_bad") > 0)
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
