@@ -153,6 +153,76 @@ class ScaleInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("d32 retraction at sf0.1: the affected-cluster fold equals the full rebuild on the 10x live corpus") {
+    // the oracle pins sf0.01; at sf0.1 the Spark-side rebuild twin
+    // (cluster table over the live corpus's own pair plan) is the exact
+    // bar — not a qualitative floor but row-for-row equality at 10x
+    import org.apache.spark.sql.functions.col
+    val Dd = graft.queries.Dedup
+    val got = Dd.d32ClusterRetraction(spark, sf01).localCheckpoint()
+    val liveDocs = Tables.documents(spark, sf01)
+      .filter(!Dd.d32Retracted(col("doc_id")))
+    val bands = Dd.bandTableOf(liveDocs).localCheckpoint()
+    val want = Dd.clusterTableOf(liveDocs.select("doc_id"),
+      Dd.candidatePairsPlan(bands))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "retraction fold must equal the live rebuild at sf0.1")
+    // and the fixture must still exercise a real retraction at 10x
+    assert(got.count() < Tables.documents(spark, sf01).count())
+  }
+
+  test("t44/p12 extraction at sf0.1: per-doc accounting closes and the keep gate still discriminates") {
+    val rows = graft.queries.TextOps.t44ContentExtract(spark, sf01).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    rows.foreach { case (nLines, nKept, nDropped, keptToks) =>
+      assert(nKept + nDropped === nLines, "line accounting must close")
+      assert(keptToks >= 0 && (nKept > 0 || keptToks == 0))
+    }
+    // boilerplate planting is residue-driven, so the drop share stays in
+    // a stable band at any scale (2 of 7 residues + short-tail lines)
+    val dropShare = rows.map(_._3).sum.toDouble / rows.map(_._1).sum
+    assert(dropShare > 0.2 && dropShare < 0.5,
+      s"drop share $dropShare drifted out of the planting band at 10x")
+    val keeps = graft.queries.TextOps.p12CleanChain(spark, sf01)
+      .groupBy("keep").count().collect()
+      .map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
+      s"the p12 gate must keep discriminating at 10x: $keeps")
+  }
+
+  test("n30 drift report at sf0.1: pseudo-slices of a stationary corpus stay near the baseline; skew is sane") {
+    val rows = graft.queries.Similarity.n30CodebookDrift(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(rows.length === graft.queries.Similarity.IvfMonitorBatches)
+    rows.foreach { case (b, n, skewBp, driftBp) =>
+      assert(n > 0)
+      // a uniform pseudo-slice of a STATIONARY corpus cannot drift far
+      // from the whole-corpus baseline (generous ±20% band; a drifted
+      // INGEST is what moves this — s42's spec pins that direction)
+      assert(driftBp > 8000 && driftBp < 12000,
+        s"slice $b drift $driftBp bp implausible for a stationary corpus")
+      // max list is never below the uniform share
+      assert(skewBp >= 10000, s"slice $b skew $skewBp below uniform share")
+    }
+  }
+
+  test("m15 GC planning at sf0.1: freed and shared accounting stays consistent per media") {
+    val rows = graft.operators.Multimodal.m15GcReport(spark, sf01).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nSlots, slotBytes, nFreed, freedBytes, nShared, sharedBytes) =>
+      assert(nSlots > 0 && slotBytes > 0)
+      // a media's distinct chunks bound both attributions; bytes follow
+      assert(nFreed <= nSlots && nShared <= nSlots)
+      assert(freedBytes <= slotBytes && sharedBytes <= slotBytes)
+      assert((nFreed == 0) == (freedBytes == 0))
+      assert((nShared == 0) == (sharedBytes == 0))
+    }
+    // the 10x corpus must still exercise the physical-reclaim path
+    assert(rows.map(_._3).sum > 0, "no chunk freed at 10x — fixture went blind")
+  }
+
   test("p08 split leakage at sf0.1: near-dup leakage dominates exact; rates stay plausible") {
     // measured at sf0.1: test 3 exact / 44 near (59/878 bp),
     //                    val  0 exact / 37 near (0/756 bp)
