@@ -22,14 +22,16 @@ import graft.operators.FraudPipeline
   * them deterministically with `Trigger.AvailableNow` and assert
   * stream-equals-batch.
   *
-  * s32–s44 are the MAINTAINED-STORE family: five persisted index stores
+  * s32–s45 are the MAINTAINED-STORE family: five persisted index stores
   * (dedup hash/band, media chunks, IVF assignment, graph ANN, PQ codes —
   * plus the s43 cluster store composed on top) with the full lifecycle —
   * per-batch partition-overwrite upserts, tombstone deletes (s39),
   * generalized compaction (s40), a replay fence enforcing the
   * coordination contract (s41), a staleness monitor + retrain handoff
-  * (s42), and a referential fsck (s44). Every store pins
-  * maintained == full rebuild over the live corpus in StreamingSpec.
+  * (s42), a referential fsck (s44), and as-of (time-travel) reads of
+  * every served view with compaction as the loud-fail horizon (s45).
+  * Every store pins maintained == full rebuild over the live corpus in
+  * StreamingSpec.
   */
 object StreamOps {
 
@@ -337,12 +339,15 @@ object StreamOps {
     * base [[s32HashIndex]] folds and [[s32CompactStore]] rewrites.
     */
   private[graft] def s32HashRows(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): DataFrame =
+                                 dir: String,
+                                 asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id")
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id"),
+        spark, dir, asOf)
         .select("th", "doc_id").distinct(),
-      spark, dir, "doc_id")
+      spark, dir, "doc_id", asOf)
 
   /** Compacted read of the s32-maintained hash index: tombstone-filter,
     * then fold the per-batch runs by key with the min-survivor policy —
@@ -351,9 +356,9 @@ object StreamOps {
     * StreamingSpec for both the insert-only and the post-delete store.
     */
   def s32HashIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): DataFrame = {
+                   dir: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    s32HashRows(spark, dir).groupBy("th").agg(min("doc_id").as("doc_id"))
+    s32HashRows(spark, dir, asOf).groupBy("th").agg(min("doc_id").as("doc_id"))
   }
 
   /** Compacted read of the s32-maintained band index (distinct folds a
@@ -361,12 +366,15 @@ object StreamOps {
     * band rows are filtered out).
     */
   def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): DataFrame =
+                   dir: String, asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/bands"), s"$dir/bands", "doc_id", "band_key")
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/bands"), s"$dir/bands",
+          "doc_id", "band_key"),
+        spark, dir, asOf)
         .select("doc_id", "band_key").distinct(),
-      spark, dir, "doc_id")
+      spark, dir, "doc_id", asOf)
 
   /** s34: streaming maintenance of the content-addressed media CHUNK
     * store — s32's sibling for the m03/m05/m07/m08 chunk tables (those
@@ -427,13 +435,16 @@ object StreamOps {
     * rewrites.
     */
   private[graft] def s34ChunkRows(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): DataFrame =
+                                  dir: String,
+                                  asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/chunks"), s"$dir/chunks",
-          "h", "media_id", "nb")
+          "h", "media_id", "nb"),
+        spark, dir, asOf)
         .select("h", "media_id", "nb").distinct(),
-      spark, dir, "media_id")
+      spark, dir, "media_id", asOf)
 
   /** Compacted read of the s34-maintained chunk store: tombstone-filter
     * the reference rows, then fold by content hash with the min-owner
@@ -441,9 +452,9 @@ object StreamOps {
     * with no live referrer disappears (the CAS garbage-collection rule).
     */
   def s34ChunkStore(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame = {
+                    dir: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    s34ChunkRows(spark, dir)
+    s34ChunkRows(spark, dir, asOf)
       .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
   }
 
@@ -494,13 +505,15 @@ object StreamOps {
     * replayed batch fold under distinct.
     */
   def s35Assignment(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame =
+                    dir: String, asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
-          "vec_id", "cid", "ccos")
+          "vec_id", "cid", "ccos"),
+        spark, dir, asOf)
         .select("vec_id", "cid", "ccos").distinct(),
-      spark, dir, "vec_id")
+      spark, dir, "vec_id", asOf)
 
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
                          path: String): Boolean = {
@@ -529,6 +542,39 @@ object StreamOps {
         n.stripPrefix("batch_id=").toLong }
       .reduceOption(_ max _)
   }
+
+  /** s45: AS-OF (time-travel) bound on a store read — the per-batch
+    * `batch_id=N` runs double as a history: filtering every table (and the
+    * tombstones) to `batch_id <= asOf` reproduces the served view exactly
+    * as it stood after batch `asOf` committed, because each store's served
+    * state is a pure fold of its prefix of runs (the same induction that
+    * pins maintained == rebuild — StreamingSpec pins as-of == the rebuild
+    * over the prefix corpus per store). Every served-view reader takes an
+    * `asOf` parameter; `None` serves the present.
+    *
+    * Compaction is the HORIZON: [[compactStore]] folds history into one
+    * base run restamped with the compaction batch id, so an as-of read
+    * below the stamp would silently serve the folded present — it fails
+    * loudly instead (the s41 fence's read-side twin). Reads at or above
+    * the stamp stay exact: every folded row carries the stamp id, and the
+    * post-compaction increments are ordinary runs. Cost: one tiny
+    * stamp-file read plus a `batch_id` filter the scan answers from the
+    * partition directory names — no data moves that the present-day read
+    * wouldn't.
+    */
+  private def asOfRuns(df: DataFrame, spark: SparkSession,
+                       dir: String, asOf: Option[Long]): DataFrame =
+    asOf match {
+      case None => df
+      case Some(b) =>
+        readCompactionStamp(spark, dir).foreach { st =>
+          require(b >= st,
+            s"store $dir is compacted through batch $st: as-of $b predates " +
+              "the fold and those runs no longer exist — read at or above " +
+              "the stamp, or restore a pre-compaction backup")
+        }
+        df.filter(col("batch_id").cast("long") <= b)
+    }
 
   private def stampFile(dir: String) = s"$dir/_compaction_stamp"
 
@@ -611,14 +657,19 @@ object StreamOps {
     */
   private def deletedPath(dir: String) = s"$dir/deleted"
 
-  /** Distinct tombstoned ids of a store (empty when nothing was deleted). */
+  /** Distinct tombstoned ids of a store (empty when nothing was deleted),
+    * optionally bounded to the tombstones visible as of a batch (s45).
+    */
   private[graft] def deletedIds(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): DataFrame =
+                                dir: String,
+                                asOf: Option[Long] = None): DataFrame =
     if (!pathExists(spark, deletedPath(dir)))
       spark.range(0).select(col("id"))
     else
-      graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(deletedPath(dir)), deletedPath(dir), "id")
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(deletedPath(dir)), deletedPath(dir), "id"),
+        spark, dir, asOf)
         .select("id").distinct()
 
   /** Serve-side tombstone filter: anti-join `idCol` against the deleted
@@ -626,11 +677,12 @@ object StreamOps {
     * set is delete-traffic-sized, so the anti-join broadcasts.
     */
   private def antiDeleted(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                          dir: String, idCol: String): DataFrame =
+                          dir: String, idCol: String,
+                          asOf: Option[Long] = None): DataFrame =
     if (!pathExists(spark, deletedPath(dir))) df
     else df.join(
       org.apache.spark.sql.functions.broadcast(
-        deletedIds(spark, dir).withColumnRenamed("id", idCol)),
+        deletedIds(spark, dir, asOf).withColumnRenamed("id", idCol)),
       Seq(idCol), "left_anti")
 
   /** Upsert-side guard: deletes are final — loud-fail a batch that
@@ -872,21 +924,25 @@ object StreamOps {
     * touches a src rewrites its complete list.
     */
   def s36Vectors(spark: org.apache.spark.sql.SparkSession,
-                 dir: String): DataFrame =
+                 dir: String, asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
-          "vec_id", "q", "nrm")
+          "vec_id", "q", "nrm"),
+        spark, dir, asOf)
         .select("vec_id", "q", "nrm").dropDuplicates("vec_id"),
-      spark, dir, "vec_id")
+      spark, dir, "vec_id", asOf)
 
   def s36Cells(spark: org.apache.spark.sql.SparkSession,
-               dir: String): DataFrame =
+               dir: String, asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid")
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid"),
+        spark, dir, asOf)
         .select("vec_id", "cid").distinct(),
-      spark, dir, "vec_id")
+      spark, dir, "vec_id", asOf)
 
   /** Latest-per-src fold of the raw edge runs, WITHOUT the tombstone
     * filters — the physical merge [[s36DirectedEdges]] serves from and
@@ -894,16 +950,19 @@ object StreamOps {
     * a freshly-deleted dst.
     */
   private def s36LatestEdges(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): DataFrame = {
+                             dir: String,
+                             asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     if (!pathExists(spark, s"$dir/edges"))
       // first batch: nothing stored yet — empty frame with the edge schema
       spark.range(0).select(col("id").as("src"), col("id").as("dst"),
         lit(0.0).as("cos"))
     else {
-      val e = graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/edges"), s"$dir/edges",
-        "src", "dst", "cos", "batch_id")
+      val e = asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/edges"), s"$dir/edges",
+          "src", "dst", "cos", "batch_id"),
+        spark, dir, asOf)
       val latest = e.groupBy("src").agg(max("batch_id").as("mb"))
         .withColumnRenamed("src", "lsrc")
       e.join(latest, e("src") === col("lsrc") && e("batch_id") === col("mb"))
@@ -920,12 +979,12 @@ object StreamOps {
     * candidates left).
     */
   def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
+                       dir: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     antiDeleted(
-      antiDeleted(s36LatestEdges(spark, dir), spark, dir, "src")
+      antiDeleted(s36LatestEdges(spark, dir, asOf), spark, dir, "src", asOf)
         .withColumnRenamed("dst", "vec_id"),
-      spark, dir, "vec_id")
+      spark, dir, "vec_id", asOf)
       .withColumnRenamed("vec_id", "dst")
       .select("src", "dst", "cos")
   }
@@ -1015,8 +1074,8 @@ object StreamOps {
     * edges — the table the n26 batched walk reads.
     */
   def s36Adjacency(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): DataFrame =
-    graft.queries.Similarity.symmetrize(s36DirectedEdges(spark, dir))
+                   dir: String, asOf: Option[Long] = None): DataFrame =
+    graft.queries.Similarity.symmetrize(s36DirectedEdges(spark, dir, asOf))
 
   /** s37: COMPACTION of the s36 graph-index store — the LSM fold the
     * per-batch partition-overwrite model defers: every s36 batch adds a
@@ -1205,20 +1264,22 @@ object StreamOps {
 
   /** The served cluster table: latest label per doc, tombstone-filtered. */
   def s43Clusters(spark: org.apache.spark.sql.SparkSession,
-                  dir: String): DataFrame = {
+                  dir: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     if (!pathExists(spark, s"$dir/labels"))
       spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
     else {
-      val l = graft.sources.ReadGuard.requireColumns(
-        spark.read.parquet(s"$dir/labels"), s"$dir/labels",
-        "doc_id", "cluster", "batch_id")
+      val l = asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/labels"), s"$dir/labels",
+          "doc_id", "cluster", "batch_id"),
+        spark, dir, asOf)
       val latest = l.groupBy("doc_id").agg(max("batch_id").as("mb"))
         .withColumnRenamed("doc_id", "ldoc")
       antiDeleted(
         l.join(latest, l("doc_id") === col("ldoc") && l("batch_id") === col("mb"))
           .select("doc_id", "cluster"),
-        spark, dir, "doc_id")
+        spark, dir, "doc_id", asOf)
     }
   }
 
@@ -1260,62 +1321,228 @@ object StreamOps {
     * the audit names them. Cost: anti/semi-joins on narrow id columns of
     * the served views + one filesystem listing — no payload ever moves.
     */
+  /** One (check, n_bad) audit row — the shape every store fsck emits. */
+  private def auditRow(name: String, bad: DataFrame): DataFrame =
+    bad.agg(count(lit(1)).as("n_bad"))
+      .select(lit(name).as("check"), col("n_bad"))
+
+  /** The runs-below-compaction-stamp check shared by every store audit
+    * (the mixed-generation restore the s41 fence cannot see): counts data
+    * runs whose `batch_id=N` directory sits below the recorded stamp.
+    * Pure filesystem listing — no data scan.
+    */
+  private def staleRunsRow(spark: SparkSession, dir: String,
+                           tables: Seq[String]): DataFrame = {
+    val below = readCompactionStamp(spark, dir).map { st =>
+      (tables :+ "deleted").map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count { s =>
+          val n = s.getPath.getName
+          n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < st
+        }
+      }.sum
+    }.getOrElse(0)
+    spark.range(1).select(lit("runs_below_compaction_stamp").as("check"),
+      lit(below.toLong).as("n_bad"))
+  }
+
+  /** Tombstoned ids visible in a served view — the anti-join contract
+    * check every store audit runs.
+    */
+  private def tombstonesServedRow(spark: SparkSession, dir: String,
+                                  served: DataFrame,
+                                  idCol: String): DataFrame =
+    auditRow("tombstones_still_served",
+      served.select(col(idCol)).distinct()
+        .join(deletedIds(spark, dir).withColumnRenamed("id", idCol),
+          Seq(idCol), "left_semi"))
+
+  private def auditOf(rows: Seq[DataFrame]): DataFrame =
+    rows.reduce(_.unionByName(_)).orderBy("check")
+
+  /** Loud-fail wrapper shared by every store fsck: the collect is
+    * metadata-bounded BY CONSTRUCTION — one row per invariant, never per
+    * data row.
+    */
+  private def requireCleanAudit(what: String, dir: String,
+                                audit: DataFrame): Unit = {
+    val bad = audit.filter(col("n_bad") > 0)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    require(bad.isEmpty, s"$what $dir failed fsck: ${bad.mkString(", ")}")
+  }
+
   def s44GraphStoreAudit(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val vecs = s36Vectors(spark, dir).select("vec_id").localCheckpoint()
     val edges = s36DirectedEdges(spark, dir).localCheckpoint()
     val cells = s36Cells(spark, dir).select("vec_id").distinct()
-    def check(name: String, bad: DataFrame): DataFrame =
-      bad.agg(count(lit(1)).as("n_bad"))
-        .select(lit(name).as("check"), col("n_bad"))
-    val staleRuns = {
-      val stamp = readCompactionStamp(spark, dir)
-      val below = stamp.map { st =>
-        Seq("vectors", "cells", "edges", "deleted").map { t =>
-          val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-          if (!fs.exists(p)) 0
-          else fs.listStatus(p).count { s =>
-            val n = s.getPath.getName
-            n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < st
-          }
-        }.sum
-      }.getOrElse(0)
-      spark.range(1).select(lit("runs_below_compaction_stamp").as("check"),
-        lit(below.toLong).as("n_bad"))
-    }
-    Seq(
-      check("edges_src_not_in_vectors",
+    auditOf(Seq(
+      auditRow("edges_src_not_in_vectors",
         edges.select(col("src").as("vec_id")).distinct()
           .join(vecs, Seq("vec_id"), "left_anti")),
-      check("edges_dst_not_in_vectors",
+      auditRow("edges_dst_not_in_vectors",
         edges.select(col("dst").as("vec_id")).distinct()
           .join(vecs, Seq("vec_id"), "left_anti")),
-      check("cells_vec_not_in_vectors",
+      auditRow("cells_vec_not_in_vectors",
         cells.join(vecs, Seq("vec_id"), "left_anti")),
-      check("vectors_without_cells",
+      auditRow("vectors_without_cells",
         vecs.join(cells, Seq("vec_id"), "left_anti")),
-      check("tombstones_still_served",
-        vecs.join(deletedIds(spark, dir).withColumnRenamed("id", "vec_id"),
-          Seq("vec_id"), "left_semi")),
-      staleRuns)
-      .reduce(_.unionByName(_))
-      .orderBy("check")
+      tombstonesServedRow(spark, dir, vecs, "vec_id"),
+      staleRunsRow(spark, dir, Seq("vectors", "cells", "edges"))))
   }
 
   /** Loud-fail wrapper over [[s44GraphStoreAudit]], naming every violated
     * invariant — run it before trusting a restored or hand-touched store.
     */
   def s44RequireHealthy(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Unit = {
-    // collect is metadata-bounded BY CONSTRUCTION: the audit emits one
-    // row per invariant (six), never per data row
-    val bad = s44GraphStoreAudit(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("n_bad") > 0)
-      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-    require(bad.isEmpty,
-      s"graph store $dir failed fsck: ${bad.mkString(", ")}")
+                        dir: String): Unit =
+    requireCleanAudit("graph store", dir, s44GraphStoreAudit(spark, dir))
+
+  /** s46: the fsck GENERALIZED to the whole store family (s44 audits the
+    * graph store; these are its four siblings, built from the same seams
+    * — [[auditRow]], [[tombstonesServedRow]], [[staleRunsRow]] — so every
+    * maintained store now has the post-incident consistency verb). Each
+    * audit checks exactly what the fold discipline guarantees for ITS
+    * store, so a nonzero count is store corruption or a code regression:
+    *
+    *  - hash/band store (s32): hash and band rows are written by the same
+    *    batch from the same documents, so the LIVE doc sets must coincide
+    *    in both tables; a doc has ONE content hash and exactly
+    *    [[graft.functions.TextHash.NumBands]] distinct band keys (the `b:`
+    *    prefix makes per-band keys distinct) — a second hash or an odd
+    *    band count means a doc was re-ingested with different text, the
+    *    drift the maintained==rebuild induction cannot survive;
+    *  - chunk store (s34): a content hash names ONE chunk length — two
+    *    `nb` values under one md5 mean a mangled run (the CAS property);
+    *  - assignment store (s35): one row per vector (the fixed codebook
+    *    makes assignment a pure function) with the centroid id inside the
+    *    codebook range;
+    *  - code store (s38): one code per (vector, subspace), all
+    *    [[graft.queries.Similarity.NumSubspaces]] subspaces present, code
+    *    ids inside the sub-codebook range;
+    *  - cluster store (s43): labels obey the min-id policy (label ≤ doc),
+    *    every label is itself a LIVE served doc, and the label's own row
+    *    is self-rooted (label(label) == label) — the invariants d05's
+    *    contraction guarantees and d32's retraction re-establishes.
+    *
+    * All checks are anti/semi-joins and partial-agg groupBys on narrow id
+    * columns of the served views + one filesystem listing — no payload
+    * moves. RobustnessSpec plants a per-store corruption and asserts the
+    * audit names it and the loud-fail wrapper fires.
+    */
+  def s46HashStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashRows = s32HashRows(spark, dir).localCheckpoint()
+    val bandRows = s32BandIndex(spark, dir).localCheckpoint()
+    val hashDocs = hashRows.select("doc_id").distinct()
+    val bandDocs = bandRows.select("doc_id").distinct()
+    auditOf(Seq(
+      auditRow("band_doc_not_in_hash",
+        bandDocs.join(hashDocs, Seq("doc_id"), "left_anti")),
+      auditRow("hash_doc_not_in_bands",
+        hashDocs.join(bandDocs, Seq("doc_id"), "left_anti")),
+      auditRow("doc_with_multiple_hashes",
+        hashRows.groupBy("doc_id")
+          .agg(countDistinct("th").as("n")).filter(col("n") > 1)),
+      auditRow("band_cardinality_wrong",
+        bandRows.groupBy("doc_id")
+          .agg(countDistinct("band_key").as("n"))
+          .filter(col("n") =!= graft.functions.TextHash.NumBands)),
+      tombstonesServedRow(spark, dir, hashDocs, "doc_id"),
+      staleRunsRow(spark, dir, Seq("hash56", "bands"))))
+  }
+
+  def s46ChunkStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val refs = s34ChunkRows(spark, dir).localCheckpoint()
+    auditOf(Seq(
+      auditRow("hash_nb_conflict",
+        refs.groupBy("h").agg(countDistinct("nb").as("n"))
+          .filter(col("n") > 1)),
+      tombstonesServedRow(spark, dir,
+        refs.select(col("media_id")), "media_id"),
+      staleRunsRow(spark, dir, Seq("chunks"))))
+  }
+
+  def s46AssignStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val assigned = s35Assignment(spark, dir).localCheckpoint()
+    auditOf(Seq(
+      auditRow("vec_with_multiple_assignments",
+        assigned.groupBy("vec_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      auditRow("cid_out_of_range",
+        assigned.filter(col("cid") < 0 ||
+          col("cid") >= graft.queries.Similarity.NumCentroids)),
+      tombstonesServedRow(spark, dir, assigned.select("vec_id"), "vec_id"),
+      staleRunsRow(spark, dir, Seq("assigned"))))
+  }
+
+  def s46CodeStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val codes = s38Codes(spark, dir).localCheckpoint()
+    auditOf(Seq(
+      auditRow("vec_wrong_subspace_arity",
+        codes.groupBy("vec_id").agg(countDistinct("sub").as("n"))
+          .filter(col("n") =!= graft.queries.Similarity.NumSubspaces)),
+      auditRow("sub_code_conflict",
+        codes.groupBy("vec_id", "sub").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      auditRow("code_out_of_range",
+        codes.filter(col("code") < 0 ||
+          col("code") >= graft.queries.Similarity.NumCentroids)),
+      tombstonesServedRow(spark, dir, codes.select("vec_id"), "vec_id"),
+      staleRunsRow(spark, dir, Seq("codes"))))
+  }
+
+  def s46ClusterStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val served = s43Clusters(spark, dir).localCheckpoint()
+    val labels = served.select(col("cluster")).distinct()
+    val roots = served.select(col("doc_id").as("cluster"),
+      col("cluster").as("root_label"))
+    auditOf(Seq(
+      auditRow("label_above_doc",
+        served.filter(col("cluster") > col("doc_id"))),
+      auditRow("label_not_served",
+        labels.join(served.select(col("doc_id").as("cluster")),
+          Seq("cluster"), "left_anti")),
+      auditRow("label_not_self_rooted",
+        labels.join(roots, Seq("cluster"))
+          .filter(col("root_label") =!= col("cluster"))),
+      auditRow("doc_with_multiple_labels",
+        served.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      tombstonesServedRow(spark, dir, served.select("doc_id"), "doc_id"),
+      staleRunsRow(spark, dir, Seq("hash56", "bands", "labels"))))
+  }
+
+  /** s46's loud-fail wrapper: fsck one maintained store by family name
+    * (`hash`, `chunk`, `assign`, `code`, `cluster`, `graph`), failing
+    * with every violated invariant — [[s44RequireHealthy]]'s contract
+    * extended to the whole family.
+    */
+  def s46RequireHealthy(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, family: String): Unit = {
+    val audit = family match {
+      case "hash"    => s46HashStoreAudit(spark, dir)
+      case "chunk"   => s46ChunkStoreAudit(spark, dir)
+      case "assign"  => s46AssignStoreAudit(spark, dir)
+      case "code"    => s46CodeStoreAudit(spark, dir)
+      case "cluster" => s46ClusterStoreAudit(spark, dir)
+      case "graph"   => s44GraphStoreAudit(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|graph)")
+    }
+    requireCleanAudit(s"$family store", dir, audit)
   }
 
   /** s42: codebook-staleness monitor over the MAINTAINED s35 store — the
@@ -1412,13 +1639,15 @@ object StreamOps {
     * distinct.
     */
   def s38Codes(spark: org.apache.spark.sql.SparkSession,
-               dir: String): DataFrame =
+               dir: String, asOf: Option[Long] = None): DataFrame =
     antiDeleted(
-      graft.sources.ReadGuard.requireColumns(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/codes"), s"$dir/codes",
-          "vec_id", "sub", "code", "dist2")
+          "vec_id", "sub", "code", "dist2"),
+        spark, dir, asOf)
         .select("vec_id", "sub", "code", "dist2").distinct(),
-      spark, dir, "vec_id")
+      spark, dir, "vec_id", asOf)
 
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s

@@ -181,6 +181,116 @@ class RobustnessSpec extends SparkSpec {
       s"stale restored run must be flagged: $audit2")
   }
 
+  test("s46 family fsck: every maintained store audits clean when healthy; planted per-store corruption is named and loud-fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val StreamOps = graft.streaming.StreamOps
+    def auditMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def plant(rows: org.apache.spark.sql.DataFrame, path: String,
+              batchId: Long): Unit = {
+      rows.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+      spark.catalog.refreshByPath(path)
+    }
+
+    // hash/band store: a band run naming a never-ingested doc breaks the
+    // doc-set equality AND the per-doc band cardinality
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hdir = java.nio.file.Files.createTempDirectory("s46_hash").toString
+    val (dh1, dh2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s32UpsertIndexBatch(hdir)(dh1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(hdir)(dh2.toSeq.toDF("doc_id", "text"), 1L)
+    StreamOps.s46RequireHealthy(spark, hdir, "hash")
+    plant(Seq((999999L, "0:bogus")).toDF("doc_id", "band_key"),
+      s"$hdir/bands", 2L)
+    val hAudit = auditMap(StreamOps.s46HashStoreAudit(spark, hdir))
+    assert(hAudit("band_doc_not_in_hash") === 1L, hAudit.toString)
+    assert(hAudit("band_cardinality_wrong") === 1L, hAudit.toString)
+    val hEx = intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, hdir, "hash")
+    }
+    assert(hEx.getMessage.contains("band_doc_not_in_hash"))
+
+    // chunk store: two nb values under one content hash break the CAS
+    // one-hash-one-length property
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val cdir = java.nio.file.Files.createTempDirectory("s46_chunk").toString
+    StreamOps.s34UpsertChunkBatch(cdir)(
+      media.toSeq.toDF("media_id", "payload"), 0L)
+    StreamOps.s46RequireHealthy(spark, cdir, "chunk")
+    val someHash = StreamOps.s34ChunkStore(spark, cdir)
+      .select("h").head().getString(0)
+    plant(Seq((someHash, 999999L, -7)).toDF("h", "media_id", "nb"),
+      s"$cdir/chunks", 1L)
+    val cAudit = auditMap(StreamOps.s46ChunkStoreAudit(spark, cdir))
+    assert(cAudit("hash_nb_conflict") === 1L, cAudit.toString)
+    intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, cdir, "chunk")
+    }
+
+    // assignment store: a second row for a vector with an out-of-codebook
+    // centroid breaks pure-function single-assignment AND the range check
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val adir = java.nio.file.Files.createTempDirectory("s46_assign").toString
+    StreamOps.s35UpsertIvfBatch(cents, adir)(
+      vecs.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s46RequireHealthy(spark, adir, "assign")
+    plant(Seq((vecs.head._1, 99L, 0.0)).toDF("vec_id", "cid", "ccos"),
+      s"$adir/assigned", 1L)
+    val aAudit = auditMap(StreamOps.s46AssignStoreAudit(spark, adir))
+    assert(aAudit("vec_with_multiple_assignments") === 1L, aAudit.toString)
+    assert(aAudit("cid_out_of_range") === 1L, aAudit.toString)
+    intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, adir, "assign")
+    }
+
+    // code store: a conflicting out-of-range code for an existing
+    // (vector, subspace) slot
+    val cbook = graft.queries.Similarity.pqCodebook(spark, sf)
+      .localCheckpoint()
+    val pdir = java.nio.file.Files.createTempDirectory("s46_code").toString
+    StreamOps.s38UpsertPqBatch(cbook, pdir)(
+      vecs.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s46RequireHealthy(spark, pdir, "code")
+    plant(Seq((vecs.head._1, 0, 99L, 0L)).toDF("vec_id", "sub", "code", "dist2"),
+      s"$pdir/codes", 1L)
+    val pAudit = auditMap(StreamOps.s46CodeStoreAudit(spark, pdir))
+    assert(pAudit("sub_code_conflict") === 1L, pAudit.toString)
+    assert(pAudit("code_out_of_range") === 1L, pAudit.toString)
+    intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, pdir, "code")
+    }
+
+    // cluster store: a label pointing above its doc at a never-served id
+    // breaks the min-id policy and label liveness
+    val ldir = java.nio.file.Files.createTempDirectory("s46_cluster").toString
+    StreamOps.s43UpsertClusterBatch(ldir)(
+      dh1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s46RequireHealthy(spark, ldir, "cluster")
+    plant(Seq((dh1.head._1, 999999L)).toDF("doc_id", "cluster"),
+      s"$ldir/labels", 1L)
+    val lAudit = auditMap(StreamOps.s46ClusterStoreAudit(spark, ldir))
+    assert(lAudit("label_above_doc") === 1L, lAudit.toString)
+    assert(lAudit("label_not_served") === 1L, lAudit.toString)
+    intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, ldir, "cluster")
+    }
+    // the unknown-family guard names the accepted families
+    val fEx = intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, ldir, "nosuch")
+    }
+    assert(fEx.getMessage.contains("hash|chunk|assign|code|cluster|graph"))
+  }
+
   test("corrupt parquet file: loud failure by default, skipped under ignoreCorruptFiles") {
     import spark.implicits._
     val dir = Files.createTempDirectory("robust_corrupt").toString

@@ -1849,4 +1849,180 @@ class StreamingSpec extends SparkSpec {
     }
     assert(snapshot() === after, "failed batch must not partially land")
   }
+
+  test("s45 as-of reads: the s32 store's history replays exactly; a delete is invisible before its batch; compaction is the loud-fail horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, min}
+    val dir = tmp("s45_s32")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s32UpsertIndexBatch(dir)(half1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(dir)(half2.toSeq.toDF("doc_id", "text"), 1L)
+    val dels = docs.map(_._1).filter(_ % 7 == 3)
+    assert(dels.nonEmpty)
+    StreamOps.s32DeleteBatch(dir)(dels.toSeq.toDF("doc_id"), 2L)
+    // the contract: as-of batch B == the batch rebuild over the prefix
+    // corpus (every batch's ingest minus the deletes visible by B)
+    def hashOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(0L)), hashOf(half1)),
+      "as-of the first batch must equal the rebuild over its corpus")
+    val all = half1 ++ half2
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)), hashOf(all)),
+      "as-of the second batch must see both ingests and NOT the later delete")
+    val live = docs.filter(_._1 % 7 != 3)
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)), hashOf(live)),
+      "as-of the delete batch must serve the post-delete view")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)),
+        StreamOps.s32HashIndex(spark, dir)),
+      "as-of the newest batch must equal the present-day read")
+    // the band table time-travels through the same runs
+    val wantBands0 = graft.queries.Dedup
+      .bandTableOf(half1.toSeq.toDF("doc_id", "text")).distinct()
+    assert(same(StreamOps.s32BandIndex(spark, dir, Some(0L)), wantBands0),
+      "the band index as-of the first batch must equal its rebuild")
+    // compaction folds history: below-stamp as-of fails LOUDLY, at/above
+    // the stamp stays exact
+    StreamOps.s32CompactStore(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.s32HashIndex(spark, dir, Some(1L))
+    }
+    assert(ex.getMessage.contains("compacted"), ex.getMessage)
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)), hashOf(live)),
+      "as-of at the compaction stamp must survive the fold exactly")
+    // post-compaction increments: invisible below their batch, exact at it
+    val fresh = (1 to 3).map(i => (docs.map(_._1).max + 2000L + i,
+      s"s45 fresh text $i"))
+    StreamOps.s32UpsertIndexBatch(dir)(fresh.toDF("doc_id", "text"), 3L)
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)), hashOf(live)),
+      "a later increment must stay invisible to an earlier as-of")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(3L)),
+        hashOf(live ++ fresh)),
+      "as-of the increment's batch must include it")
+  }
+
+  test("s45 as-of reads: graph and cluster stores time-travel; the delete re-rank is invisible before its batch") {
+    import spark.implicits._
+    val Sim = graft.queries.Similarity
+    val Dd = graft.queries.Dedup
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // graph store: as-of == the directed-top-k rebuild over the prefix
+    val gdir = tmp("s45_s36")
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val (vh1, vh2) = vecs.partition(_._1 % 2 == 0)
+    StreamOps.s36UpsertGraphBatch(cents, gdir)(
+      vh1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s36UpsertGraphBatch(cents, gdir)(
+      vh2.toSeq.toDF("vec_id", "embedding"), 1L)
+    val vdels = vecs.map(_._1).filter(_ % 5 == 1)
+    StreamOps.s36DeleteBatch(gdir)(vdels.toSeq.toDF("vec_id"), 2L)
+    def rebuilt(rows: Seq[(Long, Array[Float])]) = Sim.symmetrize(
+      Sim.directedTopKOf(
+        Sim.prepareVectors(rows.toDF("vec_id", "embedding"))
+          .select("vec_id", "q", "nrm"), cents))
+    assert(same(StreamOps.s36Adjacency(spark, gdir, Some(0L)),
+        rebuilt(vh1.toSeq)),
+      "graph as-of the first batch must equal the rebuild over its corpus")
+    assert(same(StreamOps.s36Adjacency(spark, gdir, Some(1L)),
+        rebuilt(vecs.toSeq)),
+      "graph as-of the second batch must not see the later delete re-rank")
+    assert(same(StreamOps.s36Adjacency(spark, gdir, Some(2L)),
+        rebuilt(vecs.filter(_._1 % 5 != 1).toSeq)),
+      "graph as-of the delete batch must serve the post-delete graph")
+    // cluster store: as-of == the d05 rebuild over the prefix corpus
+    val cdir = tmp("s45_s43")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (dh1, dh2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s43UpsertClusterBatch(cdir)(dh1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s43UpsertClusterBatch(cdir)(dh2.toSeq.toDF("doc_id", "text"), 1L)
+    val ddels = docs.map(_._1).filter(_ % 7 == 3)
+    StreamOps.s43DeleteClusterBatch(cdir)(ddels.toSeq.toDF("doc_id"), 2L)
+    def clustersOf(rows: Seq[(Long, String)]) = {
+      val df = rows.toDF("doc_id", "text")
+      val bands = Dd.bandTableOf(df).localCheckpoint()
+      Dd.clusterTableOf(df.select("doc_id"), Dd.candidatePairsPlan(bands))
+    }
+    assert(same(StreamOps.s43Clusters(spark, cdir, Some(0L)),
+        clustersOf(dh1.toSeq)),
+      "clusters as-of the first batch must equal the d05 rebuild over it")
+    assert(same(StreamOps.s43Clusters(spark, cdir, Some(1L)),
+        clustersOf(docs.toSeq)),
+      "clusters as-of the second batch must not see the later retraction")
+    assert(same(StreamOps.s43Clusters(spark, cdir, Some(2L)),
+        clustersOf(docs.filter(_._1 % 7 != 3).toSeq)),
+      "clusters as-of the delete batch must serve the retracted view")
+  }
+
+  test("s45 as-of reads: chunk, assignment and code stores time-travel through their runs") {
+    import spark.implicits._
+    val Sim = graft.queries.Similarity
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (h1, h2) = vecs.partition(_._1 % 2 == 0)
+    // s35 assignment
+    val adir = tmp("s45_s35")
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    StreamOps.s35UpsertIvfBatch(cents, adir)(
+      h1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s35UpsertIvfBatch(cents, adir)(
+      h2.toSeq.toDF("vec_id", "embedding"), 1L)
+    def assignOf(rows: Seq[(Long, Array[Float])]) = Sim.assignToCentroids(
+        Sim.prepareVectors(rows.toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cid", "ccos")
+    assert(same(StreamOps.s35Assignment(spark, adir, Some(0L)),
+        assignOf(h1.toSeq)),
+      "assignment as-of the first batch must equal its rebuild")
+    // s38 codes
+    val pdir = tmp("s45_s38")
+    val cbook = Sim.pqCodebook(spark, sf).localCheckpoint()
+    StreamOps.s38UpsertPqBatch(cbook, pdir)(
+      h1.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s38UpsertPqBatch(cbook, pdir)(
+      h2.toSeq.toDF("vec_id", "embedding"), 1L)
+    def codesOf(rows: Seq[(Long, Array[Float])]) = Sim.pqAssignToCodebook(
+        Sim.subVectorsOf(
+          Sim.prepareVectors(rows.toDF("vec_id", "embedding"))
+            .select("vec_id", "q")), cbook)
+      .select("vec_id", "sub", "code", "dist2")
+    assert(same(StreamOps.s38Codes(spark, pdir, Some(0L)), codesOf(h1.toSeq)),
+      "codes as-of the first batch must equal their rebuild")
+    // s34 chunks (media payloads derived from documents, the s39 fixture)
+    val mdir = tmp("s45_s34")
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (m1, m2) = media.partition(_._1 % 2 == 0)
+    StreamOps.s34UpsertChunkBatch(mdir)(
+      m1.toSeq.toDF("media_id", "payload"), 0L)
+    StreamOps.s34UpsertChunkBatch(mdir)(
+      m2.toSeq.toDF("media_id", "payload"), 1L)
+    def chunksOf(rows: Seq[(Long, Array[Byte])]) = {
+      import org.apache.spark.sql.functions.min
+      graft.operators.Multimodal
+        .chunkTableOf(rows.toDF("media_id", "payload"))
+        .select("h", "media_id", "nb").distinct()
+        .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
+    }
+    assert(same(StreamOps.s34ChunkStore(spark, mdir, Some(0L)),
+        chunksOf(m1.toSeq)),
+      "the chunk store as-of the first batch must equal its rebuild")
+    assert(same(StreamOps.s34ChunkStore(spark, mdir, Some(1L)),
+        chunksOf(media.toSeq)),
+      "the chunk store as-of the second batch must see both ingests")
+  }
 }
