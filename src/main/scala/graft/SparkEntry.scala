@@ -54,7 +54,9 @@ object SparkEntry {
         "m14_compressed_features" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m14CompressedFeatures(s, d)),
         "m15_gc_report" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m15GcReport(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m15GcReport(s, d)),
+        "m16_wav_resample" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m16WavResample(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -363,6 +365,26 @@ object SparkEntry {
              |       CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM lagd GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m16: blocks recomputed from the sawtooth formula; the
+        // position-weighted checksum makes the equality order-sensitive
+        "m16_wav_resample" -> {
+          val n = graft.operators.Multimodal.WavSamples
+          val k = graft.operators.Multimodal.ResampleFactor
+          s"""WITH samp AS (
+             |  SELECT doc_id AS media_id, i,
+             |         ((doc_id * 7919 + i * (3 + doc_id % 17)) % 2001) - 1000 AS s
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${n - 1})) AS i) ii),
+             |blk AS (
+             |  SELECT media_id, i // $k AS j, CAST(SUM(s) AS BIGINT) AS b
+             |  FROM samp GROUP BY media_id, i // $k)
+             |SELECT media_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |       CAST(MAX(abs(b)) AS BIGINT) AS peak_block,
+             |       CAST(SUM(b * b) AS BIGINT) AS sum_sq_block,
+             |       CAST(SUM((j + 1) * b) AS BIGINT) AS checksum
+             |FROM blk GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m12: per-frame hashes recomputed from the cell formula each
         // frame's pixels encode (frame f = jitter prefix f//2 on base

@@ -1139,6 +1139,54 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m16 decimation factor: the 8 kHz fixture resamples to 2 kHz. */
+  val ResampleFactor = 4
+
+  /** m16: audio DOWNSAMPLING (boxcar decimation) — the sample-rate
+    * normalization step an audio training pipeline runs before batching
+    * (m11 profiles waveforms; nothing RESAMPLED them): decode through
+    * [[WavCodec]]'s real RIFF chunk walk, low-pass each
+    * [[ResampleFactor]]-sample block with the boxcar SUM (the
+    * unnormalized moving average — integer-exact; a mean would divide
+    * and negative samples make truncation direction an engine question),
+    * keep one value per block (8 kHz → 2 kHz), and emit the resampled
+    * stream's audit row: block count, peak |block|, energy Σb², and the
+    * position-weighted checksum Σ(j+1)·b_j — the checksum pins VALUES
+    * AND ORDER, so the hash match proves the chunk walk recovered every
+    * 16-bit sample and the decimation preserved sequence (features alone
+    * could survive a permuted stream). The oracle recomputes the blocks
+    * from the sawtooth formula the fixture encodes (m11's discipline).
+    * Scale shape: one mapPartitions pass, per-partition codec init,
+    * fixed-width integers out, payload bytes never shuffle — flat at
+    * 100 TB.
+    */
+  def m16WavResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = ResampleFactor
+    wavFixture(s, d).mapPartitions { rows =>
+      WavCodec.init()
+      rows.map { m =>
+        val ss = pcm16(WavCodec.decode(m.payload))
+        val nb = ss.length / k
+        var peak = 0L
+        var sumSq = 0L
+        var checksum = 0L
+        var j = 0
+        while (j < nb) {
+          var b = 0L
+          var i = j * k
+          while (i < (j + 1) * k) { b += ss(i); i += 1 }
+          if (math.abs(b) > peak) peak = math.abs(b)
+          sumSq += b * b
+          checksum += (j + 1).toLong * b
+          j += 1
+        }
+        (m.media_id, nb.toLong, peak, sumSq, checksum)
+      }
+    }.toDF("media_id", "n_blocks", "peak_block", "sum_sq_block", "checksum")
+      .orderBy("media_id")
+  }
+
   /** Training batch size for m09 (a multiple of the 3 modalities, so full
     * batches carry exactly BatchSize/3 of each kind).
     */

@@ -393,6 +393,58 @@ object Dedup {
       .select(col("cluster").as("kept_doc"), col("cluster_size"))
       .orderBy("kept_doc")
 
+  /** d33: GOLDEN-RECORD election (record-linkage survivorship) — d06
+    * answers "which doc survives"; this answers "what the merged entity
+    * looks like": for every multi-member cluster, elect each attribute by
+    * its own deterministic policy instead of taking the whole winning row
+    * (the survivorship step of an ER pipeline — Hernández–Stolfo's merge
+    * phase, the operation a curation pipeline runs to consolidate
+    * near-dup documents into one canonical entry):
+    *
+    *  - `kept_doc` — the min-id member (d05's canonical-survivor policy);
+    *  - `rep_doc`/`rep_chars` — the most COMPLETE text (max n_chars, tie
+    *    → min doc_id): completeness beats id precedence for content;
+    *  - `lang_mode` — the modal language (tie → lexicographically first):
+    *    majority beats any single member's value for categorical fields;
+    *  - `n_sources`/`total_chars`/`cluster_size` — the provenance rollup.
+    *
+    * Scale shape: reads the SHARED memoized cluster table (the written
+    * `clusters` parquet at 100 TB — built once, here via the d05/d06
+    * memo), one join to the narrow document attributes, then two
+    * partial-agg groupBys — both argmax elections are `max_by`/`min_by`
+    * partial aggs (map-side combinable, no per-cluster sort, no window),
+    * and the final join is cluster-keyed (near-dup-sized, not corpus-
+    * sized, after the size-≥-2 filter). The oracle re-derives clusters
+    * with the recursive reach CTE and spells both elections as
+    * deterministic row_number windows — an independent formulation of the
+    * same policies.
+    */
+  val d33GoldenRecord: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val mem = clusters.join(docs, "doc_id")
+    val agg = mem.groupBy("cluster").agg(
+        count(lit(1)).as("cluster_size"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("total_chars"),
+        max_by(
+          struct(col("doc_id").as("rep_doc"), col("n_chars").as("rep_chars")),
+          struct(col("n_chars"), negate(col("doc_id")))).as("rep"))
+      .filter(col("cluster_size") >= 2)
+    val langMode = mem.groupBy("cluster", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster")
+      .agg(min_by(col("lang"),
+        struct(negate(col("cnt")), col("lang"))).as("lang_mode"))
+    agg.join(langMode, "cluster")
+      .select(col("cluster").as("kept_doc"), col("cluster_size"),
+        col("n_sources"), col("total_chars"),
+        col("rep.rep_doc").as("rep_doc"), col("rep.rep_chars").as("rep_chars"),
+        col("lang_mode"))
+      .orderBy("kept_doc")
+  }
+
   /** d07: graph statistics over the candidate-pair graph — node/edge
     * counts, max degree, and the triangle count (the clustering signal a
     * dedup pipeline uses to sanity-check its similarity threshold: heavy
@@ -2062,6 +2114,7 @@ object Dedup {
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d05_dedup_clusters" -> d05DedupClusters,
     "d06_dedup_survivors" -> d06DedupSurvivors,
+    "d33_golden_record" -> d33GoldenRecord,
     "d30_cluster_audit" -> d30ClusterAudit)
 
   // ------------------------------------------------------------- oracles
@@ -2370,6 +2423,36 @@ object Dedup {
       s"""WITH RECURSIVE $duckReachCtes
          |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d33: clusters re-derived by the reach CTE; both attribute elections
+    // spelled as deterministic row_number windows (an independent
+    // formulation of the max_by/min_by partial aggs).
+    "d33_golden_record" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |mem AS (
+         |  SELECT c.cluster, d.doc_id, d.lang, d.source, d.n_chars
+         |  FROM clusters c JOIN documents d USING (doc_id)),
+         |agg AS (
+         |  SELECT cluster AS kept_doc, COUNT(*) AS cluster_size,
+         |         COUNT(DISTINCT source) AS n_sources,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM mem GROUP BY cluster HAVING COUNT(*) >= 2),
+         |rep AS (
+         |  SELECT cluster AS kept_doc, doc_id AS rep_doc, n_chars AS rep_chars
+         |  FROM mem
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |                             ORDER BY n_chars DESC, doc_id ASC) = 1),
+         |lm AS (
+         |  SELECT cluster AS kept_doc, lang AS lang_mode
+         |  FROM (SELECT cluster, lang, COUNT(*) AS cnt FROM mem GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |                             ORDER BY cnt DESC, lang ASC) = 1)
+         |SELECT agg.kept_doc, cluster_size, n_sources, total_chars,
+         |       rep_doc, rep_chars, lang_mode
+         |FROM agg JOIN rep USING (kept_doc) JOIN lm USING (kept_doc)
+         |ORDER BY kept_doc""".stripMargin,
     // d19: the equivalence oracle — the incremental merge must be
     // indistinguishable from a full recompute over base+delta, which IS
     // d05's full-graph reach.
