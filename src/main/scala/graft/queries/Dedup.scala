@@ -419,11 +419,11 @@ object Dedup {
     * deterministic row_number windows — an independent formulation of the
     * same policies.
     */
-  val d33GoldenRecord: Q = (s, d) => {
-    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val mem = clusters.join(docs, "doc_id")
+  /** The survivorship fold over a (cluster, doc_id, lang, source,
+    * n_chars) member table — d33's core, factored so DedupSpec can pin
+    * each election policy on a planted corpus.
+    */
+  private[graft] def goldenRecordsOf(mem: DataFrame): DataFrame = {
     val agg = mem.groupBy("cluster").agg(
         count(lit(1)).as("cluster_size"),
         countDistinct("source").as("n_sources"),
@@ -443,6 +443,13 @@ object Dedup {
         col("rep.rep_doc").as("rep_doc"), col("rep.rep_chars").as("rep_chars"),
         col("lang_mode"))
       .orderBy("kept_doc")
+  }
+
+  val d33GoldenRecord: Q = (s, d) => {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    goldenRecordsOf(clusters.join(docs, "doc_id"))
   }
 
   /** d07: graph statistics over the candidate-pair graph — node/edge

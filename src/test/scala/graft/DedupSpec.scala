@@ -690,4 +690,27 @@ class DedupSpec extends SparkSpec {
       .filter(col("got") =!= col("want")).count()
     assert(mismatches === 0L)
   }
+
+  test("d33 survivorship policies: completeness beats id for the rep, majority then lexicographic for the lang, singletons excluded") {
+    import spark.implicits._
+    // cluster 10: rep must be doc 11 (max chars, tie broken by MIN id
+    // against 12), lang mode fr (2 of 3); cluster 20: full ties — rep
+    // falls back to min id, lang to lexicographic min; cluster 30 is a
+    // singleton and must not appear
+    val mem = Seq(
+      (10L, 10L, "en", "srcA", 50L),
+      (10L, 11L, "fr", "srcB", 80L),
+      (10L, 12L, "fr", "srcA", 80L),
+      (20L, 20L, "de", "srcC", 10L),
+      (20L, 21L, "it", "srcC", 10L),
+      (30L, 30L, "en", "srcA", 99L))
+      .toDF("cluster", "doc_id", "lang", "source", "n_chars")
+    val got = graft.queries.Dedup.goldenRecordsOf(mem)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(got.keySet === Set(10L, 20L))
+    assert(got(10L) === ((3L, 2L, 210L, 11L, 80L, "fr")))
+    assert(got(20L) === ((2L, 1L, 20L, 20L, 10L, "de")))
+  }
 }

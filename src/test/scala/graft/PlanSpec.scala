@@ -879,6 +879,23 @@ class PlanSpec extends SparkSpec {
       s"untouched clusters must carry over via an anti join, not recompute:\n$plan")
   }
 
+  test("d33: both attribute elections are partial aggs — no window anywhere in the plan") {
+    val plan = planOf(graft.queries.Dedup.d33GoldenRecord(spark, sf))
+    assert(!plan.contains("windowspecdefinition"),
+      s"survivorship elections must be max_by/min_by partial aggs, never " +
+        s"a per-cluster window sort:\n$plan")
+    assert(plan.contains("partial_max_by") && plan.contains("partial_min_by"),
+      s"both struct argmax elections must carry a PARTIAL (map-side " +
+        s"combinable) phase:\n$plan")
+  }
+
+  test("m16: resampling is pure per-row codec work — no key shuffle before the final sort") {
+    val plan = planOf(graft.operators.Multimodal.m16WavResample(spark, sf))
+    assert(!plan.contains("hashpartitioning"),
+      s"boxcar decimation is per-clip work and must not shuffle on any " +
+        s"key:\n$plan")
+  }
+
   test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
     // The manual .explain sweep, automated: every declared query's physical
     // plan is scanned for the two shapes that are NEVER acceptable at
