@@ -3242,7 +3242,111 @@ object Extras {
       .limit(20)
   }
 
+  /** The k thresholds q198 sweeps — the re-identification bar a release
+    * policy picks from this table.
+    */
+  private val KAnonThresholds = Seq(2, 5, 10)
+
+  /** q198: K-ANONYMITY audit — the re-identification risk report a
+    * governance gate reads before releasing event data (the privacy twin
+    * of q106's quality expectations, and the measurement side of the
+    * round's delete/tombstone machinery: deletion handles known ids,
+    * k-anonymity measures whether the REST re-identifies): each user's
+    * quasi-identifier tuple is derived from behavior alone — first active
+    * day (epoch-day integer), activity band (bit-length of the event
+    * count — the integer log2 bucket, `length(bin(n))` in both engines),
+    * and modal event type (tie → lexicographically first, d33's election
+    * discipline) — then users collapse into QI equivalence classes and
+    * the report sweeps k ∈ {2,5,10}: class count, classes below k, users
+    * at risk (members of a sub-k class) and the risk share in basis
+    * points. Scale shape: two user-keyed partial-agg groupBys (count +
+    * min, then the modal argmax over (user, type) counts), one
+    * class-keyed groupBy over O(users) narrow rows, and a 3-row sweep
+    * over the O(classes) table — integer math end to end, no windows.
+    */
+  /** q198's QI equivalence-class table — lazy, so the audit twin can
+    * inspect the un-checkpointed plan.
+    */
+  private def q198Classes(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val base = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("day").as("first_day"))
+      .withColumn("nbits", expr("length(bin(n))"))
+    val modal = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(min_by(col("event_type"),
+        struct(negate(col("cnt")), col("event_type"))).as("modal_type"))
+    base.join(modal, "user_id")
+      .groupBy("first_day", "nbits", "modal_type")
+      .agg(count(lit(1)).as("class_size"))
+  }
+
+  private def q198Sweep(classes: DataFrame): DataFrame =
+    KAnonThresholds.map { k =>
+      classes.agg(
+        lit(k).as("k"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < k, lit(1)).otherwise(lit(0)))
+          .as("classes_at_risk"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+          .as("users_at_risk"),
+        expr(s"sum(IF(class_size < $k, class_size, 0L)) * 10000" +
+          " div sum(class_size)").as("risk_bp"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+
+  val q198KAnonymity: Q = (s, d) =>
+    // one materialized class table feeds all three k rows (at 100 TB this
+    // is a written table the sweep re-reads, not three corpus scans)
+    q198Sweep(q198Classes(s, d).localCheckpoint())
+
+  /** q199: RETENTION-PLAN report — the capacity/compliance answer before
+    * a time-based delete (m15 plans the chunk-store GC; this plans the
+    * event-log trim; s39 executes): each event type carries a
+    * deterministic retention window (days, derived from the type name so
+    * both engines agree without a config table), the cutoff is the
+    * corpus's max timestamp minus the window (epoch-µs integer — a
+    * relative cutoff keeps the report stable across fixture vintages),
+    * and the report emits per type the window, the cutoff, rows to
+    * delete vs keep, the distinct affected days, and the deletable span.
+    * Scale shape: the global max rides a one-row broadcast cross join
+    * (the grand-total pattern), then ONE partial-agg groupBy over
+    * O(types) keys with conditional aggregates — the corpus is scanned
+    * once, nothing corpus-scale shuffles.
+    */
+  val q199RetentionPlan: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+    val maxUs = ev.agg(max("us").as("max_us"))
+    ev.crossJoin(broadcast(maxUs))
+      .withColumn("retention_days",
+        expr("cast(5 + (length(event_type) % 3) * 5 as bigint)"))
+      .withColumn("cutoff_us",
+        col("max_us") - col("retention_days") * lit(86400000000L))
+      .groupBy("event_type", "retention_days", "cutoff_us")
+      .agg(
+        sum(when(col("us") < col("cutoff_us"), lit(1L)).otherwise(lit(0L)))
+          .as("rows_to_delete"),
+        sum(when(col("us") >= col("cutoff_us"), lit(1L)).otherwise(lit(0L)))
+          .as("rows_to_keep"),
+        countDistinct(when(col("us") < col("cutoff_us"),
+          expr("us div 86400000000"))).as("affected_days"),
+        min(when(col("us") < col("cutoff_us"), col("us"))).as("earliest_us"),
+        max(when(col("us") < col("cutoff_us"), col("us"))).as("latest_us"))
+      .orderBy("event_type")
+  }
+
+  /** Lazy (un-checkpointed) twin for PlanSpec's audit — see
+    * Dedup.lazyPlans.
+    */
+  private[graft] val lazyPlans: Map[String, Q] = Map(
+    "q198_k_anonymity" -> ((s, d) => q198Sweep(q198Classes(s, d))))
+
   val queries: Map[String, Q] = Map(
+    "q198_k_anonymity"       -> q198KAnonymity,
+    "q199_retention_plan"    -> q199RetentionPlan,
     "q148_relational_division" -> q148RelationalDivision,
     "q155_ewma"              -> q155Ewma,
     "q156_top_paths"         -> q156TopPaths,
@@ -3364,6 +3468,61 @@ object Extras {
     "q62_mode_argmax"        -> q62ModeArgmax)
 
   val oracles: Map[String, String] = Map(
+    // q198: the modal-type election spelled as a deterministic
+    // row_number window; the activity band via the same length(bin(n))
+    "q198_k_anonymity" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |base AS (
+         |  SELECT user_id, COUNT(*) AS n, MIN(day) AS first_day,
+         |         length(bin(COUNT(*))) AS nbits
+         |  FROM ev GROUP BY user_id),
+         |modal AS (
+         |  SELECT user_id, event_type AS modal_type
+         |  FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+         |        FROM ev GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |                             ORDER BY cnt DESC, event_type ASC) = 1),
+         |classes AS (
+         |  SELECT first_day, nbits, modal_type, COUNT(*) AS class_size
+         |  FROM base JOIN modal USING (user_id)
+         |  GROUP BY 1, 2, 3),
+         |ks AS (SELECT unnest([${KAnonThresholds.mkString(", ")}]) AS k)
+         |SELECT CAST(k AS INT) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |       CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS classes_at_risk,
+         |       CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+         |         AS users_at_risk,
+         |       CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) * 10000
+         |            // SUM(class_size) AS BIGINT) AS risk_bp
+         |FROM classes CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    // q199: the same relative-cutoff integer arithmetic; conditional
+    // aggregates mirror the Spark CASE sums
+    "q199_retention_plan" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(5 + (length(event_type) % 3) * 5 AS BIGINT)
+        |           AS retention_days
+        |  FROM events),
+        |m AS (SELECT MAX(us) AS max_us FROM ev)
+        |SELECT event_type, retention_days,
+        |       max_us - retention_days * 86400000000 AS cutoff_us,
+        |       CAST(SUM(CASE WHEN us < max_us - retention_days * 86400000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS rows_to_delete,
+        |       CAST(SUM(CASE WHEN us >= max_us - retention_days * 86400000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS rows_to_keep,
+        |       CAST(COUNT(DISTINCT CASE WHEN us < max_us - retention_days * 86400000000
+        |                                THEN us // 86400000000 END) AS BIGINT)
+        |         AS affected_days,
+        |       MIN(CASE WHEN us < max_us - retention_days * 86400000000
+        |                THEN us END) AS earliest_us,
+        |       MAX(CASE WHEN us < max_us - retention_days * 86400000000
+        |                THEN us END) AS latest_us
+        |FROM ev CROSS JOIN m
+        |GROUP BY event_type, retention_days, cutoff_us
+        |ORDER BY event_type""".stripMargin,
     "q141_binary_codec" ->
       """SELECT doc_id,
         |       to_base64(encode(substr(text, 1, 24))) AS b64,

@@ -910,7 +910,8 @@ class PlanSpec extends SparkSpec {
     // the heavy sub-plans stay under this gate. The twins must be real:
     // an override for a key with no queries entry would audit dead code.
     val lazyTwins = graft.queries.Dedup.lazyPlans ++
-      graft.queries.Extended.lazyPlans
+      graft.queries.Extended.lazyPlans ++
+      graft.queries.Extras.lazyPlans
     assert((lazyTwins.keySet -- SparkEntry.queries.keySet).isEmpty,
       "lazyPlans carries keys that are not queries")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn0) =>
