@@ -412,6 +412,54 @@ object Similarity {
     * a TakeOrderedAndProject top-10, and two metadata-scale counts. At
     * 100 TB this sweeps over a query SAMPLE; per-query shapes identical.
     */
+  /** Dimension budgets n31 sweeps (full Dim last, so the sweep carries
+    * its own truth leg).
+    */
+  val DimSweep: Seq[Int] = Seq(16, 32, 64)
+
+  /** n31: DIMENSION-TRUNCATION recall sweep (the Matryoshka/MRL serving
+    * dial) — n18 prices the nprobe knob; this prices the DIMENSION
+    * budget: modern embedding models are trained so a length-m prefix of
+    * the vector is itself a usable embedding, and a 100 TB index that
+    * serves from 16 of 64 dims reads a quarter of the bytes. Per budget
+    * m ∈ {16, 32, 64}: cosine over the length-m prefixes (integer prefix
+    * dots via the same codegen'd vec_dot over `slice`, one IEEE-identical
+    * double divide), top-k against the FULL-dim exact truth → hits@10 +
+    * the truncated ranking's top-1 id. The m = Dim leg is the built-in
+    * sanity row (recall 10/10 by construction). Scale shape: the corpus
+    * is scanned once into one cached scored base (broadcast query), each
+    * leg is a TakeOrderedAndProject over it — no shuffle grows with m,
+    * and the report is O(|sweep|) rows.
+    */
+  val n31DimSweep: Q = (s, d) => {
+    val prep = prepared(s, d)
+    val qv = prep.filter(col("vec_id") === 0).select(col("q").as("qa"))
+    val base = prep.filter(col("vec_id") =!= 0)
+      .select("vec_id", "q", "nrm")
+      .crossJoin(broadcast(qv))
+      .cache()
+    def cosm(m: Int) =
+      s"""cast(${dot(s"slice(qa, 1, $m)", s"slice(q, 1, $m)")} as double) /
+         |sqrt(cast(${dot(s"slice(qa, 1, $m)", s"slice(qa, 1, $m)")} as double) *
+         |     cast(${dot(s"slice(q, 1, $m)", s"slice(q, 1, $m)")} as double))"""
+        .stripMargin
+    val truth = base.withColumn("cosm", expr(cosm(Dim)))
+      .orderBy(col("cosm").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id").as("tid"))
+      .localCheckpoint()
+    DimSweep.map { m =>
+      val scored = base.withColumn("cosm", expr(cosm(m)))
+      val res = scored.orderBy(col("cosm").desc, col("vec_id").asc)
+        .limit(TopK).select("vec_id")
+      val hits = res.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("hits10"))
+      scored.agg(max_by(col("vec_id"),
+          struct(col("cosm"), negate(col("vec_id")))).as("top1"))
+        .crossJoin(broadcast(hits))
+        .select(lit(m).as("dim"), col("hits10"), col("top1"))
+    }.reduce(_.unionByName(_)).orderBy("dim")
+  }
+
   val n18NprobeSweep: Q = (s, d) => {
     val assigned = ivfAssigned(s, d)
     val prep = prepared(s, d)
@@ -1828,6 +1876,7 @@ object Similarity {
     "n16_kcenter_seed"   -> n16KcenterSeed,
     "n17_ivf_rebalance"  -> n17IvfRebalance,
     "n18_nprobe_sweep"   -> n18NprobeSweep,
+    "n31_dim_sweep"      -> n31DimSweep,
     "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
@@ -2215,6 +2264,38 @@ object Similarity {
          |$perK
          |$legs
          |ORDER BY nprobe""".stripMargin
+    },
+    // n31: prefix dots via the same generate_series kernel bounded at m;
+    // the same double-divide formula, so cos doubles are IEEE-identical
+    "n31_dim_sweep" -> {
+      def dotm(a: String, b: String, m: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, $m), i -> $a[i] * $b[i])) AS BIGINT)"
+      val scs = DimSweep.map { m =>
+        s"""sc$m AS (
+           |  SELECT vec_id,
+           |         CAST(${dotm("qa", "q", m)} AS DOUBLE) /
+           |         sqrt(CAST(${dotm("qa", "qa", m)} AS DOUBLE) *
+           |              CAST(${dotm("q", "q", m)} AS DOUBLE)) AS cosm
+           |  FROM base, qv)""".stripMargin
+      }.mkString(",\n")
+      val rss = DimSweep.map { m =>
+        s"rs$m AS (SELECT vec_id FROM sc$m ORDER BY cosm DESC, vec_id LIMIT $TopK)"
+      }.mkString(",\n")
+      val legs = DimSweep.map { m =>
+        s"""SELECT $m AS dim,
+           |       (SELECT COUNT(1) FROM rs$m JOIN truth ON vec_id = tid) AS hits10,
+           |       (SELECT vec_id FROM sc$m ORDER BY cosm DESC, vec_id LIMIT 1) AS top1"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPrep,
+         |qv AS (SELECT q AS qa FROM prepn WHERE vec_id = 0),
+         |base AS (SELECT vec_id, q FROM prepn WHERE vec_id <> 0),
+         |$scs,
+         |truth AS (SELECT vec_id AS tid FROM sc$Dim
+         |          ORDER BY cosm DESC, vec_id LIMIT $TopK),
+         |$rss
+         |$legs
+         |ORDER BY dim""".stripMargin
     },
     "n18_nprobe_sweep" -> {
       val perK = NprobeSweep.map { k =>
