@@ -291,6 +291,51 @@ class RobustnessSpec extends SparkSpec {
     assert(fEx.getMessage.contains("hash|chunk|assign|code|cluster|graph"))
   }
 
+  test("store schema evolution: an ADDITIVE run (extra column) still serves and fscks clean; a missing column stays loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val StreamOps = graft.streaming.StreamOps
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.queries.Similarity.ivfCentroids(spark, sf)
+      .localCheckpoint()
+    val (h1, h2) = vecs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("evolve_s35").toString
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      h1.toSeq.toDF("vec_id", "embedding"), 0L)
+    // a v2 writer adds a provenance column to ITS run only — the
+    // additive-evolution case ReadGuard must tolerate (the serve fold
+    // selects the contract columns; extras are free to appear)
+    val v2 = graft.queries.Similarity.assignToCentroids(
+        graft.queries.Similarity.prepareVectors(
+          h2.toSeq.toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cid", "ccos")
+      .withColumn("writer", lit("v2"))
+      .withColumn("batch_id", lit(1L))
+    v2.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/assigned")
+    spark.catalog.refreshByPath(s"$dir/assigned")
+    val want = graft.queries.Similarity.assignToCentroids(
+        graft.queries.Similarity.prepareVectors(
+          vecs.toSeq.toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cid", "ccos")
+    val got = StreamOps.s35Assignment(spark, dir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "a mixed-writer store must serve the contract columns unchanged")
+    StreamOps.s46RequireHealthy(spark, dir, "assign")
+    // the SUBTRACTIVE case stays loud: a run missing a contract column
+    // fails naming the table (ReadGuard's existing drift contract)
+    val bad = java.nio.file.Files.createTempDirectory("evolve_bad").toString
+    h1.toSeq.toDF("vec_id", "embedding")
+      .select("vec_id").withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$bad/assigned")
+    val ex = intercept[IllegalStateException] {
+      StreamOps.s35Assignment(spark, bad).collect()
+    }
+    assert(ex.getMessage.contains("assigned"), ex.getMessage)
+  }
+
   test("corrupt parquet file: loud failure by default, skipped under ignoreCorruptFiles") {
     import spark.implicits._
     val dir = Files.createTempDirectory("robust_corrupt").toString

@@ -1906,6 +1906,50 @@ class StreamingSpec extends SparkSpec {
       "as-of the increment's batch must include it")
   }
 
+  test("s45 as-of fuzz: on seeded random batch splits and delete slices, every as-of equals the rebuild over its prefix corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, min}
+    val rnd = new scala.util.Random(45)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    def hashOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    for (trial <- 1 to 3) {
+      val dir = tmp(s"s45_fuzz_$trial")
+      // planted exact-dup groups (id % 12) so survivor elections cross
+      // batch boundaries; random disjoint split into k upsert batches
+      val n = 25 + rnd.nextInt(20)
+      val docs = (1L to n.toLong).map(id =>
+        (id, s"s45 fuzz text ${id % 12} ${"pad " * (1 + (id % 3).toInt)}"))
+      val k = 2 + rnd.nextInt(3)
+      val batches = docs.groupBy(_._1 % k).toSeq.sortBy(_._1).map(_._2)
+      // prefix state after each fold, for the as-of comparators
+      var statesAtBatch = Vector.empty[Seq[(Long, String)]]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamOps.s32UpsertIndexBatch(dir)(b.toDF("doc_id", "text"), i.toLong)
+        statesAtBatch :+= batches.take(i + 1).flatten
+      }
+      // one random delete slice of the ingested ids, then one fresh batch
+      val dels = docs.map(_._1).filter(_ % (3 + rnd.nextInt(3)) == 1)
+      if (dels.nonEmpty) {
+        StreamOps.s32DeleteBatch(dir)(dels.toDF("doc_id"), k.toLong)
+        statesAtBatch :+= statesAtBatch.last.filterNot(r => dels.contains(r._1))
+      } else statesAtBatch :+= statesAtBatch.last
+      val fresh = (1 to 3).map(i => (5000L + i, s"s45 fuzz fresh $trial $i"))
+      StreamOps.s32UpsertIndexBatch(dir)(fresh.toDF("doc_id", "text"),
+        (k + 1).toLong)
+      statesAtBatch :+= statesAtBatch.last ++ fresh
+      statesAtBatch.zipWithIndex.foreach { case (state, b) =>
+        assert(same(StreamOps.s32HashIndex(spark, dir, Some(b.toLong)),
+            hashOf(state)),
+          s"trial $trial: as-of batch $b must equal its prefix rebuild " +
+            s"(k=$k, dels=${dels.size})")
+      }
+    }
+  }
+
   test("s45 as-of reads: graph and cluster stores time-travel; the delete re-rank is invisible before its batch") {
     import spark.implicits._
     val Sim = graft.queries.Similarity
