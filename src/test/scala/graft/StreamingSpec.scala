@@ -1983,6 +1983,17 @@ class StreamingSpec extends SparkSpec {
     assert(same(StreamOps.s36Adjacency(spark, gdir, Some(2L)),
         rebuilt(vecs.filter(_._1 % 5 != 1).toSeq)),
       "graph as-of the delete batch must serve the post-delete graph")
+    // the consumer contract: REPRODUCE yesterday's serving — the n24/n26
+    // batched walk over the as-of view equals the walk over the graph as
+    // it stood then (the reproducibility verb the as-of read exists for)
+    val walkAsOf = Sim.batchedWalkOver(spark, sf,
+        StreamOps.s36Adjacency(spark, gdir, Some(1L)).localCheckpoint())
+      .collect().map(_.toSeq.map(String.valueOf))
+    val walkThen = Sim.batchedWalkOver(spark, sf,
+        rebuilt(vecs.toSeq).localCheckpoint())
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(walkAsOf.toSeq === walkThen.toSeq,
+      "the walk served from an as-of view must reproduce the historical serving")
     // cluster store: as-of == the d05 rebuild over the prefix corpus
     val cdir = tmp("s45_s43")
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
