@@ -562,6 +562,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t45: surgical benchmark DECONTAMINATION — completes t10's contract
+    * the way t30 completes t14's: t10 only FLAGS contaminated documents
+    * (and the blunt fix drops them whole); t45 removes exactly the
+    * benchmark-overlapping token spans and re-emits the cleaned document,
+    * keeping the rest of the text in the training set (the surgical
+    * rewrite the Lee-et-al./Llama decontamination protocols run). Every
+    * corpus position whose [[ContamShingleK]]-token shingle appears in
+    * the broadcast benchmark shingle set (t10's set: doc_id < 5) opens a
+    * K-token contaminated span; spans merge into maximal islands (t30's
+    * interval fold, over TOKEN indices), the kept gaps + tail re-stitch
+    * in order, and the audit row carries span/token-removal counts, the
+    * cleaned token count and the cleaned-text hash — the hash match
+    * proves both engines kept the IDENTICAL tokens in the identical
+    * order. Scale shapes are t30's: the benchmark set broadcasts, the
+    * corpus is touched once through the exploded shingle stream, interval
+    * merging and stitching are windows/aggregations PARTITIONED BY doc_id
+    * (state bounded by one document), and uncontaminated docs — at 100 TB
+    * almost all of them — bypass reconstruction via the anti join.
+    */
+  val t45DecontamRewrite: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = ContamShingleK
+    val docs = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+    val corpus = docs.filter(col("doc_id") >= 5)
+      .select("doc_id", "tokens", "n_tokens")
+    val bench = docs.filter(col("doc_id") < 5)
+      .select(explode(expr(
+        s"array_distinct(${TextHash.sparkShinglesOf("tokens", K)})"))
+        .as("shingle"))
+      .distinct()
+    val sh = corpus
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(TextHash.sparkShinglesOf("tokens", K))))
+      .withColumnRenamed("col", "shingle")
+    val spans = sh.join(broadcast(bench), "shingle")
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("ss"),
+        least(col("pos") + 1 + lit(K), col("n_tokens") + 1).as("se"))
+    val ord = Window.partitionBy("doc_id").orderBy("ss")
+    val merged = spans
+      .withColumn("prev_max",
+        max(col("se")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max").isNull || col("ss") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("ss")).as("ss"), max(col("se")).as("se"))
+    val gaps = merged
+      .select(col("doc_id"), lag(col("se"), 1, 1L).over(ord).as("gs"),
+        col("ss").as("ge"))
+    val tails = merged.groupBy("doc_id").agg(max(col("se")).as("gs"))
+      .join(corpus.select("doc_id", "n_tokens"), "doc_id")
+      .select(col("doc_id"), col("gs"), (col("n_tokens") + 1).as("ge"))
+    val cleaned = gaps.unionByName(tails)
+      .join(corpus.select("doc_id", "tokens"), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("slice(tokens, cast(gs as int), cast(ge - gs as int))").as("seg"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(flatten(transform(sort_array(collect_list(struct(gs, seg))), x -> x.seg)), ' ')")
+        .as("cleaned"))
+    val stats = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss")).as("tokens_removed"))
+    val rewritten = cleaned.join(stats, "doc_id")
+      .join(corpus.select("doc_id", "n_tokens"), "doc_id")
+    val untouched = corpus
+      .join(stats.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), expr("array_join(tokens, ' ')").as("cleaned"),
+        lit(0L).as("n_spans"), lit(0L).as("tokens_removed"), col("n_tokens"))
+    rewritten.unionByName(untouched)
+      .select(col("doc_id"), col("n_spans"), col("tokens_removed"),
+        (col("n_tokens") - col("tokens_removed")).as("clean_tokens"),
+        expr(TextHash.sparkHash56("cleaned")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** t37: benchmark LEAKAGE rate — t10's inverse direction: instead of
     * flagging corpus docs, score each BENCHMARK document by what fraction
     * of its shingles already exist in the training corpus ("how much of
@@ -1760,6 +1841,7 @@ object TextOps {
     "t34_langid_eval"    -> t34LangidEval,
     "t36_pack_efficiency" -> t36PackEfficiency,
     "t37_benchmark_leakage" -> t37BenchmarkLeakage,
+    "t45_decontam_rewrite" -> t45DecontamRewrite,
     "t38_source_vocab_overlap" -> t38SourceVocabOverlap,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
@@ -2404,6 +2486,69 @@ object TextOps {
          |SELECT doc_id, COUNT(1) AS n_windows, COUNT(dh) AS n_dup_windows
          |FROM w LEFT JOIN dup ON w.h = dup.dh
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t45: t30's interval-merge SQL over TOKEN indices, driven by the
+    // broadcast benchmark shingle set instead of the cross-doc dup set
+    "t45_decontam_rewrite" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(${TextHash.duckShingles("text", ContamShingleK)}) AS shingle
+         |  FROM documents WHERE doc_id < 5),
+         |sh AS (
+         |  SELECT doc_id, n_tokens, tokens,
+         |         unnest(generate_series(1,
+         |           greatest(1, CAST(n_tokens AS INT) - ${ContamShingleK - 1}))) AS p
+         |  FROM toks WHERE doc_id >= 5),
+         |sp AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS ss,
+         |         least(CAST(p AS BIGINT) + $ContamShingleK, n_tokens + 1) AS se
+         |  FROM sh
+         |  WHERE array_to_string(list_slice(tokens, p, p + ${ContamShingleK - 1}), ' ')
+         |          IN (SELECT shingle FROM bench)),
+         |isl AS (
+         |  SELECT doc_id, ss, se,
+         |         SUM(CASE WHEN prev_max IS NULL OR ss > prev_max THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY ss
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM (SELECT doc_id, ss, se,
+         |               MAX(se) OVER (PARTITION BY doc_id ORDER BY ss
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |                 AS prev_max
+         |        FROM sp) t),
+         |m AS (SELECT doc_id, MIN(ss) AS ss, MAX(se) AS se
+         |      FROM isl GROUP BY doc_id, island),
+         |gaps AS (
+         |  SELECT doc_id,
+         |         COALESCE(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS gs,
+         |         ss AS ge
+         |  FROM m),
+         |tl AS (SELECT m.doc_id, MAX(m.se) AS gs, t.n_tokens + 1 AS ge
+         |       FROM m JOIN toks t USING (doc_id)
+         |       GROUP BY m.doc_id, t.n_tokens),
+         |segs AS (SELECT doc_id, gs, ge FROM gaps
+         |         UNION ALL SELECT doc_id, gs, ge FROM tl),
+         |cl AS (SELECT s.doc_id,
+         |              array_to_string(flatten(list(
+         |                list_slice(t.tokens, CAST(s.gs AS INT), CAST(s.ge - 1 AS INT))
+         |                ORDER BY s.gs)), ' ') AS cleaned
+         |       FROM segs s JOIN toks t USING (doc_id) GROUP BY s.doc_id),
+         |st AS (SELECT doc_id, COUNT(1) AS n_spans,
+         |              CAST(SUM(se - ss) AS BIGINT) AS tokens_removed
+         |       FROM m GROUP BY doc_id),
+         |res AS (
+         |  SELECT c.doc_id, n_spans, tokens_removed,
+         |         t.n_tokens - tokens_removed AS clean_tokens, cleaned
+         |  FROM cl c JOIN st USING (doc_id) JOIN toks t USING (doc_id)
+         |  UNION ALL
+         |  SELECT t.doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), t.n_tokens,
+         |         array_to_string(t.tokens, ' ')
+         |  FROM toks t
+         |  WHERE t.doc_id >= 5 AND t.doc_id NOT IN (SELECT doc_id FROM m))
+         |SELECT doc_id, n_spans, tokens_removed, clean_tokens,
+         |       ${TextHash.duckHash56("cleaned")} AS clean_hash
+         |FROM res ORDER BY doc_id""".stripMargin,
     "t30_span_removal" ->
       s"""WITH w AS (
          |  SELECT doc_id, CAST(p AS INT) AS p, len,
