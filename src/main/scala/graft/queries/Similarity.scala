@@ -317,6 +317,71 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** n32: FILTER-STRATEGY table for filtered vector search — n15 ships
+    * the correct semantics (pre-filter); this measures the design space
+    * every vector store documents, on the same gate and query:
+    *
+    *  - `pre`   — gate BEFORE rank (n15's plan): exact over survivors,
+    *    k results always, and the truth the other two are scored against
+    *    (its hits row is the built-in 10/10 sanity);
+    *  - `post`  — rank the WHOLE corpus, gate the k-list after: the cheap
+    *    plan a naive integration picks, which STARVES below k when the
+    *    gate is selective (returned < k is the failure this row makes
+    *    visible);
+    *  - `probe` — IVF probe ([[NProbe]] lists) intersected with the gate,
+    *    then rank: the plan a 100 TB store actually runs (never scores
+    *    the full corpus), priced here by its recall against `pre`.
+    *
+    * Scale shape: ONE cached broadcast-query scored base feeds all three
+    * legs (corpus scanned once); the gate is a semi join, probes are a
+    * [[NProbe]]-row broadcast, every rank a TakeOrderedAndProject; the
+    * report is 3 rows.
+    */
+  val n32FilterStrategies: Q = (s, d) => {
+    val good = TextOps.qualityCols(Tables.documents(s, d))
+      .filter(col("quality") >= FilterMinQuality)
+      .select(col("doc_id").as("vec_id"))
+    val qv = prepared(s, d).filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nrm").as("na"))
+    val scored = ivfAssigned(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr(
+        s"cast(${dot("qa", "q")} as double) / " +
+          "sqrt(cast(na as double) * cast(nrm as double))"))
+      .select("vec_id", "cid", "cos")
+      .cache()
+    val goodScored = scored.join(good, Seq("vec_id"), "left_semi")
+    val truth = goodScored.orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK).select(col("vec_id").as("tid"))
+      .localCheckpoint()
+    val pre = goodScored.orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK).select("vec_id")
+    val post = scored.orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK).select("vec_id")
+      .join(good, Seq("vec_id"), "left_semi")
+    val probes = prepared(s, d).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("pcid"), col("q").as("cq"), col("nrm").as("cnrm"))
+      .crossJoin(broadcast(qv))
+      .withColumn("qcos", expr(
+        s"cast(${dot("qa", "cq")} as double) / " +
+          "sqrt(cast(na as double) * cast(cnrm as double))"))
+      .orderBy(col("qcos").desc, col("pcid").asc)
+      .limit(NProbe).select("pcid")
+    val probe = goodScored
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK).select("vec_id")
+    def leg(name: String, res: DataFrame) = {
+      val hits = res.join(broadcast(truth), col("vec_id") === col("tid"))
+        .agg(count(lit(1)).as("hits10"))
+      res.agg(count(lit(1)).as("returned"))
+        .crossJoin(broadcast(hits))
+        .select(lit(name).as("strategy"), col("returned"), col("hits10"))
+    }
+    Seq(leg("pre", pre), leg("post", post), leg("probe", probe))
+      .reduce(_.unionByName(_)).orderBy("strategy")
+  }
+
   /** n03: IVF index statistics — per-list member count and the cosine
     * range to the centroid: the index-health profile an ANN pipeline
     * monitors (empty/overfull lists → re-train centroids). min/max are
@@ -1877,6 +1942,7 @@ object Similarity {
     "n17_ivf_rebalance"  -> n17IvfRebalance,
     "n18_nprobe_sweep"   -> n18NprobeSweep,
     "n31_dim_sweep"      -> n31DimSweep,
+    "n32_filter_strategies" -> n32FilterStrategies,
     "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
@@ -2622,6 +2688,49 @@ object Similarity {
          |  FROM wb, qv WHERE vec_id <> 0 AND bkt = qbkt)
          |SELECT vec_id, bkt, dot, cos FROM scored
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
+    // n32: the three filter strategies over one scored CTE; pre is the
+    // truth leg, so its hits row is the built-in sanity
+    "n32_filter_strategies" -> {
+      s"""WITH $duckPrep,
+         |$duckAssigned,
+         |qual AS (${graft.queries.TextOps.duckQuality}),
+         |good AS (SELECT doc_id AS vid FROM qual
+         |         WHERE quality >= $FilterMinQuality),
+         |qv AS (SELECT q AS qa, nrm AS na FROM prepn WHERE vec_id = 0),
+         |sc AS (SELECT a.vec_id, a.cid,
+         |              CAST(${duckDot("a.q", "qa")} AS DOUBLE)
+         |                / sqrt(CAST(na AS DOUBLE) * CAST(a.nrm AS DOUBLE)) AS cos
+         |       FROM assigned a, qv WHERE a.vec_id <> 0),
+         |gsc AS (SELECT * FROM sc WHERE vec_id IN (SELECT vid FROM good)),
+         |truth AS (SELECT vec_id AS tid FROM gsc
+         |          ORDER BY cos DESC, vec_id LIMIT $TopK),
+         |pre AS (SELECT vec_id FROM gsc ORDER BY cos DESC, vec_id LIMIT $TopK),
+         |post AS (SELECT vec_id FROM (
+         |           SELECT vec_id FROM sc ORDER BY cos DESC, vec_id LIMIT $TopK)
+         |         WHERE vec_id IN (SELECT vid FROM good)),
+         |probes AS (
+         |  SELECT cid AS pcid FROM (
+         |    SELECT c.cid,
+         |           CAST(${duckDot("qa", "c.cq")} AS DOUBLE)
+         |             / sqrt(CAST(na AS DOUBLE) * CAST(c.cnrm AS DOUBLE)) AS qcos
+         |    FROM cents c, qv)
+         |  ORDER BY qcos DESC, pcid LIMIT $NProbe),
+         |probe AS (SELECT vec_id FROM gsc
+         |          WHERE cid IN (SELECT pcid FROM probes)
+         |          ORDER BY cos DESC, vec_id LIMIT $TopK)
+         |SELECT 'post' AS strategy,
+         |       (SELECT COUNT(1) FROM post) AS returned,
+         |       (SELECT COUNT(1) FROM post JOIN truth ON vec_id = tid) AS hits10
+         |UNION ALL
+         |SELECT 'pre',
+         |       (SELECT COUNT(1) FROM pre),
+         |       (SELECT COUNT(1) FROM pre JOIN truth ON vec_id = tid)
+         |UNION ALL
+         |SELECT 'probe',
+         |       (SELECT COUNT(1) FROM probe),
+         |       (SELECT COUNT(1) FROM probe JOIN truth ON vec_id = tid)
+         |ORDER BY strategy""".stripMargin
+    },
     "n15_filtered_knn" ->
       s"""WITH $duckPrep,
          |qual AS (${graft.queries.TextOps.duckQuality}),
