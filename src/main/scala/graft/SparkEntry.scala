@@ -56,7 +56,9 @@ object SparkEntry {
         "m15_gc_report" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m15GcReport(s, d)),
         "m16_wav_resample" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m16WavResample(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m16WavResample(s, d)),
+        "m17_scene_cuts" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m17SceneCuts(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -426,6 +428,54 @@ object SparkEntry {
              |                THEN bit_count(xor(ph, php)) ELSE 0 END) AS BIGINT)
              |         AS motion_ham
              |FROM pairs GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m17: m12's frame-hash oracle with the per-(doc, scene) group id
+        // and within-scene jitter; the threshold split mirrors the Spark
+        // cut rule exactly
+        "m17_scene_cuts" -> {
+          val nb = graft.operators.Multimodal.PhashBits
+          val nf = graft.operators.Multimodal.ClipFrames
+          val sfr = graft.operators.Multimodal.SceneFrames
+          val th = graft.operators.Multimodal.CutThreshold
+          s"""WITH cells AS (
+             |  SELECT doc_id AS media_id, f, c,
+             |         48 + 48 * CASE WHEN c < f % $sfr
+             |                        THEN 1 - ((((doc_id * 7 + (f // $sfr) * 3 + 1)
+             |                                    * 2654435761
+             |                                    + c * 40503 + 12345) >> 5) & 1)
+             |                        ELSE ((((doc_id * 7 + (f // $sfr) * 3 + 1)
+             |                                * 2654435761
+             |                                + c * 40503 + 12345) >> 5) & 1)
+             |                   END AS t
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nf - 1})) AS f) ff,
+             |       (SELECT unnest(generate_series(0, ${nb - 1})) AS c) cc),
+             |ph AS (
+             |  SELECT media_id, f,
+             |         CAST(SUM(CASE WHEN t * $nb > tot
+             |                  THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)
+             |              AS BIGINT) AS ph
+             |  FROM (SELECT media_id, f, c, t,
+             |               SUM(t) OVER (PARTITION BY media_id, f) AS tot
+             |        FROM cells) z
+             |  GROUP BY 1, 2),
+             |hams AS (
+             |  SELECT media_id, bit_count(xor(ph, php)) AS ham
+             |  FROM (SELECT media_id, ph,
+             |               lag(ph) OVER (PARTITION BY media_id ORDER BY f) AS php
+             |        FROM ph)
+             |  WHERE php IS NOT NULL)
+             |SELECT media_id,
+             |       CAST($nf AS BIGINT) AS n_frames,
+             |       CAST(SUM(CASE WHEN ham >= $th THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_cuts,
+             |       CAST(1 + SUM(CASE WHEN ham >= $th THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_scenes,
+             |       CAST(SUM(CASE WHEN ham >= $th THEN ham ELSE 0 END) AS BIGINT)
+             |         AS cut_energy,
+             |       CAST(SUM(CASE WHEN ham < $th THEN ham ELSE 0 END) AS BIGINT)
+             |         AS motion_energy
+             |FROM hams GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m13: the resized image's checksum and mean-threshold hash
         // recomputed from the cell formula the ORIGINAL pixels encode —

@@ -873,6 +873,73 @@ object Multimodal {
       }
   }
 
+  /** Frames per scene in m17's fixture (two scenes per 6-frame clip). */
+  val SceneFrames = 3
+
+  /** Hamming bits of consecutive-frame distance that declare a CUT —
+    * within-scene jitter moves ≤ 2 cells (≤ 2 bits); a pattern change
+    * re-rolls every cell (~16 expected bits), so 8 separates the modes
+    * with wide margins on both sides (the rare clip whose re-roll lands
+    * under 8 simply reports fewer cuts — both engines agree either way).
+    */
+  val CutThreshold = 8
+
+  /** m17's fixture: one P6 stream per document with a real SCENE
+    * structure — frame f belongs to scene ⌊f/[[SceneFrames]]⌋, each
+    * scene renders a DIFFERENT base pattern (group id per (doc, scene)),
+    * and frames inside a scene carry the small jitter walk (prefix
+    * f % SceneFrames). Odd frames keep m12's comment-line headers so the
+    * stream walk must still re-parse variable headers mid-payload.
+    */
+  def sceneFixture(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val frames = (0 until ClipFrames).map { f =>
+          PpmCodec.encode(PpmW, PpmH,
+            ppmRgb(id * 7 + (f / SceneFrames) * 3 + 1, f % SceneFrames),
+            if (f % 2 == 1) Some(s" scene frame $f of clip $id") else None)
+        }
+        Media(id, "video", frames.reduce(_ ++ _),
+          width = PpmW, height = PpmH,
+          duration_ms = ClipFrames * 40L, format = "ppm-stream")
+      }
+  }
+
+  /** m17: SCENE-CUT detection — the shot-segmentation step a video
+    * curation pipeline runs before frame sampling (m12 dedups near-still
+    * frames; m17 finds the BOUNDARIES): consecutive decoded frames'
+    * aHash hamming distance is thresholded at [[CutThreshold]] — the
+    * within-scene jitter stays ≤ 2 bits while a scene change re-rolls
+    * the whole 32-cell pattern — and the clip's audit row reports the
+    * cut count, the scene count, and the energy split (hamming mass at
+    * cuts vs inside scenes: the signal-vs-motion decomposition a
+    * threshold tuner reads). The oracle recomputes every frame hash from
+    * the per-(doc, scene) cell formula the fixture encodes, so equality
+    * proves the stream walk found every frame boundary AND the hash
+    * pipeline matched per frame. Scale shape: one mapPartitions pass,
+    * payload bytes never shuffle, fixed-width integers out.
+    */
+  def m17SceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sceneFixture(s, d).mapPartitions { rows =>
+      PpmCodec.init()
+      rows.map { m =>
+        val hs = decodePpmStream(m.payload).map(g => ppmAHash(g, PpmW, PpmH))
+        val hams = hs.sliding(2).map {
+          case Seq(a, b) => java.lang.Long.bitCount(a ^ b).toLong
+          case _ => 0L
+        }.toSeq
+        val cuts = hams.count(_ >= CutThreshold).toLong
+        (m.media_id, hs.length.toLong, cuts, cuts + 1L,
+          hams.filter(_ >= CutThreshold).sum,
+          hams.filter(_ < CutThreshold).sum)
+      }
+    }.toDF("media_id", "n_frames", "n_cuts", "n_scenes",
+        "cut_energy", "motion_energy")
+      .orderBy("media_id")
+  }
+
   /** See [[decodePpmStream]]'s scaladoc block above for the m12 story. */
   def m12ClipTemporalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
