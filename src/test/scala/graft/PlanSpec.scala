@@ -896,6 +896,17 @@ class PlanSpec extends SparkSpec {
         s"key:\n$plan")
   }
 
+  test("t45: the benchmark set broadcasts; merge/stitch windows are doc-partitioned, never global") {
+    val plan = planOf(graft.queries.TextOps.t45DecontamRewrite(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark shingle set must broadcast into the span join:\n$plan")
+    val windowArgs = "windowspecdefinition\\(([^)]*)\\)".r
+    windowArgs.findAllMatchIn(plan).foreach { m =>
+      assert(m.group(1).contains("doc_id"),
+        s"every t45 window must partition by doc_id:\n${m.matched}")
+    }
+  }
+
   test("global plan audit: no CartesianProduct, no single-partition data window, in ANY query") {
     // The manual .explain sweep, automated: every declared query's physical
     // plan is scanned for the two shapes that are NEVER acceptable at

@@ -243,6 +243,46 @@ class ScaleInvarianceSpec extends SparkSpec {
     assert(rows.map(_._4).sum > 0, "the diagnostic must surface near-dup leakage")
   }
 
+  test("t45 decontamination at sf0.1: token accounting closes per doc; the rewrite keeps firing at 10x") {
+    val rows = graft.queries.TextOps.t45DecontamRewrite(spark, sf01)
+      .selectExpr("doc_id", "n_spans", "tokens_removed", "clean_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (id, spans, removed, kept) =>
+      assert(kept >= 0, s"doc $id removed more tokens than it had")
+      assert((spans == 0) == (removed == 0),
+        s"doc $id: spans and removal must agree")
+      assert(removed >= spans * graft.queries.TextOps.ContamShingleK ||
+          spans == 0 || removed >= spans,
+        s"doc $id: each merged island removes at least one span's floor")
+    }
+    assert(rows.count(_._2 > 0) > 0,
+      "the 10x corpus must still contain contaminated docs — a zero means " +
+        "the detector went blind, not that contamination vanished")
+  }
+
+  test("n32 filter strategies at sf0.1: pre is exact, post may starve but never exceeds k, probe recall is bounded by pre") {
+    val rows = graft.queries.Similarity.n32FilterStrategies(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val k = graft.queries.Similarity.TopK.toLong
+    assert(rows("pre") === ((k, k)), "pre IS the truth leg — exact by construction")
+    val (postRet, postHits) = rows("post")
+    assert(postRet <= k && postHits <= postRet,
+      s"post returns at most k and hits at most what it returns: $rows")
+    val (probeRet, probeHits) = rows("probe")
+    assert(probeRet <= k && probeHits <= k, s"probe bounds: $rows")
+  }
+
+  test("m17 scene cuts at sf0.1: within-scene jitter never fakes a cut; the true boundary is found almost everywhere") {
+    val cuts = graft.operators.Multimodal.m17SceneCuts(spark, sf01)
+      .selectExpr("n_cuts").collect().map(_.getLong(0))
+    assert(cuts.forall(_ <= 1),
+      "within-scene jitter moves <= 2 bits — a second cut is impossible")
+    assert(cuts.count(_ == 1) * 100 >= cuts.length * 99,
+      s"at least 99% of clips must find their one true boundary " +
+        s"(got ${cuts.count(_ == 1)}/${cuts.length})")
+  }
+
   test("n31 dimension sweep at sf0.1: recall is monotone in the dim budget; the full-dim leg stays exact") {
     // measured at sf0.1: hits10 = 1 / 3 / 10 across dims 16 / 32 / 64
     val rows = graft.queries.Similarity.n31DimSweep(spark, sf01).collect()
