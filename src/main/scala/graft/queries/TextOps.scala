@@ -1627,6 +1627,77 @@ object TextOps {
       .orderBy("train_source", "eval_source")
   }
 
+  /** The target domain t46 resamples toward (deterministic constant —
+    * the fixture's sources are uniform, so any one works as "the
+    * distribution we want more of").
+    */
+  val DsirTarget = "src0"
+
+  /** t46: DSIR-style data selection (importance resampling, Xie et al.
+    * 2023, arXiv:2302.03169) — the domain-targeting step between quality
+    * filtering (t42 keeps FLUENT text) and mixture planning (p02/t43
+    * weight SOURCES): score every document by how much more likely the
+    * TARGET domain's LM finds it than the RAW corpus LM, and keep the
+    * docs the target prefers. Both LMs are t40/t41's Laplace-smoothed
+    * hashed-bigram models with the integer-bit surprisal
+    * (floor-log2 via bit-length — zero float divergence): per document,
+    * target_bits and raw_bits are the summed transition surprisals under
+    * each LM, gain = raw − target (positive ⇔ the doc compresses better
+    * under the target), keep = gain > 0 — exactly the importance-weight
+    * sign test, in exact integers. Scale shape: both LMs are partial-agg
+    * count tables JOINed hash-to-hash (uniform under content skew), the
+    * per-doc fold is one partial-agg groupBy, vocab sizes ride one-row
+    * broadcast cross joins, and the keep verdict is map-side — nothing
+    * corpus-scale shuffles beyond the two count tables a 100 TB run
+    * would write once and reuse.
+    */
+  val t46DsirSelect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+    val tok = docs.select(col("source"), explode(col("tokens")).as("t"))
+      .select(col("source"), expr(TextHash.sparkHash56("t")).as("h1"))
+    val bgAll = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 2))).as("bg"))
+      .filter(col("bg").contains(" "))
+      .select(col("doc_id"), col("source"),
+        expr(TextHash.sparkHash56("bg")).as("hb"),
+        expr(TextHash.sparkHash56("split(bg, ' ')[0]")).as("h1"))
+    val uniT = tok.filter(col("source") === DsirTarget)
+      .groupBy("h1").agg(count(lit(1)).as("f1t"))
+    val uniR = tok.groupBy("h1").agg(count(lit(1)).as("f1r"))
+    val vT = uniT.agg(count(lit(1)).as("vt"))
+    val vR = uniR.agg(count(lit(1)).as("vr"))
+    val bigT = bgAll.filter(col("source") === DsirTarget)
+      .groupBy("hb").agg(count(lit(1)).as("f2t"))
+    val bigR = bgAll.groupBy("hb").agg(count(lit(1)).as("f2r"))
+    val perDoc = bgAll.groupBy("doc_id", "hb", "h1")
+      .agg(count(lit(1)).as("n"))
+      .join(bigT, Seq("hb"), "left")
+      .join(uniT, Seq("h1"), "left")
+      .join(bigR, Seq("hb"), "left")
+      .join(uniR, Seq("h1"), "left")
+      .crossJoin(broadcast(vT)).crossJoin(broadcast(vR))
+      .select(col("doc_id"), col("n"),
+        expr("cast((length(bin(coalesce(f1t, 0) + vt)) - 1) " +
+          "- (length(bin(coalesce(f2t, 0) + 1)) - 1) as bigint)").as("bt"),
+        expr("cast((length(bin(coalesce(f1r, 0) + vr)) - 1) " +
+          "- (length(bin(coalesce(f2r, 0) + 1)) - 1) as bigint)").as("br"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_transitions"),
+        sum(expr("n * bt")).as("target_bits"),
+        sum(expr("n * br")).as("raw_bits"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("target_bits"), lit(0L)).as("target_bits"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"))
+      .withColumn("gain_bits", col("raw_bits") - col("target_bits"))
+      .withColumn("keep", col("gain_bits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** t42: perplexity-bucket quality filtering (CCNet, Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3) — the curation step production web pipelines
     * run after language ID: score every document by LM fit (here t40's
@@ -1842,6 +1913,7 @@ object TextOps {
     "t36_pack_efficiency" -> t36PackEfficiency,
     "t37_benchmark_leakage" -> t37BenchmarkLeakage,
     "t45_decontam_rewrite" -> t45DecontamRewrite,
+    "t46_dsir_select" -> t46DsirSelect,
     "t38_source_vocab_overlap" -> t38SourceVocabOverlap,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
@@ -2029,6 +2101,54 @@ object TextOps {
     // t41: per-source models + the ev × sources grid; unseen bigram /
     // context degrade through COALESCE 0 under the same bit-length
     // identity, exactly as the Spark side spells it.
+    // t46: t41's LM CTEs specialized to two models (target source vs the
+    // whole corpus), folded per document; the same bit-length log2
+    "t46_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT source, ${TextHash.duckHash56("t")} AS h1
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)),
+         |unit AS (SELECT h1, COUNT(1) AS f1t FROM tok
+         |         WHERE source = '$DsirTarget' GROUP BY 1),
+         |unir AS (SELECT h1, COUNT(1) AS f1r FROM tok GROUP BY 1),
+         |vt AS (SELECT CAST(COUNT(1) AS BIGINT) AS vt FROM unit),
+         |vr AS (SELECT CAST(COUNT(1) AS BIGINT) AS vr FROM unir),
+         |bgall AS (
+         |  SELECT doc_id, source,
+         |         ${TextHash.duckHash56("bg")} AS hb,
+         |         ${TextHash.duckHash56("string_split(bg, ' ')[1]")} AS h1
+         |  FROM (SELECT doc_id, source,
+         |               unnest(${TextHash.duckShingles("text", 2)}) AS bg
+         |        FROM documents)
+         |  WHERE contains(bg, ' ')),
+         |bigt AS (SELECT hb, COUNT(1) AS f2t FROM bgall
+         |         WHERE source = '$DsirTarget' GROUP BY 1),
+         |bigr AS (SELECT hb, COUNT(1) AS f2r FROM bgall GROUP BY 1),
+         |perdoc AS (
+         |  SELECT g.doc_id,
+         |         CAST(SUM(g.n) AS BIGINT) AS n_transitions,
+         |         CAST(SUM(g.n * ((length(format('{:b}', COALESCE(ut.f1t, 0) + vt.vt)) - 1)
+         |                       - (length(format('{:b}', COALESCE(bt.f2t, 0) + 1)) - 1)))
+         |              AS BIGINT) AS target_bits,
+         |         CAST(SUM(g.n * ((length(format('{:b}', COALESCE(ur.f1r, 0) + vr.vr)) - 1)
+         |                       - (length(format('{:b}', COALESCE(br.f2r, 0) + 1)) - 1)))
+         |              AS BIGINT) AS raw_bits
+         |  FROM (SELECT doc_id, hb, h1, COUNT(1) AS n
+         |        FROM bgall GROUP BY 1, 2, 3) g
+         |  LEFT JOIN bigt bt USING (hb)
+         |  LEFT JOIN unit ut USING (h1)
+         |  LEFT JOIN bigr br USING (hb)
+         |  LEFT JOIN unir ur USING (h1)
+         |  CROSS JOIN vt CROSS JOIN vr
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(p.n_transitions, 0) AS n_transitions,
+         |       COALESCE(p.target_bits, 0) AS target_bits,
+         |       COALESCE(p.raw_bits, 0) AS raw_bits,
+         |       COALESCE(p.raw_bits, 0) - COALESCE(p.target_bits, 0) AS gain_bits,
+         |       (COALESCE(p.raw_bits, 0) - COALESCE(p.target_bits, 0)) > 0 AS keep
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "t41_domain_xent" ->
       s"""WITH tok AS (
          |  SELECT source AS tsrc, ${TextHash.duckHash56("t")} AS h1
