@@ -1072,7 +1072,40 @@ object ScaleOps {
 
   // ------------------------------------------------------------ registry
 
+  /** The lgK points x18 sweeps, each with its 3·rsd integer bound in
+    * percent (HLL rsd ≈ 1.04/√2^lgK → 3·rsd ≈ 78 / 20 / 5 %): the
+    * register array grows 2^lgK bytes while the error shrinks √-fold —
+    * the memory-vs-error table itself.
+    */
+  private val HllSweep = Seq((4, 78), (8, 20), (12, 5))
+
+  /** x18: HLL sketch-size (lgK) accuracy sweep — x15 prices the
+    * approx_percentile accuracy knob; this prices the DISTINCT-COUNT
+    * sketch's memory dial: the same key stream aggregated at lgK ∈
+    * {4, 8, 12} (16-byte toy → 4 KiB production registers), each
+    * estimate pinned inside its own 3·rsd band against the exact count
+    * (x01/x05's bounded-property discipline — the engine-specific
+    * estimate itself never crosses engines). The consultation table for
+    * "how small can the per-group sketch column be at 100 TB before the
+    * rollup lies": one pass per lgK, partial-agg mergeable state, O(1)
+    * output rows.
+    */
+  val x18HllLgkSweep: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(col("o_custkey"))
+    HllSweep.map { case (lgk, pct) =>
+      base.agg(
+          expr(s"hll_sketch_estimate(hll_sketch_agg(o_custkey, $lgk))")
+            .as("est"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit(lgk).as("lgk"), col("n_exact"),
+          lit(pct).as("bound_pct"),
+          (abs(col("est") - col("n_exact")) * 100
+            <= col("n_exact") * pct).as("within_bound"))
+    }.reduce(_.unionByName(_)).orderBy("lgk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x18_hll_lgk_sweep" -> x18HllLgkSweep,
     "x12_log2_histogram"   -> x12Log2Histogram,
     "x13_freq_items"       -> x13FreqItems,
     "q147_replica_diff"    -> q147ReplicaDiff,
@@ -1361,6 +1394,15 @@ object ScaleOps {
     "q93_partitioned_write" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    // x18: the bounds are DECLARED (the sweep's own table); the oracle
+    // pins exact counts and demands every estimate lands inside its band
+    "x18_hll_lgk_sweep" ->
+      """SELECT lgk, n_exact, bound_pct, TRUE AS within_bound FROM (
+        |  SELECT 4 AS lgk, 78 AS bound_pct
+        |  UNION ALL SELECT 8, 20
+        |  UNION ALL SELECT 12, 5) k
+        |CROSS JOIN (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders) e
+        |ORDER BY lgk""".stripMargin,
     "x05_hll_sketch" ->
       """SELECT grp, n_exact, within_5pct FROM (
         |  SELECT o_orderpriority AS grp,
