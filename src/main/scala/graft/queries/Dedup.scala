@@ -1033,6 +1033,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** p13: TAKEDOWN-PREFLIGHT capstone — the one-row impact summary an
+    * operator reads BEFORE executing the round's takedown machinery
+    * (d32 re-labels clusters, s39 tombstones the stores, m15 itemizes
+    * the chunk GC, q199 plans the log trim — p13 is the runbook's first
+    * page, sizing the blast radius across every modality for the same
+    * deterministic doc_id % 7 == 3 slice):
+    *
+    *  - corpus: docs retracted vs live, retracted token mass;
+    *  - vectors: embeddings to purge (the doc ↔ vec id linkage);
+    *  - clusters: touched base clusters + the LIVE docs sharing them
+    *    (the set whose labels MAY change — d32 then proves exactly how);
+    *  - media: bytes physically reclaimable vs kept alive by survivors
+    *    (m15's rollup, aggregated — single-sourced from the same query).
+    *
+    * Scale shape: four independent partial-agg summaries (corpus scan,
+    * embeddings scan, one semi join on the memoized cluster table, m15's
+    * own chunk-hash aggregation) stitched by one-row broadcast cross
+    * joins — nothing corpus-scale shuffles beyond what the component
+    * queries already do.
+    */
+  val p13TakedownPreflight: Q = (s, d) => {
+    val docAgg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .agg(
+        sum(when(d32Retracted(col("doc_id")), 1L).otherwise(0L))
+          .as("n_docs_retracted"),
+        sum(when(!d32Retracted(col("doc_id")), 1L).otherwise(0L))
+          .as("n_docs_live"),
+        sum(when(d32Retracted(col("doc_id")), col("n_tokens")).otherwise(0L))
+          .as("tokens_retracted"))
+    val vecAgg = Tables.embeddings(s, d)
+      .agg(sum(when(d32Retracted(col("vec_id")), 1L).otherwise(0L))
+        .as("n_vectors_purged"))
+    val base = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val touched = base.filter(d32Retracted(col("doc_id")))
+      .select("cluster").distinct()
+    val clusterAgg = base.join(touched, Seq("cluster"), "left_semi")
+      .agg(countDistinct("cluster").as("n_clusters_touched"),
+        sum(when(!d32Retracted(col("doc_id")), 1L).otherwise(0L))
+          .as("blast_live_docs"))
+    val mediaAgg = graft.operators.Multimodal.m15GcReport(s, d)
+      .agg(sum("freed_bytes").as("media_freed_bytes"),
+        sum("shared_live_bytes").as("media_shared_bytes"))
+    docAgg.crossJoin(broadcast(vecAgg))
+      .crossJoin(broadcast(clusterAgg))
+      .crossJoin(broadcast(mediaAgg))
+      .select("n_docs_retracted", "n_docs_live", "tokens_retracted",
+        "n_vectors_purged", "n_clusters_touched", "blast_live_docs",
+        "media_freed_bytes", "media_shared_bytes")
+  }
+
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
     * (the SymSpell index): each name emits itself + its single-char
     * deletions as join keys — O(n·len) index rows — and candidates come
@@ -2100,6 +2152,7 @@ object Dedup {
     "d20_simhash_hamming" -> d20SimhashHamming,
     "d19_incremental_cc" -> d19IncrementalCc,
     "d32_cluster_retraction" -> d32ClusterRetraction,
+    "p13_takedown_preflight" -> p13TakedownPreflight,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -2470,6 +2523,60 @@ object Dedup {
     // d32: the retraction equivalence oracle — the affected-cluster
     // recompute must be indistinguishable from d05's full rebuild over
     // the RETAINED corpus (same reach CTEs, sourced from the kept docs).
+    // p13: the reach CTE sizes the cluster blast radius; the m15 chunk
+    // CTEs roll up to the two byte totals; everything else is plain
+    // conditional counting over the base tables
+    "p13_takedown_preflight" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |ca AS (
+         |  SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters_touched,
+         |         CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS blast_live_docs
+         |  FROM clusters
+         |  WHERE cluster IN (SELECT DISTINCT cluster FROM clusters
+         |                    WHERE doc_id % 7 = 3)),
+         |da AS (
+         |  SELECT CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_docs_retracted,
+         |         CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_docs_live,
+         |         CAST(SUM(CASE WHEN doc_id % 7 = 3
+         |                       THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+         |           AS tokens_retracted
+         |  FROM documents),
+         |va AS (
+         |  SELECT CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_vectors_purged
+         |  FROM embeddings),
+         |slots AS (
+         |  SELECT doc_id AS media_id,
+         |         md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+         |         least(length(text) - s + 1, ${graft.operators.Multimodal.DedupChunkBytes}) AS nb
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text), ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+         |        FROM documents)),
+         |refs AS (SELECT DISTINCT media_id, h, nb FROM slots),
+         |st AS (
+         |  SELECT h,
+         |         CAST(SUM(CASE WHEN media_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS live_refs,
+         |         MIN(CASE WHEN media_id % 7 = 3 THEN media_id END) AS min_del,
+         |         MIN(nb) AS nb1
+         |  FROM refs GROUP BY h),
+         |ma AS (
+         |  SELECT CAST(COALESCE((SELECT SUM(nb1) FROM st
+         |                        WHERE live_refs = 0 AND min_del IS NOT NULL), 0)
+         |              AS BIGINT) AS media_freed_bytes,
+         |         CAST(COALESCE((SELECT SUM(r.nb) FROM refs r
+         |                        JOIN st s2 ON s2.h = r.h AND s2.live_refs > 0
+         |                        WHERE r.media_id % 7 = 3), 0)
+         |              AS BIGINT) AS media_shared_bytes)
+         |SELECT n_docs_retracted, n_docs_live, tokens_retracted,
+         |       n_vectors_purged, n_clusters_touched, blast_live_docs,
+         |       media_freed_bytes, media_shared_bytes
+         |FROM da CROSS JOIN va CROSS JOIN ca CROSS JOIN ma""".stripMargin,
     "d32_cluster_retraction" ->
       s"""WITH RECURSIVE kept AS MATERIALIZED (
          |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
