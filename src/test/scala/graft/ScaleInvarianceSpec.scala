@@ -251,9 +251,10 @@ class ScaleInvarianceSpec extends SparkSpec {
       assert(kept >= 0, s"doc $id removed more tokens than it had")
       assert((spans == 0) == (removed == 0),
         s"doc $id: spans and removal must agree")
-      assert(removed >= spans * graft.queries.TextOps.ContamShingleK ||
-          spans == 0 || removed >= spans,
-        s"doc $id: each merged island removes at least one span's floor")
+      // each merged island removes at least one token; a K-token floor
+      // would be wrong (a doc-end window can be shorter than K)
+      assert(removed >= spans,
+        s"doc $id: $spans islands cannot remove only $removed tokens")
     }
     assert(rows.count(_._2 > 0) > 0,
       "the 10x corpus must still contain contaminated docs — a zero means " +
