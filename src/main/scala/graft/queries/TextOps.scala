@@ -406,6 +406,44 @@ object TextOps {
       .drop("_pid", "_loc", "_off")
   }
 
+  /** t47: LENGTH-BUCKETED batching report (sequence bucketing) — the
+    * padding-efficiency answer behind the other batching policy: t07
+    * PACKS documents into fixed token budgets (no padding, loses example
+    * boundaries); the alternative production batchers use is to bucket
+    * by length and pad to the bucket ceiling. Each doc lands in its
+    * power-of-two token bucket (ceiling = bit-length arithmetic — for a
+    * doc of n tokens the ceiling is 2^(bitlen(n−1)), the next power of
+    * two, engine-exact via `length(bin(n-1))`), and the report prices the
+    * policy per bucket — docs, real tokens, padded tokens (docs ×
+    * ceiling), waste in bp — plus what the SAME batch would waste
+    * unbucketed (every doc padded to the global max: the one-bucket
+    * baseline that motivates bucketing). Scale shape: the per-doc bucket
+    * is map-side arithmetic, the report one partial-agg groupBy over
+    * O(log max_len) buckets, and the global max rides the one-row
+    * broadcast cross join.
+    */
+  val t47LengthBuckets: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("ceiling", expr(
+        "IF(n_tokens = 1, cast(1 as bigint), " +
+          "shiftleft(cast(1 as bigint), length(bin(n_tokens - 1))))"))
+    val gmax = docs.agg(max("n_tokens").as("max_tokens"))
+    docs.crossJoin(broadcast(gmax))
+      .groupBy("ceiling")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("real_tokens"),
+        max("max_tokens").as("mt"))
+      .select(col("ceiling"), col("n_docs"), col("real_tokens"),
+        expr("n_docs * ceiling").as("padded_tokens"),
+        expr("(n_docs * ceiling - real_tokens) * 10000 div (n_docs * ceiling)")
+          .as("waste_bp"),
+        expr("(n_docs * mt - real_tokens) * 10000 div (n_docs * mt)")
+          .as("unbucketed_waste_bp"))
+      .orderBy("ceiling")
+  }
+
   /** t07: training-sequence packing — assign documents (in doc_id order) to
     * fixed-token-budget bins by cumulative token count, the deterministic
     * sequential-packing policy an LLM data pipeline applies before writing
@@ -1914,6 +1952,7 @@ object TextOps {
     "t37_benchmark_leakage" -> t37BenchmarkLeakage,
     "t45_decontam_rewrite" -> t45DecontamRewrite,
     "t46_dsir_select" -> t46DsirSelect,
+    "t47_length_buckets" -> t47LengthBuckets,
     "t38_source_vocab_overlap" -> t38SourceVocabOverlap,
     "p07_source_report"   -> p07SourceReport,
     "t28_length_cdf"      -> t28LengthCdf,
@@ -2101,6 +2140,30 @@ object TextOps {
     // t41: per-source models + the ev × sources grid; unseen bigram /
     // context degrade through COALESCE 0 under the same bit-length
     // identity, exactly as the Spark side spells it.
+    // t47: the same bit-length ceiling and integer divisions; the global
+    // max rides a cross join of the one-row aggregate
+    "t47_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |b AS (
+        |  SELECT n_tokens,
+        |         CASE WHEN n_tokens = 1 THEN CAST(1 AS BIGINT)
+        |              ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1)))
+        |         END AS ceiling
+        |  FROM toks),
+        |m AS (SELECT MAX(n_tokens) AS mt FROM toks)
+        |SELECT ceiling,
+        |       CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+        |       CAST(COUNT(1) * ceiling AS BIGINT) AS padded_tokens,
+        |       CAST((COUNT(1) * ceiling - SUM(n_tokens)) * 10000
+        |            // (COUNT(1) * ceiling) AS BIGINT) AS waste_bp,
+        |       CAST((COUNT(1) * mt - SUM(n_tokens)) * 10000
+        |            // (COUNT(1) * mt) AS BIGINT) AS unbucketed_waste_bp
+        |FROM b CROSS JOIN m
+        |GROUP BY ceiling, mt ORDER BY ceiling""".stripMargin,
     // t46: t41's LM CTEs specialized to two models (target source vs the
     // whole corpus), folded per document; the same bit-length log2
     "t46_dsir_select" ->
