@@ -64,7 +64,16 @@ class ParallelismSpec extends SparkSpec {
     // and q196's distinct-count census must not depend on build layout.
     // (q195 is vacuous here: NATION_9 has no suppliers at sf0.001 — the
     // oracle gate covers it at sf0.01.)
-    "n28_ondemand_beam", "q194_tpch_q2", "q196_tpch_q16")
+    "n28_ondemand_beam", "q194_tpch_q2", "q196_tpch_q16",
+    // round-12 additions: d33's survivorship argmaxes fold partial
+    // max_by/min_by states whose merge order varies with layout; t45
+    // stitches kept segments via sort_array over collect_list (collect
+    // order is partition-dependent — the t30 device under a second
+    // driver); t46's LM count tables are built under the active layout
+    // and its gain is a sum of joined partials; n31/n32 rank via
+    // tie-broken TakeOrdered limits over partition-built scored bases.
+    "d33_golden_record", "t45_decontam_rewrite", "t46_dsir_select",
+    "n31_dim_sweep", "n32_filter_strategies")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup + graph-ANN suites memoize their index tables — clear so
