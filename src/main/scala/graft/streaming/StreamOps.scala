@@ -22,14 +22,15 @@ import graft.operators.FraudPipeline
   * them deterministically with `Trigger.AvailableNow` and assert
   * stream-equals-batch.
   *
-  * s32–s45 are the MAINTAINED-STORE family: five persisted index stores
+  * s32–s47 are the MAINTAINED-STORE family: five persisted index stores
   * (dedup hash/band, media chunks, IVF assignment, graph ANN, PQ codes —
   * plus the s43 cluster store composed on top) with the full lifecycle —
   * per-batch partition-overwrite upserts, tombstone deletes (s39),
   * generalized compaction (s40), a replay fence enforcing the
   * coordination contract (s41), a staleness monitor + retrain handoff
-  * (s42), a referential fsck (s44), and as-of (time-travel) reads of
-  * every served view with compaction as the loud-fail horizon (s45).
+  * (s42), per-store referential fscks (s44/s46), as-of (time-travel)
+  * reads of every served view with compaction as the loud-fail horizon
+  * (s45), and the stats digest that says when to compact (s47).
   * Every store pins maintained == full rebuild over the live corpus in
   * StreamingSpec.
   */
@@ -1530,6 +1531,64 @@ object StreamOps {
           .join(served.select("doc_id"), Seq("doc_id"), "left_anti")),
       tombstonesServedRow(spark, dir, served.select("doc_id"), "doc_id"),
       staleRunsRow(spark, dir, Seq("hash56", "bands", "labels"))))
+  }
+
+  /** s47: maintained-store STATS digest — the `du`/compaction-debt gauge
+    * an operator reads between the verbs (s39 deletes, s40 compacts, s44/
+    * s46 fsck, s45 time-travels; s47 says WHEN to compact): one row per
+    * store table with the run count (the LSM merge width every read
+    * pays), raw vs SERVED row counts (raw − served = replay duplicates +
+    * tombstoned rows still on disk), the tombstone count, the highest
+    * batch id, the compaction stamp, and the read amplification ×100
+    * (raw ÷ served — 100 means the layout is as small as the data).
+    * Costs: run counts and batch ids come from partition-directory
+    * listings (no data scan); raw counts are parquet COUNTs (footer
+    * statistics — O(files), not O(rows)); served counts run each table's
+    * own fold, the one genuinely data-touching column.
+    */
+  def s47StoreStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, family: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tables: Seq[(String, () => DataFrame)] = family match {
+      case "hash" => Seq(
+        "hash56" -> (() => s32HashRows(spark, dir)),
+        "bands"  -> (() => s32BandIndex(spark, dir)))
+      case "chunk"  => Seq("chunks" -> (() => s34ChunkRows(spark, dir)))
+      case "assign" => Seq("assigned" -> (() => s35Assignment(spark, dir)))
+      case "code"   => Seq("codes" -> (() => s38Codes(spark, dir)))
+      case "cluster" => Seq(
+        "hash56" -> (() => s32HashRows(spark, dir)),
+        "bands"  -> (() => s32BandIndex(spark, dir)),
+        "labels" -> (() => s43Clusters(spark, dir)))
+      case "graph" => Seq(
+        "vectors" -> (() => s36Vectors(spark, dir)),
+        "cells"   -> (() => s36Cells(spark, dir)),
+        "edges"   -> (() => s36DirectedEdges(spark, dir)))
+      case other => throw new IllegalArgumentException(
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|graph)")
+    }
+    val stamp = readCompactionStamp(spark, dir)
+    val nTomb = deletedIds(spark, dir).count()
+    def runsIn(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("batch_id=")).toLong
+    }
+    val rows = tables.map { case (t, fold) =>
+      val path = s"$dir/$t"
+      val raw =
+        if (!pathExists(spark, path)) 0L
+        else spark.read.parquet(path).count()
+      val served = fold().count()
+      (t, runsIn(path), raw, served, nTomb,
+        maxBatchIn(spark, path).getOrElse(-1L), stamp.getOrElse(-1L),
+        if (served == 0) -1L else raw * 100L / served)
+    }
+    import spark.implicits._
+    rows.toDF("table", "runs", "raw_rows", "served_rows", "tombstones",
+        "max_batch", "compaction_stamp", "read_amp_x100")
+      .orderBy("table")
   }
 
   /** s46's loud-fail wrapper: fsck one maintained store by family name

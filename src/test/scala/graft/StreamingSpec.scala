@@ -1906,6 +1906,44 @@ class StreamingSpec extends SparkSpec {
       "as-of the increment's batch must include it")
   }
 
+  test("s47 store stats: run counts, raw-vs-served gap and read amplification track the lifecycle; compaction resets them") {
+    import spark.implicits._
+    val dir = tmp("s47_stats")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s32UpsertIndexBatch(dir)(h1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(dir)(h2.toSeq.toDF("doc_id", "text"), 1L)
+    def statsOf() = StreamOps.s47StoreStats(spark, dir, "hash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).map(t => (t._1, t)).toMap
+    val s0 = statsOf()
+    assert(s0("hash56")._2 === 2L, "two upsert runs before compaction")
+    assert(s0("hash56")._3 === s0("hash56")._4,
+      "insert-only store: raw == served")
+    assert(s0("hash56")._5 === 0L && s0("hash56")._6 === 1L)
+    assert(s0("hash56")._7 === -1L, "no compaction stamp yet")
+    assert(s0("hash56")._8 === 100L, "no replay, no deletes: amp 100")
+    // a delete leaves tombstoned rows ON DISK — raw grows past served
+    val dels = docs.map(_._1).filter(_ % 7 == 3)
+    StreamOps.s32DeleteBatch(dir)(dels.toSeq.toDF("doc_id"), 2L)
+    val s1 = statsOf()
+    assert(s1("hash56")._5 === dels.length.toLong)
+    assert(s1("hash56")._3 > s1("hash56")._4,
+      "tombstoned rows still on disk: raw > served")
+    assert(s1("hash56")._8 > 100L, "read amplification reflects the debt")
+    // compaction folds the layout back to size: one run, amp 100, stamp
+    StreamOps.s32CompactStore(spark, dir)
+    val s2 = statsOf()
+    assert(s2("hash56")._2 === 1L && s2("bands")._2 === 1L)
+    assert(s2("hash56")._3 === s2("hash56")._4 && s2("hash56")._8 === 100L)
+    assert(s2("hash56")._7 === 2L, "stamp records the folded-through batch")
+    intercept[IllegalArgumentException] {
+      StreamOps.s47StoreStats(spark, dir, "nosuch")
+    }
+  }
+
   test("s45 as-of fuzz: on seeded random batch splits and delete slices, every as-of equals the rebuild over its prefix corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, min}
