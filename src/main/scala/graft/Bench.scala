@@ -86,32 +86,43 @@ object Bench {
           System.gc()
           t
         }.min
-        name -> dt
+        (name, dt, qIdx)
       }
     val canaryPost = canary()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Canary-normalized total (round-11 verdict item 7): the SAME code
-    // measured 139.7 s on a quiet box and 168.3 s on a loaded one, and
-    // adjudicating the phantom regressions cost a judge re-bench two
-    // rounds running. Normalize by the run's mean canary relative to the
-    // recorded quiet-box reference so cross-box totals compare directly:
-    // value_canary_norm = total / (mean_canary / CANARY_REF). The
-    // reference is the documented quiet-box midpoint of the fixed
-    // workload (~0.09-0.12 s at any thread count — see cpuCanary).
+    // PHASE-WEIGHTED canary normalization (round-12 verdict item 6): the
+    // r12 driver run was loaded ONLY for its first ~50 queries (canary
+    // 0.42 s at query 0, 0.106 s by query 50), and dividing by the
+    // run-MEAN canary under-corrected that stretch — the d-family, which
+    // runs early in sorted order, archived 2-3x inflated and cost a judge
+    // re-bench. Each query is instead normalized by its NEAREST canary
+    // sample in the timeline (pre, one per 50 queries, post):
+    //   norm_sec(q) = raw_sec(q) * CANARY_REF / canary_nearest(q)
+    // and value_canary_norm is the SUM of the per-query normalized
+    // seconds, so a load phase corrects exactly the queries that ran
+    // inside it. CANARY_REF is the documented quiet-box midpoint of the
+    // fixed workload (~0.09-0.12 s at any thread count — see cpuCanary).
     val CanaryRef = 0.105
-    val allCanaries = (canaryPre +: canarySamples.toSeq.map(_._2)) :+ canaryPost
-    val canaryMean = allCanaries.sum / allCanaries.size
-    val totalNorm = if (canaryMean > 0) total * CanaryRef / canaryMean else total
     // Box-load timeline: pre, one sample per 50 queries, post — keyed by
     // how many queries had completed when the sample ran.
-    val canariesJson = ((0, canaryPre) +: canarySamples.toSeq :+
+    val timeline = ((0, canaryPre) +: canarySamples.toSeq :+
       (results.size, canaryPost))
+    def nearestCanary(qIdx: Int): Double =
+      timeline.minBy { case (at, _) => math.abs(at - qIdx) }._2
+    val normResults = results.map { case (name, dt, qIdx) =>
+      val c = nearestCanary(qIdx)
+      (name, if (c > 0) dt * CanaryRef / c else dt)
+    }
+    val totalNorm = if (normResults.nonEmpty) normResults.map(_._2).sum else 0.0
+    val qsNorm = normResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val canariesJson = timeline
       .map { case (at, v) => s"""{"after_queries":$at,"sec":$v}""" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_canary_norm":$totalNorm,"canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_canary_norm":$totalNorm,"canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -148,7 +159,7 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val entries = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
     // BOTH canaries in the printed line (round-7 verdict item 1): printing
     // only min(pre, post) hid that r07 STARTED 2.2x loaded — a reader of
     // the driver artifact saw "quiet box" attached to a noisy total.

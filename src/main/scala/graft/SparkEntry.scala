@@ -58,7 +58,9 @@ object SparkEntry {
         "m16_wav_resample" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m16WavResample(s, d)),
         "m17_scene_cuts" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m17SceneCuts(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m17SceneCuts(s, d)),
+        "m18_png_decode" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m18PngDecode(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -367,6 +369,26 @@ object SparkEntry {
              |       CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM lagd GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m18: every RGB byte recomputed from the pixel formula; the
+        // position-weighted checksum over the flattened raster matches
+        // ONLY if the zlib inflate ran and all five scanline filters
+        // inverted exactly (the fixture plants filter `row % 5`)
+        "m18_png_decode" -> {
+          val w = graft.operators.Multimodal.PngW
+          val h = graft.operators.Multimodal.PngH
+          s"""WITH px AS (
+             |  SELECT doc_id AS media_id, i,
+             |         (doc_id * 7 + (i // ${w * 3}) * 31
+             |          + ((i % ${w * 3}) // 3) * 13 + (i % 3) * 5) % 256 AS v
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${w * h * 3 - 1})) AS i) ii)
+             |SELECT media_id,
+             |       CAST($w AS BIGINT) AS width,
+             |       CAST($h AS BIGINT) AS height,
+             |       CAST(SUM(v) AS BIGINT) AS sum_px,
+             |       CAST(SUM((i + 1) * v) AS BIGINT) AS checksum
+             |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
         },
         // m16: blocks recomputed from the sawtooth formula; the
         // position-weighted checksum makes the equality order-sensitive

@@ -302,6 +302,200 @@ object Multimodal {
     }
   }
 
+  /** A REAL PNG decoder through the same seam — the format-DIVERSE image
+    * path (the image codec so far was P6 PPM; PNG exercises the full real
+    * stack in one format): 8-byte signature, the length/type/data/CRC
+    * chunk walk with EVERY chunk's CRC32 verified (a flipped byte fails
+    * loudly, never decodes garbage) and unknown ancillary chunks skipped
+    * (odd-id fixtures plant a `tEXt` chunk, so a fixed-offset reader
+    * cannot decode both parities), IHDR validation, IDAT concatenation
+    * across chunks, genuine zlib INFLATE ([[DeflateCodec]]'s inflater —
+    * PNG's IDAT is an ordinary zlib stream), and per-scanline filter
+    * RECONSTRUCTION for all five filter types 0-4 (None/Sub/Up/Average/
+    * Paeth, the spec's byte-domain predictors). Supported profile: 8-bit
+    * RGB (color type 2), no interlace — everything else is a typed
+    * loud fail. The m18 fixture plants filter type `row % 5`, so a
+    * decoder that skips unfiltering cannot reproduce any pixel feature.
+    */
+  object PngCodec extends MediaCodec {
+    private val Signature = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def readBe32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    private def crcOf(typ: Array[Byte], data: Array[Byte], off: Int,
+                      len: Int): Long = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ)
+      crc.update(data, off, len)
+      crc.getValue
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream(data.length + 12)
+      out.write(be32(data.length.toLong))
+      out.write(t)
+      out.write(data)
+      out.write(be32(crcOf(t, data, 0, data.length)))
+      out.toByteArray
+    }
+
+    /** The spec's Paeth predictor — byte-domain, exact integer ties. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Build a real PNG: 8-bit RGB scanlines filtered per `filterOfRow`
+      * (the encode-side transform the decoder must invert), deflated into
+      * one IDAT. `textChunk` plants an ancillary chunk the walk must skip.
+      */
+    def encode(w: Int, h: Int, rgb: Array[Byte], filterOfRow: Int => Int,
+               textChunk: Option[String] = None): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+      val bpp = 3; val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      var r = 0
+      while (r < h) {
+        val ft = filterOfRow(r)
+        require(ft >= 0 && ft <= 4, s"filter type $ft")
+        val o = r * (1 + stride)
+        raw(o) = ft.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = rgb(r * stride + x) & 0xff
+          val left = if (x >= bpp) rgb(r * stride + x - bpp) & 0xff else 0
+          val up = if (r > 0) rgb((r - 1) * stride + x) & 0xff else 0
+          val ul = if (r > 0 && x >= bpp) rgb((r - 1) * stride + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - ((left + up) >> 1)
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(o + 1 + x) = (v & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      val ihdr = new java.io.ByteArrayOutputStream(13)
+      ihdr.write(be32(w.toLong)); ihdr.write(be32(h.toLong))
+      ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      out.write(chunk("IHDR", ihdr.toByteArray))
+      textChunk.foreach(t => out.write(chunk("tEXt", t.getBytes("US-ASCII"))))
+      out.write(chunk("IDAT", DeflateCodec.encode(raw)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    /** The MediaCodec seam reduces to grey like [[PpmCodec]]. */
+    def decode(payload: Array[Byte]): Array[Byte] = {
+      val (w, h, rgb) = decodeRgb(payload)
+      val grey = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        grey(i) = (((rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) +
+          (rgb(3 * i + 2) & 0xff)) / 3).toByte
+        i += 1
+      }
+      grey
+    }
+
+    /** Full decode: chunk walk → IHDR → inflate IDAT → unfilter. Returns
+      * (w, h, reconstructed RGB raster). Every malformed shape is the
+      * typed IllegalArgumentException (the fuzz contract).
+      */
+    def decodeRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed PNG: $msg")
+      if (payload.length < 8 ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOf(payload, 8), Signature))
+        fail("bad signature")
+      var pos = 8
+      var w = 0; var h = 0; var seenIhdr = false; var seenEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenEnd) {
+        if (payload.length - pos < 12) fail(s"truncated chunk header at $pos")
+        val len = readBe32(payload, pos)
+        if (len > payload.length.toLong - pos - 12) fail(s"truncated chunk at $pos")
+        val typ = new String(payload, pos + 4, 4, "US-ASCII")
+        val typBytes = java.util.Arrays.copyOfRange(payload, pos + 4, pos + 8)
+        val dataOff = pos + 8
+        val n = len.toInt
+        if (readBe32(payload, dataOff + n) != crcOf(typBytes, payload, dataOff, n))
+          fail(s"bad CRC on $typ chunk at $pos")
+        typ match {
+          case "IHDR" =>
+            if (seenIhdr) fail("duplicate IHDR")
+            if (n != 13) fail(s"IHDR length $n")
+            val lw = readBe32(payload, dataOff)
+            val lh = readBe32(payload, dataOff + 4)
+            if (lw <= 0 || lh <= 0 || lw > Int.MaxValue / 4 ||
+                3L * lw * lh > (64L << 20))
+              fail(s"bad dimensions ${lw}x$lh")
+            if (payload(dataOff + 8) != 8) fail("only 8-bit depth supported")
+            if (payload(dataOff + 9) != 2) fail("only RGB (color type 2) supported")
+            if (payload(dataOff + 10) != 0 || payload(dataOff + 11) != 0)
+              fail("bad compression/filter method")
+            if (payload(dataOff + 12) != 0) fail("interlace unsupported")
+            w = lw.toInt; h = lh.toInt; seenIhdr = true
+          case "IDAT" =>
+            if (!seenIhdr) fail("IDAT before IHDR")
+            idat.write(payload, dataOff, n)
+          case "IEND" => seenEnd = true
+          case _ => () // ancillary chunk: the walk skips it (CRC checked)
+        }
+        pos += 12 + n
+      }
+      if (!seenIhdr) fail("no IHDR")
+      if (idat.size() == 0) fail("no IDAT")
+      val raw =
+        try DeflateCodec.decode(idat.toByteArray)
+        catch { case e: java.util.zip.DataFormatException =>
+          fail(s"bad IDAT zlib stream: ${e.getMessage}") }
+      val bpp = 3; val stride = w * 3
+      if (raw.length != h * (1 + stride))
+        fail(s"decompressed length ${raw.length} != ${h * (1 + stride)}")
+      val out = new Array[Byte](h * stride)
+      var r = 0
+      while (r < h) {
+        val ft = raw(r * (1 + stride)) & 0xff
+        val o = r * (1 + stride) + 1
+        var x = 0
+        while (x < stride) {
+          val v = raw(o + x) & 0xff
+          val left = if (x >= bpp) out(r * stride + x - bpp) & 0xff else 0
+          val up = if (r > 0) out((r - 1) * stride + x) & 0xff else 0
+          val ul = if (r > 0 && x >= bpp) out((r - 1) * stride + x - bpp) & 0xff else 0
+          val rec = ft match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + ((left + up) >> 1)
+            case 4 => v + paeth(left, up, ul)
+            case other => fail(s"unknown filter type $other on row $r")
+          }
+          out(r * stride + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      (w, h, out)
+    }
+  }
+
   /** 16-bit little-endian PCM → signed sample values. */
   def pcm16(data: Array[Byte]): Array[Int] = {
     val out = new Array[Int](data.length / 2)
@@ -1206,8 +1400,17 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** m16 decimation factor: the 8 kHz fixture resamples to 2 kHz. */
+  /** m16 decimation factor: the 8 kHz fixture resamples to 2 kHz.
+    * MUST divide [[WavSamples]]: m16's Scala side iterates whole blocks
+    * (`nb = n / k`, trailing partial block dropped) while the DuckDB
+    * oracle groups `i // k` over ALL samples and would include a partial
+    * tail — the engines agree only when there is no tail. The assert
+    * keeps a future edit to either constant from silently desyncing them.
+    */
   val ResampleFactor = 4
+  require(WavSamples % ResampleFactor == 0,
+    s"WavSamples ($WavSamples) must be divisible by ResampleFactor " +
+      s"($ResampleFactor): m16 drops a trailing partial block, its oracle does not")
 
   /** m16: audio DOWNSAMPLING (boxcar decimation) — the sample-rate
     * normalization step an audio training pipeline runs before batching
@@ -1251,6 +1454,53 @@ object Multimodal {
         (m.media_id, nb.toLong, peak, sumSq, checksum)
       }
     }.toDF("media_id", "n_blocks", "peak_block", "sum_sq_block", "checksum")
+      .orderBy("media_id")
+  }
+
+  /** m18 PNG fixture dimensions: 10 rows cycle all five scanline filter
+    * types twice (`row % 5`), so every reconstruction path is exercised
+    * per image.
+    */
+  val PngW = 16
+  val PngH = 10
+
+  /** m18: PNG DECODE features — the format-diverse image path ([[PngCodec]];
+    * m01/m06/m13 decode P6): each media row builds a REAL PNG (deterministic
+    * pixel formula, per-row filter type `row % 5`, a skipped `tEXt` chunk on
+    * odd ids) and decodes it through the full stack — chunk walk with CRC
+    * verification, zlib inflate, per-scanline unfilter for all five types —
+    * then reports the raster's pixel sum and the position-weighted checksum
+    * Σ(i+1)·pᵢ over the flattened RGB raster. The checksum pins VALUES AND
+    * ORDER of every reconstructed byte, so the oracle (which recomputes the
+    * pixels from the formula alone) matches ONLY if the inflate ran and
+    * every filter type inverted exactly — skip the Paeth rows and 2/10 of
+    * each image's bytes corrupt. Scale shape: one mapPartitions pass,
+    * per-row codec work, fixed-width integers out; payload bytes never
+    * shuffle — flat at 100 TB.
+    */
+  def m18PngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = PngW; val h = PngH
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val stride = w * 3
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val r = i / stride; val c = (i % stride) / 3; val k = i % 3
+            ((id * 7 + r * 31 + c * 13 + k * 5) % 256).toByte
+          }
+          val payload = PngCodec.encode(w, h, rgb, r => r % 5,
+            if (id % 2 == 1) Some(s"fixture $id") else None)
+          val (dw, dh, out) = PngCodec.decodeRgb(payload)
+          var sum = 0L; var checksum = 0L; var i = 0
+          while (i < out.length) {
+            val v = out(i) & 0xff
+            sum += v; checksum += (i + 1).toLong * v
+            i += 1
+          }
+          (id, dw.toLong, dh.toLong, sum, checksum)
+        }
+      }.toDF("media_id", "width", "height", "sum_px", "checksum")
       .orderBy("media_id")
   }
 

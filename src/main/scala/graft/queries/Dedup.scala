@@ -423,7 +423,16 @@ object Dedup {
     * n_chars) member table — d33's core, factored so DedupSpec can pin
     * each election policy on a planted corpus.
     */
-  private[graft] def goldenRecordsOf(mem: DataFrame): DataFrame = {
+  private[graft] def goldenRecordsOf(mem: DataFrame): DataFrame =
+    goldenAggOf(mem).filter(col("cluster_size") >= 2).orderBy("kept_doc")
+
+  /** The UNFILTERED survivorship aggregate (every cluster, singletons
+    * included) — d33 filters to multi-member clusters; the maintained
+    * golden store (s48) needs the unfiltered fold so a cluster that
+    * SHRINKS to a singleton still gets an authoritative row that
+    * overrides its older multi-member election.
+    */
+  private[graft] def goldenAggOf(mem: DataFrame): DataFrame = {
     val agg = mem.groupBy("cluster").agg(
         count(lit(1)).as("cluster_size"),
         countDistinct("source").as("n_sources"),
@@ -431,7 +440,6 @@ object Dedup {
         max_by(
           struct(col("doc_id").as("rep_doc"), col("n_chars").as("rep_chars")),
           struct(col("n_chars"), negate(col("doc_id")))).as("rep"))
-      .filter(col("cluster_size") >= 2)
     val langMode = mem.groupBy("cluster", "lang")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("cluster")
@@ -442,7 +450,6 @@ object Dedup {
         col("n_sources"), col("total_chars"),
         col("rep.rep_doc").as("rep_doc"), col("rep.rep_chars").as("rep_chars"),
         col("lang_mode"))
-      .orderBy("kept_doc")
   }
 
   val d33GoldenRecord: Q = (s, d) => {
@@ -1083,6 +1090,57 @@ object Dedup {
       .select("n_docs_retracted", "n_docs_live", "tokens_retracted",
         "n_vectors_purged", "n_clusters_touched", "blast_live_docs",
         "media_freed_bytes", "media_shared_bytes")
+  }
+
+  /** p14: TAKEDOWN-EXECUTION report — the post-takedown state summary
+    * p13's preflight predicts and the operational executor
+    * ([[graft.streaming.StreamOps.p14TakedownExecute]], StreamingSpec-
+    * pinned against per-store rebuilds) must land on: for the same
+    * deterministic doc_id % 7 == 3 victim slice, the corpus/index/vector/
+    * chunk/cluster state AFTER the deletes apply — live docs and distinct
+    * content hashes (the post-takedown dedup index size), live vectors,
+    * live chunk-store entries plus the bytes physically reclaimed
+    * (chunks whose every referrer died — m15's GC rule), and the retained
+    * corpus's cluster count with its multi-member (golden-electing)
+    * subset (d32's retraction semantics — splits included). This is the
+    * n30/s42 pattern: the STORE-side executor is exercised against
+    * rebuilds in ScalaTest, while this pseudo-run of the same semantics
+    * gets the hard DuckDB oracle.
+    *
+    * Scale shape: three partial-agg scans (corpus, embeddings, chunk
+    * table grouped by content hash — never pairwise), one cluster fold
+    * reusing d32's memoized base + retraction machinery, stitched by
+    * one-row broadcast cross joins.
+    */
+  val p14TakedownExecuteReport: Q = (s, d) => {
+    val keptDocs = Tables.documents(s, d)
+      .filter(!d32Retracted(col("doc_id")))
+    val docAgg = keptDocs.agg(
+      count(lit(1)).as("docs_live"),
+      countDistinct(md5(col("text").cast("binary"))).as("hash_entries_live"))
+    val vecAgg = Tables.embeddings(s, d).agg(
+      sum(when(!d32Retracted(col("vec_id")), 1L).otherwise(0L))
+        .as("vectors_live"))
+    val chunkAgg = graft.operators.Multimodal.chunkTableOf(
+        graft.operators.Multimodal.fixtureFromDocuments(s, d).toDF()
+          .select(col("media_id"), col("payload")))
+      .groupBy("h").agg(
+        min(col("nb").cast("long")).as("nb"),
+        sum(when(!d32Retracted(col("media_id")), 1L).otherwise(0L))
+          .as("live_refs"))
+      .agg(
+        sum(when(col("live_refs") > 0, 1L).otherwise(0L)).as("chunks_live"),
+        coalesce(sum(when(col("live_refs") === 0, col("nb"))), lit(0L))
+          .as("bytes_reclaimed"))
+    val clAgg = d32ClusterRetraction(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("clusters_live"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("goldens_live"))
+    docAgg.crossJoin(broadcast(vecAgg))
+      .crossJoin(broadcast(chunkAgg))
+      .crossJoin(broadcast(clAgg))
+      .select("docs_live", "hash_entries_live", "vectors_live",
+        "chunks_live", "bytes_reclaimed", "clusters_live", "goldens_live")
   }
 
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
@@ -2153,6 +2211,7 @@ object Dedup {
     "d19_incremental_cc" -> d19IncrementalCc,
     "d32_cluster_retraction" -> d32ClusterRetraction,
     "p13_takedown_preflight" -> p13TakedownPreflight,
+    "p14_takedown_execute" -> p14TakedownExecuteReport,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -2526,6 +2585,40 @@ object Dedup {
     // p13: the reach CTE sizes the cluster blast radius; the m15 chunk
     // CTEs roll up to the two byte totals; everything else is plain
     // conditional counting over the base tables
+    // p14: the post-takedown state — kept-corpus reach CTE (d32's), m03's
+    // md5-substr chunk CTE grouped by content hash with live-referrer
+    // counts, scalar subqueries stitched into the one-row report
+    "p14_takedown_execute" ->
+      s"""WITH RECURSIVE kept AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         |${duckReachCtesFor("kept")},
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |csz AS (SELECT cluster, COUNT(1) AS sz FROM clusters GROUP BY cluster),
+         |chunks AS (
+         |  SELECT md5(substr(text, s, ${graft.operators.Multimodal.DedupChunkBytes})) AS h,
+         |         MIN(CAST(least(length(text) - s + 1,
+         |                        ${graft.operators.Multimodal.DedupChunkBytes}) AS BIGINT)) AS nb,
+         |         SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS live_refs
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text),
+         |                      ${graft.operators.Multimodal.DedupChunkBytes})) AS s
+         |        FROM documents)
+         |  GROUP BY h)
+         |SELECT
+         |  (SELECT CAST(COUNT(1) AS BIGINT) FROM kept) AS docs_live,
+         |  (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM kept)
+         |    AS hash_entries_live,
+         |  (SELECT CAST(SUM(CASE WHEN vec_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM embeddings) AS vectors_live,
+         |  (SELECT CAST(SUM(CASE WHEN live_refs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM chunks) AS chunks_live,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN live_refs = 0 THEN nb END), 0) AS BIGINT)
+         |   FROM chunks) AS bytes_reclaimed,
+         |  (SELECT CAST(COUNT(1) AS BIGINT) FROM csz) AS clusters_live,
+         |  (SELECT CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM csz) AS goldens_live""".stripMargin,
     "p13_takedown_preflight" ->
       s"""WITH RECURSIVE $duckReachCtes,
          |clusters AS (

@@ -3268,9 +3268,14 @@ object Extras {
     * inspect the un-checkpointed plan.
     */
   private def q198Classes(s: SparkSession, d: String): DataFrame = {
+    // FLOOR division (pmod-adjusted), not `div`: Spark's div truncates
+    // toward zero while the DuckDB oracle's `//` floors, so a pre-1970
+    // timestamp would bucket one day apart between the engines. pmod is
+    // non-negative, so (us − pmod) is an exact multiple and the div exact.
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000").as("day"))
     val base = ev.groupBy("user_id")
       .agg(count(lit(1)).as("n"), min("day").as("first_day"))
       .withColumn("nbits", expr("length(bin(n))"))
@@ -3331,8 +3336,10 @@ object Extras {
           .as("rows_to_delete"),
         sum(when(col("us") >= col("cutoff_us"), lit(1L)).otherwise(lit(0L)))
           .as("rows_to_keep"),
+        // floor-div (see q198): parity with DuckDB `//` for pre-epoch us.
         countDistinct(when(col("us") < col("cutoff_us"),
-          expr("us div 86400000000"))).as("affected_days"),
+          expr("(us - pmod(us, 86400000000)) div 86400000000")))
+          .as("affected_days"),
         min(when(col("us") < col("cutoff_us"), col("us"))).as("earliest_us"),
         max(when(col("us") < col("cutoff_us"), col("us"))).as("latest_us"))
       .orderBy("event_type")

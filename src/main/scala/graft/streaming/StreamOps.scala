@@ -22,17 +22,18 @@ import graft.operators.FraudPipeline
   * them deterministically with `Trigger.AvailableNow` and assert
   * stream-equals-batch.
   *
-  * s32–s47 are the MAINTAINED-STORE family: five persisted index stores
+  * s32–s48 are the MAINTAINED-STORE family: five persisted index stores
   * (dedup hash/band, media chunks, IVF assignment, graph ANN, PQ codes —
   * plus the s43 cluster store composed on top) with the full lifecycle —
-  * per-batch partition-overwrite upserts, tombstone deletes (s39),
-  * generalized compaction (s40), a replay fence enforcing the
+  * per-batch partition-overwrite upserts, BATCH-ORDERED tombstone
+  * deletes with re-admission (s39: an upsert at a later batch supersedes
+  * a delete), generalized compaction (s40), a replay fence enforcing the
   * coordination contract (s41), a staleness monitor + retrain handoff
   * (s42), per-store referential fscks (s44/s46), as-of (time-travel)
-  * reads of every served view with compaction as the loud-fail horizon
-  * (s45), and the stats digest that says when to compact (s47).
-  * Every store pins maintained == full rebuild over the live corpus in
-  * StreamingSpec.
+  * reads of every served view with a retained-generation history across
+  * compaction (s45), the stats digest that says when to compact (s47),
+  * and the maintained golden-record table (s48). Every store pins
+  * maintained == full rebuild over the live corpus in StreamingSpec.
   */
 object StreamOps {
 
@@ -303,7 +304,6 @@ object StreamOps {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
         requireFreshBatch(spark, dir, batchId, Seq("hash56", "bands"))
-        requireNotDeleted(spark, dir, cached.select("doc_id"), "doc_id")
         // ALL (th, doc_id) rows, not the per-batch min survivor: exact
         // deletability needs the non-collapsed run — electing min at
         // write time would lose the runner-up a later delete of the
@@ -340,15 +340,18 @@ object StreamOps {
     * base [[s32HashIndex]] folds and [[s32CompactStore]] rewrites.
     */
   private[graft] def s32HashRows(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String,
-                                 asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+                                 dir0: String,
+                                 asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id"),
         spark, dir, asOf)
-        .select("th", "doc_id").distinct(),
+        .select(col("th"), col("doc_id"), col("batch_id")),
       spark, dir, "doc_id", asOf)
+      .select("th", "doc_id").distinct()
+  }
 
   /** Compacted read of the s32-maintained hash index: tombstone-filter,
     * then fold the per-batch runs by key with the min-survivor policy —
@@ -367,15 +370,18 @@ object StreamOps {
     * band rows are filtered out).
     */
   def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String, asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+                   dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/bands"), s"$dir/bands",
           "doc_id", "band_key"),
         spark, dir, asOf)
-        .select("doc_id", "band_key").distinct(),
+        .select(col("doc_id"), col("band_key"), col("batch_id")),
       spark, dir, "doc_id", asOf)
+      .select("doc_id", "band_key").distinct()
+  }
 
   /** s34: streaming maintenance of the content-addressed media CHUNK
     * store — s32's sibling for the m03/m05/m07/m08 chunk tables (those
@@ -405,7 +411,6 @@ object StreamOps {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
         requireFreshBatch(spark, dir, batchId, Seq("chunks"))
-        requireNotDeleted(spark, dir, cached.select("media_id"), "media_id")
         // ALL (h, media_id, nb) reference rows, not the per-batch min
         // owner: exact deletability needs every referrer — deleting the
         // elected owner must promote the next media id, and a chunk whose
@@ -436,16 +441,19 @@ object StreamOps {
     * rewrites.
     */
   private[graft] def s34ChunkRows(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String,
-                                  asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+                                  dir0: String,
+                                  asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/chunks"), s"$dir/chunks",
           "h", "media_id", "nb"),
         spark, dir, asOf)
-        .select("h", "media_id", "nb").distinct(),
+        .select(col("h"), col("media_id"), col("nb"), col("batch_id")),
       spark, dir, "media_id", asOf)
+      .select("h", "media_id", "nb").distinct()
+  }
 
   /** Compacted read of the s34-maintained chunk store: tombstone-filter
     * the reference rows, then fold by content hash with the min-owner
@@ -480,7 +488,6 @@ object StreamOps {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
         requireFreshBatch(spark, dir, batchId, Seq("assigned"))
-        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         graft.queries.Similarity
           .assignToCentroids(
             graft.queries.Similarity.prepareVectors(cached), cents)
@@ -506,15 +513,18 @@ object StreamOps {
     * replayed batch fold under distinct.
     */
   def s35Assignment(spark: org.apache.spark.sql.SparkSession,
-                    dir: String, asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+                    dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
           "vec_id", "cid", "ccos"),
         spark, dir, asOf)
-        .select("vec_id", "cid", "ccos").distinct(),
+        .select(col("vec_id"), col("cid"), col("ccos"), col("batch_id")),
       spark, dir, "vec_id", asOf)
+      .select("vec_id", "cid", "ccos").distinct()
+  }
 
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
                          path: String): Boolean = {
@@ -553,15 +563,19 @@ object StreamOps {
     * over the prefix corpus per store). Every served-view reader takes an
     * `asOf` parameter; `None` serves the present.
     *
-    * Compaction is the HORIZON: [[compactStore]] folds history into one
-    * base run restamped with the compaction batch id, so an as-of read
-    * below the stamp would silently serve the folded present — it fails
-    * loudly instead (the s41 fence's read-side twin). Reads at or above
-    * the stamp stay exact: every folded row carries the stamp id, and the
-    * post-compaction increments are ordinary runs. Cost: one tiny
-    * stamp-file read plus a `batch_id` filter the scan answers from the
-    * partition directory names — no data moves that the present-day read
-    * wouldn't.
+    * Compaction folds history into one base run restamped with the
+    * compaction batch id, so an as-of read below the stamp cannot be
+    * served from the live table — since r13 it RESOLVES into the retained
+    * pre-compaction generation instead ([[resolveAsOfDir]]: compaction
+    * renames the old runs into `_history/gen_<stamp>/`, keeping the last
+    * [[DefaultRetainedGenerations]]), and only past the retention window
+    * does it fail loudly (the s41 fence's read-side twin). Reads at or
+    * above the stamp stay exact on the live table: every folded row
+    * carries the stamp id, and the post-compaction increments are
+    * ordinary runs. Cost: one tiny stamp-file read (plus, for a
+    * historical read, one `_history` listing) and a `batch_id` filter the
+    * scan answers from the partition directory names — no data moves that
+    * the present-day read wouldn't.
     */
   private def asOfRuns(df: DataFrame, spark: SparkSession,
                        dir: String, asOf: Option[Long]): DataFrame =
@@ -571,8 +585,8 @@ object StreamOps {
         readCompactionStamp(spark, dir).foreach { st =>
           require(b >= st,
             s"store $dir is compacted through batch $st: as-of $b predates " +
-              "the fold and those runs no longer exist — read at or above " +
-              "the stamp, or restore a pre-compaction backup")
+              "the fold — resolve through the retained history " +
+              "(resolveAsOfDir) or restore a pre-compaction backup")
         }
         df.filter(col("batch_id").cast("long") <= b)
     }
@@ -651,54 +665,94 @@ object StreamOps {
 
   /** s39: the tombstone table every store shares — per-batch `batch_id=N`
     * runs of deleted ids under `dir/deleted` (the same dynamic-partition-
-    * overwrite idempotence model as the data runs), folded to a distinct
-    * id set on read. Deletes are FINAL: the upsert guard refuses a batch
-    * that re-ingests a tombstoned id (re-admission would need either
-    * batch-ordered tombstones or a rebuild — the documented contract).
+    * overwrite idempotence model as the data runs). Tombstones are
+    * BATCH-ORDERED (r12 verdict item 2 — "deletes are final" forced a
+    * full store rebuild to re-ingest a corrected document): a tombstone
+    * at batch M masks exactly the data rows written at batches ≤ M, so an
+    * upsert of the same id at batch N > M SUPERSEDES the delete — the
+    * re-admission verb real curation pipelines use when a retracted
+    * document comes back corrected. The fence ([[requireFreshBatch]])
+    * keeps upserts and deletes on one monotone id sequence, so "later
+    * batch" is well-defined, and idempotent redelivery is untouched (a
+    * replayed batch rewrites its own partition on either table).
     */
   private def deletedPath(dir: String) = s"$dir/deleted"
 
-  /** Distinct tombstoned ids of a store (empty when nothing was deleted),
-    * optionally bounded to the tombstones visible as of a batch (s45).
+  /** Per-id LATEST tombstone batch of a store (empty when nothing was
+    * deleted), optionally bounded to the tombstones visible as of a batch
+    * (s45). The max is what batch-ordering needs: a re-delete after a
+    * re-admission must mask the re-admitted rows too.
     */
-  private[graft] def deletedIds(spark: org.apache.spark.sql.SparkSession,
-                                dir: String,
-                                asOf: Option[Long] = None): DataFrame =
+  private[graft] def tombstoneBatches(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String,
+                                      asOf: Option[Long] = None): DataFrame =
     if (!pathExists(spark, deletedPath(dir)))
-      spark.range(0).select(col("id"))
+      spark.range(0).select(col("id"), col("id").as("del_batch"))
     else
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(deletedPath(dir)), deletedPath(dir), "id"),
         spark, dir, asOf)
-        .select("id").distinct()
+        .select(col("id"), col("batch_id").cast("long").as("batch_id"))
+        .groupBy("id").agg(max("batch_id").as("del_batch"))
 
-  /** Serve-side tombstone filter: anti-join `idCol` against the deleted
-    * set when one exists (a no-op listing check otherwise). The deleted
-    * set is delete-traffic-sized, so the anti-join broadcasts.
+  /** Distinct ever-tombstoned ids (the raw gauge s47 reports; NOT the
+    * currently-dead set — see [[deadIds]] for that).
     */
-  private def antiDeleted(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+  private[graft] def deletedIds(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                asOf: Option[Long] = None): DataFrame =
+    tombstoneBatches(spark, dir, asOf).select("id")
+
+  /** Serve-side tombstone filter, batch-ordered: keep a data row iff its
+    * `batch_id` is STRICTLY past the id's latest tombstone (or the id was
+    * never tombstoned). `df` must still carry `batch_id` — every serve
+    * fold masks BEFORE folding, so a re-admitted id serves only its
+    * post-re-admission rows (old content is masked even when the
+    * re-ingested text/embedding differs). The tombstone side is
+    * delete-traffic-sized, so the join broadcasts.
+    */
+  private def maskDeleted(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                           dir: String, idCol: String,
                           asOf: Option[Long] = None): DataFrame =
     if (!pathExists(spark, deletedPath(dir))) df
     else df.join(
       org.apache.spark.sql.functions.broadcast(
-        deletedIds(spark, dir, asOf).withColumnRenamed("id", idCol)),
-      Seq(idCol), "left_anti")
+        tombstoneBatches(spark, dir, asOf)
+          .select(col("id").as(idCol), col("del_batch").as("__del_batch"))),
+      Seq(idCol), "left")
+      .filter(col("__del_batch").isNull ||
+        col("batch_id").cast("long") > col("__del_batch"))
+      .drop("__del_batch")
 
-  /** Upsert-side guard: deletes are final — loud-fail a batch that
-    * re-ingests a tombstoned id instead of letting the serve-side
-    * anti-join silently swallow the new rows.
+  /** The currently-DEAD ids of a store: tombstoned with no upsert after
+    * the latest tombstone — i.e. ids the serve-side mask hides entirely.
+    * Presence is read from the store's PRIMARY table (`presenceTable`,
+    * the one table every upsert of an id writes), raw runs, not the
+    * served fold — metadata-narrow columns only. Used where set-valued
+    * "is this id gone" semantics are needed: the delete folds' affected
+    * computations, the fsck's served∩dead check, and compaction's
+    * tombstone fold.
     */
-  private def requireNotDeleted(spark: org.apache.spark.sql.SparkSession,
-      dir: String, ids: DataFrame, idCol: String): Unit =
-    if (pathExists(spark, deletedPath(dir))) {
-      val hit = ids.select(col(idCol).as("id"))
-        .join(deletedIds(spark, dir), Seq("id"), "left_semi").take(1)
-      require(hit.isEmpty,
-        s"store $dir: batch re-ingests deleted id ${hit.headOption.map(_.get(0)).orNull} — " +
-          "deletes are final (rebuild the store to re-admit an id)")
+  private[graft] def deadIds(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, presenceTable: String,
+                             idCol: String,
+                             asOf: Option[Long] = None): DataFrame = {
+    val tomb = tombstoneBatches(spark, dir, asOf)
+    val presencePath = s"$dir/$presenceTable"
+    if (!pathExists(spark, presencePath)) tomb.select("id")
+    else {
+      val up = asOfRuns(
+          spark.read.parquet(presencePath)
+            .select(col(idCol).as("id"),
+              col("batch_id").cast("long").as("batch_id")),
+          spark, dir, asOf)
+        .groupBy("id").agg(max("batch_id").as("up_batch"))
+      tomb.join(up, Seq("id"), "left")
+        .filter(col("up_batch").isNull || col("up_batch") <= col("del_batch"))
+        .select("id")
     }
+  }
 
   /** The shared simple-delete fold (s32/s34/s35/s38 — stores whose rows
     * are keyed by one id column): fence the batch, then write its
@@ -741,19 +795,44 @@ object StreamOps {
     * rewritten as a single base run stamped with the highest batch_id
     * present across ALL the store's tables including the tombstones (r11
     * advice: a batch can write one table and not another, so any single
-    * table understates the base). The tombstone table folds to one
-    * distinct-id run — kept, not dropped, because the append guard's
-    * "deletes are final" contract outlives the physical removal of the
-    * deleted rows. Finally the stamp file records the folded-through id,
-    * which [[requireFreshBatch]] enforces against stale replays.
+    * table understates the base). The tombstone table folds to the
+    * currently-DEAD id set (tombstoned, not re-admitted — [[deadIds]]
+    * over the primary table): a re-admitted id's pre-delete rows are
+    * physically dropped by the data fold, so its tombstone carries no
+    * remaining information, while a dead id's tombstone must survive so
+    * the served views keep excluding it. The folded tombstones restamp
+    * to the same base id as the data, which masks nothing (the data fold
+    * already applied the batch mask, so no served row shares an id with
+    * a kept tombstone) yet still yields to any upsert at a later batch —
+    * re-admission stays available across compaction. Finally the stamp
+    * file records the folded-through id, which [[requireFreshBatch]]
+    * enforces against stale replays.
     *
     * A table whose folded view is EMPTY (every row tombstoned) keeps its
     * raw runs instead of being rewritten: a zero-row partitioned write
     * leaves no parquet footer to read schema from, and the serve-side
-    * anti-join already yields the correct empty view.
+    * batch mask already yields the correct empty view.
+    *
+    * RETENTION (r12 verdict item 3 — "as-of history dies at compaction"):
+    * instead of destroying the pre-compaction runs, compaction RENAMES
+    * each table's run directory into `_history/gen_<stamp>/<table>` (a
+    * metadata-only move on HDFS/object stores with directory semantics —
+    * no data bytes copied) together with the store's PRIOR stamp, and
+    * keeps the newest [[DefaultRetainedGenerations]] generations. An
+    * as-of read below the live stamp resolves into the newest generation
+    * whose own folded-through stamp admits it ([[resolveAsOfDir]]), so
+    * time travel reaches back the configured window; past the window it
+    * still fails loudly. `retain = 0` reproduces the destroy-on-compact
+    * behavior. The one COPY (not move) is an empty-folded table: its raw
+    * runs must stay live (the zero-row-footer trap above), so history
+    * gets a copy — delete-traffic-sized by definition.
     */
+  private[graft] val DefaultRetainedGenerations = 2
+
   private[graft] def compactStore(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tables: Seq[(String, () => DataFrame)]): Unit = {
+      dir: String, tables: Seq[(String, () => DataFrame)],
+      primaryIdCol: String,
+      retain: Int = DefaultRetainedGenerations): Unit = {
     import org.apache.spark.sql.functions._
     val all = tables.map(_._1) :+ "deleted"
     all.flatMap(t => maxBatchIn(spark, s"$dir/$t"))
@@ -761,22 +840,108 @@ object StreamOps {
       .foreach { maxBatch =>
         val withDeleted = tables ++
           (if (pathExists(spark, deletedPath(dir)))
-             Seq("deleted" -> (() => deletedIds(spark, dir)))
+             Seq("deleted" -> (() =>
+               deadIds(spark, dir, tables.head._1, primaryIdCol)))
            else Nil)
-        withDeleted.foreach { case (t, folded) =>
-          if (pathExists(spark, s"$dir/$t")) {
-            val base = folded().withColumn("batch_id", lit(maxBatch))
-              .localCheckpoint()
-            if (!base.isEmpty) {
-              base.write.mode("overwrite").partitionBy("batch_id")
-                .parquet(s"$dir/$t")
-              spark.catalog.refreshByPath(s"$dir/$t")
+        // 1. fold EVERY table first, materialized: the folds read each
+        // other's raw runs (the dead-id fold reads the primary table), so
+        // no directory may move or be overwritten while any fold is lazy.
+        val folded: Seq[(String, Option[DataFrame])] =
+          withDeleted.map { case (t, fold) =>
+            if (!pathExists(spark, s"$dir/$t")) (t, None)
+            else (t, Some(fold().withColumn("batch_id", lit(maxBatch))
+              .localCheckpoint()))
+          }
+        // 2. archive the pre-compaction generation (rename; copy only the
+        // empty-fold tables that must also stay live), carrying the PRIOR
+        // stamp so as-of resolution knows how far back the gen reaches.
+        if (retain > 0) {
+          val conf = spark.sessionState.newHadoopConf()
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+          val genDir = s"$dir/_history/gen_$maxBatch"
+          fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
+          folded.foreach { case (t, baseOpt) =>
+            val src = new org.apache.hadoop.fs.Path(s"$dir/$t")
+            if (fs.exists(src)) {
+              val dst = new org.apache.hadoop.fs.Path(s"$genDir/$t")
+              if (baseOpt.exists(!_.isEmpty)) fs.rename(src, dst)
+              else org.apache.hadoop.fs.FileUtil.copy(
+                fs, src, fs, dst, false, conf)
             }
           }
+          readCompactionStamp(spark, dir)
+            .foreach(prior => writeCompactionStamp(spark, genDir, prior))
+          pruneGenerations(spark, dir, retain)
+        }
+        // 3. write the folded bases and the new stamp.
+        folded.foreach {
+          case (t, Some(base)) if !base.isEmpty =>
+            base.write.mode("overwrite").partitionBy("batch_id")
+              .parquet(s"$dir/$t")
+            spark.catalog.refreshByPath(s"$dir/$t")
+          case _ => ()
         }
         writeCompactionStamp(spark, dir, maxBatch)
       }
   }
+
+  /** Retained pre-compaction generations of a store, newest first (their
+    * names carry the batch id each compaction folded through).
+    */
+  private[graft] def retainedGenerations(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_history")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen_") =>
+        n.stripPrefix("gen_").toLong }
+      .sorted.reverse
+  }
+
+  private def pruneGenerations(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, retain: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    retainedGenerations(spark, dir).drop(retain).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_history/gen_$g"), true)
+    }
+  }
+
+  /** s45 retention resolution: the directory an as-of read serves from.
+    * At or past the live stamp (or with no stamp) that is the store
+    * itself; below it, the newest retained generation whose OWN
+    * folded-through stamp admits the target batch — gen G holds the raw
+    * runs of (prior stamp, G] plus the prior base, so it serves any
+    * `asOf` in [its stamp, G]. Past the retention window the read fails
+    * loudly (the pre-retention contract, now pushed back K generations).
+    * Idempotent on an already-resolved generation directory (a gen has
+    * no `_history` of its own and its stamp admits the batch by
+    * construction), so nested serve-fold calls resolve safely.
+    */
+  private def resolveAsOfDir(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, asOf: Option[Long]): String =
+    asOf match {
+      case None => dir
+      case Some(b) =>
+        readCompactionStamp(spark, dir) match {
+          case None => dir
+          case Some(st) if b >= st => dir
+          case Some(st) =>
+            val gens = retainedGenerations(spark, dir)
+            gens.find { g =>
+              b <= g && readCompactionStamp(spark, s"$dir/_history/gen_$g")
+                .forall(_ <= b)
+            } match {
+              case Some(g) => s"$dir/_history/gen_$g"
+              case None => throw new IllegalArgumentException(
+                s"store $dir is compacted through batch $st and no retained " +
+                  s"generation covers as-of $b (retained: " +
+                  s"${gens.mkString(", ")}) — raise the compaction " +
+                  "retention or restore a pre-compaction backup")
+            }
+        }
+    }
 
   /** s40 per-store entry points: fold every run (and the tombstones) to
     * one base, serving view unchanged — StreamingSpec pins
@@ -786,22 +951,22 @@ object StreamOps {
                       dir: String): Unit =
     compactStore(spark, dir, Seq(
       "hash56" -> (() => s32HashRows(spark, dir)),
-      "bands"  -> (() => s32BandIndex(spark, dir))))
+      "bands"  -> (() => s32BandIndex(spark, dir))), "doc_id")
 
   def s34CompactStore(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit =
     compactStore(spark, dir, Seq(
-      "chunks" -> (() => s34ChunkRows(spark, dir))))
+      "chunks" -> (() => s34ChunkRows(spark, dir))), "media_id")
 
   def s35CompactStore(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit =
     compactStore(spark, dir, Seq(
-      "assigned" -> (() => s35Assignment(spark, dir))))
+      "assigned" -> (() => s35Assignment(spark, dir))), "vec_id")
 
   def s38CompactStore(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit =
     compactStore(spark, dir, Seq(
-      "codes" -> (() => s38Codes(spark, dir))))
+      "codes" -> (() => s38Codes(spark, dir))), "vec_id")
 
   /** s36: incremental MAINTENANCE of the persisted graph-ANN index — the
     * one index family that (until this job) could only be rebuilt
@@ -852,27 +1017,34 @@ object StreamOps {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
         requireFreshBatch(spark, dir, batchId, Seq("vectors", "cells", "edges"))
-        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         val prep = Sim.prepareVectors(cached).select("vec_id", "q", "nrm")
           .localCheckpoint()
-        // Append-only fence (r11 advice item 1): the delta fold is exact
-        // for NEW vec_ids only — re-ingesting an existing id with a
-        // different embedding would leave the vectors dedup picking an
-        // arbitrary row, the cell union keeping both cell sets, and other
-        // srcs' stored lists carrying stale cos edges. Loud-fail instead
-        // of silently diverging from the rebuild; the batch's OWN prior
-        // run is exempt (foreachBatch redelivery rewrites it wholesale).
+        // Append-only fence over the LIVE view (r11 advice item 1, made
+        // batch-tombstone-aware in r13): the delta fold is exact for ids
+        // not currently served — re-ingesting a LIVE id with a different
+        // embedding would leave the vectors dedup picking an arbitrary
+        // row, the cell union keeping both cell sets, and other srcs'
+        // stored lists carrying stale cos edges. Loud-fail instead of
+        // silently diverging from the rebuild; the batch's OWN prior run
+        // is exempt (foreachBatch redelivery rewrites it wholesale), and
+        // a TOMBSTONED id is exempt too — delete-then-upsert is the
+        // sanctioned way to change an embedding (the batch mask hides
+        // every pre-delete row, so the fold sees the id as new).
         if (pathExists(spark, s"$dir/vectors")) {
-          val prior = spark.read.parquet(s"$dir/vectors")
-            .filter(col("batch_id").cast("long") =!= batchId)
+          val prior = maskDeleted(
+              spark.read.parquet(s"$dir/vectors")
+                .select(col("vec_id"),
+                  col("batch_id").cast("long").as("batch_id")),
+              spark, dir, "vec_id")
+            .filter(col("batch_id") =!= batchId)
             .select("vec_id")
           val dup = prep.select("vec_id")
             .join(prior, Seq("vec_id"), "left_semi").take(1)
           require(dup.isEmpty,
             s"s36 store $dir is append-only: batch $batchId re-ingests " +
-              s"existing vec_id ${dup.headOption.map(_.get(0)).orNull} — " +
-              "stored embeddings are immutable (rebuild the store, or " +
-              "ingest the new embedding under a fresh id)")
+              s"live vec_id ${dup.headOption.map(_.get(0)).orNull} — " +
+              "stored embeddings are immutable (delete the id first, then " +
+              "re-ingest at a later batch, or use a fresh id)")
         }
         prep.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -925,66 +1097,85 @@ object StreamOps {
     * touches a src rewrites its complete list.
     */
   def s36Vectors(spark: org.apache.spark.sql.SparkSession,
-                 dir: String, asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+                 dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
           "vec_id", "q", "nrm"),
         spark, dir, asOf)
-        .select("vec_id", "q", "nrm").dropDuplicates("vec_id"),
+        .select(col("vec_id"), col("q"), col("nrm"), col("batch_id")),
       spark, dir, "vec_id", asOf)
+      .select("vec_id", "q", "nrm").dropDuplicates("vec_id")
+  }
 
   def s36Cells(spark: org.apache.spark.sql.SparkSession,
-               dir: String, asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+               dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid"),
         spark, dir, asOf)
-        .select("vec_id", "cid").distinct(),
+        .select(col("vec_id"), col("cid"), col("batch_id")),
       spark, dir, "vec_id", asOf)
+      .select("vec_id", "cid").distinct()
+  }
 
-  /** Latest-per-src fold of the raw edge runs, WITHOUT the tombstone
-    * filters — the physical merge [[s36DirectedEdges]] serves from and
-    * [[s36DeleteBatch]] inspects to find srcs whose stored lists contain
-    * a freshly-deleted dst.
+  /** Latest-per-src fold of the edge runs with the SRC-side batch mask
+    * applied before the fold (a deleted src's old lists are masked; its
+    * re-admitted lists at a later batch serve) — the physical merge
+    * [[s36DirectedEdges]] serves from and [[s36DeleteBatch]] inspects to
+    * find srcs whose stored lists contain a freshly-deleted dst. Keeps
+    * `batch_id` so the caller can apply the dst-side batch mask per row.
     */
   private def s36LatestEdges(spark: org.apache.spark.sql.SparkSession,
-                             dir: String,
+                             dir0: String,
                              asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val dir = resolveAsOfDir(spark, dir0, asOf)
     if (!pathExists(spark, s"$dir/edges"))
       // first batch: nothing stored yet — empty frame with the edge schema
       spark.range(0).select(col("id").as("src"), col("id").as("dst"),
-        lit(0.0).as("cos"))
+        lit(0.0).as("cos"), col("id").as("batch_id"))
     else {
-      val e = asOfRuns(
-        graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/edges"), s"$dir/edges",
-          "src", "dst", "cos", "batch_id"),
-        spark, dir, asOf)
+      val e = maskDeleted(
+        asOfRuns(
+          graft.sources.ReadGuard.requireColumns(
+            spark.read.parquet(s"$dir/edges"), s"$dir/edges",
+            "src", "dst", "cos", "batch_id"),
+          spark, dir, asOf)
+          .select(col("src"), col("dst"), col("cos"),
+            col("batch_id").cast("long").as("batch_id")),
+        spark, dir, "src", asOf)
       val latest = e.groupBy("src").agg(max("batch_id").as("mb"))
         .withColumnRenamed("src", "lsrc")
       e.join(latest, e("src") === col("lsrc") && e("batch_id") === col("mb"))
-        .select("src", "dst", "cos")
+        .select(e("src"), e("dst"), e("cos"), e("batch_id"))
     }
   }
 
-  /** The served directed edges: latest list per src, minus tombstoned
-    * endpoints on BOTH sides — a deleted vector's own list vanishes
-    * (src filter), and the dst filter is the safety net for a src whose
-    * post-delete re-rank produced no replacement row (its old list can
-    * only be SHORTENED by the filter, exactly what the rebuild gives,
-    * because [[s36DeleteBatch]] re-ranked every src that had live
-    * candidates left).
+  /** The served directed edges: latest live list per src, minus STALE
+    * dst references via the batch mask — an edge row at batch B naming a
+    * dst tombstoned at M ≥ B is masked (pre-delete edges of a dead OR
+    * re-admitted dst), while an edge written after the dst's re-admission
+    * (B > M) serves. This per-row ordering is what makes re-admission
+    * exact: a re-admitted vector's new embedding re-enters other srcs'
+    * lists only through the insert fold's re-rank (batch > M), and no
+    * pre-delete edge scored against the OLD embedding can leak back. For
+    * a dead dst it degenerates to the old anti-join: every edge naming it
+    * predates its tombstone, so a src whose post-delete re-rank produced
+    * no replacement row still has its list only SHORTENED — exactly the
+    * rebuild, because [[s36DeleteBatch]] re-ranked every src with live
+    * candidates left.
     */
   def s36DirectedEdges(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, asOf: Option[Long] = None): DataFrame = {
+                       dir0: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    antiDeleted(
-      antiDeleted(s36LatestEdges(spark, dir, asOf), spark, dir, "src", asOf)
-        .withColumnRenamed("dst", "vec_id"),
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
+      s36LatestEdges(spark, dir, asOf).withColumnRenamed("dst", "vec_id"),
       spark, dir, "vec_id", asOf)
       .withColumnRenamed("vec_id", "dst")
       .select("src", "dst", "cos")
@@ -1036,9 +1227,11 @@ object StreamOps {
         .partitionBy("batch_id").parquet(deletedPath(dir))
       spark.catalog.refreshByPath(deletedPath(dir))
       // srcs (themselves live) whose CURRENT stored list names ANY
-      // tombstoned dst — computed against the full tombstone set, so a
-      // replayed delete finds nothing left to re-rank
-      val del = deletedIds(spark, dir)
+      // currently-DEAD dst — the effective set, not every id ever
+      // tombstoned: a re-admitted dst legitimately appears in lists
+      // written after its re-admission. Computed against the full dead
+      // set, so a replayed delete finds nothing left to re-rank.
+      val del = deadIds(spark, dir, "vectors", "vec_id")
       val affected = s36LatestEdges(spark, dir)
         .join(broadcast(del.withColumnRenamed("id", "dst")),
           Seq("dst"), "left_semi")
@@ -1105,9 +1298,9 @@ object StreamOps {
   def s37CompactEdgeStore(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Unit =
     compactStore(spark, dir, Seq(
-      "edges"   -> (() => s36DirectedEdges(spark, dir)),
       "vectors" -> (() => s36Vectors(spark, dir)),
-      "cells"   -> (() => s36Cells(spark, dir))))
+      "cells"   -> (() => s36Cells(spark, dir)),
+      "edges"   -> (() => s36DirectedEdges(spark, dir))), "vec_id")
 
   /** s43: streaming maintenance of the persisted dedup CLUSTER store —
     * the fourth derived artifact brought to full lifecycle parity (the
@@ -1217,7 +1410,10 @@ object StreamOps {
     s32DeleteBatch(dir)(deletes, batchId)
     val spark = deletes.sparkSession
     if (pathExists(spark, s"$dir/labels") && pathExists(spark, deletedPath(dir))) {
-      val del = deletedIds(spark, dir)
+      // the effective dead set (not every id ever tombstoned): only a doc
+      // actually LEAVING the corpus seeds partner recomputation — a
+      // previously re-admitted doc is live and must not be treated as gone
+      val del = deadIds(spark, dir, "hash56", "doc_id")
       // partner seeds: live docs sharing a band with ANY tombstoned doc
       // (the deleted side reads the RAW band runs — its rows are already
       // invisible to the serving index)
@@ -1263,24 +1459,30 @@ object StreamOps {
       .foreachBatch(s43UpsertClusterBatch(dir) _)
       .start()
 
-  /** The served cluster table: latest label per doc, tombstone-filtered. */
+  /** The served cluster table: latest live label per doc — the batch mask
+    * runs BEFORE the latest-per-doc fold, so a re-admitted doc serves its
+    * post-re-admission label and never a pre-delete one.
+    */
   def s43Clusters(spark: org.apache.spark.sql.SparkSession,
-                  dir: String, asOf: Option[Long] = None): DataFrame = {
+                  dir0: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val dir = resolveAsOfDir(spark, dir0, asOf)
     if (!pathExists(spark, s"$dir/labels"))
       spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
     else {
-      val l = asOfRuns(
-        graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/labels"), s"$dir/labels",
-          "doc_id", "cluster", "batch_id"),
-        spark, dir, asOf)
+      val l = maskDeleted(
+        asOfRuns(
+          graft.sources.ReadGuard.requireColumns(
+            spark.read.parquet(s"$dir/labels"), s"$dir/labels",
+            "doc_id", "cluster", "batch_id"),
+          spark, dir, asOf)
+          .select(col("doc_id"), col("cluster"),
+            col("batch_id").cast("long").as("batch_id")),
+        spark, dir, "doc_id", asOf)
       val latest = l.groupBy("doc_id").agg(max("batch_id").as("mb"))
         .withColumnRenamed("doc_id", "ldoc")
-      antiDeleted(
-        l.join(latest, l("doc_id") === col("ldoc") && l("batch_id") === col("mb"))
-          .select("doc_id", "cluster"),
-        spark, dir, "doc_id", asOf)
+      l.join(latest, l("doc_id") === col("ldoc") && l("batch_id") === col("mb"))
+        .select("doc_id", "cluster")
     }
   }
 
@@ -1293,7 +1495,302 @@ object StreamOps {
     compactStore(spark, dir, Seq(
       "hash56" -> (() => s32HashRows(spark, dir)),
       "bands"  -> (() => s32BandIndex(spark, dir)),
-      "labels" -> (() => s43Clusters(spark, dir))))
+      "labels" -> (() => s43Clusters(spark, dir))), "doc_id")
+
+  // ===== s48: the maintained GOLDEN-RECORD table (r12 verdict item 5 —
+  // ===== d33 elects survivors batch-only; this keeps the election current
+  // ===== through the s43 cluster store's own insert/delete folds).
+
+  /** s48: streaming maintenance of the golden-record (survivorship) table
+    * over the s43 cluster store — d33's election
+    * ([[graft.queries.Dedup.goldenAggOf]], the single-sourced max_by/
+    * min_by policies) re-run PER BATCH over only the AFFECTED clusters:
+    * the labels the batch's cluster fold rewrote, plus the labels its
+    * docs held before (a merge retires the absorbed label), plus the
+    * former labels of freshly tombstoned docs (a retraction shrinks or
+    * splits their clusters). Each golden run writes one authoritative row
+    * per affected label — the full election where the label still heads a
+    * live cluster, an all-null RETIRE row where it no longer does — and
+    * the serve ([[s48Golden]]) is latest-per-label filtered to
+    * `cluster_size >= 2` (d33's multi-member contract; retire/singleton
+    * rows exist to OVERRIDE older multi-member elections, the removal a
+    * latest-wins fold cannot otherwise express).
+    *
+    * The member attributes d33 elects over (lang/source/n_chars) ride a
+    * `docattrs/` table maintained with the store's own run discipline, so
+    * a re-admitted doc's CORRECTED attributes elect (the batch mask hides
+    * its pre-delete row). Exactness: an unaffected cluster's membership
+    * is unchanged by construction (labels only move through the fold that
+    * computes the affected set), so re-electing only affected clusters
+    * equals the d33 rebuild over the live corpus — pinned in
+    * StreamingSpec through an interleaved upsert/delete/compact/re-admit
+    * lifecycle. Cost per batch: the affected set is batch-traffic-sized;
+    * membership comes from one semi-join against the served clusters;
+    * the election is two partial-agg groupBys over those members.
+    */
+  def s48UpsertGoldenBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        s43UpsertClusterBatch(dir)(cached.select("doc_id", "text"), batchId)
+        cached.select("doc_id", "lang", "source", "n_chars").distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/docattrs")
+        spark.catalog.refreshByPath(s"$dir/docattrs")
+        reelectGolden(spark, dir, batchId)
+      }
+    } finally cached.unpersist()
+  }
+
+  def s48DeleteGoldenBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit = {
+    s43DeleteClusterBatch(dir)(deletes, batchId)
+    val spark = deletes.sparkSession
+    if (pathExists(spark, s"$dir/labels")) reelectGolden(spark, dir, batchId)
+  }
+
+  def s48GoldenMaintain(docs: DataFrame, dir: String,
+                        checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s48UpsertGoldenBatch(dir) _)
+      .start()
+
+  /** The per-batch re-election: affected labels → members from the SERVED
+    * views → one authoritative golden row per affected label (election or
+    * retire). Replay-safe: the affected set is a pure function of the
+    * store's post-fold state, which the cluster folds reproduce on
+    * redelivery, so the rewritten `batch_id=N` golden partition is a
+    * fixpoint.
+    */
+  private def reelectGolden(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!pathExists(spark, s"$dir/labels")) return
+    val labelsRaw = spark.read.parquet(s"$dir/labels")
+      .select(col("doc_id"), col("cluster"),
+        col("batch_id").cast("long").as("batch_id"))
+    val runLabels = labelsRaw.filter(col("batch_id") === batchId)
+      .select("doc_id", "cluster").localCheckpoint()
+    // docs whose cluster membership this batch may have changed: the
+    // fold's rewritten docs plus the ids tombstoned AT this batch
+    val newlyDead =
+      if (!pathExists(spark, deletedPath(dir)))
+        spark.range(0).select(col("id").as("doc_id"))
+      else spark.read.parquet(deletedPath(dir))
+        .filter(col("batch_id").cast("long") === batchId)
+        .select(col("id").as("doc_id"))
+    val touched = runLabels.select("doc_id").unionByName(newlyDead).distinct()
+    // ... and the labels those docs held BEFORE this batch (read from the
+    // immutable run history — merges/splits retire or shrink these)
+    val before = labelsRaw.filter(col("batch_id") < batchId)
+      .join(touched, Seq("doc_id"), "left_semi")
+    val latestBefore = before.groupBy("doc_id").agg(max("batch_id").as("mb"))
+      .withColumnRenamed("doc_id", "ldoc")
+    val priorLabels = before
+      .join(latestBefore,
+        before("doc_id") === col("ldoc") && before("batch_id") === col("mb"))
+      .select(before("cluster"))
+    val affected = runLabels.select("cluster").unionByName(priorLabels)
+      .distinct().localCheckpoint()
+    if (affected.isEmpty) return
+    val served = s43Clusters(spark, dir)
+    val mem = served.join(affected, Seq("cluster"), "left_semi")
+      .join(s48DocAttrs(spark, dir), "doc_id")
+    val elected = graft.queries.Dedup.goldenAggOf(mem).localCheckpoint()
+    // retire rows: affected labels that no longer head ANY live member —
+    // all-null payload (the left join against the empty election supplies
+    // the exact dtypes), filtered out by the serve's size >= 2
+    val retired = affected.select(col("cluster").as("kept_doc"))
+      .join(elected.select(col("kept_doc")), Seq("kept_doc"), "left_anti")
+      .join(elected.limit(0), Seq("kept_doc"), "left")
+    elected.unionByName(retired)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/golden")
+    spark.catalog.refreshByPath(s"$dir/golden")
+  }
+
+  /** Served member attributes: latest live row per doc (the election
+    * inputs — a re-admitted doc's corrected attributes supersede).
+    */
+  def s48DocAttrs(spark: org.apache.spark.sql.SparkSession,
+                  dir0: String, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    val a = maskDeleted(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/docattrs"), s"$dir/docattrs",
+          "doc_id", "lang", "source", "n_chars"),
+        spark, dir, asOf)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("batch_id").cast("long").as("batch_id")),
+      spark, dir, "doc_id", asOf)
+    val latest = a.groupBy("doc_id").agg(max("batch_id").as("mb"))
+      .withColumnRenamed("doc_id", "ldoc")
+    a.join(latest, a("doc_id") === col("ldoc") && a("batch_id") === col("mb"))
+      .select(a("doc_id"), a("lang"), a("source"), a("n_chars"))
+  }
+
+  /** The served golden table: latest authoritative row per label, retire
+    * and singleton rows filtered by d33's multi-member contract. No
+    * tombstone mask — golden rows are keyed by cluster label, and the
+    * re-election folds write the authoritative row whenever a label's
+    * membership changes (including through deletes).
+    */
+  def s48Golden(spark: org.apache.spark.sql.SparkSession,
+                dir0: String, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    if (!pathExists(spark, s"$dir/golden"))
+      spark.range(0).select(col("id").as("kept_doc"),
+        col("id").as("cluster_size"), col("id").as("n_sources"),
+        col("id").as("total_chars"), col("id").as("rep_doc"),
+        col("id").as("rep_chars"), lit("").as("lang_mode"))
+    else {
+      val g = asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          spark.read.parquet(s"$dir/golden"), s"$dir/golden",
+          "kept_doc", "cluster_size", "n_sources", "total_chars",
+          "rep_doc", "rep_chars", "lang_mode"),
+        spark, dir, asOf)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val latest = g.groupBy("kept_doc").agg(max("batch_id").as("mb"))
+        .withColumnRenamed("kept_doc", "lkey")
+      g.join(latest,
+          g("kept_doc") === col("lkey") && g("batch_id") === col("mb"))
+        .filter(col("cluster_size") >= 2)
+        .select(g("kept_doc"), g("cluster_size"), g("n_sources"),
+          g("total_chars"), g("rep_doc"), g("rep_chars"), g("lang_mode"))
+    }
+  }
+
+  /** s40 applied to the golden store: the s43 tables plus attrs and the
+    * golden table itself (folded to the SERVED view — retire/singleton
+    * history is spent once the rows it overrode are physically gone).
+    */
+  def s48CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, Seq(
+      "hash56"   -> (() => s32HashRows(spark, dir)),
+      "bands"    -> (() => s32BandIndex(spark, dir)),
+      "labels"   -> (() => s43Clusters(spark, dir)),
+      "docattrs" -> (() => s48DocAttrs(spark, dir)),
+      "golden"   -> (() => s48Golden(spark, dir))), "doc_id")
+
+  // ===== p14 executor: the composed TAKEDOWN verb (r12 verdict item 4 —
+  // ===== p13 sizes the blast radius; this EXECUTES it as one idempotent
+  // ===== operation across every maintained store, then fscks them all).
+
+  /** The next admissible batch id of a store: one past every run AND the
+    * compaction stamp (the s41 fence's two lower bounds). Filesystem
+    * listings only.
+    */
+  private[graft] def nextBatchId(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tableMax =
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_"))
+        .flatMap(t => maxBatchIn(spark, s"$dir/$t"))
+        .reduceOption(_ max _)
+    val bounds = tableMax.toSeq ++ readCompactionStamp(spark, dir).toSeq
+    bounds.reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
+  }
+
+  /** p14 executor: run one takedown — a set of entity ids — across every
+    * maintained store in one idempotent operation, then fsck each store,
+    * and report what happened. Per store family it
+    *
+    *  1. counts the victims actually SERVED (the "newly purged" number —
+    *     a re-run reports 0 here, making no-op-ness machine-readable);
+    *  2. runs the store's OWN delete fold at the store's next admissible
+    *     batch id (s39's tombstones + each family's bounded re-derivation:
+    *     the s36 re-rank, the s43/d32 cluster recompute, the s48 golden
+    *     re-election — never re-spelled here);
+    *  3. fscks the store with its family audit ([[s46RequireHealthy]]),
+    *     so a takedown that left an inconsistency CANNOT complete quietly.
+    *
+    * For a chunk store the report adds the m15-style GC accounting: bytes
+    * physically reclaimable = chunks whose every referrer died with this
+    * takedown (served-before anti served-after, Σ nb). Output: one row
+    * per store — (family, dir, victims_served_before, tombstoned_total,
+    * bytes_reclaimed, fsck_ok) — fsck_ok always true by construction
+    * (step 3 throws otherwise); it is in the row so the report is a
+    * complete audit record. StreamingSpec pins post-takedown serve ==
+    * rebuild-on-live-corpus per store, fsck green, and the re-run no-op.
+    *
+    * Scale: victims are takedown-sized (broadcast joins), each delete
+    * fold is bounded by its family's documented delete cost, and the GC
+    * accounting is one anti-join on the chunk store's narrow hash column.
+    */
+  def p14TakedownExecute(ids: DataFrame,
+                         stores: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = ids.sparkSession
+    val victims = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint()
+    val rows = stores.toSeq.sortBy(_._1).map { case (family, dir) =>
+      val (idCol, servedIds) = family match {
+        case "hash" =>
+          ("doc_id", s32HashRows(spark, dir).select("doc_id").distinct())
+        case "chunk" =>
+          ("media_id", s34ChunkRows(spark, dir).select("media_id").distinct())
+        case "assign" =>
+          ("vec_id", s35Assignment(spark, dir).select("vec_id"))
+        case "code" =>
+          ("vec_id", s38Codes(spark, dir).select("vec_id").distinct())
+        case "graph" =>
+          ("vec_id", s36Vectors(spark, dir).select("vec_id"))
+        case "cluster" =>
+          ("doc_id", s43Clusters(spark, dir).select("doc_id"))
+        case "golden" =>
+          ("doc_id", s43Clusters(spark, dir).select("doc_id"))
+        case other => throw new IllegalArgumentException(
+          s"unknown store family '$other' " +
+            "(hash|chunk|assign|code|cluster|golden|graph)")
+      }
+      val vicAsId = victims.withColumnRenamed("id", idCol)
+      val present = servedIds
+        .join(broadcast(vicAsId), Seq(idCol), "left_semi").count()
+      val chunksBefore =
+        if (family == "chunk")
+          Some(s34ChunkRows(spark, dir).select("h", "nb").distinct()
+            .localCheckpoint())
+        else None
+      val batch = nextBatchId(spark, dir)
+      val delBatch = victims.withColumnRenamed("id", idCol)
+      family match {
+        case "hash"    => s32DeleteBatch(dir)(delBatch, batch)
+        case "chunk"   => s34DeleteBatch(dir)(delBatch, batch)
+        case "assign"  => s35DeleteBatch(dir)(delBatch, batch)
+        case "code"    => s38DeleteBatch(dir)(delBatch, batch)
+        case "graph"   => s36DeleteBatch(dir)(delBatch, batch)
+        case "cluster" => s43DeleteClusterBatch(dir)(delBatch, batch)
+        case "golden"  => s48DeleteGoldenBatch(dir)(delBatch, batch)
+      }
+      val reclaimed = chunksBefore.map { before =>
+        val after = s34ChunkRows(spark, dir).select("h").distinct()
+        before.join(after, Seq("h"), "left_anti")
+          .agg(coalesce(sum("nb"), lit(0L))).head().getLong(0)
+      }.getOrElse(0L)
+      s46RequireHealthy(spark, dir, family)
+      val tombstoned = deletedIds(spark, dir).count()
+      (family, dir, present, tombstoned, reclaimed, true)
+    }
+    import spark.implicits._
+    rows.toDF("family", "dir", "victims_served_before", "tombstoned_total",
+        "bytes_reclaimed", "fsck_ok")
+      .orderBy("family")
+  }
 
   /** s44: store FSCK — the consistency audit an operator runs against the
     * maintained s36 graph store after an incident (a partial write, a
@@ -1349,15 +1846,18 @@ object StreamOps {
       lit(below.toLong).as("n_bad"))
   }
 
-  /** Tombstoned ids visible in a served view — the anti-join contract
-    * check every store audit runs.
+  /** DEAD ids visible in a served view — the batch-mask contract check
+    * every store audit runs. Checks against [[deadIds]] (tombstoned, not
+    * re-admitted), not every id ever tombstoned: a re-admitted id is
+    * legitimately served, so the raw tombstone set would false-positive.
     */
   private def tombstonesServedRow(spark: SparkSession, dir: String,
-                                  served: DataFrame,
-                                  idCol: String): DataFrame =
+                                  served: DataFrame, idCol: String,
+                                  presenceTable: String): DataFrame =
     auditRow("tombstones_still_served",
       served.select(col(idCol)).distinct()
-        .join(deletedIds(spark, dir).withColumnRenamed("id", idCol),
+        .join(deadIds(spark, dir, presenceTable, idCol)
+            .withColumnRenamed("id", idCol),
           Seq(idCol), "left_semi"))
 
   private def auditOf(rows: Seq[DataFrame]): DataFrame =
@@ -1391,7 +1891,7 @@ object StreamOps {
         cells.join(vecs, Seq("vec_id"), "left_anti")),
       auditRow("vectors_without_cells",
         vecs.join(cells, Seq("vec_id"), "left_anti")),
-      tombstonesServedRow(spark, dir, vecs, "vec_id"),
+      tombstonesServedRow(spark, dir, vecs, "vec_id", "vectors"),
       staleRunsRow(spark, dir, Seq("vectors", "cells", "edges"))))
   }
 
@@ -1453,7 +1953,7 @@ object StreamOps {
         bandRows.groupBy("doc_id")
           .agg(countDistinct("band_key").as("n"))
           .filter(col("n") =!= graft.functions.TextHash.NumBands)),
-      tombstonesServedRow(spark, dir, hashDocs, "doc_id"),
+      tombstonesServedRow(spark, dir, hashDocs, "doc_id", "hash56"),
       staleRunsRow(spark, dir, Seq("hash56", "bands"))))
   }
 
@@ -1466,7 +1966,7 @@ object StreamOps {
         refs.groupBy("h").agg(countDistinct("nb").as("n"))
           .filter(col("n") > 1)),
       tombstonesServedRow(spark, dir,
-        refs.select(col("media_id")), "media_id"),
+        refs.select(col("media_id")), "media_id", "chunks"),
       staleRunsRow(spark, dir, Seq("chunks"))))
   }
 
@@ -1481,7 +1981,8 @@ object StreamOps {
       auditRow("cid_out_of_range",
         assigned.filter(col("cid") < 0 ||
           col("cid") >= graft.queries.Similarity.NumCentroids)),
-      tombstonesServedRow(spark, dir, assigned.select("vec_id"), "vec_id"),
+      tombstonesServedRow(spark, dir, assigned.select("vec_id"), "vec_id",
+        "assigned"),
       staleRunsRow(spark, dir, Seq("assigned"))))
   }
 
@@ -1499,7 +2000,8 @@ object StreamOps {
       auditRow("code_out_of_range",
         codes.filter(col("code") < 0 ||
           col("code") >= graft.queries.Similarity.NumCentroids)),
-      tombstonesServedRow(spark, dir, codes.select("vec_id"), "vec_id"),
+      tombstonesServedRow(spark, dir, codes.select("vec_id"), "vec_id",
+        "codes"),
       staleRunsRow(spark, dir, Seq("codes"))))
   }
 
@@ -1529,8 +2031,35 @@ object StreamOps {
       auditRow("ingested_doc_without_label",
         s32HashRows(spark, dir).select("doc_id").distinct()
           .join(served.select("doc_id"), Seq("doc_id"), "left_anti")),
-      tombstonesServedRow(spark, dir, served.select("doc_id"), "doc_id"),
+      tombstonesServedRow(spark, dir, served.select("doc_id"), "doc_id",
+        "hash56"),
       staleRunsRow(spark, dir, Seq("hash56", "bands", "labels"))))
+  }
+
+  /** s48's fsck: the cluster-store audit PLUS the golden-table invariants
+    * the re-election fold guarantees — every golden row names a live
+    * served label whose recorded size matches the served membership, and
+    * every multi-member served cluster HAS a golden row (the
+    * completeness direction a lagging re-election would violate).
+    */
+  def s46GoldenStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sizes = s43Clusters(spark, dir).groupBy("cluster")
+      .agg(count(lit(1)).as("sz")).localCheckpoint()
+    val golden = s48Golden(spark, dir).localCheckpoint()
+    auditOf(Seq(
+      s46ClusterStoreAudit(spark, dir),
+      auditRow("golden_label_not_served",
+        golden.select(col("kept_doc").as("cluster"))
+          .join(sizes, Seq("cluster"), "left_anti")),
+      auditRow("golden_size_mismatch",
+        golden.join(sizes, golden("kept_doc") === sizes("cluster"))
+          .filter(col("cluster_size") =!= col("sz"))),
+      auditRow("multi_cluster_without_golden",
+        sizes.filter(col("sz") >= 2)
+          .join(golden.select(col("kept_doc").as("cluster")),
+            Seq("cluster"), "left_anti"))))
   }
 
   /** s47: maintained-store STATS digest — the `du`/compaction-debt gauge
@@ -1560,15 +2089,22 @@ object StreamOps {
         "hash56" -> (() => s32HashRows(spark, dir)),
         "bands"  -> (() => s32BandIndex(spark, dir)),
         "labels" -> (() => s43Clusters(spark, dir)))
+      case "golden" => Seq(
+        "hash56"   -> (() => s32HashRows(spark, dir)),
+        "bands"    -> (() => s32BandIndex(spark, dir)),
+        "labels"   -> (() => s43Clusters(spark, dir)),
+        "docattrs" -> (() => s48DocAttrs(spark, dir)),
+        "golden"   -> (() => s48Golden(spark, dir)))
       case "graph" => Seq(
         "vectors" -> (() => s36Vectors(spark, dir)),
         "cells"   -> (() => s36Cells(spark, dir)),
         "edges"   -> (() => s36DirectedEdges(spark, dir)))
       case other => throw new IllegalArgumentException(
-        s"unknown store family '$other' (hash|chunk|assign|code|cluster|graph)")
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
     }
     val stamp = readCompactionStamp(spark, dir)
     val nTomb = deletedIds(spark, dir).count()
+    val nGens = retainedGenerations(spark, dir).size.toLong
     def runsIn(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1577,17 +2113,19 @@ object StreamOps {
     }
     val rows = tables.map { case (t, fold) =>
       val path = s"$dir/$t"
-      val raw =
-        if (!pathExists(spark, path)) 0L
-        else spark.read.parquet(path).count()
-      val served = fold().count()
+      val exists = pathExists(spark, path)
+      val raw = if (!exists) 0L else spark.read.parquet(path).count()
+      // Same guard for the served fold: a half-initialized or crash-lagged
+      // store (the very state a stats gauge is for) must emit a zero row,
+      // not throw PATH_NOT_FOUND from inside the fold.
+      val served = if (!exists) 0L else fold().count()
       (t, runsIn(path), raw, served, nTomb,
         maxBatchIn(spark, path).getOrElse(-1L), stamp.getOrElse(-1L),
-        if (served == 0) -1L else raw * 100L / served)
+        if (served == 0) -1L else raw * 100L / served, nGens)
     }
     import spark.implicits._
     rows.toDF("table", "runs", "raw_rows", "served_rows", "tombstones",
-        "max_batch", "compaction_stamp", "read_amp_x100")
+        "max_batch", "compaction_stamp", "read_amp_x100", "history_gens")
       .orderBy("table")
   }
 
@@ -1604,9 +2142,10 @@ object StreamOps {
       case "assign"  => s46AssignStoreAudit(spark, dir)
       case "code"    => s46CodeStoreAudit(spark, dir)
       case "cluster" => s46ClusterStoreAudit(spark, dir)
+      case "golden"  => s46GoldenStoreAudit(spark, dir)
       case "graph"   => s44GraphStoreAudit(spark, dir)
       case other => throw new IllegalArgumentException(
-        s"unknown store family '$other' (hash|chunk|assign|code|cluster|graph)")
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
     }
     requireCleanAudit(s"$family store", dir, audit)
   }
@@ -1632,7 +2171,7 @@ object StreamOps {
   def s42AssignmentQuality(spark: org.apache.spark.sql.SparkSession,
                            dir: String, baseline: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val live = antiDeleted(
+    val live = maskDeleted(
       graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
           "vec_id", "cid", "ccos", "batch_id")
@@ -1679,7 +2218,6 @@ object StreamOps {
       if (!cached.isEmpty) {
         val spark = cached.sparkSession
         requireFreshBatch(spark, dir, batchId, Seq("codes"))
-        requireNotDeleted(spark, dir, cached.select("vec_id"), "vec_id")
         Sim.pqAssignToCodebook(
             Sim.subVectorsOf(
               Sim.prepareVectors(cached).select("vec_id", "q")), cbook)
@@ -1705,15 +2243,19 @@ object StreamOps {
     * distinct.
     */
   def s38Codes(spark: org.apache.spark.sql.SparkSession,
-               dir: String, asOf: Option[Long] = None): DataFrame =
-    antiDeleted(
+               dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
           spark.read.parquet(s"$dir/codes"), s"$dir/codes",
           "vec_id", "sub", "code", "dist2"),
         spark, dir, asOf)
-        .select("vec_id", "sub", "code", "dist2").distinct(),
+        .select(col("vec_id"), col("sub"), col("code"), col("dist2"),
+          col("batch_id")),
       spark, dir, "vec_id", asOf)
+      .select("vec_id", "sub", "code", "dist2").distinct()
+  }
 
   /** s14: the fraud pipeline on the SYNTHETIC streaming source — the
     * load-test configuration: `graft.sources.TransactionSource`'s

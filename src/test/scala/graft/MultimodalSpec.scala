@@ -308,6 +308,45 @@ class MultimodalSpec extends SparkSpec {
     mustFail("P6\n2 0\n255\n".getBytes("US-ASCII"), "zero dimension")
   }
 
+  test("PngCodec: all five filters round-trip exactly; CRC tamper, truncation and unsupported profiles fail loudly") {
+    val w = 5; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 17 + 3) % 256).toByte)
+    // every row a different filter type (and one repeat): the decode must
+    // INVERT each transform exactly, or pixels diverge from the input
+    val png = Multimodal.PngCodec.encode(w, h, rgb, r => r % 5, Some("meta"))
+    val (dw, dh, out) = Multimodal.PngCodec.decodeRgb(png)
+    assert((dw, dh) === ((w, h)))
+    assert(out.toSeq === rgb.toSeq,
+      "unfiltered raster must equal the encoded input byte-for-byte")
+    // filters genuinely change the at-rest scanlines: an all-None encode
+    // of the same pixels produces DIFFERENT compressed bytes
+    val pngNone = Multimodal.PngCodec.encode(w, h, rgb, _ => 0, Some("meta"))
+    assert(!java.util.Arrays.equals(png, pngNone),
+      "the fixture's filter variety must be present at rest")
+    assert(Multimodal.PngCodec.decodeRgb(pngNone)._3.toSeq === rgb.toSeq)
+    // grey seam matches the PPM discipline
+    assert(Multimodal.PngCodec.decode(png).toSeq === Seq.tabulate(w * h) { p =>
+      (((rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) +
+        (rgb(3 * p + 2) & 0xff)) / 3).toByte
+    })
+    def mustFail(payload: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.PngCodec.decodeRgb(payload))
+      assert(e.getMessage.contains("malformed PNG"), s"$what: ${e.getMessage}")
+    }
+    mustFail("not a png at all".getBytes("US-ASCII"), "bad signature")
+    mustFail(png.take(png.length - 6), "truncated tail")
+    // flip one IDAT payload byte: the chunk CRC must catch it — a PNG
+    // decoder may never serve silently-corrupt pixels
+    val tampered = png.clone()
+    tampered(png.length - 20) = (tampered(png.length - 20) ^ 0x40).toByte
+    mustFail(tampered, "CRC tamper")
+    // unsupported profile: greyscale color type (0) rejected at IHDR
+    val badType = png.clone()
+    badType(8 + 8 + 9) = 0 // IHDR data byte 9 = color type
+    mustFail(badType, "unsupported color type (and its CRC)")
+  }
+
   test("WavCodec: chunk walk recovers PCM exactly, skips junk chunks, fails loudly on malformed") {
     val samples = Array(0, 1000, -1000, 32767, -32768, 7, -7, 0)
     for (junk <- Seq(false, true)) {

@@ -1345,12 +1345,37 @@ class StreamingSpec extends SparkSpec {
     val got2 = StreamOps.s32HashIndex(spark, dir)
     assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
       "post-compaction increments must still equal the rebuild")
-    // deletes are FINAL (and survive compaction): re-ingesting loud-fails
-    val ex = intercept[IllegalArgumentException] {
-      StreamOps.s32UpsertIndexBatch(dir)(
-        Seq((dels.head, "resurrected")).toDF("doc_id", "text"), 5L)
-    }
-    assert(ex.getMessage.contains("deleted"))
+    // RE-ADMISSION (r13, batch-ordered tombstones — across compaction):
+    // re-ingesting a tombstoned id at a later batch supersedes the
+    // delete, here with DIFFERENT text (the corrected-document case).
+    // The served indexes equal the rebuild on the final corpus: the
+    // pre-delete rows stay masked (batch ≤ tombstone), only the
+    // corrected content serves.
+    val corrected = Seq((dels.head, "resurrected corrected text"))
+    StreamOps.s32UpsertIndexBatch(dir)(corrected.toDF("doc_id", "text"), 5L)
+    val live3 = live2.unionByName(corrected.toDF("doc_id", "text"))
+      .localCheckpoint()
+    val want3 = live3
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    val got3 = StreamOps.s32HashIndex(spark, dir)
+    assert(got3.exceptAll(want3).isEmpty && want3.exceptAll(got3).isEmpty,
+      "re-admission must supersede the delete: hash index == final rebuild")
+    val want3b = graft.queries.Dedup.bandTableOf(live3).distinct()
+    val got3b = StreamOps.s32BandIndex(spark, dir)
+    assert(got3b.exceptAll(want3b).isEmpty && want3b.exceptAll(got3b).isEmpty,
+      "re-admission must supersede the delete: band index == final rebuild")
+    // redelivery of the re-admitting batch is a fixpoint
+    StreamOps.s32UpsertIndexBatch(dir)(corrected.toDF("doc_id", "text"), 5L)
+    val got3r = StreamOps.s32HashIndex(spark, dir)
+    assert(got3r.exceptAll(want3).isEmpty && want3.exceptAll(got3r).isEmpty,
+      "a replayed re-admission must leave the store unchanged")
+    // RE-DELETE after re-admission: the LATEST tombstone wins — the
+    // re-admitted rows mask again (max-tombstone ordering, not first)
+    StreamOps.s32DeleteBatch(dir)(Seq(dels.head).toDF("doc_id"), 6L)
+    val got4 = StreamOps.s32HashIndex(spark, dir)
+    assert(got4.exceptAll(want2).isEmpty && want2.exceptAll(got4).isEmpty,
+      "re-deleting a re-admitted id must mask its corrected rows")
     // s41: a replay from BEFORE the compaction stamp fails loudly instead
     // of resurrecting a folded run
     val stale = intercept[IllegalArgumentException] {
@@ -1400,10 +1425,20 @@ class StreamingSpec extends SparkSpec {
         s"compaction must fold $t to one run")
     }
     checkRebuild()
-    intercept[IllegalArgumentException] {
-      StreamOps.s34UpsertChunkBatch(dir)(
-        Seq((dels.head, media.head._2)).toDF("media_id", "payload"), 4L)
-    }
+    // RE-ADMISSION: the deleted media comes back at a later batch — the
+    // chunk store equals the rebuild on the final corpus (its chunks
+    // re-enter the CAS table; owner election sees the re-admitted id)
+    val back = media.find(_._1 == dels.head).get
+    StreamOps.s34UpsertChunkBatch(dir)(
+      Seq(back).toDF("media_id", "payload"), 4L)
+    val live2 = (media.filter(_._1 % 7 != 3) :+ back).toSeq
+      .toDF("media_id", "payload").localCheckpoint()
+    val want2 = graft.operators.Multimodal.chunkTableOf(live2)
+      .select("h", "media_id", "nb").distinct()
+      .groupBy("h").agg(min("media_id").as("owner"), min("nb").as("nb"))
+    val got2 = StreamOps.s34ChunkStore(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "re-admission must supersede the delete: chunk store == final rebuild")
   }
 
   test("s39/s40 s35 assignment lifecycle: delete equals rebuild; compaction folds; increments hold") {
@@ -1441,10 +1476,18 @@ class StreamingSpec extends SparkSpec {
         s"compaction must fold $t to one run")
     }
     checkRebuild()
-    intercept[IllegalArgumentException] {
-      StreamOps.s35UpsertIvfBatch(cents, dir)(
-        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
-    }
+    // RE-ADMISSION with a DIFFERENT embedding: the corrected vector
+    // re-assigns; its pre-delete assignment row stays masked
+    val corrected = Seq((dels.head, vecs.head._2))
+    StreamOps.s35UpsertIvfBatch(cents, dir)(
+      corrected.toDF("vec_id", "embedding"), 4L)
+    val live2 = liveDf.unionByName(corrected.toDF("vec_id", "embedding"))
+    val want2 = graft.queries.Similarity.assignToCentroids(
+        graft.queries.Similarity.prepareVectors(live2), cents)
+      .select("vec_id", "cid", "ccos")
+    val got2 = StreamOps.s35Assignment(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "re-admission must supersede the delete: assignment == final rebuild")
   }
 
   test("s39/s40 s38 PQ-code lifecycle: delete equals rebuild; compaction folds") {
@@ -1482,10 +1525,19 @@ class StreamingSpec extends SparkSpec {
         s"compaction must fold $t to one run")
     }
     checkRebuild()
-    intercept[IllegalArgumentException] {
-      StreamOps.s38UpsertPqBatch(cbook, dir)(
-        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
-    }
+    // RE-ADMISSION with a DIFFERENT embedding: the corrected vector
+    // re-encodes; its pre-delete code rows stay masked
+    val corrected = Seq((dels.head, vecs.head._2))
+    StreamOps.s38UpsertPqBatch(cbook, dir)(
+      corrected.toDF("vec_id", "embedding"), 4L)
+    val live2 = liveDf.unionByName(corrected.toDF("vec_id", "embedding"))
+    val want2 = Sim.pqAssignToCodebook(
+        Sim.subVectorsOf(Sim.prepareVectors(live2).select("vec_id", "q")),
+        cbook)
+      .select("vec_id", "sub", "code", "dist2")
+    val got2 = StreamOps.s38Codes(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "re-admission must supersede the delete: code table == final rebuild")
   }
 
   test("s39 s36 graph-store delete: tombstone + bounded re-rank equals the full rebuild; serving, replay, compaction and increments hold") {
@@ -1562,15 +1614,25 @@ class StreamingSpec extends SparkSpec {
     assert(maintained2.exceptAll(rebuilt2).isEmpty &&
         rebuilt2.exceptAll(maintained2).isEmpty,
       "post-delete increments must still equal the rebuild")
-    // deletes are final; live embeddings are immutable — both loud-fail
-    val exDel = intercept[IllegalArgumentException] {
-      StreamOps.s36UpsertGraphBatch(cents, dir)(
-        Seq((dels.head, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
-    }
-    assert(exDel.getMessage.contains("deleted"))
+    // RE-ADMISSION (r13): an upsert at a later batch supersedes the
+    // tombstone — here with a DIFFERENT embedding (the corrected-document
+    // case, which crosses compaction: the tombstone was folded at stamp 2).
+    // The batch masks guarantee no pre-delete row (vector, cell, or an
+    // edge scored against the OLD embedding) leaks into the served views.
+    val readmitted = (dels.head, vecs.head._2)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      Seq(readmitted).toDF("vec_id", "embedding"), 4L)
+    val rebuilt3 = Sim.symmetrize(
+      Sim.directedTopKOf(livePrep(liveRows ++ extra :+ readmitted), cents))
+    val maintained3 = StreamOps.s36Adjacency(spark, dir)
+    assert(maintained3.exceptAll(rebuilt3).isEmpty &&
+        rebuilt3.exceptAll(maintained3).isEmpty,
+      "re-admission after delete must equal the rebuild on the final corpus")
+    // live embeddings stay immutable — loud-fail (delete-then-upsert is
+    // the sanctioned mutation path, not an in-place overwrite)
     val exDup = intercept[IllegalArgumentException] {
       StreamOps.s36UpsertGraphBatch(cents, dir)(
-        Seq((liveRows.head._1, vecs.head._2)).toDF("vec_id", "embedding"), 4L)
+        Seq((liveRows.head._1, vecs.head._2)).toDF("vec_id", "embedding"), 5L)
     }
     assert(exDup.getMessage.contains("append-only"))
   }
@@ -1641,6 +1703,179 @@ class StreamingSpec extends SparkSpec {
     StreamOps.s43UpsertClusterBatch(dir)(
       thirds(2L).toSeq.toDF("doc_id", "text"), 4L)
     check(live2 ++ thirds(2L), "post-compaction increments must equal the rebuild")
+    // RE-ADMISSION: the victim returns with DIFFERENT text at a later
+    // batch, superseding its tombstone (across the compaction, whose fold
+    // kept the dead ids); the served clusters equal the d05 rebuild on
+    // the final corpus — the corrected doc clusters by its NEW content,
+    // never its masked pre-delete bands
+    val corrected = (victim._1, "re-admitted corrected text for " + victim._1)
+    StreamOps.s43UpsertClusterBatch(dir)(
+      Seq(corrected).toDF("doc_id", "text"), 5L)
+    val live3 = (live2 ++ thirds(2L)) :+ corrected
+    check(live3, "re-admission must supersede the delete: clusters == final rebuild")
+    // replayed re-admission is a fixpoint
+    StreamOps.s43UpsertClusterBatch(dir)(
+      Seq(corrected).toDF("doc_id", "text"), 5L)
+    check(live3, "a replayed re-admission must serve the same clusters")
+  }
+
+  test("s48 maintained golden records: interleaved upsert/delete/compact/re-admit equals the d33 election at every step; fsck holds") {
+    import spark.implicits._
+    val Dd = graft.queries.Dedup
+    val dir = tmp("s48_golden")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    def rebuildGolden(
+        rows: Seq[(Long, String, String, String, Long)]): org.apache.spark.sql.DataFrame = {
+      val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val bands = Dd.bandTableOf(df.select("doc_id", "text")).localCheckpoint()
+      val clusters = Dd.clusterTableOf(
+        df.select("doc_id"), Dd.candidatePairsPlan(bands))
+      Dd.goldenRecordsOf(clusters.join(
+        df.select("doc_id", "lang", "source", "n_chars"), "doc_id"))
+    }
+    def check(liveRows: Seq[(Long, String, String, String, Long)],
+              msg: String): Unit = {
+      val want = rebuildGolden(liveRows)
+      val got = StreamOps.s48Golden(spark, dir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, msg)
+      StreamOps.s46RequireHealthy(spark, dir, "golden")
+    }
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val thirds = docs.groupBy(_._1 % 3)
+    StreamOps.s48UpsertGoldenBatch(dir)(thirds(0L).toSeq.toDF(cols: _*), 0L)
+    val after0 = thirds(0L).toSeq
+    check(after0, "first increment must equal the d33 election")
+    StreamOps.s48UpsertGoldenBatch(dir)(thirds(1L).toSeq.toDF(cols: _*), 1L)
+    val after01 = after0 ++ thirds(1L)
+    check(after01, "cross-batch merges must re-elect the merged cluster")
+    // replayed upsert is a fixpoint
+    StreamOps.s48UpsertGoldenBatch(dir)(thirds(1L).toSeq.toDF(cols: _*), 1L)
+    check(after01, "a replayed upsert must leave the golden table unchanged")
+    // delete a slice (including some elected survivors): retired labels
+    // drop their golden rows, shrunk clusters re-elect
+    val dels = after01.map(_._1).filter(_ % 7 == 3)
+    assert(dels.nonEmpty)
+    StreamOps.s48DeleteGoldenBatch(dir)(dels.toDF("doc_id"), 2L)
+    val live2 = after01.filterNot(d => dels.contains(d._1))
+    check(live2, "post-delete goldens must equal the d33 election on the live corpus")
+    // delete replay is a fixpoint
+    StreamOps.s48DeleteGoldenBatch(dir)(dels.toDF("doc_id"), 2L)
+    check(live2, "a replayed delete must serve the same goldens")
+    // compaction folds the golden table with the rest of the store
+    StreamOps.s48CompactStore(spark, dir)
+    Seq("hash56", "bands", "labels", "docattrs", "golden", "deleted")
+      .foreach { t =>
+        assert(spark.read.parquet(s"$dir/$t")
+          .select("batch_id").distinct().count() === 1,
+          s"compaction must fold $t to one run")
+      }
+    check(live2, "compaction must not change the served goldens")
+    // post-compaction increment + RE-ADMISSION with corrected attributes:
+    // the re-admitted doc's new lang/source/n_chars elect, never its
+    // masked pre-delete row
+    StreamOps.s48UpsertGoldenBatch(dir)(thirds(2L).toSeq.toDF(cols: _*), 3L)
+    check(live2 ++ thirds(2L), "post-compaction increments must equal the election")
+    val victim = docs.find(d => dels.contains(d._1)).get
+    val corrected =
+      (victim._1, victim._2, "zz", "re-admitted-source", victim._5 + 1000L)
+    StreamOps.s48UpsertGoldenBatch(dir)(Seq(corrected).toDF(cols: _*), 4L)
+    check((live2 ++ thirds(2L)) :+ corrected,
+      "a re-admitted doc's corrected attributes must drive the election")
+  }
+
+  test("p14 takedown executor: one idempotent operation purges every store, fscks green, reports per-store counts; re-run is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, min}
+    val Sim = graft.queries.Similarity
+    // build all six store families from the fixtures
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val cbook = Sim.pqCodebook(spark, sf).localCheckpoint()
+    val stores = Map(
+      "hash"   -> tmp("p14_hash"),
+      "chunk"  -> tmp("p14_chunk"),
+      "assign" -> tmp("p14_assign"),
+      "code"   -> tmp("p14_code"),
+      "graph"  -> tmp("p14_graph"),
+      "golden" -> tmp("p14_golden"))
+    val dcols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    StreamOps.s32UpsertIndexBatch(stores("hash"))(
+      docs.toSeq.toDF(dcols: _*).select("doc_id", "text"), 0L)
+    StreamOps.s34UpsertChunkBatch(stores("chunk"))(
+      media.toSeq.toDF("media_id", "payload"), 0L)
+    StreamOps.s35UpsertIvfBatch(cents, stores("assign"))(
+      vecs.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s38UpsertPqBatch(cbook, stores("code"))(
+      vecs.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s36UpsertGraphBatch(cents, stores("graph"))(
+      vecs.toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s48UpsertGoldenBatch(stores("golden"))(
+      docs.toSeq.toDF(dcols: _*), 0L)
+    // the takedown: p14's own deterministic victim slice (doc/vec/media
+    // ids share the fixture id space)
+    val victims = docs.map(_._1).filter(_ % 7 == 3)
+    assert(victims.nonEmpty)
+    val report = StreamOps.p14TakedownExecute(
+        victims.toSeq.toDF("id"), stores)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(report.keySet === stores.keySet)
+    assert(report.values.forall(_._4), "every store must fsck green")
+    assert(report("hash")._1 === victims.size.toLong,
+      "the hash store served every victim before the takedown")
+    assert(report("chunk")._3 > 0L,
+      "the fixture must exercise chunk GC accounting (sole-referrer chunks)")
+    // post-takedown serve == rebuild on the live corpus, per store
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val liveDocs = docs.filter(_._1 % 7 != 3)
+    val wantHash = liveDocs.toSeq.toDF(dcols: _*)
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    assert(same(StreamOps.s32HashIndex(spark, stores("hash")), wantHash),
+      "post-takedown hash index == rebuild")
+    val liveVecs = vecs.filter(_._1 % 7 != 3).toSeq
+    val wantAssign = Sim.assignToCentroids(
+        Sim.prepareVectors(liveVecs.toDF("vec_id", "embedding")), cents)
+      .select("vec_id", "cid", "ccos")
+    assert(same(StreamOps.s35Assignment(spark, stores("assign")), wantAssign),
+      "post-takedown assignment == rebuild")
+    val wantGraph = Sim.symmetrize(Sim.directedTopKOf(
+      Sim.prepareVectors(liveVecs.toDF("vec_id", "embedding"))
+        .select("vec_id", "q", "nrm"), cents))
+    assert(same(StreamOps.s36Adjacency(spark, stores("graph")), wantGraph),
+      "post-takedown graph == rebuild")
+    val Dd = graft.queries.Dedup
+    val liveDf = liveDocs.toSeq.toDF(dcols: _*).localCheckpoint()
+    val wantGolden = Dd.goldenRecordsOf(
+      Dd.clusterTableOf(liveDf.select("doc_id"),
+          Dd.candidatePairsPlan(Dd.bandTableOf(
+            liveDf.select("doc_id", "text")).localCheckpoint()))
+        .join(liveDf.select("doc_id", "lang", "source", "n_chars"), "doc_id"))
+    assert(same(StreamOps.s48Golden(spark, stores("golden")), wantGolden),
+      "post-takedown goldens == d33 rebuild")
+    // RE-RUN: idempotent — nothing newly purged, served views unchanged
+    val report2 = StreamOps.p14TakedownExecute(
+        victims.toSeq.toDF("id"), stores)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(report2.values.forall(_ === 0L),
+      "a re-run must find no victim still served")
+    assert(same(StreamOps.s32HashIndex(spark, stores("hash")), wantHash) &&
+        same(StreamOps.s48Golden(spark, stores("golden")), wantGolden),
+      "a re-run must not change any served view")
   }
 
   test("s42 codebook-staleness monitor: a drifted batch trends below the build baseline; retrained-codebook handoff equals the batch re-assignment") {
@@ -1850,7 +2085,7 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() === after, "failed batch must not partially land")
   }
 
-  test("s45 as-of reads: the s32 store's history replays exactly; a delete is invisible before its batch; compaction is the loud-fail horizon") {
+  test("s45 as-of reads: the s32 store's history replays exactly; a delete is invisible before its batch; compaction archives a retained generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, min}
     val dir = tmp("s45_s32")
@@ -1886,15 +2121,29 @@ class StreamingSpec extends SparkSpec {
       .bandTableOf(half1.toSeq.toDF("doc_id", "text")).distinct()
     assert(same(StreamOps.s32BandIndex(spark, dir, Some(0L)), wantBands0),
       "the band index as-of the first batch must equal its rebuild")
-    // compaction folds history: below-stamp as-of fails LOUDLY, at/above
-    // the stamp stays exact
+    // compaction folds history but ARCHIVES the pre-compaction runs as a
+    // retained generation (r13): below-stamp as-of resolves into the
+    // generation and stays EXACT — here even through the delete fixture
+    // (as-of 1 predates the delete, as-of 0 predates the second ingest)
     StreamOps.s32CompactStore(spark, dir)
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)), hashOf(all)),
+      "below-stamp as-of must resolve through the retained generation")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(0L)), hashOf(half1)),
+      "the generation serves the whole pre-compaction history")
+    assert(same(StreamOps.s32BandIndex(spark, dir, Some(0L)), wantBands0),
+      "the band index time-travels through the generation too")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)), hashOf(live)),
+      "as-of at the compaction stamp must survive the fold exactly")
+    // retention window: prune history to ZERO generations and the old
+    // loud-fail horizon returns (reads past the window must never
+    // silently serve the folded present)
+    val fsDir = new org.apache.hadoop.fs.Path(s"$dir/_history")
+    fsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(fsDir, true)
     val ex = intercept[IllegalArgumentException] {
       StreamOps.s32HashIndex(spark, dir, Some(1L))
     }
     assert(ex.getMessage.contains("compacted"), ex.getMessage)
-    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)), hashOf(live)),
-      "as-of at the compaction stamp must survive the fold exactly")
     // post-compaction increments: invisible below their batch, exact at it
     val fresh = (1 to 3).map(i => (docs.map(_._1).max + 2000L + i,
       s"s45 fresh text $i"))
@@ -1904,6 +2153,55 @@ class StreamingSpec extends SparkSpec {
     assert(same(StreamOps.s32HashIndex(spark, dir, Some(3L)),
         hashOf(live ++ fresh)),
       "as-of the increment's batch must include it")
+  }
+
+  test("s45 retention window: repeated compactions retain K generations; as-of resolves into the right one; pruning re-arms the loud fail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, min}
+    val dir = tmp("s45_retention")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+    def hashOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    StreamOps.s32UpsertIndexBatch(dir)(h1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(dir)(h2.toSeq.toDF("doc_id", "text"), 1L)
+    StreamOps.s32CompactStore(spark, dir)          // gen_1: runs 0..1
+    val f2 = Seq((90001L, "retention fresh two"))
+    StreamOps.s32UpsertIndexBatch(dir)(f2.toDF("doc_id", "text"), 2L)
+    StreamOps.s32CompactStore(spark, dir)          // gen_2: base(1) + run 2
+    assert(StreamOps.retainedGenerations(spark, dir) === Seq(2L, 1L))
+    // s47 reports the retained-history depth
+    assert(StreamOps.s47StoreStats(spark, dir, "hash")
+      .select("history_gens").head().getLong(0) === 2L)
+    // as-of 0 only gen_1 can serve (gen_2's own stamp is 1 > 0); as-of 1
+    // resolves into the NEWEST admitting generation (gen_2's base); the
+    // present reads live
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(0L)), hashOf(h1)),
+      "as-of 0 must resolve into the oldest retained generation")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)),
+        hashOf(h1 ++ h2)),
+      "as-of 1 must serve the pre-second-compaction state")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(2L)),
+        hashOf((h1 ++ h2) ++ f2)),
+      "as-of at the live stamp must equal the present-day read")
+    // a third compaction prunes past the window (K=2): gen_1 drops, so
+    // as-of 0 fails loudly again while as-of 1 (gen_2) still serves
+    val f3 = Seq((90002L, "retention fresh three"))
+    StreamOps.s32UpsertIndexBatch(dir)(f3.toDF("doc_id", "text"), 3L)
+    StreamOps.s32CompactStore(spark, dir)          // gen_3; prune gen_1
+    assert(StreamOps.retainedGenerations(spark, dir) === Seq(3L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.s32HashIndex(spark, dir, Some(0L))
+    }
+    assert(ex.getMessage.contains("no retained generation"), ex.getMessage)
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)),
+        hashOf(h1 ++ h2)),
+      "inside the window, history still serves after pruning")
   }
 
   test("s47 store stats: run counts, raw-vs-served gap and read amplification track the lifecycle; compaction resets them") {
