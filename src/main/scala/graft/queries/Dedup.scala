@@ -1143,6 +1143,108 @@ object Dedup {
         "chunks_live", "bytes_reclaimed", "clusters_live", "goldens_live")
   }
 
+  /** d34: CROSS-SOURCE near-dup OVERLAP matrix — the dataset-governance
+    * number behind licensing and mixture decisions ("how much of source A
+    * is already in source B?"): every candidate near-dup pair from the
+    * SHARED written pair table ([[pairsTable]] — never recomputed) is
+    * attributed to its unordered source pair, and each (src_a ≤ src_b)
+    * cell reports the pair count plus the distinct documents involved on
+    * each side (the src_a-side endpoint is the one whose source sorts
+    * first — deterministic for the within-source diagonal too). Diagonal
+    * cells measure intra-source redundancy; off-diagonal cells are the
+    * cross-source contamination a deduped mixture must discount.
+    * Scale shape: two narrow broadcast-able joins from the pair table to
+    * (doc_id, source), one partial-agg groupBy over O(sources²) cells —
+    * the pair table is the only corpus-scale input and it is read, not
+    * rebuilt. Oracle: the d01 band CTEs + the same conditional endpoint
+    * attribution.
+    */
+  val d34SourceOverlap: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairsTable(s, d)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        when(col("s1") <= col("s2"), col("d1")).otherwise(col("d2")).as("da"),
+        when(col("s1") <= col("s2"), col("d2")).otherwise(col("d1")).as("db"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("da").as("n_docs_a"),
+        countDistinct("db").as("n_docs_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** p15's quality-gate threshold (t02's 0-100 score). */
+  val FunnelQualityMin = 50L
+
+  /** p15: CURATION-YIELD funnel — the per-source retention dashboard a
+    * training-data pipeline publishes after every build (what fraction of
+    * each source survives each gate, and how many tokens the final corpus
+    * keeps): docs flow through the round's own gates IN PIPELINE ORDER —
+    * language-ID (t01's marker argmax, 'und' drops), quality (t02's
+    * integer score ≥ [[FunnelQualityMin]]), exact dedup (min-id survivor
+    * per content hash AMONG the docs still alive — q32's rule scoped to
+    * the funnel stage, as a real pipeline dedups post-filtering), and
+    * near-dup dedup (min-id survivor per d05 cluster among the remaining)
+    * — emitting per source the cumulative survivor counts, the final
+    * token mass, and retention in basis points. Every gate is the
+    * deployed operator's own rule (langPredicted / qualityCols / the
+    * memoized cluster table), so the funnel can never drift from what the
+    * pipeline actually runs.
+    *
+    * Scale shape: ONE corpus scan evaluates every per-row gate (the
+    * marker-count HOFs are the expensive expressions; the scan
+    * materializes a narrow (id, source, tokens, g1, g2, hash) gate table
+    * — localCheckpoint here, a written intermediate at 100 TB — so the
+    * survivor elections' self-joins never re-run the text expressions),
+    * then one dedup-keyed groupBy (content hash), one cluster-keyed
+    * groupBy (near-dup-sized), one source-keyed partial-agg rollup — no
+    * windows, no corpus-scale shuffle beyond the dedup keys the component
+    * operators already pay.
+    */
+  /** p15's per-row gate table — the one corpus scan (see scale note). */
+  private def p15Gates(s: SparkSession, d: String): DataFrame = {
+    val T = graft.queries.TextOps
+    T.qualityCols(T.langPredicted(Tables.documents(s, d)))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("predicted"), col("quality"))
+      .withColumn("g1", col("predicted") =!= "und")
+      .withColumn("g2", col("g1") && col("quality") >= FunnelQualityMin)
+      .withColumn("eh", md5(col("text").cast("binary")))
+      .select("doc_id", "source", "n_tokens", "g1", "g2", "eh")
+  }
+
+  /** The survivor elections + rollup over a (materialized) gate table. */
+  private def p15FunnelOf(s: SparkSession, d: String,
+                          g: DataFrame): DataFrame = {
+    val clusters = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+    val exactMin = g.filter(col("g2"))
+      .groupBy("eh").agg(min("doc_id").as("e_min"))
+    val ge = g.join(exactMin, Seq("eh"), "left")
+      .withColumn("g3", col("g2") && col("doc_id") === col("e_min"))
+    val withCl = ge.join(clusters, "doc_id")
+    val nearMin = withCl.filter(col("g3"))
+      .groupBy("cluster").agg(min("doc_id").as("n_min"))
+    withCl.join(nearMin, Seq("cluster"), "left")
+      .withColumn("g4", col("g3") && col("doc_id") === col("n_min"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_ingested"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n_langid"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("g4"), 1L).otherwise(0L)).as("n_neardup"),
+        sum(when(col("g4"), col("n_tokens")).otherwise(0L))
+          .as("tokens_retained"))
+      .withColumn("retention_bp",
+        expr("n_neardup * 10000 div n_ingested"))
+      .orderBy("source")
+  }
+
+  val p15CurationFunnel: Q = (s, d) =>
+    p15FunnelOf(s, d, p15Gates(s, d).localCheckpoint())
+
   /** d10: edit-distance-1 pair discovery via deletion-neighborhood blocking
     * (the SymSpell index): each name emits itself + its single-char
     * deletions as join keys — O(n·len) index rows — and candidates come
@@ -1937,7 +2039,11 @@ object Dedup {
     }),
     "d22_banding_sweep" -> ((s, d) => d22Report(
       minhashSignatures(Tables.documents(s, d)),
-      d03NgramJaccard(s, d).select("d1", "d2"))))
+      d03NgramJaccard(s, d).select("d1", "d2"))),
+    "p15_curation_funnel" -> ((s, d) =>
+      // the un-checkpointed twin: the gate scan's HOF sub-plan stays
+      // under the global plan audit
+      p15FunnelOf(s, d, p15Gates(s, d))))
 
   /** d31: LSH band-table LOAD profile — the operational health check of
     * the d01 index: bucket-size distribution of the band table (per
@@ -2212,6 +2318,8 @@ object Dedup {
     "d32_cluster_retraction" -> d32ClusterRetraction,
     "p13_takedown_preflight" -> p13TakedownPreflight,
     "p14_takedown_execute" -> p14TakedownExecuteReport,
+    "p15_curation_funnel" -> p15CurationFunnel,
+    "d34_source_overlap" -> d34SourceOverlap,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -2585,6 +2693,63 @@ object Dedup {
     // p13: the reach CTE sizes the cluster blast radius; the m15 chunk
     // CTEs roll up to the two byte totals; everything else is plain
     // conditional counting over the base tables
+    // d34: the d01 band CTEs + the same conditional endpoint attribution
+    "d34_source_overlap" ->
+      s"""WITH $duckBandCtes,
+         |pairs AS ($duckPairSelect),
+         |ps AS (
+         |  SELECT least(a.source, b.source) AS src_a,
+         |         greatest(a.source, b.source) AS src_b,
+         |         CASE WHEN a.source <= b.source THEN p.d1 ELSE p.d2 END AS da,
+         |         CASE WHEN a.source <= b.source THEN p.d2 ELSE p.d1 END AS db
+         |  FROM pairs p JOIN documents a ON a.doc_id = p.d1
+         |               JOIN documents b ON b.doc_id = p.d2)
+         |SELECT src_a, src_b,
+         |       CAST(COUNT(1) AS BIGINT) AS n_pairs,
+         |       CAST(COUNT(DISTINCT da) AS BIGINT) AS n_docs_a,
+         |       CAST(COUNT(DISTINCT db) AS BIGINT) AS n_docs_b
+         |FROM ps GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    // p15: the same gates spelled natively — quality/langid from
+    // TextOps' own oracle builders, exact/near-dup survivorship as
+    // conditional window minimums, clusters from the reach CTE
+    "p15_curation_funnel" -> {
+      val T = graft.queries.TextOps
+      val counts = T.langMarkers.map { case (l, ws) =>
+        s"CAST(${T.duckMarkerCount(ws)} AS INT) AS c_$l"
+      }.mkString(",\n       ")
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |q AS (${T.duckQuality}),
+         |l AS (SELECT doc_id, ${T.duckLangCase} AS predicted
+         |      FROM (SELECT doc_id, $counts FROM documents)),
+         |b AS (SELECT d.doc_id, d.source, d.text,
+         |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |             l.predicted, q.quality
+         |      FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)),
+         |g AS (SELECT *, predicted <> 'und' AS g1,
+         |             (predicted <> 'und' AND quality >= $FunnelQualityMin) AS g2
+         |      FROM b),
+         |e AS (SELECT *, (g2 AND doc_id = MIN(CASE WHEN g2 THEN doc_id END)
+         |                          OVER (PARTITION BY md5(text))) AS g3
+         |      FROM g),
+         |n AS (SELECT e.*, (g3 AND e.doc_id =
+         |                   MIN(CASE WHEN g3 THEN e.doc_id END)
+         |                     OVER (PARTITION BY c.cluster)) AS g4
+         |      FROM e JOIN clusters c ON c.doc_id = e.doc_id)
+         |SELECT source,
+         |       CAST(COUNT(1) AS BIGINT) AS n_ingested,
+         |       CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_langid,
+         |       CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |       CAST(COALESCE(SUM(CASE WHEN g4 THEN n_tokens END), 0) AS BIGINT)
+         |         AS tokens_retained,
+         |       CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) * 10000 // COUNT(1)
+         |            AS BIGINT) AS retention_bp
+         |FROM n GROUP BY source ORDER BY source""".stripMargin
+    },
     // p14: the post-takedown state — kept-corpus reach CTE (d32's), m03's
     // md5-substr chunk CTE grouped by content hash with live-referrer
     // counts, scalar subqueries stitched into the one-row report

@@ -67,7 +67,7 @@ object TextOps {
   /** t01's marker counts + argmax prediction as reusable columns (t34
     * evaluates the same classifier against the fixture labels).
     */
-  private def langPredicted(df: DataFrame): DataFrame =
+  private[queries] def langPredicted(df: DataFrame): DataFrame =
     langMarkers.foldLeft(df) {
       case (acc, (lang, ws)) =>
         acc.withColumn(s"c_$lang",
@@ -1989,16 +1989,16 @@ object TextOps {
     "t07_seq_packing"   -> t07SeqPacking,
     "t08_repetition"    -> t08Repetition)
 
-  private def duckMarkerCountOf(column: String, ws: Seq[String]): String =
+  private[queries] def duckMarkerCountOf(column: String, ws: Seq[String]): String =
     s"len(list_filter(string_split($column, ' '), t -> t IN ${inList(ws)}))"
 
-  private def duckMarkerCount(ws: Seq[String]): String =
+  private[queries] def duckMarkerCount(ws: Seq[String]): String =
     duckMarkerCountOf("text", ws)
 
   /** The t01 argmax CASE over c_en/c_es/c_fr/c_de columns — ONE spelling
     * for the t01/t34/p12 oracles.
     */
-  private val duckLangCase: String =
+  private[queries] val duckLangCase: String =
     """CASE
       |      WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
       |      WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'

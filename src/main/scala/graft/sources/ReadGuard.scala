@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loud-fail schema guard for persisted-INDEX read-back.
   *
@@ -26,5 +27,63 @@ object ReadGuard {
           s"${df.columns.mkString(", ")}) — refusing to serve from a " +
           "corrupt index")
     df
+  }
+
+  /** The tolerated type-EVOLUTION ladder for store read-back: integral
+    * widening (byte → short → int → long) and float → double. Everything
+    * else — narrowing, integral↔floating, any kind change — stays LOUD:
+    * silently upcasting an int run into a table that later narrowed, or
+    * coercing longs through doubles, is exactly the corrupt-read this
+    * guard exists to refuse.
+    */
+  private val integralRank: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+  private val floatRank: Map[DataType, Int] = Map(
+    FloatType -> 0, DoubleType -> 1)
+
+  private def widen(table: String, name: String,
+                    a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else if (integralRank.contains(a) && integralRank.contains(b))
+      if (integralRank(a) >= integralRank(b)) a else b
+    else if (floatRank.contains(a) && floatRank.contains(b))
+      if (floatRank(a) >= floatRank(b)) a else b
+    else throw new IllegalStateException(
+      s"persisted index table '$table' column '$name' changes type " +
+        s"incompatibly across runs: ${a.simpleString} vs ${b.simpleString} " +
+        "— only integral/float WIDENING is tolerated on read (narrowing " +
+        "and kind changes refuse to serve)")
+
+  /** Read a per-batch-run store table (`batch_id=N` partitions) with
+    * type-WIDENING schema evolution across runs (r12 verdict item 8):
+    * additive columns were already tolerated and missing ones loud; this
+    * adds the third real evolution a long-lived store sees — a producer
+    * upgrade widens a column (INT→BIGINT) so newer runs carry the wider
+    * type. Policy: normalize on read to the WIDEST type any run declares
+    * (per [[widen]]'s ladder — narrowing/kind changes stay loud), by
+    * reading each run's footer schema (one cheap metadata read per run,
+    * never a data scan) and, only when they differ, re-reading the whole
+    * table under the widened schema. The fast path (all runs agree) is
+    * the plain read. Columns absent from some runs read as null there
+    * (the additive-evolution tolerance, unchanged).
+    */
+  def readRuns(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val runs =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).sorted
+    if (runs.isEmpty) return spark.read.parquet(path)
+    val schemas = runs.map(r => spark.read.parquet(s"$path/$r").schema)
+    if (schemas.distinct.size == 1) return spark.read.parquet(path)
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for (sch <- schemas; f <- sch.fields)
+      fields(f.name) = fields.get(f.name)
+        .map(widen(path, f.name, _, f.dataType)).getOrElse(f.dataType)
+    val widened = StructType(
+      fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq
+        :+ StructField("batch_id", LongType, nullable = true))
+    spark.read.schema(widened).parquet(path)
   }
 }

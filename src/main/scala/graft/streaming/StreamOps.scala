@@ -346,7 +346,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/hash56"), s"$dir/hash56", "th", "doc_id"),
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/hash56"), s"$dir/hash56", "th", "doc_id"),
         spark, dir, asOf)
         .select(col("th"), col("doc_id"), col("batch_id")),
       spark, dir, "doc_id", asOf)
@@ -375,7 +375,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/bands"), s"$dir/bands",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/bands"), s"$dir/bands",
           "doc_id", "band_key"),
         spark, dir, asOf)
         .select(col("doc_id"), col("band_key"), col("batch_id")),
@@ -447,7 +447,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/chunks"), s"$dir/chunks",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/chunks"), s"$dir/chunks",
           "h", "media_id", "nb"),
         spark, dir, asOf)
         .select(col("h"), col("media_id"), col("nb"), col("batch_id")),
@@ -518,7 +518,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/assigned"), s"$dir/assigned",
           "vec_id", "cid", "ccos"),
         spark, dir, asOf)
         .select(col("vec_id"), col("cid"), col("ccos"), col("batch_id")),
@@ -691,7 +691,7 @@ object StreamOps {
     else
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(deletedPath(dir)), deletedPath(dir), "id"),
+          graft.sources.ReadGuard.readRuns(spark, deletedPath(dir)), deletedPath(dir), "id"),
         spark, dir, asOf)
         .select(col("id"), col("batch_id").cast("long").as("batch_id"))
         .groupBy("id").agg(max("batch_id").as("del_batch"))
@@ -743,7 +743,7 @@ object StreamOps {
     if (!pathExists(spark, presencePath)) tomb.select("id")
     else {
       val up = asOfRuns(
-          spark.read.parquet(presencePath)
+          graft.sources.ReadGuard.readRuns(spark, presencePath)
             .select(col(idCol).as("id"),
               col("batch_id").cast("long").as("batch_id")),
           spark, dir, asOf)
@@ -1032,7 +1032,7 @@ object StreamOps {
         // every pre-delete row, so the fold sees the id as new).
         if (pathExists(spark, s"$dir/vectors")) {
           val prior = maskDeleted(
-              spark.read.parquet(s"$dir/vectors")
+              graft.sources.ReadGuard.readRuns(spark, s"$dir/vectors")
                 .select(col("vec_id"),
                   col("batch_id").cast("long").as("batch_id")),
               spark, dir, "vec_id")
@@ -1102,7 +1102,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/vectors"), s"$dir/vectors",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/vectors"), s"$dir/vectors",
           "vec_id", "q", "nrm"),
         spark, dir, asOf)
         .select(col("vec_id"), col("q"), col("nrm"), col("batch_id")),
@@ -1116,7 +1116,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/cells"), s"$dir/cells", "vec_id", "cid"),
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/cells"), s"$dir/cells", "vec_id", "cid"),
         spark, dir, asOf)
         .select(col("vec_id"), col("cid"), col("batch_id")),
       spark, dir, "vec_id", asOf)
@@ -1143,7 +1143,7 @@ object StreamOps {
       val e = maskDeleted(
         asOfRuns(
           graft.sources.ReadGuard.requireColumns(
-            spark.read.parquet(s"$dir/edges"), s"$dir/edges",
+            graft.sources.ReadGuard.readRuns(spark, s"$dir/edges"), s"$dir/edges",
             "src", "dst", "cos", "batch_id"),
           spark, dir, asOf)
           .select(col("src"), col("dst"), col("cos"),
@@ -1355,7 +1355,7 @@ object StreamOps {
     s32UpsertIndexBatch(dir)(batch, batchId)
     val spark = batch.sparkSession
     if (pathExists(spark, s"$dir/bands")) {
-      val batchBands = spark.read.parquet(s"$dir/bands")
+      val batchBands = graft.sources.ReadGuard.readRuns(spark, s"$dir/bands")
         .filter(col("batch_id").cast("long") === batchId)
         .select("doc_id", "band_key")
         .localCheckpoint()
@@ -1417,7 +1417,7 @@ object StreamOps {
       // partner seeds: live docs sharing a band with ANY tombstoned doc
       // (the deleted side reads the RAW band runs — its rows are already
       // invisible to the serving index)
-      val delBandKeys = spark.read.parquet(s"$dir/bands")
+      val delBandKeys = graft.sources.ReadGuard.readRuns(spark, s"$dir/bands")
         .select("doc_id", "band_key")
         .join(broadcast(del.withColumnRenamed("id", "doc_id")),
           Seq("doc_id"), "left_semi")
@@ -1473,7 +1473,7 @@ object StreamOps {
       val l = maskDeleted(
         asOfRuns(
           graft.sources.ReadGuard.requireColumns(
-            spark.read.parquet(s"$dir/labels"), s"$dir/labels",
+            graft.sources.ReadGuard.readRuns(spark, s"$dir/labels"), s"$dir/labels",
             "doc_id", "cluster", "batch_id"),
           spark, dir, asOf)
           .select(col("doc_id"), col("cluster"),
@@ -1570,7 +1570,7 @@ object StreamOps {
                             dir: String, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     if (!pathExists(spark, s"$dir/labels")) return
-    val labelsRaw = spark.read.parquet(s"$dir/labels")
+    val labelsRaw = graft.sources.ReadGuard.readRuns(spark, s"$dir/labels")
       .select(col("doc_id"), col("cluster"),
         col("batch_id").cast("long").as("batch_id"))
     val runLabels = labelsRaw.filter(col("batch_id") === batchId)
@@ -1580,7 +1580,7 @@ object StreamOps {
     val newlyDead =
       if (!pathExists(spark, deletedPath(dir)))
         spark.range(0).select(col("id").as("doc_id"))
-      else spark.read.parquet(deletedPath(dir))
+      else graft.sources.ReadGuard.readRuns(spark, deletedPath(dir))
         .filter(col("batch_id").cast("long") === batchId)
         .select(col("id").as("doc_id"))
     val touched = runLabels.select("doc_id").unionByName(newlyDead).distinct()
@@ -1625,7 +1625,7 @@ object StreamOps {
     val a = maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/docattrs"), s"$dir/docattrs",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/docattrs"), s"$dir/docattrs",
           "doc_id", "lang", "source", "n_chars"),
         spark, dir, asOf)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -1655,7 +1655,7 @@ object StreamOps {
     else {
       val g = asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/golden"), s"$dir/golden",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/golden"), s"$dir/golden",
           "kept_doc", "cluster_size", "n_sources", "total_chars",
           "rep_doc", "rep_chars", "lang_mode"),
         spark, dir, asOf)
@@ -2114,7 +2114,8 @@ object StreamOps {
     val rows = tables.map { case (t, fold) =>
       val path = s"$dir/$t"
       val exists = pathExists(spark, path)
-      val raw = if (!exists) 0L else spark.read.parquet(path).count()
+      val raw = if (!exists) 0L
+        else graft.sources.ReadGuard.readRuns(spark, path).count()
       // Same guard for the served fold: a half-initialized or crash-lagged
       // store (the very state a stats gauge is for) must emit a zero row,
       // not throw PATH_NOT_FOUND from inside the fold.
@@ -2173,7 +2174,7 @@ object StreamOps {
     import org.apache.spark.sql.functions._
     val live = maskDeleted(
       graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/assigned"), s"$dir/assigned",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/assigned"), s"$dir/assigned",
           "vec_id", "cid", "ccos", "batch_id")
         .select(col("vec_id"), col("cid"), col("ccos"),
           col("batch_id").cast("long").as("batch_id"))
@@ -2248,7 +2249,7 @@ object StreamOps {
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          spark.read.parquet(s"$dir/codes"), s"$dir/codes",
+          graft.sources.ReadGuard.readRuns(spark, s"$dir/codes"), s"$dir/codes",
           "vec_id", "sub", "code", "dist2"),
         spark, dir, asOf)
         .select(col("vec_id"), col("sub"), col("code"), col("dist2"),

@@ -73,7 +73,13 @@ class ParallelismSpec extends SparkSpec {
     // and its gain is a sum of joined partials; n31/n32 rank via
     // tie-broken TakeOrdered limits over partition-built scored bases.
     "d33_golden_record", "t45_decontam_rewrite", "t46_dsir_select",
-    "n31_dim_sweep", "n32_filter_strategies")
+    "n31_dim_sweep", "n32_filter_strategies",
+    // round-13 additions: p15's survivor elections fold conditional mins
+    // over hash/cluster keys whose partial layout varies; d34 attributes
+    // pairs through two joins whose build sides re-partition; p14's
+    // cluster fold re-derives the retained components under the active
+    // layout (memo cleared per run).
+    "p15_curation_funnel", "d34_source_overlap", "p14_takedown_execute")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup + graph-ANN suites memoize their index tables — clear so

@@ -47,6 +47,43 @@ class RobustnessSpec extends SparkSpec {
       "\"a\\\"b\\\\c\\nd\\te\\u0001f\"")
   }
 
+  test("ReadGuard type widening: an INT-written run serves through a widened LONG read; kind changes stay loud") {
+    // the third real schema evolution a long-lived store sees (additive
+    // columns tolerated, missing loud — this adds WIDENING): an old
+    // producer wrote doc_id as INT; newer runs carry BIGINT. Policy:
+    // normalize on read to the widest type any run declares; narrowing
+    // or kind changes still refuse to serve.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, min}
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("widen_store").toString
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+    def withTh(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+    // run 0: hand-planted with doc_id narrowed to INT (the old producer)
+    withTh(h1.toSeq).select(col("th"), col("doc_id").cast("int").as("doc_id"))
+      .write.parquet(s"$dir/hash56/batch_id=0")
+    // run 1: the current fold writes BIGINT
+    StreamOps.s32UpsertIndexBatch(dir)(h2.toSeq.toDF("doc_id", "text"), 1L)
+    val got = StreamOps.s32HashIndex(spark, dir)
+    assert(got.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "the mixed-width store must serve the WIDENED type")
+    val want = withTh(docs.toSeq).groupBy("th").agg(min("doc_id").as("doc_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the mixed-width store must serve the same index as a uniform one")
+    // a kind change (doc_id re-typed as STRING) refuses to serve
+    withTh(h1.take(3).toSeq)
+      .select(col("th"), col("doc_id").cast("string").as("doc_id"))
+      .write.parquet(s"$dir/hash56/batch_id=2")
+    val e = intercept[IllegalStateException](
+      StreamOps.s32HashIndex(spark, dir).collect())
+    assert(e.getMessage.contains("incompatibly") &&
+      e.getMessage.contains("doc_id"), e.getMessage)
+  }
+
   test("media codecs under fuzz: decode returns or fails LOUDLY — never crashes or hangs") {
     // The codecs run inside long-lived executor tasks over untrusted
     // bytes; the contract is a typed IllegalArgumentException (the
@@ -342,11 +379,38 @@ class RobustnessSpec extends SparkSpec {
     StreamOps.s43UpsertClusterBatch(crashDir)(
       dh2.toSeq.toDF("doc_id", "text"), 1L) // replay heals
     StreamOps.s46RequireHealthy(spark, crashDir, "cluster")
+    // golden store: a planted golden row naming a never-served label
+    // breaks label liveness; a wrong recorded size breaks the membership
+    // match (the two directions the re-election fold guarantees)
+    val gdocs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val gdir = java.nio.file.Files.createTempDirectory("s46_golden").toString
+    StreamOps.s48UpsertGoldenBatch(gdir)(
+      gdocs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    StreamOps.s46RequireHealthy(spark, gdir, "golden")
+    val real = StreamOps.s48Golden(spark, gdir).head()
+    plant(Seq(
+        (999999L, 2L, 1L, 10L, 999999L, 10L, "en"),        // phantom label
+        (real.getLong(0), real.getLong(1) + 5L, real.getLong(2),
+          real.getLong(3), real.getLong(4), real.getLong(5),
+          real.getString(6)))                              // size lie
+      .toDF("kept_doc", "cluster_size", "n_sources", "total_chars",
+        "rep_doc", "rep_chars", "lang_mode"),
+      s"$gdir/golden", 1L)
+    val gAudit = auditMap(StreamOps.s46GoldenStoreAudit(spark, gdir))
+    assert(gAudit("golden_label_not_served") === 1L, gAudit.toString)
+    assert(gAudit("golden_size_mismatch") === 1L, gAudit.toString)
+    intercept[IllegalArgumentException] {
+      StreamOps.s46RequireHealthy(spark, gdir, "golden")
+    }
+
     // the unknown-family guard names the accepted families
     val fEx = intercept[IllegalArgumentException] {
       StreamOps.s46RequireHealthy(spark, ldir, "nosuch")
     }
-    assert(fEx.getMessage.contains("hash|chunk|assign|code|cluster|graph"))
+    assert(fEx.getMessage.contains("hash|chunk|assign|code|cluster|golden|graph"))
   }
 
   test("store schema evolution: an ADDITIVE run (extra column) still serves and fscks clean; a missing column stays loud") {

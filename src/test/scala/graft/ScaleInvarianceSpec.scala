@@ -338,4 +338,64 @@ class ScaleInvarianceSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.size >= 2, "windows must differ by type")
     assert(rows.map(_._4).sum > 0, "a month-long corpus must have trim work")
   }
+
+  test("p15 curation funnel at sf0.1: gates are monotone per source, accounting closes, and every gate fires somewhere") {
+    val rows = graft.queries.Dedup.p15CurationFunnel(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._2).sum === docCount,
+      "every document enters the funnel exactly once")
+    rows.foreach { case (src, n0, n1, n2, n3, n4, toks, bp) =>
+      assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4,
+        s"$src: cumulative gates can only shrink the corpus")
+      assert(bp === n4 * 10000 / n0, s"$src: retention accounting")
+      assert(n4 == 0 || toks > 0, s"$src: survivors carry tokens")
+    }
+    // at 10x every gate must be doing real work SOMEWHERE (a gate that
+    // passes everything is a disconnected rule)
+    assert(rows.map(r => r._2 - r._3).sum > 0, "lang gate fires")
+    assert(rows.map(r => r._3 - r._4).sum > 0, "quality gate fires")
+    assert(rows.map(r => r._5 - r._6).sum > 0, "near-dup gate fires")
+  }
+
+  test("d34 source overlap at sf0.1: attribution is ordered and closes against the pair table") {
+    val rows = graft.queries.Dedup.d34SourceOverlap(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, da, db) =>
+      assert(a <= b, "cells are unordered-pair keyed")
+      assert(da >= 1 && db >= 1 && da <= n && db <= n,
+        s"($a,$b): endpoint counts bounded by the pair count")
+    }
+    val totalPairs = graft.queries.Dedup.d01MinhashLsh(spark, sf01).count()
+    assert(rows.map(_._3).sum === totalPairs,
+      "every candidate pair attributes to exactly one source cell")
+  }
+
+  test("m18 PNG decode at sf0.1: every media row decodes with the fixture geometry") {
+    val rows = graft.operators.Multimodal.m18PngDecode(spark, sf01).collect()
+    assert(rows.length.toLong === docCount)
+    rows.foreach { r =>
+      assert(r.getLong(1) === graft.operators.Multimodal.PngW.toLong &&
+        r.getLong(2) === graft.operators.Multimodal.PngH.toLong)
+      assert(r.getLong(3) > 0L, "a non-trivial raster has pixel mass")
+    }
+  }
+
+  test("p14 takedown report at sf0.1: the state accounting closes across families") {
+    val r = graft.queries.Dedup.p14TakedownExecuteReport(spark, sf01).head()
+    val (docsLive, hashLive, vecsLive) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (chunksLive, reclaimed, clustersLive, goldensLive) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(docsLive === Tables.documents(spark, sf01)
+      .filter("doc_id % 7 <> 3").count())
+    assert(hashLive <= docsLive, "dedup index is at most the live corpus")
+    assert(vecsLive === Tables.embeddings(spark, sf01)
+      .filter("vec_id % 7 <> 3").count())
+    assert(clustersLive <= docsLive && goldensLive <= clustersLive)
+    assert(chunksLive > 0 && reclaimed > 0,
+      "a 1-in-7 takedown at 10x must both keep and reclaim chunks")
+  }
 }
