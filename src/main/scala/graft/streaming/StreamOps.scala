@@ -22,7 +22,7 @@ import graft.operators.FraudPipeline
   * them deterministically with `Trigger.AvailableNow` and assert
   * stream-equals-batch.
   *
-  * s32–s48 are the MAINTAINED-STORE family: five persisted index stores
+  * s32–s49 are the MAINTAINED-STORE family: five persisted index stores
   * (dedup hash/band, media chunks, IVF assignment, graph ANN, PQ codes —
   * plus the s43 cluster store composed on top) with the full lifecycle —
   * per-batch partition-overwrite upserts, BATCH-ORDERED tombstone
@@ -32,8 +32,9 @@ import graft.operators.FraudPipeline
   * (s42), per-store referential fscks (s44/s46), as-of (time-travel)
   * reads of every served view with a retained-generation history across
   * compaction (s45), the stats digest that says when to compact (s47),
-  * and the maintained golden-record table (s48). Every store pins
-  * maintained == full rebuild over the live corpus in StreamingSpec.
+  * the maintained golden-record table (s48), and consistent store
+  * export/clone (s49). Every store pins maintained == full rebuild over
+  * the live corpus in StreamingSpec.
   */
 object StreamOps {
 
@@ -1683,6 +1684,55 @@ object StreamOps {
       "docattrs" -> (() => s48DocAttrs(spark, dir)),
       "golden"   -> (() => s48Golden(spark, dir))), "doc_id")
 
+  // ===== s49: consistent store EXPORT (backup/clone) — the last ops verb
+  // ===== the store family lacked: everything else mutates in place.
+
+  /** s49: export a maintained store's CONSISTENT state into a fresh root —
+    * the backup/clone/promotion verb (copy a serving index to a new
+    * cluster, snapshot before a risky migration, fork a staging copy):
+    * every family table's SERVED view ([[familyTables]] — tombstone-
+    * masked, key-folded, exactly what readers see) is written as a single
+    * base run into `dstDir`, stamped with the source's fold-through batch
+    * id, plus the currently-dead id set as the clone's tombstones and the
+    * stamp file. The clone therefore (a) serves row-identically, (b)
+    * fscks green, (c) is physically MINIMAL — no replay duplicates, no
+    * masked rows, no run fragmentation, no history — and (d) is a fully
+    * live store: the carried stamp makes the s41 fence refuse stale
+    * replays at the same boundary as the source, and upserts/deletes/
+    * compactions continue from the stamp exactly as they would have on
+    * the source. Like compaction, an all-tombstoned (empty-fold) table is
+    * skipped rather than written (the zero-row-footer trap); unlike
+    * compaction nothing is archived — an export IS the archive.
+    * Cost: one serve-fold scan per table, written once — the same work a
+    * compaction pays, against a different root.
+    */
+  def s49ExportStore(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, dstDir: String, family: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tables = familyTables(spark, srcDir, family)
+    val all = tables.map(_._1) :+ "deleted"
+    all.flatMap(t => maxBatchIn(spark, s"$srcDir/$t"))
+      .reduceOption(_ max _)
+      .foreach { maxBatch =>
+        val withDeleted = tables ++
+          (if (pathExists(spark, deletedPath(srcDir)))
+             Seq("deleted" -> (() => deadIds(spark, srcDir,
+               tables.head._1, familyIdCol(family))))
+           else Nil)
+        withDeleted.foreach { case (t, fold) =>
+          if (pathExists(spark, s"$srcDir/$t")) {
+            val base = fold().withColumn("batch_id", lit(maxBatch))
+              .localCheckpoint()
+            if (!base.isEmpty) {
+              base.write.mode("errorifexists").partitionBy("batch_id")
+                .parquet(s"$dstDir/$t")
+            }
+          }
+        }
+        writeCompactionStamp(spark, dstDir, maxBatch)
+      }
+  }
+
   // ===== p14 executor: the composed TAKEDOWN verb (r12 verdict item 4 —
   // ===== p13 sizes the blast radius; this EXECUTES it as one idempotent
   // ===== operation across every maintained store, then fscks them all).
@@ -2075,10 +2125,16 @@ object StreamOps {
     * statistics — O(files), not O(rows)); served counts run each table's
     * own fold, the one genuinely data-touching column.
     */
-  def s47StoreStats(spark: org.apache.spark.sql.SparkSession,
-                    dir: String, family: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val tables: Seq[(String, () => DataFrame)] = family match {
+  /** The family registry: each maintained store family's tables with
+    * their SERVED folds (first table = the primary presence table, whose
+    * id column is [[familyIdCol]]) — one definition shared by the stats
+    * digest (s47), the export verb (s49) and the per-family compaction
+    * entry points' table lists, so a new table cannot be added to a
+    * family in one consumer and missed in another.
+    */
+  private[graft] def familyTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, family: String): Seq[(String, () => DataFrame)] =
+    family match {
       case "hash" => Seq(
         "hash56" -> (() => s32HashRows(spark, dir)),
         "bands"  -> (() => s32BandIndex(spark, dir)))
@@ -2102,6 +2158,20 @@ object StreamOps {
       case other => throw new IllegalArgumentException(
         s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
     }
+
+  /** The primary table's id column per family (tombstone/presence key). */
+  private[graft] def familyIdCol(family: String): String = family match {
+    case "hash" | "cluster" | "golden" => "doc_id"
+    case "chunk"                       => "media_id"
+    case "assign" | "code" | "graph"   => "vec_id"
+    case other => throw new IllegalArgumentException(
+      s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
+  }
+
+  def s47StoreStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, family: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tables = familyTables(spark, dir, family)
     val stamp = readCompactionStamp(spark, dir)
     val nTomb = deletedIds(spark, dir).count()
     val nGens = retainedGenerations(spark, dir).size.toLong

@@ -1878,6 +1878,77 @@ class StreamingSpec extends SparkSpec {
       "a re-run must not change any served view")
   }
 
+  test("s49 store export: the clone serves identically, fscks green, is physically minimal, and stays a live store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, min}
+    val src = tmp("s49_src"); val dst = tmp("s49_dst") + "/clone"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s32UpsertIndexBatch(src)(h1.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(src)(h2.toSeq.toDF("doc_id", "text"), 1L)
+    // last-batch redelivery on the source: the clone must not inherit the
+    // fragmentation it leaves on disk
+    StreamOps.s32UpsertIndexBatch(src)(h2.toSeq.toDF("doc_id", "text"), 1L)
+    val dels = docs.map(_._1).filter(_ % 7 == 3)
+    StreamOps.s32DeleteBatch(src)(dels.toSeq.toDF("doc_id"), 2L)
+    StreamOps.s49ExportStore(spark, src, dst, "hash")
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(StreamOps.s32HashIndex(spark, dst),
+        StreamOps.s32HashIndex(spark, src)),
+      "the clone must serve the source's hash index row-identically")
+    assert(same(StreamOps.s32BandIndex(spark, dst),
+        StreamOps.s32BandIndex(spark, src)),
+      "the clone must serve the source's band index row-identically")
+    StreamOps.s46RequireHealthy(spark, dst, "hash")
+    // physically minimal: one run per table, raw == served, stamp carried
+    val stats = StreamOps.s47StoreStats(spark, dst, "hash").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(7), r.getLong(6)))
+      .toMap
+    assert(stats("hash56")._1 === 1L && stats("bands")._1 === 1L,
+      "the clone folds each table to one base run")
+    assert(stats("hash56")._2 === 100L, "no masked rows, no duplicates")
+    assert(stats("hash56")._3 === 2L, "the stamp carries the fold-through id")
+    // the clone is LIVE: an increment lands and equals the rebuild; a
+    // stale replay below the carried stamp is refused
+    val fresh = Seq((900001L, "s49 fresh text"))
+    StreamOps.s32UpsertIndexBatch(dst)(fresh.toDF("doc_id", "text"), 3L)
+    val live = docs.filter(d => !dels.contains(d._1)) ++ fresh
+    val want = live.toSeq.toDF("doc_id", "text")
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    assert(same(StreamOps.s32HashIndex(spark, dst), want),
+      "increments on the clone must equal the rebuild")
+    val stale = intercept[IllegalArgumentException] {
+      StreamOps.s32UpsertIndexBatch(dst)(fresh.toDF("doc_id", "text"), 1L)
+    }
+    assert(stale.getMessage.contains("compacted"))
+    // an export NEVER silently overwrites an existing backup
+    intercept[Throwable] {
+      StreamOps.s49ExportStore(spark, src, dst, "hash")
+    }
+    // multi-table family: the golden store clones with its whole pyramid
+    val gdocs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val gsrc = tmp("s49_gsrc"); val gdst = tmp("s49_gdst") + "/clone"
+    StreamOps.s48UpsertGoldenBatch(gsrc)(
+      gdocs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    StreamOps.s48DeleteGoldenBatch(gsrc)(
+      gdocs.map(_._1).filter(_ % 7 == 3).toSeq.toDF("doc_id"), 1L)
+    StreamOps.s49ExportStore(spark, gsrc, gdst, "golden")
+    assert(same(StreamOps.s48Golden(spark, gdst),
+        StreamOps.s48Golden(spark, gsrc)),
+      "the golden clone must serve the source's elections row-identically")
+    assert(same(StreamOps.s43Clusters(spark, gdst),
+        StreamOps.s43Clusters(spark, gsrc)),
+      "the golden clone must serve the source's clusters row-identically")
+    StreamOps.s46RequireHealthy(spark, gdst, "golden")
+  }
+
   test("s42 codebook-staleness monitor: a drifted batch trends below the build baseline; retrained-codebook handoff equals the batch re-assignment") {
     import spark.implicits._
     import org.apache.spark.sql.functions.avg
@@ -2353,6 +2424,21 @@ class StreamingSpec extends SparkSpec {
     assert(same(StreamOps.s43Clusters(spark, cdir, Some(2L)),
         clustersOf(docs.filter(_._1 % 7 != 3).toSeq)),
       "clusters as-of the delete batch must serve the retracted view")
+    // retention is family-generic: after compaction BOTH stores still
+    // time-travel below the stamp through the retained generation —
+    // including the pre-delete state (batch 1) that the fold physically
+    // removed from the live tables
+    StreamOps.s37CompactEdgeStore(spark, gdir)
+    assert(same(StreamOps.s36Adjacency(spark, gdir, Some(1L)),
+        rebuilt(vecs.toSeq)),
+      "graph as-of below the stamp must resolve through the retained generation")
+    assert(same(StreamOps.s36Adjacency(spark, gdir, Some(2L)),
+        rebuilt(vecs.filter(_._1 % 5 != 1).toSeq)),
+      "graph as-of at the stamp must survive the fold")
+    StreamOps.s43CompactStore(spark, cdir)
+    assert(same(StreamOps.s43Clusters(spark, cdir, Some(1L)),
+        clustersOf(docs.toSeq)),
+      "clusters as-of below the stamp must resolve through the retained generation")
   }
 
   test("s45 as-of reads: chunk, assignment and code stores time-travel through their runs") {
