@@ -60,7 +60,9 @@ object SparkEntry {
         "m17_scene_cuts" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m17SceneCuts(s, d)),
         "m18_png_decode" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m18PngDecode(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m18PngDecode(s, d)),
+        "m19_png_metadata" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m19PngMetadata(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -370,6 +372,17 @@ object SparkEntry {
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM lagd GROUP BY media_id ORDER BY media_id""".stripMargin
         },
+        // m19: the tEXt strings recomputed from the fixture formulas —
+        // a match proves the chunk walk found every tEXt chunk, split on
+        // the NUL, and round-tripped the bytes exactly
+        "m19_png_metadata" ->
+          """SELECT doc_id AS media_id, 'title' AS key,
+            |       'doc ' || CAST(doc_id AS VARCHAR) AS value
+            |FROM documents
+            |UNION ALL
+            |SELECT doc_id, 'generator', 'graft ' || CAST(doc_id % 7 AS VARCHAR)
+            |FROM documents WHERE doc_id % 2 = 1
+            |ORDER BY media_id, key""".stripMargin,
         // m18: every RGB byte recomputed from the pixel formula; the
         // position-weighted checksum over the flattened raster matches
         // ONLY if the zlib inflate ran and all five scanline filters

@@ -356,10 +356,13 @@ object Multimodal {
 
     /** Build a real PNG: 8-bit RGB scanlines filtered per `filterOfRow`
       * (the encode-side transform the decoder must invert), deflated into
-      * one IDAT. `textChunk` plants an ancillary chunk the walk must skip.
+      * one IDAT. `textChunks` plants spec-shaped `tEXt` metadata
+      * (keyword NUL value — the PNG text-chunk grammar): ancillary to the
+      * pixel walk (m18 skips them), REAL payload for the metadata
+      * extraction verb (m19 parses them back).
       */
     def encode(w: Int, h: Int, rgb: Array[Byte], filterOfRow: Int => Int,
-               textChunk: Option[String] = None): Array[Byte] = {
+               textChunks: Seq[(String, String)] = Nil): Array[Byte] = {
       require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
       val bpp = 3; val stride = w * 3
       val raw = new Array[Byte](h * (1 + stride))
@@ -393,7 +396,12 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       out.write(Signature)
       out.write(chunk("IHDR", ihdr.toByteArray))
-      textChunk.foreach(t => out.write(chunk("tEXt", t.getBytes("US-ASCII"))))
+      textChunks.foreach { case (k, v) =>
+        require(k.nonEmpty && !k.contains('\u0000') && !v.contains('\u0000'),
+          "tEXt keyword/value must be NUL-free")
+        out.write(chunk("tEXt",
+          (k + "\u0000" + v).getBytes("ISO-8859-1")))
+      }
       out.write(chunk("IDAT", DeflateCodec.encode(raw)))
       out.write(chunk("IEND", Array.emptyByteArray))
       out.toByteArray
@@ -410,6 +418,44 @@ object Multimodal {
         i += 1
       }
       grey
+    }
+
+    /** Parse the `tEXt` metadata chunks (keyword NUL value) — the
+      * metadata-extraction half of the codec (m19): the SAME CRC-verified
+      * chunk walk as the pixel decode, collecting instead of skipping the
+      * text chunks. A tEXt without a NUL separator is malformed (loud).
+      */
+    def textChunks(payload: Array[Byte]): Seq[(String, String)] = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed PNG: $msg")
+      if (payload.length < 8 ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOf(payload, 8), Signature))
+        fail("bad signature")
+      var pos = 8
+      var seenEnd = false
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (!seenEnd) {
+        if (payload.length - pos < 12) fail(s"truncated chunk header at $pos")
+        val len = readBe32(payload, pos)
+        if (len > payload.length.toLong - pos - 12) fail(s"truncated chunk at $pos")
+        val typ = new String(payload, pos + 4, 4, "US-ASCII")
+        val typBytes = java.util.Arrays.copyOfRange(payload, pos + 4, pos + 8)
+        val n = len.toInt
+        if (readBe32(payload, pos + 8 + n) != crcOf(typBytes, payload, pos + 8, n))
+          fail(s"bad CRC on $typ chunk at $pos")
+        typ match {
+          case "tEXt" =>
+            val data = new String(payload, pos + 8, n, "ISO-8859-1")
+            val sep = data.indexOf(0.toChar)
+            if (sep <= 0) fail(s"tEXt chunk at $pos has no keyword separator")
+            out += ((data.substring(0, sep), data.substring(sep + 1)))
+          case "IEND" => seenEnd = true
+          case _ => ()
+        }
+        pos += 12 + n
+      }
+      out.toSeq
     }
 
     /** Full decode: chunk walk → IHDR → inflate IDAT → unfilter. Returns
@@ -1490,7 +1536,7 @@ object Multimodal {
             ((id * 7 + r * 31 + c * 13 + k * 5) % 256).toByte
           }
           val payload = PngCodec.encode(w, h, rgb, r => r % 5,
-            if (id % 2 == 1) Some(s"fixture $id") else None)
+            m19MetaOf(id))
           val (dw, dh, out) = PngCodec.decodeRgb(payload)
           var sum = 0L; var checksum = 0L; var i = 0
           while (i < out.length) {
@@ -1502,6 +1548,45 @@ object Multimodal {
         }
       }.toDF("media_id", "width", "height", "sum_px", "checksum")
       .orderBy("media_id")
+  }
+
+  /** The deterministic tEXt metadata the m18 fixture embeds per media id
+    * (m19 parses it back): every image carries a title; odd ids add a
+    * generator tag, so the extraction must handle 1 vs 2 tEXt chunks and
+    * the pixel walk must skip a VARIABLE ancillary load.
+    */
+  private[graft] def m19MetaOf(id: Long): Seq[(String, String)] =
+    Seq("title" -> s"doc $id") ++
+      (if (id % 2 == 1) Seq("generator" -> s"graft ${id % 7}") else Nil)
+
+  /** m19: metadata EXTRACTION from the PNG container — the sidecar-free
+    * metadata path a media lake runs at ingest (EXIF/XMP in production;
+    * PNG `tEXt` is the same chunk-walk shape in the format this repo
+    * really decodes): each fixture image's text chunks (keyword NUL value
+    * per the PNG grammar, CRCs verified by the same walk as the pixel
+    * decode) parse back into (media_id, key, value) rows. The oracle
+    * recomputes the strings from [[m19MetaOf]]'s formulas — a match
+    * proves the chunk walk found every tEXt chunk, split on the NUL, and
+    * round-tripped ISO-8859-1 bytes exactly. Scale shape: one
+    * mapPartitions pass, header-only work per row (the inflate never
+    * runs), payloads never shuffle.
+    */
+  def m19PngMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = PngW; val h = PngH
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val stride = w * 3
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val r = i / stride; val c = (i % stride) / 3; val k = i % 3
+            ((id * 7 + r * 31 + c * 13 + k * 5) % 256).toByte
+          }
+          val payload = PngCodec.encode(w, h, rgb, r => r % 5, m19MetaOf(id))
+          PngCodec.textChunks(payload).map { case (k, v) => (id, k, v) }
+        }
+      }.toDF("media_id", "key", "value")
+      .orderBy("media_id", "key")
   }
 
   /** Training batch size for m09 (a multiple of the 3 modalities, so full

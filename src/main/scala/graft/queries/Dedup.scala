@@ -1175,6 +1175,40 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** d35: dedup SURVIVOR-BIAS report — does near-dup dedup SHIFT the
+    * corpus composition? (the fairness/representativity check a curation
+    * pipeline runs after d05/d06: min-id survivorship is deterministic
+    * but not neutral — a source whose docs re-crawl another source's
+    * content loses systematically): per (source, lang) cell the report
+    * compares the cell's corpus share BEFORE dedup with its share among
+    * the d06 survivors, in basis points, plus the absolute delta — the
+    * number that says "dedup just halved source X's German share".
+    * Scale shape: the memoized cluster table (read, never rebuilt) joined
+    * once to the narrow attributes; survivors are the `cluster == doc_id`
+    * rows (d05's min-label canon, d06's rule); two partial-agg groupBys
+    * over O(sources×langs) cells with the two grand totals riding one-row
+    * broadcast cross joins.
+    */
+  val d35DedupBias: Q = (s, d) => {
+    val attrs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val withCl = clusterMemo.getOrElseUpdate((s, d), buildClusterTable(s, d))
+      .join(attrs, "doc_id")
+    val cells = withCl.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("cluster") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_after"))
+    val totals = cells.agg(sum("n_before").as("t_before"),
+      sum("n_after").as("t_after"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_before"), col("n_after"),
+        expr("n_before * 10000 div t_before").as("share_before_bp"),
+        expr("n_after * 10000 div t_after").as("share_after_bp"),
+        expr("n_after * 10000 div t_after - n_before * 10000 div t_before")
+          .as("delta_bp"))
+      .orderBy("source", "lang")
+  }
+
   /** p15's quality-gate threshold (t02's 0-100 score). */
   val FunnelQualityMin = 50L
 
@@ -2320,6 +2354,7 @@ object Dedup {
     "p14_takedown_execute" -> p14TakedownExecuteReport,
     "p15_curation_funnel" -> p15CurationFunnel,
     "d34_source_overlap" -> d34SourceOverlap,
+    "d35_dedup_bias" -> d35DedupBias,
     "d18_cross_source_overlap" -> d18CrossSourceOverlap,
     "d17_label_prop" -> d17LabelProp,
     "p06_incremental_refresh" -> p06IncrementalRefresh,
@@ -2693,6 +2728,28 @@ object Dedup {
     // p13: the reach CTE sizes the cluster blast radius; the m15 chunk
     // CTEs roll up to the two byte totals; everything else is plain
     // conditional counting over the base tables
+    // d35: the reach CTE's min-label clusters; survivors are the
+    // self-labeled rows; shares as integer bp off the two grand totals
+    "d35_dedup_bias" ->
+      s"""WITH RECURSIVE $duckReachCtes,
+         |clusters AS (
+         |  SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY node),
+         |cells AS (
+         |  SELECT d.source, d.lang,
+         |         CAST(COUNT(1) AS BIGINT) AS n_before,
+         |         CAST(SUM(CASE WHEN c.cluster = c.doc_id THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_after
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |  GROUP BY d.source, d.lang),
+         |t AS (SELECT SUM(n_before) AS t_before, SUM(n_after) AS t_after
+         |      FROM cells)
+         |SELECT source, lang, n_before, n_after,
+         |       CAST(n_before * 10000 // t_before AS BIGINT) AS share_before_bp,
+         |       CAST(n_after * 10000 // t_after AS BIGINT) AS share_after_bp,
+         |       CAST(n_after * 10000 // t_after
+         |            - n_before * 10000 // t_before AS BIGINT) AS delta_bp
+         |FROM cells CROSS JOIN t ORDER BY source, lang""".stripMargin,
     // d34: the d01 band CTEs + the same conditional endpoint attribution
     "d34_source_overlap" ->
       s"""WITH $duckBandCtes,

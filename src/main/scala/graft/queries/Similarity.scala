@@ -337,6 +337,47 @@ object Similarity {
     * [[NProbe]]-row broadcast, every rank a TakeOrderedAndProject; the
     * report is 3 rows.
     */
+  /** n33's deterministic lag offsets (pair sampling without randomness). */
+  private val CosHistLags = Seq(1L, 2L, 3L, 5L, 8L)
+
+  /** n33: corpus COSINE-DISTRIBUTION histogram — the "how discriminable is
+    * this embedding space" profile an ANN operator reads before picking
+    * index parameters (a corpus whose pair cosines concentrate near 0 is
+    * easy to block; mass near 1 means near-dup saturation, mass spread
+    * wide means recall cliffs): pair cosines over DETERMINISTIC lag pairs
+    * (vec_id, vec_id + lag) for five Fibonacci-ish lags — a fixed,
+    * replayable sample of the pair space, never all-pairs — bucketed into
+    * twenty [−1, 1) cells with counts and share in bp. Bucketing is
+    * floor((cos + 1)·10) on the exact double both engines compute
+    * bit-identically (integer dot, correctly-rounded divide/sqrt — the
+    * same determinism argument as every n-family cos).
+    * Scale shape: lag pairs are one computed-key equi-join per lag over
+    * the narrow id column; scoring rides the build's own broadcast-fetch
+    * seam ([[scoreDirectedPairs]]); the histogram is one partial-agg
+    * groupBy over ≤ 20 cells with the grand total on a one-row broadcast
+    * cross join.
+    */
+  val n33CosHistogram: Q = (s, d) => {
+    val v = prepareVectors(Tables.embeddings(s, d))
+      .select("vec_id", "q", "nrm").localCheckpoint()
+    val ids = v.select(col("vec_id"))
+    val pairs = CosHistLags.map { l =>
+        ids.select(col("vec_id").as("src"),
+          (col("vec_id") + lit(l)).as("dst"))
+      }.reduce(_.unionByName(_))
+      .join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+    val buckets = scoreDirectedPairs(pairs, v)
+      .select(expr("least(19L, greatest(0L, " +
+        "cast(floor((cos + 1.0d) * 10.0d) as bigint)))").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val total = buckets.agg(sum("n").as("n_total"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n"),
+        expr("n * 10000 div n_total").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   val n32FilterStrategies: Q = (s, d) => {
     val good = TextOps.qualityCols(Tables.documents(s, d))
       .filter(col("quality") >= FilterMinQuality)
@@ -1943,6 +1984,7 @@ object Similarity {
     "n18_nprobe_sweep"   -> n18NprobeSweep,
     "n31_dim_sweep"      -> n31DimSweep,
     "n32_filter_strategies" -> n32FilterStrategies,
+    "n33_cos_histogram" -> n33CosHistogram,
     "n11_ann_sq8"        -> n11AnnSq8,
     "n09_ann_multiprobe" -> n09AnnMultiprobe,
     "n08_ann_recall"     -> n08AnnRecall,
@@ -2690,6 +2732,28 @@ object Similarity {
          |ORDER BY cos DESC, vec_id ASC LIMIT $TopK""".stripMargin,
     // n32: the three filter strategies over one scored CTE; pre is the
     // truth leg, so its hits row is the built-in sanity
+    // n33: same lag pairs, same exact-double cos, same bucket formula
+    "n33_cos_histogram" -> {
+      val lags = CosHistLags.mkString(", ")
+      s"""WITH $duckPrep,
+         |pairs AS (
+         |  SELECT a.vec_id AS src, a.vec_id + l.l AS dst
+         |  FROM prepn a, (SELECT unnest([$lags]) AS l) l
+         |  WHERE EXISTS (SELECT 1 FROM prepn b WHERE b.vec_id = a.vec_id + l.l)),
+         |scored AS (
+         |  SELECT CAST(${duckDot("x.q", "y.q")} AS DOUBLE)
+         |           / sqrt(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS cos
+         |  FROM pairs p JOIN prepn x ON x.vec_id = p.src
+         |               JOIN prepn y ON y.vec_id = p.dst),
+         |b AS (
+         |  SELECT least(19, greatest(0,
+         |           CAST(floor((cos + 1.0) * 10.0) AS BIGINT))) AS bucket
+         |  FROM scored),
+         |t AS (SELECT COUNT(1) AS n_total FROM b)
+         |SELECT bucket, CAST(COUNT(1) AS BIGINT) AS n,
+         |       CAST(COUNT(1) * 10000 // n_total AS BIGINT) AS share_bp
+         |FROM b CROSS JOIN t GROUP BY bucket, n_total ORDER BY bucket""".stripMargin
+    },
     "n32_filter_strategies" -> {
       s"""WITH $duckPrep,
          |$duckAssigned,

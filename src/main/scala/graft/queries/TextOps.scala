@@ -182,6 +182,44 @@ object TextOps {
       .agg(min(md5(col("shingle").cast("binary"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** t48: per-source shingle NOVELTY — the "which source actually adds new
+    * content" report a mixture designer reads next to d34's overlap
+    * matrix (d34 counts near-dup PAIRS; t48 measures content novelty at
+    * the shingle level, which catches partial overlap no pair threshold
+    * fires on): every doc's 8-token shingles (t04's grid — the dedup
+    * family's own unit) attribute their GLOBAL first occurrence (min
+    * doc_id corpus-wide) to that doc's source; per source the report
+    * gives distinct shingles, novel shingles (first occurrence lives
+    * here), the novelty share in bp, and the corpus-wide occurrence mass
+    * of the shingles it introduced. A
+    * source that is pure re-crawl scores near zero; a source of unique
+    * long-form text scores near 10000.
+    * Scale shape: one explode + two partial-agg groupBys (per-shingle
+    * min, then the source rollup) + one narrow broadcast-able join of
+    * (doc_id, source) — the same asymptotics as t04/t05.
+    */
+  val t48SourceNovelty: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val sh = Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(TextHash.sparkShinglesOf("tokens", 8))).as("shingle"))
+    val occ = sh.groupBy("shingle").agg(
+      min("doc_id").as("first_doc"), count(lit(1)).as("n_occ"))
+    val perSource = sh.select("doc_id", "shingle").distinct()
+      .join(src, "doc_id")
+      .groupBy("source").agg(countDistinct("shingle").as("n_shingles"))
+    val novel = occ.join(src.withColumnRenamed("doc_id", "first_doc"),
+        "first_doc")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_novel"), sum("n_occ").as("occ_mass"))
+    perSource.join(novel, "source")
+      .select(col("source"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 10000 div n_shingles").as("novelty_bp"),
+        col("occ_mass"))
+      .orderBy("source")
+  }
+
   /** t05: TF-IDF scoring, integer-scaled — tf per (doc, token), df per
     * token, idf as the exact integer (N·100) div df (a log-free IDF
     * variant: same ranking monotonicity, zero float divergence between
@@ -1984,6 +2022,7 @@ object TextOps {
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count"   -> t03TokenCount,
     "t04_fingerprint"   -> t04Fingerprint,
+    "t48_source_novelty" -> t48SourceNovelty,
     "t05_tfidf"         -> t05Tfidf,
     "t06_normalize"     -> t06Normalize,
     "t07_seq_packing"   -> t07SeqPacking,
@@ -2929,6 +2968,29 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
         |       CAST((length(text) * 100) // len(string_split(text, ' ')) AS BIGINT) AS chars_x100_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t48: the same shingle grid; first-occurrence attribution as a
+    // per-shingle MIN, sources joined on both legs
+    "t48_source_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${TextHash.duckShingles("text", 8)}) AS shingle
+         |  FROM documents),
+         |occ AS (
+         |  SELECT shingle, MIN(doc_id) AS first_doc, COUNT(1) AS n_occ
+         |  FROM sh GROUP BY shingle),
+         |per AS (
+         |  SELECT d.source, COUNT(DISTINCT s.shingle) AS n_shingles
+         |  FROM (SELECT DISTINCT doc_id, shingle FROM sh) s
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.source),
+         |nv AS (
+         |  SELECT d.source, CAST(COUNT(1) AS BIGINT) AS n_novel,
+         |         CAST(SUM(n_occ) AS BIGINT) AS occ_mass
+         |  FROM occ o JOIN documents d ON d.doc_id = o.first_doc
+         |  GROUP BY d.source)
+         |SELECT source, CAST(n_shingles AS BIGINT) AS n_shingles, n_novel,
+         |       CAST(n_novel * 10000 // n_shingles AS BIGINT) AS novelty_bp,
+         |       occ_mass
+         |FROM per JOIN nv USING (source) ORDER BY source""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |       list_min(list_transform(${TextHash.duckShingles("text", 8)}, s -> md5(s))) AS fingerprint

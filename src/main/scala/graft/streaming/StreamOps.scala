@@ -1733,6 +1733,114 @@ object StreamOps {
       }
   }
 
+  // ===== s50: coordinated multi-store INGEST — p14 coordinates deletes
+  // ===== across the family; nothing coordinated INSERTS until now.
+
+  /** s50: one logical ingest batch lands in EVERY maintained store, with a
+    * MANIFEST that makes cross-store lag observable and recovery
+    * mechanical: each modality's rows run the family's OWN upsert fold
+    * (docs → hash/cluster/golden, vectors → assign/code/graph, media →
+    * chunk — never re-spelled) at ONE shared batch id, and the manifest
+    * run (family, dir, n_rows) is written LAST — so a manifest row exists
+    * only for a batch every listed store committed. A crash mid-ingest
+    * leaves some stores holding a batch the manifest never acknowledged;
+    * [[s50CoordinationAudit]] names them as `ahead` (the replay-this-
+    * batch signal — every fold is a redelivery fixpoint, so rerunning
+    * s50 at the same id heals), and a store missing an acknowledged
+    * batch as `behind` (a mixed-generation restore — page someone).
+    * [[s50RequireCoordinated]] is the loud-fail wrapper.
+    * Scale shape: the folds' own documented costs; the manifest is
+    * O(stores) rows; the audit is pure filesystem listings.
+    */
+  def s50IngestAll(docs: DataFrame, vectors: DataFrame, media: DataFrame,
+                   stores: Map[String, String], manifestDir: String,
+                   batchId: Long, cents: DataFrame,
+                   cbook: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    val rows = stores.toSeq.sortBy(_._1).map { case (family, dir) =>
+      val n = family match {
+        case "hash" =>
+          s32UpsertIndexBatch(dir)(docs.select("doc_id", "text"), batchId)
+          docs.count()
+        case "cluster" =>
+          s43UpsertClusterBatch(dir)(docs.select("doc_id", "text"), batchId)
+          docs.count()
+        case "golden" =>
+          s48UpsertGoldenBatch(dir)(docs.select(
+            "doc_id", "text", "lang", "source", "n_chars"), batchId)
+          docs.count()
+        case "chunk" =>
+          s34UpsertChunkBatch(dir)(media, batchId)
+          media.count()
+        case "assign" =>
+          s35UpsertIvfBatch(cents, dir)(vectors, batchId)
+          vectors.count()
+        case "code" =>
+          s38UpsertPqBatch(cbook, dir)(vectors, batchId)
+          vectors.count()
+        case "graph" =>
+          s36UpsertGraphBatch(cents, dir)(vectors, batchId)
+          vectors.count()
+        case other => throw new IllegalArgumentException(
+          s"unknown store family '$other' " +
+            "(hash|chunk|assign|code|cluster|golden|graph)")
+      }
+      (family, dir, n)
+    }
+    // the COMMIT MARK: written after every fold above returned — a crash
+    // anywhere earlier leaves this batch unacknowledged (stores `ahead`)
+    import spark.implicits._
+    rows.toDF("family", "dir", "n_rows")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(manifestDir)
+    spark.catalog.refreshByPath(manifestDir)
+  }
+
+  /** The coordination audit: per listed store, its highest committed
+    * batch (primary-table partition listing) vs the manifest's highest
+    * acknowledged batch — `committed` when equal, `ahead` when the store
+    * holds unacknowledged work (replay the batch through [[s50IngestAll]];
+    * the folds are fixpoints), `behind` when the manifest acknowledges a
+    * batch the store lacks (a mixed-generation restore — loud).
+    */
+  def s50CoordinationAudit(spark: org.apache.spark.sql.SparkSession,
+                           manifestDir: String,
+                           stores: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val manifestMax = maxBatchIn(spark, manifestDir).getOrElse(-1L)
+    stores.toSeq.sortBy(_._1).map { case (family, dir) =>
+      val storeMax = maxBatchIn(spark, s"$dir/${familyTables(spark, dir, family).head._1}")
+        .getOrElse(-1L)
+      val status =
+        if (storeMax == manifestMax) "committed"
+        else if (storeMax > manifestMax) "ahead"
+        else "behind"
+      (family, dir, storeMax, manifestMax, status)
+    }.toDF("family", "dir", "store_max_batch", "manifest_max_batch", "status")
+      .orderBy("family")
+  }
+
+  /** Loud-fail wrapper over [[s50CoordinationAudit]]: every store must be
+    * `committed`; the message names the laggards and the recovery verb.
+    */
+  def s50RequireCoordinated(spark: org.apache.spark.sql.SparkSession,
+                            manifestDir: String,
+                            stores: Map[String, String]): Unit = {
+    val bad = s50CoordinationAudit(spark, manifestDir, stores)
+      .filter(col("status") =!= "committed")
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getString(4)}@${r.getLong(2)}")
+    require(bad.isEmpty,
+      s"stores out of coordination (manifest $manifestDir): " +
+        s"${bad.mkString(", ")} — 'ahead' heals by replaying the batch " +
+        "through s50IngestAll; 'behind' is a mixed-generation restore")
+  }
+
   // ===== p14 executor: the composed TAKEDOWN verb (r12 verdict item 4 —
   // ===== p13 sizes the blast radius; this EXECUTES it as one idempotent
   // ===== operation across every maintained store, then fscks them all).

@@ -313,14 +313,16 @@ class MultimodalSpec extends SparkSpec {
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 17 + 3) % 256).toByte)
     // every row a different filter type (and one repeat): the decode must
     // INVERT each transform exactly, or pixels diverge from the input
-    val png = Multimodal.PngCodec.encode(w, h, rgb, r => r % 5, Some("meta"))
+    val png = Multimodal.PngCodec.encode(w, h, rgb, r => r % 5,
+      Seq("note" -> "meta"))
     val (dw, dh, out) = Multimodal.PngCodec.decodeRgb(png)
     assert((dw, dh) === ((w, h)))
     assert(out.toSeq === rgb.toSeq,
       "unfiltered raster must equal the encoded input byte-for-byte")
     // filters genuinely change the at-rest scanlines: an all-None encode
     // of the same pixels produces DIFFERENT compressed bytes
-    val pngNone = Multimodal.PngCodec.encode(w, h, rgb, _ => 0, Some("meta"))
+    val pngNone = Multimodal.PngCodec.encode(w, h, rgb, _ => 0,
+      Seq("note" -> "meta"))
     assert(!java.util.Arrays.equals(png, pngNone),
       "the fixture's filter variety must be present at rest")
     assert(Multimodal.PngCodec.decodeRgb(pngNone)._3.toSeq === rgb.toSeq)

@@ -97,7 +97,7 @@ class RobustnessSpec extends SparkSpec {
       Array.tabulate(36)(i => (40 + i).toByte), Some(" c "))
     val validWav = Multimodal.WavCodec.encode(Array(5, -5, 700, -700), junkChunk = true)
     val validPng = Multimodal.PngCodec.encode(4, 5,
-      Array.tabulate(60)(i => (i * 3 + 7).toByte), r => r % 5, Some("t"))
+      Array.tabulate(60)(i => (i * 3 + 7).toByte), r => r % 5, Seq("k" -> "t"))
     def fuzzOne(decode: Array[Byte] => Any, payload: Array[Byte]): Unit =
       try { decode(payload); () } catch {
         case _: IllegalArgumentException => () // the contract

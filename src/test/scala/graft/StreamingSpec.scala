@@ -1784,6 +1784,20 @@ class StreamingSpec extends SparkSpec {
     StreamOps.s48UpsertGoldenBatch(dir)(Seq(corrected).toDF(cols: _*), 4L)
     check((live2 ++ thirds(2L)) :+ corrected,
       "a re-admitted doc's corrected attributes must drive the election")
+    // the golden table time-travels with the rest of the store: as-of the
+    // increment batch (before the re-admission) serves yesterday's
+    // elections from the live runs, and as-of a PRE-compaction batch
+    // resolves through the retained generation
+    val wantAsOf3 = rebuildGolden(live2 ++ thirds(2L))
+    val gotAsOf3 = StreamOps.s48Golden(spark, dir, Some(3L))
+    assert(gotAsOf3.exceptAll(wantAsOf3).isEmpty &&
+        wantAsOf3.exceptAll(gotAsOf3).isEmpty,
+      "golden as-of must serve the election as it stood at that batch")
+    val wantAsOf1 = rebuildGolden(after01)
+    val gotAsOf1 = StreamOps.s48Golden(spark, dir, Some(1L))
+    assert(gotAsOf1.exceptAll(wantAsOf1).isEmpty &&
+        wantAsOf1.exceptAll(gotAsOf1).isEmpty,
+      "golden as-of below the stamp must resolve through the retained generation")
   }
 
   test("p14 takedown executor: one idempotent operation purges every store, fscks green, reports per-store counts; re-run is a no-op") {
@@ -1947,6 +1961,98 @@ class StreamingSpec extends SparkSpec {
         StreamOps.s43Clusters(spark, gsrc)),
       "the golden clone must serve the source's clusters row-identically")
     StreamOps.s46RequireHealthy(spark, gdst, "golden")
+  }
+
+  test("s50 coordinated ingest: one batch lands in every store with a commit manifest; crash-lag is named and heals by replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, min}
+    val Sim = graft.queries.Similarity
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val media = graft.operators.Multimodal.fixtureFromDocuments(spark, sf)
+      .toDF().select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val cbook = Sim.pqCodebook(spark, sf).localCheckpoint()
+    val stores = Map(
+      "hash"   -> tmp("s50_hash"),
+      "chunk"  -> tmp("s50_chunk"),
+      "assign" -> tmp("s50_assign"),
+      "code"   -> tmp("s50_code"),
+      "graph"  -> tmp("s50_graph"),
+      "golden" -> tmp("s50_golden"))
+    val manifest = tmp("s50_manifest") + "/manifest"
+    val dcols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val (d1, d2) = docs.partition(_._1 % 2 == 0)
+    val (v1, v2) = vecs.partition(_._1 % 2 == 0)
+    val (m1, m2) = media.partition(_._1 % 2 == 0)
+    def ingest(ds: Seq[(Long, String, String, String, Long)],
+               vs: Seq[(Long, Array[Float])],
+               ms: Seq[(Long, Array[Byte])], b: Long): Unit =
+      StreamOps.s50IngestAll(ds.toDF(dcols: _*),
+        vs.toDF("vec_id", "embedding"), ms.toDF("media_id", "payload"),
+        stores, manifest, b, cents, cbook)
+    ingest(d1, v1, m1, 0L)
+    StreamOps.s50RequireCoordinated(spark, manifest, stores)
+    // every store serves exactly its family's fold of the ingested slice
+    val wantHash = d1.toSeq.toDF(dcols: _*)
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(StreamOps.s32HashIndex(spark, stores("hash")), wantHash))
+    assert(StreamOps.s35Assignment(spark, stores("assign")).count()
+      === v1.length.toLong)
+    // CRASH-LAG: batch 1 lands in ONE store only (the mid-ingest crash);
+    // the audit names it `ahead`, everyone else `committed`
+    StreamOps.s32UpsertIndexBatch(stores("hash"))(
+      d2.toSeq.toDF(dcols: _*).select("doc_id", "text"), 1L)
+    val lag = StreamOps.s50CoordinationAudit(spark, manifest, stores)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(lag("hash") === "ahead", lag.toString)
+    assert(lag.filterNot(_._1 == "hash").values.forall(_ == "committed"))
+    intercept[IllegalArgumentException] {
+      StreamOps.s50RequireCoordinated(spark, manifest, stores)
+    }
+    // recovery is mechanical: replay the WHOLE batch through s50 — the
+    // already-landed store's fold is a redelivery fixpoint
+    ingest(d2, v2, m2, 1L)
+    StreamOps.s50RequireCoordinated(spark, manifest, stores)
+    val wantHashAll = docs.toSeq.toDF(dcols: _*)
+      .withColumn("th", expr(graft.functions.TextHash.sparkHash56("text")))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    assert(same(StreamOps.s32HashIndex(spark, stores("hash")), wantHashAll),
+      "the healed store must serve the full-corpus fold")
+    assert(same(StreamOps.s48Golden(spark, stores("golden")), {
+      val Dd = graft.queries.Dedup
+      val liveDf = docs.toSeq.toDF(dcols: _*).localCheckpoint()
+      Dd.goldenRecordsOf(
+        Dd.clusterTableOf(liveDf.select("doc_id"),
+            Dd.candidatePairsPlan(Dd.bandTableOf(
+              liveDf.select("doc_id", "text")).localCheckpoint()))
+          .join(liveDf.select("doc_id", "lang", "source", "n_chars"),
+            "doc_id"))
+    }), "coordinated increments must equal the golden rebuild")
+    // BEHIND: a manifest acknowledging a batch no store has (the
+    // mixed-generation restore) is loud
+    Seq(("hash", stores("hash"), 0L)).toDF("family", "dir", "n_rows")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(9L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(manifest)
+    spark.catalog.refreshByPath(manifest)
+    val behind = StreamOps.s50CoordinationAudit(spark, manifest, stores)
+      .collect().map(r => r.getString(4)).distinct
+    assert(behind.toSeq === Seq("behind"), behind.mkString(","))
+    intercept[IllegalArgumentException] {
+      StreamOps.s50RequireCoordinated(spark, manifest, stores)
+    }
   }
 
   test("s42 codebook-staleness monitor: a drifted batch trends below the build baseline; retrained-codebook handoff equals the batch re-assignment") {
