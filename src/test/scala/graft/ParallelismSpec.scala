@@ -79,7 +79,12 @@ class ParallelismSpec extends SparkSpec {
     // pairs through two joins whose build sides re-partition; p14's
     // cluster fold re-derives the retained components under the active
     // layout (memo cleared per run).
-    "p15_curation_funnel", "d34_source_overlap", "p14_takedown_execute")
+    "p15_curation_funnel", "d34_source_overlap", "p14_takedown_execute",
+    // the governance wave: t48's first-occurrence attribution and d35's
+    // survivor shares fold partial mins/sums whose merge order varies
+    // with layout; n33's histogram buckets exact doubles computed from
+    // partition-built fetch joins.
+    "t48_source_novelty", "d35_dedup_bias", "n33_cos_histogram")
 
   private def runClean(name: String): Seq[Seq[String]] = {
     // the dedup + graph-ANN suites memoize their index tables — clear so

@@ -383,6 +383,36 @@ class ScaleInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("t48/d35/n33 governance reports at sf0.1: shares close, bounds hold") {
+    // t48: novelty is a share (≤ 10000 bp) and the novel counts cover
+    // every distinct shingle exactly once across sources
+    val t = graft.queries.TextOps.t48SourceNovelty(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    t.foreach { case (src, nsh, nnov, bp) =>
+      assert(nnov <= nsh && bp <= 10000, s"$src: novelty bounds")
+    }
+    assert(t.map(_._3).sum > 0, "someone introduces content")
+    // d35: before-shares and after-shares each sum to ~10000 bp (integer
+    // truncation can only lose < #cells bp), and the deltas sum to ~0
+    val d = graft.queries.Dedup.d35DedupBias(spark, sf01).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6)))
+    val cells = d.length
+    assert(math.abs(d.map(_._1).sum - 10000L) < cells.toLong)
+    assert(math.abs(d.map(_._2).sum - 10000L) < cells.toLong)
+    assert(math.abs(d.map(_._3).sum) < 2L * cells,
+      "share deltas must net out to ~zero")
+    assert(d.exists(_._3 != 0L), "dedup must genuinely shift some cell at 10x")
+    // n33: buckets in range, shares close, and the distribution is not
+    // degenerate (more than one occupied cell)
+    val n = graft.queries.Similarity.n33CosHistogram(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    n.foreach { case (b, cnt, bp) =>
+      assert(b >= 0 && b <= 19 && cnt > 0 && bp <= 10000)
+    }
+    assert(n.length >= 2, "a real embedding corpus spreads over buckets")
+    assert(math.abs(n.map(_._3).sum - 10000L) < n.length.toLong)
+  }
+
   test("p14 takedown report at sf0.1: the state accounting closes across families") {
     val r = graft.queries.Dedup.p14TakedownExecuteReport(spark, sf01).head()
     val (docsLive, hashLive, vecsLive) =
