@@ -67,6 +67,16 @@ object ReadGuard {
     * the plain read. Columns absent from some runs read as null there
     * (the additive-evolution tolerance, unchanged).
     */
+  /** Schema-decision memo: (path, run-name set) → widened schema, or None
+    * for the plain-read fast path. Runs change only when a batch lands or
+    * a compaction rewrites — between those events every serve read of the
+    * table would otherwise pay one footer read PER RUN just to rediscover
+    * that nothing evolved. The run-name key self-invalidates on any run
+    * change; bounded by the number of live store tables in the JVM.
+    */
+  private val runSchemaMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), Option[StructType]]
+
   def readRuns(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -75,15 +85,23 @@ object ReadGuard {
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch_id=")).sorted
     if (runs.isEmpty) return spark.read.parquet(path)
-    val schemas = runs.map(r => spark.read.parquet(s"$path/$r").schema)
-    if (schemas.distinct.size == 1) return spark.read.parquet(path)
-    val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    for (sch <- schemas; f <- sch.fields)
-      fields(f.name) = fields.get(f.name)
-        .map(widen(path, f.name, _, f.dataType)).getOrElse(f.dataType)
-    val widened = StructType(
-      fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq
-        :+ StructField("batch_id", LongType, nullable = true))
-    spark.read.schema(widened).parquet(path)
+    val decision = runSchemaMemo.getOrElseUpdate((path, runs), {
+      val schemas = runs.map(r => spark.read.parquet(s"$path/$r").schema)
+      if (schemas.distinct.size == 1) None
+      else {
+        val fields =
+          scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+        for (sch <- schemas; f <- sch.fields)
+          fields(f.name) = fields.get(f.name)
+            .map(widen(path, f.name, _, f.dataType)).getOrElse(f.dataType)
+        Some(StructType(
+          fields.map { case (n, t) => StructField(n, t, nullable = true) }
+            .toSeq :+ StructField("batch_id", LongType, nullable = true)))
+      }
+    })
+    decision match {
+      case None          => spark.read.parquet(path)
+      case Some(widened) => spark.read.schema(widened).parquet(path)
+    }
   }
 }

@@ -809,10 +809,15 @@ object StreamOps {
     * file records the folded-through id, which [[requireFreshBatch]]
     * enforces against stale replays.
     *
-    * A table whose folded view is EMPTY (every row tombstoned) keeps its
-    * raw runs instead of being rewritten: a zero-row partitioned write
-    * leaves no parquet footer to read schema from, and the serve-side
-    * batch mask already yields the correct empty view.
+    * A DATA table whose folded view is EMPTY (every row tombstoned)
+    * cannot be rewritten as a zero-row base (no parquet footer to read
+    * schema from) — its RAW rows restamp to the base id instead: they
+    * stay masked (data at the stamp never outranks a tombstone at the
+    * stamp) and the table stays readable with one at-stamp run. A SPENT
+    * tombstone table (every tombstoned id re-admitted) is the dual: it
+    * carries no remaining information and is archived without a rewrite
+    * — readers treat a missing `deleted` as mask-free, which is exactly
+    * right once the data folds dropped the pre-delete rows.
     *
     * RETENTION (r12 verdict item 3 — "as-of history dies at compaction"):
     * instead of destroying the pre-compaction runs, compaction RENAMES
@@ -838,7 +843,28 @@ object StreamOps {
     val all = tables.map(_._1) :+ "deleted"
     all.flatMap(t => maxBatchIn(spark, s"$dir/$t"))
       .reduceOption(_ max _)
+      // RE-ENTRANCY guard: a compaction that would fold through the batch
+      // the stamp already records has nothing to do — proceeding would
+      // re-archive into the EXISTING gen_<stamp> (nesting the table dirs
+      // under rename-into-directory semantics) and overwrite that
+      // generation's own stamp with the current one, silently narrowing
+      // the retained as-of window. A scheduled compaction firing twice,
+      // or an operator retry, must be a no-op.
+      .filter(maxBatch => !readCompactionStamp(spark, dir).contains(maxBatch))
       .foreach { maxBatch =>
+        // crashed-compaction detector: a COMPLETED compaction always ends
+        // with stamp == newest generation id, so a generation NEWER than
+        // the stamp means a previous run died between archiving and
+        // stamping — some table's live dir may be missing (its runs are
+        // safe inside that generation). Folding on top of that state
+        // would silently misread the store (the dead-id fold treats a
+        // missing primary as "no presence"); restore first, loudly.
+        retainedGenerations(spark, dir).headOption.foreach { g =>
+          require(readCompactionStamp(spark, dir).exists(_ >= g),
+            s"store $dir holds generation gen_$g newer than its stamp — a " +
+              "compaction crashed mid-archive; restore the live tables " +
+              s"from gen_$g (rename them back) before compacting again")
+        }
         val withDeleted = tables ++
           (if (pathExists(spark, deletedPath(dir)))
              Seq("deleted" -> (() =>
@@ -847,41 +873,72 @@ object StreamOps {
         // 1. fold EVERY table first, materialized: the folds read each
         // other's raw runs (the dead-id fold reads the primary table), so
         // no directory may move or be overwritten while any fold is lazy.
+        // Empty folds split two ways: a spent tombstone table (every
+        // tombstoned id re-admitted) carries no information and is
+        // archived WITHOUT a rewrite (readers treat a missing `deleted`
+        // as mask-free — correct, the data folds already dropped the
+        // pre-delete rows); an all-masked DATA table must stay readable,
+        // so its RAW rows restamp to the base id — they stay masked,
+        // because data at the stamp never outranks a tombstone at the
+        // stamp, and the single at-stamp run keeps the stale-run fsck
+        // clean (the old keep-raw-runs behavior tripped it).
         val folded: Seq[(String, Option[DataFrame])] =
           withDeleted.map { case (t, fold) =>
             if (!pathExists(spark, s"$dir/$t")) (t, None)
-            else (t, Some(fold().withColumn("batch_id", lit(maxBatch))
-              .localCheckpoint()))
-          }
-        // 2. archive the pre-compaction generation (rename; copy only the
-        // empty-fold tables that must also stay live), carrying the PRIOR
-        // stamp so as-of resolution knows how far back the gen reaches.
-        if (retain > 0) {
-          val conf = spark.sessionState.newHadoopConf()
-          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-          val genDir = s"$dir/_history/gen_$maxBatch"
-          fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
-          folded.foreach { case (t, baseOpt) =>
-            val src = new org.apache.hadoop.fs.Path(s"$dir/$t")
-            if (fs.exists(src)) {
-              val dst = new org.apache.hadoop.fs.Path(s"$genDir/$t")
-              if (baseOpt.exists(!_.isEmpty)) fs.rename(src, dst)
-              else org.apache.hadoop.fs.FileUtil.copy(
-                fs, src, fs, dst, false, conf)
+            else {
+              val served = fold().withColumn("batch_id", lit(maxBatch))
+                .localCheckpoint()
+              if (!served.isEmpty || t == "deleted") (t, Some(served))
+              else (t, Some(
+                graft.sources.ReadGuard.readRuns(spark, s"$dir/$t")
+                  .drop("batch_id").withColumn("batch_id", lit(maxBatch))
+                  .localCheckpoint()))
             }
           }
+        // 2+3. archive + rewrite PER TABLE (rename the pre-compaction runs
+        // into the generation, then immediately write that table's folded
+        // base) so a crash mid-compaction leaves at most ONE table whose
+        // live dir is missing — and its data safe in the generation. A
+        // re-run after such a crash fails LOUDLY (the detector above sees
+        // the generation outrunning the stamp), never silently serves a
+        // half-compacted store. The generation's stamp (its as-of
+        // coverage floor — the PRIOR stamp) is written BEFORE any move so
+        // a partial archive still resolves. Every rename/copy's boolean
+        // result is checked: object-store connectors report many failure
+        // modes by returning false, and an unarchived table must never be
+        // silently overwritten.
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val genDir = s"$dir/_history/gen_$maxBatch"
+        if (retain > 0) {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
           readCompactionStamp(spark, dir)
             .foreach(prior => writeCompactionStamp(spark, genDir, prior))
-          pruneGenerations(spark, dir, retain)
         }
-        // 3. write the folded bases and the new stamp.
-        folded.foreach {
-          case (t, Some(base)) if !base.isEmpty =>
-            base.write.mode("overwrite").partitionBy("batch_id")
-              .parquet(s"$dir/$t")
+        folded.foreach { case (t, baseOpt) =>
+          val src = new org.apache.hadoop.fs.Path(s"$dir/$t")
+          if (fs.exists(src)) {
+            if (retain > 0) {
+              val dst = new org.apache.hadoop.fs.Path(s"$genDir/$t")
+              require(fs.rename(src, dst),
+                s"compaction of $dir: archiving $t into $genDir FAILED " +
+                  "(rename returned false) — refusing to overwrite the " +
+                  "unarchived runs")
+            }
+            baseOpt match {
+              case Some(base) if !base.isEmpty =>
+                base.write.mode("overwrite").partitionBy("batch_id")
+                  .parquet(s"$dir/$t")
+              case _ =>
+                // spent tombstones: nothing to rewrite — with no history
+                // the live dir must still go (stale runs below the new
+                // stamp would otherwise trip the fsck)
+                if (retain == 0) fs.delete(src, true)
+            }
             spark.catalog.refreshByPath(s"$dir/$t")
-          case _ => ()
+          }
         }
+        if (retain > 0) pruneGenerations(spark, dir, retain)
         writeCompactionStamp(spark, dir, maxBatch)
       }
   }
@@ -1700,11 +1757,13 @@ object StreamOps {
     * live store: the carried stamp makes the s41 fence refuse stale
     * replays at the same boundary as the source, and upserts/deletes/
     * compactions continue from the stamp exactly as they would have on
-    * the source. Like compaction, an all-tombstoned (empty-fold) table is
-    * skipped rather than written (the zero-row-footer trap); unlike
-    * compaction nothing is archived — an export IS the archive.
-    * Cost: one serve-fold scan per table, written once — the same work a
-    * compaction pays, against a different root.
+    * the source. Empty folds follow compaction's discipline: an
+    * all-masked DATA table exports its RAW rows restamped to the base id
+    * (readable, still masked, fsck-clean), and a SPENT tombstone table
+    * (every tombstoned id re-admitted) is simply absent on the clone —
+    * mask-free is correct once the data folds dropped the pre-delete
+    * rows. Cost: one serve-fold scan per table, written once — the same
+    * work a compaction pays, against a different root.
     */
   def s49ExportStore(spark: org.apache.spark.sql.SparkSession,
                      srcDir: String, dstDir: String, family: String): Unit = {
@@ -1721,12 +1780,20 @@ object StreamOps {
            else Nil)
         withDeleted.foreach { case (t, fold) =>
           if (pathExists(spark, s"$srcDir/$t")) {
-            val base = fold().withColumn("batch_id", lit(maxBatch))
+            val served = fold().withColumn("batch_id", lit(maxBatch))
               .localCheckpoint()
+            val base =
+              if (!served.isEmpty || t == "deleted") served
+              else
+                // all-masked data table: export the raw rows restamped to
+                // the base id — readable on the clone, still masked
+                graft.sources.ReadGuard.readRuns(spark, s"$srcDir/$t")
+                  .drop("batch_id").withColumn("batch_id", lit(maxBatch))
+                  .localCheckpoint()
             if (!base.isEmpty) {
               base.write.mode("errorifexists").partitionBy("batch_id")
                 .parquet(s"$dstDir/$t")
-            }
+            } // spent tombstones: absent on the clone (mask-free, correct)
           }
         }
         writeCompactionStamp(spark, dstDir, maxBatch)
@@ -1758,30 +1825,35 @@ object StreamOps {
                    cbook: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
+    // one count per MODALITY, not per family (hash/cluster/golden would
+    // otherwise re-scan docs three times on top of the folds' own scans)
+    lazy val nDocs = docs.count()
+    lazy val nVecs = vectors.count()
+    lazy val nMedia = media.count()
     val rows = stores.toSeq.sortBy(_._1).map { case (family, dir) =>
       val n = family match {
         case "hash" =>
           s32UpsertIndexBatch(dir)(docs.select("doc_id", "text"), batchId)
-          docs.count()
+          nDocs
         case "cluster" =>
           s43UpsertClusterBatch(dir)(docs.select("doc_id", "text"), batchId)
-          docs.count()
+          nDocs
         case "golden" =>
           s48UpsertGoldenBatch(dir)(docs.select(
             "doc_id", "text", "lang", "source", "n_chars"), batchId)
-          docs.count()
+          nDocs
         case "chunk" =>
           s34UpsertChunkBatch(dir)(media, batchId)
-          media.count()
+          nMedia
         case "assign" =>
           s35UpsertIvfBatch(cents, dir)(vectors, batchId)
-          vectors.count()
+          nVecs
         case "code" =>
           s38UpsertPqBatch(cbook, dir)(vectors, batchId)
-          vectors.count()
+          nVecs
         case "graph" =>
           s36UpsertGraphBatch(cents, dir)(vectors, batchId)
-          vectors.count()
+          nVecs
         case other => throw new IllegalArgumentException(
           s"unknown store family '$other' " +
             "(hash|chunk|assign|code|cluster|golden|graph)")
@@ -1802,25 +1874,38 @@ object StreamOps {
 
   /** The coordination audit: per listed store, its highest committed
     * batch (primary-table partition listing) vs the manifest's highest
-    * acknowledged batch — `committed` when equal, `ahead` when the store
-    * holds unacknowledged work (replay the batch through [[s50IngestAll]];
-    * the folds are fixpoints), `behind` when the manifest acknowledges a
-    * batch the store lacks (a mixed-generation restore — loud).
+    * batch that acknowledged THAT family WITH ROWS — `committed` when
+    * equal, `ahead` when the store holds unacknowledged work (replay the
+    * batch through [[s50IngestAll]]; the folds are fixpoints), `behind`
+    * when the manifest acknowledges a batch the store lacks (a
+    * mixed-generation restore — loud). Per-family with the n_rows > 0
+    * filter, NOT the manifest's global max: the upsert folds skip an
+    * empty batch entirely (no `batch_id=N` partition lands), so a
+    * modality with zero rows in a batch — routine in real ingest — must
+    * not read as a permanently-`behind` store.
     */
   def s50CoordinationAudit(spark: org.apache.spark.sql.SparkSession,
                            manifestDir: String,
                            stores: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val manifestMax = maxBatchIn(spark, manifestDir).getOrElse(-1L)
+    val expected: Map[String, Long] =
+      if (!pathExists(spark, manifestDir)) Map.empty
+      else spark.read.parquet(manifestDir)
+        .filter(col("n_rows") > 0)
+        .groupBy("family")
+        .agg(max(col("batch_id").cast("long")).as("mb"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     stores.toSeq.sortBy(_._1).map { case (family, dir) =>
-      val storeMax = maxBatchIn(spark, s"$dir/${familyTables(spark, dir, family).head._1}")
-        .getOrElse(-1L)
+      val storeMax =
+        maxBatchIn(spark, s"$dir/${familyTables(spark, dir, family).head._1}")
+          .getOrElse(-1L)
+      val ackMax = expected.getOrElse(family, -1L)
       val status =
-        if (storeMax == manifestMax) "committed"
-        else if (storeMax > manifestMax) "ahead"
+        if (storeMax == ackMax) "committed"
+        else if (storeMax > ackMax) "ahead"
         else "behind"
-      (family, dir, storeMax, manifestMax, status)
+      (family, dir, storeMax, ackMax, status)
     }.toDF("family", "dir", "store_max_batch", "manifest_max_batch", "status")
       .orderBy("family")
   }
@@ -1897,25 +1982,12 @@ object StreamOps {
     val victims = ids.select(col(ids.columns.head).cast("long").as("id"))
       .distinct().localCheckpoint()
     val rows = stores.toSeq.sortBy(_._1).map { case (family, dir) =>
-      val (idCol, servedIds) = family match {
-        case "hash" =>
-          ("doc_id", s32HashRows(spark, dir).select("doc_id").distinct())
-        case "chunk" =>
-          ("media_id", s34ChunkRows(spark, dir).select("media_id").distinct())
-        case "assign" =>
-          ("vec_id", s35Assignment(spark, dir).select("vec_id"))
-        case "code" =>
-          ("vec_id", s38Codes(spark, dir).select("vec_id").distinct())
-        case "graph" =>
-          ("vec_id", s36Vectors(spark, dir).select("vec_id"))
-        case "cluster" =>
-          ("doc_id", s43Clusters(spark, dir).select("doc_id"))
-        case "golden" =>
-          ("doc_id", s43Clusters(spark, dir).select("doc_id"))
-        case other => throw new IllegalArgumentException(
-          s"unknown store family '$other' " +
-            "(hash|chunk|assign|code|cluster|golden|graph)")
-      }
+      // the registry is the single source for the id column and the
+      // served-presence fold (its head table — the one every upsert of an
+      // id writes), so a new family cannot be missed by takedowns
+      val idCol = familyIdCol(family)
+      val servedIds = familyTables(spark, dir, family).head._2()
+        .select(idCol).distinct()
       val vicAsId = victims.withColumnRenamed("id", idCol)
       val present = servedIds
         .join(broadcast(vicAsId), Seq(idCol), "left_semi").count()

@@ -1961,6 +1961,17 @@ class StreamingSpec extends SparkSpec {
         StreamOps.s43Clusters(spark, gsrc)),
       "the golden clone must serve the source's clusters row-identically")
     StreamOps.s46RequireHealthy(spark, gdst, "golden")
+    // ALL-TOMBSTONED export: the empty-fold tables must still reach the
+    // clone (raw runs carry over; the batch mask serves the same empty
+    // view) — a clone with a missing table dir would crash every reader
+    val esrc = tmp("s49_empty_src"); val edst = tmp("s49_empty_dst") + "/c"
+    val few = docs.take(4)
+    StreamOps.s32UpsertIndexBatch(esrc)(few.toSeq.toDF("doc_id", "text"), 0L)
+    StreamOps.s32DeleteBatch(esrc)(few.map(_._1).toSeq.toDF("doc_id"), 1L)
+    StreamOps.s49ExportStore(spark, esrc, edst, "hash")
+    assert(StreamOps.s32HashIndex(spark, edst).count() === 0L,
+      "the clone of an all-tombstoned store serves the empty view")
+    StreamOps.s46RequireHealthy(spark, edst, "hash")
   }
 
   test("s50 coordinated ingest: one batch lands in every store with a commit manifest; crash-lag is named and heals by replay") {
@@ -2039,9 +2050,20 @@ class StreamingSpec extends SparkSpec {
           .join(liveDf.select("doc_id", "lang", "source", "n_chars"),
             "doc_id"))
     }), "coordinated increments must equal the golden rebuild")
-    // BEHIND: a manifest acknowledging a batch no store has (the
-    // mixed-generation restore) is loud
-    Seq(("hash", stores("hash"), 0L)).toDF("family", "dir", "n_rows")
+    // EMPTY-MODALITY batch: media has zero rows — the chunk fold skips
+    // the batch entirely, and the audit must NOT read that as 'behind'
+    // (the manifest acknowledges per family only where rows landed)
+    val fresh = Seq((777001L, "s50 empty-modality doc", "en", "srcx", 22L))
+    val freshVec = Seq((777001L, vecs.head._2))
+    StreamOps.s50IngestAll(fresh.toDF(dcols: _*),
+      freshVec.toDF("vec_id", "embedding"),
+      spark.emptyDataset[(Long, Array[Byte])].toDF("media_id", "payload"),
+      stores, manifest, 2L, cents, cbook)
+    StreamOps.s50RequireCoordinated(spark, manifest, stores)
+    // BEHIND: a manifest acknowledging (with rows) a batch no store has
+    // (the mixed-generation restore) is loud for exactly those families
+    stores.keys.toSeq.sorted.map(f => (f, stores(f), 5L))
+      .toDF("family", "dir", "n_rows")
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(9L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -2379,6 +2401,19 @@ class StreamingSpec extends SparkSpec {
     assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)),
         hashOf(h1 ++ h2)),
       "inside the window, history still serves after pruning")
+    // RE-ENTRANCY: compacting again with no new batches is a NO-OP — a
+    // scheduled compaction firing twice must not re-archive into the
+    // existing generation or clobber its stamp (which would narrow the
+    // as-of window this suite just proved)
+    StreamOps.s32CompactStore(spark, dir)
+    assert(StreamOps.retainedGenerations(spark, dir) === Seq(3L, 2L),
+      "a no-new-batches compaction must not touch the generations")
+    assert(same(StreamOps.s32HashIndex(spark, dir, Some(1L)),
+        hashOf(h1 ++ h2)),
+      "the retained window must survive a redundant compaction")
+    assert(same(StreamOps.s32HashIndex(spark, dir),
+        hashOf((h1 ++ h2) ++ f2 ++ f3)),
+      "the served view must survive a redundant compaction")
   }
 
   test("s47 store stats: run counts, raw-vs-served gap and read amplification track the lifecycle; compaction resets them") {
