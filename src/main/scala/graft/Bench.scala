@@ -121,8 +121,12 @@ object Bench {
     val canariesJson = timeline
       .map { case (at, v) => s"""{"after_queries":$at,"sec":$v}""" }
       .mkString("[", ",", "]")
+    // value_canary_norm FIRST (r13 verdict item 8): the driver's tail
+    // capture truncates from the FRONT of long lines last — the headline
+    // the round-over-round comparison needs is the normalized number, so
+    // it leads; the raw total stays for same-box reads.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_canary_norm":$totalNorm,"canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value_canary_norm":$totalNorm,"value":$total,"unit":"sec","canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -164,7 +168,7 @@ object Bench {
     // only min(pre, post) hid that r07 STARTED 2.2x loaded — a reader of
     // the driver artifact saw "quiet box" attached to a noisy total.
     def line(n: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_canary_norm":${fmt(totalNorm)},"sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value_canary_norm":${fmt(totalNorm)},"value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)

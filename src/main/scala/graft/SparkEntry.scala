@@ -62,7 +62,11 @@ object SparkEntry {
         "m18_png_decode" ->
           ((s: SparkSession, d: String) => graft.operators.Multimodal.m18PngDecode(s, d)),
         "m19_png_metadata" ->
-          ((s: SparkSession, d: String) => graft.operators.Multimodal.m19PngMetadata(s, d)))
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m19PngMetadata(s, d)),
+        "m20_wav_spectral" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m20WavSpectral(s, d)),
+        "m21_wav_frames" ->
+          ((s: SparkSession, d: String) => graft.operators.Multimodal.m21WavFrames(s, d)))
 
   /** The m01/m14 feature oracle: every feature recomputed from the
     * content FORMULAS the real fixtures encode, including the exact
@@ -422,6 +426,77 @@ object SparkEntry {
              |       CAST(SUM(b * b) AS BIGINT) AS sum_sq_block,
              |       CAST(SUM((j + 1) * b) AS BIGINT) AS checksum
              |FROM blk GROUP BY media_id ORDER BY media_id""".stripMargin
+        },
+        // m20: the SAME integer Goertzel recurrence run per sample by a
+        // recursive CTE over the fixture's sample formula — twiddles are
+        // the five integral 2cos(ω) values, so both engines compute in
+        // exact 64-bit integers (no fixed-point scaling, no floor-vs-
+        // truncate division discipline); a match proves per-sample,
+        // in-order recurrence equality
+        "m20_wav_spectral" -> {
+          val n = graft.operators.Multimodal.WavSamples
+          val nk = graft.operators.Multimodal.GoertzelCoefs.length
+          s"""WITH RECURSIVE steps AS (
+             |  SELECT doc_id AS media_id, k, 0 AS i,
+             |         CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nk - 1})) AS k) kk
+             |  UNION ALL
+             |  SELECT media_id, k, i + 1,
+             |         (((media_id * 7919 + i * (3 + media_id % 17)) % 2001) - 1000)
+             |           + (2 - k) * s1 - s2,
+             |         s1
+             |  FROM steps WHERE i < $n),
+             |fin AS (
+             |  SELECT media_id, k,
+             |         s1 * s1 + s2 * s2 - (2 - k) * s1 * s2 AS power
+             |  FROM steps WHERE i = $n),
+             |ranked AS (
+             |  SELECT media_id, k, power,
+             |         row_number() OVER (PARTITION BY media_id
+             |                            ORDER BY power DESC, k ASC) AS rn
+             |  FROM fin)
+             |SELECT media_id, CAST(k AS BIGINT) AS bin,
+             |       CAST(2 - k AS BIGINT) AS coef,
+             |       CAST(power AS BIGINT) AS power,
+             |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)
+             |         AS is_dominant
+             |FROM ranked ORDER BY media_id, bin""".stripMargin
+        },
+        // m21: the per-FRAME recurrence — the recursive CTE restarts its
+        // state at every frame boundary (i is frame-local), so a match
+        // proves segmentation AND per-frame recurrence equality
+        "m21_wav_frames" -> {
+          val fl = graft.operators.Multimodal.FrameLen
+          val nf = graft.operators.Multimodal.WavSamples / fl
+          val nk = graft.operators.Multimodal.GoertzelCoefs.length
+          s"""WITH RECURSIVE steps AS (
+             |  SELECT doc_id AS media_id, f, k, 0 AS i,
+             |         CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+             |  FROM documents,
+             |       (SELECT unnest(generate_series(0, ${nf - 1})) AS f) ff,
+             |       (SELECT unnest(generate_series(0, ${nk - 1})) AS k) kk
+             |  UNION ALL
+             |  SELECT media_id, f, k, i + 1,
+             |         (((media_id * 7919 + (f * $fl + i) * (3 + media_id % 17)) % 2001) - 1000)
+             |           + (2 - k) * s1 - s2,
+             |         s1
+             |  FROM steps WHERE i < $fl),
+             |fin AS (
+             |  SELECT media_id, f, k,
+             |         s1 * s1 + s2 * s2 - (2 - k) * s1 * s2 AS power
+             |  FROM steps WHERE i = $fl),
+             |ranked AS (
+             |  SELECT media_id, f, k, power,
+             |         row_number() OVER (PARTITION BY media_id, f
+             |                            ORDER BY power DESC, k ASC) AS rn
+             |  FROM fin)
+             |SELECT media_id, CAST(f AS BIGINT) AS frame,
+             |       CAST(k AS BIGINT) AS bin,
+             |       CAST(power AS BIGINT) AS power,
+             |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)
+             |         AS is_dominant
+             |FROM ranked ORDER BY media_id, frame, bin""".stripMargin
         },
         // m12: per-frame hashes recomputed from the cell formula each
         // frame's pixels encode (frame f = jitter prefix f//2 on base

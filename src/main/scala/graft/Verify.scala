@@ -61,9 +61,14 @@ object Verify {
 
     val progressPath = Paths.get(s"$outDir/verify_progress.jsonl")
     Files.deleteIfExists(progressPath)
-    def progress(name: String, status: String, detail: String, ms: Long): Unit = {
+    def progress(name: String, status: String, detail: String, ms: Long,
+                 rows: Long): Unit = {
+      // `rows` = dumped row count, read back from the just-written parquet
+      // footer statistics (r13 verdict item 1: a comparator can
+      // sanity-check row counts from the jsonl alone, without re-reading
+      // the result parquet). -1 on failure.
       val line = s"{${jsonStr("query")}: ${jsonStr(name)}, ${jsonStr("status")}: ${jsonStr(status)}, " +
-        s"${jsonStr("detail")}: ${jsonStr(detail)}, ${jsonStr("ms")}: $ms}\n"
+        s"${jsonStr("detail")}: ${jsonStr(detail)}, ${jsonStr("ms")}: $ms, ${jsonStr("rows")}: $rows}\n"
       // Open-append-close per line: the file is always a parseable prefix.
       Files.writeString(progressPath, line,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -76,15 +81,16 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
         val ms = (System.nanoTime() - t0) / 1000000
         // Per-query ok marker on stdout: a truncated driver log still shows
         // exactly how far the run got.
-        println(s"[verify] $name ok (${ms}ms)")
-        progress(name, "ok", "", ms)
+        println(s"[verify] $name ok (${ms}ms, $rows rows)")
+        progress(name, "ok", "", ms, rows)
       } catch { case e: Throwable =>
         val ms = (System.nanoTime() - t0) / 1000000
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        progress(name, "failed", Option(e.getMessage).getOrElse(e.getClass.getName), ms)
+        progress(name, "failed", Option(e.getMessage).getOrElse(e.getClass.getName), ms, -1L)
       }
       // Per-query cache scope (see Bench): self-join index caches must not
       // accumulate across the run.

@@ -1503,6 +1503,119 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** m20 Goertzel twiddle coefficients c = 2·cos(ω), one per analysis
+    * bin, at the five frequencies where 2·cos(ω) is exactly INTEGRAL —
+    * ω ∈ {0, π/3, π/2, 2π/3, π} (DC, N/6, N/4, N/3 cycles-per-window and
+    * Nyquist). Chosen precisely so the Goertzel recurrence
+    * `s[n] = x[n] + c·s[n−1] − s[n−2]` is pure 64-bit integer arithmetic
+    * in BOTH engines: no scaled fixed-point twiddle, no floor-vs-truncate
+    * division discipline (q198/q199's pmod dance), no float drift — the
+    * oracle can only match if the recurrence ran per sample in order.
+    * Worst-case growth is the DC bin (c = 2): |s| ≤ N²·max|x| ≈ 4.1 M at
+    * N = 64, so powers stay far inside Long.
+    */
+  val GoertzelCoefs: Array[Int] = Array(2, 1, 0, -1, -2)
+
+  /** m20: FREQUENCY-DOMAIN audio features — the spectral leg the
+    * time-domain m11 (peak/energy/zero-crossings) and m16 (decimation)
+    * never covered: per clip, the Goertzel power
+    * `p = s1² + s2² − c·s1·s2` at each of the [[GoertzelCoefs]] bins over
+    * the REAL RIFF/WAVE payload ([[WavCodec]]'s spec chunk walk — odd ids
+    * carry the junk-chunk layout, so no fixed-offset shortcut), plus the
+    * dominant bin (argmax power, ties to the lowest bin). The DuckDB
+    * oracle runs the SAME integer recurrence via a recursive CTE over the
+    * sample formula the fixture encodes — a per-sample, order-sensitive
+    * computation, so the hash match proves the chunk walk recovered every
+    * 16-bit sample in sequence AND the recurrence is bit-identical (a
+    * permuted or off-by-one sample stream changes s1/s2 irreversibly).
+    * Scale shape: one mapPartitions pass, per-partition codec init, k=5
+    * fixed bins of O(1) state per clip, fixed-width integers out, payload
+    * bytes never shuffle — flat at 100 TB.
+    */
+  def m20WavSpectral(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavFixture(s, d).mapPartitions { rows =>
+      WavCodec.init()
+      rows.flatMap { m =>
+        val ss = pcm16(WavCodec.decode(m.payload))
+        val powers = GoertzelCoefs.map { c =>
+          var s1 = 0L
+          var s2 = 0L
+          var i = 0
+          while (i < ss.length) {
+            val s0 = ss(i).toLong + c * s1 - s2
+            s2 = s1
+            s1 = s0
+            i += 1
+          }
+          s1 * s1 + s2 * s2 - c * s1 * s2
+        }
+        val maxP = powers.max
+        val dom = powers.indexWhere(_ == maxP)
+        powers.zipWithIndex.map { case (p, k) =>
+          (m.media_id, k.toLong, GoertzelCoefs(k).toLong, p,
+            if (k == dom) 1L else 0L)
+        }
+      }
+    }.toDF("media_id", "bin", "coef", "power", "is_dominant")
+      .orderBy("media_id", "bin")
+  }
+
+  /** m21 frame length: 64-sample clips split into 4 non-overlapping
+    * 16-sample analysis frames. MUST divide [[WavSamples]] — the Scala
+    * side iterates whole frames and the oracle generates exactly
+    * WavSamples/FrameLen of them (m16's divisibility discipline).
+    */
+  val FrameLen = 16
+  require(WavSamples % FrameLen == 0,
+    s"WavSamples ($WavSamples) must be divisible by FrameLen ($FrameLen): " +
+      "m21 iterates whole frames, its oracle generates exactly that many")
+
+  /** m21: SHORT-TIME spectral frames (the spectrogram row) — m20 is
+    * clip-level; voice-activity/scene work needs the TIME-RESOLVED
+    * version: the same integer Goertzel ([[GoertzelCoefs]] — exact
+    * integral twiddles, see m20) run per non-overlapping
+    * [[FrameLen]]-sample frame, emitting (clip, frame, bin, power) plus
+    * each frame's dominant bin. State resets per frame, so the oracle's
+    * recursive CTE must restart its recurrence at every frame boundary —
+    * a match proves frame SEGMENTATION and per-frame recurrence both ran
+    * exactly (an off-by-one frame boundary shifts every later frame's
+    * state irreversibly). Scale shape: one mapPartitions pass,
+    * frames×bins fixed-width rows out, payloads never shuffle.
+    */
+  def m21WavFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fl = FrameLen
+    wavFixture(s, d).mapPartitions { rows =>
+      WavCodec.init()
+      rows.flatMap { m =>
+        val ss = pcm16(WavCodec.decode(m.payload))
+        val nf = ss.length / fl
+        (0 until nf).flatMap { f =>
+          val powers = GoertzelCoefs.map { c =>
+            var s1 = 0L
+            var s2 = 0L
+            var i = f * fl
+            while (i < (f + 1) * fl) {
+              val s0 = ss(i).toLong + c * s1 - s2
+              s2 = s1
+              s1 = s0
+              i += 1
+            }
+            s1 * s1 + s2 * s2 - c * s1 * s2
+          }
+          val maxP = powers.max
+          val dom = powers.indexWhere(_ == maxP)
+          powers.zipWithIndex.map { case (p, k) =>
+            (m.media_id, f.toLong, k.toLong, p,
+              if (k == dom) 1L else 0L)
+          }
+        }
+      }
+    }.toDF("media_id", "frame", "bin", "power", "is_dominant")
+      .orderBy("media_id", "frame", "bin")
+  }
+
   /** m18 PNG fixture dimensions: 10 rows cycle all five scanline filter
     * types twice (`row % 5`), so every reconstruction path is exercised
     * per image.

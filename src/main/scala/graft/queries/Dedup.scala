@@ -1869,6 +1869,61 @@ object Dedup {
                           shingleK: Int = PrefixShingleK): DataFrame =
     prefixIndexOf(tokenizedDocs(s, d), tauPct, shingleK)
 
+  /** The (doc_id, 56-bit shingle hash) relation both prefix indexes start
+    * from — ONE definition so the batch index ([[prefixIndexOf]]) and the
+    * maintained s51 store's frozen-order index
+    * ([[prefixIndexUnderOrder]]) can never drift in tokenization.
+    */
+  private[graft] def shingleHashes(docTokens: DataFrame,
+                                   shingleK: Int): DataFrame =
+    docTokens
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", shingleK)})"))
+          .as("t"))
+      .select(col("doc_id"), expr(TextHash.sparkHash56("t")).as("h"))
+
+  /** The per-doc index rows (tarr/varr/sz/plen) under a CALLER-SUPPLIED
+    * frozen token order — the s51 maintained store's build path: the
+    * store freezes (df, h) at init (the s35 fixed-codebook pattern) so
+    * every batch's prefixes share ONE total order with every stored
+    * prefix; a token unseen at freeze ranks df = 0 (rare-first, ties by
+    * hash). Prefix-filter COMPLETENESS needs only a shared total order —
+    * any injective relabeling works — and the final τ-pair set is
+    * order-INDEPENDENT (order shapes candidates, verification is exact),
+    * which is why incremental maintenance under the frozen order equals
+    * the d15 rebuild under its own fresh order, row for row.
+    */
+  private[graft] def prefixIndexUnderOrder(docs: DataFrame, order: DataFrame,
+                                           tauPct: Int,
+                                           shingleK: Int): DataFrame = {
+    val tok = shingleHashes(
+      docs.select(col("doc_id"), split(col("text"), " ").as("tokens")),
+      shingleK)
+    tok.join(broadcast(order.select(col("h"), col("df"))), Seq("h"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+      .withColumn("tarr", expr("transform(toks, x -> x.h)"))
+      .withColumn("varr", expr("array_sort(transform(toks, x -> x.h))"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen", expr(s"sz - ((sz * $tauPct + 99) div 100) + 1"))
+      .select("doc_id", "tarr", "varr", "sz", "plen")
+  }
+
+  /** d15's machinery as a one-call rebuild over an arbitrary (doc_id,
+    * text) frame — the oracle side of StreamingSpec's s51 maintained ==
+    * rebuild pins (the batch build computes its OWN fresh df order; pair
+    * rows are order-independent, so equality is exact).
+    */
+  private[graft] def d15PairsOver(docs: DataFrame): DataFrame = {
+    val idx = prefixIndexOf(
+      docs.select(col("doc_id"), split(col("text"), " ").as("tokens")),
+      PrefixTauPct, PrefixShingleK)
+    val pairs = d15Pairs(idx).localCheckpoint()
+    idx.unpersist()
+    pairs
+  }
+
   private[graft] def prefixIndexOf(docTokens: DataFrame, tauPct: Int,
                             shingleK: Int): DataFrame = {
     // hash at the ROW stage, before any shuffle: one codegen'd md5 per
@@ -1887,11 +1942,7 @@ object Dedup {
     // whp-exactness contract d01/d10 already run under, and the
     // string-array spelling remains the drop-in fallback if a corpus
     // ever trips it.
-    val tok = docTokens
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(${TextHash.sparkShinglesOf("tokens", shingleK)})"))
-          .as("t"))
-      .select(col("doc_id"), expr(TextHash.sparkHash56("t")).as("h"))
+    val tok = shingleHashes(docTokens, shingleK)
     val df = tok.groupBy("h").agg(count(lit(1)).as("df"))
     tok.join(df, "h")
       .groupBy("doc_id")
@@ -1928,7 +1979,7 @@ object Dedup {
     *    be over-pruned, which only removes duplicates.
     *    J ≥ τ ⟺ inter·(100+τ) ≥ τ·(na+nb) gives the integer spelling.
     */
-  private def d15Pairs(idx: DataFrame): DataFrame = {
+  private[graft] def d15Pairs(idx: DataFrame): DataFrame = {
     val prefix = idx
       .select(col("doc_id"), col("sz"),
         posexplode(expr("slice(tarr, 1, cast(plen as int))")).as(Seq("p", "h")))
@@ -1979,6 +2030,48 @@ object Dedup {
     val pairs = d15Pairs(idx).localCheckpoint()
     idx.unpersist()
     pairs.orderBy("d1", "d2")
+  }
+
+  /** d37: τ-CALIBRATION table — the threshold-sensitivity report a dedup
+    * operator reads before moving the Jaccard cutoff (d22 sweeps the LSH
+    * banding geometry, d28 the shingle width; this sweeps the DECISION
+    * knob itself): the exact d15 pair set bucketed by integer Jaccard
+    * percentage into 5-point cells, each with its pair count, share in
+    * bp, and the pairs-at-or-above count — "raise τ to X and this many
+    * pairs survive", read straight off one table instead of re-running
+    * the join per candidate threshold. All integer arithmetic
+    * (`inter·100 div union`, positive operands, so both engines'
+    * integral division agree without the q198 floor dance).
+    *
+    * Scale shape: one honest d15 index+join build (the documented
+    * no-all-pairs machinery), then a ≤15-cell groupBy; the cumulative
+    * column is a cell×cell self-join on the aggregated frame (O(15²)
+    * rows — deliberately NOT a window: the global plan audit bans
+    * unpartitioned windows, and at this size the join is free); totals
+    * ride a one-row broadcast cross join.
+    */
+  val d37TauCalibration: Q = (s, d) => {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val idx = prefixIndex(s, d, PrefixTauPct)
+    val pairs = d15Pairs(idx).localCheckpoint()
+    idx.unpersist()
+    val j = pairs.select(
+      expr("(cast(inter as bigint) * 100) div (na + nb - inter)").as("j_pct"))
+    val cells = j
+      .select(expr("(j_pct div 5) * 5").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val total = cells.agg(sum("n_pairs").as("total"))
+    val above = cells.select(col("bucket").as("b2"), col("n_pairs").as("n2"))
+    cells
+      .join(bcast(above), col("b2") >= col("bucket"))
+      .groupBy("bucket", "n_pairs")
+      .agg(sum("n2").as("n_at_or_above"))
+      .crossJoin(bcast(total))
+      .select(col("bucket"), col("n_pairs"),
+        expr("n_pairs * 10000 div total").as("share_bp"),
+        col("n_at_or_above"))
+      .orderBy("bucket")
   }
 
   /** Shingle sizes d28 sweeps. */
@@ -2360,6 +2453,7 @@ object Dedup {
     "p06_incremental_refresh" -> p06IncrementalRefresh,
     "d16_containment_join" -> d16ContainmentJoin,
     "d15_prefix_filter_join" -> d15PrefixFilterJoin,
+    "d37_tau_calibration" -> d37TauCalibration,
     "p05_curation_pipeline" -> p05CurationPipeline,
     "d14_quality_survivors" -> d14QualitySurvivors,
     "d13_lsh_quality" -> d13LshQuality,
@@ -2520,6 +2614,34 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = d2
          |WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $PrefixTauPct
          |ORDER BY d1, d2""".stripMargin,
+    // d37: the same brute-force exact τ-join ground truth as d15, then
+    // integer bucketing — positive operands throughout, so DuckDB's //
+    // and Spark's div agree without the q198 floor adjustment
+    "d37_tau_calibration" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextHash.duckShingles("text", PrefixShingleK)}) AS t
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(1) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS inter
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT inter, sa.sz AS na, sb.sz AS nb
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE inter * 100 >= (sa.sz + sb.sz - inter) * $PrefixTauPct),
+         |j AS (SELECT (inter * 100) // (na + nb - inter) AS j_pct FROM pairs),
+         |cells AS (
+         |  SELECT (j_pct // 5) * 5 AS bucket, COUNT(1) AS n_pairs
+         |  FROM j GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM cells)
+         |SELECT CAST(c.bucket AS BIGINT) AS bucket, c.n_pairs,
+         |       CAST(c.n_pairs * 10000 // t.total AS BIGINT) AS share_bp,
+         |       CAST((SELECT SUM(c2.n_pairs) FROM cells c2
+         |             WHERE c2.bucket >= c.bucket) AS BIGINT) AS n_at_or_above
+         |FROM cells c, t ORDER BY bucket""".stripMargin,
     // p05: the capstone's oracle stitches the shared CTEs — recursive
     // reach clusters, the gopher gate, the quality argmax (row_number
     // spelling), and the packing running sum.

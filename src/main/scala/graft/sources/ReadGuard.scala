@@ -67,15 +67,22 @@ object ReadGuard {
     * the plain read. Columns absent from some runs read as null there
     * (the additive-evolution tolerance, unchanged).
     */
-  /** Schema-decision memo: (path, run-name set) → widened schema, or None
-    * for the plain-read fast path. Runs change only when a batch lands or
-    * a compaction rewrites — between those events every serve read of the
-    * table would otherwise pay one footer read PER RUN just to rediscover
-    * that nothing evolved. The run-name key self-invalidates on any run
-    * change; bounded by the number of live store tables in the JVM.
+  /** Schema-decision memo: (path, run-name set, content fingerprint) →
+    * widened schema, or None for the plain-read fast path. Runs change
+    * only when a batch lands or a compaction rewrites — between those
+    * events every serve read of the table would otherwise pay one footer
+    * read PER RUN just to rediscover that nothing evolved. The key
+    * self-invalidates on any run change — INCLUDING an in-place rewrite
+    * of an existing `batch_id=N` partition (a redelivered batch under
+    * dynamic partition overwrite can land an evolved schema at the same
+    * run name — r13 ADVICE: the name-only key served the stale decision
+    * and a plain mixed-footer read could pick the narrow schema): the
+    * fingerprint folds every run's file names, lengths and modification
+    * times, one cheap directory listing per run, no footer read. Bounded
+    * by the number of live store tables in the JVM.
     */
   private val runSchemaMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), Option[StructType]]
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[String], Long), Option[StructType]]
 
   def readRuns(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -85,7 +92,16 @@ object ReadGuard {
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch_id=")).sorted
     if (runs.isEmpty) return spark.read.parquet(path)
-    val decision = runSchemaMemo.getOrElseUpdate((path, runs), {
+    val fingerprint = runs.foldLeft(1125899906842597L) { (acc, r) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$r")).toSeq
+        .sortBy(_.getPath.getName)
+        .foldLeft(acc) { (h, st) =>
+          var x = h * 31 + st.getPath.getName.hashCode
+          x = x * 31 + java.lang.Long.hashCode(st.getLen)
+          x * 31 + java.lang.Long.hashCode(st.getModificationTime)
+        }
+    }
+    val decision = runSchemaMemo.getOrElseUpdate((path, runs, fingerprint), {
       val schemas = runs.map(r => spark.read.parquet(s"$path/$r").schema)
       if (schemas.distinct.size == 1) None
       else {

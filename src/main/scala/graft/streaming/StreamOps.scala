@@ -344,10 +344,11 @@ object StreamOps {
                                  dir0: String,
                                  asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "hash56", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/hash56"), s"$dir/hash56", "th", "doc_id"),
+          graft.sources.ReadGuard.readRuns(spark, tp), tp, "th", "doc_id"),
         spark, dir, asOf)
         .select(col("th"), col("doc_id"), col("batch_id")),
       spark, dir, "doc_id", asOf)
@@ -373,10 +374,11 @@ object StreamOps {
   def s32BandIndex(spark: org.apache.spark.sql.SparkSession,
                    dir0: String, asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "bands", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/bands"), s"$dir/bands",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "doc_id", "band_key"),
         spark, dir, asOf)
         .select(col("doc_id"), col("band_key"), col("batch_id")),
@@ -445,10 +447,11 @@ object StreamOps {
                                   dir0: String,
                                   asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "chunks", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/chunks"), s"$dir/chunks",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "h", "media_id", "nb"),
         spark, dir, asOf)
         .select(col("h"), col("media_id"), col("nb"), col("batch_id")),
@@ -516,10 +519,11 @@ object StreamOps {
   def s35Assignment(spark: org.apache.spark.sql.SparkSession,
                     dir0: String, asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "assigned", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/assigned"), s"$dir/assigned",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "vec_id", "cid", "ccos"),
         spark, dir, asOf)
         .select(col("vec_id"), col("cid"), col("ccos"), col("batch_id")),
@@ -619,6 +623,186 @@ object StreamOps {
     try out.write(stamp.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  // ===== serve-during-compaction atomicity (r13 verdict item 2): between
+  // ===== a table's archive rename and its folded-base write, a reader of
+  // ===== the OLD compactStore saw a missing dir — and across tables could
+  // ===== see one table folded and its sibling not. Compaction now stages
+  // ===== every folded base under `_staging/gen_<id>/` and publishes the
+  // ===== whole generation through ONE atomically-renamed pointer file
+  // ===== (`_flip`); readers resolve each table through the pointer, so at
+  // ===== every instant they see the full old or the full new generation,
+  // ===== never a mix, never PATH_NOT_FOUND.
+
+  /** The in-flight compaction descriptor published by the `_flip` pointer:
+    * the generation being installed, the retention the run was started
+    * with, the PRIOR stamp (the new generation's as-of floor), and each
+    * table's disposition — `rewrite` (a folded base waits in staging) or
+    * `drop` (the fold proved the table spent: tombstones fully re-admitted,
+    * or a fold-only table like `golden` whose readers treat absence as
+    * empty — the r13 ADVICE fix: restamping golden's label-keyed raw rows
+    * tied stale elections with the RETIRE rows that overrode them).
+    */
+  private[graft] case class FlipState(gen: Long, retain: Int,
+                                      prior: Option[Long],
+                                      rewrite: Set[String], drop: Set[String])
+
+  private def flipFile(dir: String) = s"$dir/_flip"
+  private def stagingDir(dir: String, gen: Long) = s"$dir/_staging/gen_$gen"
+
+  /** Tables whose SERVED fold is the complete authoritative state and
+    * whose readers treat a missing directory as empty — safe to DROP
+    * (archive without rewrite) when the fold is empty, and WRONG to
+    * raw-restamp: `golden` is label-keyed (restamping ties stale
+    * elections with their RETIRE overrides), `pairs` is two-side
+    * batch-masked (restamping revives a re-admitted doc's retired pairs
+    * once compaction folds its spent tombstone away). Everything else
+    * empty-folds to a raw restamp (the zero-row-parquet-footer trap).
+    */
+  private[graft] val FoldOnlyTables: Set[String] = Set("golden", "pairs")
+
+  private[graft] def readFlip(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Option[FlipState] = {
+    val p = new org.apache.hadoop.fs.Path(flipFile(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val kv = lines.map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split(" ", 2); (k, v) }
+      val m = kv.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      Some(FlipState(
+        gen = m("gen").head.toLong,
+        retain = m("retain").head.toInt,
+        prior = m.get("prior").map(_.head.toLong),
+        rewrite = m.getOrElse("rewrite", Nil).toSet,
+        drop = m.getOrElse("drop", Nil).toSet))
+    }
+  }
+
+  /** Publish the flip pointer ATOMICALLY: write to a temp name, then
+    * rename into place — readers either see no pointer (old generation)
+    * or the complete descriptor (new generation), never a partial file.
+    */
+  private def publishFlip(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, f: FlipState): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_flip.tmp")
+    val out = fs.create(tmp, true)
+    val body = (Seq(s"gen ${f.gen}", s"retain ${f.retain}") ++
+      f.prior.map(p => s"prior $p").toSeq ++
+      f.rewrite.toSeq.sorted.map(t => s"rewrite $t") ++
+      f.drop.toSeq.sorted.map(t => s"drop $t")).mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(flipFile(dir))),
+      s"store $dir: publishing the compaction flip pointer FAILED " +
+        "(rename returned false)")
+  }
+
+  /** Per-table serve-side path resolution — the ONE seam every served view
+    * reads through. Outside a flip window (the steady state) this is the
+    * plain `$dir/$table`. While a flip is active:
+    *
+    *  - serving the NEW generation (asOf empty or ≥ the flip gen): a
+    *    dropped table resolves to its (absent) staging path — readers
+    *    treat it as missing, which IS the new generation's content; a
+    *    rewritten table serves from staging until [[finishCompactionFlip]]
+    *    renames its base into the live dir, then from the live dir —
+    *    both locations hold the identical folded base;
+    *  - serving the OLD generation (an as-of below the flip gen, admitted
+    *    because the live stamp is still the PRIOR stamp until the flip
+    *    completes): a table already archived into the new history
+    *    generation serves from there, one not yet archived serves from
+    *    the live dir — both are the same pre-compaction runs (archive is
+    *    a rename of exactly those directories).
+    *
+    * History-generation dirs (`_history/gen_*`) are immutable and resolve
+    * directly. Cost: one tiny pointer-existence check per table read.
+    */
+  private[graft] def tablePath(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, table: String,
+                               asOf: Option[Long] = None): String =
+    if (dir.contains("/_history/")) s"$dir/$table"
+    else readFlip(spark, dir) match {
+      case None => s"$dir/$table"
+      case Some(f) =>
+        if (asOf.exists(_ < f.gen)) {
+          val archived = s"$dir/_history/gen_${f.gen}/$table"
+          if (pathExists(spark, archived)) archived else s"$dir/$table"
+        } else if (f.drop(table)) s"${stagingDir(dir, f.gen)}/$table"
+        else {
+          val staged = s"${stagingDir(dir, f.gen)}/$table"
+          if (pathExists(spark, staged)) staged else s"$dir/$table"
+        }
+    }
+
+  /** Complete an in-flight compaction flip — IDEMPOTENT and crash-
+    * resumable: every step checks current filesystem state, so a run that
+    * died anywhere (including a previous resume) finishes the remaining
+    * work and nothing else. Per table: archive the live pre-compaction
+    * runs into the history generation (or delete them at retain = 0),
+    * then rename the staged folded base into the live dir. Readers are
+    * never disturbed: while the pointer exists they resolve through
+    * staging-then-live ([[tablePath]]), and the pointer is removed only
+    * after the new stamp landed. No-op when no flip is active.
+    */
+  /** `onStep` is a test seam (StreamingSpec's scripted-pause pin): invoked
+    * with "swap:<table>" after each table's archive+install and "stamped"
+    * after the new stamp lands — a hook that THROWS simulates a crash at
+    * exactly that point, and a hook that snapshots every served view
+    * proves readers see one whole generation at every instant.
+    */
+  private[graft] def finishCompactionFlip(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      onStep: String => Unit = _ => ()): Unit =
+    readFlip(spark, dir).foreach { f =>
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val genDir = s"$dir/_history/gen_${f.gen}"
+      if (f.retain > 0) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
+        f.prior.foreach { p =>
+          if (readCompactionStamp(spark, genDir).isEmpty)
+            writeCompactionStamp(spark, genDir, p)
+        }
+      }
+      (f.rewrite.toSeq.sorted ++ f.drop.toSeq.sorted).foreach { t =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val gen = new org.apache.hadoop.fs.Path(s"$genDir/$t")
+        val staged =
+          new org.apache.hadoop.fs.Path(s"${stagingDir(dir, f.gen)}/$t")
+        val stagedExists = fs.exists(staged)
+        // a rewritten table whose staged base is gone was already swapped
+        // in by a previous (crashed) resume — nothing left to do for it
+        if (!(f.rewrite(t) && !stagedExists)) {
+          if (fs.exists(live) && (f.retain == 0 || !fs.exists(gen))) {
+            if (f.retain > 0)
+              require(fs.rename(live, gen),
+                s"compaction of $dir: archiving $t into $genDir FAILED " +
+                  "(rename returned false) — refusing to overwrite the " +
+                  "unarchived runs")
+            else fs.delete(live, true)
+          }
+          if (stagedExists)
+            require(fs.rename(staged, live),
+              s"compaction of $dir: installing $t's folded base FAILED " +
+                "(rename returned false)")
+          spark.catalog.refreshByPath(s"$dir/$t")
+        }
+        onStep(s"swap:$t")
+      }
+      // stamp BEFORE removing the pointer: a crash between the two leaves
+      // a resumable no-op flip, never a generation outrunning the stamp
+      writeCompactionStamp(spark, dir, f.gen)
+      onStep("stamped")
+      fs.delete(new org.apache.hadoop.fs.Path(flipFile(dir)), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staging"), true)
+      if (f.retain > 0) pruneGenerations(spark, dir, f.retain)
+    }
+
   /** s41: the replay fence every upsert/delete fold runs before writing.
     * Three checks: (1) the batch must be STRICTLY past the compaction
     * stamp — a replayed batch at or before the stamp would overwrite the
@@ -638,6 +822,12 @@ object StreamOps {
   private[graft] def requireFreshBatch(spark: org.apache.spark.sql.SparkSession,
       dir: String, batchId: Long, tables: Seq[String],
       isDelete: Boolean = false): Unit = {
+    // an in-flight compaction flip owns the store's directories: a fold
+    // writing into them would race the swap (single-writer contract made
+    // mechanical — the same loud-fail discipline as the stamp fence)
+    require(readFlip(spark, dir).isEmpty,
+      s"store $dir has an in-flight compaction flip — run the family's " +
+        "CompactStore entry point to complete it before writing")
     readCompactionStamp(spark, dir).foreach { st =>
       require(batchId > st,
         s"store $dir is compacted through batch $st; replaying batch " +
@@ -686,16 +876,18 @@ object StreamOps {
     */
   private[graft] def tombstoneBatches(spark: org.apache.spark.sql.SparkSession,
                                       dir: String,
-                                      asOf: Option[Long] = None): DataFrame =
-    if (!pathExists(spark, deletedPath(dir)))
+                                      asOf: Option[Long] = None): DataFrame = {
+    val tp = tablePath(spark, dir, "deleted", asOf)
+    if (!pathExists(spark, tp))
       spark.range(0).select(col("id"), col("id").as("del_batch"))
     else
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, deletedPath(dir)), deletedPath(dir), "id"),
+          graft.sources.ReadGuard.readRuns(spark, tp), tp, "id"),
         spark, dir, asOf)
         .select(col("id"), col("batch_id").cast("long").as("batch_id"))
         .groupBy("id").agg(max("batch_id").as("del_batch"))
+  }
 
   /** Distinct ever-tombstoned ids (the raw gauge s47 reports; NOT the
     * currently-dead set — see [[deadIds]] for that).
@@ -716,7 +908,7 @@ object StreamOps {
   private def maskDeleted(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                           dir: String, idCol: String,
                           asOf: Option[Long] = None): DataFrame =
-    if (!pathExists(spark, deletedPath(dir))) df
+    if (!pathExists(spark, tablePath(spark, dir, "deleted", asOf))) df
     else df.join(
       org.apache.spark.sql.functions.broadcast(
         tombstoneBatches(spark, dir, asOf)
@@ -740,7 +932,7 @@ object StreamOps {
                              idCol: String,
                              asOf: Option[Long] = None): DataFrame = {
     val tomb = tombstoneBatches(spark, dir, asOf)
-    val presencePath = s"$dir/$presenceTable"
+    val presencePath = tablePath(spark, dir, presenceTable, asOf)
     if (!pathExists(spark, presencePath)) tomb.select("id")
     else {
       val up = asOfRuns(
@@ -838,8 +1030,14 @@ object StreamOps {
   private[graft] def compactStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, tables: Seq[(String, () => DataFrame)],
       primaryIdCol: String,
-      retain: Int = DefaultRetainedGenerations): Unit = {
+      retain: Int = DefaultRetainedGenerations,
+      onStep: String => Unit = _ => ()): Unit = {
     import org.apache.spark.sql.functions._
+    // resume any in-flight flip FIRST: a previous run that died between
+    // publishing the pointer and finishing the swap left a complete,
+    // consistently-served staging generation — completing it is the only
+    // admissible next step (and is idempotent).
+    finishCompactionFlip(spark, dir, onStep)
     val all = tables.map(_._1) :+ "deleted"
     all.flatMap(t => maxBatchIn(spark, s"$dir/$t"))
       .reduceOption(_ max _)
@@ -852,94 +1050,85 @@ object StreamOps {
       // or an operator retry, must be a no-op.
       .filter(maxBatch => !readCompactionStamp(spark, dir).contains(maxBatch))
       .foreach { maxBatch =>
-        // crashed-compaction detector: a COMPLETED compaction always ends
-        // with stamp == newest generation id, so a generation NEWER than
-        // the stamp means a previous run died between archiving and
-        // stamping — some table's live dir may be missing (its runs are
-        // safe inside that generation). Folding on top of that state
-        // would silently misread the store (the dead-id fold treats a
-        // missing primary as "no presence"); restore first, loudly.
+        // crashed-compaction detector — with the staged flip this state is
+        // no longer reachable from compactStore itself (a crash leaves a
+        // resumable pointer, handled above), but a mixed-generation
+        // RESTORE or manual meddling can still produce it. A generation
+        // whose table dirs were all renamed back (the restore the message
+        // prescribes) is tolerated: the emptied gen_N is pruned here so
+        // the restore alone unblocks compaction (r13 ADVICE — the old
+        // message's recovery left gen_N in place and the require refired
+        // forever).
         retainedGenerations(spark, dir).headOption.foreach { g =>
-          require(readCompactionStamp(spark, dir).exists(_ >= g),
-            s"store $dir holds generation gen_$g newer than its stamp — a " +
-              "compaction crashed mid-archive; restore the live tables " +
-              s"from gen_$g (rename them back) before compacting again")
+          if (!readCompactionStamp(spark, dir).exists(_ >= g)) {
+            val fs0 = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val gp = new org.apache.hadoop.fs.Path(s"$dir/_history/gen_$g")
+            val restored = fs0.listStatus(gp).forall(!_.isDirectory)
+            require(restored,
+              s"store $dir holds generation gen_$g newer than its stamp — " +
+                "a compaction crashed mid-archive (or a restore mixed " +
+                s"generations); restore the live tables from gen_$g (rename " +
+                "them back — the emptied generation is then pruned " +
+                "automatically) before compacting again")
+            fs0.delete(gp, true)
+          }
         }
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        // stale staging from a run that died BEFORE publishing its pointer
+        // is unreferenced garbage — remove it and start fresh
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staging"), true)
         val withDeleted = tables ++
           (if (pathExists(spark, deletedPath(dir)))
              Seq("deleted" -> (() =>
                deadIds(spark, dir, tables.head._1, primaryIdCol)))
            else Nil)
-        // 1. fold EVERY table first, materialized: the folds read each
-        // other's raw runs (the dead-id fold reads the primary table), so
-        // no directory may move or be overwritten while any fold is lazy.
-        // Empty folds split two ways: a spent tombstone table (every
-        // tombstoned id re-admitted) carries no information and is
-        // archived WITHOUT a rewrite (readers treat a missing `deleted`
-        // as mask-free — correct, the data folds already dropped the
-        // pre-delete rows); an all-masked DATA table must stay readable,
-        // so its RAW rows restamp to the base id — they stay masked,
-        // because data at the stamp never outranks a tombstone at the
-        // stamp, and the single at-stamp run keeps the stale-run fsck
-        // clean (the old keep-raw-runs behavior tripped it).
-        val folded: Seq[(String, Option[DataFrame])] =
-          withDeleted.map { case (t, fold) =>
-            if (!pathExists(spark, s"$dir/$t")) (t, None)
-            else {
-              val served = fold().withColumn("batch_id", lit(maxBatch))
-                .localCheckpoint()
-              if (!served.isEmpty || t == "deleted") (t, Some(served))
-              else (t, Some(
+        // 1. fold EVERY table and WRITE the folded bases into the staging
+        // generation — the live dirs are untouched, so concurrent readers
+        // (and the folds themselves, which read each other's raw runs)
+        // keep serving the old generation. Empty folds split three ways:
+        // a spent tombstone table (every tombstoned id re-admitted)
+        // carries no information and is DROPPED (readers treat a missing
+        // `deleted` as mask-free — correct, the data folds already
+        // dropped the pre-delete rows); a fold-only table (golden) is
+        // DROPPED too — its readers treat absence as empty, and
+        // restamping its label-keyed raw rows would tie stale elections
+        // with the RETIRE rows that overrode them (r13 ADVICE, the
+        // takedown-leakage bug); any other all-masked DATA table must
+        // stay readable, so its RAW rows restamp to the base id — they
+        // stay masked, because data at the stamp never outranks a
+        // tombstone at the stamp.
+        var rewriteSet = Set.empty[String]
+        var dropSet = Set.empty[String]
+        withDeleted.foreach { case (t, fold) =>
+          if (pathExists(spark, s"$dir/$t")) {
+            val served = fold().withColumn("batch_id", lit(maxBatch))
+              .localCheckpoint()
+            val base =
+              if (!served.isEmpty) Some(served)
+              else if (t == "deleted" || FoldOnlyTables(t)) None
+              else Some(
                 graft.sources.ReadGuard.readRuns(spark, s"$dir/$t")
                   .drop("batch_id").withColumn("batch_id", lit(maxBatch))
-                  .localCheckpoint()))
+                  .localCheckpoint())
+            base match {
+              case Some(b) if !b.isEmpty =>
+                b.write.mode("overwrite").partitionBy("batch_id")
+                  .parquet(s"${stagingDir(dir, maxBatch)}/$t")
+                rewriteSet += t
+              case _ => dropSet += t
             }
           }
-        // 2+3. archive + rewrite PER TABLE (rename the pre-compaction runs
-        // into the generation, then immediately write that table's folded
-        // base) so a crash mid-compaction leaves at most ONE table whose
-        // live dir is missing — and its data safe in the generation. A
-        // re-run after such a crash fails LOUDLY (the detector above sees
-        // the generation outrunning the stamp), never silently serves a
-        // half-compacted store. The generation's stamp (its as-of
-        // coverage floor — the PRIOR stamp) is written BEFORE any move so
-        // a partial archive still resolves. Every rename/copy's boolean
-        // result is checked: object-store connectors report many failure
-        // modes by returning false, and an unarchived table must never be
-        // silently overwritten.
-        val conf = spark.sessionState.newHadoopConf()
-        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-        val genDir = s"$dir/_history/gen_$maxBatch"
-        if (retain > 0) {
-          fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
-          readCompactionStamp(spark, dir)
-            .foreach(prior => writeCompactionStamp(spark, genDir, prior))
         }
-        folded.foreach { case (t, baseOpt) =>
-          val src = new org.apache.hadoop.fs.Path(s"$dir/$t")
-          if (fs.exists(src)) {
-            if (retain > 0) {
-              val dst = new org.apache.hadoop.fs.Path(s"$genDir/$t")
-              require(fs.rename(src, dst),
-                s"compaction of $dir: archiving $t into $genDir FAILED " +
-                  "(rename returned false) — refusing to overwrite the " +
-                  "unarchived runs")
-            }
-            baseOpt match {
-              case Some(base) if !base.isEmpty =>
-                base.write.mode("overwrite").partitionBy("batch_id")
-                  .parquet(s"$dir/$t")
-              case _ =>
-                // spent tombstones: nothing to rewrite — with no history
-                // the live dir must still go (stale runs below the new
-                // stamp would otherwise trip the fsck)
-                if (retain == 0) fs.delete(src, true)
-            }
-            spark.catalog.refreshByPath(s"$dir/$t")
-          }
-        }
-        if (retain > 0) pruneGenerations(spark, dir, retain)
-        writeCompactionStamp(spark, dir, maxBatch)
+        // 2. publish the pointer (one atomic rename — readers serve the
+        // new generation from this instant on), then complete the swap:
+        // archive the old runs, install the staged bases, stamp, unlink.
+        onStep("staged")
+        publishFlip(spark, dir, FlipState(maxBatch, retain,
+          readCompactionStamp(spark, dir), rewriteSet, dropSet))
+        onStep("flipped")
+        finishCompactionFlip(spark, dir, onStep)
       }
   }
 
@@ -1157,10 +1346,11 @@ object StreamOps {
   def s36Vectors(spark: org.apache.spark.sql.SparkSession,
                  dir0: String, asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "vectors", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/vectors"), s"$dir/vectors",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "vec_id", "q", "nrm"),
         spark, dir, asOf)
         .select(col("vec_id"), col("q"), col("nrm"), col("batch_id")),
@@ -1171,10 +1361,11 @@ object StreamOps {
   def s36Cells(spark: org.apache.spark.sql.SparkSession,
                dir0: String, asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "cells", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/cells"), s"$dir/cells", "vec_id", "cid"),
+          graft.sources.ReadGuard.readRuns(spark, tp), tp, "vec_id", "cid"),
         spark, dir, asOf)
         .select(col("vec_id"), col("cid"), col("batch_id")),
       spark, dir, "vec_id", asOf)
@@ -1193,7 +1384,8 @@ object StreamOps {
                              asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = resolveAsOfDir(spark, dir0, asOf)
-    if (!pathExists(spark, s"$dir/edges"))
+    val tp = tablePath(spark, dir, "edges", asOf)
+    if (!pathExists(spark, tp))
       // first batch: nothing stored yet — empty frame with the edge schema
       spark.range(0).select(col("id").as("src"), col("id").as("dst"),
         lit(0.0).as("cos"), col("id").as("batch_id"))
@@ -1201,7 +1393,7 @@ object StreamOps {
       val e = maskDeleted(
         asOfRuns(
           graft.sources.ReadGuard.requireColumns(
-            graft.sources.ReadGuard.readRuns(spark, s"$dir/edges"), s"$dir/edges",
+            graft.sources.ReadGuard.readRuns(spark, tp), tp,
             "src", "dst", "cos", "batch_id"),
           spark, dir, asOf)
           .select(col("src"), col("dst"), col("cos"),
@@ -1525,13 +1717,14 @@ object StreamOps {
                   dir0: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = resolveAsOfDir(spark, dir0, asOf)
-    if (!pathExists(spark, s"$dir/labels"))
+    val tp = tablePath(spark, dir, "labels", asOf)
+    if (!pathExists(spark, tp))
       spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
     else {
       val l = maskDeleted(
         asOfRuns(
           graft.sources.ReadGuard.requireColumns(
-            graft.sources.ReadGuard.readRuns(spark, s"$dir/labels"), s"$dir/labels",
+            graft.sources.ReadGuard.readRuns(spark, tp), tp,
             "doc_id", "cluster", "batch_id"),
           spark, dir, asOf)
           .select(col("doc_id"), col("cluster"),
@@ -1680,10 +1873,11 @@ object StreamOps {
                   dir0: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "docattrs", asOf)
     val a = maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/docattrs"), s"$dir/docattrs",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "doc_id", "lang", "source", "n_chars"),
         spark, dir, asOf)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -1705,7 +1899,8 @@ object StreamOps {
                 dir0: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = resolveAsOfDir(spark, dir0, asOf)
-    if (!pathExists(spark, s"$dir/golden"))
+    val tp = tablePath(spark, dir, "golden", asOf)
+    if (!pathExists(spark, tp))
       spark.range(0).select(col("id").as("kept_doc"),
         col("id").as("cluster_size"), col("id").as("n_sources"),
         col("id").as("total_chars"), col("id").as("rep_doc"),
@@ -1713,7 +1908,7 @@ object StreamOps {
     else {
       val g = asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/golden"), s"$dir/golden",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "kept_doc", "cluster_size", "n_sources", "total_chars",
           "rep_doc", "rep_chars", "lang_mode"),
         spark, dir, asOf)
@@ -1768,6 +1963,18 @@ object StreamOps {
   def s49ExportStore(spark: org.apache.spark.sql.SparkSession,
                      srcDir: String, dstDir: String, family: String): Unit = {
     import org.apache.spark.sql.functions._
+    // an in-flight flip means the source's live dirs are mid-swap; the
+    // export must not read raw runs through that window — complete the
+    // compaction (the family's CompactStore resumes it) and re-export
+    require(readFlip(spark, srcDir).isEmpty,
+      s"store $srcDir has an in-flight compaction flip — complete it " +
+        "(the family's CompactStore entry point resumes the swap) " +
+        "before exporting")
+    // a backup of a corrupt store is a corrupt backup (r13 verdict item 5,
+    // the restore drill): fsck the source's served views first — an
+    // export from a damaged store REFUSES, and the operator restores from
+    // the last HEALTHY clone instead (pinned in StreamingSpec's drill)
+    s46RequireHealthy(spark, srcDir, family)
     val tables = familyTables(spark, srcDir, family)
     val all = tables.map(_._1) :+ "deleted"
     all.flatMap(t => maxBatchIn(spark, s"$srcDir/$t"))
@@ -1783,7 +1990,14 @@ object StreamOps {
             val served = fold().withColumn("batch_id", lit(maxBatch))
               .localCheckpoint()
             val base =
-              if (!served.isEmpty || t == "deleted") served
+              if (!served.isEmpty || t == "deleted" || FoldOnlyTables(t))
+                // fold-only tables (golden) export their SERVED fold even
+                // when empty → absent on the clone, which its readers
+                // treat as empty — restamping the label-keyed raw rows
+                // would tie stale elections with the RETIRE rows that
+                // overrode them and resurrect retired elections on the
+                // clone (r13 ADVICE, takedown leakage)
+                served
               else
                 // all-masked data table: export the raw rows restamped to
                 // the base id — readable on the clone, still masked
@@ -1819,10 +2033,97 @@ object StreamOps {
     * Scale shape: the folds' own documented costs; the manifest is
     * O(stores) rows; the audit is pure filesystem listings.
     */
+  /** Multi-writer fencing for coordinated ingest (r13 verdict item 3):
+    * s41 fences REPLAYS per store, but nothing refused two concurrent
+    * coordinated ingests interleaving batch ids across stores and
+    * committing manifests out of order. The store family takes ONE
+    * writer lease — a file under the manifest dir created with
+    * `overwrite = false` (atomic create-if-absent on HDFS and object
+    * stores with conditional-put semantics) — held for the duration of
+    * [[s50IngestAll]]. A second writer fails LOUDLY at acquisition,
+    * before touching any store, with the holder's identity and the
+    * takeover verb in the message; a crashed writer's stale lease is
+    * broken explicitly via [[s50BreakLease]] (a human/orchestrator
+    * decision — the audit tells them whether the dead writer's batch
+    * needs replaying). The lease costs two metadata ops per ingest.
+    */
+  private def leasePath(manifestDir: String) = s"$manifestDir/_lease"
+
+  private[graft] def s50AcquireLease(spark: org.apache.spark.sql.SparkSession,
+                                     manifestDir: String,
+                                     owner: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(manifestDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def refuse(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new IllegalStateException(
+        s"coordinated-ingest lease for $manifestDir is held by [$holder] — " +
+          "a second writer would interleave batch ids across the stores; " +
+          "wait for the holder, or if it is dead run s50BreakLease (then " +
+          "check s50CoordinationAudit for an unacknowledged batch to replay)")
+    }
+    if (fs.exists(p)) refuse()
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException => refuse() } // lost the race
+    try out.write(
+      s"$owner acquired_ms=${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def s50ReleaseLease(spark: org.apache.spark.sql.SparkSession,
+                                     manifestDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(manifestDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
+  }
+
+  /** Takeover verb for a CRASHED coordinated writer: breaks the lease
+    * LOUDLY — requires one exists (breaking a non-existent lease is an
+    * operator error worth surfacing) and returns the evicted holder line
+    * for the incident log. The caller's next step is always
+    * [[s50CoordinationAudit]]: a store the dead writer left `ahead`
+    * heals by replaying its batch through [[s50IngestAll]].
+    */
+  def s50BreakLease(spark: org.apache.spark.sql.SparkSession,
+                    manifestDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(manifestDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no coordinated-ingest lease exists under $manifestDir — nothing " +
+        "to break (did the writer already release it?)")
+    val in = fs.open(p)
+    val holder =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    fs.delete(p, false)
+    holder
+  }
+
   def s50IngestAll(docs: DataFrame, vectors: DataFrame, media: DataFrame,
                    stores: Map[String, String], manifestDir: String,
                    batchId: Long, cents: DataFrame,
-                   cbook: DataFrame): Unit = {
+                   cbook: DataFrame,
+                   writerId: String = null): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    val owner = Option(writerId).getOrElse(
+      s"writer-${java.util.UUID.randomUUID().toString.take(8)}")
+    s50AcquireLease(spark, manifestDir, s"$owner batch=$batchId")
+    try s50IngestAllLocked(docs, vectors, media, stores, manifestDir,
+      batchId, cents, cbook)
+    finally s50ReleaseLease(spark, manifestDir)
+  }
+
+  private def s50IngestAllLocked(
+      docs: DataFrame, vectors: DataFrame, media: DataFrame,
+      stores: Map[String, String], manifestDir: String,
+      batchId: Long, cents: DataFrame, cbook: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     // one count per MODALITY, not per family (hash/cluster/golden would
@@ -1854,9 +2155,12 @@ object StreamOps {
         case "graph" =>
           s36UpsertGraphBatch(cents, dir)(vectors, batchId)
           nVecs
+        case "prefix" =>
+          s51UpsertBatch(dir)(docs.select("doc_id", "text"), batchId)
+          nDocs
         case other => throw new IllegalArgumentException(
           s"unknown store family '$other' " +
-            "(hash|chunk|assign|code|cluster|golden|graph)")
+            "(hash|chunk|assign|code|cluster|golden|graph|prefix)")
       }
       (family, dir, n)
     }
@@ -1901,9 +2205,18 @@ object StreamOps {
         maxBatchIn(spark, s"$dir/${familyTables(spark, dir, family).head._1}")
           .getOrElse(-1L)
       val ackMax = expected.getOrElse(family, -1L)
+      // compaction restamps the primary table to the max batch across ALL
+      // tables including the tombstones, so after a tombstone-only batch
+      // + compaction the store legitimately holds a batch id past the
+      // last acknowledged INGEST batch — the stamp bounds that restamp,
+      // so storeMax ≤ max(ackMax, stamp) is committed, not 'ahead'
+      // (r13 ADVICE: the old compare prescribed replaying a batch that
+      // was never an ingest).
+      val stamp = readCompactionStamp(spark, dir).getOrElse(-1L)
       val status =
         if (storeMax == ackMax) "committed"
-        else if (storeMax > ackMax) "ahead"
+        else if (storeMax > ackMax)
+          if (storeMax <= stamp) "committed" else "ahead"
         else "behind"
       (family, dir, storeMax, ackMax, status)
     }.toDF("family", "dir", "store_max_batch", "manifest_max_batch", "status")
@@ -1924,6 +2237,261 @@ object StreamOps {
       s"stores out of coordination (manifest $manifestDir): " +
         s"${bad.mkString(", ")} — 'ahead' heals by replaying the batch " +
         "through s50IngestAll; 'behind' is a mixed-generation restore")
+  }
+
+  // ===== s51: the maintained PREFIX-FILTER similarity index (r13 verdict
+  // ===== item 7, "d36") — p04/s32 gave exact-hash and LSH dedup their
+  // ===== delta paths; the AllPairs/d15 EXACT-similarity family still
+  // ===== rebuilt corpus-wide on every run.
+
+  /** s51 init: FREEZE the token total order. The store's completeness
+    * contract is the prefix filter's — every J ≥ τ pair shares a prefix
+    * token — which holds under ANY total order as long as every prefix
+    * (stored and probing) is computed under the SAME one. d15 derives
+    * its order (df ASC, h ASC) from the corpus per run; a maintained
+    * index cannot (arrivals would re-order prefixes already written), so
+    * the order is frozen at init from a seed corpus and lives as a store
+    * table (`order`) — the s35 fixed-codebook pattern: the decision data
+    * travels WITH the index through compaction, export and restore.
+    * Tokens unseen at freeze rank df = 0 (rare-first, ties by hash):
+    * still one shared total order, so completeness is untouched; only
+    * candidate-pruning efficiency decays as the corpus drifts from the
+    * seed (re-freeze = rebuild into a fresh root, the s42→n27 retrain
+    * handoff's shape). The served τ-pair set is order-INDEPENDENT
+    * (verification is exact), so maintained == d15 rebuild exactly.
+    */
+  def s51InitStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   seedDocs: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    require(!pathExists(spark, s"$dir/order"),
+      s"store $dir is already initialized (order table present) — the " +
+        "frozen token order is immutable; rebuild into a fresh root to " +
+        "re-freeze")
+    graft.queries.Dedup.shingleHashes(
+        seedDocs.select(col("doc_id"),
+          split(col("text"), " ").as("tokens")),
+        graft.queries.Dedup.PrefixShingleK)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("errorifexists").partitionBy("batch_id")
+      .parquet(s"$dir/order")
+    spark.catalog.refreshByPath(s"$dir/order")
+  }
+
+  /** s51 upsert fold: index the batch under the frozen order, then
+    * compute exactly the NEW qualifying pairs — the batch's prefix
+    * tokens probed against the SERVED prefix index (which includes this
+    * run, so delta×old in both directions AND delta×delta come out of
+    * ONE equi-join), pruned by d15's exact length + positional filters,
+    * verified by the same merge-count — and append them as this batch's
+    * `pairs` run. Cost per batch: |delta| index rows written +
+    * |delta-prefix ⋈ index-prefix| candidates — |delta| + |index| scale,
+    * never corpus²; an unaffected pair is never recomputed (old×old
+    * candidates cannot enter the join: one side is always the delta).
+    * Replay-safe: every table's run is a pure function of (batch, frozen
+    * order, prior serve), rewritten under dynamic partition overwrite.
+    */
+  def s51UpsertBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val tau = graft.queries.Dedup.PrefixTauPct
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        val spark = cached.sparkSession
+        require(pathExists(spark, s"$dir/order"),
+          s"store $dir is not initialized — run s51InitStore (the frozen " +
+            "token order) before the first upsert")
+        requireFreshBatch(spark, dir, batchId,
+          Seq("toks", "prefix", "pairs", "order"))
+        val idx = graft.queries.Dedup.prefixIndexUnderOrder(
+            cached.select("doc_id", "text"), s51Order(spark, dir),
+            tau, graft.queries.Dedup.PrefixShingleK)
+          .localCheckpoint()
+        idx.select("doc_id", "varr", "sz", "plen")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/toks")
+        spark.catalog.refreshByPath(s"$dir/toks")
+        val newPrefix = idx
+          .select(col("doc_id"), col("sz"),
+            posexplode(expr("slice(tarr, 1, cast(plen as int))"))
+              .as(Seq("p", "h")))
+        newPrefix
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/prefix")
+        spark.catalog.refreshByPath(s"$dir/prefix")
+        // candidates: delta prefix ⋈ served prefix (ordered-pair
+        // normalization via when-swaps so the positional filter keeps
+        // each side's own sz/p); filters + verify are d15's, verbatim
+        val n = newPrefix.select(col("doc_id").as("nd"), col("sz").as("ns"),
+          col("p").as("np"), col("h"))
+        val o = s51PrefixRows(spark, dir).select(col("doc_id").as("od"),
+          col("sz").as("os"), col("p").as("op"), col("h"))
+        val cand = n.join(o, Seq("h"))
+          .filter(col("nd") =!= col("od"))
+          .select(
+            least(col("nd"), col("od")).as("d1"),
+            greatest(col("nd"), col("od")).as("d2"),
+            when(col("nd") < col("od"), col("ns")).otherwise(col("os")).as("sa"),
+            when(col("nd") < col("od"), col("os")).otherwise(col("ns")).as("sb"),
+            when(col("nd") < col("od"), col("np")).otherwise(col("op")).as("pa"),
+            when(col("nd") < col("od"), col("op")).otherwise(col("np")).as("pb"))
+          .filter(least(col("sa"), col("sb")) * 100 >=
+            greatest(col("sa"), col("sb")) * tau)
+          .filter((lit(1) + least(col("sa") - col("pa") - 1,
+            col("sb") - col("pb") - 1)) * (100 + tau) >=
+            (col("sa") + col("sb")) * tau)
+          .select("d1", "d2")
+        val toks = s51Toks(spark, dir)
+        val pairs = cand
+          .join(broadcast(toks.select(col("doc_id").as("d1"),
+            col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
+          .join(broadcast(toks.select(col("doc_id").as("d2"),
+            col("varr").as("vb"), col("sz").as("nb"))), Seq("d2"))
+          .withColumn("inter", expr("sorted_inter_size(va, vb)"))
+          .filter(col("inter") * 100 >=
+            (col("na") + col("nb") - col("inter")) * tau)
+          .select(col("d1"), col("d2"), col("inter"),
+            col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+          .distinct()
+          .localCheckpoint()
+        if (!pairs.isEmpty) {
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$dir/pairs")
+          spark.catalog.refreshByPath(s"$dir/pairs")
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  def s51IndexMaintain(docs: DataFrame, dir: String,
+                       checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(s51UpsertBatch(dir) _)
+      .start()
+
+  /** s51 delete: pure tombstone — pairs are per-pair FACTS, not bounded
+    * lists, so unlike the s36 graph store no re-derivation is needed:
+    * the serve-side two-sided batch mask retires every pair a dead doc
+    * touches, and a re-admission (upsert at a later batch) recomputes
+    * its pairs against the live corpus from its NEW text while the mask
+    * keeps every pre-delete pair of that doc retired. Content updates
+    * follow the store family's contract: delete then re-admit (an
+    * in-place upsert of changed text would serve both token sets, as in
+    * every distinct-fold store).
+    */
+  def s51DeleteBatch(dir: String)(deletes: DataFrame, batchId: Long): Unit =
+    tombstoneBatch(dir, Seq("toks", "prefix", "pairs", "order"))(
+      deletes, batchId)
+
+  /** Served per-doc index rows (varr/sz/plen), tombstone-masked. */
+  def s51Toks(spark: org.apache.spark.sql.SparkSession,
+              dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "toks", asOf)
+    maskDeleted(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
+          "doc_id", "varr", "sz", "plen"),
+        spark, dir, asOf)
+        .select(col("doc_id"), col("varr"), col("sz"), col("plen"),
+          col("batch_id")),
+      spark, dir, "doc_id", asOf)
+      .select("doc_id", "varr", "sz", "plen").distinct()
+  }
+
+  /** Served exploded prefix index (h, doc_id, p, sz), tombstone-masked. */
+  def s51PrefixRows(spark: org.apache.spark.sql.SparkSession,
+                    dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "prefix", asOf)
+    maskDeleted(
+      asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
+          "doc_id", "p", "h", "sz"),
+        spark, dir, asOf)
+        .select(col("doc_id"), col("p"), col("h"), col("sz"),
+          col("batch_id")),
+      spark, dir, "doc_id", asOf)
+      .select("doc_id", "p", "h", "sz").distinct()
+  }
+
+  /** The frozen token order (h → df at freeze). */
+  def s51Order(spark: org.apache.spark.sql.SparkSession,
+               dir0: String, asOf: Option[Long] = None): DataFrame = {
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "order", asOf)
+    graft.sources.ReadGuard.requireColumns(
+        graft.sources.ReadGuard.readRuns(spark, tp), tp, "h", "df")
+      .select("h", "df").distinct()
+  }
+
+  /** The served τ-pair table: TWO-SIDED batch mask (a pair row retires
+    * when EITHER side was tombstoned at or after the batch that computed
+    * it — d15's exactness over the live corpus), then distinct across
+    * runs. Tombstone side is delete-traffic-sized → both mask joins
+    * broadcast.
+    */
+  def s51Pairs(spark: org.apache.spark.sql.SparkSession,
+               dir0: String, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "pairs", asOf)
+    if (!pathExists(spark, tp))
+      spark.range(0).select(col("id").as("d1"), col("id").as("d2"),
+        col("id").cast("int").as("inter"), col("id").as("na"),
+        col("id").as("nb"))
+    else {
+      val raw = asOfRuns(
+        graft.sources.ReadGuard.requireColumns(
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
+          "d1", "d2", "inter", "na", "nb"),
+        spark, dir, asOf)
+        .select(col("d1"), col("d2"), col("inter"), col("na"), col("nb"),
+          col("batch_id").cast("long").as("batch_id"))
+      val tomb = tombstoneBatches(spark, dir, asOf)
+      raw
+        .join(broadcast(tomb.select(col("id").as("d1"),
+          col("del_batch").as("__del1"))), Seq("d1"), "left")
+        .join(broadcast(tomb.select(col("id").as("d2"),
+          col("del_batch").as("__del2"))), Seq("d2"), "left")
+        .filter((col("__del1").isNull || col("batch_id") > col("__del1")) &&
+          (col("__del2").isNull || col("batch_id") > col("__del2")))
+        .select("d1", "d2", "inter", "na", "nb").distinct()
+    }
+  }
+
+  /** s40 applied to the prefix store. */
+  def s51CompactStore(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactStore(spark, dir, familyTables(spark, dir, "prefix"), "doc_id")
+
+  /** s51's fsck: referential integrity of the served prefix-index views. */
+  def s46PrefixStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = s51Toks(spark, dir).select("doc_id").localCheckpoint()
+    val pairs = s51Pairs(spark, dir).localCheckpoint()
+    val prefix = s51PrefixRows(spark, dir).select("doc_id").distinct()
+    auditOf(Seq(
+      auditRow("pair_side_not_served",
+        pairs.select(col("d1").as("doc_id"))
+          .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+          .join(toks, Seq("doc_id"), "left_anti")),
+      auditRow("indexed_doc_without_prefix",
+        toks.join(prefix, Seq("doc_id"), "left_anti")),
+      auditRow("prefix_doc_not_indexed",
+        prefix.join(toks, Seq("doc_id"), "left_anti")),
+      tombstonesServedRow(spark, dir, toks, "doc_id", "toks"),
+      staleRunsRow(spark, dir, Seq("toks", "prefix", "pairs", "order"))))
   }
 
   // ===== p14 executor: the composed TAKEDOWN verb (r12 verdict item 4 —
@@ -2006,6 +2574,7 @@ object StreamOps {
         case "graph"   => s36DeleteBatch(dir)(delBatch, batch)
         case "cluster" => s43DeleteClusterBatch(dir)(delBatch, batch)
         case "golden"  => s48DeleteGoldenBatch(dir)(delBatch, batch)
+        case "prefix"  => s51DeleteBatch(dir)(delBatch, batch)
       }
       val reclaimed = chunksBefore.map { before =>
         val after = s34ChunkRows(spark, dir).select("h").distinct()
@@ -2335,17 +2904,24 @@ object StreamOps {
         "vectors" -> (() => s36Vectors(spark, dir)),
         "cells"   -> (() => s36Cells(spark, dir)),
         "edges"   -> (() => s36DirectedEdges(spark, dir)))
+      case "prefix" => Seq(
+        "toks"   -> (() => s51Toks(spark, dir)),
+        "prefix" -> (() => s51PrefixRows(spark, dir)),
+        "pairs"  -> (() => s51Pairs(spark, dir)),
+        // the frozen order is immutable decision data that must survive
+        // compaction/export with the index (the s35 codebook pattern)
+        "order"  -> (() => s51Order(spark, dir)))
       case other => throw new IllegalArgumentException(
-        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph|prefix)")
     }
 
   /** The primary table's id column per family (tombstone/presence key). */
   private[graft] def familyIdCol(family: String): String = family match {
-    case "hash" | "cluster" | "golden" => "doc_id"
+    case "hash" | "cluster" | "golden" | "prefix" => "doc_id"
     case "chunk"                       => "media_id"
     case "assign" | "code" | "graph"   => "vec_id"
     case other => throw new IllegalArgumentException(
-      s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
+      s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph|prefix)")
   }
 
   def s47StoreStats(spark: org.apache.spark.sql.SparkSession,
@@ -2395,8 +2971,9 @@ object StreamOps {
       case "cluster" => s46ClusterStoreAudit(spark, dir)
       case "golden"  => s46GoldenStoreAudit(spark, dir)
       case "graph"   => s44GraphStoreAudit(spark, dir)
+      case "prefix"  => s46PrefixStoreAudit(spark, dir)
       case other => throw new IllegalArgumentException(
-        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph)")
+        s"unknown store family '$other' (hash|chunk|assign|code|cluster|golden|graph|prefix)")
     }
     requireCleanAudit(s"$family store", dir, audit)
   }
@@ -2496,10 +3073,11 @@ object StreamOps {
   def s38Codes(spark: org.apache.spark.sql.SparkSession,
                dir0: String, asOf: Option[Long] = None): DataFrame = {
     val dir = resolveAsOfDir(spark, dir0, asOf)
+    val tp = tablePath(spark, dir, "codes", asOf)
     maskDeleted(
       asOfRuns(
         graft.sources.ReadGuard.requireColumns(
-          graft.sources.ReadGuard.readRuns(spark, s"$dir/codes"), s"$dir/codes",
+          graft.sources.ReadGuard.readRuns(spark, tp), tp,
           "vec_id", "sub", "code", "dist2"),
         spark, dir, asOf)
         .select(col("vec_id"), col("sub"), col("code"), col("dist2"),

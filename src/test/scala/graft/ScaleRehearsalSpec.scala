@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale rehearsal (r13 verdict item 4): every other pin runs at
+  * sf0.01/sf0.1, so the 100 TB arguments were plan-SHAPE only — this
+  * measures GROWTH. A deterministic derived corpus under `target/`
+  * (`/root/testdata` stays untouched per TESTDATA.md) unions C
+  * hash-shifted copies of sf0.1: ids shift by copy·10⁸ (foreign keys
+  * shift together, so joins keep their selectivity), document tokens get
+  * a per-copy suffix (copies are DISJOINT in shingle space — cross-copy
+  * near-dup pairs would otherwise grow quadratically by construction of
+  * the data, not the plan), and the dimension tables (region/nation)
+  * stay single (10× customers per nation is exactly what a bigger SF
+  * looks like). The 1× BASELINE is the same derivation at C = 1 (copy 0
+  * with the same suffix transform), so the two corpora differ only in
+  * scale, never in shape.
+  *
+  * The 15 heaviest queries (r13 bench archive) then run at 1× and 10×,
+  * each min-of-2 with a GC between passes, normalized by the shared
+  * cpuCanary (the box-load discipline Bench documents). The pin:
+  * canary-normalized growth ≤ [[MaxGrowthVsLinear]] × linear per query —
+  * generous headroom for fixed per-query overhead and sampling noise,
+  * tight enough that any quadratic candidate generation, unpartitioned
+  * window or driver-side loop fails the run. The full growth table is
+  * written to `SCALE_REHEARSAL_r14.md` for the round notes.
+  *
+  * OPT-IN (the documented one-canceled pattern, like the live-Postgres
+  * test): heavyweight by design — run ALONE so it owns the JVM's
+  * SparkSession sizing:
+  *   SPARK_GRAFT_SCALE_REHEARSAL=1 SPARK_GRAFT_CPUS=16 \
+  *     sbt -batch "testOnly graft.ScaleRehearsalSpec"
+  */
+class ScaleRehearsalSpec extends AnyFunSuite {
+
+  /** Per-query ceiling on (normalized 10× time) / (normalized 1× time ×
+    * copies). Linear growth = 1.0; sub-linear (fixed overhead amortized)
+    * is common; anything past this is a scale bug worth a named cause.
+    */
+  val MaxGrowthVsLinear = 2.0
+
+  val Copies = 10
+  private val Shift = 100000000L
+
+  /** The r13 archive's 15 heaviest queries by raw seconds. */
+  val Heaviest: Seq[String] = Seq(
+    "d28", "d22", "n22", "n26", "n28", "d19", "q122", "n21",
+    "p06", "t42", "x15", "d21", "x12", "q119", "p13")
+
+  private def copyOf(spark: SparkSession, src: String, table: String,
+                     copy: Int): DataFrame = {
+    val df = spark.read.parquet(s"$src/$table.parquet")
+    val s = copy * Shift
+    table match {
+      case "region" | "nation" => df // dimensions stay single-copy
+      case "customer" => df.withColumn("c_custkey", col("c_custkey") + s)
+      case "supplier" => df.withColumn("s_suppkey", col("s_suppkey") + s)
+      case "part"     => df.withColumn("p_partkey", col("p_partkey") + s)
+      case "orders" => df
+        .withColumn("o_orderkey", col("o_orderkey") + s)
+        .withColumn("o_custkey", col("o_custkey") + s)
+      case "lineitem" => df
+        .withColumn("l_orderkey", col("l_orderkey") + s)
+        .withColumn("l_partkey", col("l_partkey") + s)
+        .withColumn("l_suppkey", col("l_suppkey") + s)
+      case "events" => df
+        .withColumn("event_id", col("event_id") + s)
+        .withColumn("user_id", col("user_id") + s)
+      case "documents" => df
+        .withColumn("doc_id", col("doc_id") + s)
+        // per-copy token suffix: copies disjoint in shingle space, so
+        // dedup candidate/pair counts scale linearly by construction
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), x -> concat(x, '~c$copy')), ' ')"))
+        .withColumn("n_chars", length(col("text")))
+      case "embeddings" => df.withColumn("vec_id", col("vec_id") + s)
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  private def buildCorpus(spark: SparkSession, dir: String,
+                          copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(s"$dir/_BUILT")
+    if (java.nio.file.Files.exists(marker)) return
+    val src = "/root/testdata/sf0.1"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val n = if (t == "region" || t == "nation") 1 else copies
+      (0 until n).map(c => copyOf(spark, src, t, c))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  private def releaseMemos(spark: SparkSession): Unit = {
+    graft.queries.Dedup.clearClusterMemo()
+    graft.queries.Similarity.clearGraphAnnMemo()
+    graft.queries.TextOps.releasePrefixSumCaches()
+    spark.catalog.clearCache()
+  }
+
+  test("scale rehearsal: the 15 heaviest queries grow at most ~linearly from 1x to 10x of sf0.1") {
+    assume(sys.env.contains("SPARK_GRAFT_SCALE_REHEARSAL"),
+      "opt-in heavy run: SPARK_GRAFT_SCALE_REHEARSAL=1 " +
+        "sbt -batch 'testOnly graft.ScaleRehearsalSpec' (run alone)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "target/scale_rehearsal"
+    val dir1 = s"$base/x1"
+    val dir10 = s"$base/x$Copies"
+    buildCorpus(spark, dir1, 1)
+    buildCorpus(spark, dir10, Copies)
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (k, _) => Heaviest.exists(h => k.startsWith(h + "_")) }
+      .sortBy(_._1)
+    assert(queries.size === Heaviest.size,
+      s"heaviest-query prefixes must resolve 1:1, got ${queries.map(_._1)}")
+    def canary(): Double = Bench.cpuCanary(spark, cpus.toInt)
+    def timed(dir: String): Map[String, Double] = queries.map {
+      case (name, fn) =>
+        val c = canary()
+        val dt = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          releaseMemos(spark)
+          System.gc()
+          t
+        }.min
+        // normalize by the nearest canary against the quiet-box 0.105 s
+        // reference (Bench's phase-weighted discipline)
+        name -> (if (c > 0) dt * 0.105 / c else dt)
+    }.toMap
+    // 1x first (warm codegen paths on the small corpus), then 10x
+    val t1 = timed(dir1)
+    val t10 = timed(dir10)
+    val rows = queries.map(_._1).map { q =>
+      val ratio = t10(q) / math.max(t1(q), 1e-3)
+      val vsLinear = ratio / Copies
+      (q, t1(q), t10(q), ratio, vsLinear)
+    }
+    val md = new StringBuilder
+    md.append(s"# Scale rehearsal — ${Copies}x of sf0.1 (derived, ")
+    md.append(s"local[$cpus], canary-normalized, min-of-2)\n\n")
+    md.append("| query | 1x sec | 10x sec | growth | vs linear |\n")
+    md.append("| --- | --- | --- | --- | --- |\n")
+    rows.foreach { case (q, a, b, r, v) =>
+      md.append(f"| $q | $a%.2f | $b%.2f | $r%.1fx | $v%.2f |\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_REHEARSAL_r14.md"), md.toString)
+    println(md.toString)
+    val bad = rows.filter(_._5 > MaxGrowthVsLinear)
+    assert(bad.isEmpty,
+      s"superlinear growth (>${MaxGrowthVsLinear}x linear): " +
+        bad.map { case (q, _, _, _, v) => f"$q=$v%.2f" }.mkString(", "))
+  }
+}

@@ -2643,4 +2643,416 @@ class StreamingSpec extends SparkSpec {
         chunksOf(media.toSeq)),
       "the chunk store as-of the second batch must see both ingests")
   }
+
+  test("r14 golden empty-fold: compacting/exporting a store whose every multi-member cluster dissolved serves EMPTY — retired elections never resurrect") {
+    import spark.implicits._
+    val dir = tmp("r14_gold_empty")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // two docs with identical text => exactly one multi-member cluster
+    val txt = "duplicate corpus text shared by both documents"
+    val pair = Seq((1L, txt, "en", "web", 47L), (2L, txt, "en", "api", 47L))
+    StreamOps.s48UpsertGoldenBatch(dir)(pair.toDF(cols: _*), 0L)
+    assert(StreamOps.s48Golden(spark, dir).count() === 1L)
+    // retract one member: the only multi-member cluster dissolves; the
+    // RETIRE row overrides the stale election
+    StreamOps.s48DeleteGoldenBatch(dir)(Seq(2L).toDF("doc_id"), 1L)
+    assert(StreamOps.s48Golden(spark, dir).count() === 0L)
+    // the r13 bug: compaction's empty-fold path restamped the label-keyed
+    // raw golden rows (stale election + its RETIRE override) to ONE batch
+    // id — the latest-per-label fold tied and cluster_size >= 2 silently
+    // resurrected the retired election (takedown leakage)
+    StreamOps.s48CompactStore(spark, dir)
+    assert(StreamOps.s48Golden(spark, dir).count() === 0L,
+      "compaction must not resurrect a retired election")
+    StreamOps.s46RequireHealthy(spark, dir, "golden")
+    // a clone of the compacted store must serve empty too
+    val clone = tmp("r14_gold_clone") + "/store"
+    StreamOps.s49ExportStore(spark, dir, clone, "golden")
+    assert(StreamOps.s48Golden(spark, clone).count() === 0L,
+      "a clone of the all-retired store must not resurrect the election")
+    StreamOps.s46RequireHealthy(spark, clone, "golden")
+    // ... and so must a clone taken from the UNCOMPACTED state (retire
+    // history still raw on disk — s49's own empty-fold path)
+    val dir2 = tmp("r14_gold_empty2")
+    StreamOps.s48UpsertGoldenBatch(dir2)(pair.toDF(cols: _*), 0L)
+    StreamOps.s48DeleteGoldenBatch(dir2)(Seq(2L).toDF("doc_id"), 1L)
+    val clone2 = tmp("r14_gold_clone2") + "/store"
+    StreamOps.s49ExportStore(spark, dir2, clone2, "golden")
+    assert(StreamOps.s48Golden(spark, clone2).count() === 0L,
+      "an uncompacted-source clone must not resurrect the election")
+    // increments continue on the compacted original: re-admission
+    // re-forms the cluster and re-elects
+    StreamOps.s48UpsertGoldenBatch(dir)(
+      Seq((2L, txt, "en", "api", 47L)).toDF(cols: _*), 2L)
+    assert(StreamOps.s48Golden(spark, dir).count() === 1L,
+      "post-compaction re-admission must re-elect")
+    StreamOps.s46RequireHealthy(spark, dir, "golden")
+  }
+
+  test("r14 serve-during-compaction: every scripted step serves one whole generation (old or new, never a mix, never PATH_NOT_FOUND); a crash at any step resumes") {
+    import spark.implicits._
+    val dir = tmp("r14_flip")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .limit(40).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+    StreamOps.s48UpsertGoldenBatch(dir)(h1.toSeq.toDF(cols: _*), 0L)
+    StreamOps.s48UpsertGoldenBatch(dir)(h2.toSeq.toDF(cols: _*), 1L)
+    val dels = docs.map(_._1).filter(_ % 5 == 1).toSeq
+    assert(dels.nonEmpty)
+    StreamOps.s48DeleteGoldenBatch(dir)(dels.toDF("doc_id"), 2L)
+    // snapshot every served view (and an as-of view) BEFORE compacting:
+    // compaction preserves served content, so at every step each view
+    // must equal this snapshot exactly — a mixed generation or a missing
+    // dir would show as a diff or a thrown PATH_NOT_FOUND
+    def views(asOf: Option[Long]): Seq[(String, () => Seq[String])] = Seq(
+      "golden" -> (() => StreamOps.s48Golden(spark, dir, asOf)
+        .collect().map(_.toString).sorted.toSeq),
+      "clusters" -> (() => StreamOps.s43Clusters(spark, dir, asOf)
+        .collect().map(_.toString).sorted.toSeq),
+      "hashidx" -> (() => StreamOps.s32HashIndex(spark, dir, asOf)
+        .collect().map(_.toString).sorted.toSeq),
+      "bands" -> (() => StreamOps.s32BandIndex(spark, dir, asOf)
+        .collect().map(_.toString).sorted.toSeq),
+      "attrs" -> (() => StreamOps.s48DocAttrs(spark, dir, asOf)
+        .collect().map(_.toString).sorted.toSeq))
+    val want = views(None).map { case (n, f) => n -> f() }
+    val wantAsOf1 = views(Some(1L)).map { case (n, f) => n -> f() }
+    val steps = scala.collection.mutable.ArrayBuffer[String]()
+    def checkAll(step: String): Unit = {
+      views(None).zip(want).foreach { case ((n, f), (_, w)) =>
+        assert(f() === w, s"served view '$n' diverged at step '$step'")
+      }
+      views(Some(1L)).zip(wantAsOf1).foreach { case ((n, f), (_, w)) =>
+        assert(f() === w, s"as-of view '$n' diverged at step '$step'")
+      }
+      steps += step
+    }
+    StreamOps.compactStore(spark, dir,
+      StreamOps.familyTables(spark, dir, "golden"), "doc_id",
+      onStep = checkAll)
+    assert(steps.toSeq.take(2) === Seq("staged", "flipped"))
+    assert(steps.exists(_.startsWith("swap:")), s"steps: $steps")
+    assert(steps.last === "stamped")
+    checkAll("done")
+    assert(StreamOps.readCompactionStamp(spark, dir) === Some(2L))
+    // CRASH at the flip point (pointer published, swap not started):
+    // served views stay whole, writers/exports refuse loudly, and the
+    // family's CompactStore entry point RESUMES the swap
+    StreamOps.s48UpsertGoldenBatch(dir)(
+      h1.take(3).map(d => (d._1, d._2 + " revised", d._3, d._4, d._5))
+        .toSeq.toDF(cols: _*), 3L)
+    val want2 = views(None).map { case (n, f) => n -> f() }
+    def check2(step: String): Unit =
+      views(None).zip(want2).foreach { case ((n, f), (_, w)) =>
+        assert(f() === w, s"served view '$n' diverged at step '$step'")
+      }
+    val boom = intercept[RuntimeException] {
+      StreamOps.compactStore(spark, dir,
+        StreamOps.familyTables(spark, dir, "golden"), "doc_id",
+        onStep = s => if (s == "flipped") throw new RuntimeException("crash")
+                      else ())
+    }
+    assert(boom.getMessage === "crash")
+    check2("crashed-at-flip")
+    val refused = intercept[IllegalArgumentException] {
+      StreamOps.s48UpsertGoldenBatch(dir)(
+        h2.take(1).toSeq.toDF(cols: _*), 4L)
+    }
+    assert(refused.getMessage.contains("in-flight compaction flip"))
+    val refusedExport = intercept[IllegalArgumentException] {
+      StreamOps.s49ExportStore(spark, dir,
+        tmp("r14_flip_noexport") + "/s", "golden")
+    }
+    assert(refusedExport.getMessage.contains("in-flight compaction flip"))
+    StreamOps.s48CompactStore(spark, dir) // resumes the in-flight flip
+    check2("resumed")
+    assert(StreamOps.readCompactionStamp(spark, dir) === Some(3L))
+    StreamOps.s46RequireHealthy(spark, dir, "golden")
+    // CRASH mid-swap (between two tables): same contract
+    StreamOps.s48UpsertGoldenBatch(dir)(
+      h2.take(4).map(d => (d._1, d._2 + " v3", d._3, d._4, d._5))
+        .toSeq.toDF(cols: _*), 4L)
+    val want3 = views(None).map { case (n, f) => n -> f() }
+    def check3(step: String): Unit =
+      views(None).zip(want3).foreach { case ((n, f), (_, w)) =>
+        assert(f() === w, s"served view '$n' diverged at step '$step'")
+      }
+    var swaps = 0
+    intercept[RuntimeException] {
+      StreamOps.compactStore(spark, dir,
+        StreamOps.familyTables(spark, dir, "golden"), "doc_id",
+        onStep = s => {
+          if (s.startsWith("swap:")) {
+            swaps += 1
+            check3(s)
+            if (swaps == 2) throw new RuntimeException("crash2")
+          }
+        })
+    }
+    check3("crashed-mid-swap")
+    StreamOps.s48CompactStore(spark, dir)
+    check3("resumed-mid-swap")
+    assert(StreamOps.readCompactionStamp(spark, dir) === Some(4L))
+    StreamOps.s46RequireHealthy(spark, dir, "golden")
+    // post-compaction increments still work (the fence re-armed)
+    StreamOps.s48UpsertGoldenBatch(dir)(
+      h1.take(1).toSeq.toDF(cols: _*), 5L)
+    StreamOps.s46RequireHealthy(spark, dir, "golden")
+  }
+
+  test("r14 s50 audit: a tombstone-only batch followed by compaction reads committed, not 'ahead'") {
+    import spark.implicits._
+    val hdir = tmp("r14_s50_hash")
+    val mdir = tmp("r14_s50_manifest") + "/manifest"
+    val stores = Map("hash" -> hdir)
+    val docs0 = Seq((1L, "tombstone only doc one"), (2L, "surviving doc two"))
+      .toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    StreamOps.s50IngestAll(docs0, noVecs, noMedia, stores, mdir, 0L,
+      noVecs, noVecs)
+    StreamOps.s50RequireCoordinated(spark, mdir, stores)
+    // an UNCOORDINATED tombstone-only batch (the p14 takedown shape) ...
+    StreamOps.s32DeleteBatch(hdir)(Seq(1L).toDF("doc_id"), 1L)
+    // ... followed by compaction: the primary table restamps to the max
+    // batch across ALL tables including 'deleted' — the stamp bounds that
+    // restamp, so the audit must read committed (r13 ADVICE: the old
+    // compare said 'ahead' and prescribed replaying a non-ingest batch)
+    StreamOps.s32CompactStore(spark, hdir)
+    val audit = StreamOps.s50CoordinationAudit(spark, mdir, stores).collect()
+    assert(audit.length === 1)
+    assert(audit.head.getString(4) === "committed",
+      s"tombstone-only + compaction must read committed, got ${audit.head}")
+    StreamOps.s50RequireCoordinated(spark, mdir, stores)
+    // a genuinely-ahead store (ingest landed, manifest never acked) still
+    // reads ahead — the fix must not blind the audit
+    StreamOps.s32UpsertIndexBatch(hdir)(
+      Seq((3L, "unacked ingest doc")).toDF("doc_id", "text"), 2L)
+    val audit2 = StreamOps.s50CoordinationAudit(spark, mdir, stores).collect()
+    assert(audit2.head.getString(4) === "ahead",
+      s"an unacknowledged ingest must still read ahead, got ${audit2.head}")
+  }
+
+  test("r14 coordinated-ingest lease: a second writer refuses loudly before touching any store; a crashed writer's lease breaks loudly; concurrent writers serialize") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hdir = tmp("r14_lease_hash")
+    val mdir = tmp("r14_lease_manifest") + "/manifest"
+    val stores = Map("hash" -> hdir)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    def ingest(docs: Seq[(Long, String)], batch: Long, writer: String): Unit =
+      StreamOps.s50IngestAll(docs.toDF("doc_id", "text"), noVecs, noMedia,
+        stores, mdir, batch, noVecs, noVecs, writerId = writer)
+    ingest(Seq((1L, "first doc")), 0L, "writer-a")
+    StreamOps.s50RequireCoordinated(spark, mdir, stores)
+    // writer A holds the lease (simulating mid-ingest): writer B must
+    // refuse LOUDLY naming the holder, and NO store may have been touched
+    StreamOps.s50AcquireLease(spark, mdir, "writer-a batch=1")
+    val before = StreamOps.s32HashIndex(spark, hdir).count()
+    val refused = intercept[IllegalStateException] {
+      ingest(Seq((2L, "second doc")), 1L, "writer-b")
+    }
+    assert(refused.getMessage.contains("writer-a"))
+    assert(refused.getMessage.contains("s50BreakLease"))
+    assert(StreamOps.s32HashIndex(spark, hdir).count() === before,
+      "a refused writer must not have touched any store")
+    // the crashed-writer takeover: break returns the evicted holder;
+    // breaking a non-existent lease is loud too
+    val evicted = StreamOps.s50BreakLease(spark, mdir)
+    assert(evicted.contains("writer-a"))
+    intercept[IllegalArgumentException] {
+      StreamOps.s50BreakLease(spark, mdir)
+    }
+    ingest(Seq((2L, "second doc")), 1L, "writer-b")
+    StreamOps.s50RequireCoordinated(spark, mdir, stores)
+    // a genuine two-writer race: at most one may hold the lease at a
+    // time, so either one refuses (replayed serially after) or they ran
+    // serially — every outcome ends coordinated, never interleaved
+    val attempts = Seq(
+      Future(scala.util.Try(ingest(Seq((3L, "race doc a")), 2L, "race-a"))),
+      Future(scala.util.Try(ingest(Seq((4L, "race doc b")), 3L, "race-b"))))
+    val results = Await.result(Future.sequence(attempts), 5.minutes)
+    val failures = results.collect { case scala.util.Failure(e) => e }
+    assert(results.size - failures.size >= 1, "at least one writer commits")
+    failures.foreach { e =>
+      // a loser fails LOUDLY at one of the two fences: the lease (caught
+      // mid-hold) or the monotone-id fence (the other writer's higher id
+      // landed first) — never silently interleaves
+      assert((e.isInstanceOf[IllegalStateException] &&
+          e.getMessage.contains("lease")) ||
+        (e.isInstanceOf[IllegalArgumentException] &&
+          e.getMessage.contains("monotone")),
+        s"a losing writer must fail loudly at a fence, got: $e")
+    }
+    // replay any refused doc serially at the next admissible id — the
+    // audit must end committed
+    if (failures.nonEmpty) {
+      val got = StreamOps.s32HashIndex(spark, hdir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      if (!got.contains(3L)) ingest(Seq((3L, "race doc a")), 4L, "race-a")
+      if (!got.contains(4L)) ingest(Seq((4L, "race doc b")), 5L, "race-b")
+    }
+    StreamOps.s50RequireCoordinated(spark, mdir, stores)
+    assert(StreamOps.s32HashIndex(spark, hdir).count() === 4L)
+  }
+
+  test("r14 restore drill: a corrupted live store refuses export; the last healthy s49 clone restores as live root, increments equal the rebuild, and clone as-of below its stamp stays loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val Sim = graft.queries.Similarity
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val dir = tmp("r14_drill_live")
+    val cloneA = tmp("r14_drill_backup") + "/store"
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = Sim.ivfCentroids(spark, sf).localCheckpoint()
+    val thirds = vecs.groupBy(_._1 % 3)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      thirds(0L).toSeq.toDF("vec_id", "embedding"), 0L)
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      thirds(1L).toSeq.toDF("vec_id", "embedding"), 1L)
+    // routine backup while healthy (the export verb fscks the source)
+    StreamOps.s49ExportStore(spark, dir, cloneA, "graph")
+    // live ingest continues past the backup point
+    StreamOps.s36UpsertGraphBatch(cents, dir)(
+      thirds(2L).toSeq.toDF("vec_id", "embedding"), 2L)
+    // INCIDENT: a bogus edge run lands (s44's own plant — dst never
+    // ingested) at a fresh batch id, so latest-per-src serves it
+    Seq((999999L, 999998L, 0.5)).toDF("src", "dst", "cos")
+      .withColumn("batch_id", lit(3L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    spark.catalog.refreshByPath(s"$dir/edges")
+    intercept[IllegalArgumentException] {
+      StreamOps.s44RequireHealthy(spark, dir)
+    }
+    // a backup of a corrupt store is a corrupt backup: export REFUSES
+    val refuse = intercept[IllegalArgumentException] {
+      StreamOps.s49ExportStore(spark, dir,
+        tmp("r14_drill_bad") + "/store", "graph")
+    }
+    assert(refuse.getMessage.contains("failed fsck"))
+    // RESTORE: the last healthy clone becomes the live root; replay the
+    // ingest the backup missed (batch 2 — past the clone's carried stamp,
+    // so the s41 fence admits it)
+    StreamOps.s36UpsertGraphBatch(cents, cloneA)(
+      thirds(2L).toSeq.toDF("vec_id", "embedding"), 2L)
+    StreamOps.s44RequireHealthy(spark, cloneA)
+    def rebuilt(rows: Seq[(Long, Array[Float])]) = Sim.symmetrize(
+      Sim.directedTopKOf(
+        Sim.prepareVectors(rows.toDF("vec_id", "embedding"))
+          .select("vec_id", "q", "nrm"), cents))
+    assert(same(StreamOps.s36Adjacency(spark, cloneA), rebuilt(vecs.toSeq)),
+      "restored clone + replayed increments must equal the full rebuild")
+    // the full lifecycle continues on the restored root
+    val dels = vecs.map(_._1).filter(_ % 5 == 1).toSeq
+    StreamOps.s36DeleteBatch(cloneA)(dels.toDF("vec_id"), 3L)
+    StreamOps.s44RequireHealthy(spark, cloneA)
+    assert(same(StreamOps.s36Adjacency(spark, cloneA),
+        rebuilt(vecs.filterNot(v => dels.contains(v._1)).toSeq)),
+      "post-restore deletes must equal the rebuild on the live corpus")
+    // history is deliberately absent on clones: as-of below the carried
+    // stamp fails loudly instead of silently serving a wrong prefix
+    val asOfBoom = intercept[IllegalArgumentException] {
+      StreamOps.s36Adjacency(spark, cloneA, Some(0L))
+    }
+    assert(asOfBoom.getMessage.contains("no retained generation"))
+  }
+
+  test("s51 maintained prefix-filter index: incremental upsert/delete/re-admit/compact equals the d15 rebuild at every step; fsck holds") {
+    import spark.implicits._
+    val Dd = graft.queries.Dedup
+    val dir = tmp("s51_prefix")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    def check(liveRows: Seq[(Long, String)], msg: String): Unit = {
+      // the oracle is d15's OWN batch machinery over the live corpus —
+      // fresh df order and all; pair rows are order-independent facts
+      val want = Dd.d15PairsOver(liveRows.toDF("doc_id", "text"))
+      assert(same(StreamOps.s51Pairs(spark, dir), want), msg)
+      StreamOps.s46RequireHealthy(spark, dir, "prefix")
+    }
+    // freeze the order on the FULL fixture corpus, then ingest in thirds
+    StreamOps.s51InitStore(spark, dir, docs.toSeq.toDF("doc_id", "text"))
+    intercept[IllegalArgumentException] {
+      StreamOps.s51InitStore(spark, dir, docs.toSeq.toDF("doc_id", "text"))
+    }
+    val thirds = docs.groupBy(_._1 % 3)
+    StreamOps.s51UpsertBatch(dir)(thirds(0L).toSeq.toDF("doc_id", "text"), 1L)
+    check(thirds(0L).toSeq, "first increment must equal the d15 rebuild")
+    StreamOps.s51UpsertBatch(dir)(thirds(1L).toSeq.toDF("doc_id", "text"), 2L)
+    val after01 = (thirds(0L) ++ thirds(1L)).toSeq
+    check(after01, "cross-batch pairs (delta x old) must equal the rebuild")
+    // replayed upsert is a fixpoint
+    StreamOps.s51UpsertBatch(dir)(thirds(1L).toSeq.toDF("doc_id", "text"), 2L)
+    check(after01, "a replayed upsert must serve the same pairs")
+    // retraction: pairs touching a dead doc retire; everything else stays
+    val dels = after01.map(_._1).filter(_ % 7 == 3)
+    assert(dels.nonEmpty)
+    StreamOps.s51DeleteBatch(dir)(dels.toDF("doc_id"), 3L)
+    val live3 = after01.filterNot(d => dels.contains(d._1))
+    check(live3, "post-delete pairs must equal the rebuild on the live corpus")
+    // as-of the pre-delete batch still serves yesterday's pairs
+    assert(same(StreamOps.s51Pairs(spark, dir, Some(2L)),
+      Dd.d15PairsOver(after01.toDF("doc_id", "text"))),
+      "pairs as-of the pre-delete batch must serve the pre-delete view")
+    // compaction folds every table (incl. the frozen order) to one base
+    StreamOps.s51CompactStore(spark, dir)
+    check(live3, "compaction must not change the served pairs")
+    Seq("toks", "prefix", "order").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t")
+        .select("batch_id").distinct().count() === 1,
+        s"compaction must fold $t to one run")
+    }
+    // post-compaction increments + RE-ADMISSION with changed text: the
+    // re-admitted doc pairs by its NEW shingles; its pre-delete pairs
+    // stay retired
+    StreamOps.s51UpsertBatch(dir)(thirds(2L).toSeq.toDF("doc_id", "text"), 4L)
+    check(live3 ++ thirds(2L), "post-compaction increments must equal the rebuild")
+    val victim = docs.find(d => dels.contains(d._1)).get
+    val twin = docs.find(d => d._1 != victim._1 && !dels.contains(d._1)).get
+    val corrected = (victim._1, twin._2 + " re-admitted")
+    StreamOps.s51UpsertBatch(dir)(Seq(corrected).toDF("doc_id", "text"), 5L)
+    check((live3 ++ thirds(2L)) :+ corrected,
+      "a re-admitted doc must pair by its NEW text only")
+  }
+
+  test("r14 crashed-generation detector: a fully-restored gen_N is pruned and compaction proceeds; an unrestored one stays loud") {
+    import spark.implicits._
+    val dir = tmp("r14_gen_detect")
+    StreamOps.s32UpsertIndexBatch(dir)(
+      Seq((1L, "doc one text"), (2L, "doc two text")).toDF("doc_id", "text"), 0L)
+    StreamOps.s32UpsertIndexBatch(dir)(
+      Seq((3L, "doc three text")).toDF("doc_id", "text"), 1L)
+    // plant a generation NEWER than the (absent) stamp holding a table
+    // dir — the unrestored-crash state: compaction must refuse loudly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_history/gen_99/hash56"))
+    val boom = intercept[IllegalArgumentException] {
+      StreamOps.s32CompactStore(spark, dir)
+    }
+    assert(boom.getMessage.contains("crashed mid-archive"))
+    // after the prescribed restore (table dirs renamed back → gen emptied)
+    // compaction proceeds and prunes the emptied generation itself
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_history/gen_99/hash56"), true)
+    StreamOps.s32CompactStore(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_history/gen_99")),
+      "the emptied generation must be pruned")
+    assert(StreamOps.readCompactionStamp(spark, dir) === Some(1L))
+    assert(StreamOps.s32HashIndex(spark, dir).count() === 3L)
+  }
 }
