@@ -1899,7 +1899,11 @@ object Dedup {
     val tok = shingleHashes(
       docs.select(col("doc_id"), split(col("text"), " ").as("tokens")),
       shingleK)
-    tok.join(broadcast(order.select(col("h"), col("df"))), Seq("h"), "left")
+    // plain equi-join on the 8-byte hash (d15's own df-join shape): the
+    // frozen order is VOCABULARY-sized — corpus-scale at 100 TB — so it
+    // must never broadcast; the join keys are uniform hashes, and the
+    // delta side is batch-sized, so AQE picks the right build side
+    tok.join(order.select(col("h"), col("df")), Seq("h"), "left")
       .na.fill(0L, Seq("df"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))

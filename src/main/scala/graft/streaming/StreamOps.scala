@@ -2345,6 +2345,10 @@ object StreamOps {
             col("sb") - col("pb") - 1)) * (100 + tau) >=
             (col("sa") + col("sb")) * tau)
           .select("d1", "d2")
+        // verify fetch broadcasts the index side at bench scale (AQE
+        // under-sizes the cached array column — d15's measured note); at
+        // 100 TB the index side shards by doc bucket instead, exactly as
+        // d15Pairs documents — the candidate stream itself never shuffles
         val toks = s51Toks(spark, dir)
         val pairs = cand
           .join(broadcast(toks.select(col("doc_id").as("d1"),
