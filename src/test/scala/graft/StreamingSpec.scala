@@ -3028,6 +3028,11 @@ class StreamingSpec extends SparkSpec {
     StreamOps.s51UpsertBatch(dir)(Seq(corrected).toDF("doc_id", "text"), 5L)
     check((live3 ++ thirds(2L)) :+ corrected,
       "a re-admitted doc must pair by its NEW text only")
+    // as-of BELOW the compaction stamp resolves through the retained
+    // generation (s45's retention contract holds for the new family too)
+    assert(same(StreamOps.s51Pairs(spark, dir, Some(2L)),
+      Dd.d15PairsOver(after01.toDF("doc_id", "text"))),
+      "s51 as-of below the stamp must resolve through the retained generation")
   }
 
   test("r14 crashed-generation detector: a fully-restored gen_N is pruned and compaction proceeds; an unrestored one stays loud") {
