@@ -112,9 +112,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_inter_size"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => graft.functions.SortedInterSize(a, b)
+        // threshold-aware form: exact ≥ min_req, early-abort below it —
+        // see SortedInterSizeBounded for the equivalence contract
+        case Seq(a, b, m) => graft.functions.SortedInterSizeBounded(
+          a, b, Cast(m, org.apache.spark.sql.types.LongType))
         case other =>
           throw new IllegalArgumentException(
-            s"sorted_inter_size(a, b) expected, got $other")
+            s"sorted_inter_size(a, b[, min_req]) expected, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hilbert_index"),

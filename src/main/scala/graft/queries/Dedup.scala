@@ -2017,7 +2017,14 @@ object Dedup {
     cand
       .join(broadcast(idx.select(col("doc_id").as("d1"), col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
       .join(broadcast(idx.select(col("doc_id").as("d2"), col("varr").as("vb"), col("sz").as("nb"))), Seq("d2"))
-      .withColumn("inter", expr("sorted_inter_size(va, vb)"))
+      // THRESHOLD-AWARE merge (r14 optimization): J ≥ τ ⟺ inter ≥
+      // ceil((na+nb)·τ/(100+τ)); passing that bound lets the merge abort
+      // on candidates that provably cannot qualify (most of the k=2
+      // stream). The τ filter below is UNCHANGED — it is false for every
+      // value < the bound, so the surviving rows and their exact `inter`
+      // are bit-identical to the exact merge (see SortedInterSizeBounded).
+      .withColumn("inter", expr("sorted_inter_size(va, vb, " +
+        s"((na + nb) * $PrefixTauPct + ${100 + PrefixTauPct - 1}) div ${100 + PrefixTauPct})"))
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
       .select(col("d1"), col("d2"), col("inter"),
               col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
@@ -2055,16 +2062,27 @@ object Dedup {
     * ride a one-row broadcast cross join.
     */
   val d37TauCalibration: Q = (s, d) => {
-    import org.apache.spark.sql.functions.{broadcast => bcast}
     val idx = prefixIndex(s, d, PrefixTauPct)
     val pairs = d15Pairs(idx).localCheckpoint()
     idx.unpersist()
+    d37ReportOf(pairs, eagerCells = true)
+  }
+
+  /** d37's report over a caller-supplied pair frame — factored so the
+    * lazy twin ([[lazyPlans]]) exposes the full plan to PlanSpec's global
+    * audit and the Explain tool (the public query's two localCheckpoints
+    * truncate it). `eagerCells = false` trades the ≤15-row cells
+    * materialization for a lazy plan that recomputes the cells subtree
+    * per consumer — plan inspection only, never benched.
+    */
+  private def d37ReportOf(pairs: DataFrame, eagerCells: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
     val j = pairs.select(
       expr("(cast(inter as bigint) * 100) div (na + nb - inter)").as("j_pct"))
-    val cells = j
+    val cells0 = j
       .select(expr("(j_pct div 5) * 5").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint()
+    val cells = if (eagerCells) cells0.localCheckpoint() else cells0
     val total = cells.agg(sum("n_pairs").as("total"))
     val above = cells.select(col("bucket").as("b2"), col("n_pairs").as("n2"))
     cells
@@ -2171,6 +2189,10 @@ object Dedup {
     "d22_banding_sweep" -> ((s, d) => d22Report(
       minhashSignatures(Tables.documents(s, d)),
       d03NgramJaccard(s, d).select("d1", "d2"))),
+    "d37_tau_calibration" -> ((s, d) => d37ReportOf(
+      d15Pairs(prefixIndexOf(tokenizedDocs(s, d), PrefixTauPct,
+        PrefixShingleK)),
+      eagerCells = false)),
     "p15_curation_funnel" -> ((s, d) =>
       // the un-checkpointed twin: the gate scan's HOF sub-plan stays
       // under the global plan audit
@@ -2234,7 +2256,11 @@ object Dedup {
     cand
       .join(broadcast(idx.select(col("doc_id").as("d1"), col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
       .join(broadcast(idx.select(col("doc_id").as("d2"), col("varr").as("vb"))), Seq("d2"))
-      .withColumn("inter", expr("sorted_inter_size(va, vb)"))
+      // threshold-aware merge (d15's r14 discipline): C ≥ τ ⟺ inter ≥
+      // ceil(na·τ/100); the unchanged filter below rejects every
+      // early-abort value, so the output is bit-identical
+      .withColumn("inter", expr("sorted_inter_size(va, vb, " +
+        s"(na * $ContainTauPct + 99) div 100)"))
       .filter(col("inter") * 100 >= col("na") * ContainTauPct)
       .select(col("d1"), col("d2"), col("inter"), col("na").cast("long").as("na"))
       .distinct()

@@ -2355,7 +2355,11 @@ object StreamOps {
             col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
           .join(broadcast(toks.select(col("doc_id").as("d2"),
             col("varr").as("vb"), col("sz").as("nb"))), Seq("d2"))
-          .withColumn("inter", expr("sorted_inter_size(va, vb)"))
+          // threshold-aware merge (d15Pairs's r14 discipline): the
+          // unchanged τ filter below rejects every early-abort value, so
+          // the maintained pair rows stay bit-identical to the rebuild
+          .withColumn("inter", expr("sorted_inter_size(va, vb, " +
+            s"((na + nb) * $tau + ${100 + tau - 1}) div ${100 + tau})"))
           .filter(col("inter") * 100 >=
             (col("na") + col("nb") - col("inter")) * tau)
           .select(col("d1"), col("d2"), col("inter"),

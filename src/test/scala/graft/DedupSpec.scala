@@ -691,6 +691,35 @@ class DedupSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("sorted_inter_size(a, b, min_req): exact at/above the bound, below-bound whenever the truth is below") {
+    // the threshold-aware form's contract (r14: the d15/d16/s51 verify
+    // abort): for EVERY (arrays, min_req) — including bounds the early
+    // exit does and does not trip — the result must be exactly the true
+    // intersection when that is >= min_req, and SOME value < min_req
+    // otherwise; i.e. any filter of the shape `inter >= min_req` keeps
+    // bit-identical rows vs the exact merge
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(7)
+    val cases = for {
+      i <- 0 until 200
+      m <- Seq(0, 1, 3, 10, 25, 60)
+    } yield {
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (i, a, b, m.toLong)
+    }
+    val bad = cases.toDF("i", "a", "b", "m")
+      .withColumn("got", expr("sorted_inter_size(a, b, m)"))
+      .withColumn("truth", expr("cast(size(array_intersect(a, b)) as bigint)"))
+      .filter(
+        // qualifying: must be exact; non-qualifying: must stay below m
+        (col("truth") >= col("m") && col("got") =!= col("truth")) ||
+        (col("truth") < col("m") && col("got") >= col("m")))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("d33 survivorship policies: completeness beats id for the rep, majority then lexicographic for the lang, singletons excluded") {
     import spark.implicits._
     // cluster 10: rep must be doc 11 (max chars, tie broken by MIN id
