@@ -126,7 +126,7 @@ object Bench {
     // the round-over-round comparison needs is the normalized number, so
     // it leads; the raw total stays for same-box reads.
     val json =
-      s"""{"metric":"total","value_canary_norm":$totalNorm,"value":$total,"unit":"sec","canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value_canary_norm":$totalNorm,"value":$total,"unit":"sec","cpus":$cpus,"canary_ref":$CanaryRef,"canary_pre":$canaryPre,"canary_post":$canaryPost,"canaries":$canariesJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // Full-precision, all-queries JSON goes to a file; the PRINTED line is
     // budgeted to fit the driver's tail capture. Measured from BENCH_r0N:
     // the driver keeps the LAST 2000 chars of stdout, and under sbt the
@@ -146,7 +146,12 @@ object Bench {
     // The target resolves against SPARK_GRAFT_REPO_ROOT when set, else the
     // CWD — and only OVERWRITES an existing tracked file, so a launch from
     // some other directory can't silently scatter archives (r09 advice).
-    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+    // Round-14 verdict item 2: the driver's 8-core scaling pass overwrote
+    // the tracked 32-core archive (the JSON carried no core count, so the
+    // two were indistinguishable). The archive is the 32-core
+    // round-over-round record: stamp "cpus" into every JSON (above) and
+    // only refresh the tracked copy from a default-core run.
+    if (only.isEmpty && sfDir.endsWith("sf0.1") && cpus == "32") {
       val archive = sys.env.get("SPARK_GRAFT_REPO_ROOT")
         .map(r => java.nio.file.Paths.get(r, "BENCH_full_latest.json"))
         .getOrElse(java.nio.file.Paths.get("BENCH_full_latest.json"))
@@ -168,7 +173,7 @@ object Bench {
     // only min(pre, post) hid that r07 STARTED 2.2x loaded — a reader of
     // the driver artifact saw "quiet box" attached to a noisy total.
     def line(n: Int): String =
-      s"""{"metric":"total","value_canary_norm":${fmt(totalNorm)},"value":${fmt(total)},"unit":"sec","sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
+      s"""{"metric":"total","value_canary_norm":${fmt(totalNorm)},"value":${fmt(total)},"unit":"sec","cpus":$cpus,"sf":"$sfDir","nq":${results.size},"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"shown":$n,"full":"target/bench.json","queries":{${entries.take(n).mkString(",")}}}"""
     var shown = entries.size
     while (shown > 0 && line(shown).length > budget) shown -= 1
     val compact = line(shown)

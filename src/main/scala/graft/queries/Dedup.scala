@@ -1861,9 +1861,25 @@ object Dedup {
     * round-6 verdict item 2: three re-reads + re-splits of the corpus was
     * the suite's single largest avoidable cost at 100 TB).
     */
-  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    // UNSPLITTABLE-INPUT spread (guide §2.5, r15): the test fixtures are
+    // single-row-group parquet, so the scan is ONE task and both of the
+    // index build's explode+hash passes over the corpus ran serially
+    // (profiled: 2 × ~1 s single-task stages on d15's critical path at
+    // sf0.1). A deterministic hash repartition on doc_id right after the
+    // tokenize parallelizes them — and because both passes hang off this
+    // one exchange, ReuseExchange materializes the split ONCE (the shuffle
+    // write) instead of re-tokenizing per pass. Scale-adaptive: only fires
+    // when the scan's own parallelism is below the session's cores — at
+    // real scale (many splits) the scan is already parallel and the
+    // corpus-byte shuffle would be pure cost, so it stays off.
+    val cores = s.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions * 2 <= cores)
+      toks.repartition(cores, col("doc_id"))
+    else toks
+  }
 
   private def prefixIndex(s: SparkSession, d: String, tauPct: Int,
                           shingleK: Int = PrefixShingleK): DataFrame =
@@ -1984,20 +2000,41 @@ object Dedup {
     *    J ≥ τ ⟺ inter·(100+τ) ≥ τ·(na+nb) gives the integer spelling.
     */
   private[graft] def d15Pairs(idx: DataFrame): DataFrame = {
-    val prefix = idx
-      .select(col("doc_id"), col("sz"),
-        posexplode(expr("slice(tarr, 1, cast(plen as int))")).as(Seq("p", "h")))
-    val cand = prefix
-      .select(col("doc_id").as("d1"), col("sz").as("sa"), col("p").as("pa"), col("h"))
-      .join(prefix
-        .select(col("doc_id").as("d2"), col("sz").as("sb"), col("p").as("pb"), col("h")),
-        Seq("h"))
-      .filter(col("d1") < col("d2"))
-      .filter(least(col("sa"), col("sb")) * 100 >=
-        greatest(col("sa"), col("sb")) * PrefixTauPct)
-      .filter((lit(1) + least(col("sa") - col("pa") - 1, col("sb") - col("pb") - 1)) *
-        (100 + PrefixTauPct) >= (col("sa") + col("sb")) * PrefixTauPct)
-      .select("d1", "d2")
+    // ASYMMETRIC (indexing) PREFIX (PPJoin, Xiao et al. 2008 §3 — the
+    // r15 candidate-count optimization): orient every unordered pair by
+    // (sz, doc_id) and join the larger/probing side's FULL τ-prefix
+    // (plen = sz − ⌈sz·τ/100⌉ + 1, valid because inter ≥ ⌈τ·max⌉ via
+    // union ≥ max) against the smaller/indexed side's SHORTER prefix
+    // ipl = sz − ⌈2·sz·τ/(100+τ)⌉ + 1 (valid because sy ≥ sx makes the
+    // required overlap o = ⌈(sx+sy)·τ/(100+τ)⌉ ≥ ⌈2·sx·τ/(100+τ)⌉).
+    // Completeness: the SMALLEST common token c1 of a qualifying pair
+    // lies in both prefixes — if c1 sat outside prefix_{sz−o+1}, every
+    // common token would sit in the last o−1 positions, contradicting
+    // inter ≥ o — and at c1 (the first common token) the positional
+    // filter's bound is valid and ≥ o, so that occurrence always
+    // survives. Extra candidates only ever die in exact verification.
+    // Why it pays: rare-first ordering puts each doc's HOTTEST prefix
+    // shingles at positions ipl..plen — exactly the slice this removes —
+    // so the candidate cut is superlinear in the prefix cut (measured at
+    // sf0.1: k=2 occurrences 5.43 M → 2.81 M, d28 −20 %).
+    val probe = idx
+      .select(col("doc_id").as("dp"), col("sz").as("sp"),
+        posexplode(expr("slice(tarr, 1, cast(plen as int))")).as(Seq("pp", "h")))
+    val index = idx
+      .select(col("doc_id").as("di"), col("sz").as("si"),
+        posexplode(expr("slice(tarr, 1, cast(sz - ((sz * " +
+          s"${2 * PrefixTauPct} + ${100 + PrefixTauPct - 1}) div " +
+          s"${100 + PrefixTauPct}) + 1 as int))")).as(Seq("pi", "h")))
+    val cand = index.join(probe, Seq("h"))
+      // pair orientation: index side strictly smaller by (sz, doc_id) —
+      // also what makes the pair generation self-pair-free
+      .filter(col("si") < col("sp") ||
+        (col("si") === col("sp") && col("di") < col("dp")))
+      // length filter (si = least, sp = greatest by construction)
+      .filter(col("si") * 100 >= col("sp") * PrefixTauPct)
+      .filter((lit(1) + least(col("si") - col("pi") - 1, col("sp") - col("pp") - 1)) *
+        (100 + PrefixTauPct) >= (col("si") + col("sp")) * PrefixTauPct)
+      .select("di", "dp")
     // exact verification: merge-count over the h-sorted twins — one
     // codegen'd primitive pass per candidate (sorted_inter_size), no
     // per-pair hash set, no materialized intersection array; at k=2 the
@@ -2015,8 +2052,8 @@ object Dedup {
     // At 100 TB the index side shards by doc bucket instead of
     // broadcasting; the occurrence stream still never shuffles.
     cand
-      .join(broadcast(idx.select(col("doc_id").as("d1"), col("varr").as("va"), col("sz").as("na"))), Seq("d1"))
-      .join(broadcast(idx.select(col("doc_id").as("d2"), col("varr").as("vb"), col("sz").as("nb"))), Seq("d2"))
+      .join(broadcast(idx.select(col("doc_id").as("di"), col("varr").as("va"), col("sz").as("na"))), Seq("di"))
+      .join(broadcast(idx.select(col("doc_id").as("dp"), col("varr").as("vb"), col("sz").as("nb"))), Seq("dp"))
       // THRESHOLD-AWARE merge (r14 optimization): J ≥ τ ⟺ inter ≥
       // ceil((na+nb)·τ/(100+τ)); passing that bound lets the merge abort
       // on candidates that provably cannot qualify (most of the k=2
@@ -2026,8 +2063,16 @@ object Dedup {
       .withColumn("inter", expr("sorted_inter_size(va, vb, " +
         s"((na + nb) * $PrefixTauPct + ${100 + PrefixTauPct - 1}) div ${100 + PrefixTauPct})"))
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * PrefixTauPct)
-      .select(col("d1"), col("d2"), col("inter"),
-              col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      // relabel the size-oriented pair back to doc-id order — inter is
+      // symmetric, na/nb follow their documents; the output multiset is
+      // exactly the symmetric spelling's (then the same distinct)
+      .select(least(col("di"), col("dp")).as("d1"),
+              greatest(col("di"), col("dp")).as("d2"),
+              col("inter"),
+              when(col("di") < col("dp"), col("na")).otherwise(col("nb"))
+                .cast("long").as("na"),
+              when(col("di") < col("dp"), col("nb")).otherwise(col("na"))
+                .cast("long").as("nb"))
       .distinct()
   }
 
