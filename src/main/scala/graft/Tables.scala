@@ -15,6 +15,28 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** UNSPLITTABLE-INPUT spread (guide §2.5, r15): the fixtures are
+    * single-row-group parquet, so corpus scans are ONE task and heavy
+    * pre-exchange per-row stages (tokenize, shingle, md5) run serially —
+    * profiled as 0.5–1.4 s single-task stages on the critical paths of
+    * d01/d15/d19/d22/t40/t42 at sf0.1. A deterministic hash repartition
+    * on a row key parallelizes them; when the downstream aggregate keys
+    * on the same column the added exchange REPLACES the aggregate's own
+    * exchange rather than stacking a new one, and when several passes
+    * hang off the same frame, ReuseExchange materializes the pre-spread
+    * work ONCE. Scale-adaptive (the round contract's parameterization
+    * rule): fires only when the scan's parallelism is under half the
+    * session's cores — at real scale the scan has real splits and this
+    * is a no-op. Deterministic hash keys, NOT round-robin: no
+    * sort-before-repartition cost, stable under task retry (§2.5).
+    */
+  def spreadByKey(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores)
+      df.repartition(cores, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -132,8 +132,12 @@ object Dedup {
   /** (doc_id, s0..s15): the 16-slot MinHash signature, built by exploding
     * shingles and taking 16 permuted minima in one hash aggregate.
     */
+  /** [[Tables.spreadByKey]] on doc_id — see the rationale there. */
+  private[graft] def spreadByDoc(docs: DataFrame): DataFrame =
+    Tables.spreadByKey(docs, "doc_id")
+
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
+    val sh = spreadByDoc(docs)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(TextHash.sparkShinglesOf("tokens", MinhashShingleK))).as("shingle"))
@@ -154,6 +158,10 @@ object Dedup {
     * blocks on — factored so the band join never recomputes it twice.
     */
   private def simhashTable(s: SparkSession, d: String): DataFrame = {
+    // NO spreadByDoc here (measured r15 negative): the per-row work is one
+    // token hash — too light to pay for the text-byte exchange (d02
+    // 0.53 → 0.58 in the interleaved A/B), unlike the shingle+16-hash
+    // minhash pass below it.
     val h = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", expr(TextHash.sparkHash56("t")))
@@ -1861,25 +1869,13 @@ object Dedup {
     * round-6 verdict item 2: three re-reads + re-splits of the corpus was
     * the suite's single largest avoidable cost at 100 TB).
     */
-  private def tokenizedDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
-    // UNSPLITTABLE-INPUT spread (guide §2.5, r15): the test fixtures are
-    // single-row-group parquet, so the scan is ONE task and both of the
-    // index build's explode+hash passes over the corpus ran serially
-    // (profiled: 2 × ~1 s single-task stages on d15's critical path at
-    // sf0.1). A deterministic hash repartition on doc_id right after the
-    // tokenize parallelizes them — and because both passes hang off this
-    // one exchange, ReuseExchange materializes the split ONCE (the shuffle
-    // write) instead of re-tokenizing per pass. Scale-adaptive: only fires
-    // when the scan's own parallelism is below the session's cores — at
-    // real scale (many splits) the scan is already parallel and the
-    // corpus-byte shuffle would be pure cost, so it stays off.
-    val cores = s.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions * 2 <= cores)
-      toks.repartition(cores, col("doc_id"))
-    else toks
-  }
+  private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    // spreadByDoc: parallelizes BOTH of the prefix-index build's
+    // explode+hash passes, and ReuseExchange materializes the split once
+    // (the two passes hang off this one exchange) instead of re-tokenizing
+    // per pass.
+    spreadByDoc(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
 
   private def prefixIndex(s: SparkSession, d: String, tauPct: Int,
                           shingleK: Int = PrefixShingleK): DataFrame =

@@ -421,7 +421,7 @@ object Extended {
   }
 
   /** Shared scaffold of the histogram-selection family (q80 / q117 /
-    * q119's histMedian / q121): per-key bounds + measure total (`stats`:
+    * q121): per-key bounds + measure total (`stats`:
     * k, lo, hi, n), the deterministic equi-width bucket assignment
     * (`bucketed` — IDENTICAL double math in every pass, so bucket
     * membership can never disagree between phases), and the cumulative
@@ -597,34 +597,34 @@ object Extended {
     * differently — two reasons it stays off this path).
     */
   val q117PercentileCont: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
-    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
-    // One target row per (key, quantile, side): side 1 = the order
-    // statistic at r_lo, side 2 = at min(r_lo+1, n); md/den is the exact
-    // interpolation fraction. 18 rows total — pure metadata.
-    val targets = stats
+    // DISTINCT-VALUE selection (r15 restructure — guide §1.2 step 1 "the
+    // distributed algorithm"): l_quantity is a bounded low-cardinality
+    // domain (TPC-H: 50 integral values), so the exact order statistic
+    // falls out of ONE corpus pass — groupBy (k, v) partial-aggregates to
+    // keys × |domain| rows BEFORE the exchange, and every later step is
+    // metadata-scale. Replaces three column-pruned scans + two broadcast
+    // rounds of the histogram-selection scaffold (which q80/q121/q124
+    // KEEP: l_extendedprice is ~unique per row, where a distinct-value
+    // shuffle would be corpus-scale — the scaffold's reason to exist).
+    // Equivalence: value at rank r = MIN(v) with cum_count(v) ≥ r — the
+    // oracle's ROW_NUMBER walk restated over the value distribution; the
+    // rank/fraction algebra below is the same exact-integer spelling, and
+    // the one float op (the interpolation) keeps its operand order.
+    val dist = distinctValueCum(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v")))
+    val targets = dist.select("k", "n").distinct()
       .select(col("k"), col("n"),
         explode(typedLit(Seq((25, 1, 4), (50, 1, 2), (90, 9, 10)))).as("t"))
-      .select(col("k"), col("n"), col("t._1").as("qq"),
+      .select(col("k"), col("t._1").as("qq"),
         expr("((n - 1) * t._2) div t._3 + 1").as("rlo"),
         expr("((n - 1) * t._2) % t._3").as("md"),
-        col("t._3").as("den"))
-      .select(col("k"), col("qq"), col("md"), col("den"),
-        explode(typedLit(Seq(1, 2))).as("side"),
-        col("rlo"), col("n"))
-      .withColumn("r",
-        when(col("side") === 1, col("rlo"))
-          .otherwise(least(col("rlo") + 1, col("n"))))
-    val cand = histCand(cumHist, targets, Seq("qq", "side", "md", "den"))
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy("k", "qq", "side").orderBy("v")
-    val picked = bucketed(li).join(broadcast(cand), Seq("k", "b"))
-      .withColumn("rk", row_number().over(wv))
-      .where(col("rk") === col("rr"))
-    val interp = picked.groupBy("k", "qq")
-      .agg(min(when(col("side") === 1, col("v"))).as("v1"),
-        min(when(col("side") === 2, col("v"))).as("v2"),
+        col("t._3").as("den"),
+        col("n"))
+      .withColumn("r2", least(col("rlo") + 1, col("n")))
+    val interp = dist.join(broadcast(targets), "k")
+      .groupBy("k", "qq")
+      .agg(min(when(col("cw") >= col("rlo"), col("v"))).as("v1"),
+        min(when(col("cw") >= col("r2"), col("v"))).as("v2"),
         min(col("md")).as("md"), min(col("den")).as("den"))
       .withColumn("pv",
         col("v1") + (col("v2") - col("v1")) *
@@ -637,49 +637,74 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** The per-key distinct-value cumulative distribution of a (k, v)
+    * frame: one partial-agg groupBy (k, v) — the only corpus-scale step —
+    * then a keyed running sum, yielding (k, v, c, cw, n) where cw is the
+    * count of rows with value ≤ v and n the key's row count. Exact rank
+    * selection reads straight off it: the order statistic at rank r is
+    * MIN(v) among rows with cw ≥ r (the ROW_NUMBER walk restated over the
+    * value distribution — each distinct v occupies ranks (cw−c, cw]).
+    * Only for LOW-CARDINALITY measures (q117/q119's l_quantity): the
+    * exchange carries keys × |domain| rows after map-side aggregation.
+    */
+  private def distinctValueCum(li: DataFrame): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    li.groupBy("k", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cw", sum("c").over(wk))
+      .withColumn("n", sum("c").over(wt))
+  }
+
   /** q119: median absolute deviation (MAD) — the robust dispersion
     * statistic (outlier-immune, unlike stddev): per key, the median of
-    * |v − median(v)|. Two DEPENDENT exact-selection problems, each solved
-    * with the q80 histogram machinery via [[histMedian]]: the first median
-    * comes from a bucket histogram of v, broadcasts back (one row per
-    * key), and the deviation column feeds a second, independent histogram.
-    * The big table is scanned (never shuffled) twice per level; every
-    * shuffle is metadata-scale. This is the composition test of the
-    * histogram-selection primitive — a second level stacks with no new
-    * shape.
+    * |v − median(v)|. Two DEPENDENT exact-selection problems over the
+    * bounded l_quantity domain, both read off ONE [[distinctValueCum]]
+    * distribution (see the r15 rationale inside the body).
     *
     * Determinism: medians are percentile_disc(0.5) DATA values (rank
     * ceil(n/2), exact integer); |v − med| is one IEEE subtraction spelled
     * identically in the oracle.
     */
   val q119Mad: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
-    val med = histMedian(li).withColumnRenamed("m", "med")
-    val dev = li.join(broadcast(med), "k")
-      .select(col("k"), abs(col("v") - col("med")).as("v"))
-    histMedian(dev).withColumnRenamed("m", "mad")
-      .join(broadcast(med), "k")
+    // DISTINCT-VALUE double selection (r15 restructure, same rationale as
+    // q117): l_quantity's bounded domain makes BOTH selection levels
+    // metadata-scale after ONE corpus pass — and the second level needs
+    // no re-scan at all, because the deviation distribution is a pure
+    // function of the value distribution: |v − med| with multiplicity
+    // c(v), re-grouped (values folding onto the same deviation merge
+    // their counts — the deviation MULTISET is unchanged, which is all
+    // rank selection reads). Replaces two dependent histogram-selection
+    // levels = 6 scans + 4 broadcast rounds (~25 sequential stages, the
+    // suite's worst latency chain and the r14 verdict's #1 anti-scaling
+    // finding). The one float op (the deviation subtraction) keeps its
+    // spelling; medians stay percentile_disc DATA values at the same
+    // exact integer rank.
+    // no cache: every consumer hangs off the SAME groupBy/window subtree,
+    // so ReuseExchange materializes the corpus pass once (checked in the
+    // plan — the later consumers read ReusedExchange nodes)
+    val dist = distinctValueCum(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v")))
+    val med = dist.filter(col("cw") >= expr("(n + 1) div 2"))
+      .groupBy("k").agg(min("v").as("med"))
+    val devCum = {
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      dist.join(broadcast(med), "k")
+        .select(col("k"), abs(col("v") - col("med")).as("v"), col("c"), col("n"))
+        .groupBy("k", "v", "n").agg(sum("c").as("c"))
+        .withColumn("cw", sum("c").over(wk))
+    }
+    val mad = devCum.filter(col("cw") >= expr("(n + 1) div 2"))
+      .groupBy("k").agg(min("v").as("mad"))
+    val out = mad.join(broadcast(med), "k")
       .select(col("k").as("l_returnflag"), col("med"), col("mad"))
       .orderBy("l_returnflag")
-  }
-
-  /** Exact per-key median (percentile_disc 0.5: the value at rank
-    * ceil(n/2)) of a (k, v) table by one level of q80's two-phase
-    * histogram selection: per-key bounds + count → metadata-scale bucket
-    * histogram → re-scan only the candidate bucket for the in-bucket order
-    * statistic. Returns one (k, m) row per key.
-    */
-  private def histMedian(li: DataFrame): DataFrame = {
-    val (stats, bucketed, cumHist) = histFrame(li, count(lit(1)))
-    val targets = stats.select(col("k"), expr("(n + 1) div 2").as("r"))
-    val cand = histCand(cumHist, targets, Nil)
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy("k").orderBy("v")
-    bucketed(li).join(broadcast(cand), Seq("k", "b"))
-      .withColumn("rk", row_number().over(wv))
-      .where(col("rk") === col("rr"))
-      .select(col("k"), col("v").as("m"))
+    out
   }
 
   /** q121: weighted median — the smallest value whose cumulative WEIGHT

@@ -1322,6 +1322,16 @@ object Extras {
     // column measured SLOWER: same statement count plus a materialization).
     // So the loop body is ONE multi-assignment SET per iteration (probe +
     // advance fused into a single statement) instead of two.
+    // r15: the probe advances FOUR powers per statement (one scan counts
+    // t*2, t*4, t*8, t*16; the CASE picks the first satisfying power, or
+    // the 4th with its count) — the statement count drops ~19 → ~7 while
+    // the loop invariant (nb = count below t) and exit condition are
+    // unchanged, so by monotonicity of count(price < x) the loop still
+    // lands on the SAME minimal satisfying power with the same count —
+    // the identical (threshold, n_below, n_total) row. The WHILE stays:
+    // engine-side control flow is the declared surface; batching the
+    // monotone probes is how a production adaptive probe amortizes
+    // per-statement latency (guide §2.4: remove jobs outright).
     s.sql(
       """BEGIN
         |  DECLARE t BIGINT DEFAULT 1;
@@ -1330,9 +1340,21 @@ object Extras {
         |  SET total = (SELECT COUNT(1) FROM orders_q122);
         |  SET nb = (SELECT COUNT(1) FROM orders_q122 WHERE o_totalprice < 1);
         |  WHILE nb * 2 < total DO
-        |    SET (t, nb) = (SELECT t * 2,
-        |                          COUNT(CASE WHEN o_totalprice < t * 2 THEN 1 END)
-        |                   FROM orders_q122);
+        |    SET (t, nb) = (SELECT
+        |        CASE WHEN c1 * 2 >= total THEN t * 2
+        |             WHEN c2 * 2 >= total THEN t * 4
+        |             WHEN c3 * 2 >= total THEN t * 8
+        |             ELSE t * 16 END,
+        |        CASE WHEN c1 * 2 >= total THEN c1
+        |             WHEN c2 * 2 >= total THEN c2
+        |             WHEN c3 * 2 >= total THEN c3
+        |             ELSE c4 END
+        |      FROM (SELECT
+        |              COUNT(CASE WHEN o_totalprice < t * 2  THEN 1 END) AS c1,
+        |              COUNT(CASE WHEN o_totalprice < t * 4  THEN 1 END) AS c2,
+        |              COUNT(CASE WHEN o_totalprice < t * 8  THEN 1 END) AS c3,
+        |              COUNT(CASE WHEN o_totalprice < t * 16 THEN 1 END) AS c4
+        |            FROM orders_q122));
         |  END WHILE;
         |  SELECT t AS threshold, nb AS n_below, total AS n_total;
         |END""".stripMargin)
